@@ -1,0 +1,89 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's DuckDB correctness gate.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+
+For each <verifyOutDir>/<name>/ parquet dump with a matching entry in
+<verifyOutDir>/oracle_sql.json, runs the SQL in DuckDB with views named
+after the parquet tables in <sfDir>, sorts columns by name, rounds floats,
+and compares the row multisets. Exit code 1 if any query mismatches.
+
+Dev-only tooling (the library itself has no Python dependency).
+"""
+import json
+import math
+import os
+import sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return round(v, 6)
+    if isinstance(v, list):
+        return tuple(canon(x) for x in v)
+    return v
+
+
+def rows_key(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    failed = []
+    for name, sql in sorted(oracle.items()):
+        pq_dir = os.path.join(out_dir, name)
+        if not os.path.isdir(pq_dir):
+            print(f"[MISS] {name}: no parquet dump")
+            failed.append(name)
+            continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{pq_dir}/*.parquet')").fetchall()
+        got_cols = [d[0] for d in con.description]
+        try:
+            want = con.execute(sql).fetchall()
+            want_cols = [d[0] for d in con.description]
+        except Exception as e:
+            print(f"[ERR ] {name}: oracle SQL failed: {e}")
+            failed.append(name)
+            continue
+        if sorted(got_cols) != sorted(want_cols):
+            print(f"[COLS] {name}: spark={sorted(got_cols)} duck={sorted(want_cols)}")
+            failed.append(name)
+            continue
+        gk, wk = rows_key(got_cols, got), rows_key(want_cols, want)
+        if gk != wk:
+            print(f"[ROWS] {name}: spark {len(got)} rows vs duck {len(want)} rows")
+            for i, (a, b) in enumerate(zip(gk, wk)):
+                if a != b:
+                    print(f"        first diff at {i}:\n         spark={a}\n         duck ={b}")
+                    break
+            else:
+                n = min(len(gk), len(wk))
+                print(f"        extra rows from {n}: "
+                      f"{gk[n] if len(gk) > n else wk[n]}")
+            failed.append(name)
+        else:
+            print(f"[ OK ] {name}: {len(got)} rows")
+    if failed:
+        print(f"\nFAILED: {failed}")
+        sys.exit(1)
+    print(f"\nAll {len(oracle)} queries match.")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2])
