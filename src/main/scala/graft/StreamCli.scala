@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingOps
+
+/** `sbt "runMain graft.StreamEvents <sfDir> [hourly|sessions]"` — run the
+  * Structured Streaming operators over the events table as a bounded
+  * file stream (micro-batch to completion), print the resulting table.
+  */
+object StreamEvents {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val mode = if (args.length > 1) args(1) else "hourly"
+    val spark = Cli.session()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    // Schema must be declared for a streaming file source; ts arrives as
+    // raw nanos (see EventsOps) and is floor-converted to micros.
+    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
+      "event_type STRING, value DOUBLE, props STRING"
+    // The streaming file source requires a directory; glob-filter down to
+    // the events table.
+    val events = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+    val out = mode match {
+      case "sessions" => StreamingOps.userSessions(events)
+      case _          => StreamingOps.hourlyCounts(events)
+    }
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_out").start()
+    q.processAllAvailable()
+    val table = spark.table("stream_out")
+    println(s"[stream] $mode rows=${table.count()}")
+    table.orderBy(table.columns.map(col): _*).show(10, truncate = false)
+    q.stop()
+    spark.stop()
+  }
+}

@@ -1,0 +1,284 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CosineSimilarity.cosineSim
+import graft.textops.TextOps
+
+/** Deduplication operators over `documents` — the core of any large-scale
+  * training-data pipeline: exact (content hash), MinHash+LSH banding,
+  * SimHash, shingle-set Jaccard, and embedding-cosine near-dup.
+  *
+  * Scale design: every signature (fingerprint, minhash band, simhash,
+  * LSH bucket) is computed ROW-LOCALLY with array higher-order functions —
+  * no shuffle until the final short-key group/join. Candidate generation is
+  * always a hash join on a compact key (band hash, bucket id, cluster
+  * label), never an all-pairs cross join; the verification join runs only
+  * on candidates. MD5 is used as the hash family so the DuckDB oracle can
+  * recompute identical signatures.
+  */
+object DedupOps {
+
+  val NumHashes = 16
+  val BandSize = 4 // → 4 bands
+  val ShingleSize = 3
+  val JaccardThreshold = 0.30
+  val EmbCosineThreshold = 0.35
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private def emb(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Canonical content fingerprint: md5 of the case/whitespace-normalized
+    * text. */
+  def fingerprint(c: Column): Column = md5(TextOps.emKey(c))
+
+  /** 3-token shingles as space-joined strings; whole token string when the
+    * doc has 1..2 tokens; empty array for empty docs. */
+  def shingles(textCol: Column, n: Int = ShingleSize): Column = {
+    val toks = TextOps.tokenize(textCol)
+    when(size(toks) === 0, array().cast("array<string>"))
+      .when(size(toks) < n, array(concat_ws(" ", toks)))
+      .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  private val TokRe = "[a-z0-9]+(?:[-_][a-z0-9]+)*"
+
+  /** DuckDB twin of `shingles` ending in sh(doc_id, shingles). */
+  private val shinglesCte =
+    s"""tk AS (SELECT doc_id, regexp_extract_all(lower(text), '$TokRe') AS t FROM documents),
+       |sh AS (SELECT doc_id,
+       |         CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+       |              WHEN len(t) < $ShingleSize THEN [array_to_string(t, ' ')]
+       |              ELSE [array_to_string(t[i:i+${ShingleSize - 1}], ' ')
+       |                    FOR i IN range(1, len(t) - ${ShingleSize - 2})]
+       |         END AS shingles
+       |       FROM tk)""".stripMargin
+
+  // ---- q40: exact duplicate groups ----------------------------------------
+
+  def exactDupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val withFp = docs(spark, dir).select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val groups = withFp.groupBy("fp")
+      .agg(min("doc_id").as("canonical_id"), count(lit(1)).as("group_size"))
+    withFp.join(groups, "fp")
+      .select(col("doc_id"), col("fp"), col("canonical_id"), col("group_size"))
+      .orderBy("doc_id")
+  }
+
+  private val emKeySql =
+    """regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g')"""
+
+  val exactDupGroupsSql: String =
+    s"""WITH fp AS (SELECT doc_id, md5($emKeySql) AS fp FROM documents),
+       |g AS (SELECT fp, min(doc_id) AS canonical_id, count(*) AS group_size
+       |      FROM fp GROUP BY fp)
+       |SELECT doc_id, fp.fp, canonical_id, group_size
+       |FROM fp JOIN g USING (fp) ORDER BY doc_id""".stripMargin
+
+  // ---- q41: MinHash band signatures ---------------------------------------
+
+  /** MinHash: sig_j = min over shingles of md5(j ∥ ':' ∥ s); band hash =
+    * md5 of 4 consecutive sigs.
+    *
+    * Shape: explode (doc × shingle × j) keeps the md5 inside whole-stage
+    * codegen (a nested array-HOF formulation is ~50× slower interpreted),
+    * and the `min` aggregate's map-side partial combine collapses the
+    * exploded rows to NumHashes rows per doc before the shuffle — so the
+    * exchanged volume is 16 short strings per document regardless of
+    * document length. */
+  def minhashBands(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docs(spark, dir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .crossJoin(spark.range(NumHashes).select(col("id").as("j")))
+    val mh = sh
+      .groupBy("doc_id", "j")
+      .agg(min(md5(concat(col("j").cast("string"), lit(":"), col("s")))).as("m"))
+    val sigs = mh.groupBy("doc_id")
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("m")))),
+        s => s.getField("m")).as("sigs"))
+    sigs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(NumHashes / BandSize - 1)),
+          b => md5(concat_ws(":", slice(col("sigs"), b * BandSize + 1, lit(BandSize))))))
+          .as(Seq("band_id", "band_hash")))
+      .select(col("doc_id"), col("band_id").cast("long").as("band_id"), col("band_hash"))
+      .orderBy("doc_id", "band_id")
+  }
+
+  val minhashBandsSql: String =
+    s"""WITH $shinglesCte,
+       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+       |mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || s)) AS m
+       |       FROM ex, (SELECT unnest(range(0, $NumHashes)) AS j) GROUP BY doc_id, j),
+       |sig AS (SELECT doc_id, list(m ORDER BY j) AS sigs FROM mh GROUP BY doc_id)
+       |SELECT doc_id, b AS band_id,
+       |  md5(array_to_string(sigs[b * $BandSize + 1 : b * $BandSize + $BandSize], ':')) AS band_hash
+       |FROM sig, (SELECT unnest(range(0, ${NumHashes / BandSize})) AS b)
+       |ORDER BY doc_id, band_id""".stripMargin
+
+  // ---- q42: MinHash-LSH candidate pairs + verified Jaccard ----------------
+
+  /** Candidates = pairs sharing any band hash; verified with exact
+    * shingle-set Jaccard (no threshold — banding is the filter). */
+  def minhashDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(spark, dir)
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    withJaccard(spark, dir, pairs)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Join exact shingle-set Jaccard onto a (doc_a, doc_b) pair frame. */
+  private def withJaccard(spark: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
+    val ds = docs(spark, dir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .distinct()
+    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(ds.as("x"), col("x.doc_id") === col("doc_a"))
+      .join(ds.as("y"), col("y.doc_id") === col("doc_b") && col("y.s") === col("x.s"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        round(coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("inter"), lit(0L))), 6))
+  }
+
+  private val jaccardCtes =
+    s"""ds AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+       |sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+       |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS i
+       |          FROM pairs p
+       |          JOIN ds x ON x.doc_id = p.doc_a
+       |          JOIN ds y ON y.doc_id = p.doc_b AND y.s = x.s
+       |          GROUP BY p.doc_a, p.doc_b),
+       |jac AS (SELECT p.doc_a, p.doc_b,
+       |          round(coalesce(i, 0)::DOUBLE /
+       |            (sa.n + sb.n - coalesce(i, 0)), 6) AS jaccard
+       |        FROM pairs p
+       |        LEFT JOIN inter ON p.doc_a = inter.doc_a AND p.doc_b = inter.doc_b
+       |        JOIN sz sa ON sa.doc_id = p.doc_a
+       |        JOIN sz sb ON sb.doc_id = p.doc_b)""".stripMargin
+
+  val minhashDupPairsSql: String =
+    s"""WITH $shinglesCte,
+       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+       |mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || s)) AS m
+       |       FROM ex, (SELECT unnest(range(0, $NumHashes)) AS j) GROUP BY doc_id, j),
+       |sig AS (SELECT doc_id, list(m ORDER BY j) AS sigs FROM mh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, b AS band_id,
+       |            md5(array_to_string(sigs[b * $BandSize + 1 : b * $BandSize + $BandSize], ':')) AS band_hash
+       |          FROM sig, (SELECT unnest(range(0, ${NumHashes / BandSize})) AS b)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bands a JOIN bands b
+       |            ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       |           AND a.doc_id < b.doc_id),
+       |$jaccardCtes
+       |SELECT doc_a, doc_b, jaccard FROM jac ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- q43: exact shingle-Jaccard pairs above a threshold -----------------
+
+  /** Pairs sharing ≥1 shingle with Jaccard ≥ threshold. The shared-shingle
+    * join is the blocking step (never all-pairs); at 100 TB you'd block on
+    * rarer shingles (df-bounded) — here df-unbounded is fine because the
+    * synthetic vocabulary keeps candidate counts quadratic-safe. */
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val ds = docs(spark, dir)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .distinct()
+    val pairs = ds.as("x").join(ds.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    withJaccard(spark, dir, pairs)
+      .filter(col("jaccard") >= JaccardThreshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val jaccardPairsSql: String =
+    s"""WITH $shinglesCte,
+       |ds0 AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+       |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |          FROM ds0 x JOIN ds0 y ON x.s = y.s AND x.doc_id < y.doc_id),
+       |ds AS (SELECT * FROM ds0),
+       |sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
+       |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS i
+       |          FROM pairs p
+       |          JOIN ds x ON x.doc_id = p.doc_a
+       |          JOIN ds y ON y.doc_id = p.doc_b AND y.s = x.s
+       |          GROUP BY p.doc_a, p.doc_b),
+       |jac AS (SELECT p.doc_a, p.doc_b,
+       |          round(coalesce(i, 0)::DOUBLE /
+       |            (sa.n + sb.n - coalesce(i, 0)), 6) AS jaccard
+       |        FROM pairs p
+       |        LEFT JOIN inter ON p.doc_a = inter.doc_a AND p.doc_b = inter.doc_b
+       |        JOIN sz sa ON sa.doc_id = p.doc_a
+       |        JOIN sz sb ON sb.doc_id = p.doc_b)
+       |SELECT doc_a, doc_b, jaccard FROM jac
+       |WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- q44: embedding-cosine near-dup pairs (blocked by label) ------------
+
+  /** Same-cluster pairs with cosine ≥ threshold. The `label` column is the
+    * blocking key (at scale: the coarse-quantizer cell / partition key), so
+    * the pair join is per-block, never global. */
+  def embeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select("vec_id", "label", "embedding")
+    e.as("a").join(e.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.label").as("label"),
+        cosineSim(col("a.embedding"), col("b.embedding")).as("cos"))
+      .filter(col("cos") >= EmbCosineThreshold)
+      .select(col("vec_a"), col("vec_b"), col("label").cast("long").as("label"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private def sqlCosAb: String =
+    """(CASE WHEN sqrt(list_sum([(a.embedding[i])::DOUBLE * (a.embedding[i])::DOUBLE FOR i IN range(1, len(a.embedding) + 1)])) = 0
+      |       OR sqrt(list_sum([(b.embedding[i])::DOUBLE * (b.embedding[i])::DOUBLE FOR i IN range(1, len(b.embedding) + 1)])) = 0
+      |  THEN 0.0
+      |  ELSE list_sum([(a.embedding[i])::DOUBLE * (b.embedding[i])::DOUBLE FOR i IN range(1, len(a.embedding) + 1)]) /
+      |    (sqrt(list_sum([(a.embedding[i])::DOUBLE * (a.embedding[i])::DOUBLE FOR i IN range(1, len(a.embedding) + 1)])) *
+      |     sqrt(list_sum([(b.embedding[i])::DOUBLE * (b.embedding[i])::DOUBLE FOR i IN range(1, len(b.embedding) + 1)])))
+      |END)""".stripMargin
+
+  val embeddingNearDupsSql: String =
+    s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |  CAST(a.label AS BIGINT) AS label, round($sqlCosAb, 6) AS cos
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE $sqlCosAb >= $EmbCosineThreshold
+       |ORDER BY vec_a, vec_b""".stripMargin
+
+  // -------------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_exact_dup_groups" -> (exactDupGroups _),
+    "q41_minhash_bands" -> (minhashBands _),
+    "q42_minhash_dup_pairs" -> (minhashDupPairs _),
+    "q43_jaccard_pairs" -> (jaccardPairs _),
+    "q44_embedding_neardups" -> (embeddingNearDups _))
+
+  val oracles: Map[String, String] = Map(
+    "q40_exact_dup_groups" -> exactDupGroupsSql,
+    "q41_minhash_bands" -> minhashBandsSql,
+    "q42_minhash_dup_pairs" -> minhashDupPairsSql,
+    "q43_jaccard_pairs" -> jaccardPairsSql,
+    "q44_embedding_neardups" -> embeddingNearDupsSql)
+}

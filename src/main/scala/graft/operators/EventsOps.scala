@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators over the `events` table (event_id, ts, user_id,
+  * event_type, value, props JSON): tumbling/sliding windows, gap-based
+  * sessionization, pivoted per-user activity, and JSON extraction.
+  *
+  * The batch sessionization here is the lag+cumulative-flag formulation so
+  * the DuckDB oracle can reproduce it exactly; `graft.streaming` holds the
+  * Structured Streaming twin (session_window + watermark) of the same
+  * semantics. Window starts are emitted as epoch seconds (BIGINT) to avoid
+  * cross-engine timestamp formatting drift.
+  */
+object EventsOps {
+
+  val SessionGapMinutes = 30
+
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
+    * (micros) refuses outright; read it as raw nanos (legacy conf) and
+    * floor-convert to a micros timestamp — same truncation DuckDB applies
+    * when comparing at micro/second granularity. */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  }
+
+  // ---- q60: tumbling hourly windows ---------------------------------------
+
+  def hourlyEventStats(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(
+        unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 6).as("sum_value"),
+        round(avg("value"), 6).as("avg_value"))
+      .orderBy("hour_epoch", "event_type")
+
+  val hourlyEventStatsSql: String =
+    """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+      |  event_type, count(*) AS n,
+      |  round(sum(value), 6) AS sum_value, round(avg(value), 6) AS avg_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin
+
+  // ---- q61: sliding 2h windows, 1h slide ----------------------------------
+
+  def slidingWindowStats(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  val slidingWindowStatsSql: String =
+    """WITH w AS (
+      |  SELECT event_type, value,
+      |    unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR])
+      |      AS window_start
+      |  FROM events)
+      |SELECT CAST(floor(epoch(window_start)) AS BIGINT) AS window_start,
+      |  event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+      |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  // ---- q62: gap-based sessionization --------------------------------------
+
+  /** Sessions = runs of per-user events with < 30 min between consecutive
+    * events. lag → new-session flag → cumulative session index → aggregate;
+    * two shuffles on user_id total (the window and the group share the
+    * partitioning, so AQE/exchange-reuse collapses them to one). */
+  def userSessions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val flagged = events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > SessionGapMinutes * 60L,
+          1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy("user_id", "session_idx")
+      .agg(
+        min(col("ts").cast("long")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        round(sum("value"), 6).as("sum_value"),
+        (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("duration_s"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  val userSessionsSql: String =
+    s"""WITH lagged AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+       |  FROM events),
+       |flagged AS (
+       |  SELECT *, CASE WHEN prev_ts IS NULL
+       |      OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT)
+       |         > ${SessionGapMinutes * 60} THEN 1 ELSE 0 END AS new_session
+       |  FROM lagged),
+       |sess AS (
+       |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+       |    ORDER BY ts ASC, event_id ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+       |  FROM flagged)
+       |SELECT user_id, session_idx,
+       |  CAST(min(floor(epoch(ts))) AS BIGINT) AS session_start,
+       |  count(*) AS n_events, round(sum(value), 6) AS sum_value,
+       |  CAST(max(floor(epoch(ts))) - min(floor(epoch(ts))) AS BIGINT) AS duration_s
+       |FROM sess GROUP BY user_id, session_idx
+       |ORDER BY user_id, session_idx""".stripMargin
+
+  // ---- q63: per-user pivoted activity -------------------------------------
+
+  def userActivityPivot(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_click"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_error"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
+        sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("n_signup"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
+        round(sum("value"), 6).as("total_value"))
+      .orderBy("user_id")
+
+  val userActivityPivotSql: String =
+    """SELECT user_id,
+      |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+      |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+      |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+      |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+      |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+      |  round(sum(value), 6) AS total_value
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---- q64: JSON property extraction --------------------------------------
+
+  def jsonPropHistogram(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy((col("k") - pmod(col("k"), lit(10L))).as("k_bucket"))
+      .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("k_bucket")
+
+  val jsonPropHistogramSql: String =
+    """SELECT k - (k % 10) AS k_bucket, count(*) AS n,
+      |  min(k) AS min_k, max(k) AS max_k
+      |FROM (SELECT json_extract(props, '$.k')::BIGINT AS k FROM events)
+      |GROUP BY 1 ORDER BY k_bucket""".stripMargin
+
+  // -------------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_hourly_event_stats" -> (hourlyEventStats _),
+    "q61_sliding_window_stats" -> (slidingWindowStats _),
+    "q62_user_sessions" -> (userSessions _),
+    "q63_user_activity_pivot" -> (userActivityPivot _),
+    "q64_json_prop_histogram" -> (jsonPropHistogram _))
+
+  val oracles: Map[String, String] = Map(
+    "q60_hourly_event_stats" -> hourlyEventStatsSql,
+    "q61_sliding_window_stats" -> slidingWindowStatsSql,
+    "q62_user_sessions" -> userSessionsSql,
+    "q63_user_activity_pivot" -> userActivityPivotSql,
+    "q64_json_prop_histogram" -> jsonPropHistogramSql)
+}

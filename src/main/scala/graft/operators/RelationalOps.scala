@@ -1,0 +1,257 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational coverage over the TPC-H-ish star schema: scan+filter+project,
+  * multi-way joins (broadcast dims), hash aggregation, semi/anti joins,
+  * window functions, rollup, distinct aggregates, date bucketing.
+  *
+  * Every query is declared lazily against `spark.read.parquet(s"$dir/...")`
+  * so Catalyst pushes filters/projections into the parquet scans; dimension
+  * joins use `broadcast()` hints (region/nation/customer/supplier are tiny
+  * relative to lineitem at every scale factor — at 100 TB lineitem they
+  * would still be broadcastable or bucketed).
+  *
+  * Output conventions (driver hashes values after sorting columns by name):
+  * integers cast to BIGINT, doubles rounded to 6, dates formatted as
+  * strings, deterministic ORDER BY with a unique tie-break key.
+  */
+object RelationalOps {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---- q01: pricing summary (scan + filter + hash agg) --------------------
+
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 6).as("sum_qty"),
+        round(sum("l_extendedprice"), 6).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+          .as("sum_disc_price"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 6) AS sum_qty,
+      |  round(sum(l_extendedprice), 6) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+      |  round(avg(l_quantity), 6) AS avg_qty,
+      |  round(avg(l_discount), 6) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---- q02: top revenue orders (3-way join + agg + top-k) -----------------
+
+  def topRevenueOrders(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("o_orderkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey").asc)
+      .limit(10)
+  }
+
+  val topRevenueOrdersSql: String =
+    """SELECT o_orderkey,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey
+      |ORDER BY revenue DESC, o_orderkey ASC
+      |LIMIT 10""".stripMargin
+
+  // ---- q03: revenue by region/nation (5-way join, broadcast dims) ---------
+
+  def regionRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("r_name", "n_name")
+
+  val regionRevenueSql: String =
+    """SELECT r_name, n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  // ---- q04: per-customer top-3 orders (window row_number) -----------------
+
+  def customerOrderRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, dir, "orders")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 6).as("o_totalprice"), col("rank"))
+      .orderBy("o_custkey", "rank")
+  }
+
+  val customerOrderRanksSql: String =
+    """SELECT o_custkey, o_orderkey, round(o_totalprice, 6) AS o_totalprice, rank
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+      |  FROM orders)
+      |WHERE rank <= 3
+      |ORDER BY o_custkey, rank""".stripMargin
+
+  // ---- q05: running revenue per supplier (window running sum) -------------
+
+  def runningRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "lineitem")
+      .filter(col("l_suppkey") < 10)
+      .withColumn("running_qty", round(sum("l_quantity").over(w), 6))
+      .select(col("l_suppkey"), col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"), col("running_qty"))
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  val runningRevenueSql: String =
+    """SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+      |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_qty
+      |FROM lineitem WHERE l_suppkey < 10
+      |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
+
+  // ---- q06/q07: semi / anti joins -----------------------------------------
+
+  def customersWithOpenOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders").filter(col("o_orderstatus") === "O"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  val customersWithOpenOrdersSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      |ORDER BY c_custkey""".stripMargin
+
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders")
+          .filter(col("o_orderstatus") === "P" && col("o_totalprice") > 50000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+
+  val customersWithoutOrdersSql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |  AND o_orderstatus = 'P' AND o_totalprice > 50000)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---- q08: rollup ---------------------------------------------------------
+
+  def returnFlagRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 6).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  val returnFlagRollupSql: String =
+    """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  count(*) AS n, round(sum(l_quantity), 6) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY returnflag, linestatus""".stripMargin
+
+  // ---- q09: distinct aggregates per supplier ------------------------------
+
+  def supplierPartStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_suppkey")
+      .agg(
+        countDistinct("l_partkey").as("n_parts"),
+        count(lit(1)).as("n_lines"),
+        round(sum("l_quantity"), 6).as("sum_qty"),
+        round(avg("l_extendedprice"), 6).as("avg_price"))
+      .orderBy("l_suppkey")
+
+  val supplierPartStatsSql: String =
+    """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_lines,
+      |  round(sum(l_quantity), 6) AS sum_qty,
+      |  round(avg(l_extendedprice), 6) AS avg_price
+      |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+
+  // ---- q10: monthly order priorities (date bucketing) ---------------------
+
+  def monthlyOrderPriorities(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 6).as("sum_price"))
+      .orderBy("month", "o_orderpriority")
+
+  val monthlyOrderPrioritiesSql: String =
+    """SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
+      |  count(*) AS n, round(sum(o_totalprice), 6) AS sum_price
+      |FROM orders GROUP BY 1, 2 ORDER BY month, o_orderpriority""".stripMargin
+
+  // -------------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (pricingSummary _),
+    "q02_top_revenue_orders" -> (topRevenueOrders _),
+    "q03_region_revenue" -> (regionRevenue _),
+    "q04_customer_order_ranks" -> (customerOrderRanks _),
+    "q05_running_revenue" -> (runningRevenue _),
+    "q06_customers_with_open_orders" -> (customersWithOpenOrders _),
+    "q07_customers_without_orders" -> (customersWithoutOrders _),
+    "q08_returnflag_rollup" -> (returnFlagRollup _),
+    "q09_supplier_part_stats" -> (supplierPartStats _),
+    "q10_monthly_order_priorities" -> (monthlyOrderPriorities _))
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" -> pricingSummarySql,
+    "q02_top_revenue_orders" -> topRevenueOrdersSql,
+    "q03_region_revenue" -> regionRevenueSql,
+    "q04_customer_order_ranks" -> customerOrderRanksSql,
+    "q05_running_revenue" -> runningRevenueSql,
+    "q06_customers_with_open_orders" -> customersWithOpenOrdersSql,
+    "q07_customers_without_orders" -> customersWithoutOrdersSql,
+    "q08_returnflag_rollup" -> returnFlagRollupSql,
+    "q09_supplier_part_stats" -> supplierPartStatsSql,
+    "q10_monthly_order_priorities" -> monthlyOrderPrioritiesSql)
+}

@@ -1,0 +1,321 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.retrieve.Retrievers
+import graft.router.{Router, RouterState}
+import graft.stats.{GramIndex, TokenIndex}
+
+/** The reference's retrieval operators lifted onto the driver testdata
+  * `documents` table (doc_id BIGINT, text, lang, source, n_chars):
+  * corpus statistics, BM25, char-n-gram cosine, hybrid blend, query
+  * featurization and routing — each with a DuckDB oracle that recomputes
+  * the same math from scratch in SQL.
+  *
+  * doc_id doubles as doc_idx (it is a dense 0..N-1 line number), so the
+  * stable top-k tie-break (score DESC, position ASC) carries over directly.
+  */
+object RetrievalOps {
+
+  /** Fixed query set exercising every router feature: in-vocab NL, OOV+digit
+    * IDs, short, mixed, empty. */
+  val FixedQueries: Seq[(String, String)] = Seq(
+    "F-001" -> "spark join stream window",
+    "F-002" -> "INC-49217 urgent fix",
+    "F-003" -> "fast scan",
+    "F-004" -> "user_id 42 batch merge window",
+    "F-005" -> "")
+
+  val Bm25Query = "fast spark join stream table merge"
+  val TopK = 20
+
+  // ---- shared builders ----------------------------------------------------
+
+  def corpus(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("doc_id").as("doc_idx"), col("text"))
+
+  // Index builds are memoized per corpus dir within a session (an engine
+  // builds its inverted index once and serves many queries against it).
+  private val tokCache = scala.collection.concurrent.TrieMap.empty[String, TokenIndex]
+  private val gramCache = scala.collection.concurrent.TrieMap.empty[String, GramIndex]
+
+  def tokenIndex(spark: SparkSession, dir: String): TokenIndex =
+    tokCache.getOrElseUpdate(dir, TokenIndex.build(corpus(spark, dir), col("text")).cache())
+
+  def gramIndex(spark: SparkSession, dir: String): GramIndex =
+    gramCache.getOrElseUpdate(dir, GramIndex.build(corpus(spark, dir), col("text")).cache())
+
+  private def queriesDf(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    FixedQueries.toDF("query_id", "query")
+  }
+
+  private def singleQuery(spark: SparkSession, q: String): DataFrame = {
+    import spark.implicits._
+    Seq(("q", q)).toDF("query_id", "query")
+  }
+
+  private def topkOut(scores: DataFrame): DataFrame =
+    Retrievers.topK(scores, TopK)
+      .select(col("doc_id"), col("rank").cast("long").as("rank"),
+        round(col("score"), 6).as("score"))
+      .orderBy("rank")
+
+  // ---- SQL fragments shared by the oracles --------------------------------
+
+  private val TokRe = "[a-z0-9]+(?:[-_][a-z0-9]+)*"
+
+  /** (doc_id, term) exploded tokens. */
+  private val tokCte =
+    s"tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$TokRe')) AS term FROM documents)"
+
+  /** (doc_id, gram) exploded char-4-grams over ws-normalized text. */
+  private val gramCte =
+    """gsrc AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s FROM documents),
+      |gr AS (SELECT doc_id, unnest(CASE WHEN length(s) = 0 THEN CAST([] AS VARCHAR[])
+      |                                  WHEN length(s) < 4 THEN [s]
+      |                                  ELSE [substring(s, i, 4) FOR i IN range(1, length(s) - 2)]
+      |             END) AS gram
+      |      FROM gsrc)""".stripMargin
+
+  private def qGramList(q: String): String =
+    s"""(SELECT CASE WHEN length(s) = 0 THEN CAST([] AS VARCHAR[])
+       |            WHEN length(s) < 4 THEN [s]
+       |            ELSE [substring(s, i, 4) FOR i IN range(1, length(s) - 2)] END AS gl
+       |     FROM (SELECT trim(regexp_replace(lower('$q'), '\\s+', ' ', 'g')) AS s))""".stripMargin
+
+  // ---- q20/q21: token-space corpus statistics -----------------------------
+
+  def docTermStats(spark: SparkSession, dir: String): DataFrame =
+    tokenIndex(spark, dir).termStats
+      .select(col("term"), col("df"), round(col("idf"), 6).as("idf"))
+      .orderBy("term")
+
+  val docTermStatsSql: String =
+    s"""WITH $tokCte,
+       |dt AS (SELECT DISTINCT doc_id, term FROM tok),
+       |nn AS (SELECT count(*) AS n FROM documents)
+       |SELECT term, count(*) AS df,
+       |  round(ln(1 + (n - count(*) + 0.5) / (count(*) + 0.5)), 6) AS idf
+       |FROM dt, nn GROUP BY term, n ORDER BY term""".stripMargin
+
+  def docLengths(spark: SparkSession, dir: String): DataFrame =
+    tokenIndex(spark, dir).docLen
+      .select(col("doc_id"), col("dl").cast("long").as("dl"))
+      .orderBy("doc_id")
+
+  val docLengthsSql: String =
+    s"""SELECT doc_id, len(regexp_extract_all(lower(text), '$TokRe')) AS dl
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- q22: BM25 top-k ----------------------------------------------------
+
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame =
+    topkOut(Retrievers.keywordScores(singleQuery(spark, Bm25Query),
+      tokenIndex(spark, dir)))
+
+  def bm25Sql(q: String): String =
+    s"""WITH $tokCte,
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |idf AS (SELECT term, ln(1 + (n - count(DISTINCT doc_id) + 0.5) / (count(DISTINCT doc_id) + 0.5)) AS idf
+       |        FROM tok, nn GROUP BY term, n),
+       |dl AS (SELECT doc_id, len(regexp_extract_all(lower(text), '$TokRe')) AS dl FROM documents),
+       |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+       |qt AS (SELECT DISTINCT unnest(regexp_extract_all(lower('$q'), '$TokRe')) AS term),
+       |sc AS (SELECT tf.doc_id,
+       |         sum(idf.idf * (tf.tf * 2.5) / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / ad.avgdl))) AS s
+       |       FROM qt JOIN idf USING (term) JOIN tf USING (term)
+       |       JOIN dl ON tf.doc_id = dl.doc_id, ad
+       |       GROUP BY tf.doc_id),
+       |dense AS (SELECT d.doc_id, coalesce(sc.s, 0.0) AS score
+       |          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+       |rk AS (SELECT doc_id, score,
+       |         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank FROM dense)
+       |SELECT doc_id, rank, round(score, 6) AS score FROM rk
+       |WHERE rank <= $TopK ORDER BY rank""".stripMargin
+
+  // ---- q23: gram-space statistics -----------------------------------------
+
+  def gramStats(spark: SparkSession, dir: String): DataFrame =
+    gramIndex(spark, dir).gramStats
+      .select(col("gram"), col("df"), round(col("idf"), 6).as("idf"))
+      .orderBy("gram")
+
+  val gramStatsSql: String =
+    s"""WITH $gramCte,
+       |dg AS (SELECT DISTINCT doc_id, gram FROM gr),
+       |nn AS (SELECT count(*) AS n FROM documents)
+       |SELECT gram, count(*) AS df,
+       |  round(ln(1 + (n - count(*) + 0.5) / (count(*) + 0.5)), 6) AS idf
+       |FROM dg, nn GROUP BY gram, n ORDER BY gram""".stripMargin
+
+  // ---- q24: char-gram TF-IDF cosine top-k ---------------------------------
+
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame =
+    topkOut(Retrievers.vectorScores(singleQuery(spark, Bm25Query),
+      gramIndex(spark, dir)))
+
+  /** Dense cosine scores CTE block ending in `vdense(doc_id, score)`. */
+  private def cosineCtes(q: String): String =
+    s"""$gramCte,
+       |gtf AS (SELECT doc_id, gram, count(*) AS tf FROM gr GROUP BY 1, 2),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |gidf AS (SELECT gram, ln(1 + (n - count(DISTINCT doc_id) + 0.5) / (count(DISTINCT doc_id) + 0.5)) AS idf
+       |         FROM gr, nn GROUP BY gram, n),
+       |dvec AS (SELECT doc_id, gram, (1 + ln(tf)) * idf AS w FROM gtf JOIN gidf USING (gram)),
+       |dnorm AS (SELECT d.doc_id, coalesce(nullif(sqrt(sum(w * w)), 0.0), 1.0) AS nrm
+       |          FROM documents d LEFT JOIN dvec ON d.doc_id = dvec.doc_id GROUP BY d.doc_id),
+       |qg AS (SELECT unnest(gl) AS gram FROM ${qGramList(q)}),
+       |qtf AS (SELECT gram, count(*) AS tf FROM qg GROUP BY 1),
+       |qvec AS (SELECT gram, (1 + ln(tf)) * idf AS qw FROM qtf JOIN gidf USING (gram)),
+       |qn AS (SELECT coalesce(nullif(sqrt(sum(qw * qw)), 0.0), 1.0) AS qnorm FROM qvec),
+       |vdot AS (SELECT doc_id, sum(qw * w) AS dt FROM qvec JOIN dvec USING (gram) GROUP BY doc_id),
+       |vdense AS (SELECT d.doc_id, coalesce(vdot.dt / (qn.qnorm * dnorm.nrm), 0.0) AS score
+       |           FROM documents d
+       |           LEFT JOIN vdot ON d.doc_id = vdot.doc_id
+       |           JOIN dnorm ON d.doc_id = dnorm.doc_id, qn)""".stripMargin
+
+  def cosineSql(q: String): String =
+    s"""WITH ${cosineCtes(q)},
+       |rk AS (SELECT doc_id, score,
+       |         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank FROM vdense)
+       |SELECT doc_id, rank, round(score, 6) AS score FROM rk
+       |WHERE rank <= $TopK ORDER BY rank""".stripMargin
+
+  // ---- q25: hybrid top-k --------------------------------------------------
+
+  def hybridTopK(spark: SparkSession, dir: String): DataFrame = {
+    val q = singleQuery(spark, Bm25Query)
+    topkOut(Retrievers.hybridScores(
+      Retrievers.keywordScores(q, tokenIndex(spark, dir)),
+      Retrievers.vectorScores(q, gramIndex(spark, dir))))
+  }
+
+  def hybridSql(q: String): String =
+    s"""WITH ${cosineCtes(q)},
+       |$tokCte,
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |tidf AS (SELECT term, ln(1 + (n - count(DISTINCT doc_id) + 0.5) / (count(DISTINCT doc_id) + 0.5)) AS idf
+       |         FROM tok, nn GROUP BY term, n),
+       |dl AS (SELECT doc_id, len(regexp_extract_all(lower(text), '$TokRe')) AS dl FROM documents),
+       |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+       |qt AS (SELECT DISTINCT unnest(regexp_extract_all(lower('$q'), '$TokRe')) AS term),
+       |ksc AS (SELECT tf.doc_id,
+       |          sum(tidf.idf * (tf.tf * 2.5) / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / ad.avgdl))) AS s
+       |        FROM qt JOIN tidf USING (term) JOIN tf USING (term)
+       |        JOIN dl ON tf.doc_id = dl.doc_id, ad
+       |        GROUP BY tf.doc_id),
+       |kdense AS (SELECT d.doc_id, coalesce(ksc.s, 0.0) AS score
+       |           FROM documents d LEFT JOIN ksc ON d.doc_id = ksc.doc_id),
+       |kmm AS (SELECT min(score) AS lo, max(score) AS hi FROM kdense),
+       |kn AS (SELECT doc_id, CASE WHEN hi <= lo THEN 0.0 ELSE (score - lo) / (hi - lo) END AS ks
+       |       FROM kdense, kmm),
+       |vmm AS (SELECT min(score) AS lo, max(score) AS hi FROM vdense),
+       |vn AS (SELECT doc_id, CASE WHEN hi <= lo THEN 0.0 ELSE (score - lo) / (hi - lo) END AS vs
+       |       FROM vdense, vmm),
+       |blend AS (SELECT kn.doc_id, 0.60 * ks + 0.40 * vs AS score FROM kn JOIN vn USING (doc_id)),
+       |rk AS (SELECT doc_id, score,
+       |         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank FROM blend)
+       |SELECT doc_id, rank, round(score, 6) AS score FROM rk
+       |WHERE rank <= $TopK ORDER BY rank""".stripMargin
+
+  // ---- q26/q27: query features + routing ----------------------------------
+
+  def queryFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val idx = tokenIndex(spark, dir)
+    Router.features(queriesDf(spark), idx.termStats.select("term"), idx.rareTerms)
+      .select(col("query_id"), col("n_tokens").cast("long").as("n_tokens"),
+        round(col("digit_ratio"), 6).as("digit_ratio"),
+        round(col("oov_ratio"), 6).as("oov_ratio"),
+        round(col("rare_ratio"), 6).as("rare_ratio"))
+      .orderBy("query_id")
+  }
+
+  private def fixedQueriesValues: String =
+    FixedQueries.map { case (id, q) => s"('$id', '$q')" }.mkString(", ")
+
+  val queryFeaturesSql: String =
+    s"""WITH $tokCte,
+       |q(query_id, query) AS (VALUES $fixedQueriesValues),
+       |vocab AS (SELECT DISTINCT term FROM tok),
+       |rare AS (SELECT term FROM (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1) WHERE df <= 1),
+       |qtok AS (SELECT query_id, unnest(regexp_extract_all(lower(query), '$TokRe')) AS token FROM q),
+       |f AS (SELECT query_id, count(*) AS n,
+       |        sum(CASE WHEN regexp_matches(token, '[0-9]') THEN 1.0 ELSE 0.0 END) / count(*) AS digit_ratio,
+       |        sum(CASE WHEN token NOT IN (SELECT term FROM vocab) THEN 1.0 ELSE 0.0 END) / count(*) AS oov_ratio,
+       |        sum(CASE WHEN token IN (SELECT term FROM rare) THEN 1.0 ELSE 0.0 END) / count(*) AS rare_ratio
+       |      FROM qtok GROUP BY query_id)
+       |SELECT q.query_id, coalesce(f.n, 0) AS n_tokens,
+       |  round(coalesce(f.digit_ratio, 0.0), 6) AS digit_ratio,
+       |  round(coalesce(f.oov_ratio, 0.0), 6) AS oov_ratio,
+       |  round(coalesce(f.rare_ratio, 0.0), 6) AS rare_ratio
+       |FROM q LEFT JOIN f ON q.query_id = f.query_id
+       |ORDER BY q.query_id""".stripMargin
+
+  def routeDecisions(spark: SparkSession, dir: String): DataFrame = {
+    val idx = tokenIndex(spark, dir)
+    Router.route(
+      Router.features(queriesDf(spark), idx.termStats.select("term"), idx.rareTerms),
+      RouterState())
+      .select(col("query_id"),
+        round(col("heuristic_keyword"), 6).as("h_keyword"),
+        round(col("heuristic_vector"), 6).as("h_vector"),
+        round(col("heuristic_hybrid"), 6).as("h_hybrid"),
+        col("strategy"))
+      .orderBy("query_id")
+  }
+
+  val routeDecisionsSql: String =
+    s"""WITH $tokCte,
+       |q(query_id, query) AS (VALUES $fixedQueriesValues),
+       |vocab AS (SELECT DISTINCT term FROM tok),
+       |rare AS (SELECT term FROM (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1) WHERE df <= 1),
+       |qtok AS (SELECT query_id, unnest(regexp_extract_all(lower(query), '$TokRe')) AS token FROM q),
+       |f0 AS (SELECT query_id, count(*) AS n,
+       |         sum(CASE WHEN regexp_matches(token, '[0-9]') THEN 1.0 ELSE 0.0 END) / count(*) AS dr,
+       |         sum(CASE WHEN token NOT IN (SELECT term FROM vocab) THEN 1.0 ELSE 0.0 END) / count(*) AS oov,
+       |         sum(CASE WHEN token IN (SELECT term FROM rare) THEN 1.0 ELSE 0.0 END) / count(*) AS rr
+       |       FROM qtok GROUP BY query_id),
+       |f AS (SELECT q.query_id, coalesce(n, 0) AS n, coalesce(dr, 0.0) AS dr,
+       |        coalesce(oov, 0.0) AS oov, coalesce(rr, 0.0) AS rr
+       |      FROM q LEFT JOIN f0 ON q.query_id = f0.query_id),
+       |h AS (SELECT query_id, n, dr, oov, rr,
+       |        1.25 * dr + 1.00 * oov + 1.25 * rr + (CASE WHEN n <= 3 THEN 0.10 ELSE 0.0 END) AS hk,
+       |        0.50 * (1.0 - least(1.0, oov + rr)) AS hv
+       |      FROM f),
+       |h2 AS (SELECT query_id, hk, hv,
+       |         0.45 * hk + 0.45 * hv + 0.10 * (1.0 - abs(oov - rr)) +
+       |         (CASE WHEN dr >= 0.12 AND n >= 5 THEN 0.45
+       |               WHEN dr > 0.0 AND n >= 4 THEN 0.25 ELSE 0.0 END) AS hh
+       |       FROM h)
+       |SELECT query_id, round(hk, 6) AS h_keyword, round(hv, 6) AS h_vector,
+       |  round(hh, 6) AS h_hybrid,
+       |  CASE WHEN hh >= hk AND hh >= hv THEN 'hybrid'
+       |       WHEN hk >= hv THEN 'keyword' ELSE 'vector' END AS strategy
+       |FROM h2 ORDER BY query_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_doc_term_stats" -> (docTermStats _),
+    "q21_doc_lengths" -> (docLengths _),
+    "q22_bm25_topk" -> (bm25TopK _),
+    "q23_gram_stats" -> (gramStats _),
+    "q24_cosine_topk" -> (cosineTopK _),
+    "q25_hybrid_topk" -> (hybridTopK _),
+    "q26_query_features" -> (queryFeatures _),
+    "q27_route_decisions" -> (routeDecisions _))
+
+  val oracles: Map[String, String] = Map(
+    "q20_doc_term_stats" -> docTermStatsSql,
+    "q21_doc_lengths" -> docLengthsSql,
+    "q22_bm25_topk" -> bm25Sql(Bm25Query),
+    "q23_gram_stats" -> gramStatsSql,
+    "q24_cosine_topk" -> cosineSql(Bm25Query),
+    "q25_hybrid_topk" -> hybridSql(Bm25Query),
+    "q26_query_features" -> queryFeaturesSql,
+    "q27_route_decisions" -> routeDecisionsSql)
+}

@@ -1,0 +1,279 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.textops.TextOps
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * quality scoring, token counting (whitespace / word-regex / BPE-ish),
+  * n-gram-profile language ID, rolling-hash + MD5 fingerprinting, and
+  * tf-weighted SimHash.
+  *
+  * Everything is row-local column arithmetic (whole-stage codegen) except
+  * the language profiles (a tiny per-language top-k aggregate, broadcast
+  * back) — the shape that survives a 100 TB corpus: one pass over the
+  * documents, no driver collects.
+  */
+object TextAnalysisOps {
+
+  val Stopwords = Seq("the", "a", "of", "to", "and", "in", "is", "for", "on", "at")
+  val ProfileSize = 20
+  val SimhashBits = 60
+  val RollMod = 2147483647L // 2^31 - 1
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  private val TokRe = "[a-z0-9]+(?:[-_][a-z0-9]+)*"
+  private val BpeRe = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+
+  // ---- q30: per-document quality scores -----------------------------------
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokenize(col("text"))
+    val n = size(toks)
+    val nD = n.cast("double")
+    val avgTokLen = when(n === 0, 0.0)
+      .otherwise(length(array_join(toks, "")).cast("double") / nD)
+    val stopRatio = when(n === 0, 0.0)
+      .otherwise(size(filter(toks, t => t.isInCollection(Stopwords))).cast("double") / nD)
+    val digitRatio = when(length(col("text")) === 0, 0.0)
+      .otherwise(length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
+        length(col("text")).cast("double"))
+    val quality = lit(0.4) * least(lit(1.0), nD / 50.0) +
+      lit(0.3) * (lit(1.0) - stopRatio) +
+      lit(0.3) * least(lit(1.0), avgTokLen / 8.0)
+    docs(spark, dir).select(
+      col("doc_id"),
+      n.cast("long").as("n_tokens"),
+      round(avgTokLen, 6).as("avg_token_len"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(digitRatio, 6).as("digit_char_ratio"),
+      round(quality, 6).as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  private val stopList = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
+
+  val textQualitySql: String =
+    s"""WITH b AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '$TokRe') AS t, text
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    len(t) AS n_tokens,
+       |    CASE WHEN len(t) = 0 THEN 0.0
+       |         ELSE length(array_to_string(t, ''))::DOUBLE / len(t) END AS atl,
+       |    CASE WHEN len(t) = 0 THEN 0.0
+       |         ELSE len(list_filter(t, x -> list_contains($stopList, x)))::DOUBLE / len(t)
+       |    END AS sr,
+       |    CASE WHEN length(text) = 0 THEN 0.0
+       |         ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)
+       |    END AS dr
+       |  FROM b)
+       |SELECT doc_id, n_tokens, round(atl, 6) AS avg_token_len,
+       |  round(sr, 6) AS stopword_ratio, round(dr, 6) AS digit_char_ratio,
+       |  round(0.4 * least(1.0, n_tokens / 50.0) + 0.3 * (1.0 - sr) +
+       |        0.3 * least(1.0, atl / 8.0), 6) AS quality_score
+       |FROM m ORDER BY doc_id""".stripMargin
+
+  // ---- q31: token counting (three tokenizers) -----------------------------
+
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select(
+      col("doc_id"),
+      size(TextOps.tokenize(col("text"))).cast("long").as("n_word_tokens"),
+      when(length(TextOps.strip(col("text"))) === 0, 0L)
+        .otherwise(size(split(TextOps.strip(col("text")), "\\s+")).cast("long"))
+        .as("n_ws_tokens"),
+      size(regexp_extract_all(lower(col("text")), lit(BpeRe), lit(0))).cast("long")
+        .as("n_bpe_tokens"),
+      length(col("text")).cast("long").as("n_chars"))
+      .orderBy("doc_id")
+
+  val tokenCountsSql: String =
+    s"""SELECT doc_id,
+       |  len(regexp_extract_all(lower(text), '$TokRe')) AS n_word_tokens,
+       |  CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN 0
+       |       ELSE len(str_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+'))
+       |  END AS n_ws_tokens,
+       |  len(regexp_extract_all(lower(text), '$BpeRe')) AS n_bpe_tokens,
+       |  length(text) AS n_chars
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- q32: per-language corpus stats -------------------------------------
+
+  def langStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokenize(col("text")))).cast("long").as("total_tokens"),
+        round(avg(length(col("text"))), 6).as("avg_chars"),
+        countDistinct("source").as("n_sources"))
+      .orderBy("lang")
+
+  val langStatsSql: String =
+    s"""SELECT lang, count(*) AS n_docs,
+       |  sum(len(regexp_extract_all(lower(text), '$TokRe'))) AS total_tokens,
+       |  round(avg(length(text)), 6) AS avg_chars,
+       |  count(DISTINCT source) AS n_sources
+       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---- q33: n-gram-profile language ID ------------------------------------
+
+  /** Classify each document against per-language top-k character-trigram
+    * profiles learned from the corpus itself: score = |doc ∩ profile|,
+    * argmax with (score DESC, lang ASC) tie-break. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val tri = graft.stats.GramIndex.explodedNgrams(
+        d.select(col("doc_id"), col("doc_id").as("doc_idx"), col("text")), col("text"), 3)
+      .join(d.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("gram").as("g"))
+      .cache()
+
+    val profiles = tri.groupBy("lang", "g").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("c").desc, col("g").asc)))
+      .filter(col("rn") <= ProfileSize)
+      .select(col("lang").as("p_lang"), col("g"))
+
+    val docTri = tri.select("doc_id", "g").distinct()
+    val scores = docTri.join(broadcast(profiles), "g")
+      .groupBy("doc_id", "p_lang").agg(count(lit(1)).as("score"))
+
+    val best = scores.withColumn("rn", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("score").desc, col("p_lang").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("p_lang").as("predicted_lang"), col("score"))
+
+    d.select("doc_id", "lang").join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("predicted_lang"), lit("und")).as("predicted_lang"),
+        coalesce(col("score"), lit(0L)).as("score"),
+        col("lang").as("actual_lang"),
+        (coalesce(col("predicted_lang"), lit("und")) === col("lang")).as("correct"))
+      .orderBy("doc_id")
+  }
+
+  val langIdSql: String =
+    s"""WITH src AS (
+       |  SELECT doc_id, lang,
+       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+       |  FROM documents),
+       |tri AS (
+       |  SELECT doc_id, lang, unnest(
+       |    CASE WHEN length(s) = 0 THEN CAST([] AS VARCHAR[])
+       |         WHEN length(s) < 3 THEN [s]
+       |         ELSE [substring(s, i, 3) FOR i IN range(1, length(s) - 1)] END) AS g
+       |  FROM src),
+       |prof AS (
+       |  SELECT lang AS p_lang, g FROM (
+       |    SELECT lang, g, row_number() OVER (PARTITION BY lang
+       |      ORDER BY count(*) DESC, g ASC) AS rn
+       |    FROM tri GROUP BY lang, g)
+       |  WHERE rn <= $ProfileSize),
+       |dt AS (SELECT DISTINCT doc_id, g FROM tri),
+       |sc AS (SELECT doc_id, p_lang, count(*) AS score
+       |       FROM dt JOIN prof USING (g) GROUP BY doc_id, p_lang),
+       |best AS (
+       |  SELECT doc_id, p_lang AS predicted_lang, score FROM (
+       |    SELECT doc_id, p_lang, score, row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, p_lang ASC) AS rn FROM sc)
+       |  WHERE rn = 1)
+       |SELECT d.doc_id, coalesce(predicted_lang, 'und') AS predicted_lang,
+       |  coalesce(score, 0) AS score, d.lang AS actual_lang,
+       |  (coalesce(predicted_lang, 'und') = d.lang) AS correct
+       |FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---- q34: document fingerprints (md5 + polynomial rolling hash) ---------
+
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val s = TextOps.emKey(col("text"))
+    val codes = transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))))
+    val roll = when(length(s) === 0, 0L).otherwise(
+      aggregate(codes, lit(0L), (acc, c) => (acc * 31 + c) % RollMod))
+    docs(spark, dir).select(
+      col("doc_id"),
+      md5(s).as("md5_fp"),
+      roll.as("rolling_fp"))
+      .orderBy("doc_id")
+  }
+
+  private val emKeySql =
+    """regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g')"""
+
+  val fingerprintsSql: String =
+    s"""WITH n AS (SELECT doc_id, $emKeySql AS s FROM documents)
+       |SELECT doc_id, md5(s) AS md5_fp,
+       |  CASE WHEN length(s) = 0 THEN 0
+       |       ELSE list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |              [ascii(substring(s, i, 1))::BIGINT FOR i IN range(1, length(s) + 1)]),
+       |            (a, b) -> (a * 31 + b) % $RollMod)
+       |  END AS rolling_fp
+       |FROM n ORDER BY doc_id""".stripMargin
+
+  // ---- q35: tf-weighted 60-bit SimHash ------------------------------------
+
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tf = docs(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokenize(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .withColumn("h", conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long"))
+
+    val votes = tf
+      .select(col("doc_id"), col("tf"), col("h"),
+        explode(sequence(lit(0), lit(SimhashBits - 1))).as("b"))
+      .withColumn("bit", expr("(h DIV CAST(pow(2, b) AS BIGINT)) % 2"))
+      .groupBy("doc_id", "b")
+      .agg(sum(col("tf") * (col("bit") * 2 - 1)).as("vote"))
+
+    val sh = votes.groupBy("doc_id")
+      .agg(sum(when(col("vote") > 0, expr("CAST(pow(2, b) AS BIGINT)")).otherwise(0L))
+        .cast("long").as("simhash"))
+
+    docs(spark, dir).select("doc_id").join(sh, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val simhashSql: String =
+    s"""WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$TokRe')) AS term
+       |            FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+       |hx AS (SELECT doc_id, term, tf,
+       |         CAST(('0x' || substring(md5(term), 1, 15)) AS BIGINT) AS h FROM tf),
+       |votes AS (SELECT doc_id, b,
+       |            sum(tf * (((h // (2 ** b)::BIGINT) % 2) * 2 - 1)) AS vote
+       |          FROM hx, (SELECT unnest(range(0, $SimhashBits)) AS b)
+       |          GROUP BY doc_id, b),
+       |sh AS (SELECT doc_id,
+       |         CAST(sum(CASE WHEN vote > 0 THEN (2 ** b)::BIGINT ELSE 0 END) AS BIGINT)
+       |           AS simhash
+       |       FROM votes GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(sh.simhash, 0) AS simhash
+       |FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  // -------------------------------------------------------------------------
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_text_quality" -> (textQuality _),
+    "q31_token_counts" -> (tokenCounts _),
+    "q32_lang_stats" -> (langStats _),
+    "q33_langid" -> (langId _),
+    "q34_fingerprints" -> (fingerprints _),
+    "q35_simhash" -> (simhash _))
+
+  val oracles: Map[String, String] = Map(
+    "q30_text_quality" -> textQualitySql,
+    "q31_token_counts" -> tokenCountsSql,
+    "q32_lang_stats" -> langStatsSql,
+    "q33_langid" -> langIdSql,
+    "q34_fingerprints" -> fingerprintsSql,
+    "q35_simhash" -> simhashSql)
+}

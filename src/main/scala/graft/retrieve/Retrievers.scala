@@ -97,14 +97,22 @@ object Retrievers {
   }
 
   /** Per-query min-max normalization; hi<=lo → all zeros
-    * (reference retrievers.py:169-176). */
+    * (reference retrievers.py:169-176).
+    *
+    * Single-pass window formulation: a groupBy-stats + self-join would
+    * execute the upstream scoring plan twice per use. The window shuffles
+    * one query's dense scores to one partition — acceptable because a
+    * query's score set is the unit of normalization anyway; for corpora
+    * where a single query's scores exceed a partition, precompute the
+    * (lo, hi) pair with a tiny agg into a broadcast instead.
+    */
   def minMaxNorm(scores: DataFrame): DataFrame = {
-    val stats = scores.groupBy("query_id")
-      .agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
-    scores.join(broadcast(stats), "query_id")
-      .select(col("query_id"), col("doc_id"), col("doc_idx"),
-        when(col("hi") <= col("lo"), 0.0)
-          .otherwise((col("score") - col("lo")) / (col("hi") - col("lo"))).as("score"))
+    val w = Window.partitionBy("query_id")
+    val lo = min(col("score")).over(w)
+    val hi = max(col("score")).over(w)
+    scores.select(col("query_id"), col("doc_id"), col("doc_idx"),
+      when(hi <= lo, 0.0)
+        .otherwise((col("score") - lo) / (hi - lo)).as("score"))
   }
 
   /** Stable top-k (reference text.py:52-54): score DESC, corpus position ASC.

@@ -110,10 +110,22 @@ final case class GramIndex(
 
 object GramIndex {
 
+  /** Exploded (doc_id, doc_idx, gram) rows. Formulated as
+    * explode(sequence) + substr rather than explode(array-HOF) — the
+    * array `transform` lambda runs interpreted (outside whole-stage
+    * codegen) and is ~10× slower per gram; this shape stays fully
+    * codegen'd. Semantics identical to TextOps.charNgrams: substr clamps,
+    * so strings shorter than n yield the whole string; empty → no rows. */
+  def explodedNgrams(corpus: DataFrame, textCol: Column, n: Int): DataFrame =
+    corpus
+      .select(col("doc_id"), col("doc_idx"), TextOps.wsNormalize(textCol).as("s"))
+      .filter(length(col("s")) > 0)
+      .select(col("doc_id"), col("doc_idx"), col("s"),
+        explode(sequence(lit(1), greatest(lit(1), length(col("s")) - (n - 1)))).as("i"))
+      .select(col("doc_id"), col("doc_idx"), col("s").substr(col("i"), lit(n)).as("gram"))
+
   def build(corpus: DataFrame, textCol: Column, n: Int = 4): GramIndex = {
-    val grams = corpus
-      .select(col("doc_id"), col("doc_idx"),
-        explode(TextOps.charNgrams(textCol, n)).as("gram"))
+    val grams = explodedNgrams(corpus, textCol, n)
 
     val docGramFreq = grams
       .groupBy("doc_id", "gram")

@@ -1,0 +1,37 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming twins of the batch events operators: the same
+  * aggregations expressed over an unbounded stream with event-time
+  * watermarks. A micro-batch over a bounded source produces exactly the
+  * batch results (tested in StreamingSpec with a memory sink).
+  *
+  * Scale notes: state stores are keyed by (window, event_type) /
+  * (user_id, session) — bounded by the watermark horizon, so state size is
+  * O(active keys), not O(stream length); `session_window` merges per-key
+  * intervals incrementally, which is the streaming dual of the batch
+  * lag+cumsum formulation in EventsOps.userSessions.
+  */
+object StreamingOps {
+
+  /** Tumbling 1-hour event-time windows per type, 2-hour watermark. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap-based sessions via the native session_window (30-minute gap). */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("session_start"),
+        col("n_events"), col("sum_value"))
+}
