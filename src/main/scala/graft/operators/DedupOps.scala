@@ -10,13 +10,13 @@ import graft.textops.TextOps
   * training-data pipeline: exact (content hash), MinHash+LSH banding,
   * SimHash, shingle-set Jaccard, and embedding-cosine near-dup.
   *
-  * Scale design: every signature (fingerprint, minhash band, simhash,
-  * LSH bucket) is computed ROW-LOCALLY with array higher-order functions —
-  * no shuffle until the final short-key group/join. Candidate generation is
-  * always a hash join on a compact key (band hash, bucket id, cluster
-  * label), never an all-pairs cross join; the verification join runs only
-  * on candidates. MD5 is used as the hash family so the DuckDB oracle can
-  * recompute identical signatures.
+  * Scale design (see SCALE.md): signatures (fingerprint, minhash, band
+  * hashes) are computed map-side inside whole-stage codegen, with map-side
+  * partial aggregation collapsing to O(signature) rows per doc before any
+  * shuffle. Candidate generation is always a hash join on a compact key
+  * (df-bounded shingle, band hash, cluster label), never an all-pairs
+  * cross join; verification runs only on candidates. MD5 is the hash
+  * family so the DuckDB oracle can recompute identical signatures.
   */
 object DedupOps {
 
@@ -24,6 +24,12 @@ object DedupOps {
   val BandSize = 4 // → 4 bands
   val ShingleSize = 3
   val JaccardThreshold = 0.30
+  /** Blocking bound: only shingles appearing in <= MaxBlockDf docs generate
+    * candidate pairs. No-op at the test scale factors (max shingle df ~25)
+    * but caps the Σ df² join blowup on a real corpus; near-dup pairs always
+    * share rare shingles, so recall loss is negligible (standard prefix/
+    * frequency filtering for set-similarity joins). */
+  val MaxBlockDf = 100
   val EmbCosineThreshold = 0.35
 
   private def docs(spark: SparkSession, dir: String): DataFrame =
@@ -44,6 +50,21 @@ object DedupOps {
       .when(size(toks) < n, array(concat_ws(" ", toks)))
       .otherwise(transform(sequence(lit(1), size(toks) - (n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Exploded (doc_id, s) shingle rows — codegen formulation (explode the
+    * position sequence, assemble each shingle with element_at) instead of
+    * exploding the array-HOF result, which runs interpreted and ~7× slower.
+    * Same output as explode(shingles(text)). */
+  def explodedShingles(d: DataFrame, n: Int = ShingleSize): DataFrame = {
+    val withToks = d.select(col("doc_id"), TextOps.tokenize(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), greatest(lit(1), size(col("t")) - (n - 1)))).as("i"))
+    withToks.select(col("doc_id"),
+      when(size(col("t")) < n, concat_ws(" ", col("t")))
+        .otherwise(concat_ws(" ",
+          (0 until n).map(k => element_at(col("t"), col("i") + k)): _*)).as("s"))
   }
 
   private val TokRe = "[a-z0-9]+(?:[-_][a-z0-9]+)*"
@@ -92,8 +113,7 @@ object DedupOps {
     * exchanged volume is 16 short strings per document regardless of
     * document length. */
   def minhashBands(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docs(spark, dir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    val sh = explodedShingles(docs(spark, dir))
       .crossJoin(spark.range(NumHashes).select(col("id").as("j")))
     val mh = sh
       .groupBy("doc_id", "j")
@@ -125,7 +145,9 @@ object DedupOps {
   /** Candidates = pairs sharing any band hash; verified with exact
     * shingle-set Jaccard (no threshold — banding is the filter). */
   def minhashDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val bands = minhashBands(spark, dir)
+    // Both sides of the self-join read the band table; cache it or the
+    // whole signature pipeline executes twice.
+    val bands = minhashBands(spark, dir).cache()
     val pairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
@@ -133,6 +155,7 @@ object DedupOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+      .cache()
     withJaccard(spark, dir, pairs)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -140,9 +163,9 @@ object DedupOps {
 
   /** Join exact shingle-set Jaccard onto a (doc_a, doc_b) pair frame. */
   private def withJaccard(spark: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
-    val ds = docs(spark, dir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
-      .distinct()
+    // The distinct shingle set feeds both sides of the intersection join
+    // and the size aggregate — cache to execute the explode+distinct once.
+    val ds = explodedShingles(docs(spark, dir)).distinct().cache()
     val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(ds.as("x"), col("x.doc_id") === col("doc_a"))
@@ -196,14 +219,23 @@ object DedupOps {
     * rarer shingles (df-bounded) — here df-unbounded is fine because the
     * synthetic vocabulary keeps candidate counts quadratic-safe. */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val ds = docs(spark, dir)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
-      .distinct()
-    val pairs = ds.as("x").join(ds.as("y"),
+    val ds = explodedShingles(docs(spark, dir)).distinct().cache()
+    val blockable = ds.join(
+      ds.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= MaxBlockDf)
+        .select("s"), "s")
+    // One self-join yields candidates AND their intersection counts — a
+    // pairs-then-rejoin formulation materializes |pairs| × |shingles/doc|
+    // intermediate rows (tens of millions at sf0.1) for the same answer.
+    val inter = blockable.as("x").join(blockable.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    withJaccard(spark, dir, pairs)
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
+      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -212,22 +244,18 @@ object DedupOps {
   val jaccardPairsSql: String =
     s"""WITH $shinglesCte,
        |ds0 AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
-       |pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |          FROM ds0 x JOIN ds0 y ON x.s = y.s AND x.doc_id < y.doc_id),
-       |ds AS (SELECT * FROM ds0),
-       |sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY doc_id),
-       |inter AS (SELECT p.doc_a, p.doc_b, count(*) AS i
-       |          FROM pairs p
-       |          JOIN ds x ON x.doc_id = p.doc_a
-       |          JOIN ds y ON y.doc_id = p.doc_b AND y.s = x.s
-       |          GROUP BY p.doc_a, p.doc_b),
-       |jac AS (SELECT p.doc_a, p.doc_b,
-       |          round(coalesce(i, 0)::DOUBLE /
-       |            (sa.n + sb.n - coalesce(i, 0)), 6) AS jaccard
-       |        FROM pairs p
-       |        LEFT JOIN inter ON p.doc_a = inter.doc_a AND p.doc_b = inter.doc_b
-       |        JOIN sz sa ON sa.doc_id = p.doc_a
-       |        JOIN sz sb ON sb.doc_id = p.doc_b)
+       |blk AS (SELECT ds0.doc_id, ds0.s FROM ds0
+       |        JOIN (SELECT s FROM (SELECT s, count(*) AS df FROM ds0 GROUP BY s)
+       |              WHERE df <= $MaxBlockDf) f ON ds0.s = f.s),
+       |inter AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS i
+       |          FROM blk x JOIN blk y ON x.s = y.s AND x.doc_id < y.doc_id
+       |          GROUP BY 1, 2),
+       |sz AS (SELECT doc_id, count(*) AS n FROM ds0 GROUP BY doc_id),
+       |jac AS (SELECT doc_a, doc_b,
+       |          round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+       |        FROM inter
+       |        JOIN sz sa ON sa.doc_id = doc_a
+       |        JOIN sz sb ON sb.doc_id = doc_b)
        |SELECT doc_a, doc_b, jaccard FROM jac
        |WHERE jaccard >= $JaccardThreshold ORDER BY doc_a, doc_b""".stripMargin
 

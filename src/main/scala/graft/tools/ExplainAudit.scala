@@ -1,0 +1,36 @@
+package graft.tools
+
+/** Dev tool: prints formatted physical plans for representative queries and
+  * greps them for the scale-critical properties (pushed filters, pruned
+  * schemas, broadcast joins, whole-stage codegen coverage).
+  * `sbt "runMain graft.tools.ExplainAudit [sfDir]"`.
+  */
+object ExplainAudit {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
+    val spark = graft.Cli.session()
+
+    val targets = Seq("q01_pricing_summary", "q02_top_revenue_orders",
+      "q03_region_revenue", "q22_bm25_topk", "q50_ann_bruteforce",
+      "q62_user_sessions", "q70_media_meta")
+
+    targets.foreach { name =>
+      val df = graft.SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val scans = plan.linesIterator.filter(l =>
+        l.contains("PushedFilters") || l.contains("ReadSchema")).map(_.trim)
+      val joins = plan.linesIterator.filter(l =>
+        l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") ||
+        l.contains("BroadcastNestedLoopJoin")).map(_.trim.takeWhile(_ != '(')).toSeq
+      val codegenSpans = plan.linesIterator
+        .flatMap(l => "codegen id : (\\d+)".r.findFirstMatchIn(l).map(_.group(1)))
+        .toSet.size
+      println(s"==== $name")
+      scans.foreach(l => println(s"  $l"))
+      println(s"  joins: ${joins.mkString(", ")}")
+      println(s"  wholeStageCodegen spans: $codegenSpans")
+    }
+    spark.stop()
+  }
+}

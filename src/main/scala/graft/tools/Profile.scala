@@ -27,10 +27,11 @@ object Profile {
 
     time("tokenize explode")(
       docs.select(explode(TextOps.tokenize(col("text"))).as("t")).count())
-    time("charNgrams(4) explode")(
+    val corpus = docs.select(col("doc_id"), col("doc_id").as("doc_idx"), col("text"))
+    time("explodedNgrams(4) [codegen path]")(
+      graft.stats.GramIndex.explodedNgrams(corpus, col("text"), 4).count())
+    time("charNgrams(4) array-HOF [legacy]")(
       docs.select(explode(TextOps.charNgrams(col("text"), 4)).as("g")).count())
-    time("charNgrams(3) explode")(
-      docs.select(explode(TextOps.charNgrams(col("text"), 3)).as("g")).count())
     time("shingles explode")(
       docs.select(explode(DedupOps.shingles(col("text"))).as("s")).count())
     time("shingle x16 md5 min-agg")(
