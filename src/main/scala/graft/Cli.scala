@@ -12,7 +12,7 @@ import graft.telemetry.ParquetTelemetryStore
   */
 object Cli {
   def session(): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft")

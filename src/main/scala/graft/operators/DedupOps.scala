@@ -176,8 +176,8 @@ object DedupOps {
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("jaccard",
-        round(coalesce(col("inter"), lit(0L)).cast("double") /
-          (col("na") + col("nb") - coalesce(col("inter"), lit(0L))), 6))
+        r6(coalesce(col("inter"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("inter"), lit(0L)))))
   }
 
   private val jaccardCtes =
@@ -189,8 +189,8 @@ object DedupOps {
        |          JOIN ds y ON y.doc_id = p.doc_b AND y.s = x.s
        |          GROUP BY p.doc_a, p.doc_b),
        |jac AS (SELECT p.doc_a, p.doc_b,
-       |          round(coalesce(i, 0)::DOUBLE /
-       |            (sa.n + sb.n - coalesce(i, 0)), 6) AS jaccard
+       |          floor((coalesce(i, 0)::DOUBLE /
+       |            (sa.n + sb.n - coalesce(i, 0))) * 1000000 + 0.5) / 1000000 AS jaccard
        |        FROM pairs p
        |        LEFT JOIN inter ON p.doc_a = inter.doc_a AND p.doc_b = inter.doc_b
        |        JOIN sz sa ON sa.doc_id = p.doc_a
@@ -235,7 +235,7 @@ object DedupOps {
       .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("n").as("na"))), "doc_a")
       .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb"))), "doc_b")
       .withColumn("jaccard",
-        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 6))
+        r6(col("inter").cast("double") / (col("na") + col("nb") - col("inter"))))
       .filter(col("jaccard") >= JaccardThreshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
@@ -252,7 +252,7 @@ object DedupOps {
        |          GROUP BY 1, 2),
        |sz AS (SELECT doc_id, count(*) AS n FROM ds0 GROUP BY doc_id),
        |jac AS (SELECT doc_a, doc_b,
-       |          round(i::DOUBLE / (sa.n + sb.n - i), 6) AS jaccard
+       |          floor((i::DOUBLE / (sa.n + sb.n - i)) * 1000000 + 0.5) / 1000000 AS jaccard
        |        FROM inter
        |        JOIN sz sa ON sa.doc_id = doc_a
        |        JOIN sz sb ON sb.doc_id = doc_b)
@@ -273,7 +273,7 @@ object DedupOps {
         cosineSim(col("a.embedding"), col("b.embedding")).as("cos"))
       .filter(col("cos") >= EmbCosineThreshold)
       .select(col("vec_a"), col("vec_b"), col("label").cast("long").as("label"),
-        round(col("cos"), 6).as("cos"))
+        r6(col("cos")).as("cos"))
       .orderBy("vec_a", "vec_b")
   }
 
@@ -288,7 +288,7 @@ object DedupOps {
 
   val embeddingNearDupsSql: String =
     s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |  CAST(a.label AS BIGINT) AS label, round($sqlCosAb, 6) AS cos
+       |  CAST(a.label AS BIGINT) AS label, floor(($sqlCosAb) * 1000000 + 0.5) / 1000000 AS cos
        |FROM embeddings a JOIN embeddings b
        |  ON a.label = b.label AND a.vec_id < b.vec_id
        |WHERE $sqlCosAb >= $EmbCosineThreshold

@@ -36,14 +36,15 @@ object EventsOps {
         unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
         col("event_type"))
       .agg(count(lit(1)).as("n"),
-        round(sum("value"), 6).as("sum_value"),
-        round(avg("value"), 6).as("avg_value"))
+        r6(dsum(col("value"))).as("sum_value"),
+        r6(davg(col("value"))).as("avg_value"))
       .orderBy("hour_epoch", "event_type")
 
   val hourlyEventStatsSql: String =
     """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
       |  event_type, count(*) AS n,
-      |  round(sum(value), 6) AS sum_value, round(avg(value), 6) AS avg_value
+      |  floor((CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS sum_value,
+      |  floor((CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS avg_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin
 
   // ---- q61: sliding 2h windows, 1h slide ----------------------------------
@@ -51,7 +52,7 @@ object EventsOps {
   def slidingWindowStats(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .agg(count(lit(1)).as("n"), r6(dsum(col("value"))).as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
       .orderBy("window_start", "event_type")
@@ -63,7 +64,8 @@ object EventsOps {
       |      AS window_start
       |  FROM events)
       |SELECT CAST(floor(epoch(window_start)) AS BIGINT) AS window_start,
-      |  event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+      |  event_type, count(*) AS n,
+      |  floor((CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS sum_value
       |FROM w GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
   // ---- q62: gap-based sessionization --------------------------------------
@@ -86,7 +88,7 @@ object EventsOps {
       .agg(
         min(col("ts").cast("long")).as("session_start"),
         count(lit(1)).as("n_events"),
-        round(sum("value"), 6).as("sum_value"),
+        r6(dsum(col("value"))).as("sum_value"),
         (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("duration_s"))
       .orderBy("user_id", "session_idx")
   }
@@ -108,7 +110,8 @@ object EventsOps {
        |  FROM flagged)
        |SELECT user_id, session_idx,
        |  CAST(min(floor(epoch(ts))) AS BIGINT) AS session_start,
-       |  count(*) AS n_events, round(sum(value), 6) AS sum_value,
+       |  count(*) AS n_events,
+      |  floor((CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS sum_value,
        |  CAST(max(floor(epoch(ts))) - min(floor(epoch(ts))) AS BIGINT) AS duration_s
        |FROM sess GROUP BY user_id, session_idx
        |ORDER BY user_id, session_idx""".stripMargin
@@ -124,7 +127,7 @@ object EventsOps {
         sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purchase"),
         sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("n_signup"),
         sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_view"),
-        round(sum("value"), 6).as("total_value"))
+        r6(dsum(col("value"))).as("total_value"))
       .orderBy("user_id")
 
   val userActivityPivotSql: String =
@@ -134,7 +137,7 @@ object EventsOps {
       |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
       |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
       |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-      |  round(sum(value), 6) AS total_value
+      |  floor((CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS total_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
   // ---- q64: JSON property extraction --------------------------------------

@@ -86,7 +86,7 @@ object MultimodalOps {
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
     decodeFeatures(mediaTable(spark, dir)).toDF()
       .select(col("doc_id"), col("byte_len"), col("checksum"),
-        round(col("avg_byte"), 6).as("avg_byte"), col("mime"), col("pixels"))
+        r6(col("avg_byte")).as("avg_byte"), col("mime"), col("pixels"))
       .orderBy("doc_id")
 
   // -------------------------------------------------------------------------

@@ -29,23 +29,31 @@ object RelationalOps {
     t(spark, dir, "lineitem")
       .filter(col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
       .groupBy("l_returnflag", "l_linestatus")
+      // Money sums accumulate in DECIMAL: double sums over 10k+ values
+      // differ across engines in the last ~2 decimals (addition order),
+      // which hash-compare at round(6) cannot absorb; decimal sums are
+      // exact and order-independent.
       .agg(
-        round(sum("l_quantity"), 6).as("sum_qty"),
-        round(sum("l_extendedprice"), 6).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
-          .as("sum_disc_price"),
-        round(avg("l_quantity"), 6).as("avg_qty"),
-        round(avg("l_discount"), 6).as("avg_disc"),
+        r6(sum(col("l_quantity").cast("decimal(30,8)")).cast("double"))
+          .as("sum_qty"),
+        r6(sum(col("l_extendedprice").cast("decimal(30,8)")).cast("double"))
+          .as("sum_base_price"),
+        r6(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,8)")).cast("double")).as("sum_disc_price"),
+        r6((sum(col("l_quantity").cast("decimal(30,8)")).cast("double") /
+          count(lit(1)))).as("avg_qty"),
+        r6((sum(col("l_discount").cast("decimal(30,8)")).cast("double") /
+          count(lit(1)))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
 
   val pricingSummarySql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 6) AS sum_qty,
-      |  round(sum(l_extendedprice), 6) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
-      |  round(avg(l_quantity), 6) AS avg_qty,
-      |  round(avg(l_discount), 6) AS avg_disc,
+      |  floor((CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS sum_qty,
+      |  floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS sum_base_price,
+      |  floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS sum_disc_price,
+      |  floor((CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS avg_qty,
+      |  floor((CAST(sum(CAST(l_discount AS DECIMAL(30,8))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS avg_disc,
       |  count(*) AS count_order
       |FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01'
       |GROUP BY l_returnflag, l_linestatus
@@ -59,7 +67,7 @@ object RelationalOps {
       .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy("o_orderkey")
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+      .agg(r6(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
         .as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey").asc)
       .limit(10)
@@ -67,7 +75,7 @@ object RelationalOps {
 
   val topRevenueOrdersSql: String =
     """SELECT o_orderkey,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+      |  floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -86,14 +94,14 @@ object RelationalOps {
       .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+        r6(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
           .as("revenue"),
         count(lit(1)).as("n_lines"))
       .orderBy("r_name", "n_name")
 
   val regionRevenueSql: String =
     """SELECT r_name, n_name,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+      |  floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS revenue,
       |  count(*) AS n_lines
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -112,12 +120,12 @@ object RelationalOps {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 3)
       .select(col("o_custkey"), col("o_orderkey"),
-        round(col("o_totalprice"), 6).as("o_totalprice"), col("rank"))
+        r6(col("o_totalprice")).as("o_totalprice"), col("rank"))
       .orderBy("o_custkey", "rank")
   }
 
   val customerOrderRanksSql: String =
-    """SELECT o_custkey, o_orderkey, round(o_totalprice, 6) AS o_totalprice, rank
+    """SELECT o_custkey, o_orderkey, floor((o_totalprice) * 1000000 + 0.5) / 1000000 AS o_totalprice, rank
       |FROM (
       |  SELECT o_custkey, o_orderkey, o_totalprice,
       |    row_number() OVER (PARTITION BY o_custkey
@@ -134,7 +142,7 @@ object RelationalOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(spark, dir, "lineitem")
       .filter(col("l_suppkey") < 10)
-      .withColumn("running_qty", round(sum("l_quantity").over(w), 6))
+      .withColumn("running_qty", r6(sum("l_quantity").over(w)))
       .select(col("l_suppkey"), col("l_orderkey"),
         col("l_linenumber").cast("long").as("l_linenumber"), col("running_qty"))
       .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
@@ -142,9 +150,9 @@ object RelationalOps {
 
   val runningRevenueSql: String =
     """SELECT l_suppkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
-      |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+      |  floor((sum(l_quantity) OVER (PARTITION BY l_suppkey
       |    ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_qty
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) * 1000000 + 0.5) / 1000000 AS running_qty
       |FROM lineitem WHERE l_suppkey < 10
       |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin
 
@@ -182,7 +190,7 @@ object RelationalOps {
   def returnFlagRollup(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .rollup("l_returnflag", "l_linestatus")
-      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 6).as("sum_qty"))
+      .agg(count(lit(1)).as("n"), r6(dsum(col("l_quantity"))).as("sum_qty"))
       .select(
         coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
@@ -192,7 +200,7 @@ object RelationalOps {
   val returnFlagRollupSql: String =
     """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
       |  coalesce(l_linestatus, 'ALL') AS linestatus,
-      |  count(*) AS n, round(sum(l_quantity), 6) AS sum_qty
+      |  count(*) AS n, floor((CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS sum_qty
       |FROM lineitem
       |GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY returnflag, linestatus""".stripMargin
@@ -205,14 +213,14 @@ object RelationalOps {
       .agg(
         countDistinct("l_partkey").as("n_parts"),
         count(lit(1)).as("n_lines"),
-        round(sum("l_quantity"), 6).as("sum_qty"),
-        round(avg("l_extendedprice"), 6).as("avg_price"))
+        r6(dsum(col("l_quantity"))).as("sum_qty"),
+        r6(davg(col("l_extendedprice"))).as("avg_price"))
       .orderBy("l_suppkey")
 
   val supplierPartStatsSql: String =
     """SELECT l_suppkey, count(DISTINCT l_partkey) AS n_parts, count(*) AS n_lines,
-      |  round(sum(l_quantity), 6) AS sum_qty,
-      |  round(avg(l_extendedprice), 6) AS avg_price
+      |  floor((CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS sum_qty,
+      |  floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS avg_price
       |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
 
   // ---- q10: monthly order priorities (date bucketing) ---------------------
@@ -221,17 +229,69 @@ object RelationalOps {
     t(spark, dir, "orders")
       .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"),
         col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 6).as("sum_price"))
+      .agg(count(lit(1)).as("n"), r6(dsum(col("o_totalprice"))).as("sum_price"))
       .orderBy("month", "o_orderpriority")
 
   val monthlyOrderPrioritiesSql: String =
     """SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderpriority,
-      |  count(*) AS n, round(sum(o_totalprice), 6) AS sum_price
+      |  count(*) AS n, floor((CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS sum_price
       |FROM orders GROUP BY 1, 2 ORDER BY month, o_orderpriority""".stripMargin
+
+  // ---- q11: skew-resistant salted join ------------------------------------
+
+  /** Demonstrates the skew-mitigation pattern: the probe side's hot keys
+    * are salted across SaltBuckets sub-keys and the (broadcastable) build
+    * side is replicated per salt, so one hot orderkey can no longer pin a
+    * single reducer. Results are identical to the unsalted join — the
+    * oracle computes the plain join — which is the point: salting is a
+    * physical rewrite, not a semantic one. (AQE skew-join handles this
+    * adaptively at runtime; the explicit form is for when the build side
+    * is too large to broadcast but small enough to replicate × salt.)
+    */
+  val SaltBuckets = 8
+
+  def saltedOrderRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+      .withColumn("salt", pmod(col("l_linenumber"), lit(SaltBuckets)))
+    val orders = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .crossJoin(spark.range(SaltBuckets).select(col("id").cast("int").as("salt")))
+    li.join(orders,
+        li("l_orderkey") === orders("o_orderkey") && li("salt") === orders("salt"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        r6(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,8)")).cast("double")).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val saltedOrderRevenueSql: String =
+    """SELECT o_orderpriority, count(*) AS n_lines,
+      |  floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  // ---- q12: approximate distinct (HLL) — rows-only check ------------------
+
+  /** approx_count_distinct (HyperLogLog++): the scalable substitute for
+    * COUNT(DISTINCT) on high-cardinality columns. Sketch values are
+    * implementation-specific, so there is no cross-engine oracle — the
+    * driver records the weaker rows-only check; the spec instead pins the
+    * relative-error envelope against the exact counts.
+    */
+  def approxDistinctParts(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+        approx_count_distinct("l_suppkey").as("approx_supps"))
+      .orderBy("l_returnflag")
 
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q11_salted_order_revenue" -> (saltedOrderRevenue _),
+    "q12_approx_distinct_parts" -> (approxDistinctParts _),
     "q01_pricing_summary" -> (pricingSummary _),
     "q02_top_revenue_orders" -> (topRevenueOrders _),
     "q03_region_revenue" -> (regionRevenue _),
@@ -244,6 +304,7 @@ object RelationalOps {
     "q10_monthly_order_priorities" -> (monthlyOrderPriorities _))
 
   val oracles: Map[String, String] = Map(
+    "q11_salted_order_revenue" -> saltedOrderRevenueSql,
     "q01_pricing_summary" -> pricingSummarySql,
     "q02_top_revenue_orders" -> topRevenueOrdersSql,
     "q03_region_revenue" -> regionRevenueSql,

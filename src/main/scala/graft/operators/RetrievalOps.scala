@@ -60,7 +60,7 @@ object RetrievalOps {
   private def topkOut(scores: DataFrame): DataFrame =
     Retrievers.topK(scores, TopK)
       .select(col("doc_id"), col("rank").cast("long").as("rank"),
-        round(col("score"), 6).as("score"))
+        r6(col("score")).as("score"))
       .orderBy("rank")
 
   // ---- SQL fragments shared by the oracles --------------------------------
@@ -90,7 +90,7 @@ object RetrievalOps {
 
   def docTermStats(spark: SparkSession, dir: String): DataFrame =
     tokenIndex(spark, dir).termStats
-      .select(col("term"), col("df"), round(col("idf"), 6).as("idf"))
+      .select(col("term"), col("df"), r6(col("idf")).as("idf"))
       .orderBy("term")
 
   val docTermStatsSql: String =
@@ -98,7 +98,7 @@ object RetrievalOps {
        |dt AS (SELECT DISTINCT doc_id, term FROM tok),
        |nn AS (SELECT count(*) AS n FROM documents)
        |SELECT term, count(*) AS df,
-       |  round(ln(1 + (n - count(*) + 0.5) / (count(*) + 0.5)), 6) AS idf
+       |  floor((ln(1 + (n - count(*) + 0.5) / (count(*) + 0.5))) * 1000000 + 0.5) / 1000000 AS idf
        |FROM dt, nn GROUP BY term, n ORDER BY term""".stripMargin
 
   def docLengths(spark: SparkSession, dir: String): DataFrame =
@@ -134,14 +134,14 @@ object RetrievalOps {
        |          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
        |rk AS (SELECT doc_id, score,
        |         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank FROM dense)
-       |SELECT doc_id, rank, round(score, 6) AS score FROM rk
+       |SELECT doc_id, rank, floor((score) * 1000000 + 0.5) / 1000000 AS score FROM rk
        |WHERE rank <= $TopK ORDER BY rank""".stripMargin
 
   // ---- q23: gram-space statistics -----------------------------------------
 
   def gramStats(spark: SparkSession, dir: String): DataFrame =
     gramIndex(spark, dir).gramStats
-      .select(col("gram"), col("df"), round(col("idf"), 6).as("idf"))
+      .select(col("gram"), col("df"), r6(col("idf")).as("idf"))
       .orderBy("gram")
 
   val gramStatsSql: String =
@@ -149,7 +149,7 @@ object RetrievalOps {
        |dg AS (SELECT DISTINCT doc_id, gram FROM gr),
        |nn AS (SELECT count(*) AS n FROM documents)
        |SELECT gram, count(*) AS df,
-       |  round(ln(1 + (n - count(*) + 0.5) / (count(*) + 0.5)), 6) AS idf
+       |  floor((ln(1 + (n - count(*) + 0.5) / (count(*) + 0.5))) * 1000000 + 0.5) / 1000000 AS idf
        |FROM dg, nn GROUP BY gram, n ORDER BY gram""".stripMargin
 
   // ---- q24: char-gram TF-IDF cosine top-k ---------------------------------
@@ -182,7 +182,7 @@ object RetrievalOps {
     s"""WITH ${cosineCtes(q)},
        |rk AS (SELECT doc_id, score,
        |         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank FROM vdense)
-       |SELECT doc_id, rank, round(score, 6) AS score FROM rk
+       |SELECT doc_id, rank, floor((score) * 1000000 + 0.5) / 1000000 AS score FROM rk
        |WHERE rank <= $TopK ORDER BY rank""".stripMargin
 
   // ---- q25: hybrid top-k --------------------------------------------------
@@ -219,7 +219,7 @@ object RetrievalOps {
        |blend AS (SELECT kn.doc_id, 0.60 * ks + 0.40 * vs AS score FROM kn JOIN vn USING (doc_id)),
        |rk AS (SELECT doc_id, score,
        |         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank FROM blend)
-       |SELECT doc_id, rank, round(score, 6) AS score FROM rk
+       |SELECT doc_id, rank, floor((score) * 1000000 + 0.5) / 1000000 AS score FROM rk
        |WHERE rank <= $TopK ORDER BY rank""".stripMargin
 
   // ---- q26/q27: query features + routing ----------------------------------
@@ -228,9 +228,9 @@ object RetrievalOps {
     val idx = tokenIndex(spark, dir)
     Router.features(queriesDf(spark), idx.termStats.select("term"), idx.rareTerms)
       .select(col("query_id"), col("n_tokens").cast("long").as("n_tokens"),
-        round(col("digit_ratio"), 6).as("digit_ratio"),
-        round(col("oov_ratio"), 6).as("oov_ratio"),
-        round(col("rare_ratio"), 6).as("rare_ratio"))
+        r6(col("digit_ratio")).as("digit_ratio"),
+        r6(col("oov_ratio")).as("oov_ratio"),
+        r6(col("rare_ratio")).as("rare_ratio"))
       .orderBy("query_id")
   }
 
@@ -249,9 +249,9 @@ object RetrievalOps {
        |        sum(CASE WHEN token IN (SELECT term FROM rare) THEN 1.0 ELSE 0.0 END) / count(*) AS rare_ratio
        |      FROM qtok GROUP BY query_id)
        |SELECT q.query_id, coalesce(f.n, 0) AS n_tokens,
-       |  round(coalesce(f.digit_ratio, 0.0), 6) AS digit_ratio,
-       |  round(coalesce(f.oov_ratio, 0.0), 6) AS oov_ratio,
-       |  round(coalesce(f.rare_ratio, 0.0), 6) AS rare_ratio
+       |  floor((coalesce(f.digit_ratio, 0.0)) * 1000000 + 0.5) / 1000000 AS digit_ratio,
+       |  floor((coalesce(f.oov_ratio, 0.0)) * 1000000 + 0.5) / 1000000 AS oov_ratio,
+       |  floor((coalesce(f.rare_ratio, 0.0)) * 1000000 + 0.5) / 1000000 AS rare_ratio
        |FROM q LEFT JOIN f ON q.query_id = f.query_id
        |ORDER BY q.query_id""".stripMargin
 
@@ -261,9 +261,9 @@ object RetrievalOps {
       Router.features(queriesDf(spark), idx.termStats.select("term"), idx.rareTerms),
       RouterState())
       .select(col("query_id"),
-        round(col("heuristic_keyword"), 6).as("h_keyword"),
-        round(col("heuristic_vector"), 6).as("h_vector"),
-        round(col("heuristic_hybrid"), 6).as("h_hybrid"),
+        r6(col("heuristic_keyword")).as("h_keyword"),
+        r6(col("heuristic_vector")).as("h_vector"),
+        r6(col("heuristic_hybrid")).as("h_hybrid"),
         col("strategy"))
       .orderBy("query_id")
   }
@@ -291,8 +291,8 @@ object RetrievalOps {
        |         (CASE WHEN dr >= 0.12 AND n >= 5 THEN 0.45
        |               WHEN dr > 0.0 AND n >= 4 THEN 0.25 ELSE 0.0 END) AS hh
        |       FROM h)
-       |SELECT query_id, round(hk, 6) AS h_keyword, round(hv, 6) AS h_vector,
-       |  round(hh, 6) AS h_hybrid,
+       |SELECT query_id, floor((hk) * 1000000 + 0.5) / 1000000 AS h_keyword, floor((hv) * 1000000 + 0.5) / 1000000 AS h_vector,
+       |  floor((hh) * 1000000 + 0.5) / 1000000 AS h_hybrid,
        |  CASE WHEN hh >= hk AND hh >= hv THEN 'hybrid'
        |       WHEN hk >= hv THEN 'keyword' ELSE 'vector' END AS strategy
        |FROM h2 ORDER BY query_id""".stripMargin

@@ -61,7 +61,7 @@ object SimilarityOps {
       .select(col("vec_id"),
         row_number().over(Window.orderBy(col("cos").desc, col("vec_id").asc))
           .cast("long").as("rank"),
-        round(col("cos"), 6).as("cos"))
+        r6(col("cos")).as("cos"))
       .orderBy("rank")
   }
 
@@ -81,7 +81,7 @@ object SimilarityOps {
        |sc AS (SELECT vec_id, ${sqlCos("embedding", "qe")} AS cos FROM embeddings, q),
        |rk AS (SELECT vec_id, cos,
        |         row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank FROM sc)
-       |SELECT vec_id, rank, round(cos, 6) AS cos FROM rk
+       |SELECT vec_id, rank, floor((cos) * 1000000 + 0.5) / 1000000 AS cos FROM rk
        |WHERE rank <= $TopK ORDER BY rank""".stripMargin
 
   // ---- q51: IVF (coarse clusters = label, probe nearest centroids) --------
@@ -117,7 +117,7 @@ object SimilarityOps {
       .select(col("vec_id"),
         row_number().over(Window.orderBy(col("cos").desc, col("vec_id").asc))
           .cast("long").as("rank"),
-        round(col("cos"), 6).as("cos"))
+        r6(col("cos")).as("cos"))
       .orderBy("rank")
   }
 
@@ -134,7 +134,7 @@ object SimilarityOps {
        |       FROM embeddings JOIN probe USING (label), q),
        |rk AS (SELECT vec_id, cos,
        |         row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank FROM sc)
-       |SELECT vec_id, rank, round(cos, 6) AS cos FROM rk
+       |SELECT vec_id, rank, floor((cos) * 1000000 + 0.5) / 1000000 AS cos FROM rk
        |WHERE rank <= $TopK ORDER BY rank""".stripMargin
 
   // ---- q52: LSH sign-projection buckets -----------------------------------
@@ -169,7 +169,7 @@ object SimilarityOps {
       .select(col("vec_id"), col("bucket"),
         row_number().over(Window.orderBy(col("cos").desc, col("vec_id").asc))
           .cast("long").as("rank"),
-        round(col("cos"), 6).as("cos"))
+        r6(col("cos")).as("cos"))
       .orderBy("rank")
   }
 
@@ -188,7 +188,7 @@ object SimilarityOps {
        |       JOIN qb ON bk.bucket = qb.q_bucket, q),
        |rk AS (SELECT vec_id, bucket, cos,
        |         row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank FROM sc)
-       |SELECT vec_id, bucket, rank, round(cos, 6) AS cos FROM rk
+       |SELECT vec_id, bucket, rank, floor((cos) * 1000000 + 0.5) / 1000000 AS cos FROM rk
        |WHERE rank <= $TopK ORDER BY rank""".stripMargin
 
   // -------------------------------------------------------------------------

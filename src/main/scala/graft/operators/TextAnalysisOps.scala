@@ -48,10 +48,10 @@ object TextAnalysisOps {
     docs(spark, dir).select(
       col("doc_id"),
       n.cast("long").as("n_tokens"),
-      round(avgTokLen, 6).as("avg_token_len"),
-      round(stopRatio, 6).as("stopword_ratio"),
-      round(digitRatio, 6).as("digit_char_ratio"),
-      round(quality, 6).as("quality_score"))
+      r6(avgTokLen).as("avg_token_len"),
+      r6(stopRatio).as("stopword_ratio"),
+      r6(digitRatio).as("digit_char_ratio"),
+      r6(quality).as("quality_score"))
       .orderBy("doc_id")
   }
 
@@ -73,10 +73,10 @@ object TextAnalysisOps {
        |         ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)
        |    END AS dr
        |  FROM b)
-       |SELECT doc_id, n_tokens, round(atl, 6) AS avg_token_len,
-       |  round(sr, 6) AS stopword_ratio, round(dr, 6) AS digit_char_ratio,
-       |  round(0.4 * least(1.0, n_tokens / 50.0) + 0.3 * (1.0 - sr) +
-       |        0.3 * least(1.0, atl / 8.0), 6) AS quality_score
+       |SELECT doc_id, n_tokens, floor((atl) * 1000000 + 0.5) / 1000000 AS avg_token_len,
+       |  floor((sr) * 1000000 + 0.5) / 1000000 AS stopword_ratio, floor((dr) * 1000000 + 0.5) / 1000000 AS digit_char_ratio,
+       |  floor((0.4 * least(1.0, n_tokens / 50.0) + 0.3 * (1.0 - sr) +
+       |        0.3 * least(1.0, atl / 8.0)) * 1000000 + 0.5) / 1000000 AS quality_score
        |FROM m ORDER BY doc_id""".stripMargin
 
   // ---- q31: token counting (three tokenizers) -----------------------------
@@ -111,14 +111,14 @@ object TextAnalysisOps {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(size(TextOps.tokenize(col("text")))).cast("long").as("total_tokens"),
-        round(avg(length(col("text"))), 6).as("avg_chars"),
+        r6(sum(length(col("text"))).cast("double") / count(lit(1))).as("avg_chars"),
         countDistinct("source").as("n_sources"))
       .orderBy("lang")
 
   val langStatsSql: String =
     s"""SELECT lang, count(*) AS n_docs,
        |  sum(len(regexp_extract_all(lower(text), '$TokRe'))) AS total_tokens,
-       |  round(avg(length(text)), 6) AS avg_chars,
+       |  floor((CAST(sum(length(text)) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS avg_chars,
        |  count(DISTINCT source) AS n_sources
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 

@@ -1,0 +1,26 @@
+package graft
+
+/** The driver's smoke contract: SparkEntry.entry must return rows > 0 on
+  * sf0.001, and every declared query must run with a matching oracle key.
+  */
+class EntrySpec extends SparkSpec {
+
+  test("entry() returns a non-empty flagship result") {
+    val out = SparkEntry.entry(spark)
+    val rows = out.collect()
+    assert(rows.length == 10)
+    assert(rows.head.getAs[Int]("rank") == 1)
+  }
+
+  test("every oracle key has a query; every query runs at sf0.001") {
+    val qs = SparkEntry.queries
+    assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
+    // Queries without an oracle are the documented rows-only set.
+    assert((qs.keySet -- SparkEntry.oracleSql.keySet) ==
+      Set("q71_media_features", "q12_approx_distinct_parts"))
+    qs.foreach { case (name, fn) =>
+      val n = fn(spark, "/root/testdata/sf0.001").count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+}
