@@ -71,6 +71,17 @@ object Evaluate {
       s""""router_state":{"weight_vector":${out.state.weightVector},""" +
       s""""weight_keyword":${out.state.weightKeyword},""" +
       s""""weight_hybrid":${out.state.weightHybrid},"lr":${out.state.lr}}}""")
+
+    // Telemetry inspection (reference notebooks/demo.py:279-327): the most
+    // recent run rows, newest first.
+    store match {
+      case p: ParquetTelemetryStore =>
+        println("[telemetry] recent runs:")
+        p.recentRuns(5)
+          .select(col("ts_unix"), col("query"), col("strategy"), col("score"))
+          .show(5, truncate = 40)
+      case _ => ()
+    }
     spark.stop()
   }
 }

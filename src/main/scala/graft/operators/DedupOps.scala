@@ -112,21 +112,34 @@ object DedupOps {
     * exploded rows to NumHashes rows per doc before the shuffle — so the
     * exchanged volume is 16 short strings per document regardless of
     * document length. */
+  // Signature tables are memoized per corpus dir (like the retrieval
+  // indexes): q41/q42 and repeated calls share one build.
+  private val bandCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val shingleCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Distinct (doc_id, s) shingle sets, cached per dir. */
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+    shingleCache.getOrElseUpdate(dir,
+      explodedShingles(docs(spark, dir)).distinct().cache())
+
   def minhashBands(spark: SparkSession, dir: String): DataFrame = {
-    val sh = explodedShingles(docs(spark, dir))
-      .crossJoin(spark.range(NumHashes).select(col("id").as("j")))
-    val mh = sh
-      .groupBy("doc_id", "j")
-      .agg(min(md5(concat(col("j").cast("string"), lit(":"), col("s")))).as("m"))
-    val sigs = mh.groupBy("doc_id")
-      .agg(transform(array_sort(collect_list(struct(col("j"), col("m")))),
-        s => s.getField("m")).as("sigs"))
-    sigs.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(NumHashes / BandSize - 1)),
-          b => md5(concat_ws(":", slice(col("sigs"), b * BandSize + 1, lit(BandSize))))))
-          .as(Seq("band_id", "band_hash")))
-      .select(col("doc_id"), col("band_id").cast("long").as("band_id"), col("band_hash"))
-      .orderBy("doc_id", "band_id")
+    val bands = bandCache.getOrElseUpdate(dir, {
+      val sh = explodedShingles(docs(spark, dir))
+        .crossJoin(spark.range(NumHashes).select(col("id").as("j")))
+      val mh = sh
+        .groupBy("doc_id", "j")
+        .agg(min(md5(concat(col("j").cast("string"), lit(":"), col("s")))).as("m"))
+      val sigs = mh.groupBy("doc_id")
+        .agg(transform(array_sort(collect_list(struct(col("j"), col("m")))),
+          s => s.getField("m")).as("sigs"))
+      sigs.select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), lit(NumHashes / BandSize - 1)),
+            b => md5(concat_ws(":", slice(col("sigs"), b * BandSize + 1, lit(BandSize))))))
+            .as(Seq("band_id", "band_hash")))
+        .select(col("doc_id"), col("band_id").cast("long").as("band_id"), col("band_hash"))
+        .cache()
+    })
+    bands.orderBy("doc_id", "band_id")
   }
 
   val minhashBandsSql: String =
@@ -145,9 +158,7 @@ object DedupOps {
   /** Candidates = pairs sharing any band hash; verified with exact
     * shingle-set Jaccard (no threshold — banding is the filter). */
   def minhashDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    // Both sides of the self-join read the band table; cache it or the
-    // whole signature pipeline executes twice.
-    val bands = minhashBands(spark, dir).cache()
+    val bands = minhashBands(spark, dir)
     val pairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band_id") === col("b.band_id") &&
@@ -163,9 +174,7 @@ object DedupOps {
 
   /** Join exact shingle-set Jaccard onto a (doc_a, doc_b) pair frame. */
   private def withJaccard(spark: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
-    // The distinct shingle set feeds both sides of the intersection join
-    // and the size aggregate — cache to execute the explode+distinct once.
-    val ds = explodedShingles(docs(spark, dir)).distinct().cache()
+    val ds = shingleSets(spark, dir)
     val sizes = ds.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(ds.as("x"), col("x.doc_id") === col("doc_a"))
@@ -219,7 +228,7 @@ object DedupOps {
     * rarer shingles (df-bounded) — here df-unbounded is fine because the
     * synthetic vocabulary keeps candidate counts quadratic-safe. */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val ds = explodedShingles(docs(spark, dir)).distinct().cache()
+    val ds = shingleSets(spark, dir)
     val blockable = ds.join(
       ds.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= MaxBlockDf)
         .select("s"), "s")

@@ -22,6 +22,24 @@ trait TelemetryStore {
   def saveRouterState(state: RouterState): Unit
 }
 
+object TelemetryStore {
+
+  /** Env-driven backend dispatch, mirroring the reference's
+    * `telemetry_from_env` (telemetry.py:189-209): GRAFT_TELEMETRY selects
+    * the backend ("parquet" default | "memory"), GRAFT_TELEMETRY_DIR the
+    * parquet root. A JDBC backend would be the third arm behind the same
+    * trait (reference's "lakebase" Postgres twin) — not constructible in
+    * this zero-egress environment.
+    */
+  def fromEnv(spark: SparkSession, defaultDir: String = "target/telemetry"): TelemetryStore =
+    sys.env.getOrElse("GRAFT_TELEMETRY", "parquet") match {
+      case "memory" => new InMemoryTelemetryStore
+      case _ =>
+        new ParquetTelemetryStore(spark,
+          sys.env.getOrElse("GRAFT_TELEMETRY_DIR", defaultDir))
+    }
+}
+
 /** Parquet-backed store rooted at `dir` (local path or any Hadoop FS URI).
   * Scale note: `runs` is an append-only event log — at production scale it
   * would be date-partitioned (`.partitionBy("ds")`) and compacted; the state
@@ -40,6 +58,13 @@ final class ParquetTelemetryStore(spark: SparkSession, dir: String) extends Tele
 
   override def logRuns(runs: DataFrame): Unit =
     runs.write.mode("append").parquet(runsPath)
+
+  /** Inspection scan (reference notebooks/demo.py:285,315):
+    * most recent n runs, newest first. */
+  def recentRuns(n: Int = 10): DataFrame =
+    spark.read.parquet(runsPath)
+      .orderBy(org.apache.spark.sql.functions.desc("ts_unix"))
+      .limit(n)
 
   override def loadRouterState(): RouterState =
     if (!exists(statePath)) RouterState()

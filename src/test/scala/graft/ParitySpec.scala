@@ -77,6 +77,28 @@ class ParitySpec extends SparkSpec {
 
     // run log: one row per label per pass
     assert(store.runFrames.map(_.count()).sum == 28)
+
+    // pass-1 routing vector (reference, SURVEY.md §3.2): Q-001 and Q-006
+    // choose hybrid, everything else keyword.
+    val routed = p1.perQuery.select("query_id", "strategy").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(routed("Q-001") == "hybrid" && routed("Q-006") == "hybrid")
+    assert(routed.count(_._2 == "keyword") == 12)
+  }
+
+  test("parquet telemetry store round-trips state and serves recent runs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-telemetry").toString
+    val store = new graft.telemetry.ParquetTelemetryStore(spark, dir)
+    val out = Pipeline.evaluateAll(spark, idx, labels, store, k = 5)
+    assert(math.abs(out.state.weightVector - 0.25) < 1e-9)
+    val recent = store.recentRuns(10)
+    assert(recent.count() == 10)
+    assert(recent.columns.toSet ==
+      Set("ts_unix", "query", "strategy", "score", "meta_json"))
+    // env dispatch: default backend is parquet
+    val dispatched = graft.telemetry.TelemetryStore.fromEnv(spark, dir)
+    assert(dispatched.isInstanceOf[graft.telemetry.ParquetTelemetryStore])
+    assert(math.abs(dispatched.loadRouterState().weightVector - 0.25) < 1e-9)
   }
 
   test("runOnce: labeled query routes, answers, and scores 1.0") {
