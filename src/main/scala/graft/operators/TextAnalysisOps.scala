@@ -259,9 +259,110 @@ object TextAnalysisOps {
        |FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- q36: sliding-window document chunking ------------------------------
+
+  val ChunkSize = 20
+  val ChunkStride = 10
+
+  /** Split each document into overlapping token windows (size 20, stride
+    * 10) — the canonical training-data chunking op. Chunk start positions
+    * explode from a sequence (codegen), window text assembles via
+    * slice + array_join. Short docs yield one whole-doc chunk.
+    */
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), TextOps.tokenize(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+    toks
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1),
+          greatest(lit(1), size(col("t")) - (ChunkSize - 1)),
+          lit(ChunkStride))).as("start"))
+      .select(col("doc_id"),
+        ((col("start") - 1) / ChunkStride).cast("long").as("chunk_id"),
+        array_join(slice(col("t"), col("start"), lit(ChunkSize)), " ").as("chunk_text"),
+        least(lit(ChunkSize), size(col("t")) - col("start") + 1).cast("long")
+          .as("chunk_tokens"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val docChunksSql: String =
+    s"""WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '$TokRe') AS t
+       |            FROM documents),
+       |st AS (SELECT doc_id, t,
+       |         unnest(range(1, greatest(1, len(t) - ${ChunkSize - 1}) + 1, $ChunkStride))
+       |           AS start
+       |       FROM tk WHERE len(t) > 0)
+       |SELECT doc_id, CAST((start - 1) // $ChunkStride AS BIGINT) AS chunk_id,
+       |  array_to_string(t[start : start + ${ChunkSize - 1}], ' ') AS chunk_text,
+       |  CAST(least($ChunkSize, len(t) - start + 1) AS BIGINT) AS chunk_tokens
+       |FROM st ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ---- q37: top TF-IDF terms per document ---------------------------------
+
+  val TopTermsPerDoc = 3
+
+  /** Per-document keyword extraction: top-3 terms by sublinear TF-IDF,
+    * ties by term ASC. */
+  def topTermsPerDoc(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("doc_id").as("doc_idx"), col("text"))
+    val idx = graft.stats.TokenIndex.build(d, col("text"))
+    val w = Window.partitionBy("doc_id").orderBy(col("w").desc, col("term").asc)
+    idx.docTermFreq
+      .join(idx.termStats.select("term", "idf"), "term")
+      .select(col("doc_id"), col("term"),
+        graft.stats.CorpusIndex.sublinearTfIdf(col("tf"), col("idf")).as("w"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopTermsPerDoc)
+      .select(col("doc_id"), col("rank"), col("term"), r6(col("w")).as("weight"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val topTermsPerDocSql: String =
+    s"""WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$TokRe')) AS term
+       |            FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |idf AS (SELECT term, ln(1 + (n - count(DISTINCT doc_id) + 0.5) / (count(DISTINCT doc_id) + 0.5)) AS idf
+       |        FROM tk, nn GROUP BY term, n),
+       |wt AS (SELECT doc_id, term, (1 + ln(tf)) * idf AS w FROM tf JOIN idf USING (term)),
+       |rk AS (SELECT doc_id, term, w,
+       |         row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, term ASC) AS rank
+       |       FROM wt)
+       |SELECT doc_id, rank, term, floor((w) * 1000000 + 0.5) / 1000000 AS weight
+       |FROM rk WHERE rank <= $TopTermsPerDoc ORDER BY doc_id, rank""".stripMargin
+
+  // ---- q38: deterministic stratified sampling -----------------------------
+
+  /** Hash-based stratified sample: rate 20% for 'en', 50% otherwise, keyed
+    * on md5(doc_id) so the sample is reproducible across engines and runs —
+    * the scalable substitute for seeded random sampling in a pipeline that
+    * must be re-runnable. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+          .cast("long"), lit(100L)))
+      .filter(
+        (col("lang") === "en" && col("bucket") < 20) ||
+        (col("lang") =!= "en" && col("bucket") < 50))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy("doc_id")
+
+  val stratifiedSampleSql: String =
+    """SELECT doc_id, lang, bucket FROM (
+      |  SELECT doc_id, lang,
+      |    CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT) % 100 AS bucket
+      |  FROM documents)
+      |WHERE (lang = 'en' AND bucket < 20) OR (lang <> 'en' AND bucket < 50)
+      |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_doc_chunks" -> (docChunks _),
+    "q37_top_terms_per_doc" -> (topTermsPerDoc _),
+    "q38_stratified_sample" -> (stratifiedSample _),
     "q30_text_quality" -> (textQuality _),
     "q31_token_counts" -> (tokenCounts _),
     "q32_lang_stats" -> (langStats _),
@@ -270,6 +371,9 @@ object TextAnalysisOps {
     "q35_simhash" -> (simhash _))
 
   val oracles: Map[String, String] = Map(
+    "q36_doc_chunks" -> docChunksSql,
+    "q37_top_terms_per_doc" -> topTermsPerDocSql,
+    "q38_stratified_sample" -> stratifiedSampleSql,
     "q30_text_quality" -> textQualitySql,
     "q31_token_counts" -> tokenCountsSql,
     "q32_lang_stats" -> langStatsSql,

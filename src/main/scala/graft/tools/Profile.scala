@@ -39,6 +39,13 @@ object Profile {
         .crossJoin(spark.range(16).select(col("id").as("j")))
         .groupBy("doc_id", "j")
         .agg(min(md5(concat(col("j"), lit(":"), col("s"))))).count())
+    time("gram: explode+groupBy tf")(
+      graft.stats.GramIndex.explodedNgrams(corpus, col("text"), 4)
+        .groupBy("doc_id", "gram").count().count())
+    time("gram: full GramIndex.build")({
+      val g = graft.stats.GramIndex.build(corpus, col("text"))
+      g.docGramVec.count() + g.docNorm.count() + g.gramStats.count()
+    })
     time("q41_minhash_bands")(DedupOps.minhashBands(spark, dir).count())
     time("q24_cosine_topk")(RetrievalOps.cosineTopK(spark, dir).count())
     time("q33_langid")(TextAnalysisOps.langId(spark, dir).count())
