@@ -297,9 +297,55 @@ object RetrievalOps {
        |       WHEN hk >= hv THEN 'keyword' ELSE 'vector' END AS strategy
        |FROM h2 ORDER BY query_id""".stripMargin
 
+  // ---- q28: batch text-embedding generation (feature hashing) -------------
+
+  val EmbeddingDims = 16
+
+  /** Deterministic batch embedding generation: the hashing trick over
+    * sublinear TF-IDF — every term maps to a dimension (md5-derived) with a
+    * ±1 sign bit, weights sum per (doc, dim). Long-form output
+    * (doc_id, dim, value): the layout a 100 TB embedding table wants
+    * (column-pruned scans, per-dim statistics without array explosion),
+    * and reproducible across engines/runs unlike a learned encoder.
+    */
+  def hashedEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val idx = tokenIndex(spark, dir)
+    val h = conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long")
+    idx.docTermFreq
+      .join(idx.termStats.select("term", "idf"), "term")
+      .select(col("doc_id"),
+        pmod(h, lit(EmbeddingDims.toLong)).as("dim"),
+        // sign bit from h >> 4 (decoupled from the dim bits); note `/` on
+        // long Columns is DOUBLE division in Spark — shiftright keeps it
+        // integral like DuckDB's `//`.
+        (graft.stats.CorpusIndex.sublinearTfIdf(col("tf"), col("idf")) *
+          when(pmod(shiftright(h, 4), lit(2L)) === 0L, 1.0).otherwise(-1.0)).as("v"))
+      .groupBy("doc_id", "dim")
+      .agg(r6(dsum(col("v"))).as("value"))
+      .orderBy("doc_id", "dim")
+  }
+
+  val hashedEmbeddingsSql: String =
+    s"""WITH $tokCte,
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |idf AS (SELECT term, ln(1 + (n - count(DISTINCT doc_id) + 0.5) / (count(DISTINCT doc_id) + 0.5)) AS idf
+       |        FROM tok, nn GROUP BY term, n),
+       |hx AS (SELECT doc_id, tf.term, tf.tf, idf.idf,
+       |         CAST(('0x' || substring(md5(tf.term), 1, 15)) AS BIGINT) AS h
+       |       FROM tf JOIN idf ON tf.term = idf.term),
+       |vals AS (SELECT doc_id, h % $EmbeddingDims AS dim,
+       |           (1 + ln(tf)) * idf *
+       |             (CASE WHEN (h // $EmbeddingDims) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS v
+       |         FROM hx)
+       |SELECT doc_id, dim,
+       |  floor((CAST(sum(CAST(v AS DECIMAL(30,8))) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS value
+       |FROM vals GROUP BY doc_id, dim ORDER BY doc_id, dim""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_hashed_embeddings" -> (hashedEmbeddings _),
     "q20_doc_term_stats" -> (docTermStats _),
     "q21_doc_lengths" -> (docLengths _),
     "q22_bm25_topk" -> (bm25TopK _),
@@ -310,6 +356,7 @@ object RetrievalOps {
     "q27_route_decisions" -> (routeDecisions _))
 
   val oracles: Map[String, String] = Map(
+    "q28_hashed_embeddings" -> hashedEmbeddingsSql,
     "q20_doc_term_stats" -> docTermStatsSql,
     "q21_doc_lengths" -> docLengthsSql,
     "q22_bm25_topk" -> bm25Sql(Bm25Query),
