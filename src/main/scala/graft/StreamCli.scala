@@ -26,11 +26,16 @@ object StreamEvents {
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
 
+    import spark.implicits._
     val out = mode match {
       case "sessions" => StreamingOps.userSessions(events)
-      case _          => StreamingOps.hourlyCounts(events)
+      case "running" => StreamingOps.runningUserTotals(
+        events.select("event_id", "ts", "user_id", "event_type", "value")
+          .as[graft.streaming.EventRow]).toDF()
+      case _ => StreamingOps.hourlyCounts(events)
     }
-    val q = out.writeStream.outputMode("complete")
+    val outputMode = if (mode == "running") "update" else "complete"
+    val q = out.writeStream.outputMode(outputMode)
       .format("memory").queryName("stream_out").start()
     q.processAllAvailable()
     val table = spark.table("stream_out")

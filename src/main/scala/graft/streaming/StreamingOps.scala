@@ -1,7 +1,17 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed event row for the stateful operators. */
+final case class EventRow(
+    event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Evolving per-user state carried across micro-batches. */
+final case class UserRunning(
+    user_id: Long, n_events: Long, total_value: Double, n_errors: Long)
 
 /** Structured Streaming twins of the batch events operators: the same
   * aggregations expressed over an unbounded stream with event-time
@@ -24,6 +34,29 @@ object StreamingOps {
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("hour_epoch"),
         col("event_type"), col("n"), col("sum_value"))
+
+  /** Custom cross-batch state via flatMapGroupsWithState: running per-user
+    * totals + error counts that survive micro-batch boundaries. This is the
+    * escape hatch for state the built-in windows can't express; state size
+    * is O(active users) and each emission is the user's current snapshot
+    * (Update mode).
+    */
+  def runningUserTotals(events: Dataset[EventRow]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (uid: Long, batch: Iterator[EventRow], state: GroupState[UserRunning]) => {
+          var acc = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0, 0L))
+          batch.foreach { e =>
+            acc = acc.copy(
+              n_events = acc.n_events + 1,
+              total_value = acc.total_value + e.value,
+              n_errors = acc.n_errors + (if (e.event_type == "error") 1L else 0L))
+          }
+          state.update(acc)
+          Iterator(acc)
+        })
+  }
 
   /** Gap-based sessions via the native session_window (30-minute gap). */
   def userSessions(events: DataFrame): DataFrame =

@@ -47,6 +47,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("flatMapGroupsWithState: running totals survive micro-batch boundaries") {
+    import graft.streaming.{EventRow, StreamingOps}
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents().map(e =>
+      EventRow(e.event_id, e.ts, e.user_id, e.event_type, e.value))
+    val (first, second) = events.splitAt(events.size / 2)
+
+    val stream = MemoryStream[EventRow]
+    val q = StreamingOps.runningUserTotals(stream.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("running_out").start()
+    try {
+      stream.addData(first); q.processAllAvailable()
+      stream.addData(second); q.processAllAvailable()
+    } finally q.stop()
+
+    // Update-mode sink: last emission per user is the final state.
+    val got = spark.table("running_out")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("n_events").desc)))
+      .filter(col("rn") === 1)
+      .select("user_id", "n_events", "total_value", "n_errors")
+
+    val expected = events.toDF()
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_errors"))
+
+    val joined = got.as("g").join(expected.as("e"), "user_id")
+    assert(joined.count() == expected.count())
+    assert(joined.filter(col("g.n_events") =!= col("e.n_events") ||
+      col("g.n_errors") =!= col("e.n_errors") ||
+      abs(col("g.total_value") - col("e.total_value")) > 1e-6).isEmpty)
+  }
+
   test("streaming session_window yields plausible sessions with bounded counts") {
     implicit val sqlCtx = spark.sqlContext
     val events = loadEvents()
