@@ -4,9 +4,10 @@ import org.apache.spark.sql.functions._
 
 import graft.streaming.StreamingOps
 
-/** `sbt "runMain graft.StreamEvents <sfDir> [hourly|sessions]"` — run the
-  * Structured Streaming operators over the events table as a bounded
-  * file stream (micro-batch to completion), print the resulting table.
+/** `sbt "runMain graft.StreamEvents <sfDir> [hourly|sessions|running]"` —
+  * run the Structured Streaming operators over the events table as a
+  * bounded file stream (micro-batch to completion), print the resulting
+  * table. `running` exercises the custom flatMapGroupsWithState state.
   */
 object StreamEvents {
   def main(args: Array[String]): Unit = {

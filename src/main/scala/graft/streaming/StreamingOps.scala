@@ -36,25 +36,43 @@ object StreamingOps {
         col("event_type"), col("n"), col("sum_value"))
 
   /** Custom cross-batch state via flatMapGroupsWithState: running per-user
-    * totals + error counts that survive micro-batch boundaries. This is the
-    * escape hatch for state the built-in windows can't express; state size
-    * is O(active users) and each emission is the user's current snapshot
-    * (Update mode).
+    * totals + error counts that survive micro-batch boundaries — the escape
+    * hatch for state the built-in windows can't express. Each emission is
+    * the user's current snapshot (Update mode).
+    *
+    * State eviction: pass `idleTimeout = Some("1 hour")` on an unbounded
+    * stream — users idle past the timeout are evicted (one final snapshot
+    * emitted), keeping state O(users active within the horizon). The
+    * default (None) keeps state for every key — correct for bounded inputs
+    * and bounded key cardinality, and required for `processAllAvailable`-
+    * style drains, which never quiesce while processing-time timeouts keep
+    * scheduling wake-up batches.
     */
-  def runningUserTotals(events: Dataset[EventRow]): Dataset[UserRunning] = {
+  def runningUserTotals(
+      events: Dataset[EventRow],
+      idleTimeout: Option[String] = None): Dataset[UserRunning] = {
     import events.sparkSession.implicits._
+    val timeoutConf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events.groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Update, timeoutConf)(
         (uid: Long, batch: Iterator[EventRow], state: GroupState[UserRunning]) => {
-          var acc = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0, 0L))
-          batch.foreach { e =>
-            acc = acc.copy(
-              n_events = acc.n_events + 1,
-              total_value = acc.total_value + e.value,
-              n_errors = acc.n_errors + (if (e.event_type == "error") 1L else 0L))
+          if (idleTimeout.isDefined && state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            Iterator(last)
+          } else {
+            var acc = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0, 0L))
+            batch.foreach { e =>
+              acc = acc.copy(
+                n_events = acc.n_events + 1,
+                total_value = acc.total_value + e.value,
+                n_errors = acc.n_errors + (if (e.event_type == "error") 1L else 0L))
+            }
+            state.update(acc)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            Iterator(acc)
           }
-          state.update(acc)
-          Iterator(acc)
         })
   }
 
