@@ -119,11 +119,11 @@ object DedupOps {
 
   /** Distinct (doc_id, s) shingle sets, cached per dir. */
   private def shingleSets(spark: SparkSession, dir: String): DataFrame =
-    shingleCache.getOrElseUpdate(dir,
+    shingleCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir",
       explodedShingles(docs(spark, dir)).distinct().cache())
 
   def minhashBands(spark: SparkSession, dir: String): DataFrame = {
-    val bands = bandCache.getOrElseUpdate(dir, {
+    val bands = bandCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
       val sh = explodedShingles(docs(spark, dir))
         .crossJoin(spark.range(NumHashes).select(col("id").as("j")))
       val mh = sh

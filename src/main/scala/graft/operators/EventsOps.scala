@@ -19,9 +19,11 @@ object EventsOps {
   val SessionGapMinutes = 30
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (micros) refuses outright; read it as raw nanos (legacy conf) and
-    * floor-convert to a micros timestamp — same truncation DuckDB applies
-    * when comparing at micro/second granularity. */
+    * (micros) refuses outright; read it as raw nanos (session-wide legacy
+    * conf — callers reading other nanos parquet in the same session inherit
+    * it) and convert to a micros timestamp. `DIV` truncates toward zero,
+    * which equals flooring for the post-epoch timestamps in this data;
+    * pre-epoch (negative) nanos would need a true floor division. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")
@@ -145,7 +147,7 @@ object EventsOps {
   def jsonPropHistogram(spark: SparkSession, dir: String): DataFrame =
     events(spark, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
-      .groupBy((col("k") - pmod(col("k"), lit(10L))).as("k_bucket"))
+      .groupBy((col("k") - col("k") % lit(10L)).as("k_bucket"))
       .agg(count(lit(1)).as("n"), min("k").as("min_k"), max("k").as("max_k"))
       .orderBy("k_bucket")
 

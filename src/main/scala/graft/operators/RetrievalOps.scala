@@ -41,11 +41,15 @@ object RetrievalOps {
   private val tokCache = scala.collection.concurrent.TrieMap.empty[String, TokenIndex]
   private val gramCache = scala.collection.concurrent.TrieMap.empty[String, GramIndex]
 
+  // Keyed by (applicationId, dir): a memo entry must not outlive the
+  // SparkSession whose plans it holds (a stopped context poisons the entry).
   def tokenIndex(spark: SparkSession, dir: String): TokenIndex =
-    tokCache.getOrElseUpdate(dir, TokenIndex.build(corpus(spark, dir), col("text")).cache())
+    tokCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir",
+      TokenIndex.build(corpus(spark, dir), col("text")).cache())
 
   def gramIndex(spark: SparkSession, dir: String): GramIndex =
-    gramCache.getOrElseUpdate(dir, GramIndex.build(corpus(spark, dir), col("text")).cache())
+    gramCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir",
+      GramIndex.build(corpus(spark, dir), col("text")).cache())
 
   private def queriesDf(spark: SparkSession): DataFrame = {
     import spark.implicits._

@@ -86,12 +86,15 @@ object Pipeline {
 
     val queries = labels.select("query_id", "query")
 
-    val kw = Retrievers.keywordScores(queries, idx.token)
-    val vec = Retrievers.vectorScores(queries, idx.gram)
-    val hyb = Retrievers.hybridScores(kw, vec)
+    // Each arm feeds the evaluator, the answers, the top-id aggregate, and
+    // (for kw/vec) the hybrid blend — cache the dense frames or Catalyst
+    // re-executes each scoring subtree 4-6x inside the armTotals plan.
+    val kw = Retrievers.keywordScores(queries, idx.token).cache()
+    val vec = Retrievers.vectorScores(queries, idx.gram).cache()
+    val hyb = Retrievers.hybridScores(kw, vec).cache()
 
     def armEval(name: String, scores: DataFrame): DataFrame = {
-      val top = Retrievers.topK(scores, k)
+      val top = Retrievers.topK(scores, k).cache()
       val topDocs = top.join(idx.docs.select("doc_id", "title", "text"), "doc_id")
       val answers = Answer.generateAnswers(queries, topDocs)
       val ev = Evaluator.scores(top, answers, labels)
@@ -186,7 +189,10 @@ object Pipeline {
     val answers = Answer.generateAnswers(queries, topDocs)
     val context = Answer.buildContext(topDocs)
 
+    // Reference keeps ONE label per query text (dict, last insertion wins);
+    // dedup deterministically on the highest query_id.
     val labeled = labels.filter(col("query") === query)
+      .orderBy(col("query_id").desc).limit(1)
       .select(col("query_id").as("label_id"), col("expected_doc_id"),
         col("expected_answer"))
     val scored =
@@ -198,13 +204,18 @@ object Pipeline {
           .join(answers, "query_id")
       }
 
+    // Left joins + coalesce: with an empty top-k (e.g. empty corpus) the
+    // reference still returns the fallback answer with score 0 and logs the
+    // run (run.py:63-73) — inner joins would drop the row entirely.
     val result = scored
-      .join(context, "query_id")
+      .join(context, Seq("query_id"), "left")
+      .withColumn("context", coalesce(col("context"), lit("")))
       .withColumn("strategy", lit(strategy))
       .join(top.groupBy("query_id").agg(
         transform(array_sort(collect_list(struct(col("rank"), col("doc_id"), col("score")))),
           s => struct(s.getField("doc_id").as("doc_id"), s.getField("score").as("score")))
-          .as("top_k")), "query_id")
+          .as("top_k")), Seq("query_id"), "left")
+      .withColumn("top_k", coalesce(col("top_k"), expr("array()")))
       .withColumn("query", lit(query))
 
     store.logRuns(result.select(

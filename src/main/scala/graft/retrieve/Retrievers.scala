@@ -130,10 +130,11 @@ object Retrievers {
     */
   private def densify(queries: DataFrame, docs: DataFrame, sparse: DataFrame): DataFrame =
     queries.select("query_id").crossJoin(docs)
-      // sparse holds only the matched (query, doc) scores — a per-query
-      // handful relative to the dense grid; broadcast it so the grid never
-      // shuffles (the SMJ alternative sorts N_docs rows per query).
-      .join(broadcast(sparse), Seq("query_id", "doc_id"), "left")
+      // sparse holds the matched (query, doc) scores — usually small, but
+      // a common-term query can match most of the corpus, so no forced
+      // broadcast hint: AQE picks BHJ from runtime stats when the side is
+      // actually small and falls back to a shuffle join when it isn't.
+      .join(sparse, Seq("query_id", "doc_id"), "left")
       .select(col("query_id"), col("doc_id"), col("doc_idx"),
         coalesce(col("s"), lit(0.0)).as("score"))
 }

@@ -31,7 +31,8 @@ object StreamingOps {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        graft.operators.r6(graft.operators.dsum(col("value"))).as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("hour_epoch"),
         col("event_type"), col("n"), col("sum_value"))
 
@@ -76,12 +77,18 @@ object StreamingOps {
         })
   }
 
-  /** Gap-based sessions via the native session_window (30-minute gap). */
+  /** Gap-based sessions via the native session_window (30-minute gap).
+    * Boundary semantics differ slightly from the batch formulation
+    * (EventsOps.userSessions): session_window splits at gaps >= 30 min on
+    * microsecond timestamps, the batch twin at gaps > 30 min on
+    * second-floored epochs — identical except for events landing exactly
+    * on (or within a second of) the boundary. */
   def userSessions(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "2 hours")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), round(sum("value"), 6).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.operators.r6(graft.operators.dsum(col("value"))).as("sum_value"))
       .select(col("user_id"),
         unix_timestamp(col("session_window.start")).as("session_start"),
         col("n_events"), col("sum_value"))

@@ -17,7 +17,10 @@ object TextOps {
 
   /** Token regex: keeps hyphen/underscore-joined tokens ("inc-49217",
     * "user_id"), strips other punctuation. Applied to lowercased input —
-    * equivalent to matching [A-Za-z0-9] on the original then lowercasing.
+    * equivalent to the reference's match-[A-Za-z0-9]-then-lowercase for
+    * ASCII text (all bundled/test corpora). Unicode edge cases diverge:
+    * e.g. lower('İ') introduces an ASCII 'i', and Java's \s is ASCII-only
+    * vs Python's Unicode \s in the whitespace ops below.
     */
   val TokenRegex = "[a-z0-9]+(?:[-_][a-z0-9]+)*"
 

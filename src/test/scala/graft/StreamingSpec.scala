@@ -41,7 +41,8 @@ class StreamingSpec extends SparkSpec {
     val batch = events.toDF()
       .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
         col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        graft.operators.r6(graft.operators.dsum(col("value"))).as("sum_value"))
 
     assert(streamed.count() == batch.count())
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
