@@ -127,9 +127,12 @@ object GramIndex {
   def build(corpus: DataFrame, textCol: Column, n: Int = 4): GramIndex = {
     val grams = explodedNgrams(corpus, textCol, n)
 
+    // Both gramStats and docGramVec derive from the TF table — cache it or
+    // the explode+aggregate pipeline executes once per branch.
     val docGramFreq = grams
       .groupBy("doc_id", "gram")
       .agg(count(lit(1)).cast("int").as("tf"))
+      .cache()
 
     val nDocs = math.max(1L, corpus.count())
 
