@@ -157,9 +157,47 @@ object EventsOps {
       |FROM (SELECT json_extract(props, '$.k')::BIGINT AS k FROM events)
       |GROUP BY 1 ORDER BY k_bucket""".stripMargin
 
+  // ---- q65: as-of attribution join ----------------------------------------
+
+  /** As-of join expressed as a running window — for every purchase, the
+    * most recent PRECEDING click by the same user (last-touch attribution).
+    * The windowed formulation is the idiomatic Spark shape for per-key
+    * as-of semantics: one shuffle on the key, no range-join explosion;
+    * a custom SparkPlan would only pay off for cross-key as-of matching.
+    */
+  def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(spark, dir)
+      .withColumn("last_click_ts",
+        max(when(col("event_type") === "click", col("ts").cast("long"))).over(byUser))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("long").as("purchase_ts"),
+        coalesce(col("last_click_ts"), lit(-1L)).as("last_click_ts"),
+        when(col("last_click_ts").isNull, -1L)
+          .otherwise(col("ts").cast("long") - col("last_click_ts")).as("gap_s"))
+      .orderBy("event_id")
+  }
+
+  val purchaseAttributionSql: String =
+    """WITH w AS (
+      |  SELECT event_id, user_id, event_type,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+      |    max(CASE WHEN event_type = 'click' THEN CAST(floor(epoch(ts)) AS BIGINT) END)
+      |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_ts
+      |  FROM events)
+      |SELECT event_id, user_id, ts_s AS purchase_ts,
+      |  coalesce(last_click_ts, -1) AS last_click_ts,
+      |  CASE WHEN last_click_ts IS NULL THEN -1 ELSE ts_s - last_click_ts END AS gap_s
+      |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_purchase_attribution" -> (purchaseAttribution _),
     "q60_hourly_event_stats" -> (hourlyEventStats _),
     "q61_sliding_window_stats" -> (slidingWindowStats _),
     "q62_user_sessions" -> (userSessions _),
@@ -167,6 +205,7 @@ object EventsOps {
     "q64_json_prop_histogram" -> (jsonPropHistogram _))
 
   val oracles: Map[String, String] = Map(
+    "q65_purchase_attribution" -> purchaseAttributionSql,
     "q60_hourly_event_stats" -> hourlyEventStatsSql,
     "q61_sliding_window_stats" -> slidingWindowStatsSql,
     "q62_user_sessions" -> userSessionsSql,

@@ -346,10 +346,68 @@ object RetrievalOps {
        |  floor((CAST(sum(CAST(v AS DECIMAL(30,8))) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS value
        |FROM vals GROUP BY doc_id, dim ORDER BY doc_id, dim""".stripMargin
 
+  // ---- q29: reciprocal-rank fusion ----------------------------------------
+
+  val RrfK = 60
+
+  /** The other standard hybrid: fuse BM25 and cosine by RANK rather than by
+    * normalized score — rrf = Σ_arms 1/(k + rank). Rank-based fusion is
+    * scale-robust (no min-max pass over the dense score set) and the
+    * arithmetic is identical in any engine (small rational sums).
+    */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val q = singleQuery(spark, Bm25Query)
+    val kw = Retrievers.topK(
+      Retrievers.keywordScores(q, tokenIndex(spark, dir)), Int.MaxValue)
+      .select(col("doc_id"), col("rank").as("krank"))
+    val vec = Retrievers.topK(
+      Retrievers.vectorScores(q, gramIndex(spark, dir)), Int.MaxValue)
+      .select(col("doc_id"), col("rank").as("vrank"))
+    kw.join(vec, "doc_id")
+      .select(col("doc_id"),
+        (lit(1.0) / (lit(RrfK) + col("krank")) +
+         lit(1.0) / (lit(RrfK) + col("vrank"))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id").asc)
+      .limit(TopK)
+      .select(col("doc_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf").desc, col("doc_id").asc)).cast("long").as("rank"),
+        r6(col("rrf")).as("rrf"))
+      .orderBy("rank")
+  }
+
+  def rrfSql(q: String): String =
+    s"""WITH ${cosineCtes(q)},
+       |$tokCte,
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |tidf AS (SELECT term, ln(1 + (n - count(DISTINCT doc_id) + 0.5) / (count(DISTINCT doc_id) + 0.5)) AS idf
+       |         FROM tok, nn GROUP BY term, n),
+       |dl AS (SELECT doc_id, len(regexp_extract_all(lower(text), '$TokRe')) AS dl FROM documents),
+       |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+       |qt AS (SELECT DISTINCT unnest(regexp_extract_all(lower('$q'), '$TokRe')) AS term),
+       |ksc AS (SELECT tf.doc_id,
+       |          sum(tidf.idf * (tf.tf * 2.5) / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / ad.avgdl))) AS s
+       |        FROM qt JOIN tidf USING (term) JOIN tf USING (term)
+       |        JOIN dl ON tf.doc_id = dl.doc_id, ad
+       |        GROUP BY tf.doc_id),
+       |kdense AS (SELECT d.doc_id, coalesce(ksc.s, 0.0) AS score
+       |           FROM documents d LEFT JOIN ksc ON d.doc_id = ksc.doc_id),
+       |kr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS krank
+       |       FROM kdense),
+       |vr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS vrank
+       |       FROM vdense),
+       |fuse AS (SELECT kr.doc_id, 1.0 / ($RrfK + krank) + 1.0 / ($RrfK + vrank) AS rrf
+       |         FROM kr JOIN vr ON kr.doc_id = vr.doc_id),
+       |rk AS (SELECT doc_id, rrf,
+       |         row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank FROM fuse)
+       |SELECT doc_id, rank, floor((rrf) * 1000000 + 0.5) / 1000000 AS rrf
+       |FROM rk WHERE rank <= $TopK ORDER BY rank""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_hashed_embeddings" -> (hashedEmbeddings _),
+    "q29_rrf_fusion" -> (rrfFusion _),
     "q20_doc_term_stats" -> (docTermStats _),
     "q21_doc_lengths" -> (docLengths _),
     "q22_bm25_topk" -> (bm25TopK _),
@@ -361,6 +419,7 @@ object RetrievalOps {
 
   val oracles: Map[String, String] = Map(
     "q28_hashed_embeddings" -> hashedEmbeddingsSql,
+    "q29_rrf_fusion" -> rrfSql(Bm25Query),
     "q20_doc_term_stats" -> docTermStatsSql,
     "q21_doc_lengths" -> docLengthsSql,
     "q22_bm25_topk" -> bm25Sql(Bm25Query),
