@@ -106,9 +106,9 @@ object EventsOps {
        |         > ${SessionGapMinutes * 60} THEN 1 ELSE 0 END AS new_session
        |  FROM lagged),
        |sess AS (
-       |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+       |  SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id
        |    ORDER BY ts ASC, event_id ASC
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
        |  FROM flagged)
        |SELECT user_id, session_idx,
        |  CAST(min(floor(epoch(ts))) AS BIGINT) AS session_start,
@@ -134,11 +134,11 @@ object EventsOps {
 
   val userActivityPivotSql: String =
     """SELECT user_id,
-      |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-      |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-      |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-      |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-      |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
       |  floor((CAST(sum(CAST(value AS DECIMAL(30,8))) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS total_value
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 

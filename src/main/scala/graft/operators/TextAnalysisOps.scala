@@ -117,7 +117,7 @@ object TextAnalysisOps {
 
   val langStatsSql: String =
     s"""SELECT lang, count(*) AS n_docs,
-       |  sum(len(regexp_extract_all(lower(text), '$TokRe'))) AS total_tokens,
+       |  CAST(sum(len(regexp_extract_all(lower(text), '$TokRe'))) AS BIGINT) AS total_tokens,
        |  floor((CAST(sum(length(text)) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS avg_chars,
        |  count(DISTINCT source) AS n_sources
        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
