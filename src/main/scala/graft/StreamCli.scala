@@ -13,8 +13,7 @@ object StreamEvents {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val mode = if (args.length > 1) args(1) else "hourly"
-    val spark = Cli.session()
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val spark = Cli.session() // sets nanosAsLong for the nanos events table
 
     // Schema must be declared for a streaming file source; ts arrives as
     // raw nanos (see EventsOps) and is floor-converted to micros.

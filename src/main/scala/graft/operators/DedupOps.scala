@@ -103,15 +103,28 @@ object DedupOps {
 
   // ---- q41: MinHash band signatures ---------------------------------------
 
-  /** MinHash: sig_j = min over shingles of md5(j ∥ ':' ∥ s); band hash =
-    * md5 of 4 consecutive sigs.
-    *
-    * Shape: explode (doc × shingle × j) keeps the md5 inside whole-stage
-    * codegen (a nested array-HOF formulation is ~50× slower interpreted),
-    * and the `min` aggregate's map-side partial combine collapses the
-    * exploded rows to NumHashes rows per doc before the shuffle — so the
-    * exchanged volume is 16 short strings per document regardless of
-    * document length. */
+  /** MinHash permutation family: each distinct (doc, shingle) is hashed
+    * ONCE (md5 → 60-bit int → mod p), then the NumHashes signatures derive
+    * arithmetically as sig_j = min over shingles of (a_j + b_j·h) mod p —
+    * the classic universal-hash MinHash. This replaces the round-1/2
+    * formulation (md5(j ∥ ':' ∥ s) per permutation), which evaluated a
+    * full-string md5 per (shingle occurrence × j): ~16× more hashing for
+    * identical collision behavior. a_j/b_j are fixed multiplicative-hash
+    * constants derived from j, so the DuckDB oracle reproduces them
+    * verbatim; p = 2^31−1 keeps b_j·h < 2^62 (no BIGINT overflow in either
+    * engine), and all operands are non-negative so `%` agrees across
+    * engines. */
+  val MinHashP = 2147483647L // 2^31 − 1 (prime)
+  /** a_j = (2654435761·(j+1)) mod p, b_j = (2246822519·(j+1)) mod p —
+    * Knuth/xxhash multiplicative constants; b_j ≠ 0 for all j < p. */
+  private def permA(j: Column): Column = pmod(lit(2654435761L) * (j + 1), lit(MinHashP))
+  private def permB(j: Column): Column = pmod(lit(2246822519L) * (j + 1), lit(MinHashP))
+
+  /** Shape: hash once per distinct (doc_id, s) row inside whole-stage
+    * codegen, explode only the 16-way permutation index over the already-
+    * hashed rows, and let the `min` aggregate's map-side partial combine
+    * collapse to NumHashes rows per doc before the shuffle — exchanged
+    * volume is 16 longs per document regardless of document length. */
   // Signature tables are memoized per corpus dir (like the retrieval
   // indexes): q41/q42 and repeated calls share one build.
   private val bandCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
@@ -124,17 +137,22 @@ object DedupOps {
 
   def minhashBands(spark: SparkSession, dir: String): DataFrame = {
     val bands = bandCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
-      val sh = explodedShingles(docs(spark, dir))
-        .crossJoin(spark.range(NumHashes).select(col("id").as("j")))
-      val mh = sh
+      val hashed = shingleSets(spark, dir).select(col("doc_id"),
+        pmod(conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long"),
+          lit(MinHashP)).as("h"))
+      val mh = hashed
+        .select(col("doc_id"), col("h"),
+          explode(sequence(lit(0L), lit(NumHashes - 1L))).as("j"))
         .groupBy("doc_id", "j")
-        .agg(min(md5(concat(col("j").cast("string"), lit(":"), col("s")))).as("m"))
+        .agg(min(pmod(permA(col("j")) + permB(col("j")) * col("h"), lit(MinHashP))).as("m"))
       val sigs = mh.groupBy("doc_id")
         .agg(transform(array_sort(collect_list(struct(col("j"), col("m")))),
           s => s.getField("m")).as("sigs"))
       sigs.select(col("doc_id"),
           posexplode(transform(sequence(lit(0), lit(NumHashes / BandSize - 1)),
-            b => md5(concat_ws(":", slice(col("sigs"), b * BandSize + 1, lit(BandSize))))))
+            b => md5(array_join(
+              transform(slice(col("sigs"), b * BandSize + 1, lit(BandSize)),
+                m => m.cast("string")), ":"))))
             .as(Seq("band_id", "band_hash")))
         .select(col("doc_id"), col("band_id").cast("long").as("band_id"), col("band_hash"))
         .cache()
@@ -142,15 +160,25 @@ object DedupOps {
     bands.orderBy("doc_id", "band_id")
   }
 
+  /** Shared q41/q42 oracle CTEs: distinct shingles → h → permuted mins →
+    * ordered signature vector. Mirrors minhashBands exactly. */
+  private val minhashCtes =
+    s"""ex AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+       |hx AS (SELECT doc_id, CAST(('0x' || substring(md5(s), 1, 15)) AS BIGINT) % $MinHashP AS h
+       |       FROM ex),
+       |mh AS (SELECT doc_id, j,
+       |         min(((2654435761 * (j + 1)) % $MinHashP +
+       |              ((2246822519 * (j + 1)) % $MinHashP) * h) % $MinHashP) AS m
+       |       FROM hx, (SELECT unnest(range(0, $NumHashes)) AS j) GROUP BY doc_id, j),
+       |sig AS (SELECT doc_id, list(m ORDER BY j) AS sigs FROM mh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, b AS band_id,
+       |            md5(array_to_string(sigs[b * $BandSize + 1 : b * $BandSize + $BandSize], ':')) AS band_hash
+       |          FROM sig, (SELECT unnest(range(0, ${NumHashes / BandSize})) AS b))""".stripMargin
+
   val minhashBandsSql: String =
     s"""WITH $shinglesCte,
-       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
-       |mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || s)) AS m
-       |       FROM ex, (SELECT unnest(range(0, $NumHashes)) AS j) GROUP BY doc_id, j),
-       |sig AS (SELECT doc_id, list(m ORDER BY j) AS sigs FROM mh GROUP BY doc_id)
-       |SELECT doc_id, b AS band_id,
-       |  md5(array_to_string(sigs[b * $BandSize + 1 : b * $BandSize + $BandSize], ':')) AS band_hash
-       |FROM sig, (SELECT unnest(range(0, ${NumHashes / BandSize})) AS b)
+       |$minhashCtes
+       |SELECT doc_id, band_id, band_hash FROM bands
        |ORDER BY doc_id, band_id""".stripMargin
 
   // ---- q42: MinHash-LSH candidate pairs + verified Jaccard ----------------
@@ -207,13 +235,7 @@ object DedupOps {
 
   val minhashDupPairsSql: String =
     s"""WITH $shinglesCte,
-       |ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
-       |mh AS (SELECT doc_id, j, min(md5(j::VARCHAR || ':' || s)) AS m
-       |       FROM ex, (SELECT unnest(range(0, $NumHashes)) AS j) GROUP BY doc_id, j),
-       |sig AS (SELECT doc_id, list(m ORDER BY j) AS sigs FROM mh GROUP BY doc_id),
-       |bands AS (SELECT doc_id, b AS band_id,
-       |            md5(array_to_string(sigs[b * $BandSize + 1 : b * $BandSize + $BandSize], ':')) AS band_hash
-       |          FROM sig, (SELECT unnest(range(0, ${NumHashes / BandSize})) AS b)),
+       |$minhashCtes,
        |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |          FROM bands a JOIN bands b
        |            ON a.band_id = b.band_id AND a.band_hash = b.band_hash

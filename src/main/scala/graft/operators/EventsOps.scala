@@ -19,13 +19,16 @@ object EventsOps {
   val SessionGapMinutes = 30
 
   /** events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (micros) refuses outright; read it as raw nanos (session-wide legacy
-    * conf — callers reading other nanos parquet in the same session inherit
-    * it) and convert to a micros timestamp. `DIV` truncates toward zero,
+    * (micros) refuses outright; the session must set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (done in every entry-point
+    * builder: Bench/Verify/Cli/TestSpark — NOT mutated here, so a read
+    * never changes session-wide conf as a side effect) and the raw nanos
+    * are converted to a micros timestamp. `DIV` truncates toward zero,
     * which equals flooring for the post-epoch timestamps in this data;
     * pre-epoch (negative) nanos would need a true floor division. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "session must set spark.sql.legacy.parquet.nanosAsLong=true (see entry-point builders)")
     spark.read.parquet(s"$dir/events.parquet")
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }

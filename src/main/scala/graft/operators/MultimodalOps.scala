@@ -80,14 +80,36 @@ object MultimodalOps {
       |  md5(text) AS content_md5, substring(text, 1, 8) AS header
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  // ---- q71: full decode via mapPartitions (rows-only driver check; the
-  //           byte-loop decode is deliberately not re-expressed in SQL) ----
+  // ---- q71: full decode via mapPartitions ---------------------------------
 
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame =
     decodeFeatures(mediaTable(spark, dir)).toDF()
       .select(col("doc_id"), col("byte_len"), col("checksum"),
         r6(col("avg_byte")).as("avg_byte"), col("mime"), col("pixels"))
       .orderBy("doc_id")
+
+  /** DuckDB twin of the stub decode (VERDICT r2 #4). Every emitted column
+    * is codec-independent: byte_len/checksum/avg_byte are pure byte
+    * arithmetic over the utf-8 payload and mime/pixels are metadata
+    * formulas. The byte sum is expressed as an ascii() code-point sum,
+    * which equals the byte sum because the corpus is pure ASCII at every
+    * scale factor (octet_length(encode(text)) == length(text) — verified);
+    * a non-ASCII corpus would need a real utf-8 byte expansion here. */
+  val mediaFeaturesSql: String =
+    """WITH b AS (
+      |  SELECT doc_id, n_chars, text,
+      |    CASE WHEN length(text) = 0 THEN 0
+      |         ELSE list_sum([ascii(substring(text, i, 1))
+      |                        FOR i IN range(1, length(text) + 1)]) END AS bsum
+      |  FROM documents)
+      |SELECT doc_id, octet_length(encode(text)) AS byte_len,
+      |  CAST(bsum % 65521 AS BIGINT) AS checksum,
+      |  CASE WHEN length(text) = 0 THEN 0.0
+      |       ELSE floor((bsum::DOUBLE / octet_length(encode(text))) * 1000000 + 0.5) / 1000000
+      |  END AS avg_byte,
+      |  'application/x-graft-text' AS mime,
+      |  CAST((n_chars % 64 + 1) * (doc_id % 32 + 1) AS BIGINT) AS pixels
+      |FROM b ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------------
 
@@ -96,5 +118,6 @@ object MultimodalOps {
     "q71_media_features" -> (mediaFeatures _))
 
   val oracles: Map[String, String] = Map(
-    "q70_media_meta" -> mediaMetaSql)
+    "q70_media_meta" -> mediaMetaSql,
+    "q71_media_features" -> mediaFeaturesSql)
 }

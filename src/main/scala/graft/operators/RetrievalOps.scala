@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.retrieve.Retrievers
@@ -305,6 +305,27 @@ object RetrievalOps {
 
   val EmbeddingDims = 16
 
+  /** Sign-bit shift, derived from the constant: with EmbeddingDims a power
+    * of two, `shiftright(h, log2(dims))` equals the oracle's integral
+    * `(h // dims)` for the non-negative h used here — so changing the
+    * constant can't silently diverge the two engines. Non-power-of-two
+    * dims would need a floor-division expression instead; the require
+    * turns that into a loud failure. */
+  val SignShift: Int = {
+    require(EmbeddingDims > 0 && Integer.bitCount(EmbeddingDims) == 1,
+      s"EmbeddingDims must be a power of two for the shiftright sign bit, got $EmbeddingDims")
+    Integer.numberOfTrailingZeros(EmbeddingDims)
+  }
+
+  /** ±1 sign factor from the bit just above the dim bits: (h // dims) % 2.
+    * Exposed (with a dims parameter) so a spec can pin shift-vs-floor-div
+    * agreement at other power-of-two sizes. */
+  def signFactor(h: Column, dims: Int): Column = {
+    require(dims > 0 && Integer.bitCount(dims) == 1, s"dims must be a power of two, got $dims")
+    when(pmod(shiftright(h, Integer.numberOfTrailingZeros(dims)), lit(2L)) === 0L, 1.0)
+      .otherwise(-1.0)
+  }
+
   /** Deterministic batch embedding generation: the hashing trick over
     * sublinear TF-IDF — every term maps to a dimension (md5-derived) with a
     * ±1 sign bit, weights sum per (doc, dim). Long-form output
@@ -319,11 +340,11 @@ object RetrievalOps {
       .join(idx.termStats.select("term", "idf"), "term")
       .select(col("doc_id"),
         pmod(h, lit(EmbeddingDims.toLong)).as("dim"),
-        // sign bit from h >> 4 (decoupled from the dim bits); note `/` on
-        // long Columns is DOUBLE division in Spark — shiftright keeps it
-        // integral like DuckDB's `//`.
+        // sign bit from the bit above the dim bits (decoupled from them);
+        // shiftright(h, SignShift) keeps the division integral like the
+        // oracle's `h // EmbeddingDims` (Column `/` would be DOUBLE).
         (graft.stats.CorpusIndex.sublinearTfIdf(col("tf"), col("idf")) *
-          when(pmod(shiftright(h, 4), lit(2L)) === 0L, 1.0).otherwise(-1.0)).as("v"))
+          signFactor(h, EmbeddingDims)).as("v"))
       .groupBy("doc_id", "dim")
       .agg(r6(dsum(col("v"))).as("value"))
       .orderBy("doc_id", "dim")

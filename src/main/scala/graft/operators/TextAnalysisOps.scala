@@ -124,16 +124,27 @@ object TextAnalysisOps {
 
   // ---- q33: n-gram-profile language ID ------------------------------------
 
+  /** (appId, dir)-memoized (doc_id, lang, trigram) frame — the shared build
+    * behind langId; the memo (same pattern as DedupOps.shingleCache) keeps
+    * repeated calls from stacking fresh cached frames. */
+  private val triCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def langTrigrams(spark: SparkSession, dir: String): DataFrame =
+    triCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
+      val d = docs(spark, dir)
+      graft.stats.GramIndex.explodedNgrams(
+          d.select(col("doc_id"), col("doc_id").as("doc_idx"), col("text")), col("text"), 3)
+        .join(d.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("gram").as("g"))
+        .cache()
+    })
+
   /** Classify each document against per-language top-k character-trigram
     * profiles learned from the corpus itself: score = |doc ∩ profile|,
     * argmax with (score DESC, lang ASC) tie-break. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
     val d = docs(spark, dir)
-    val tri = graft.stats.GramIndex.explodedNgrams(
-        d.select(col("doc_id"), col("doc_id").as("doc_idx"), col("text")), col("text"), 3)
-      .join(d.select(col("doc_id"), col("lang")), "doc_id")
-      .select(col("doc_id"), col("lang"), col("gram").as("g"))
-      .cache()
+    val tri = langTrigrams(spark, dir)
 
     val profiles = tri.groupBy("lang", "g").agg(count(lit(1)).as("c"))
       .withColumn("rn", row_number().over(

@@ -15,9 +15,11 @@ class EntrySpec extends SparkSpec {
   test("every oracle key has a query; every query runs at sf0.001") {
     val qs = SparkEntry.queries
     assert(SparkEntry.oracleSql.keySet.subsetOf(qs.keySet))
-    // Queries without an oracle are the documented rows-only set.
+    // Queries without an oracle are the documented rows-only set: q12's
+    // HLL sketch has no cross-engine twin (sole rows-only query since
+    // round 3 gave q71 a codec-independent oracle).
     assert((qs.keySet -- SparkEntry.oracleSql.keySet) ==
-      Set("q71_media_features", "q12_approx_distinct_parts"))
+      Set("q12_approx_distinct_parts"))
     qs.foreach { case (name, fn) =>
       val n = fn(spark, "/root/testdata/sf0.001").count()
       assert(n >= 0, s"$name failed")

@@ -114,4 +114,24 @@ class OperatorSpec extends SparkSpec {
     assert(l.count() == 500)
     assert(l.filter(col("predicted_lang").isNull).isEmpty)
   }
+
+  test("hashedEmbeddings sign bit tracks (h // dims) % 2 at other dims") {
+    // The oracle computes (h // dims) % 2; the engine computes
+    // shiftright(h, log2(dims)) % 2. Pin their agreement across dims so
+    // changing EmbeddingDims can't silently diverge the two (VERDICT r2 #7).
+    val hs = Seq(0L, 1L, 15L, 16L, 17L, 31L, 32L, 47L, 63L, 64L,
+      1152921504606846975L, 987654321098765L).toDF("h")
+    for (dims <- Seq(16, 32, 64)) {
+      val got = hs.select(col("h"),
+        RetrievalOps.signFactor(col("h"), dims).as("s")).collect()
+      got.foreach { r =>
+        val h = r.getLong(0)
+        val want = if ((h / dims) % 2 == 0) 1.0 else -1.0
+        assert(r.getDouble(1) == want, s"h=$h dims=$dims")
+      }
+    }
+    intercept[IllegalArgumentException] {
+      RetrievalOps.signFactor(col("h"), 12)
+    }
+  }
 }
