@@ -8,12 +8,19 @@ import org.apache.spark.sql.SparkSession
   * full UNTIMED warmup pass runs first. The warmup executes every query
   * once, which (a) builds + caches the shared corpus indexes (token, gram,
   * shingle, minhash-band — all memoized per dir), and (b) JIT/codegen-warms
-  * each query's own path — so the timed pass measures steady-state query
+  * each query's own path — so the timed passes measure steady-state query
   * cost instead of charging index builds and JVM warmup to whichever query
   * happens to run first in an unsorted Map. Warmup wall-time is reported
   * separately in the JSON (`warmup_sec`) so the build cost stays visible
-  * rather than hidden. */
+  * rather than hidden.
+  *
+  * Each query is then timed over TimedPasses passes and reported as the
+  * per-query MIN: at the 0.5–3 s/query scale of sf0.1 the dominant
+  * variance is transient host load (whole runs drift by a uniform factor),
+  * and min-of-passes is the standard steady-state estimator under
+  * one-sided noise. */
 object Bench {
+  val TimedPasses = 2
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -33,9 +40,12 @@ object Bench {
     }
     val warmup = (System.nanoTime() - w0) / 1e9
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to TimedPasses).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
