@@ -325,6 +325,48 @@ object DedupOps {
        |WHERE $sqlCosAb >= $EmbCosineThreshold
        |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ---- q45: benchmark decontamination (shingle-overlap flagging) ----------
+
+  /** Pseudo-benchmark membership: a deterministic 1/97 slice of the corpus
+    * stands in for an eval set (real pipelines read a separate benchmark
+    * table; the overlap machinery is identical). */
+  val DecontamMod = 97L
+  val DecontamMinOverlap = 3L
+
+  /** Flag training docs sharing ≥ MinOverlap distinct 3-token shingles
+    * with any benchmark document — the standard eval-set decontamination
+    * pass of a pre-training pipeline. Per flagged doc: how many distinct
+    * shingles overlap and how many benchmark docs they touch.
+    *
+    * Scale shape: the benchmark shingle set is tiny relative to the corpus
+    * (it's an eval set), so the join broadcasts; the corpus side streams
+    * through it map-side with partial aggregation on doc_id — no all-pairs
+    * step anywhere. */
+  def decontamination(spark: SparkSession, dir: String): DataFrame = {
+    val ds = shingleSets(spark, dir)
+    val bench = ds.filter(pmod(col("doc_id"), lit(DecontamMod)) === 0)
+      .select(col("s"), col("doc_id").as("bench_id"))
+    ds.filter(pmod(col("doc_id"), lit(DecontamMod)) =!= 0)
+      .join(bench, "s")
+      .groupBy("doc_id")
+      .agg(countDistinct("s").as("n_overlap"),
+        countDistinct("bench_id").as("n_bench_docs"))
+      .filter(col("n_overlap") >= DecontamMinOverlap)
+      .orderBy("doc_id")
+  }
+
+  val decontaminationSql: String =
+    s"""WITH $shinglesCte,
+       |ds AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+       |bench AS (SELECT s, doc_id AS bench_id FROM ds WHERE doc_id % $DecontamMod = 0)
+       |SELECT ds.doc_id, count(DISTINCT ds.s) AS n_overlap,
+       |  count(DISTINCT bench_id) AS n_bench_docs
+       |FROM ds JOIN bench ON ds.s = bench.s
+       |WHERE ds.doc_id % $DecontamMod <> 0
+       |GROUP BY ds.doc_id
+       |HAVING count(DISTINCT ds.s) >= $DecontamMinOverlap
+       |ORDER BY ds.doc_id""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -332,12 +374,14 @@ object DedupOps {
     "q41_minhash_bands" -> (minhashBands _),
     "q42_minhash_dup_pairs" -> (minhashDupPairs _),
     "q43_jaccard_pairs" -> (jaccardPairs _),
-    "q44_embedding_neardups" -> (embeddingNearDups _))
+    "q44_embedding_neardups" -> (embeddingNearDups _),
+    "q45_decontamination" -> (decontamination _))
 
   val oracles: Map[String, String] = Map(
     "q40_exact_dup_groups" -> exactDupGroupsSql,
     "q41_minhash_bands" -> minhashBandsSql,
     "q42_minhash_dup_pairs" -> minhashDupPairsSql,
     "q43_jaccard_pairs" -> jaccardPairsSql,
-    "q44_embedding_neardups" -> embeddingNearDupsSql)
+    "q44_embedding_neardups" -> embeddingNearDupsSql,
+    "q45_decontamination" -> decontaminationSql)
 }

@@ -368,9 +368,60 @@ object TextAnalysisOps {
       |WHERE (lang = 'en' AND bucket < 20) OR (lang <> 'en' AND bucket < 50)
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q39: repetition signals (Gopher-style quality filters) -------------
+
+  /** Per-document repetition statistics, the standard pre-training quality
+    * signals: duplicate-token fraction (1 − distinct/total) and the
+    * fraction of word-trigram occurrences taken by the single most
+    * repeated trigram. Row-local except one (doc, trigram) count — the
+    * same explode(sequence) codegen shape as chunking; scale-safe. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir).select(col("doc_id"), TextOps.tokenize(col("text")).as("t"))
+    val base = toks.select(col("doc_id"),
+      size(col("t")).cast("long").as("n_tokens"),
+      size(array_distinct(col("t"))).cast("long").as("n_distinct"))
+    val tri = toks.filter(size(col("t")) >= 3)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 2)).as("i"))
+      .select(col("doc_id"), concat_ws(" ",
+        element_at(col("t"), col("i")),
+        element_at(col("t"), col("i") + 1),
+        element_at(col("t"), col("i") + 2)).as("g"))
+    val top = tri.groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("topc"), sum(col("c")).as("tot"))
+    base.join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        r6(when(col("n_tokens") === 0, 0.0)
+          .otherwise((col("n_tokens") - col("n_distinct")).cast("double") /
+            col("n_tokens"))).as("dup_token_frac"),
+        r6(coalesce(col("topc").cast("double") / col("tot"), lit(0.0)))
+          .as("top_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionStatsSql: String =
+    s"""WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '$TokRe') AS t
+       |            FROM documents),
+       |base AS (SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_distinct
+       |         FROM tk),
+       |tri AS (SELECT doc_id, array_to_string(t[i : i + 2], ' ') AS g
+       |        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+       |              FROM tk WHERE len(t) >= 3)),
+       |pc AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+       |top AS (SELECT doc_id, max(c) AS topc, sum(c) AS tot FROM pc GROUP BY doc_id)
+       |SELECT base.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  floor((CASE WHEN n_tokens = 0 THEN 0.0
+       |              ELSE (n_tokens - n_distinct)::DOUBLE / n_tokens END) * 1000000 + 0.5) / 1000000
+       |    AS dup_token_frac,
+       |  floor((coalesce(topc::DOUBLE / tot, 0.0)) * 1000000 + 0.5) / 1000000
+       |    AS top_trigram_frac
+       |FROM base LEFT JOIN top ON base.doc_id = top.doc_id
+       |ORDER BY base.doc_id""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q39_repetition_stats" -> (repetitionStats _),
     "q36_doc_chunks" -> (docChunks _),
     "q37_top_terms_per_doc" -> (topTermsPerDoc _),
     "q38_stratified_sample" -> (stratifiedSample _),
@@ -382,6 +433,7 @@ object TextAnalysisOps {
     "q35_simhash" -> (simhash _))
 
   val oracles: Map[String, String] = Map(
+    "q39_repetition_stats" -> repetitionStatsSql,
     "q36_doc_chunks" -> docChunksSql,
     "q37_top_terms_per_doc" -> topTermsPerDocSql,
     "q38_stratified_sample" -> stratifiedSampleSql,

@@ -118,10 +118,30 @@ object Retrievers {
   /** Stable top-k (reference text.py:52-54): score DESC, corpus position ASC.
     * Returns (query_id, doc_id, doc_idx, score, rank). The two-key sort is
     * the determinism contract — near-duplicate docs produce exact ties.
+    *
+    * Two-stage formulation for finite k: stage 1 keeps each (query, input
+    * split)'s local top-k (a row dropped there has ≥ k better rows in its
+    * split, so it cannot be in the global top-k — semantics are exactly the
+    * single-window ones), spreading the heavy shuffle over query × split
+    * partitions; stage 2's per-query window then ranks ≤ k·P surviving
+    * rows instead of the full dense score set — no hot partition at any
+    * corpus size. k = Int.MaxValue (full-ranking callers, e.g. RRF) skips
+    * stage 1: nothing can be pruned, and those callers want the dense
+    * ranking the reference contract defines.
     */
   def topK(scores: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_idx").asc)
-    scores.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    val pruned =
+      if (k == Int.MaxValue) scores
+      else {
+        val pw = Window.partitionBy(col("query_id"), col("__split"))
+          .orderBy(col("score").desc, col("doc_idx").asc)
+        scores.withColumn("__split", spark_partition_id())
+          .withColumn("__pr", row_number().over(pw))
+          .filter(col("__pr") <= k)
+          .drop("__split", "__pr")
+      }
+    pruned.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
   /** Left join sparse per-(query,doc) scores onto the full query × doc grid,

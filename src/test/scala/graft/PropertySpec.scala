@@ -38,6 +38,25 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("topK: two-stage pruning equals single-window ranking on multi-split input") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // Many exact score ties spread across 16 input splits and 2 queries —
+    // the shape where stage-1 local pruning could diverge from the global
+    // window if its keep-k reasoning were wrong.
+    val rows = for (q <- Seq("qa", "qb"); i <- 0 until 200)
+      yield (q, i.toLong, i.toLong, (i % 7).toDouble)
+    val df = rows.toDF("query_id", "doc_id", "doc_idx", "score").repartition(16)
+    val got = Retrievers.topK(df, 10)
+      .select("query_id", "doc_idx", "score", "rank").orderBy("query_id", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val w = Window.partitionBy("query_id").orderBy(col("score").desc, col("doc_idx").asc)
+    val want = df.withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+      .select("query_id", "doc_idx", "score", "rank").orderBy("query_id", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("minMaxNorm: range [0,1]; constant → zeros; extremes map to 1/0") {
     check(Prop.forAll(scoreGen) { scores =>
       val df = scores.zipWithIndex
