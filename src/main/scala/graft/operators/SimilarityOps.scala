@@ -191,15 +191,62 @@ object SimilarityOps {
        |SELECT vec_id, bucket, rank, floor((cos) * 1000000 + 0.5) / 1000000 AS cos FROM rk
        |WHERE rank <= $TopK ORDER BY rank""".stripMargin
 
+  // ---- q53: int8 symmetric quantization + reconstruction error ------------
+
+  /** Per-vector int8 quantization audit — the compression pass an ANN
+    * serving tier runs before shipping embeddings: symmetric scale
+    * amax/127, qv = floor(v/scale + 0.5) ∈ [−127, 127], and the
+    * reconstruction-error stats (MSE, max abs error) that decide whether
+    * int8 is acceptable for a given corpus.
+    *
+    * Long-form posexplode keeps everything in whole-stage codegen (array
+    * HOFs run interpreted); per-vector sums are map-side partial. The
+    * rounding is floor(x + 0.5) — pure double arithmetic, identical in
+    * both engines (`round()` is not portable) — and the MSE accumulates in
+    * DECIMAL(38,18) so partition sum order can't move the 6th decimal. */
+  def embeddingQuantization(spark: SparkSession, dir: String): DataFrame = {
+    val ex = emb(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v0")))
+      .select(col("vec_id"), col("v0").cast("double").as("v"))
+    val amax = ex.groupBy("vec_id").agg(max(abs(col("v"))).as("amax"))
+    val er = ex.join(amax, "vec_id")
+      .withColumn("scale", when(col("amax") === 0.0, 1.0).otherwise(col("amax") / 127.0))
+      .withColumn("err", col("v") - floor(col("v") / col("scale") + 0.5) * col("scale"))
+    er.groupBy("vec_id")
+      .agg(
+        count(lit(1)).as("dims"),
+        r6(min(col("scale"))).as("scale"),
+        r6(sum((col("err") * col("err")).cast("decimal(38,18)")).cast("double") /
+          count(lit(1))).as("mse"),
+        r6(max(abs(col("err")))).as("max_abs_err"))
+      .orderBy("vec_id")
+  }
+
+  val embeddingQuantizationSql: String =
+    """WITH ex AS (SELECT vec_id, (unnest(embedding))::DOUBLE AS v FROM embeddings),
+      |mx AS (SELECT vec_id, max(abs(v)) AS amax FROM ex GROUP BY vec_id),
+      |er AS (SELECT ex.vec_id, v,
+      |         CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END AS scale,
+      |         v - floor(v / (CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END) + 0.5)
+      |             * (CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END) AS err
+      |       FROM ex JOIN mx ON ex.vec_id = mx.vec_id)
+      |SELECT vec_id, count(*) AS dims,
+      |  floor((min(scale)) * 1000000 + 0.5) / 1000000 AS scale,
+      |  floor((CAST(sum(CAST(err * err AS DECIMAL(38,18))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS mse,
+      |  floor((max(abs(err))) * 1000000 + 0.5) / 1000000 AS max_abs_err
+      |FROM er GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_ann_bruteforce" -> (annBruteForce _),
     "q51_ann_ivf" -> (annIvf _),
-    "q52_ann_lsh" -> (annLsh _))
+    "q52_ann_lsh" -> (annLsh _),
+    "q53_embedding_quantization" -> (embeddingQuantization _))
 
   val oracles: Map[String, String] = Map(
     "q50_ann_bruteforce" -> annBruteForceSql,
     "q51_ann_ivf" -> annIvfSql,
-    "q52_ann_lsh" -> annLshSql)
+    "q52_ann_lsh" -> annLshSql,
+    "q53_embedding_quantization" -> embeddingQuantizationSql)
 }

@@ -11,8 +11,9 @@ object ExplainAudit {
     val spark = graft.Cli.session()
 
     val targets = Seq("q01_pricing_summary", "q02_top_revenue_orders",
-      "q03_region_revenue", "q22_bm25_topk", "q50_ann_bruteforce",
-      "q62_user_sessions", "q70_media_meta")
+      "q03_region_revenue", "q22_bm25_topk", "q24_cosine_topk",
+      "q39_repetition_stats", "q42_minhash_dup_pairs", "q45_decontamination",
+      "q50_ann_bruteforce", "q62_user_sessions", "q70_media_meta")
 
     targets.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
