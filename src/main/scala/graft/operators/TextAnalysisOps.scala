@@ -418,9 +418,57 @@ object TextAnalysisOps {
        |FROM base LEFT JOIN top ON base.doc_id = top.doc_id
        |ORDER BY base.doc_id""".stripMargin
 
+  // ---- q46: language-mixture resampling (sqrt-scaled domain balancing) ----
+
+  /** Deterministic domain-mixture resampling over the skewed `lang`
+    * dimension: target weights scale with sqrt(n_l) (the standard
+    * temperature-style flattening for imbalanced domains — the corpus here
+    * is en-heavy, so en is genuinely downsampled), the total sample size T
+    * is the largest corpus honoring every weight without oversampling
+    * (min over langs of n_l/w_l), and each lang keeps its floor(w_l·T)
+    * lowest docs by md5(doc_id) — a reproducible hash draw, no RNG.
+    * Per-lang windows partition by lang (at scale: the two-stage topK
+    * trick applies the same way if one domain outgrows a partition).
+    *
+    * Cross-engine care: Σ sqrt(n_l) accumulates in DECIMAL(38,18) so the
+    * handful of per-lang terms sum order-independently; all later
+    * arithmetic (sqrt, /, floor) is pure double on identical inputs. */
+  def langMixture(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "lang")
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("n"))
+    val z = counts.agg(
+      sum(sqrt(col("n").cast("double")).cast("decimal(38,18)")).cast("double").as("z"))
+    val w = counts.crossJoin(broadcast(z))
+      .withColumn("w", sqrt(col("n").cast("double")) / col("z"))
+    val t = w.agg(min(floor(col("n") / col("w"))).as("t"))
+    val keep = w.crossJoin(broadcast(t))
+      .select(col("lang"), floor(col("w") * col("t")).cast("long").as("keep_n"))
+    d.join(broadcast(keep), "lang")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).cast("long"))
+      .filter(col("rk") <= col("keep_n"))
+      .select(col("doc_id"), col("lang"), col("rk"), col("keep_n"))
+      .orderBy("lang", "rk")
+  }
+
+  val langMixtureSql: String =
+    """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+      |z AS (SELECT CAST(sum(CAST(sqrt(n) AS DECIMAL(38,18))) AS DOUBLE) AS z FROM c),
+      |w AS (SELECT lang, n, sqrt(n) / z AS w FROM c, z),
+      |t AS (SELECT min(floor(n / w)) AS t FROM w),
+      |k AS (SELECT lang, CAST(floor(w * t) AS BIGINT) AS keep_n FROM w, t),
+      |r AS (SELECT doc_id, d.lang, keep_n,
+      |        row_number() OVER (PARTITION BY d.lang
+      |          ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      |      FROM documents d JOIN k ON d.lang = k.lang)
+      |SELECT doc_id, lang, rk, keep_n FROM r WHERE rk <= keep_n
+      |ORDER BY lang, rk""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_lang_mixture" -> (langMixture _),
     "q39_repetition_stats" -> (repetitionStats _),
     "q36_doc_chunks" -> (docChunks _),
     "q37_top_terms_per_doc" -> (topTermsPerDoc _),
@@ -433,6 +481,7 @@ object TextAnalysisOps {
     "q35_simhash" -> (simhash _))
 
   val oracles: Map[String, String] = Map(
+    "q46_lang_mixture" -> langMixtureSql,
     "q39_repetition_stats" -> repetitionStatsSql,
     "q36_doc_chunks" -> docChunksSql,
     "q37_top_terms_per_doc" -> topTermsPerDocSql,

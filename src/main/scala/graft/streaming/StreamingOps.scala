@@ -77,6 +77,19 @@ object StreamingOps {
         })
   }
 
+  /** Streaming exact dedup — the streaming twin of DedupOps.exactDupGroups'
+    * fingerprint semantics: keeps the first-arriving document per
+    * normalized-content fingerprint across micro-batches. State is one
+    * 16-byte key per distinct content — correct for bounded corpora; an
+    * unbounded stream bounds it by deduping within a watermark horizon
+    * instead (`withWatermark` + `dropDuplicatesWithinWatermark`), trading
+    * global uniqueness for bounded state exactly like production ingest
+    * dedup does. */
+  def dedupedDocuments(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", graft.operators.DedupOps.fingerprint(col("text")))
+      .dropDuplicates("fp")
+
   /** Gap-based sessions via the native session_window (30-minute gap).
     * Boundary semantics differ slightly from the batch formulation
     * (EventsOps.userSessions): session_window splits at gaps >= 30 min on

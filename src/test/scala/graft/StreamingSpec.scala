@@ -84,6 +84,33 @@ class StreamingSpec extends SparkSpec {
       abs(col("g.total_value") - col("e.total_value")) > 1e-6).isEmpty)
   }
 
+  test("streaming dedup keeps exactly one document per content fingerprint") {
+    implicit val sqlCtx = spark.sqlContext
+    case class Doc(doc_id: Long, text: String)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val (first, second) = docs.splitAt(docs.size / 2)
+
+    val stream = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.dedupedDocuments(
+        stream.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      stream.addData(first); q.processAllAvailable()
+      stream.addData(second); q.processAllAvailable() // dups across batches drop
+    } finally q.stop()
+
+    val streamed = spark.table("dedup_out")
+    val batchFps = docs.toDF("doc_id", "text")
+      .select(graft.operators.DedupOps.fingerprint(col("text")).as("fp"))
+      .distinct()
+    // one survivor per distinct fingerprint, no fingerprint twice
+    assert(streamed.count() == batchFps.count())
+    assert(streamed.select("fp").distinct().count() == streamed.count())
+    assert(streamed.select("fp").exceptAll(batchFps).isEmpty)
+  }
+
   test("streaming session_window yields plausible sessions with bounded counts") {
     implicit val sqlCtx = spark.sqlContext
     val events = loadEvents()
