@@ -418,6 +418,49 @@ object TextAnalysisOps {
        |FROM base LEFT JOIN top ON base.doc_id = top.doc_id
        |ORDER BY base.doc_id""".stripMargin
 
+  // ---- q47: sequence packing (token-budget bin assignment) ----------------
+
+  val PackBudget = 256
+
+  /** Batch-assembly packing: lay the q36 chunks end-to-end in the
+    * deterministic (doc_id, chunk_id) order and assign each to the
+    * token-budget bin its START offset falls in — the contiguous-packing
+    * pass that turns a chunked corpus into fixed-budget training
+    * sequences, with no RNG and no data movement beyond one running sum.
+    *
+    * The global cumulative sum is a single ordered window here (exactly
+    * the reference-style deterministic layout); at 100 TB packing runs
+    * per shard — partition the window by a shard key and offset bin ids
+    * by per-shard totals computed with one tiny aggregate. */
+  def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    val ch = docChunks(spark, dir).select("doc_id", "chunk_id", "chunk_tokens")
+    val w = Window.orderBy("doc_id", "chunk_id").rowsBetween(Window.unboundedPreceding, 0)
+    ch.withColumn("cum", sum(col("chunk_tokens")).over(w))
+      // DIV, not `/`: Column division on longs is DOUBLE in Spark; DIV is
+      // the integral division matching the oracle's `//`.
+      .select(col("doc_id"), col("chunk_id"), col("chunk_tokens"),
+        expr(s"(cum - chunk_tokens) DIV $PackBudget").as("bin_id"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  val sequencePackingSql: String =
+    s"""WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '$TokRe') AS t
+       |            FROM documents),
+       |st AS (SELECT doc_id, t,
+       |         unnest(range(1, greatest(1, len(t) - ${ChunkSize - 1}) + 1, $ChunkStride))
+       |           AS start
+       |       FROM tk WHERE len(t) > 0),
+       |ch AS (SELECT doc_id, CAST((start - 1) // $ChunkStride AS BIGINT) AS chunk_id,
+       |         CAST(least($ChunkSize, len(t) - start + 1) AS BIGINT) AS chunk_tokens
+       |       FROM st),
+       |cm AS (SELECT doc_id, chunk_id, chunk_tokens,
+       |         CAST(sum(chunk_tokens) OVER (ORDER BY doc_id, chunk_id
+       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |       FROM ch)
+       |SELECT doc_id, chunk_id, chunk_tokens,
+       |  CAST((cum - chunk_tokens) // $PackBudget AS BIGINT) AS bin_id
+       |FROM cm ORDER BY doc_id, chunk_id""".stripMargin
+
   // ---- q46: language-mixture resampling (sqrt-scaled domain balancing) ----
 
   /** Deterministic domain-mixture resampling over the skewed `lang`
@@ -469,6 +512,7 @@ object TextAnalysisOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q46_lang_mixture" -> (langMixture _),
+    "q47_sequence_packing" -> (sequencePacking _),
     "q39_repetition_stats" -> (repetitionStats _),
     "q36_doc_chunks" -> (docChunks _),
     "q37_top_terms_per_doc" -> (topTermsPerDoc _),
@@ -482,6 +526,7 @@ object TextAnalysisOps {
 
   val oracles: Map[String, String] = Map(
     "q46_lang_mixture" -> langMixtureSql,
+    "q47_sequence_packing" -> sequencePackingSql,
     "q39_repetition_stats" -> repetitionStatsSql,
     "q36_doc_chunks" -> docChunksSql,
     "q37_top_terms_per_doc" -> topTermsPerDocSql,
