@@ -13,10 +13,16 @@ object ExplainAudit {
     val targets = Seq("q01_pricing_summary", "q02_top_revenue_orders",
       "q03_region_revenue", "q22_bm25_topk", "q24_cosine_topk",
       "q39_repetition_stats", "q42_minhash_dup_pairs", "q45_decontamination",
-      "q50_ann_bruteforce", "q62_user_sessions", "q70_media_meta")
+      "q46_lang_mixture", "q47_sequence_packing", "q50_ann_bruteforce",
+      "q53_embedding_quantization", "q62_user_sessions", "q70_media_meta")
 
     targets.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
+      // collect() (not count()/noop-write, which build their own
+      // QueryExecutions) executes THIS Dataset's plan, finalizing AQE —
+      // only then does the explain show runtime join choices and codegen
+      // ids instead of the isFinalPlan=false placeholder.
+      df.collect()
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       val scans = plan.linesIterator.filter(l =>
