@@ -39,13 +39,15 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val warmup = (System.nanoTime() - w0) / 1e9
+    // A failed query reports -1, never its elapsed-to-failure time — a
+    // thrown regression must read as a failure, not a speedup.
     val results = ordered.map { case (name, fn) =>
       val times = (1 to TimedPasses).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> times.min
+      name -> (if (times.contains(-1.0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

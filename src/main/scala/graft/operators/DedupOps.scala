@@ -347,7 +347,12 @@ object DedupOps {
     val bench = ds.filter(pmod(col("doc_id"), lit(DecontamMod)) === 0)
       .select(col("s"), col("doc_id").as("bench_id"))
     ds.filter(pmod(col("doc_id"), lit(DecontamMod)) =!= 0)
-      .join(bench, "s")
+      // explicit hint: the bench side filters the cached corpus-wide
+      // shingle frame, whose pre-runtime size ESTIMATE is the full
+      // child's — without the hint the planner can pick a sort-merge join
+      // and shuffle the whole corpus shingle set, the exact cost the
+      // broadcast design avoids.
+      .join(broadcast(bench), "s")
       .groupBy("doc_id")
       .agg(countDistinct("s").as("n_overlap"),
         countDistinct("bench_id").as("n_bench_docs"))

@@ -305,21 +305,14 @@ object RetrievalOps {
 
   val EmbeddingDims = 16
 
-  /** Sign-bit shift, derived from the constant: with EmbeddingDims a power
-    * of two, `shiftright(h, log2(dims))` equals the oracle's integral
-    * `(h // dims)` for the non-negative h used here — so changing the
-    * constant can't silently diverge the two engines. Non-power-of-two
-    * dims would need a floor-division expression instead; the require
-    * turns that into a loud failure. */
-  val SignShift: Int = {
-    require(EmbeddingDims > 0 && Integer.bitCount(EmbeddingDims) == 1,
-      s"EmbeddingDims must be a power of two for the shiftright sign bit, got $EmbeddingDims")
-    Integer.numberOfTrailingZeros(EmbeddingDims)
-  }
-
   /** ±1 sign factor from the bit just above the dim bits: (h // dims) % 2.
-    * Exposed (with a dims parameter) so a spec can pin shift-vs-floor-div
-    * agreement at other power-of-two sizes. */
+    * The shift is derived from dims — with dims a power of two,
+    * `shiftright(h, log2(dims))` equals the oracle's integral `(h // dims)`
+    * for the non-negative h used here, so changing EmbeddingDims can't
+    * silently diverge the two engines; non-power-of-two dims would need a
+    * floor-division expression instead, and the require turns that into a
+    * loud failure. Exposed (with the dims parameter) so a spec can pin
+    * shift-vs-floor-div agreement at other power-of-two sizes. */
   def signFactor(h: Column, dims: Int): Column = {
     require(dims > 0 && Integer.bitCount(dims) == 1, s"dims must be a power of two, got $dims")
     when(pmod(shiftright(h, Integer.numberOfTrailingZeros(dims)), lit(2L)) === 0L, 1.0)
@@ -341,7 +334,7 @@ object RetrievalOps {
       .select(col("doc_id"),
         pmod(h, lit(EmbeddingDims.toLong)).as("dim"),
         // sign bit from the bit above the dim bits (decoupled from them);
-        // shiftright(h, SignShift) keeps the division integral like the
+        // signFactor's shiftright keeps the division integral like the
         // oracle's `h // EmbeddingDims` (Column `/` would be DOUBLE).
         (graft.stats.CorpusIndex.sublinearTfIdf(col("tf"), col("idf")) *
           signFactor(h, EmbeddingDims)).as("v"))

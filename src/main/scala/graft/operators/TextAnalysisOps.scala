@@ -297,17 +297,26 @@ object TextAnalysisOps {
       .orderBy("doc_id", "chunk_id")
   }
 
-  val docChunksSql: String =
-    s"""WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '$TokRe') AS t
-       |            FROM documents),
+  /** Shared q36/q47 oracle CTEs ending in ch(doc_id, chunk_id, chunk_text,
+    * chunk_tokens) — ONE chunk derivation so a ChunkSize/stride/boundary
+    * change can't silently diverge the chunking oracle from the packing
+    * oracle (same pattern as DedupOps.minhashCtes). */
+  private val chunkCtes =
+    s"""tk AS (SELECT doc_id, regexp_extract_all(lower(text), '$TokRe') AS t
+       |       FROM documents),
        |st AS (SELECT doc_id, t,
        |         unnest(range(1, greatest(1, len(t) - ${ChunkSize - 1}) + 1, $ChunkStride))
        |           AS start
-       |       FROM tk WHERE len(t) > 0)
-       |SELECT doc_id, CAST((start - 1) // $ChunkStride AS BIGINT) AS chunk_id,
-       |  array_to_string(t[start : start + ${ChunkSize - 1}], ' ') AS chunk_text,
-       |  CAST(least($ChunkSize, len(t) - start + 1) AS BIGINT) AS chunk_tokens
-       |FROM st ORDER BY doc_id, chunk_id""".stripMargin
+       |       FROM tk WHERE len(t) > 0),
+       |ch AS (SELECT doc_id, CAST((start - 1) // $ChunkStride AS BIGINT) AS chunk_id,
+       |         array_to_string(t[start : start + ${ChunkSize - 1}], ' ') AS chunk_text,
+       |         CAST(least($ChunkSize, len(t) - start + 1) AS BIGINT) AS chunk_tokens
+       |       FROM st)""".stripMargin
+
+  val docChunksSql: String =
+    s"""WITH $chunkCtes
+       |SELECT doc_id, chunk_id, chunk_text, chunk_tokens FROM ch
+       |ORDER BY doc_id, chunk_id""".stripMargin
 
   // ---- q37: top TF-IDF terms per document ---------------------------------
 
@@ -444,15 +453,7 @@ object TextAnalysisOps {
   }
 
   val sequencePackingSql: String =
-    s"""WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '$TokRe') AS t
-       |            FROM documents),
-       |st AS (SELECT doc_id, t,
-       |         unnest(range(1, greatest(1, len(t) - ${ChunkSize - 1}) + 1, $ChunkStride))
-       |           AS start
-       |       FROM tk WHERE len(t) > 0),
-       |ch AS (SELECT doc_id, CAST((start - 1) // $ChunkStride AS BIGINT) AS chunk_id,
-       |         CAST(least($ChunkSize, len(t) - start + 1) AS BIGINT) AS chunk_tokens
-       |       FROM st),
+    s"""WITH $chunkCtes,
        |cm AS (SELECT doc_id, chunk_id, chunk_tokens,
        |         CAST(sum(chunk_tokens) OVER (ORDER BY doc_id, chunk_id
        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum

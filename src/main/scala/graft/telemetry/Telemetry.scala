@@ -112,9 +112,21 @@ final class JdbcTelemetryStore(spark: SparkSession, url: String,
 
   private val props = new java.util.Properties
 
-  private def tableExists(table: String): Boolean =
-    try { spark.read.jdbc(url, table, props).schema; true }
-    catch { case _: Exception => false }
+  /** Table existence via JDBC metadata — a connectivity/auth failure here
+    * THROWS instead of reading as "missing": swallowing it would make
+    * loadRouterState silently return defaults and the next overwrite-save
+    * clobber the real persisted weights. */
+  private def tableExists(table: String): Boolean = {
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      try {
+        Iterator.continually(rs)
+          .takeWhile(_.next())
+          .exists(_.getString("TABLE_NAME").equalsIgnoreCase(table))
+      } finally rs.close()
+    } finally conn.close()
+  }
 
   override def logRuns(runs: DataFrame): Unit =
     runs.select("ts_unix", "query", "strategy", "score", "meta_json")

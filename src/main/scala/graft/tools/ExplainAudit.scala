@@ -18,11 +18,12 @@ object ExplainAudit {
 
     targets.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
-      // collect() (not count()/noop-write, which build their own
-      // QueryExecutions) executes THIS Dataset's plan, finalizing AQE —
-      // only then does the explain show runtime join choices and codegen
-      // ids instead of the isFinalPlan=false placeholder.
-      df.collect()
+      // Execute THIS Dataset's own QueryExecution (count()/noop-write
+      // build their own), finalizing AQE — only then does the explain
+      // show runtime join choices and codegen ids instead of the
+      // isFinalPlan=false placeholder. toRdd.count() runs it without
+      // materializing the result set in the driver.
+      df.queryExecution.toRdd.count()
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       val scans = plan.linesIterator.filter(l =>
