@@ -197,9 +197,62 @@ object EventsOps {
       |  CASE WHEN last_click_ts IS NULL THEN -1 ELSE ts_s - last_click_ts END AS gap_s
       |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
 
+  // ---- q66: ordered conversion funnel -------------------------------------
+
+  val FunnelWindowS = 86400L
+
+  /** Time-bound view → click → purchase funnel: a user advances a stage
+    * only with an event AFTER their first qualifying event of the previous
+    * stage AND within the 24-hour conversion window (first view, then
+    * first later click within the window, then first later purchase
+    * within the window of that click) — the standard product-analytics
+    * funnel. Each stage is one filtered per-user aggregate joined on
+    * user_id; comparisons use the same epoch-second longs as q65 so both
+    * engines see identical values. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts").cast("long").as("ts_s"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts_s").as("t_view"))
+    val c = e.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts_s") > col("t_view") && col("ts_s") <= col("t_view") + FunnelWindowS)
+      .groupBy("user_id").agg(min("ts_s").as("t_click"))
+    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts_s") > col("t_click") && col("ts_s") <= col("t_click") + FunnelWindowS)
+      .groupBy("user_id").agg(min("ts_s").as("t_purchase"))
+    val stages = v.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_view"))
+      .unionByName(c.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("2_click")))
+      .unionByName(p.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("3_purchase")))
+    val w = Window.orderBy("stage")
+    stages.select(col("stage"), col("n_users"),
+      r6(coalesce(col("n_users").cast("double") / lag("n_users", 1).over(w), lit(1.0)))
+        .as("conv_from_prev"))
+      .orderBy("stage")
+  }
+
+  val funnelSql: String =
+    s"""WITH e AS (SELECT user_id, event_type,
+      |             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+      |v AS (SELECT user_id, min(ts_s) AS t_view FROM e
+      |      WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(ts_s) AS t_click FROM e JOIN v USING (user_id)
+      |      WHERE event_type = 'click' AND ts_s > t_view
+      |        AND ts_s <= t_view + $FunnelWindowS GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(ts_s) AS t_purchase FROM e JOIN c USING (user_id)
+      |      WHERE event_type = 'purchase' AND ts_s > t_click
+      |        AND ts_s <= t_click + $FunnelWindowS GROUP BY e.user_id),
+      |s AS (SELECT '1_view' AS stage, count(*) AS n_users FROM v
+      |      UNION ALL SELECT '2_click', count(*) FROM c
+      |      UNION ALL SELECT '3_purchase', count(*) FROM p)
+      |SELECT stage, CAST(n_users AS BIGINT) AS n_users,
+      |  floor((coalesce(n_users::DOUBLE / lag(n_users) OVER (ORDER BY stage), 1.0)) * 1000000 + 0.5) / 1000000
+      |    AS conv_from_prev
+      |FROM s ORDER BY stage""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_funnel" -> (funnel _),
     "q65_purchase_attribution" -> (purchaseAttribution _),
     "q60_hourly_event_stats" -> (hourlyEventStats _),
     "q61_sliding_window_stats" -> (slidingWindowStats _),
@@ -208,6 +261,7 @@ object EventsOps {
     "q64_json_prop_histogram" -> (jsonPropHistogram _))
 
   val oracles: Map[String, String] = Map(
+    "q66_funnel" -> funnelSql,
     "q65_purchase_attribution" -> purchaseAttributionSql,
     "q60_hourly_event_stats" -> hourlyEventStatsSql,
     "q61_sliding_window_stats" -> slidingWindowStatsSql,
