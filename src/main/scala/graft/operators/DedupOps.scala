@@ -372,9 +372,55 @@ object DedupOps {
        |HAVING count(DISTINCT ds.s) >= $DecontamMinOverlap
        |ORDER BY ds.doc_id""".stripMargin
 
+  // ---- q48: SimHash near-dup pairs (Hamming-LSH banding) ------------------
+
+  val SimhashBandBits = 15
+  val SimhashNumBands = 4 // covers the 60-bit simhash
+  val HammingThreshold = 12
+
+  /** Near-dup pairs over the q35 SimHash fingerprints: candidates share at
+    * least one 15-bit band of the 60-bit hash (Hamming-LSH — any pair
+    * within distance 3 is guaranteed caught; more distant pairs
+    * probabilistically), verified with the exact popcount Hamming
+    * distance. Both the band extraction (shift/mask) and the verification
+    * (`bit_count(a ^ b)`) are built-in codegen'd integer ops — this is
+    * the cheap complement to the shingle-MinHash pipeline: no shingling,
+    * one 8-byte key per doc, band join on a short int key. */
+  def simhashNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val sh = TextAnalysisOps.simhash(spark, dir)
+    val bands = sh.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(SimhashNumBands - 1))).as("b"))
+      .withColumn("band_val",
+        expr(s"shiftright(simhash, CAST($SimhashBandBits * b AS INT)) & ${(1 << SimhashBandBits) - 1}"))
+    bands.as("a").join(bands.as("b"),
+        col("a.b") === col("b.b") && col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+      .distinct()
+      .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
+      .filter(col("hamming") <= HammingThreshold)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val simhashNearDupsSql: String =
+    s"""WITH ${TextAnalysisOps.simhashCtes},
+       |sbands AS (SELECT doc_id, simhash, b,
+       |             (simhash >> ($SimhashBandBits * b)) & ${(1 << SimhashBandBits) - 1} AS band_val
+       |           FROM shf, (SELECT unnest(range(0, $SimhashNumBands)) AS b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |           a.simhash AS sh_a, b.simhash AS sh_b
+       |         FROM sbands a JOIN sbands b
+       |           ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= $HammingThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_simhash_neardups" -> (simhashNearDups _),
     "q40_exact_dup_groups" -> (exactDupGroups _),
     "q41_minhash_bands" -> (minhashBands _),
     "q42_minhash_dup_pairs" -> (minhashDupPairs _),
@@ -383,6 +429,7 @@ object DedupOps {
     "q45_decontamination" -> (decontamination _))
 
   val oracles: Map[String, String] = Map(
+    "q48_simhash_neardups" -> simhashNearDupsSql,
     "q40_exact_dup_groups" -> exactDupGroupsSql,
     "q41_minhash_bands" -> minhashBandsSql,
     "q42_minhash_dup_pairs" -> minhashDupPairsSql,

@@ -252,23 +252,29 @@ object TextAnalysisOps {
       .orderBy("doc_id")
   }
 
+  /** Shared q35/q48 oracle CTEs ending in shf(doc_id, simhash) — one
+    * SimHash derivation so the fingerprint oracle and the near-dup-pair
+    * oracle can't drift (same pattern as chunkCtes / minhashCtes). */
+  private[operators] val simhashCtes: String =
+    s"""stk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$TokRe')) AS term
+       |        FROM documents),
+       |stf AS (SELECT doc_id, term, count(*) AS tf FROM stk GROUP BY 1, 2),
+       |shx AS (SELECT doc_id, term, tf,
+       |          CAST(('0x' || substring(md5(term), 1, 15)) AS BIGINT) AS h FROM stf),
+       |svotes AS (SELECT doc_id, b,
+       |             sum(tf * (((h // (2 ** b)::BIGINT) % 2) * 2 - 1)) AS vote
+       |           FROM shx, (SELECT unnest(range(0, $SimhashBits)) AS b)
+       |           GROUP BY doc_id, b),
+       |sh0 AS (SELECT doc_id,
+       |          CAST(sum(CASE WHEN vote > 0 THEN (2 ** b)::BIGINT ELSE 0 END) AS BIGINT)
+       |            AS simhash
+       |        FROM svotes GROUP BY doc_id),
+       |shf AS (SELECT d.doc_id, coalesce(sh0.simhash, 0) AS simhash
+       |        FROM documents d LEFT JOIN sh0 ON d.doc_id = sh0.doc_id)""".stripMargin
+
   val simhashSql: String =
-    s"""WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$TokRe')) AS term
-       |            FROM documents),
-       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
-       |hx AS (SELECT doc_id, term, tf,
-       |         CAST(('0x' || substring(md5(term), 1, 15)) AS BIGINT) AS h FROM tf),
-       |votes AS (SELECT doc_id, b,
-       |            sum(tf * (((h // (2 ** b)::BIGINT) % 2) * 2 - 1)) AS vote
-       |          FROM hx, (SELECT unnest(range(0, $SimhashBits)) AS b)
-       |          GROUP BY doc_id, b),
-       |sh AS (SELECT doc_id,
-       |         CAST(sum(CASE WHEN vote > 0 THEN (2 ** b)::BIGINT ELSE 0 END) AS BIGINT)
-       |           AS simhash
-       |       FROM votes GROUP BY doc_id)
-       |SELECT d.doc_id, coalesce(sh.simhash, 0) AS simhash
-       |FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
-       |ORDER BY d.doc_id""".stripMargin
+    s"""WITH $simhashCtes
+       |SELECT doc_id, simhash FROM shf ORDER BY doc_id""".stripMargin
 
   // ---- q36: sliding-window document chunking ------------------------------
 
