@@ -387,7 +387,7 @@ object DedupOps {
     * the cheap complement to the shingle-MinHash pipeline: no shingling,
     * one 8-byte key per doc, band join on a short int key. */
   def simhashNearDups(spark: SparkSession, dir: String): DataFrame = {
-    val sh = TextAnalysisOps.simhash(spark, dir)
+    val sh = TextAnalysisOps.simhashFrame(spark, dir)
     val bands = sh.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(SimhashNumBands - 1))).as("b"))
       .withColumn("band_val",

@@ -230,27 +230,38 @@ object TextAnalysisOps {
 
   // ---- q35: tf-weighted 60-bit SimHash ------------------------------------
 
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tf = docs(spark, dir)
-      .select(col("doc_id"), explode(TextOps.tokenize(col("text"))).as("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .withColumn("h", conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long"))
+  // The 60-bit vote aggregate explodes |term occurrences| × 60 rows — too
+  // expensive to rebuild per call, and both q35 and q48 (near-dup pairs)
+  // consume it, so the fingerprint frame memoizes per (appId, dir) like
+  // the other shared builds.
+  private val simhashCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
-    val votes = tf
-      .select(col("doc_id"), col("tf"), col("h"),
-        explode(sequence(lit(0), lit(SimhashBits - 1))).as("b"))
-      .withColumn("bit", expr("(h DIV CAST(pow(2, b) AS BIGINT)) % 2"))
-      .groupBy("doc_id", "b")
-      .agg(sum(col("tf") * (col("bit") * 2 - 1)).as("vote"))
+  /** Unordered (doc_id, simhash) fingerprint frame, cached per dir. */
+  private[operators] def simhashFrame(spark: SparkSession, dir: String): DataFrame =
+    simhashCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
+      val tf = docs(spark, dir)
+        .select(col("doc_id"), explode(TextOps.tokenize(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .withColumn("h", conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long"))
 
-    val sh = votes.groupBy("doc_id")
-      .agg(sum(when(col("vote") > 0, expr("CAST(pow(2, b) AS BIGINT)")).otherwise(0L))
-        .cast("long").as("simhash"))
+      val votes = tf
+        .select(col("doc_id"), col("tf"), col("h"),
+          explode(sequence(lit(0), lit(SimhashBits - 1))).as("b"))
+        .withColumn("bit", expr("(h DIV CAST(pow(2, b) AS BIGINT)) % 2"))
+        .groupBy("doc_id", "b")
+        .agg(sum(col("tf") * (col("bit") * 2 - 1)).as("vote"))
 
-    docs(spark, dir).select("doc_id").join(sh, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
-      .orderBy("doc_id")
-  }
+      val sh = votes.groupBy("doc_id")
+        .agg(sum(when(col("vote") > 0, expr("CAST(pow(2, b) AS BIGINT)")).otherwise(0L))
+          .cast("long").as("simhash"))
+
+      docs(spark, dir).select("doc_id").join(sh, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("simhash"), lit(0L)).as("simhash"))
+        .cache()
+    })
+
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashFrame(spark, dir).orderBy("doc_id")
 
   /** Shared q35/q48 oracle CTEs ending in shf(doc_id, simhash) — one
     * SimHash derivation so the fingerprint oracle and the near-dup-pair
