@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.CosineSimilarity.cosineSim
@@ -233,13 +234,17 @@ object DedupOps {
        |        JOIN sz sa ON sa.doc_id = p.doc_a
        |        JOIN sz sb ON sb.doc_id = p.doc_b)""".stripMargin
 
+  /** Shared q42/q49 oracle CTE: the LSH candidate pair set. */
+  private val lshPairsCte =
+    """pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |          FROM bands a JOIN bands b
+      |            ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+      |           AND a.doc_id < b.doc_id)""".stripMargin
+
   val minhashDupPairsSql: String =
     s"""WITH $shinglesCte,
        |$minhashCtes,
-       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |          FROM bands a JOIN bands b
-       |            ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-       |           AND a.doc_id < b.doc_id),
+       |$lshPairsCte,
        |$jaccardCtes
        |SELECT doc_a, doc_b, jaccard FROM jac ORDER BY doc_a, doc_b""".stripMargin
 
@@ -372,6 +377,59 @@ object DedupOps {
        |HAVING count(DISTINCT ds.s) >= $DecontamMinOverlap
        |ORDER BY ds.doc_id""".stripMargin
 
+  // ---- q49: dup-cluster consolidation (bounded label propagation) ---------
+
+  val ClusterIterations = 3
+
+  /** Consolidate the q42 LSH dup pairs into clusters: every doc starts
+    * labeled with its own id, then ClusterIterations rounds of
+    * min-neighbor label propagation over the (undirected) pair graph — the
+    * standard Spark connected-components shape (iterative hash join + min
+    * aggregate per round; no driver-side graph). The iteration count is
+    * FIXED so the DuckDB oracle unrolls the identical rounds; near-dup
+    * clusters have tiny diameters, and a production run would loop to
+    * fixpoint (labels stop changing) with the same per-round plan. Output
+    * is each doc's cluster representative (min doc_id reachable within
+    * ClusterIterations hops) and the cluster's size. */
+  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashDupPairs(spark, dir).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = docs(spark, dir).select(col("doc_id"), col("doc_id").as("label"))
+    for (_ <- 1 to ClusterIterations) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy("src").agg(min("label").as("nlabel"))
+      labels = labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+    }
+    labels
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("label")))
+      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  private def clusterRoundSql(i: Int): String =
+    s"""n$i AS (SELECT src, min(label) AS nlabel
+       |        FROM e JOIN l${i - 1} ON e.dst = l${i - 1}.doc_id GROUP BY src),
+       |l$i AS (SELECT l${i - 1}.doc_id,
+       |          least(l${i - 1}.label, coalesce(n$i.nlabel, l${i - 1}.label)) AS label
+       |        FROM l${i - 1} LEFT JOIN n$i ON l${i - 1}.doc_id = n$i.src)""".stripMargin
+
+  val dupClustersSql: String =
+    s"""WITH $shinglesCte,
+       |$minhashCtes,
+       |$lshPairsCte,
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |l0 AS (SELECT doc_id, doc_id AS label FROM documents),
+       |${(1 to ClusterIterations).map(clusterRoundSql).mkString(",\n")}
+       |SELECT doc_id, label AS cluster_id,
+       |  CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS cluster_size
+       |FROM l$ClusterIterations ORDER BY doc_id""".stripMargin
+
   // ---- q48: SimHash near-dup pairs (Hamming-LSH banding) ------------------
 
   val SimhashBandBits = 15
@@ -421,6 +479,7 @@ object DedupOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_simhash_neardups" -> (simhashNearDups _),
+    "q49_dup_clusters" -> (dupClusters _),
     "q40_exact_dup_groups" -> (exactDupGroups _),
     "q41_minhash_bands" -> (minhashBands _),
     "q42_minhash_dup_pairs" -> (minhashDupPairs _),
@@ -430,6 +489,7 @@ object DedupOps {
 
   val oracles: Map[String, String] = Map(
     "q48_simhash_neardups" -> simhashNearDupsSql,
+    "q49_dup_clusters" -> dupClustersSql,
     "q40_exact_dup_groups" -> exactDupGroupsSql,
     "q41_minhash_bands" -> minhashBandsSql,
     "q42_minhash_dup_pairs" -> minhashDupPairsSql,
