@@ -141,6 +141,81 @@ object RetrievalOps {
        |SELECT doc_id, rank, floor((score) * 1000000 + 0.5) / 1000000 AS score FROM rk
        |WHERE rank <= $TopK ORDER BY rank""".stripMargin
 
+  // ---- q54: pseudo-relevance-feedback query expansion ---------------------
+
+  val PrfSeedDocs = 3
+  val PrfTermsPerDoc = 2
+
+  /** Two-pass retrieval with PRF expansion (Rocchio-style, binary weights):
+    * pass 1 ranks with plain BM25 and takes the top-3 seed docs; each
+    * seed contributes its top-2 sublinear-TF-IDF terms; pass 2 re-ranks
+    * with the deduplicated union of original + expansion terms. Both
+    * passes are the same broadcast-join + hash-agg BM25 plan — expansion
+    * only widens the (tiny, broadcast) query-term frame, so the scale
+    * shape is unchanged. */
+  def prfExpansion(spark: SparkSession, dir: String): DataFrame = {
+    val q = singleQuery(spark, Bm25Query)
+    val idx = tokenIndex(spark, dir)
+    val seed = Retrievers.topK(Retrievers.keywordScores(q, idx), PrfSeedDocs)
+      .select("doc_id")
+    val origTerms = q.select(
+      explode(array_distinct(graft.textops.TextOps.tokenize(col("query")))).as("term"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("w").desc, col("term").asc)
+    // Expansion candidates EXCLUDE the original query terms (standard PRF
+    // adds new terms — seed docs rank high precisely because they are
+    // dense in the query terms, so without the anti-join each seed's top
+    // terms are the query itself and expansion is a no-op).
+    val expTerms = idx.docTermFreq.join(seed, "doc_id")
+      .join(origTerms, Seq("term"), "left_anti")
+      .join(idx.termStats.select("term", "idf"), "term")
+      .select(col("doc_id"), col("term"),
+        graft.stats.CorpusIndex.sublinearTfIdf(col("tf"), col("idf")).as("w"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= PrfTermsPerDoc)
+      .select("term")
+    val qTerms = origTerms.union(expTerms).distinct().select(lit("q").as("query_id"), col("term"))
+    topkOut(Retrievers.keywordScoresFromTerms(q, qTerms, idx))
+  }
+
+  def prfSql(q: String): String =
+    s"""WITH $tokCte,
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |idf AS (SELECT term, ln(1 + (n - count(DISTINCT doc_id) + 0.5) / (count(DISTINCT doc_id) + 0.5)) AS idf
+       |        FROM tok, nn GROUP BY term, n),
+       |dl AS (SELECT doc_id, len(regexp_extract_all(lower(text), '$TokRe')) AS dl FROM documents),
+       |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+       |qt0 AS (SELECT DISTINCT unnest(regexp_extract_all(lower('$q'), '$TokRe')) AS term),
+       |sc0 AS (SELECT tf.doc_id,
+       |          sum(idf.idf * (tf.tf * 2.5) / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / ad.avgdl))) AS s
+       |        FROM qt0 JOIN idf USING (term) JOIN tf USING (term)
+       |        JOIN dl ON tf.doc_id = dl.doc_id, ad
+       |        GROUP BY tf.doc_id),
+       |dense0 AS (SELECT d.doc_id, coalesce(sc0.s, 0.0) AS score
+       |           FROM documents d LEFT JOIN sc0 ON d.doc_id = sc0.doc_id),
+       |seed AS (SELECT doc_id FROM (
+       |           SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+       |           FROM dense0) WHERE rank <= $PrfSeedDocs),
+       |exp AS (SELECT term FROM (
+       |          SELECT tf.doc_id, tf.term,
+       |            row_number() OVER (PARTITION BY tf.doc_id
+       |              ORDER BY (1 + ln(tf.tf)) * idf.idf DESC, tf.term ASC) AS rn
+       |          FROM tf JOIN seed USING (doc_id) JOIN idf ON tf.term = idf.term
+       |          WHERE tf.term NOT IN (SELECT term FROM qt0))
+       |        WHERE rn <= $PrfTermsPerDoc),
+       |qt AS (SELECT term FROM qt0 UNION SELECT term FROM exp),
+       |sc AS (SELECT tf.doc_id,
+       |         sum(idf.idf * (tf.tf * 2.5) / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / ad.avgdl))) AS s
+       |       FROM qt JOIN idf USING (term) JOIN tf USING (term)
+       |       JOIN dl ON tf.doc_id = dl.doc_id, ad
+       |       GROUP BY tf.doc_id),
+       |dense AS (SELECT d.doc_id, coalesce(sc.s, 0.0) AS score
+       |          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+       |rk AS (SELECT doc_id, score,
+       |         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank FROM dense)
+       |SELECT doc_id, rank, floor((score) * 1000000 + 0.5) / 1000000 AS score FROM rk
+       |WHERE rank <= $TopK ORDER BY rank""".stripMargin
+
   // ---- q23: gram-space statistics -----------------------------------------
 
   def gramStats(spark: SparkSession, dir: String): DataFrame =
@@ -420,6 +495,7 @@ object RetrievalOps {
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_prf_expansion" -> (prfExpansion _),
     "q28_hashed_embeddings" -> (hashedEmbeddings _),
     "q29_rrf_fusion" -> (rrfFusion _),
     "q20_doc_term_stats" -> (docTermStats _),
@@ -432,6 +508,7 @@ object RetrievalOps {
     "q27_route_decisions" -> (routeDecisions _))
 
   val oracles: Map[String, String] = Map(
+    "q54_prf_expansion" -> prfSql(Bm25Query),
     "q28_hashed_embeddings" -> hashedEmbeddingsSql,
     "q29_rrf_fusion" -> rrfSql(Bm25Query),
     "q20_doc_term_stats" -> docTermStatsSql,

@@ -28,12 +28,18 @@ object Retrievers {
     * query term contributes idf * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl));
     * OOV query terms and zero-frequency docs drop out via inner joins.
     */
-  def keywordScores(queries: DataFrame, idx: TokenIndex): DataFrame = {
-    val avgDl = if (idx.avgDl == 0.0) 1.0 else idx.avgDl
+  def keywordScores(queries: DataFrame, idx: TokenIndex): DataFrame =
+    keywordScoresFromTerms(queries,
+      queries.select(col("query_id"),
+        explode(array_distinct(TextOps.tokenize(col("query")))).as("term")),
+      idx)
 
-    val qTerms = queries
-      .select(col("query_id"),
-        explode(array_distinct(TextOps.tokenize(col("query")))).as("term"))
+  /** BM25 from an explicit DISTINCT (query_id, term) frame — the entry
+    * point for callers that construct the term set themselves (e.g.
+    * pseudo-relevance-feedback expansion). */
+  def keywordScoresFromTerms(
+      queries: DataFrame, qTerms: DataFrame, idx: TokenIndex): DataFrame = {
+    val avgDl = if (idx.avgDl == 0.0) 1.0 else idx.avgDl
 
     val contrib = broadcast(qTerms)
       .join(idx.termStats.select("term", "idf"), "term")
