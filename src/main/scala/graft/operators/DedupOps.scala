@@ -184,22 +184,32 @@ object DedupOps {
 
   // ---- q42: MinHash-LSH candidate pairs + verified Jaccard ----------------
 
+  // Candidate pairs memoize per dir (shared by q42's Jaccard verification
+  // and q49's cluster consolidation; a per-call .cache() would leak a
+  // fresh cached frame per invocation).
+  private val pairCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Distinct LSH candidate (doc_a, doc_b) pairs — docs sharing any band
+    * hash — cached per dir. */
+  private def lshCandidatePairs(spark: SparkSession, dir: String): DataFrame =
+    pairCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
+      val bands = minhashBands(spark, dir)
+      bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_id") === col("b.band_id") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+        .cache()
+    })
+
   /** Candidates = pairs sharing any band hash; verified with exact
     * shingle-set Jaccard (no threshold — banding is the filter). */
-  def minhashDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val bands = minhashBands(spark, dir)
-    val pairs = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band_id") === col("b.band_id") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-      .cache()
-    withJaccard(spark, dir, pairs)
+  def minhashDupPairs(spark: SparkSession, dir: String): DataFrame =
+    withJaccard(spark, dir, lshCandidatePairs(spark, dir))
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy("doc_a", "doc_b")
-  }
 
   /** Join exact shingle-set Jaccard onto a (doc_a, doc_b) pair frame. */
   private def withJaccard(spark: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
@@ -392,10 +402,12 @@ object DedupOps {
     * is each doc's cluster representative (min doc_id reachable within
     * ClusterIterations hops) and the cluster's size. */
   def dupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashDupPairs(spark, dir).select("doc_a", "doc_b")
+    // Candidate pairs only — the exact-Jaccard verification q42 layers on
+    // top never changes the pair set (no threshold), so clustering over
+    // the raw candidates skips the most expensive join in the pipeline.
+    val pairs = lshCandidatePairs(spark, dir)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
     var labels = docs(spark, dir).select(col("doc_id"), col("doc_id").as("label"))
     for (_ <- 1 to ClusterIterations) {
       val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))

@@ -209,24 +209,42 @@ object EventsOps {
     * funnel. Each stage is one filtered per-user aggregate joined on
     * user_id; comparisons use the same epoch-second longs as q65 so both
     * engines see identical values. */
+  // Memoized cached funnel stage frames per (appId, dir): the stages chain
+  // (p embeds c embeds v), so uncached frames re-scan the events parquet
+  // ~6× across the union's action branches (same leak-free pattern as the
+  // other per-dir caches).
+  private val funnelCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame, DataFrame)]
+
+  private def funnelStages(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
+    funnelCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
+      val e = events(spark, dir)
+        .select(col("user_id"), col("event_type"), col("ts").cast("long").as("ts_s"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_s").as("t_view")).cache()
+      val c = e.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ts_s") > col("t_view") && col("ts_s") <= col("t_view") + FunnelWindowS)
+        .groupBy("user_id").agg(min("ts_s").as("t_click")).cache()
+      val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ts_s") > col("t_click") && col("ts_s") <= col("t_click") + FunnelWindowS)
+        .groupBy("user_id").agg(min("ts_s").as("t_purchase")).cache()
+      (v, c, p)
+    })
+
   def funnel(spark: SparkSession, dir: String): DataFrame = {
-    val e = events(spark, dir)
-      .select(col("user_id"), col("event_type"), col("ts").cast("long").as("ts_s"))
-    val v = e.filter(col("event_type") === "view")
-      .groupBy("user_id").agg(min("ts_s").as("t_view"))
-    val c = e.filter(col("event_type") === "click").join(v, "user_id")
-      .filter(col("ts_s") > col("t_view") && col("ts_s") <= col("t_view") + FunnelWindowS)
-      .groupBy("user_id").agg(min("ts_s").as("t_click"))
-    val p = e.filter(col("event_type") === "purchase").join(c, "user_id")
-      .filter(col("ts_s") > col("t_click") && col("ts_s") <= col("t_click") + FunnelWindowS)
-      .groupBy("user_id").agg(min("ts_s").as("t_purchase"))
+    val (v, c, p) = funnelStages(spark, dir)
     val stages = v.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("1_view"))
       .unionByName(c.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("2_click")))
       .unionByName(p.agg(count(lit(1)).as("n_users")).withColumn("stage", lit("3_purchase")))
     val w = Window.orderBy("stage")
+    val prev = lag("n_users", 1).over(w)
+    // Explicit 0-denominator arm: Spark's 0/0 is NULL but DuckDB's is NaN
+    // (IEEE float ops), so a coalesce-over-division would silently diverge
+    // the engines on a dataset where a stage empties out.
     stages.select(col("stage"), col("n_users"),
-      r6(coalesce(col("n_users").cast("double") / lag("n_users", 1).over(w), lit(1.0)))
-        .as("conv_from_prev"))
+      r6(when(prev.isNull, 1.0)
+        .when(prev === 0, 0.0)
+        .otherwise(col("n_users").cast("double") / prev)).as("conv_from_prev"))
       .orderBy("stage")
   }
 
@@ -243,11 +261,14 @@ object EventsOps {
       |        AND ts_s <= t_click + $FunnelWindowS GROUP BY e.user_id),
       |s AS (SELECT '1_view' AS stage, count(*) AS n_users FROM v
       |      UNION ALL SELECT '2_click', count(*) FROM c
-      |      UNION ALL SELECT '3_purchase', count(*) FROM p)
+      |      UNION ALL SELECT '3_purchase', count(*) FROM p),
+      |w AS (SELECT stage, n_users, lag(n_users) OVER (ORDER BY stage) AS prev FROM s)
       |SELECT stage, CAST(n_users AS BIGINT) AS n_users,
-      |  floor((coalesce(n_users::DOUBLE / lag(n_users) OVER (ORDER BY stage), 1.0)) * 1000000 + 0.5) / 1000000
+      |  floor((CASE WHEN prev IS NULL THEN 1.0
+      |              WHEN prev = 0 THEN 0.0
+      |              ELSE n_users::DOUBLE / prev END) * 1000000 + 0.5) / 1000000
       |    AS conv_from_prev
-      |FROM s ORDER BY stage""".stripMargin
+      |FROM w ORDER BY stage""".stripMargin
 
   // -------------------------------------------------------------------------
 

@@ -120,22 +120,32 @@ object RetrievalOps {
     topkOut(Retrievers.keywordScores(singleQuery(spark, Bm25Query),
       tokenIndex(spark, dir)))
 
-  def bm25Sql(q: String): String =
-    s"""WITH $tokCte,
-       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+  /** Query-independent BM25 statistics CTEs (tf/idf/doc-length/avg). */
+  private val bm25StatsCtes =
+    s"""tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
        |nn AS (SELECT count(*) AS n FROM documents),
        |idf AS (SELECT term, ln(1 + (n - count(DISTINCT doc_id) + 0.5) / (count(DISTINCT doc_id) + 0.5)) AS idf
        |        FROM tok, nn GROUP BY term, n),
        |dl AS (SELECT doc_id, len(regexp_extract_all(lower(text), '$TokRe')) AS dl FROM documents),
-       |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+       |ad AS (SELECT avg(dl) AS avgdl FROM dl)""".stripMargin
+
+  /** BM25 scoring block: score a DISTINCT-term CTE `$qt` against the
+    * shared stats, densified over all docs — ONE copy of the scoring
+    * formula so bm25Sql and prfSql's two passes cannot drift. */
+  private def bm25ScoreCtes(qt: String, sc: String, dense: String): String =
+    s"""$sc AS (SELECT tf.doc_id,
+       |       sum(idf.idf * (tf.tf * 2.5) / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / ad.avgdl))) AS s
+       |     FROM $qt JOIN idf USING (term) JOIN tf USING (term)
+       |     JOIN dl ON tf.doc_id = dl.doc_id, ad
+       |     GROUP BY tf.doc_id),
+       |$dense AS (SELECT d.doc_id, coalesce($sc.s, 0.0) AS score
+       |          FROM documents d LEFT JOIN $sc ON d.doc_id = $sc.doc_id)""".stripMargin
+
+  def bm25Sql(q: String): String =
+    s"""WITH $tokCte,
+       |$bm25StatsCtes,
        |qt AS (SELECT DISTINCT unnest(regexp_extract_all(lower('$q'), '$TokRe')) AS term),
-       |sc AS (SELECT tf.doc_id,
-       |         sum(idf.idf * (tf.tf * 2.5) / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / ad.avgdl))) AS s
-       |       FROM qt JOIN idf USING (term) JOIN tf USING (term)
-       |       JOIN dl ON tf.doc_id = dl.doc_id, ad
-       |       GROUP BY tf.doc_id),
-       |dense AS (SELECT d.doc_id, coalesce(sc.s, 0.0) AS score
-       |          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+       |${bm25ScoreCtes("qt", "sc", "dense")},
        |rk AS (SELECT doc_id, score,
        |         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank FROM dense)
        |SELECT doc_id, rank, floor((score) * 1000000 + 0.5) / 1000000 AS score FROM rk
@@ -179,20 +189,9 @@ object RetrievalOps {
 
   def prfSql(q: String): String =
     s"""WITH $tokCte,
-       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-       |nn AS (SELECT count(*) AS n FROM documents),
-       |idf AS (SELECT term, ln(1 + (n - count(DISTINCT doc_id) + 0.5) / (count(DISTINCT doc_id) + 0.5)) AS idf
-       |        FROM tok, nn GROUP BY term, n),
-       |dl AS (SELECT doc_id, len(regexp_extract_all(lower(text), '$TokRe')) AS dl FROM documents),
-       |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+       |$bm25StatsCtes,
        |qt0 AS (SELECT DISTINCT unnest(regexp_extract_all(lower('$q'), '$TokRe')) AS term),
-       |sc0 AS (SELECT tf.doc_id,
-       |          sum(idf.idf * (tf.tf * 2.5) / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / ad.avgdl))) AS s
-       |        FROM qt0 JOIN idf USING (term) JOIN tf USING (term)
-       |        JOIN dl ON tf.doc_id = dl.doc_id, ad
-       |        GROUP BY tf.doc_id),
-       |dense0 AS (SELECT d.doc_id, coalesce(sc0.s, 0.0) AS score
-       |           FROM documents d LEFT JOIN sc0 ON d.doc_id = sc0.doc_id),
+       |${bm25ScoreCtes("qt0", "sc0", "dense0")},
        |seed AS (SELECT doc_id FROM (
        |           SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
        |           FROM dense0) WHERE rank <= $PrfSeedDocs),
@@ -204,13 +203,7 @@ object RetrievalOps {
        |          WHERE tf.term NOT IN (SELECT term FROM qt0))
        |        WHERE rn <= $PrfTermsPerDoc),
        |qt AS (SELECT term FROM qt0 UNION SELECT term FROM exp),
-       |sc AS (SELECT tf.doc_id,
-       |         sum(idf.idf * (tf.tf * 2.5) / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / ad.avgdl))) AS s
-       |       FROM qt JOIN idf USING (term) JOIN tf USING (term)
-       |       JOIN dl ON tf.doc_id = dl.doc_id, ad
-       |       GROUP BY tf.doc_id),
-       |dense AS (SELECT d.doc_id, coalesce(sc.s, 0.0) AS score
-       |          FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+       |${bm25ScoreCtes("qt", "sc", "dense")},
        |rk AS (SELECT doc_id, score,
        |         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank FROM dense)
        |SELECT doc_id, rank, floor((score) * 1000000 + 0.5) / 1000000 AS score FROM rk
