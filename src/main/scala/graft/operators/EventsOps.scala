@@ -270,9 +270,78 @@ object EventsOps {
       |    AS conv_from_prev
       |FROM w ORDER BY stage""".stripMargin
 
+  // ---- q67: cohort retention ----------------------------------------------
+
+  /** Classic day-cohort retention: users grouped by their first-seen day,
+    * counted on each later day they were active. Day arithmetic runs on
+    * epoch-day longs (ts DIV 86400) — post-epoch data, so truncation ==
+    * floor — to keep both engines in integer space. Two shuffles: one
+    * distinct on (user, day), one aggregate on (cohort, offset); the
+    * per-user min-day is a partial-aggregate-friendly groupBy, and at
+    * 100 TB the (user, day) distinct is the only wide op, keyed on a
+    * high-cardinality column — scale-safe. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val days = events(spark, dir)
+      .select(col("user_id"), expr("CAST(ts AS LONG) DIV 86400").as("day"))
+      .distinct()
+    val cohorts = days.groupBy("user_id").agg(min("day").as("cohort_day"))
+    days.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  val retentionCohortsSql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      |  FROM events),
+      |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY user_id)
+      |SELECT cohort_day, day - cohort_day AS day_offset,
+      |  count(DISTINCT d.user_id) AS n_users
+      |FROM d JOIN c ON d.user_id = c.user_id
+      |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
+
+  // ---- q68: event-type transition matrix ----------------------------------
+
+  /** First-order Markov transition matrix over per-user event streams:
+    * (event_type, next event_type) bigrams via lead(), counted globally,
+    * with the per-source transition probability. One shuffle on user_id
+    * for the lead window (high-cardinality key — no hot partition), then
+    * a tiny |types|² aggregate; the probability normalizer is a window
+    * over ≤|types| rows. The ratio divides two exact longs, so the double
+    * is identical cross-engine. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val pairs = events(spark, dir)
+      .withColumn("to_type", lead("event_type", 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("p", r6(col("n").cast("double") /
+        sum("n").over(Window.partitionBy("from_type"))))
+      .orderBy("from_type", "to_type")
+  }
+
+  val eventTransitionsSql: String =
+    """WITH s AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+      |      AS to_type
+      |  FROM events),
+      |t AS (SELECT event_type AS from_type, to_type, count(*) AS n
+      |      FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  floor((n::DOUBLE / sum(n) OVER (PARTITION BY from_type)) * 1000000 + 0.5) / 1000000
+      |    AS p
+      |FROM t ORDER BY from_type, to_type""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_retention_cohorts" -> (retentionCohorts _),
+    "q68_event_transitions" -> (eventTransitions _),
     "q66_funnel" -> (funnel _),
     "q65_purchase_attribution" -> (purchaseAttribution _),
     "q60_hourly_event_stats" -> (hourlyEventStats _),
@@ -282,6 +351,8 @@ object EventsOps {
     "q64_json_prop_histogram" -> (jsonPropHistogram _))
 
   val oracles: Map[String, String] = Map(
+    "q67_retention_cohorts" -> retentionCohortsSql,
+    "q68_event_transitions" -> eventTransitionsSql,
     "q66_funnel" -> funnelSql,
     "q65_purchase_attribution" -> purchaseAttributionSql,
     "q60_hourly_event_stats" -> hourlyEventStatsSql,

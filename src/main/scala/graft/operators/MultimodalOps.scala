@@ -111,13 +111,48 @@ object MultimodalOps {
       |  CAST((n_chars % 64 + 1) * (doc_id % 32 + 1) AS BIGINT) AS pixels
       |FROM b ORDER BY doc_id""".stripMargin
 
+  // ---- q72: strided frame sampling ----------------------------------------
+
+  val FrameStride = 50
+
+  /** Frame-sampling plumbing: take every FrameStride-th byte offset of the
+    * payload as a "frame" anchor and emit (frame_idx, offset, byte value) —
+    * the video-frame / audio-window sampling shape. Offsets explode from
+    * `sequence(1, len, stride)` (whole-stage codegen, no UDF), and at scale
+    * the explode is embarrassingly parallel: no shuffle at all until a
+    * downstream aggregate. The byte value reads as ascii() of the char at
+    * the offset, which equals the payload byte because the corpus is pure
+    * ASCII (same invariant q71 relies on, verified there). */
+  def frameSample(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/documents.parquet")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")), lit(FrameStride))).as("pos"))
+      .select(col("doc_id"),
+        expr(s"CAST((pos - 1) DIV $FrameStride AS LONG)").as("frame_idx"),
+        col("pos").cast("long").as("frame_offset"),
+        ascii(expr("substr(text, pos, 1)")).cast("long").as("byte_val"))
+      .orderBy("doc_id", "frame_idx")
+
+  // `pos`/`frame_offset`, not `offset`: OFFSET is a reserved word in DuckDB.
+  val frameSampleSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, unnest(range(1, length(text) + 1, $FrameStride)) AS pos, text
+       |  FROM documents WHERE length(text) > 0)
+       |SELECT doc_id, CAST((pos - 1) // $FrameStride AS BIGINT) AS frame_idx,
+       |  CAST(pos AS BIGINT) AS frame_offset,
+       |  CAST(ascii(substring(text, pos, 1)) AS BIGINT) AS byte_val
+       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_media_meta" -> (mediaMeta _),
-    "q71_media_features" -> (mediaFeatures _))
+    "q71_media_features" -> (mediaFeatures _),
+    "q72_frame_sample" -> (frameSample _))
 
   val oracles: Map[String, String] = Map(
     "q70_media_meta" -> mediaMetaSql,
-    "q71_media_features" -> mediaFeaturesSql)
+    "q71_media_features" -> mediaFeaturesSql,
+    "q72_frame_sample" -> frameSampleSql)
 }

@@ -287,9 +287,87 @@ object RelationalOps {
         approx_count_distinct("l_suppkey").as("approx_supps"))
       .orderBy("l_returnflag")
 
+  // ---- q13: CUBE with grouping id -----------------------------------------
+
+  /** Full CUBE over (l_returnflag, l_linestatus) — every subtotal level in
+    * one pass (Spark expands the grouping sets before the hash aggregate,
+    * so it stays a single shuffle). The grouping id is computed explicitly
+    * as grouping(flag)*2 + grouping(status) in BOTH engines rather than
+    * relying on either engine's native bitmask ordering, and NULL group
+    * keys are coalesced to 'ALL' so the hash-compare never sees NULLs.
+    *
+    * The grand-total revenue (~3e9 at sf0.01) is emitted as exact integer
+    * CENTS, never as a double: at that magnitude the decimal→double cast
+    * is 1 ulp apart between engines (≈5e-7 — right at r6's granularity),
+    * so the value stays in decimal space end-to-end. */
+  def cubeSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        // round(, 2), NOT a cast to DECIMAL(30,2): Spark's decimal
+        // scale-down cast rounds HALF_UP but DuckDB's truncates; both
+        // engines' round() are half-up for positive decimals.
+        (round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,8)")), 2) * 100).cast("long")
+          .as("revenue_cents"))
+      .select(col("gid"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("revenue_cents"))
+      .orderBy("gid", "returnflag", "linestatus")
+
+  val cubeSummarySql: String =
+    """SELECT CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+      |  coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  count(*) AS n,
+      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS revenue_cents
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY gid, returnflag, linestatus""".stripMargin
+
+  // ---- q14: exact interpolated quantiles ----------------------------------
+
+  /** Per-flag exact quartiles of l_extendedprice. Spark's `percentile`
+    * and DuckDB's `quantile_cont` both implement type-7 linear
+    * interpolation over the sorted values, so on identical double inputs
+    * the results agree bit-for-bit (r6 absorbs nothing here but keeps the
+    * output convention). Exact percentile gathers the group's values —
+    * fine per-group; the 100 TB path for a GLOBAL quantile is
+    * approx_percentile (its t-digest merges map-side), traded off in
+    * SCALE.md alongside q12's HLL. */
+  def priceQuantiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))").as("q"),
+        r6(min("l_extendedprice")).as("min_price"),
+        r6(max("l_extendedprice")).as("max_price"))
+      .select(col("l_returnflag"), col("n"),
+        r6(element_at(col("q"), 1)).as("p25"),
+        r6(element_at(col("q"), 2)).as("p50"),
+        r6(element_at(col("q"), 3)).as("p75"),
+        col("min_price"), col("max_price"))
+      .orderBy("l_returnflag")
+
+  val priceQuantilesSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  floor((quantile_cont(l_extendedprice, 0.25)) * 1000000 + 0.5) / 1000000 AS p25,
+      |  floor((quantile_cont(l_extendedprice, 0.5)) * 1000000 + 0.5) / 1000000 AS p50,
+      |  floor((quantile_cont(l_extendedprice, 0.75)) * 1000000 + 0.5) / 1000000 AS p75,
+      |  floor((min(l_extendedprice)) * 1000000 + 0.5) / 1000000 AS min_price,
+      |  floor((max(l_extendedprice)) * 1000000 + 0.5) / 1000000 AS max_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_cube_summary" -> (cubeSummary _),
+    "q14_price_quantiles" -> (priceQuantiles _),
     "q11_salted_order_revenue" -> (saltedOrderRevenue _),
     "q12_approx_distinct_parts" -> (approxDistinctParts _),
     "q01_pricing_summary" -> (pricingSummary _),
@@ -304,6 +382,8 @@ object RelationalOps {
     "q10_monthly_order_priorities" -> (monthlyOrderPriorities _))
 
   val oracles: Map[String, String] = Map(
+    "q13_cube_summary" -> cubeSummarySql,
+    "q14_price_quantiles" -> priceQuantilesSql,
     "q11_salted_order_revenue" -> saltedOrderRevenueSql,
     "q01_pricing_summary" -> pricingSummarySql,
     "q02_top_revenue_orders" -> topRevenueOrdersSql,

@@ -526,9 +526,105 @@ object TextAnalysisOps {
       |SELECT doc_id, lang, rk, keep_n FROM r WHERE rk <= keep_n
       |ORDER BY lang, rk""".stripMargin
 
+  // ---- q55: unigram-LM surprisal (CCNet-style quality filter) -------------
+
+  /** Corpus-trained unigram language model with add-one smoothing, scoring
+    * each document by mean token surprisal −ln p(t) and pseudo-perplexity
+    * exp(mean) — the cheap stand-in for the LM-perplexity quality filter
+    * used in pre-training pipelines. The LM is vocab-sized (tiny vs the
+    * corpus) and broadcast to the scoring join, so the only wide op is the
+    * per-doc aggregate; per-doc surprisal sums accumulate in DECIMAL
+    * (dsum) because ~100-term double sums are addition-order-dependent
+    * across engines. */
+  def unigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokenize(col("text"))).as("term"))
+    val cnt = tok.groupBy("term").agg(count(lit(1)).as("c"))
+    val tot = cnt.agg(sum("c").as("ctot"), count(lit(1)).as("v"))
+    val lm = cnt.crossJoin(broadcast(tot))
+      .select(col("term"),
+        (-log((col("c") + 1).cast("double") / (col("ctot") + col("v")).cast("double")))
+          .as("surp"))
+    val per = tok.join(broadcast(lm), "term")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), dsum(col("surp")).as("ssum"))
+    docs(spark, dir).select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        r6(coalesce(col("ssum") / col("n_tokens"), lit(0.0))).as("mean_surprisal"),
+        r6(exp(coalesce(col("ssum") / col("n_tokens"), lit(0.0)))).as("pseudo_ppl"))
+      .orderBy("doc_id")
+  }
+
+  val unigramSurprisalSql: String =
+    s"""WITH tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$TokRe')) AS term
+       |            FROM documents),
+       |c AS (SELECT term, count(*) AS c FROM tk GROUP BY term),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS ctot, count(*) AS v FROM c),
+       |lm AS (SELECT term, -ln((c + 1)::DOUBLE / (ctot + v)) AS surp FROM c, tot),
+       |per AS (SELECT doc_id, count(*) AS n_tokens,
+       |          CAST(sum(CAST(surp AS DECIMAL(30,8))) AS DOUBLE) AS ssum
+       |        FROM tk JOIN lm USING (term) GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(n_tokens, 0) AS n_tokens,
+       |  floor((coalesce(ssum / n_tokens, 0.0)) * 1000000 + 0.5) / 1000000 AS mean_surprisal,
+       |  floor((exp(coalesce(ssum / n_tokens, 0.0))) * 1000000 + 0.5) / 1000000 AS pseudo_ppl
+       |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
+  // ---- q56: character-level Shannon entropy -------------------------------
+
+  /** ln(2) as an exact double literal: dividing by each engine's own
+    * libm-computed log(2) could differ in the last ulp. */
+  private val Ln2 = 0.6931471805599453
+
+  /** Per-document character entropy in bits plus distinct-char count — the
+    * gibberish/boilerplate detector (low entropy = repetitive filler, high
+    * = random noise). Chars explode from sequence+substring (codegen); the
+    * per-char p·ln p terms sum in DECIMAL per doc (≤ ~90 terms). */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val chars = docs(spark, dir)
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")))).as("i"))
+      .select(col("doc_id"), expr("substr(text, i, 1)").as("ch"))
+    val cnt = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    val per = cnt.groupBy("doc_id")
+      .agg(sum("c").as("n"), count(lit(1)).as("n_distinct_chars"))
+    val ent = cnt.join(per, "doc_id")
+      .select(col("doc_id"), col("n_distinct_chars"),
+        (col("c").cast("double") / col("n") *
+          log(col("c").cast("double") / col("n"))).as("term"))
+      .groupBy("doc_id", "n_distinct_chars")
+      .agg((-dsum(col("term")) / Ln2).as("ebits"))
+    docs(spark, dir).select("doc_id").join(ent, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_distinct_chars"), lit(0L)).as("n_distinct_chars"),
+        r6(coalesce(col("ebits"), lit(0.0))).as("entropy_bits"))
+      .orderBy("doc_id")
+  }
+
+  val charEntropySql: String =
+    s"""WITH ch AS (
+       |  SELECT doc_id, unnest([substring(text, i, 1)
+       |                         FOR i IN range(1, length(text) + 1)]) AS ch
+       |  FROM documents WHERE length(text) > 0),
+       |cnt AS (SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY 1, 2),
+       |per AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_distinct_chars
+       |        FROM cnt GROUP BY doc_id),
+       |ent AS (SELECT cnt.doc_id, n_distinct_chars,
+       |          -CAST(sum(CAST((c::DOUBLE / n) * ln(c::DOUBLE / n) AS DECIMAL(30,8)))
+       |            AS DOUBLE) / $Ln2 AS ebits
+       |        FROM cnt JOIN per ON cnt.doc_id = per.doc_id
+       |        GROUP BY cnt.doc_id, n_distinct_chars)
+       |SELECT d.doc_id, coalesce(n_distinct_chars, 0) AS n_distinct_chars,
+       |  floor((coalesce(ebits, 0.0)) * 1000000 + 0.5) / 1000000 AS entropy_bits
+       |FROM documents d LEFT JOIN ent ON d.doc_id = ent.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_unigram_surprisal" -> (unigramSurprisal _),
+    "q56_char_entropy" -> (charEntropy _),
     "q46_lang_mixture" -> (langMixture _),
     "q47_sequence_packing" -> (sequencePacking _),
     "q39_repetition_stats" -> (repetitionStats _),
@@ -543,6 +639,8 @@ object TextAnalysisOps {
     "q35_simhash" -> (simhash _))
 
   val oracles: Map[String, String] = Map(
+    "q55_unigram_surprisal" -> unigramSurprisalSql,
+    "q56_char_entropy" -> charEntropySql,
     "q46_lang_mixture" -> langMixtureSql,
     "q47_sequence_packing" -> sequencePackingSql,
     "q39_repetition_stats" -> repetitionStatsSql,
