@@ -337,9 +337,62 @@ object EventsOps {
       |    AS p
       |FROM t ORDER BY from_type, to_type""".stripMargin
 
+  // ---- q69: hourly-volume anomaly detection -------------------------------
+
+  /** Per-type hourly volume z-scores with an anomaly flag (|z| > 2) — the
+    * monitoring-style outlier scan. Cross-engine determinism trick: the
+    * moments accumulate as EXACT integer sums (n, Σc, Σc²) and mean /
+    * variance / z derive from those longs with the SAME double expression
+    * shape in both engines — no stddev_samp, whose internal accumulation
+    * order differs across engines. Sample variance
+    * (Σc² − Σc·Σc/n)/(n−1); a constant series (sd = 0) z-scores to 0.
+    * Two tiny aggregates after the hourly rollup; scale-safe. */
+  def eventAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = events(spark, dir)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_epoch"),
+        col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val moments = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("c").as("s"), sum(col("c") * col("c")).as("sq"))
+      .filter(col("n") > 1)
+      .select(col("event_type"),
+        (col("s").cast("double") / col("n").cast("double")).as("mean"),
+        sqrt((col("sq").cast("double") -
+          col("s").cast("double") * col("s").cast("double") / col("n").cast("double")) /
+          (col("n").cast("double") - 1.0)).as("sd"))
+    hourly.join(moments, "event_type")
+      .select(col("event_type"), col("hour_epoch"), col("c"),
+        r6(when(col("sd") === 0.0, 0.0)
+          .otherwise((col("c").cast("double") - col("mean")) / col("sd"))).as("z"))
+      .withColumn("is_anomaly", abs(col("z")) > 2.0)
+      .orderBy("event_type", "hour_epoch")
+  }
+
+  val eventAnomaliesSql: String =
+    """WITH h AS (
+      |  SELECT event_type,
+      |    CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT event_type, count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+      |    CAST(sum(c * c) AS BIGINT) AS sq
+      |  FROM h GROUP BY event_type HAVING count(*) > 1),
+      |ms AS (
+      |  SELECT event_type, s::DOUBLE / n::DOUBLE AS mean,
+      |    sqrt((sq::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE) / (n::DOUBLE - 1.0)) AS sd
+      |  FROM m),
+      |z AS (
+      |  SELECT h.event_type, hour_epoch, c,
+      |    floor((CASE WHEN sd = 0.0 THEN 0.0 ELSE (c::DOUBLE - mean) / sd END) * 1000000 + 0.5) / 1000000 AS z
+      |  FROM h JOIN ms ON h.event_type = ms.event_type)
+      |SELECT event_type, hour_epoch, c, z, abs(z) > 2.0 AS is_anomaly
+      |FROM z ORDER BY event_type, hour_epoch""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_event_anomalies" -> (eventAnomalies _),
     "q67_retention_cohorts" -> (retentionCohorts _),
     "q68_event_transitions" -> (eventTransitions _),
     "q66_funnel" -> (funnel _),
@@ -351,6 +404,7 @@ object EventsOps {
     "q64_json_prop_histogram" -> (jsonPropHistogram _))
 
   val oracles: Map[String, String] = Map(
+    "q69_event_anomalies" -> eventAnomaliesSql,
     "q67_retention_cohorts" -> retentionCohortsSql,
     "q68_event_transitions" -> eventTransitionsSql,
     "q66_funnel" -> funnelSql,

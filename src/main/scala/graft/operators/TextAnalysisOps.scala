@@ -620,9 +620,59 @@ object TextAnalysisOps {
        |FROM documents d LEFT JOIN ent ON d.doc_id = ent.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- q57: word-trigram novelty ------------------------------------------
+
+  /** Cross-corpus novelty: the fraction of a document's distinct word
+    * trigrams that appear in NO other document (df = 1) — high novelty
+    * marks original content, low marks boilerplate. One shuffle keyed on
+    * the trigram for the df aggregate (high-cardinality key — the same
+    * scale shape as the q43 Jaccard blocking), one per-doc aggregate.
+    * The ratio divides two exact longs. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir).select(col("doc_id"), TextOps.tokenize(col("text")).as("t"))
+    val tri = toks.filter(size(col("t")) >= 3)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 2)).as("i"))
+      .select(col("doc_id"), concat_ws(" ",
+        element_at(col("t"), col("i")),
+        element_at(col("t"), col("i") + 1),
+        element_at(col("t"), col("i") + 2)).as("g"))
+      .distinct()
+    val df = tri.groupBy("g").agg(count(lit(1)).as("df"))
+    val per = tri.join(df, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct_trigrams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+    docs(spark, dir).select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_distinct_trigrams"), lit(0L)).as("n_distinct_trigrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        r6(coalesce(col("n_novel").cast("double") / col("n_distinct_trigrams"),
+          lit(0.0))).as("novelty_frac"))
+      .orderBy("doc_id")
+  }
+
+  val ngramNoveltySql: String =
+    s"""WITH tk AS (SELECT doc_id, regexp_extract_all(lower(text), '$TokRe') AS t
+       |            FROM documents),
+       |tri AS (SELECT DISTINCT doc_id, array_to_string(t[i : i + 2], ' ') AS g
+       |        FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+       |              FROM tk WHERE len(t) >= 3)),
+       |df AS (SELECT g, count(*) AS df FROM tri GROUP BY g),
+       |per AS (SELECT doc_id, count(*) AS n_distinct_trigrams,
+       |          CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+       |        FROM tri JOIN df USING (g) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  coalesce(n_distinct_trigrams, 0) AS n_distinct_trigrams,
+       |  coalesce(n_novel, 0) AS n_novel,
+       |  floor((coalesce(n_novel::DOUBLE / n_distinct_trigrams, 0.0)) * 1000000 + 0.5) / 1000000
+       |    AS novelty_frac
+       |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q57_ngram_novelty" -> (ngramNovelty _),
     "q55_unigram_surprisal" -> (unigramSurprisal _),
     "q56_char_entropy" -> (charEntropy _),
     "q46_lang_mixture" -> (langMixture _),
@@ -639,6 +689,7 @@ object TextAnalysisOps {
     "q35_simhash" -> (simhash _))
 
   val oracles: Map[String, String] = Map(
+    "q57_ngram_novelty" -> ngramNoveltySql,
     "q55_unigram_surprisal" -> unigramSurprisalSql,
     "q56_char_entropy" -> charEntropySql,
     "q46_lang_mixture" -> langMixtureSql,

@@ -81,6 +81,31 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("novelty: n_novel <= n_distinct_trigrams; frac consistent; all docs") {
+    val rows = TextAnalysisOps.ngramNovelty(spark, dir).collect()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      val (n, novel, frac) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(novel <= n, r.toString)
+      if (n > 0) assert(math.abs(frac - novel.toDouble / n) < 1e-6, r.toString)
+      else assert(frac == 0.0)
+    }
+  }
+
+  test("anomalies: z-scores per type sum to ~0; flag matches |z|>2") {
+    val rows = EventsOps.eventAnomalies(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (tpe, rs) =>
+      // standardized scores are centered (up to r6 rounding per row)
+      val zsum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(zsum) < 1e-4 * rs.length, s"$tpe: $zsum")
+    }
+    rows.foreach { r =>
+      assert(r.getBoolean(4) == (math.abs(r.getDouble(3)) > 2.0), r.toString)
+    }
+  }
+
   test("frame sample: offsets are stride-aligned; byte values are ASCII") {
     val rows = MultimodalOps.frameSample(spark, dir).limit(5000).collect()
     assert(rows.nonEmpty)
