@@ -13,6 +13,13 @@ final case class EventRow(
 final case class UserRunning(
     user_id: Long, n_events: Long, total_value: Double, n_errors: Long)
 
+/** One observed (from → to) step in a user's event stream. */
+final case class TransitionEdge(user_id: Long, from_type: String, to_type: String)
+
+/** Per-user cursor for the transition stream: the last event seen, in the
+  * same (ts, event_id) total order the batch twin sorts by. */
+final case class LastSeen(ts_ms: Long, ts_nanos: Int, event_id: Long, event_type: String)
+
 /** Structured Streaming twins of the batch events operators: the same
   * aggregations expressed over an unbounded stream with event-time
   * watermarks. A micro-batch over a bounded source produces exactly the
@@ -74,6 +81,32 @@ object StreamingOps {
             idleTimeout.foreach(state.setTimeoutDuration)
             Iterator(acc)
           }
+        })
+  }
+
+  /** Streaming twin of EventsOps.eventTransitions' edge extraction: emits
+    * every (from_type → to_type) step of each user's stream, carrying the
+    * LAST event across micro-batch boundaries as keyed state — so an edge
+    * spanning two batches is still observed exactly once. Within a batch
+    * the group's events sort by (ts, event_id), the same total order the
+    * batch lead() window uses; counting the emitted edges downstream
+    * reproduces the batch transition matrix. State is one small record per
+    * user (bounded by key cardinality; add a timeout like
+    * runningUserTotals' on an unbounded keyspace). */
+  def transitionEdges(events: Dataset[EventRow]): Dataset[TransitionEdge] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, batch: Iterator[EventRow], state: GroupState[LastSeen]) => {
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          var prev = state.getOption
+          val edges = Seq.newBuilder[TransitionEdge]
+          sorted.foreach { e =>
+            prev.foreach(p => edges += TransitionEdge(uid, p.event_type, e.event_type))
+            prev = Some(LastSeen(e.ts.getTime, e.ts.getNanos, e.event_id, e.event_type))
+          }
+          prev.foreach(state.update)
+          edges.result().iterator
         })
   }
 

@@ -84,6 +84,34 @@ class StreamingSpec extends SparkSpec {
       abs(col("g.total_value") - col("e.total_value")) > 1e-6).isEmpty)
   }
 
+  test("streaming transition edges reproduce the batch transition matrix") {
+    import graft.streaming.{EventRow, StreamingOps}
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents().map(e =>
+      EventRow(e.event_id, e.ts, e.user_id, e.event_type, e.value))
+    // split mid-stream so edges span the micro-batch boundary
+    val (first, second) = events.splitAt(events.size / 2)
+
+    val stream = MemoryStream[EventRow]
+    val q = StreamingOps.transitionEdges(stream.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("edges_out").start()
+    try {
+      stream.addData(first); q.processAllAvailable()
+      stream.addData(second); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("edges_out")
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+
+    val batch = graft.operators.EventsOps
+      .eventTransitions(spark, "/root/testdata/sf0.001")
+      .select("from_type", "to_type", "n")
+
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming dedup keeps exactly one document per content fingerprint") {
     implicit val sqlCtx = spark.sqlContext
     case class Doc(doc_id: Long, text: String)
