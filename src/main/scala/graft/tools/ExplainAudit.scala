@@ -11,10 +11,12 @@ object ExplainAudit {
     val spark = graft.Cli.session()
 
     val targets = Seq("q01_pricing_summary", "q02_top_revenue_orders",
-      "q03_region_revenue", "q22_bm25_topk", "q24_cosine_topk",
+      "q03_region_revenue", "q13_cube_summary", "q22_bm25_topk", "q24_cosine_topk",
       "q39_repetition_stats", "q42_minhash_dup_pairs", "q45_decontamination",
       "q46_lang_mixture", "q47_sequence_packing", "q50_ann_bruteforce",
-      "q53_embedding_quantization", "q62_user_sessions", "q70_media_meta")
+      "q53_embedding_quantization", "q55_unigram_surprisal", "q56_char_entropy",
+      "q62_user_sessions", "q67_retention_cohorts", "q69_event_anomalies",
+      "q70_media_meta", "q72_frame_sample")
 
     targets.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
