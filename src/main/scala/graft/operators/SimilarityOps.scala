@@ -236,15 +236,72 @@ object SimilarityOps {
       |  floor((max(abs(err))) * 1000000 + 0.5) / 1000000 AS max_abs_err
       |FROM er GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // ---- q58: per-cluster centroid quality audit ----------------------------
+
+  /** IVF index-health stats per cluster: member count, centroid L2 norm,
+    * and the mean / worst member-to-centroid cosine — the numbers that
+    * decide when a partition needs re-clustering (low mean cohesion) or
+    * splitting (fat clusters). Centroid means accumulate per (label, pos)
+    * in DECIMAL(38,18) (parallel double sums are order-dependent); the
+    * member cosines then re-use the q51 centroid-vs-float HOF path, and
+    * per-label cosine means ride dsum. Shuffles: one long-form aggregate
+    * keyed (label, pos), one per-label aggregate — both partial-agg
+    * friendly; centroids are cluster-count-sized and broadcast back. */
+  def centroidStats(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val ex = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v0")))
+      .select(col("label"), col("pos"), col("v0").cast("double").as("v"))
+    val cent = ex.groupBy("label", "pos")
+      .agg((sum(col("v").cast("decimal(38,18)")).cast("double") / count(lit(1))).as("m"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+        s => s.getField("m")).as("centroid"))
+      .withColumn("cnorm",
+        sqrt(aggregate(transform(col("centroid"), x => x * x), lit(0.0), (a, v) => a + v)))
+    e.join(broadcast(cent), "label")
+      .select(col("label"), col("cnorm"),
+        cosineHof(col("embedding"), col("centroid")).as("cos"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        r6(first(col("cnorm"))).as("centroid_norm"),
+        r6(davg(col("cos"))).as("mean_cos"),
+        r6(min(col("cos"))).as("min_cos"))
+      .select(col("label").cast("long").as("label"), col("n_vecs"),
+        col("centroid_norm"), col("mean_cos"), col("min_cos"))
+      .orderBy("label")
+  }
+
+  val centroidStatsSql: String =
+    s"""WITH ex AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+       |                   (unnest(embedding))::DOUBLE AS v FROM embeddings),
+       |cm AS (SELECT label, pos,
+       |         CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
+       |       FROM ex GROUP BY 1, 2),
+       |cent AS (SELECT label, list(m ORDER BY pos) AS centroid FROM cm GROUP BY label),
+       |cn AS (SELECT label, centroid,
+       |         sqrt(list_sum([centroid[i] * centroid[i]
+       |                        FOR i IN range(1, len(centroid) + 1)])) AS cnorm
+       |       FROM cent),
+       |sc AS (SELECT e.label, cnorm, ${sqlCos("e.embedding", "centroid")} AS cos
+       |       FROM embeddings e JOIN cn ON e.label = cn.label)
+       |SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
+       |  floor((any_value(cnorm)) * 1000000 + 0.5) / 1000000 AS centroid_norm,
+       |  floor((CAST(sum(CAST(cos AS DECIMAL(30,8))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS mean_cos,
+       |  floor((min(cos)) * 1000000 + 0.5) / 1000000 AS min_cos
+       |FROM sc GROUP BY label ORDER BY label""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q58_centroid_stats" -> (centroidStats _),
     "q50_ann_bruteforce" -> (annBruteForce _),
     "q51_ann_ivf" -> (annIvf _),
     "q52_ann_lsh" -> (annLsh _),
     "q53_embedding_quantization" -> (embeddingQuantization _))
 
   val oracles: Map[String, String] = Map(
+    "q58_centroid_stats" -> centroidStatsSql,
     "q50_ann_bruteforce" -> annBruteForceSql,
     "q51_ann_ivf" -> annIvfSql,
     "q52_ann_lsh" -> annLshSql,

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{EventsOps, MultimodalOps, RelationalOps, TextAnalysisOps}
+import graft.operators.{EventsOps, MultimodalOps, RelationalOps, SimilarityOps, TextAnalysisOps}
 
 /** Invariant specs for the round-4 operators (q13/q14, q55/q56, q67/q68,
   * q72). The cross-engine value check is the DuckDB oracle gate; these pin
@@ -103,6 +103,19 @@ class Round4OpsSpec extends SparkSpec {
     }
     rows.foreach { r =>
       assert(r.getBoolean(4) == (math.abs(r.getDouble(3)) > 2.0), r.toString)
+    }
+  }
+
+  test("centroid stats: member counts partition the table; cosines coherent") {
+    val rows = SimilarityOps.centroidStats(spark, dir).collect()
+    val total = spark.read.parquet(s"$dir/embeddings.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      val (norm, mean, mn) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(norm > 0, r.toString)
+      assert(mn <= mean && mean <= 1.0 + 1e-9, r.toString)
+      // clustered synthetic data: members should cohere with their centroid
+      assert(mean > 0.0, r.toString)
     }
   }
 
