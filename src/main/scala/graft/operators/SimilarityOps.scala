@@ -12,10 +12,11 @@ import graft.functions.CosineSimilarity.cosineSim
   * Three tiers, mirroring how a 100 TB similarity pipeline scales:
   *   - brute force: one codegen'd cosine scan — the correctness baseline,
   *     O(N) per query, embarrassingly parallel, no shuffle;
-  *   - IVF: coarse-quantize by cluster (here: the provided `label` as the
-  *     cluster id, centroids = per-cluster mean), probe the nprobe nearest
-  *     clusters only — at scale the table is PARTITIONED BY cluster so the
-  *     probe is partition pruning, not a filter;
+  *   - IVF: a LEARNED coarse quantizer (fixed-iteration Lloyd k-means,
+  *     hash-seeded — see [[kmeansModel]]) assigns every vector to a
+  *     cluster; queries probe only the nprobe nearest clusters — at scale
+  *     the index is written PARTITIONED BY cluster so the probe is
+  *     partition pruning (PartitionPruningSpec), not a post-scan filter;
   *   - LSH: sign-random-projection bucketing against fixed anchor vectors —
   *     bucket ids are computable row-local (map-side), candidates co-group
   *     by bucket key, so the candidate join is a hash join on a short key.
@@ -34,9 +35,10 @@ object SimilarityOps {
     spark.read.parquet(s"$dir/embeddings.parquet")
 
   /** Double-precision cosine between two array columns of any numeric
-    * element type, via higher-order functions (used where one side is a
-    * double-typed centroid; the float-float hot path uses the native
-    * expression instead).
+    * element type via higher-order functions. NOT used on any query hot
+    * path (interpreted; see SCALE.md) — kept as the readable reference
+    * formulation that OperatorSpec pins the native codegen'd
+    * [[graft.functions.CosineSimilarity]] expression against.
     */
   def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
@@ -84,32 +86,146 @@ object SimilarityOps {
        |SELECT vec_id, rank, floor((cos) * 1000000 + 0.5) / 1000000 AS cos FROM rk
        |WHERE rank <= $TopK ORDER BY rank""".stripMargin
 
-  // ---- q51: IVF (coarse clusters = label, probe nearest centroids) --------
+  // ---- learned IVF coarse quantizer (fixed-iteration Lloyd k-means) -------
+
+  /** Cluster count (matches the corpus's natural group count so the
+    * label-IVF → learned-IVF recall comparison in KmeansIvfSpec is
+    * apples-to-apples) and Lloyd update count. Both are FIXED so the whole
+    * training run unrolls into the DuckDB oracle (kmeansCtes), exactly
+    * like q49's fixed propagation rounds. */
+  val KmeansK = 10
+  val KmeansIters = 2
+
+  private val kmeansCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+
+  /** Long-form (vec_id, pos, v::double) exploded embeddings — the shape
+    * every quantizer step works in (posexplode keeps the arithmetic in
+    * whole-stage codegen; array HOFs run interpreted). */
+  private def embLong(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v0")))
+      .select(col("vec_id"), col("pos"), col("v0").cast("double").as("v"))
+
+  /** Squared-L2 distance frame (vec_id, cluster, dist) against a long-form
+    * centroid frame. Per-term doubles are exact in both engines; the sum
+    * accumulates in DECIMAL(38,18) so partition order can't perturb the
+    * argmin comparisons that drive cluster assignment. */
+  private def sqDist(ex: DataFrame, cent: DataFrame): DataFrame =
+    ex.join(broadcast(cent), "pos")
+      .groupBy("vec_id", "cluster")
+      .agg(sum(((col("v") - col("c")) * (col("v") - col("c")))
+        .cast("decimal(38,18)")).as("dist"))
+
+  /** One assignment pass: nearest centroid by exact-decimal squared-L2,
+    * ties to the lowest cluster id. min(struct(dist, cluster)) is the
+    * argmin with a map-side partial aggregate — no window, no extra
+    * shuffle beyond the (vec_id, cluster) distance agg. */
+  private def assignTo(ex: DataFrame, cent: DataFrame): DataFrame =
+    sqDist(ex, cent)
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cluster"))).as("best"))
+      .select(col("vec_id"), col("best.cluster").as("cluster"))
+
+  /** Trained IVF coarse quantizer: k-means over the full embeddings table
+    * with hash-seeded deterministic init (the KmeansK lowest
+    * (md5(vec_id), vec_id) vectors — a global top-K, not a global sort)
+    * and KmeansIters Lloyd updates, then one final quantization pass
+    * assigning every vector to the trained centroids.
+    *
+    * Returns (centroids long-form (cluster, pos, c), assignment
+    * (vec_id, cluster)), memoized + cached per (appId, dir) — q51 and q58
+    * share one training run, like the retrieval index memos.
+    *
+    * Every arithmetic step is engine-portable by construction: centroid
+    * means are DECIMAL-accumulated sums over exact float→double terms
+    * (the proven q58 pattern), distances are DECIMAL sums of exact double
+    * products, and both argmins tie-break on cluster id — so the DuckDB
+    * oracle (kmeansCtes) reproduces training bit-for-bit.
+    *
+    * Scale shape: each Lloyd pass is one broadcast join (centroids are
+    * K×dims rows) + two partial-aggregate shuffles keyed (vec_id, cluster)
+    * / (cluster, pos); nothing global, nothing driver-side. At 100 TB the
+    * standard refinement is training on a hash-sample
+    * (pmod(hash(vec_id), R) = 0) before the full-corpus quantization pass —
+    * the fixed-iteration structure is unchanged. */
+  def kmeansModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    kmeansCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
+      val ex = embLong(spark, dir)
+      val seeds = emb(spark, dir)
+        .select(col("vec_id"), md5(col("vec_id").cast("string")).as("mk"))
+        .orderBy(col("mk"), col("vec_id")).limit(KmeansK)
+        .select(col("vec_id"),
+          (row_number().over(Window.orderBy(col("mk"), col("vec_id"))) - 1)
+            .cast("long").as("cluster"))
+      var cent = ex.join(broadcast(seeds), "vec_id")
+        .select(col("cluster"), col("pos"), col("v").as("c"))
+      for (_ <- 1 to KmeansIters) {
+        val asg = assignTo(ex, cent)
+        cent = ex.join(asg, "vec_id")
+          .groupBy("cluster", "pos")
+          .agg((sum(col("v").cast("decimal(38,18)")).cast("double") / count(lit(1)))
+            .as("c"))
+      }
+      (cent.cache(), assignTo(ex, cent).cache())
+    })
+
+  /** Shared q51/q58 oracle CTEs ending in kcent(cluster, pos, c) and
+    * kasg(vec_id, cluster) — ONE unrolled k-means derivation mirroring
+    * kmeansModel exactly (same pattern as chunkCtes / minhashCtes), so the
+    * IVF oracle and the centroid-audit oracle can't drift. */
+  private[operators] val kmeansCtes: String = {
+    val header = Seq(
+      "kex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos, (unnest(embedding))::DOUBLE AS v FROM embeddings)",
+      s"""kseed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY mk, vec_id) - 1 AS BIGINT) AS cluster
+         |          FROM (SELECT vec_id, md5(vec_id::VARCHAR) AS mk FROM embeddings
+         |                ORDER BY mk, vec_id LIMIT $KmeansK))""".stripMargin,
+      "kc0 AS (SELECT cluster, pos, v AS c FROM kseed JOIN kex USING (vec_id))")
+    def assignSql(n: String, from: String) =
+      s"""$n AS (SELECT vec_id, cluster FROM (
+         |  SELECT vec_id, cluster,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+         |  FROM $from) WHERE rn = 1)""".stripMargin
+    def distSql(n: String, cent: String) =
+      s"""$n AS (SELECT kex.vec_id, $cent.cluster,
+         |  sum(CAST((v - c) * (v - c) AS DECIMAL(38,18))) AS dist
+         |FROM kex JOIN $cent USING (pos) GROUP BY 1, 2)""".stripMargin
+    val iters = (1 to KmeansIters).flatMap { t =>
+      Seq(
+        distSql(s"kd$t", s"kc${t - 1}"),
+        assignSql(s"ka$t", s"kd$t"),
+        s"""kc$t AS (SELECT cluster, pos,
+           |  CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS c
+           |FROM ka$t JOIN kex USING (vec_id) GROUP BY 1, 2)""".stripMargin)
+    }
+    val tail = Seq(
+      s"kcent AS (SELECT cluster, pos, c FROM kc$KmeansIters)",
+      distSql("kdf", "kcent"),
+      assignSql("kasg", "kdf"))
+    (header ++ iters ++ tail).mkString(",\n")
+  }
+
+  // ---- q51: IVF with the learned quantizer ---------------------------------
 
   def annIvf(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
-
-    // Per-cluster mean centroid (double), rebuilt as an array ordered by pos.
-    val centroids = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("label", "pos").agg(avg(col("v").cast("double")).as("m"))
-      .groupBy("label")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m")).as("centroid"))
+    val (cent, asg) = kmeansModel(spark, dir)
 
     val q = e.filter(col("vec_id") === QueryVecId)
       .select(col("embedding").as("q_embedding"))
 
-    // Probe the NProbe clusters whose centroids are nearest to the query.
-    val probed = centroids.crossJoin(broadcast(q))
-      .select(col("label"), cosineHof(col("centroid"), col("q_embedding")).as("ccos"))
-      .orderBy(col("ccos").desc, col("label").asc)
+    // Probe the NProbe clusters nearest to the query by squared-L2 — the
+    // quantizer's own training metric. K rows total; driver-free top-k.
+    val probed = sqDist(embLong(spark, dir).filter(col("vec_id") === QueryVecId), cent)
+      .orderBy(col("dist").asc, col("cluster").asc)
       .limit(NProbe)
-      .select("label")
+      .select("cluster")
 
-    // At scale `e` is partitioned by cluster id: this join IS partition
-    // pruning. Search only within probed clusters.
-    e.join(broadcast(probed), "label")
+    // At scale the index is written partitionBy(cluster) (see
+    // PartitionPruningSpec): this probe join IS partition pruning —
+    // only the probed clusters' files are read.
+    e.join(asg, "vec_id")
+      .join(broadcast(probed), "cluster")
       .crossJoin(broadcast(q))
       .select(col("vec_id"), cosineSim(col("embedding"), col("q_embedding")).as("cos"))
       .orderBy(col("cos").desc, col("vec_id").asc)
@@ -122,16 +238,14 @@ object SimilarityOps {
   }
 
   val annIvfSql: String =
-    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $QueryVecId),
-       |cpos AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
-       |                unnest(embedding) AS v FROM embeddings),
-       |cmean AS (SELECT label, pos, avg(v::DOUBLE) AS m FROM cpos GROUP BY 1, 2),
-       |cent AS (SELECT label, list(m ORDER BY pos) AS centroid FROM cmean GROUP BY label),
-       |probe AS (SELECT label FROM
-       |            (SELECT label, ${sqlCos("centroid", "qe")} AS ccos FROM cent, q)
-       |          ORDER BY ccos DESC, label ASC LIMIT $NProbe),
-       |sc AS (SELECT vec_id, ${sqlCos("embedding", "qe")} AS cos
-       |       FROM embeddings JOIN probe USING (label), q),
+    s"""WITH $kmeansCtes,
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $QueryVecId),
+       |qd AS (SELECT cluster, sum(CAST((v - c) * (v - c) AS DECIMAL(38,18))) AS dist
+       |       FROM (SELECT pos, v FROM kex WHERE vec_id = $QueryVecId) qx
+       |       JOIN kcent USING (pos) GROUP BY 1),
+       |probe AS (SELECT cluster FROM qd ORDER BY dist ASC, cluster ASC LIMIT $NProbe),
+       |sc AS (SELECT e.vec_id, ${sqlCos("e.embedding", "qe")} AS cos
+       |       FROM embeddings e JOIN kasg USING (vec_id) JOIN probe USING (cluster), q),
        |rk AS (SELECT vec_id, cos,
        |         row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank FROM sc)
        |SELECT vec_id, rank, floor((cos) * 1000000 + 0.5) / 1000000 AS cos FROM rk
@@ -236,60 +350,62 @@ object SimilarityOps {
       |  floor((max(abs(err))) * 1000000 + 0.5) / 1000000 AS max_abs_err
       |FROM er GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
-  // ---- q58: per-cluster centroid quality audit ----------------------------
+  // ---- q58: per-cluster centroid quality audit (learned clusters) ---------
 
-  /** IVF index-health stats per cluster: member count, centroid L2 norm,
-    * and the mean / worst member-to-centroid cosine — the numbers that
-    * decide when a partition needs re-clustering (low mean cohesion) or
-    * splitting (fat clusters). Centroid means accumulate per (label, pos)
-    * in DECIMAL(38,18) (parallel double sums are order-dependent); the
-    * member cosines then re-use the q51 centroid-vs-float HOF path, and
-    * per-label cosine means ride dsum. Shuffles: one long-form aggregate
-    * keyed (label, pos), one per-label aggregate — both partial-agg
-    * friendly; centroids are cluster-count-sized and broadcast back. */
+  /** IVF index-health stats per LEARNED cluster: member count, centroid L2
+    * norm, and the mean / worst member-to-centroid cosine — the numbers
+    * that decide when a partition needs re-clustering (low mean cohesion)
+    * or splitting (fat clusters). Consumes the shared kmeansModel build.
+    *
+    * All cosine components stay in long form (dot, |v|, |c| from
+    * DECIMAL-accumulated sums — whole-stage codegen, no interpreted array
+    * HOFs); centroids and their norms are K-sized and broadcast back.
+    * Shuffles: the model's own passes plus one (vec_id, cluster) partial
+    * agg and one per-cluster agg. */
   def centroidStats(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-    val ex = e
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v0")))
-      .select(col("label"), col("pos"), col("v0").cast("double").as("v"))
-    val cent = ex.groupBy("label", "pos")
-      .agg((sum(col("v").cast("decimal(38,18)")).cast("double") / count(lit(1))).as("m"))
-      .groupBy("label")
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-        s => s.getField("m")).as("centroid"))
-      .withColumn("cnorm",
-        sqrt(aggregate(transform(col("centroid"), x => x * x), lit(0.0), (a, v) => a + v)))
-    e.join(broadcast(cent), "label")
-      .select(col("label"), col("cnorm"),
-        cosineHof(col("embedding"), col("centroid")).as("cos"))
-      .groupBy("label")
+    val (cent, asg) = kmeansModel(spark, dir)
+    val cn = cent.groupBy("cluster")
+      .agg(sqrt(sum((col("c") * col("c")).cast("decimal(38,18)")).cast("double"))
+        .as("cnorm"))
+    val per = embLong(spark, dir)
+      .join(asg, "vec_id")
+      .join(broadcast(cent), Seq("cluster", "pos"))
+      .groupBy("vec_id", "cluster")
+      .agg(
+        sum((col("v") * col("c")).cast("decimal(38,18)")).cast("double").as("dot"),
+        sqrt(sum((col("v") * col("v")).cast("decimal(38,18)")).cast("double")).as("nv"))
+    per.join(broadcast(cn), "cluster")
+      .select(col("cluster"), col("cnorm"),
+        when(col("nv") === 0.0 || col("cnorm") === 0.0, 0.0)
+          .otherwise(col("dot") / (col("nv") * col("cnorm"))).as("cos"))
+      .groupBy("cluster")
       .agg(count(lit(1)).as("n_vecs"),
         r6(first(col("cnorm"))).as("centroid_norm"),
         r6(davg(col("cos"))).as("mean_cos"),
         r6(min(col("cos"))).as("min_cos"))
-      .select(col("label").cast("long").as("label"), col("n_vecs"),
-        col("centroid_norm"), col("mean_cos"), col("min_cos"))
-      .orderBy("label")
+      .orderBy("cluster")
   }
 
   val centroidStatsSql: String =
-    s"""WITH ex AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
-       |                   (unnest(embedding))::DOUBLE AS v FROM embeddings),
-       |cm AS (SELECT label, pos,
-       |         CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
-       |       FROM ex GROUP BY 1, 2),
-       |cent AS (SELECT label, list(m ORDER BY pos) AS centroid FROM cm GROUP BY label),
-       |cn AS (SELECT label, centroid,
-       |         sqrt(list_sum([centroid[i] * centroid[i]
-       |                        FOR i IN range(1, len(centroid) + 1)])) AS cnorm
-       |       FROM cent),
-       |sc AS (SELECT e.label, cnorm, ${sqlCos("e.embedding", "centroid")} AS cos
-       |       FROM embeddings e JOIN cn ON e.label = cn.label)
-       |SELECT CAST(label AS BIGINT) AS label, count(*) AS n_vecs,
+    s"""WITH $kmeansCtes,
+       |cn AS (SELECT cluster,
+       |         sqrt(CAST(sum(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE)) AS cnorm
+       |       FROM kcent GROUP BY cluster),
+       |per AS (SELECT kex.vec_id, kasg.cluster,
+       |          CAST(sum(CAST(v * c AS DECIMAL(38,18))) AS DOUBLE) AS dot,
+       |          sqrt(CAST(sum(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE)) AS nv
+       |        FROM kex JOIN kasg ON kex.vec_id = kasg.vec_id
+       |        JOIN kcent ON kasg.cluster = kcent.cluster AND kex.pos = kcent.pos
+       |        GROUP BY 1, 2),
+       |sc AS (SELECT cluster, cnorm,
+       |         CASE WHEN nv = 0 OR cnorm = 0 THEN 0.0
+       |              ELSE dot / (nv * cnorm) END AS cos
+       |       FROM per JOIN cn USING (cluster))
+       |SELECT cluster, count(*) AS n_vecs,
        |  floor((any_value(cnorm)) * 1000000 + 0.5) / 1000000 AS centroid_norm,
        |  floor((CAST(sum(CAST(cos AS DECIMAL(30,8))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS mean_cos,
        |  floor((min(cos)) * 1000000 + 0.5) / 1000000 AS min_cos
-       |FROM sc GROUP BY label ORDER BY label""".stripMargin
+       |FROM sc GROUP BY cluster ORDER BY cluster""".stripMargin
 
   // -------------------------------------------------------------------------
 
