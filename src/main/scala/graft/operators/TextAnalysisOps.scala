@@ -203,15 +203,77 @@ object TextAnalysisOps {
 
   // ---- q34: document fingerprints (md5 + polynomial rolling hash) ---------
 
+  /** Chars per exploded block of the blockwise rolling hash. */
+  val RollBlock = 16
+  /** Exponent bits the unrolled modpow covers (docs up to 2^30 chars). */
+  private val RollPowBits = 30
+  /** rollPow2(i) = 31^(2^i) mod RollMod — literal constants for the
+    * unrolled square-and-multiply weight below. */
+  private val rollPow2: Array[Long] =
+    Iterator.iterate(31L % RollMod)(p => (BigInt(p) * p % RollMod).toLong)
+      .take(RollPowBits).toArray
+
+  /** Content fingerprints: md5 plus the polynomial rolling hash
+    * H = Σ_i c_i · 31^(len−1−i) mod (2^31−1) over the EM-normalized text.
+    *
+    * Scale note (VERDICT r5 #4): the original form folded an interpreted
+    * `aggregate` lambda over every character of every document — correct,
+    * but a 10–70× constant-factor killer on a full-corpus path (SCALE.md).
+    * This version keeps the hash bit-identical while staying inside
+    * whole-stage codegen end to end, using the block decomposition
+    * H = Σ_j V_j · 31^(e_j) mod M, where block j holds chars
+    * [j·B, j·B+k_j): V_j is the block's own Horner hash (unrolled to B
+    * guarded scalar steps — no lambda), e_j = len − j·B − k_j is the
+    * suffix length after the block, and 31^(e_j) mod M unrolls into
+    * RollPowBits square-and-multiply steps against the precomputed
+    * rollPow2 constants (modpow with a constant base needs no loop).
+    * Per-block contributions then sum with an ordinary map-side-partial
+    * `sum` — the shuffle carries one long per (doc, block/16-chars). */
   def fingerprints(spark: SparkSession, dir: String): DataFrame = {
     val s = TextOps.emKey(col("text"))
-    val codes = transform(sequence(lit(1), length(s)), i => ascii(s.substr(i, lit(1))))
-    val roll = when(length(s) === 0, 0L).otherwise(
-      aggregate(codes, lit(0L), (acc, c) => (acc * 31 + c) % RollMod))
-    docs(spark, dir).select(
-      col("doc_id"),
-      md5(s).as("md5_fp"),
-      roll.as("rolling_fp"))
+    val base = docs(spark, dir)
+      .select(col("doc_id"), s.as("s"), md5(s).as("md5_fp"), length(s).as("len"))
+
+    val blocks = base.filter(col("len") > 0)
+      .select(col("doc_id"), col("s"), col("len"),
+        explode(sequence(lit(0), expr(s"CAST((len - 1) DIV $RollBlock AS INT)")))
+          .as("j"))
+      .select(col("doc_id"), col("len"), col("j"),
+        col("s").substr(col("j") * RollBlock + 1, lit(RollBlock)).as("block"))
+      .withColumn("k", length(col("block")))
+
+    // Unrolled Horner over the block's (at most RollBlock) chars. The
+    // accumulator must appear exactly ONCE per level: a
+    // `when(c, f(acc)).otherwise(acc)` fold references the shared acc
+    // subtree in both branches, and Catalyst's tree transforms then
+    // visit it 2^depth times — the 30-level modpow below never finishes
+    // analysis in that shape. Guarding the FACTOR and ADDEND instead
+    // ((acc·f + a) mod M with f,a conditional) keeps each level's guard
+    // off the accumulator path: past-end positions use f=1, a=0, and
+    // `% RollMod` is identity there since acc < RollMod already.
+    val blockVal = (0 until RollBlock).foldLeft(lit(0L): Column) { (acc, i) =>
+      val inBlock = lit(i) < col("k")
+      val c = ascii(col("block").substr(lit(i + 1), lit(1))).cast("long")
+      (acc * when(inBlock, 31L).otherwise(1L) + when(inBlock, c).otherwise(0L)) % RollMod
+    }
+    // 31^e mod M, e = suffix chars after this block, via unrolled
+    // square-and-multiply on constant powers (all operands < 2^31, so
+    // every intermediate product fits a long). Same single-reference
+    // shape: each level multiplies by the constant power or by 1.
+    val suffix = (col("len") - col("j") * RollBlock - col("k")).cast("long")
+    val weight = (0 until RollPowBits).foldLeft(lit(1L): Column) { (acc, i) =>
+      (acc * when(shiftright(col("e"), i).bitwiseAND(1) === 1, rollPow2(i)).otherwise(1L)) % RollMod
+    }
+
+    val roll = blocks
+      .withColumn("e", suffix)
+      .withColumn("contrib", (blockVal * weight) % RollMod)
+      .groupBy("doc_id")
+      .agg((sum("contrib") % RollMod).as("roll"))
+
+    base.join(roll, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("md5_fp"),
+        coalesce(col("roll"), lit(0L)).as("rolling_fp"))
       .orderBy("doc_id")
   }
 
@@ -342,8 +404,10 @@ object TextAnalysisOps {
   /** Per-document keyword extraction: top-3 terms by sublinear TF-IDF,
     * ties by term ASC. */
   def topTermsPerDoc(spark: SparkSession, dir: String): DataFrame = {
-    val d = docs(spark, dir).select(col("doc_id"), col("doc_id").as("doc_idx"), col("text"))
-    val idx = graft.stats.TokenIndex.build(d, col("text"))
+    // Reuse the session-memoized index (VERDICT r5 #5): the inline
+    // TokenIndex.build here was a second, drift-prone copy of the build
+    // that RetrievalOps already caches per (appId, dir).
+    val idx = RetrievalOps.tokenIndex(spark, dir)
     val w = Window.partitionBy("doc_id").orderBy(col("w").desc, col("term").asc)
     idx.docTermFreq
       .join(idx.termStats.select("term", "idf"), "term")
@@ -447,37 +511,68 @@ object TextAnalysisOps {
   // ---- q47: sequence packing (token-budget bin assignment) ----------------
 
   val PackBudget = 256
+  /** Shards the packing layout runs over. Each shard packs its own chunks
+    * independently; 8 at sf0.1 stands in for O(thousands) at 100 TB. */
+  val PackShards = 8
 
-  /** Batch-assembly packing: lay the q36 chunks end-to-end in the
-    * deterministic (doc_id, chunk_id) order and assign each to the
-    * token-budget bin its START offset falls in — the contiguous-packing
-    * pass that turns a chunked corpus into fixed-budget training
-    * sequences, with no RNG and no data movement beyond one running sum.
+  /** Per-shard batch-assembly packing (VERDICT r5 #3): chunks are split
+    * across PackShards deterministic shards (md5 of doc_id — reproducible
+    * in any engine, unlike Spark's murmur3 `hash`), each shard lays ITS
+    * chunks end-to-end in (doc_id, chunk_id) order and assigns each chunk
+    * to the token-budget bin its start offset falls in, and shard-local
+    * bin ids are then lifted to disjoint global ids by adding the total
+    * bin count of all earlier shards.
     *
-    * The global cumulative sum is a single ordered window here (exactly
-    * the reference-style deterministic layout); at 100 TB packing runs
-    * per shard — partition the window by a shard key and offset bin ids
-    * by per-shard totals computed with one tiny aggregate. */
-  def sequencePacking(spark: SparkSession, dir: String): DataFrame = {
+    * Scale shape: the running sum is a window PARTITIONED BY shard — S
+    * parallel tasks, never a single-partition Exchange over the corpus.
+    * The lift needs one S-row aggregate (bins per shard) and a
+    * triangular self-join on that S-row frame to form exclusive prefix
+    * sums — deliberately NOT a global window, so no SinglePartition
+    * exchange appears anywhere in the plan (PackingShardSpec asserts
+    * this). shards=1 degenerates to the original single-sequence layout. */
+  def sequencePacking(spark: SparkSession, dir: String): DataFrame =
+    sequencePackingSharded(spark, dir, PackShards)
+
+  private[operators] def shardOf(c: Column, shards: Int): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long") % shards
+
+  def sequencePackingSharded(spark: SparkSession, dir: String, shards: Int): DataFrame = {
     val ch = docChunks(spark, dir).select("doc_id", "chunk_id", "chunk_tokens")
-    val w = Window.orderBy("doc_id", "chunk_id").rowsBetween(Window.unboundedPreceding, 0)
-    ch.withColumn("cum", sum(col("chunk_tokens")).over(w))
-      // DIV, not `/`: Column division on longs is DOUBLE in Spark; DIV is
-      // the integral division matching the oracle's `//`.
+      .withColumn("shard", shardOf(col("doc_id"), shards))
+    val w = Window.partitionBy("shard").orderBy("doc_id", "chunk_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    // DIV, not `/`: Column division on longs is DOUBLE in Spark; DIV is
+    // the integral division matching the oracle's `//`.
+    val local = ch.withColumn("cum", sum(col("chunk_tokens")).over(w))
+      .withColumn("local_bin", expr(s"(cum - chunk_tokens) DIV $PackBudget"))
+    val nbins = local.groupBy("shard").agg((max("local_bin") + 1).as("nbins"))
+    val offsets = nbins.as("a")
+      .join(nbins.as("b"), col("b.shard") < col("a.shard"), "left")
+      .groupBy(col("a.shard").as("shard"))
+      .agg(coalesce(sum(col("b.nbins")), lit(0L)).as("off"))
+    local.join(broadcast(offsets), "shard")
       .select(col("doc_id"), col("chunk_id"), col("chunk_tokens"),
-        expr(s"(cum - chunk_tokens) DIV $PackBudget").as("bin_id"))
+        (col("off") + col("local_bin")).cast("long").as("bin_id"))
       .orderBy("doc_id", "chunk_id")
   }
 
   val sequencePackingSql: String =
     s"""WITH $chunkCtes,
-       |cm AS (SELECT doc_id, chunk_id, chunk_tokens,
-       |         CAST(sum(chunk_tokens) OVER (ORDER BY doc_id, chunk_id
-       |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
-       |       FROM ch)
-       |SELECT doc_id, chunk_id, chunk_tokens,
-       |  CAST((cum - chunk_tokens) // $PackBudget AS BIGINT) AS bin_id
-       |FROM cm ORDER BY doc_id, chunk_id""".stripMargin
+       |sh AS (SELECT doc_id, chunk_id, chunk_tokens,
+       |         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |           % $PackShards AS shard
+       |       FROM ch),
+       |cm AS (SELECT doc_id, chunk_id, chunk_tokens, shard,
+       |         CAST(sum(chunk_tokens) OVER (PARTITION BY shard
+       |           ORDER BY doc_id, chunk_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |       FROM sh),
+       |lb AS (SELECT *, CAST((cum - chunk_tokens) // $PackBudget AS BIGINT) AS local_bin
+       |       FROM cm),
+       |nb AS (SELECT shard, max(local_bin) + 1 AS nbins FROM lb GROUP BY shard),
+       |os AS (SELECT a.shard, CAST(coalesce(sum(b.nbins), 0) AS BIGINT) AS off
+       |       FROM nb a LEFT JOIN nb b ON b.shard < a.shard GROUP BY a.shard)
+       |SELECT doc_id, chunk_id, chunk_tokens, off + local_bin AS bin_id
+       |FROM lb JOIN os USING (shard) ORDER BY doc_id, chunk_id""".stripMargin
 
   // ---- q46: language-mixture resampling (sqrt-scaled domain balancing) ----
 
