@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -122,6 +122,59 @@ object StreamingOps {
     docs
       .withColumn("fp", graft.operators.DedupOps.fingerprint(col("text")))
       .dropDuplicates("fp")
+
+  /** Row-local MinHash band hashes — q41's signature computed entirely
+    * map-side, as an array column, so a stream can band each arriving
+    * document with zero shuffles and zero state. Bit-identical to the
+    * batch DedupOps.minhashBands derivation: same shingles, same
+    * md5→60-bit→mod-p shingle hash, same universal-hash permutation
+    * family (min over a doc's shingles is duplicate-insensitive, so
+    * skipping the batch path's `distinct` changes nothing), same
+    * ':'-joined md5 band hash. Documents with no shingles yield an empty
+    * array, matching their absence from the batch bands frame.
+    *
+    * The per-shingle lambdas here run interpreted, but over one doc's
+    * shingle array at a time on an ingest path whose cost is dominated
+    * by state-store I/O — the batch tier (explode + codegen + partial
+    * agg) remains the bulk-throughput formulation. */
+  def bandHashes(textCol: Column): Column = {
+    import graft.operators.DedupOps.{BandSize, MinHashP, NumHashes}
+    val sh = graft.operators.DedupOps.shingles(textCol)
+    val hs = transform(sh, s =>
+      pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(MinHashP)))
+    val sigs = (0 until NumHashes).map { j =>
+      val a = lit((2654435761L * (j + 1)) % MinHashP)
+      val b = lit((2246822519L * (j + 1)) % MinHashP)
+      array_min(transform(hs, h => pmod(a + b * h, lit(MinHashP))))
+    }
+    val bands = (0 until NumHashes / BandSize).map { bi =>
+      md5(concat_ws(":",
+        sigs.slice(bi * BandSize, (bi + 1) * BandSize).map(_.cast("string")): _*))
+    }
+    when(size(sh) === 0, array().cast("array<string>"))
+      .otherwise(array(bands: _*))
+  }
+
+  /** Streaming MinHash-LSH near-dup gate: each arriving document explodes
+    * into its (band_id, band_hash) rows map-side (see bandHashes), and
+    * `dropDuplicatesWithinWatermark` keeps only the FIRST claim of each
+    * band within the watermark horizon. A later document that near-
+    * duplicates an earlier one shares at least one band (the q42
+    * candidate condition), so at least one of its band rows is
+    * suppressed — downstream, any doc owning fewer than its emitted band
+    * count is a near-dup candidate (StreamingSpec ties this to the batch
+    * q42 pairs). State is one 16-byte hash per band within the horizon —
+    * bounded by the watermark, the production shape for ingest dedup. */
+  def lshBandGate(docs: DataFrame, tsCol: String, delay: String): DataFrame = {
+    // posexplode of the empty band array drops shingle-less docs, matching
+    // their absence from the batch bands frame.
+    docs
+      .select(col("doc_id"), col(tsCol),
+        posexplode(bandHashes(col("text"))).as(Seq("band_id", "band_hash")))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(Seq("band_id", "band_hash"))
+      .select(col("doc_id"), col("band_id").cast("long").as("band_id"), col("band_hash"))
+  }
 
   /** Gap-based sessions via the native session_window (30-minute gap).
     * Boundary semantics differ slightly from the batch formulation

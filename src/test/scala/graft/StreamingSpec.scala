@@ -10,6 +10,8 @@ import graft.streaming.StreamingOps
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
+case class DocIngest(doc_id: Long, ts: Timestamp, text: String)
+
 /** The streaming operators must reproduce their batch twins when fed the
   * bounded sf0.001 events table through a memory stream.
   */
@@ -137,6 +139,54 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count() == batchFps.count())
     assert(streamed.select("fp").distinct().count() == streamed.count())
     assert(streamed.select("fp").exceptAll(batchFps).isEmpty)
+  }
+
+  test("streaming LSH band gate: bands match batch; every q42 pair is flagged") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    import graft.operators.DedupOps
+
+    // Map-side band computation must be bit-identical to the batch tier.
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val rowLocal = docsDf.select(col("doc_id"),
+      posexplode(StreamingOps.bandHashes(col("text"))).as(Seq("band_id", "band_hash")))
+      .select(col("doc_id"), col("band_id").cast("long").as("band_id"), col("band_hash"))
+    val batchBands = DedupOps.minhashBands(spark, dir)
+    assert(rowLocal.exceptAll(batchBands).isEmpty &&
+      batchBands.exceptAll(rowLocal).isEmpty)
+
+    // Feed the corpus in doc_id order across two micro-batches.
+    val docs = docsDf.orderBy("doc_id").collect().zipWithIndex.map { case (r, i) =>
+      DocIngest(r.getLong(0), new Timestamp(1700000000000L + i * 1000L), r.getString(1))
+    }.toSeq
+    val (first, second) = docs.splitAt(docs.size / 2)
+    val stream = MemoryStream[DocIngest]
+    val q = StreamingOps.lshBandGate(stream.toDF(), "ts", "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("lsh_gate_out").start()
+    try {
+      stream.addData(first); q.processAllAvailable()
+      stream.addData(second); q.processAllAvailable()
+    } finally q.stop()
+
+    val surviving = spark.table("lsh_gate_out")
+    // The gate's invariant: each (band_id, band_hash) is claimed once.
+    assert(surviving.groupBy("band_id", "band_hash").count()
+      .filter(col("count") > 1).isEmpty)
+
+    // Every batch LSH candidate pair shares >= 1 band, so at most one of
+    // the two docs can own all its bands: the other is flagged.
+    val owned = surviving.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = DedupOps.NumHashes / DedupOps.BandSize.toLong
+    val pairs = DedupOps.minhashDupPairs(spark, dir)
+      .select("doc_a", "doc_b").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(owned.getOrElse(a, 0L) < full || owned.getOrElse(b, 0L) < full,
+        s"pair ($a, $b) not flagged by the streaming gate")
+    }
   }
 
   test("streaming session_window yields plausible sessions with bounded counts") {
