@@ -363,11 +363,35 @@ object RelationalOps {
       |  floor((max(l_extendedprice)) * 1000000 + 0.5) / 1000000 AS max_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // ---- q15: approximate quantiles (KLL/GK sketch) — rows-only check -------
+
+  /** approx_percentile: q14's scale twin. Exact `percentile` gathers each
+    * group's values into its task before sorting — fine per-group, fatal
+    * for a 100 TB global quantile. approx_percentile's sketches merge
+    * map-side (partial aggregation), the only shape that survives when a
+    * group no longer fits one executor. Sketch outputs are
+    * engine-specific (accuracy knob, summary interpolation), so as with
+    * q12's HLL there is no cross-engine oracle — the driver records the
+    * weaker rows-only check and ApproxSpec pins the rank-error envelope
+    * against the exact q14 quartiles instead. */
+  def approxPriceQuantiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        expr("approx_percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D), 10000)")
+          .as("q"))
+      .select(col("l_returnflag"), col("n"),
+        element_at(col("q"), 1).as("p25"),
+        element_at(col("q"), 2).as("p50"),
+        element_at(col("q"), 3).as("p75"))
+      .orderBy("l_returnflag")
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_cube_summary" -> (cubeSummary _),
     "q14_price_quantiles" -> (priceQuantiles _),
+    "q15_approx_price_quantiles" -> (approxPriceQuantiles _),
     "q11_salted_order_revenue" -> (saltedOrderRevenue _),
     "q12_approx_distinct_parts" -> (approxDistinctParts _),
     "q01_pricing_summary" -> (pricingSummary _),

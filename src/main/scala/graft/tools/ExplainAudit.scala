@@ -12,6 +12,7 @@ object ExplainAudit {
 
     val targets = Seq("q01_pricing_summary", "q02_top_revenue_orders",
       "q03_region_revenue", "q13_cube_summary", "q22_bm25_topk", "q24_cosine_topk",
+      "q15_approx_price_quantiles", "q34_fingerprints",
       "q39_repetition_stats", "q42_minhash_dup_pairs", "q45_decontamination",
       "q46_lang_mixture", "q47_sequence_packing", "q50_ann_bruteforce",
       "q53_embedding_quantization", "q55_unigram_surprisal", "q56_char_entropy",

@@ -24,4 +24,28 @@ class ApproxSpec extends SparkSpec {
       assert(math.abs(as_ - s).toDouble / s < 0.10, s"$k supps: $as_ vs $s")
     }
   }
+
+  test("approx quantiles sit within a 2% value envelope of exact at sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    // approx_percentile at accuracy 10000 bounds RANK error by n/10000
+    // (< 1 rank per sf0.001 group); a 2% VALUE envelope vs the exact
+    // type-7 quartiles comfortably absorbs both that and the
+    // nearest-rank-vs-interpolated convention gap.
+    val approx = RelationalOps.approxPriceQuantiles(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val exact = RelationalOps.priceQuantiles(spark, dir)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(approx.keySet == exact.keySet && approx.nonEmpty)
+    exact.foreach { case (k, (e25, e50, e75)) =>
+      val (a25, a50, a75) = approx(k)
+      Seq(("p25", a25, e25), ("p50", a50, e50), ("p75", a75, e75)).foreach {
+        case (q, a, e) =>
+          assert(math.abs(a - e) / e < 0.02, s"$k $q: approx $a vs exact $e")
+      }
+    }
+  }
 }
