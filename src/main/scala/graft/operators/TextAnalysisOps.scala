@@ -57,11 +57,14 @@ object TextAnalysisOps {
 
   private val stopList = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
 
-  val textQualitySql: String =
-    s"""WITH b AS (
+  /** Shared q30 quality derivation ending in qual(doc_id, n_tokens, atl,
+    * sr, dr, quality_score) — reused by q75's keep-best-per-cluster oracle
+    * so the two can't drift. */
+  private[operators] val qualityCtes: String =
+    s"""qb AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '$TokRe') AS t, text
        |  FROM documents),
-       |m AS (
+       |qm AS (
        |  SELECT doc_id,
        |    len(t) AS n_tokens,
        |    CASE WHEN len(t) = 0 THEN 0.0
@@ -72,12 +75,19 @@ object TextAnalysisOps {
        |    CASE WHEN length(text) = 0 THEN 0.0
        |         ELSE length(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / length(text)
        |    END AS dr
-       |  FROM b)
+       |  FROM qb),
+       |qual AS (
+       |  SELECT doc_id, n_tokens, atl, sr, dr,
+       |    floor((0.4 * least(1.0, n_tokens / 50.0) + 0.3 * (1.0 - sr) +
+       |          0.3 * least(1.0, atl / 8.0)) * 1000000 + 0.5) / 1000000 AS quality_score
+       |  FROM qm)""".stripMargin
+
+  val textQualitySql: String =
+    s"""WITH $qualityCtes
        |SELECT doc_id, n_tokens, floor((atl) * 1000000 + 0.5) / 1000000 AS avg_token_len,
        |  floor((sr) * 1000000 + 0.5) / 1000000 AS stopword_ratio, floor((dr) * 1000000 + 0.5) / 1000000 AS digit_char_ratio,
-       |  floor((0.4 * least(1.0, n_tokens / 50.0) + 0.3 * (1.0 - sr) +
-       |        0.3 * least(1.0, atl / 8.0)) * 1000000 + 0.5) / 1000000 AS quality_score
-       |FROM m ORDER BY doc_id""".stripMargin
+       |  quality_score
+       |FROM qual ORDER BY doc_id""".stripMargin
 
   // ---- q31: token counting (three tokenizers) -----------------------------
 
@@ -528,7 +538,7 @@ object TextAnalysisOps {
     * The lift needs one S-row aggregate (bins per shard) and a
     * triangular self-join on that S-row frame to form exclusive prefix
     * sums — deliberately NOT a global window, so no SinglePartition
-    * exchange appears anywhere in the plan (PackingShardSpec asserts
+    * exchange appears anywhere in the plan (Round6OpsSpec asserts
     * this). shards=1 degenerates to the original single-sequence layout. */
   def sequencePacking(spark: SparkSession, dir: String): DataFrame =
     sequencePackingSharded(spark, dir, PackShards)
@@ -764,9 +774,103 @@ object TextAnalysisOps {
        |    AS novelty_frac
        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  // ---- q73/q74: smoothed bigram LM + per-doc bigram surprisal -------------
+
+  /** Add-k smoothing constant (k = 1/2 — Jeffreys prior). */
+  val BigramK = 0.5
+  /** Rows the q73 model-table query emits. */
+  val BigramTop = 100
+
+  /** Exploded (doc_id, w1, w2) bigram occurrences — explode(sequence) +
+    * element_at, the same codegen shape as the q57 trigrams. */
+  private def bigramPairs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir).select(col("doc_id"), TextOps.tokenize(col("text")).as("t"))
+    toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+      .select(col("doc_id"),
+        element_at(col("t"), col("i")).as("w1"),
+        element_at(col("t"), col("i") + 1).as("w2"))
+  }
+
+  /** Conditional bigram LM frame (w1, w2, c12, c1, v): counts from two
+    * partial-agg shuffles keyed on (w1, w2) and w1 — the n-gram-LM
+    * training pass of a pre-training pipeline. The follower vocabulary V
+    * is a 1-row broadcast. */
+  private def bigramLmFrame(spark: SparkSession, dir: String): DataFrame = {
+    val c12 = bigramPairs(spark, dir).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val v = c12.agg(countDistinct("w2").as("v"))
+    c12.join(c1, "w1").crossJoin(broadcast(v))
+  }
+
+  /** q73: the trained model table — top-BigramTop bigrams by count with
+    * their add-k conditional probability p(w2|w1) = (c12+k)/(c1+k·V).
+    * Total order (c12 DESC, w1, w2) makes the LIMIT deterministic. The
+    * probability divides exact-integer-derived doubles, so both engines
+    * see identical operands. */
+  def bigramLm(spark: SparkSession, dir: String): DataFrame =
+    bigramLmFrame(spark, dir)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        r6((col("c12") + BigramK) / (col("c1") + col("v") * BigramK)).as("p"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(BigramTop)
+
+  /** q74: per-document mean bigram surprisal −ln p(w2|w1) under the q73
+    * LM — the bigram upgrade of q55's CCNet-style quality filter (a
+    * unigram LM can't see scrambled word order; a bigram LM can). The
+    * scoring join keys on (w1, w2) with NO forced broadcast: bigram TYPE
+    * count is vocab²-bounded (tiny here) but open-vocabulary corpora can
+    * push it past broadcast size, so AQE picks the strategy from runtime
+    * stats. Per-doc surprisal sums accumulate in DECIMAL (dsum), as in
+    * q55/q56. */
+  def bigramSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val lm = bigramLmFrame(spark, dir)
+      .select(col("w1"), col("w2"),
+        (-log((col("c12") + BigramK) / (col("c1") + col("v") * BigramK))).as("surp"))
+    val per = bigramPairs(spark, dir).join(lm, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), dsum(col("surp")).as("ssum"))
+    docs(spark, dir).select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        r6(coalesce(col("ssum") / col("n_bigrams"), lit(0.0))).as("mean_surprisal"))
+      .orderBy("doc_id")
+  }
+
+  private val bigramCtes: String =
+    s"""tk AS (SELECT doc_id, regexp_extract_all(lower(text), '$TokRe') AS t
+       |       FROM documents),
+       |bi AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+       |       FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+       |             FROM tk WHERE len(t) >= 2)),
+       |cb AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY w1, w2),
+       |cu AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cb GROUP BY w1),
+       |vv AS (SELECT count(DISTINCT w2) AS v FROM cb)""".stripMargin
+
+  val bigramLmSql: String =
+    s"""WITH $bigramCtes
+       |SELECT w1, w2, c12, c1,
+       |  floor(((c12 + $BigramK) / (c1 + $BigramK * v)) * 1000000 + 0.5) / 1000000 AS p
+       |FROM cb JOIN cu USING (w1), vv
+       |ORDER BY c12 DESC, w1, w2 LIMIT $BigramTop""".stripMargin
+
+  val bigramSurprisalSql: String =
+    s"""WITH $bigramCtes,
+       |lm AS (SELECT w1, w2, -ln((c12 + $BigramK) / (c1 + $BigramK * v)) AS surp
+       |       FROM cb JOIN cu USING (w1), vv),
+       |per AS (SELECT doc_id, count(*) AS n_bigrams,
+       |          CAST(sum(CAST(surp AS DECIMAL(30,8))) AS DOUBLE) AS ssum
+       |        FROM bi JOIN lm USING (w1, w2) GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+       |  floor((coalesce(ssum / n_bigrams, 0.0)) * 1000000 + 0.5) / 1000000 AS mean_surprisal
+       |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_bigram_lm" -> (bigramLm _),
+    "q74_bigram_surprisal" -> (bigramSurprisal _),
     "q57_ngram_novelty" -> (ngramNovelty _),
     "q55_unigram_surprisal" -> (unigramSurprisal _),
     "q56_char_entropy" -> (charEntropy _),
@@ -784,6 +888,8 @@ object TextAnalysisOps {
     "q35_simhash" -> (simhash _))
 
   val oracles: Map[String, String] = Map(
+    "q73_bigram_lm" -> bigramLmSql,
+    "q74_bigram_surprisal" -> bigramSurprisalSql,
     "q57_ngram_novelty" -> ngramNoveltySql,
     "q55_unigram_surprisal" -> unigramSurprisalSql,
     "q56_char_entropy" -> charEntropySql,

@@ -86,6 +86,74 @@ class Round6OpsSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan.take(3000))
   }
 
+  // ---- q73/q74: bigram LM -------------------------------------------------
+
+  test("bigram LM: counts consistent, probabilities in (0,1], mass bounded") {
+    val lm = TextAnalysisOps.bigramLm(spark, dir).collect()
+    assert(lm.length == TextAnalysisOps.BigramTop)
+    // Ranked by c12 descending; every probability is a valid conditional.
+    assert(lm.sliding(2).forall(p => p(0).getLong(2) >= p(1).getLong(2)))
+    lm.foreach { r =>
+      val (c12, c1, p) = (r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(c12 <= c1 && p > 0.0 && p <= 1.0, s"row $r")
+    }
+  }
+
+  test("bigram surprisal: n_bigrams = max(0, n_word_tokens - 1) per doc") {
+    val nb = TextAnalysisOps.bigramSurprisal(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nt = TextAnalysisOps.tokenCounts(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(nb.keySet == nt.keySet)
+    nt.foreach { case (d, n) =>
+      assert(nb(d) == math.max(0L, n - 1), s"doc $d: ${nb(d)} vs n=$n")
+    }
+  }
+
+  // ---- q75/q76: dedup policy + leakage-safe splits ------------------------
+
+  test("keep-best: one row per cluster, members add up, kept doc is argmax") {
+    import graft.operators.DedupOps
+    val kept = DedupOps.dedupKeepBest(spark, dir).collect()
+    val clusters = DedupOps.dupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // One kept row per distinct cluster; membership counts tile the corpus.
+    assert(kept.map(_.getLong(0)).toSet == clusters.map(_._2).toSet)
+    assert(kept.map(_.getLong(1)).sum == clusters.length)
+    // The kept doc carries its cluster's best (quality, -doc_id).
+    val quality = graft.operators.TextAnalysisOps.textQuality(spark, dir)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val byCluster = clusters.groupBy(_._2)
+    kept.foreach { r =>
+      val (cid, keptDoc, keptQ) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      val best = byCluster(cid).map(_._1)
+        .minBy(d => (-quality(d), d))
+      assert(keptDoc == best && keptQ == quality(keptDoc), s"cluster $cid")
+    }
+  }
+
+  test("splits: cluster-atomic, so every near-dup pair shares a split") {
+    import graft.operators.DedupOps
+    val splits = DedupOps.leakageSafeSplits(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3)))
+    // Split is a function of the cluster alone.
+    splits.groupBy(_._2).foreach { case (cid, rows) =>
+      assert(rows.map(_._3).distinct.length == 1, s"cluster $cid split torn")
+    }
+    // Direct leakage check on the verified near-dup pairs.
+    val byDoc = splits.map(t => t._1 -> t._3).toMap
+    val pairs = DedupOps.minhashDupPairs(spark, dir)
+      .select("doc_a", "doc_b").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      assert(byDoc(r.getLong(0)) == byDoc(r.getLong(1)),
+        s"pair (${r.getLong(0)}, ${r.getLong(1)}) crosses the split")
+    }
+    // Both splits are populated at this SF (90/10 over ~400 clusters).
+    assert(splits.map(_._3).distinct.sorted.toSeq == Seq("holdout", "train"))
+  }
+
   // ---- Bench self-defense -------------------------------------------------
 
   test("bench defense: suspects are irreproducible timings, not slow queries") {
