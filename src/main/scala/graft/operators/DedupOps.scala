@@ -401,7 +401,11 @@ object DedupOps {
     * fixpoint (labels stop changing) with the same per-round plan. Output
     * is each doc's cluster representative (min doc_id reachable within
     * ClusterIterations hops) and the cluster's size. */
-  def dupClusters(spark: SparkSession, dir: String): DataFrame = {
+  /** Propagated min-label frame (doc_id, label) — the cluster
+    * representative each doc reaches within ClusterIterations hops.
+    * Shared by q49 (cluster sizes), q75 (keep-best policy), and q76
+    * (leakage-safe splits). */
+  private def dupLabels(spark: SparkSession, dir: String): DataFrame = {
     // Candidate pairs only — the exact-Jaccard verification q42 layers on
     // top never changes the pair set (no threshold), so clustering over
     // the raw candidates skips the most expensive join in the pipeline.
@@ -417,11 +421,14 @@ object DedupOps {
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
     }
     labels
+  }
+
+  def dupClusters(spark: SparkSession, dir: String): DataFrame =
+    dupLabels(spark, dir)
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy("label")))
       .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
       .orderBy("doc_id")
-  }
 
   private def clusterRoundSql(i: Int): String =
     s"""n$i AS (SELECT src, min(label) AS nlabel
@@ -430,17 +437,92 @@ object DedupOps {
        |          least(l${i - 1}.label, coalesce(n$i.nlabel, l${i - 1}.label)) AS label
        |        FROM l${i - 1} LEFT JOIN n$i ON l${i - 1}.doc_id = n$i.src)""".stripMargin
 
-  val dupClustersSql: String =
-    s"""WITH $shinglesCte,
+  /** Shared label-propagation CTE chain ending in
+    * l[ClusterIterations](doc_id, label) — one unrolled derivation behind
+    * the q49/q75/q76 oracles so they can't drift. */
+  private val dupLabelCtes: String =
+    s"""$shinglesCte,
        |$minhashCtes,
        |$lshPairsCte,
        |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |      UNION ALL SELECT doc_b, doc_a FROM pairs),
        |l0 AS (SELECT doc_id, doc_id AS label FROM documents),
-       |${(1 to ClusterIterations).map(clusterRoundSql).mkString(",\n")}
+       |${(1 to ClusterIterations).map(clusterRoundSql).mkString(",\n")}""".stripMargin
+
+  val dupClustersSql: String =
+    s"""WITH $dupLabelCtes
        |SELECT doc_id, label AS cluster_id,
        |  CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS cluster_size
        |FROM l$ClusterIterations ORDER BY doc_id""".stripMargin
+
+  // ---- q75: dedup policy — keep the best-quality doc per cluster ----------
+
+  /** The pipeline decision q49's clusters exist for: collapse each near-dup
+    * cluster to its best representative by q30 quality score, ties to the
+    * lowest doc_id. Both window functions share the cluster_id
+    * partitioning (one shuffle), and the sort key is the r6-ROUNDED
+    * quality score, which both engines agree on bit-for-bit — an unrounded
+    * double sort key could order two docs differently across engines. */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = dupLabels(spark, dir)
+      .select(col("doc_id"), col("label").as("cluster_id"))
+      .join(TextAnalysisOps.textQuality(spark, dir)
+        .select(col("doc_id"), col("quality_score")), "doc_id")
+    val part = Window.partitionBy("cluster_id")
+    labeled
+      .withColumn("n_members", count(lit(1)).over(part))
+      .withColumn("rk", row_number().over(
+        part.orderBy(col("quality_score").desc, col("doc_id").asc)))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("n_members"),
+        col("doc_id").as("kept_doc_id"), col("quality_score").as("kept_quality"))
+      .orderBy("cluster_id")
+  }
+
+  val dedupKeepBestSql: String =
+    s"""WITH $dupLabelCtes,
+       |${TextAnalysisOps.qualityCtes},
+       |lab AS (SELECT doc_id, label AS cluster_id FROM l$ClusterIterations),
+       |j AS (SELECT cluster_id, doc_id, quality_score
+       |      FROM lab JOIN qual USING (doc_id)),
+       |r AS (SELECT cluster_id, doc_id, quality_score,
+       |        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
+       |        row_number() OVER (PARTITION BY cluster_id
+       |          ORDER BY quality_score DESC, doc_id) AS rk
+       |      FROM j)
+       |SELECT cluster_id, n_members, doc_id AS kept_doc_id,
+       |  quality_score AS kept_quality
+       |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin
+
+  // ---- q76: leakage-safe train/holdout split assignment -------------------
+
+  val SplitBuckets = 100
+  val TrainBuckets = 90
+
+  /** Contamination-safe split assignment: the split key is the doc's
+    * CLUSTER representative, never the doc itself, so every near-dup of a
+    * holdout document is held out with it — assigning splits by doc hash
+    * would leak paraphrases of the eval set into training. Deterministic
+    * md5 bucketing (reproducible in any engine), TrainBuckets/SplitBuckets
+    * to train. Row-local after the label join — no extra shuffle. */
+  def leakageSafeSplits(spark: SparkSession, dir: String): DataFrame =
+    dupLabels(spark, dir)
+      .select(col("doc_id"), col("label").as("cluster_id"))
+      .withColumn("bucket", TextAnalysisOps.shardOf(col("cluster_id"), SplitBuckets))
+      .withColumn("split",
+        when(col("bucket") < TrainBuckets, "train").otherwise("holdout"))
+      .orderBy("doc_id")
+
+  val leakageSafeSplitsSql: String =
+    s"""WITH $dupLabelCtes,
+       |lab AS (SELECT doc_id, label AS cluster_id FROM l$ClusterIterations),
+       |b AS (SELECT doc_id, cluster_id,
+       |        CAST(('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |          % $SplitBuckets AS bucket
+       |      FROM lab)
+       |SELECT doc_id, cluster_id, bucket,
+       |  CASE WHEN bucket < $TrainBuckets THEN 'train' ELSE 'holdout' END AS split
+       |FROM b ORDER BY doc_id""".stripMargin
 
   // ---- q48: SimHash near-dup pairs (Hamming-LSH banding) ------------------
 
@@ -492,6 +574,8 @@ object DedupOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_simhash_neardups" -> (simhashNearDups _),
     "q49_dup_clusters" -> (dupClusters _),
+    "q75_dedup_keep_best" -> (dedupKeepBest _),
+    "q76_leakage_safe_splits" -> (leakageSafeSplits _),
     "q40_exact_dup_groups" -> (exactDupGroups _),
     "q41_minhash_bands" -> (minhashBands _),
     "q42_minhash_dup_pairs" -> (minhashDupPairs _),
@@ -502,6 +586,8 @@ object DedupOps {
   val oracles: Map[String, String] = Map(
     "q48_simhash_neardups" -> simhashNearDupsSql,
     "q49_dup_clusters" -> dupClustersSql,
+    "q75_dedup_keep_best" -> dedupKeepBestSql,
+    "q76_leakage_safe_splits" -> leakageSafeSplitsSql,
     "q40_exact_dup_groups" -> exactDupGroupsSql,
     "q41_minhash_bands" -> minhashBandsSql,
     "q42_minhash_dup_pairs" -> minhashDupPairsSql,
