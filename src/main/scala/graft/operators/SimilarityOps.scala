@@ -251,6 +251,90 @@ object SimilarityOps {
        |SELECT vec_id, rank, floor((cos) * 1000000 + 0.5) / 1000000 AS cos FROM rk
        |WHERE rank <= $TopK ORDER BY rank""".stripMargin
 
+  // ---- q77: IVF probe over int8-reconstructed vectors ---------------------
+
+  /** The memory-compressed ANN serving tier: probe the learned IVF
+    * clusters (as q51) but score against int8-RECONSTRUCTED vectors —
+    * v' = floor(v/scale + 0.5)·scale with q53's symmetric per-vector
+    * scale — the 4×-smaller index a production deployment actually holds
+    * in memory. Ranks by the quantized cosine, so the output IS the
+    * serving tier's answer, distortion included (q53 audits the
+    * reconstruction error that predicts how far this list drifts from
+    * q51's float ranking).
+    *
+    * Shapes: reconstruction is row-local after one per-vector amax
+    * partial agg; the probe join is partition pruning at scale; the
+    * cosine runs in long form (dot, |v'|² from DECIMAL-accumulated sums —
+    * whole-stage codegen, the proven q58 pattern), with the query's
+    * reconstructed components and norm broadcast. The scoring shuffle
+    * carries one (vec_id, dot, nn) partial row per probed vector. */
+  def annIvfInt8(spark: SparkSession, dir: String): DataFrame = {
+    val (cent, asg) = kmeansModel(spark, dir)
+    val ex = embLong(spark, dir)
+    val amax = ex.groupBy("vec_id").agg(max(abs(col("v"))).as("amax"))
+    val rec = ex.join(amax, "vec_id")
+      .withColumn("scale", when(col("amax") === 0.0, 1.0).otherwise(col("amax") / 127.0))
+      .select(col("vec_id"), col("pos"),
+        (floor(col("v") / col("scale") + 0.5) * col("scale")).as("r"))
+
+    val probed = sqDist(ex.filter(col("vec_id") === QueryVecId), cent)
+      .orderBy(col("dist").asc, col("cluster").asc)
+      .limit(NProbe)
+      .select("cluster")
+    val qrec = rec.filter(col("vec_id") === QueryVecId)
+      .select(col("pos"), col("r").as("qr"))
+    val qq = qrec.agg(sum((col("qr") * col("qr")).cast("decimal(38,18)")).as("qq"))
+
+    val comp = rec.join(asg, "vec_id")
+      .join(broadcast(probed), "cluster")
+      .join(broadcast(qrec), "pos")
+      .groupBy("vec_id")
+      .agg(sum((col("r") * col("qr")).cast("decimal(38,18)")).as("dot"),
+        sum((col("r") * col("r")).cast("decimal(38,18)")).as("nn"))
+    comp.crossJoin(broadcast(qq))
+      .select(col("vec_id"),
+        when(col("nn") === 0 || col("qq") === 0, 0.0)
+          .otherwise(col("dot").cast("double") /
+            (sqrt(col("nn").cast("double")) * sqrt(col("qq").cast("double"))))
+          .as("qcos"))
+      .orderBy(col("qcos").desc, col("vec_id").asc)
+      .limit(TopK)
+      .select(col("vec_id"),
+        row_number().over(Window.orderBy(col("qcos").desc, col("vec_id").asc))
+          .cast("long").as("rank"),
+        r6(col("qcos")).as("qcos"))
+      .orderBy("rank")
+  }
+
+  val annIvfInt8Sql: String =
+    s"""WITH $kmeansCtes,
+       |mx AS (SELECT vec_id, max(abs(v)) AS amax FROM kex GROUP BY vec_id),
+       |rec AS (SELECT kex.vec_id, pos,
+       |          floor(v / (CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END) + 0.5)
+       |            * (CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END) AS r
+       |        FROM kex JOIN mx ON kex.vec_id = mx.vec_id),
+       |qd AS (SELECT cluster, sum(CAST((v - c) * (v - c) AS DECIMAL(38,18))) AS dist
+       |       FROM (SELECT pos, v FROM kex WHERE vec_id = $QueryVecId) qx
+       |       JOIN kcent USING (pos) GROUP BY 1),
+       |probe AS (SELECT cluster FROM qd ORDER BY dist ASC, cluster ASC LIMIT $NProbe),
+       |qr AS (SELECT pos, r AS qr FROM rec WHERE vec_id = $QueryVecId),
+       |qqn AS (SELECT sum(CAST(qr * qr AS DECIMAL(38,18))) AS qq FROM qr),
+       |comp AS (SELECT rec.vec_id,
+       |           sum(CAST(r * qr AS DECIMAL(38,18))) AS dot,
+       |           sum(CAST(r * r AS DECIMAL(38,18))) AS nn
+       |         FROM rec JOIN kasg USING (vec_id) JOIN probe USING (cluster)
+       |         JOIN qr USING (pos)
+       |         GROUP BY rec.vec_id),
+       |sc AS (SELECT vec_id,
+       |         CASE WHEN nn = 0 OR qq = 0 THEN 0.0
+       |              ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(nn AS DOUBLE)) * sqrt(CAST(qq AS DOUBLE)))
+       |         END AS qcos
+       |       FROM comp, qqn),
+       |rk AS (SELECT vec_id, qcos,
+       |         row_number() OVER (ORDER BY qcos DESC, vec_id ASC) AS rank FROM sc)
+       |SELECT vec_id, rank, floor((qcos) * 1000000 + 0.5) / 1000000 AS qcos FROM rk
+       |WHERE rank <= $TopK ORDER BY rank""".stripMargin
+
   // ---- q52: LSH sign-projection buckets -----------------------------------
 
   /** Bucket signature: sign bits of the dot products against the anchor
@@ -414,9 +498,11 @@ object SimilarityOps {
     "q50_ann_bruteforce" -> (annBruteForce _),
     "q51_ann_ivf" -> (annIvf _),
     "q52_ann_lsh" -> (annLsh _),
-    "q53_embedding_quantization" -> (embeddingQuantization _))
+    "q53_embedding_quantization" -> (embeddingQuantization _),
+    "q77_ann_ivf_int8" -> (annIvfInt8 _))
 
   val oracles: Map[String, String] = Map(
+    "q77_ann_ivf_int8" -> annIvfInt8Sql,
     "q58_centroid_stats" -> centroidStatsSql,
     "q50_ann_bruteforce" -> annBruteForceSql,
     "q51_ann_ivf" -> annIvfSql,

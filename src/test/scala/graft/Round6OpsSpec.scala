@@ -154,6 +154,30 @@ class Round6OpsSpec extends SparkSpec {
     assert(splits.map(_._3).distinct.sorted.toSeq == Seq("holdout", "train"))
   }
 
+  // ---- q77: int8-quantized IVF probe --------------------------------------
+
+  test("int8 IVF: full top-k, high agreement with the float probe ranking") {
+    import graft.operators.SimilarityOps
+    val int8 = SimilarityOps.annIvfInt8(spark, dir).collect()
+    val float = SimilarityOps.annIvf(spark, dir).collect()
+    assert(int8.length == SimilarityOps.TopK && float.length == SimilarityOps.TopK)
+    // Same probed clusters, scores off by bounded reconstruction error
+    // (q53 audits it at ~1e-5 MSE): the two rankings must agree on most
+    // of the candidate set even if close neighbors swap ranks.
+    val a = int8.map(_.getLong(0)).toSet
+    val b = float.map(_.getLong(0)).toSet
+    val overlap = a.intersect(b).size.toDouble / SimilarityOps.TopK
+    assert(overlap >= 0.8, s"top-k overlap $overlap")
+    // Every quantized cosine sits close to its float counterpart.
+    val fcos = float.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    int8.foreach { r =>
+      fcos.get(r.getLong(0)).foreach { f =>
+        assert(math.abs(r.getDouble(2) - f) < 0.01,
+          s"vec ${r.getLong(0)}: qcos ${r.getDouble(2)} vs cos $f")
+      }
+    }
+  }
+
   // ---- Bench self-defense -------------------------------------------------
 
   test("bench defense: suspects are irreproducible timings, not slow queries") {
