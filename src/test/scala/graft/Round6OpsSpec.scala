@@ -180,16 +180,19 @@ class Round6OpsSpec extends SparkSpec {
 
   // ---- Bench self-defense -------------------------------------------------
 
-  test("bench defense: suspects are irreproducible timings, not slow queries") {
+  test("bench defense: suspects are unconfirmed floors, not slow queries") {
     val passes = Seq(
       "steady_fast" -> Vector(0.2, 0.21),
-      "steady_slow" -> Vector(1.9, 2.0),             // genuinely slow: not suspect
-      "recovered" -> Vector(9.0, 8.5, 0.5, 0.52),    // re-time found the floor: suspect spread
-      "polluted" -> Vector(5.0, 1.2),                // passes disagree >3x: suspect
+      "steady_slow" -> Vector(1.9, 2.0),            // genuinely slow: not suspect
+      "recovered" -> Vector(9.0, 8.5, 0.5, 0.52),   // re-time CONFIRMED the floor: clean
+      "one_outlier" -> Vector(1.3, 1.4, 35.0),      // late outlier, min confirmed: clean
+      "polluted" -> Vector(5.0, 1.2),               // min seen once, 4x apart: suspect
       "failed" -> Vector(0.3, -1.0))
-    assert(Bench.suspectsOf(passes) == Seq("recovered", "polluted"))
+    assert(Bench.suspectsOf(passes) == Seq("polluted"))
     assert(Bench.minOf(passes.toMap.apply("failed")) == -1.0)
     assert(Bench.minOf(passes.toMap.apply("recovered")) == 0.5)
+    assert(Bench.confirmRatio(Vector(9.0, 8.5, 0.5, 0.52)) == 0.52 / 0.5)
+    assert(Bench.confirmRatio(Vector(0.3)) == Double.PositiveInfinity)
   }
 
   test("bench defense: median of mins ignores failures") {
