@@ -16,6 +16,8 @@ object ExplainAudit {
       "q39_repetition_stats", "q42_minhash_dup_pairs", "q45_decontamination",
       "q46_lang_mixture", "q47_sequence_packing", "q50_ann_bruteforce",
       "q53_embedding_quantization", "q55_unigram_surprisal", "q56_char_entropy",
+      "q73_bigram_lm", "q74_bigram_surprisal", "q75_dedup_keep_best",
+      "q76_leakage_safe_splits", "q77_ann_ivf_int8",
       "q62_user_sessions", "q67_retention_cohorts", "q69_event_anomalies",
       "q70_media_meta", "q72_frame_sample")
 
