@@ -866,9 +866,64 @@ object TextAnalysisOps {
        |  floor((coalesce(ssum / n_bigrams, 0.0)) * 1000000 + 0.5) / 1000000 AS mean_surprisal
        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  // ---- q78: token-budget corpus curation (quality-greedy budget fill) -----
+
+  /** Curate the corpus to a token budget (half the corpus total here):
+    * keep the maximal prefix of documents in (quality DESC, doc_id ASC)
+    * order whose cumulative token count fits the budget — the greedy
+    * selection a pre-training data recipe runs once quality scores exist.
+    *
+    * A naive global running sum over documents serializes the corpus
+    * through one task (the q47 lesson). Greedy budget fill decomposes
+    * instead around the quality HISTOGRAM: per-bucket token totals
+    * (buckets = distinct ROUNDED scores, ≤ 10⁶ — metadata-scale, so its
+    * ordered prefix window is trivially cheap and the bucket frame
+    * broadcasts), plus a per-doc running sum PARTITIONED BY bucket for
+    * the one boundary bucket the budget lands in. A doc is kept iff
+    * bucket_prefix + its within-bucket prefix fits — exactly the global
+    * greedy order, with no single-partition pass over the corpus. */
+  def tokenBudgetCuration(spark: SparkSession, dir: String): DataFrame = {
+    val d = textQuality(spark, dir).select("doc_id", "quality_score", "n_tokens")
+    val bt = d.groupBy("quality_score").agg(sum("n_tokens").as("btok"))
+    val wb = Window.orderBy(col("quality_score").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bk = bt.withColumn("cum_before", coalesce(sum("btok").over(wb), lit(0L)))
+      .select("quality_score", "cum_before")
+    val tot = d.agg((sum("n_tokens").cast("long")).as("total"))
+    val wd = Window.partitionBy("quality_score").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    d.join(broadcast(bk), "quality_score")
+      .crossJoin(broadcast(tot))
+      .withColumn("doc_cum", sum("n_tokens").over(wd))
+      .withColumn("cum_tokens", (col("cum_before") + col("doc_cum")).cast("long"))
+      .filter(col("cum_tokens") <= expr("total DIV 2"))
+      .select(col("doc_id"), col("quality_score"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val tokenBudgetCurationSql: String =
+    s"""WITH $qualityCtes,
+       |bt AS (SELECT quality_score, CAST(sum(n_tokens) AS BIGINT) AS btok
+       |       FROM qual GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM qual),
+       |bk AS (SELECT quality_score,
+       |         CAST(coalesce(sum(btok) OVER (ORDER BY quality_score DESC
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |           AS cum_before
+       |       FROM bt),
+       |dd AS (SELECT q.doc_id, q.quality_score, q.n_tokens, bk.cum_before,
+       |         CAST(sum(q.n_tokens) OVER (PARTITION BY q.quality_score
+       |           ORDER BY q.doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS doc_cum
+       |       FROM qual q JOIN bk USING (quality_score))
+       |SELECT doc_id, quality_score, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  cum_before + doc_cum AS cum_tokens
+       |FROM dd, tot WHERE cum_before + doc_cum <= total // 2
+       |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_token_budget_curation" -> (tokenBudgetCuration _),
     "q73_bigram_lm" -> (bigramLm _),
     "q74_bigram_surprisal" -> (bigramSurprisal _),
     "q57_ngram_novelty" -> (ngramNovelty _),
@@ -888,6 +943,7 @@ object TextAnalysisOps {
     "q35_simhash" -> (simhash _))
 
   val oracles: Map[String, String] = Map(
+    "q78_token_budget_curation" -> tokenBudgetCurationSql,
     "q73_bigram_lm" -> bigramLmSql,
     "q74_bigram_surprisal" -> bigramSurprisalSql,
     "q57_ngram_novelty" -> ngramNoveltySql,

@@ -178,6 +178,31 @@ class Round6OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- q78: token-budget curation ------------------------------------------
+
+  test("token-budget curation equals the greedy prefix, maximally") {
+    val kept = TextAnalysisOps.tokenBudgetCuration(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+    val all = TextAnalysisOps.textQuality(spark, dir)
+      .select("doc_id", "quality_score", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val budget = all.map(_._3).sum / 2
+    // Ground truth: driver-side greedy fill in (quality DESC, doc_id) order.
+    val greedy = all.sortBy(t => (-t._2, t._1))
+      .scanLeft((0L, 0L, 0.0, 0L)) { case ((cum, _, _, _), (d, q, n)) =>
+        (cum + n, d, q, cum + n)
+      }.drop(1).takeWhile(_._1 <= budget)
+      .map(t => (t._2, t._3, t._4)).toSeq
+    assert(kept.map(t => (t._1, t._2, t._4)).sortBy(_._1).toSeq ==
+      greedy.map(t => (t._1, t._2, t._3)).sortBy(_._1).toSeq)
+    // Maximality: the next doc in greedy order would exceed the budget.
+    val keptIds = kept.map(_._1).toSet
+    val next = all.sortBy(t => (-t._2, t._1)).find(t => !keptIds.contains(t._1))
+    next.foreach { case (_, _, n) =>
+      assert(kept.map(_._3).sum + n > budget)
+    }
+  }
+
   // ---- Bench self-defense -------------------------------------------------
 
   test("bench defense: suspects are unconfirmed floors, not slow queries") {
