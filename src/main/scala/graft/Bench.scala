@@ -47,13 +47,15 @@ object Bench {
     if (ts.contains(-1.0)) -1.0 else ts.min
 
   /** Fixed CPU-bound calibration job — no I/O, no caches, no data
-    * dependence — timed at run start and end (`canary_start_sec` /
-    * `canary_end_sec`, min of CanaryPasses). The one failure mode the
-    * relative checks can't see is SUSTAINED whole-run host load (it
-    * inflates the median along with every min — exactly how BENCH_r04/r05
-    * went bad), so the artifact carries its own load reference: the
-    * canary's steady-state cost is a machine constant, and a judge
-    * normalizes round-over-round totals by it instead of guessing. */
+    * dependence — timed just before and just after the timed passes
+    * (`canary_start_sec` / `canary_end_sec`, min of CanaryPasses; after
+    * the untimed warmup so neither sample charges first-job JIT). The one
+    * failure mode the relative checks can't see is SUSTAINED whole-run
+    * host load (it inflates the median along with every min — exactly how
+    * BENCH_r04/r05 went bad), so the artifact carries its own load
+    * reference: the canary's steady-state cost is a machine constant
+    * (~0.11 s on this container, idle), and a judge normalizes
+    * round-over-round totals by it instead of guessing. */
   def canary(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
     spark.range(0L, 1L << 28, 1L, 32).selectExpr("sum(id % 1000003)").collect()
@@ -96,12 +98,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    val canaryStart = (1 to CanaryPasses).map(_ => canary(spark)).min
     val w0 = System.nanoTime()
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
     val warmup = (System.nanoTime() - w0) / 1e9
+    // Canaries bracket the TIMED phase only: measured pre-warmup, the
+    // start canary charges first-job JIT/codegen to the load reference
+    // (measured 0.78 s cold vs 0.11 s steady on an idle host).
+    val canaryStart = (1 to CanaryPasses).map(_ => canary(spark)).min
     // A failed query reports -1, never its elapsed-to-failure time — a
     // thrown regression must read as a failure, not a speedup.
     def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
