@@ -32,3 +32,36 @@ object BuildIndex {
     spark.stop()
   }
 }
+
+/** `sbt "runMain graft.BuildVectorIndex <sfDir> [outDir]"` — the offline
+  * vector-index build job: train the IVF coarse quantizer
+  * (SimilarityOps.kmeansModel — fixed-iteration Lloyd k-means), write the
+  * embeddings `partitionBy(cluster)` with the learned centroids alongside,
+  * then reload and prove the probe read path: filtering on probed clusters
+  * must plan as file-level partition pruning (the 100 TB serving shape —
+  * the unprobed partitions are never read). KmeansIvfSpec pins the same
+  * contract in-test; this is the user-facing job.
+  */
+object BuildVectorIndex {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val out = if (args.length > 1) args(1) else "target/graft_ivf_index"
+    val spark = Cli.session()
+    val (cent, asg) = graft.operators.SimilarityOps.kmeansModel(spark, dir)
+
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .join(asg, "vec_id")
+      .write.mode("overwrite").partitionBy("cluster").parquet(out)
+    cent.write.mode("overwrite").parquet(s"$out.centroids")
+
+    val reread = spark.read.parquet(out)
+    val sizes = reread.groupBy("cluster").count().orderBy("cluster").collect()
+    val probe = reread.filter(col("cluster").isin(0, 1))
+    val pruned = probe.queryExecution.executedPlan.toString
+      .linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("cluster"))
+    println(s"[vindex] out=$out clusters=${sizes.length} " +
+      s"sizes=${sizes.map(r => s"${r.get(0)}:${r.getLong(1)}").mkString(",")} " +
+      s"probe_partition_pruned=$pruned probe_rows=${probe.count()}")
+    spark.stop()
+  }
+}
