@@ -43,8 +43,16 @@ object Bench {
   val RetimeRatio = 3.0   // min > 3x median-of-mins => re-time
   val SuspectSpread = 3.0 // max/min across passes > 3x => suspect
 
+  /** Reported value: min over the valid passes. -1 (failure) only when a
+    * REQUIRED pass failed — a thrown regression must read as a failure,
+    * but an ExtraPasses re-time that dies under the very host load the
+    * re-time defends against must not erase two valid timings. */
   def minOf(ts: Vector[Double]): Double =
-    if (ts.contains(-1.0)) -1.0 else ts.min
+    if (ts.take(TimedPasses).contains(-1.0)) -1.0
+    else {
+      val valid = ts.filter(_ >= 0)
+      if (valid.isEmpty) -1.0 else valid.min
+    }
 
   /** Fixed CPU-bound calibration job — no I/O, no caches, no data
     * dependence — timed just before and just after the timed passes

@@ -117,9 +117,17 @@ object DedupOps {
     * engines. */
   val MinHashP = 2147483647L // 2^31 − 1 (prime)
   /** a_j = (2654435761·(j+1)) mod p, b_j = (2246822519·(j+1)) mod p —
-    * Knuth/xxhash multiplicative constants; b_j ≠ 0 for all j < p. */
-  private def permA(j: Column): Column = pmod(lit(2654435761L) * (j + 1), lit(MinHashP))
-  private def permB(j: Column): Column = pmod(lit(2246822519L) * (j + 1), lit(MinHashP))
+    * Knuth/xxhash multiplicative constants; b_j ≠ 0 for all j < p.
+    * private[graft]: the streaming LSH gate derives its row-local band
+    * hashes from the SAME family (StreamingOps.bandHashes) — one
+    * definition, no drift surface. */
+  private[graft] def permA(j: Column): Column = pmod(lit(2654435761L) * (j + 1), lit(MinHashP))
+  private[graft] def permB(j: Column): Column = pmod(lit(2246822519L) * (j + 1), lit(MinHashP))
+
+  /** The per-shingle hash h = md5 → 60-bit int → mod p, shared verbatim by
+    * the batch signature build and the streaming gate. */
+  private[graft] def shingleHash(s: Column): Column =
+    pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(MinHashP))
 
   /** Shape: hash once per distinct (doc_id, s) row inside whole-stage
     * codegen, explode only the 16-way permutation index over the already-
@@ -139,8 +147,7 @@ object DedupOps {
   def minhashBands(spark: SparkSession, dir: String): DataFrame = {
     val bands = bandCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
       val hashed = shingleSets(spark, dir).select(col("doc_id"),
-        pmod(conv(substring(md5(col("s")), 1, 15), 16, 10).cast("long"),
-          lit(MinHashP)).as("h"))
+        shingleHash(col("s")).as("h"))
       val mh = hashed
         .select(col("doc_id"), col("h"),
           explode(sequence(lit(0L), lit(NumHashes - 1L))).as("j"))
@@ -401,27 +408,32 @@ object DedupOps {
     * fixpoint (labels stop changing) with the same per-round plan. Output
     * is each doc's cluster representative (min doc_id reachable within
     * ClusterIterations hops) and the cluster's size. */
+  private val labelCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   /** Propagated min-label frame (doc_id, label) — the cluster
     * representative each doc reaches within ClusterIterations hops.
     * Shared by q49 (cluster sizes), q75 (keep-best policy), and q76
-    * (leakage-safe splits). */
-  private def dupLabels(spark: SparkSession, dir: String): DataFrame = {
-    // Candidate pairs only — the exact-Jaccard verification q42 layers on
-    // top never changes the pair set (no threshold), so clustering over
-    // the raw candidates skips the most expensive join in the pipeline.
-    val pairs = lshCandidatePairs(spark, dir)
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    var labels = docs(spark, dir).select(col("doc_id"), col("doc_id").as("label"))
-    for (_ <- 1 to ClusterIterations) {
-      val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
-        .groupBy("src").agg(min("label").as("nlabel"))
-      labels = labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-    }
-    labels
-  }
+    * (leakage-safe splits); memoized + cached per (appId, dir) like every
+    * other shared build (kmeansModel, minhashBands, shingleSets) so the
+    * three consumers run the ClusterIterations propagation rounds once. */
+  private def dupLabels(spark: SparkSession, dir: String): DataFrame =
+    labelCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
+      // Candidate pairs only — the exact-Jaccard verification q42 layers on
+      // top never changes the pair set (no threshold), so clustering over
+      // the raw candidates skips the most expensive join in the pipeline.
+      val pairs = lshCandidatePairs(spark, dir)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      var labels = docs(spark, dir).select(col("doc_id"), col("doc_id").as("label"))
+      for (_ <- 1 to ClusterIterations) {
+        val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
+          .groupBy("src").agg(min("label").as("nlabel"))
+        labels = labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      }
+      labels.cache()
+    })
 
   def dupClusters(spark: SparkSession, dir: String): DataFrame =
     dupLabels(spark, dir)

@@ -138,20 +138,28 @@ object StreamingOps {
     * by state-store I/O — the batch tier (explode + codegen + partial
     * agg) remains the bulk-throughput formulation. */
   def bandHashes(textCol: Column): Column = {
-    import graft.operators.DedupOps.{BandSize, MinHashP, NumHashes}
-    val sh = graft.operators.DedupOps.shingles(textCol)
-    val hs = transform(sh, s =>
-      pmod(conv(substring(md5(s), 1, 15), 16, 10).cast("long"), lit(MinHashP)))
+    import graft.operators.DedupOps
+    import DedupOps.{BandSize, MinHashP, NumHashes}
+    val toks = graft.textops.TextOps.tokenize(textCol)
+    val sh = DedupOps.shingles(textCol)
+    // One definition of the hash family: the per-shingle hash and the
+    // (a_j, b_j) permutation constants come from DedupOps itself, so the
+    // batch tier can't drift away from this gate.
+    val hs = transform(sh, s => DedupOps.shingleHash(s))
     val sigs = (0 until NumHashes).map { j =>
-      val a = lit((2654435761L * (j + 1)) % MinHashP)
-      val b = lit((2246822519L * (j + 1)) % MinHashP)
+      val (a, b) = (DedupOps.permA(lit(j.toLong)), DedupOps.permB(lit(j.toLong)))
       array_min(transform(hs, h => pmod(a + b * h, lit(MinHashP))))
     }
     val bands = (0 until NumHashes / BandSize).map { bi =>
       md5(concat_ws(":",
         sigs.slice(bi * BandSize, (bi + 1) * BandSize).map(_.cast("string")): _*))
     }
-    when(size(sh) === 0, array().cast("array<string>"))
+    // Drop condition mirrors the batch tier's explodedShingles filter
+    // (size(tokens) > 0): NULL text must also yield the empty array —
+    // shingles(NULL) otherwise evaluates to [""] (concat_ws of a null
+    // array), which would give every null-text doc one shared phantom
+    // signature and flag them all as mutual near-dups.
+    when(coalesce(size(toks), lit(-1)) <= 0, array().cast("array<string>"))
       .otherwise(array(bands: _*))
   }
 

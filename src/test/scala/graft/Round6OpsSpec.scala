@@ -218,6 +218,10 @@ class Round6OpsSpec extends SparkSpec {
     assert(Bench.minOf(passes.toMap.apply("recovered")) == 0.5)
     assert(Bench.confirmRatio(Vector(9.0, 8.5, 0.5, 0.52)) == 0.52 / 0.5)
     assert(Bench.confirmRatio(Vector(0.3)) == Double.PositiveInfinity)
+    // A failed EXTRA pass never erases valid required passes...
+    assert(Bench.minOf(Vector(1.0, 5.0, -1.0, 0.9)) == 0.9)
+    // ...but a failed required pass is a failure regardless of re-times.
+    assert(Bench.minOf(Vector(1.0, -1.0, 0.9, 0.9)) == -1.0)
   }
 
   test("bench defense: median of mins ignores failures") {
