@@ -11,7 +11,22 @@ import graft.telemetry.ParquetTelemetryStore
   *  /root/reference/src/beyond_vector_search/evaluate.py:119-125).
   */
 object Cli {
+  /** Silence WindowExec's `No Partition Defined ... may cause serious
+    * performance degradation` warning. Every global window in this repo
+    * runs over a provably bounded frame (SCALE.md "Global windows are
+    * bounded-frame only"): rank-over-top-k after `limit(TopK)` (≤ 50
+    * rows), the KmeansK-row seed window, the quality-histogram prefix
+    * window (≤ 10⁶ bucket rows, by design per the q78 scaladoc), and the
+    * 3-row funnel-stage window. The warning fires 52× per bench run and
+    * buries real signals; the proof lives in SCALE.md, so the log noise
+    * carries no information. */
+  def quietBoundedWindowWarnings(): Unit =
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
+
   def session(): SparkSession = {
+    quietBoundedWindowWarnings()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
