@@ -215,8 +215,13 @@ object TextAnalysisOps {
 
   /** Chars per exploded block of the blockwise rolling hash. */
   val RollBlock = 16
-  /** Exponent bits the unrolled modpow covers (docs up to 2^30 chars). */
-  private val RollPowBits = 30
+  /** Exponent bits the unrolled modpow covers. 31 is provably exhaustive:
+    * the exponent e = len − j·B − k is bounded by len = length(s), whose
+    * Spark type is INT — so e ≤ 2^31 − 1 always, and bits 0..30 cover
+    * every representable document length. No silent-truncation regime
+    * exists (a 30-bit cover would hash docs past 2^30 chars differently
+    * from the reference per-char Horner fold with no error). */
+  private val RollPowBits = 31
   /** rollPow2(i) = 31^(2^i) mod RollMod — literal constants for the
     * unrolled square-and-multiply weight below. */
   private val rollPow2: Array[Long] =
@@ -868,6 +873,16 @@ object TextAnalysisOps {
 
   // ---- q78: token-budget corpus curation (quality-greedy budget fill) -----
 
+  /** Integer micro-score bucket key (ADVICE r6): qkey = floor(q·10⁶ + 0.5)
+    * over the already-r6-ROUNDED score. The r6 value is X/10⁶ for integer
+    * X, so q·10⁶ + 0.5 lands strictly inside (X, X+1) (representation
+    * error ~10⁻¹⁰) and the floor recovers X exactly — bucket membership
+    * and sort order become pure-integer-derived in both engines, removing
+    * the last-ulp-at-a-rounding-boundary risk of grouping/joining on a
+    * DOUBLE key. SQL twin: CAST(floor(q * 1000000 + 0.5) AS BIGINT). */
+  private[operators] def qkeyOf(r6Score: Column): Column =
+    floor(r6Score * lit(1e6) + lit(0.5)).cast("long")
+
   /** Curate the corpus to a token budget (half the corpus total here):
     * keep the maximal prefix of documents in (quality DESC, doc_id ASC)
     * order whose cumulative token count fits the budget — the greedy
@@ -876,23 +891,24 @@ object TextAnalysisOps {
     * A naive global running sum over documents serializes the corpus
     * through one task (the q47 lesson). Greedy budget fill decomposes
     * instead around the quality HISTOGRAM: per-bucket token totals
-    * (buckets = distinct ROUNDED scores, ≤ 10⁶ — metadata-scale, so its
-    * ordered prefix window is trivially cheap and the bucket frame
-    * broadcasts), plus a per-doc running sum PARTITIONED BY bucket for
-    * the one boundary bucket the budget lands in. A doc is kept iff
-    * bucket_prefix + its within-bucket prefix fits — exactly the global
-    * greedy order, with no single-partition pass over the corpus. */
+    * (buckets = distinct INTEGER micro-scores qkey, ≤ 10⁶ —
+    * metadata-scale, so its ordered prefix window is trivially cheap and
+    * the bucket frame broadcasts), plus a per-doc running sum PARTITIONED
+    * BY bucket for the one boundary bucket the budget lands in. A doc is
+    * kept iff bucket_prefix + its within-bucket prefix fits — exactly the
+    * global greedy order, with no single-partition pass over the corpus. */
   def tokenBudgetCuration(spark: SparkSession, dir: String): DataFrame = {
     val d = textQuality(spark, dir).select("doc_id", "quality_score", "n_tokens")
-    val bt = d.groupBy("quality_score").agg(sum("n_tokens").as("btok"))
-    val wb = Window.orderBy(col("quality_score").desc)
+      .withColumn("qkey", qkeyOf(col("quality_score")))
+    val bt = d.groupBy("qkey").agg(sum("n_tokens").as("btok"))
+    val wb = Window.orderBy(col("qkey").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val bk = bt.withColumn("cum_before", coalesce(sum("btok").over(wb), lit(0L)))
-      .select("quality_score", "cum_before")
+      .select("qkey", "cum_before")
     val tot = d.agg((sum("n_tokens").cast("long")).as("total"))
-    val wd = Window.partitionBy("quality_score").orderBy("doc_id")
+    val wd = Window.partitionBy("qkey").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, 0)
-    d.join(broadcast(bk), "quality_score")
+    d.join(broadcast(bk), "qkey")
       .crossJoin(broadcast(tot))
       .withColumn("doc_cum", sum("n_tokens").over(wd))
       .withColumn("cum_tokens", (col("cum_before") + col("doc_cum")).cast("long"))
@@ -903,18 +919,21 @@ object TextAnalysisOps {
 
   val tokenBudgetCurationSql: String =
     s"""WITH $qualityCtes,
-       |bt AS (SELECT quality_score, CAST(sum(n_tokens) AS BIGINT) AS btok
-       |       FROM qual GROUP BY 1),
-       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM qual),
-       |bk AS (SELECT quality_score,
-       |         CAST(coalesce(sum(btok) OVER (ORDER BY quality_score DESC
+       |qk AS (SELECT doc_id, quality_score, n_tokens,
+       |         CAST(floor(quality_score * 1000000 + 0.5) AS BIGINT) AS qkey
+       |       FROM qual),
+       |bt AS (SELECT qkey, CAST(sum(n_tokens) AS BIGINT) AS btok
+       |       FROM qk GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM qk),
+       |bk AS (SELECT qkey,
+       |         CAST(coalesce(sum(btok) OVER (ORDER BY qkey DESC
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
        |           AS cum_before
        |       FROM bt),
        |dd AS (SELECT q.doc_id, q.quality_score, q.n_tokens, bk.cum_before,
-       |         CAST(sum(q.n_tokens) OVER (PARTITION BY q.quality_score
+       |         CAST(sum(q.n_tokens) OVER (PARTITION BY q.qkey
        |           ORDER BY q.doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS doc_cum
-       |       FROM qual q JOIN bk USING (quality_score))
+       |       FROM qk q JOIN bk USING (qkey))
        |SELECT doc_id, quality_score, CAST(n_tokens AS BIGINT) AS n_tokens,
        |  cum_before + doc_cum AS cum_tokens
        |FROM dd, tot WHERE cum_before + doc_cum <= total // 2
