@@ -35,33 +35,73 @@ object BuildIndex {
 
 /** `sbt "runMain graft.BuildVectorIndex <sfDir> [outDir]"` — the offline
   * vector-index build job: train the IVF coarse quantizer
-  * (SimilarityOps.kmeansModel — fixed-iteration Lloyd k-means), write the
-  * embeddings `partitionBy(cluster)` with the learned centroids alongside,
+  * (SimilarityOps.kmeansModel — fixed-iteration Lloyd k-means), quantize
+  * every vector to int8 codes + scale, and write the complete serving
+  * artifact set (SimilarityOps.indexArtifacts):
+  *
+  *   `<out>/vectors`    (vec_id, embedding, codes, scale) partitionBy(cluster)
+  *   `<out>/centroids`  (cluster, pos, c) long-form
+  *
   * then reload and prove the probe read path: filtering on probed clusters
   * must plan as file-level partition pruning (the 100 TB serving shape —
-  * the unprobed partitions are never read). KmeansIvfSpec pins the same
-  * contract in-test; this is the user-facing job.
+  * the unprobed partitions are never read). SimilarityOps.annIvfServe /
+  * annIvfInt8Serve query THIS output with zero training, amax, or corpus
+  * reads at query time; IvfServingSpec pins the contract in-test.
   */
 object BuildVectorIndex {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val out = if (args.length > 1) args(1) else "target/graft_ivf_index"
     val spark = Cli.session()
-    val (cent, asg) = graft.operators.SimilarityOps.kmeansModel(spark, dir)
+    val (cent, _) = graft.operators.SimilarityOps.kmeansModel(spark, dir)
 
-    spark.read.parquet(s"$dir/embeddings.parquet")
-      .join(asg, "vec_id")
-      .write.mode("overwrite").partitionBy("cluster").parquet(out)
-    cent.write.mode("overwrite").parquet(s"$out.centroids")
+    graft.operators.SimilarityOps.indexArtifacts(spark, dir)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$out/vectors")
+    cent.write.mode("overwrite").parquet(s"$out/centroids")
 
-    val reread = spark.read.parquet(out)
+    val reread = spark.read.parquet(s"$out/vectors")
     val sizes = reread.groupBy("cluster").count().orderBy("cluster").collect()
     val probe = reread.filter(col("cluster").isin(0, 1))
-    val pruned = probe.queryExecution.executedPlan.toString
-      .linesIterator.exists(l => l.contains("PartitionFilters") && l.contains("cluster"))
+    // The filter must appear INSIDE the PartitionFilters bracket — the
+    // whole FileScan renders on one line whose output-attribute list also
+    // contains `cluster`, so a substring test on the line would pass even
+    // with PartitionFilters: [] (no pruning at all).
+    val pruned = """PartitionFilters: \[[^\]]*cluster""".r
+      .findFirstIn(probe.queryExecution.executedPlan.toString).isDefined
     println(s"[vindex] out=$out clusters=${sizes.length} " +
       s"sizes=${sizes.map(r => s"${r.get(0)}:${r.getLong(1)}").mkString(",")} " +
       s"probe_partition_pruned=$pruned probe_rows=${probe.count()}")
+    spark.stop()
+  }
+}
+
+/** `sbt "runMain graft.ServeVectorIndex <indexDir> [sfDir]"` — the ANN
+  * serving entry point: answer a query from the PERSISTED index alone
+  * (BuildVectorIndex output) — float tier and int8 tier — with the probe
+  * read planned as file-level partition pruning. The query vector is
+  * fetched once from the corpus (standing in for the query arriving with
+  * the request); everything after that touches only index files.
+  */
+object ServeVectorIndex {
+  def main(args: Array[String]): Unit = {
+    val idx = if (args.nonEmpty) args(0) else "target/graft_ivf_index"
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val spark = Cli.session()
+    import graft.operators.SimilarityOps
+
+    val qv = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === SimilarityOps.QueryVecId)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+
+    val served = SimilarityOps.annIvfServe(spark, idx, qv)
+    val pruned = """PartitionFilters: \[[^\]]*cluster""".r
+      .findFirstIn(served.queryExecution.executedPlan.toString).isDefined
+    val top = served.limit(5).collect()
+      .map(r => s"${r.getAs[Long]("vec_id")}:${r.getAs[Double]("cos")}")
+    val top8 = SimilarityOps.annIvfInt8Serve(spark, idx, qv).limit(5).collect()
+      .map(r => s"${r.getAs[Long]("vec_id")}:${r.getAs[Double]("qcos")}")
+    println(s"[vserve] idx=$idx probe_partition_pruned=$pruned " +
+      s"float_top5=${top.mkString(",")} int8_top5=${top8.mkString(",")}")
     spark.stop()
   }
 }

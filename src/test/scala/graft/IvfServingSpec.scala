@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SimilarityOps
+
+/** Pins the round-7 serving contract (VERDICT r6 next-round #1): the ANN
+  * tier can answer queries from the PERSISTED BuildVectorIndex output
+  * alone —
+  *
+  *   - float and int8 serving results equal the in-session q51/q77 frames
+  *     row-for-row;
+  *   - the probe scan carries a cluster predicate INSIDE PartitionFilters
+  *     (file-level partition pruning on the persisted files);
+  *   - at query time no file outside the index directory is read — so no
+  *     k-means training, no corpus amax pass, no embeddings.parquet scan
+  *     can be hiding anywhere in the served plans (reconstruction inputs
+  *     `codes`/`scale` are index columns, materialized at build).
+  */
+class IvfServingSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val indexDir: String = {
+    val out = java.nio.file.Files.createTempDirectory("graft_ivf_serve").toString
+    val (cent, _) = SimilarityOps.kmeansModel(spark, dir)
+    SimilarityOps.indexArtifacts(spark, dir)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$out/vectors")
+    cent.write.mode("overwrite").parquet(s"$out/centroids")
+    out
+  }
+
+  private lazy val queryVec: Array[Float] =
+    spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === SimilarityOps.QueryVecId)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+
+  test("served float tier equals the in-session q51 frame") {
+    val served = SimilarityOps.annIvfServe(spark, indexDir, queryVec)
+    val inSession = SimilarityOps.annIvf(spark, dir)
+    assert(served.count() > 0)
+    assert(served.exceptAll(inSession).isEmpty && inSession.exceptAll(served).isEmpty)
+  }
+
+  test("served int8 tier equals the in-session q77 frame") {
+    val served = SimilarityOps.annIvfInt8Serve(spark, indexDir, queryVec)
+    val inSession = SimilarityOps.annIvfInt8(spark, dir)
+    assert(served.count() > 0)
+    assert(served.exceptAll(inSession).isEmpty && inSession.exceptAll(served).isEmpty)
+  }
+
+  test("served scans are partition-pruned and read only index files") {
+    for (served <- Seq(
+        SimilarityOps.annIvfServe(spark, indexDir, queryVec),
+        SimilarityOps.annIvfInt8Serve(spark, indexDir, queryVec))) {
+      // Cluster predicate INSIDE the PartitionFilters bracket (a whole
+      // FileScan renders on one line whose attribute list also says
+      // `cluster`, so a plain substring test could pass with
+      // PartitionFilters: []).
+      val plan = served.queryExecution.executedPlan.toString
+      assert("""PartitionFilters: \[[^\]]*cluster""".r.findFirstIn(plan).isDefined,
+        s"no cluster predicate inside PartitionFilters:\n$plan")
+
+      // Zero training/amax/corpus work at query time: every relation the
+      // served plan reads is a file inside the index directory — no
+      // embeddings.parquet, so no k-means or corpus-amax input exists
+      // anywhere in the plan.
+      val files = served.inputFiles
+      assert(files.nonEmpty)
+      files.foreach(f => assert(f.contains(indexDir),
+        s"served plan reads outside the index: $f"))
+    }
+  }
+
+  test("the probe is file-level: served rows come from NProbe cluster dirs only") {
+    val probed = SimilarityOps.servedProbe(spark, indexDir, queryVec)
+    assert(probed.size == SimilarityOps.NProbe &&
+      probed.size < SimilarityOps.KmeansK)
+
+    // The pruned read returns exactly the probed partitions' rows, and
+    // every surviving row physically came from a probed cluster=N
+    // directory (input_file_name over the pruned scan).
+    val scan = spark.read.parquet(s"$indexDir/vectors")
+      .filter(col("cluster").isin(probed: _*))
+    val perFile = scan.select(input_file_name().as("f")).distinct().collect()
+      .map(_.getString(0))
+    assert(perFile.nonEmpty)
+    perFile.foreach { f =>
+      assert(probed.exists(c => f.contains(s"cluster=$c")),
+        s"row read from unprobed partition file: $f")
+    }
+    val bySizes = spark.read.parquet(s"$indexDir/vectors")
+      .groupBy("cluster").count().collect()
+      .map(r => r.getAs[Long]("cluster") -> r.getAs[Long]("count")).toMap
+    assert(scan.count() == probed.map(bySizes).sum)
+  }
+}
