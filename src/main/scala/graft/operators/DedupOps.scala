@@ -472,19 +472,21 @@ object DedupOps {
   /** The pipeline decision q49's clusters exist for: collapse each near-dup
     * cluster to its best representative by q30 quality score, ties to the
     * lowest doc_id. Both window functions share the cluster_id
-    * partitioning (one shuffle), and the sort key is the r6-ROUNDED
-    * quality score, which both engines agree on bit-for-bit — an unrounded
-    * double sort key could order two docs differently across engines. */
+    * partitioning (one shuffle), and the sort key is the INTEGER
+    * micro-score qkey = floor(r6(q)·10⁶ + 0.5) (ADVICE r6;
+    * TextAnalysisOps.qkeyOf) — integer-derived in both engines, so no
+    * double comparison anywhere near the ordering decision. */
   def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
     val labeled = dupLabels(spark, dir)
       .select(col("doc_id"), col("label").as("cluster_id"))
       .join(TextAnalysisOps.textQuality(spark, dir)
         .select(col("doc_id"), col("quality_score")), "doc_id")
+      .withColumn("qkey", TextAnalysisOps.qkeyOf(col("quality_score")))
     val part = Window.partitionBy("cluster_id")
     labeled
       .withColumn("n_members", count(lit(1)).over(part))
       .withColumn("rk", row_number().over(
-        part.orderBy(col("quality_score").desc, col("doc_id").asc)))
+        part.orderBy(col("qkey").desc, col("doc_id").asc)))
       .filter(col("rk") === 1)
       .select(col("cluster_id"), col("n_members"),
         col("doc_id").as("kept_doc_id"), col("quality_score").as("kept_quality"))
@@ -500,7 +502,8 @@ object DedupOps {
        |r AS (SELECT cluster_id, doc_id, quality_score,
        |        CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members,
        |        row_number() OVER (PARTITION BY cluster_id
-       |          ORDER BY quality_score DESC, doc_id) AS rk
+       |          ORDER BY CAST(floor(quality_score * 1000000 + 0.5) AS BIGINT) DESC,
+       |            doc_id) AS rk
        |      FROM j)
        |SELECT cluster_id, n_members, doc_id AS kept_doc_id,
        |  quality_score AS kept_quality
@@ -536,37 +539,185 @@ object DedupOps {
        |  CASE WHEN bucket < $TrainBuckets THEN 'train' ELSE 'holdout' END AS split
        |FROM b ORDER BY doc_id""".stripMargin
 
+  // ---- q82: end-to-end curation pipeline (keep-best → splits → budget) ----
+
+  /** The corpus-release artifact (VERDICT r6 #5), composing the three
+    * curation operators over one shared cluster/quality build:
+    *
+    *   1. q75 keep-best — collapse each near-dup cluster to its
+    *      best-quality representative;
+    *   2. q76 splits — assign train/holdout by CLUSTER representative
+    *      (near-dups of holdout docs held out together);
+    *   3. q78 budget — greedy token-budget fill (half the train-survivor
+    *      total) over the TRAIN survivors in (quality DESC, doc_id ASC)
+    *      order, via the same quality-histogram decomposition (bucket
+    *      prefix window over ≤ 10⁶ integer micro-score rows + per-doc
+    *      window PARTITIONED BY bucket — no single-partition corpus pass).
+    *
+    * One row per surviving document: (doc_id, cluster_id, split,
+    * quality_score, n_tokens, kept, cum_tokens). Holdout survivors are
+    * kept unconditionally (eval sets are not budget-cut) with
+    * cum_tokens = −1 (sentinel, not NULL — a mixed NULL/BIGINT column
+    * breaks cross-engine row-sort comparison); train survivors carry
+    * their budget prefix sum and kept = fits-the-budget. */
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val labeled = dupLabels(spark, dir)
+      .select(col("doc_id"), col("label").as("cluster_id"))
+      .join(TextAnalysisOps.textQuality(spark, dir)
+        .select("doc_id", "quality_score", "n_tokens"), "doc_id")
+      .withColumn("qkey", TextAnalysisOps.qkeyOf(col("quality_score")))
+    val winners = labeled
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("cluster_id").orderBy(col("qkey").desc, col("doc_id").asc)))
+      .filter(col("rk") === 1)
+      .withColumn("bucket", TextAnalysisOps.shardOf(col("cluster_id"), SplitBuckets))
+      .withColumn("split",
+        when(col("bucket") < TrainBuckets, "train").otherwise("holdout"))
+      .select("doc_id", "cluster_id", "split", "quality_score", "n_tokens", "qkey")
+    val train = winners.filter(col("split") === "train")
+
+    val bt = train.groupBy("qkey").agg(sum("n_tokens").as("btok"))
+    val wb = Window.orderBy(col("qkey").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bk = bt.withColumn("cum_before", coalesce(sum("btok").over(wb), lit(0L)))
+      .select("qkey", "cum_before")
+    val tot = train.agg(sum("n_tokens").cast("long").as("total"))
+    val wd = Window.partitionBy("qkey").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val trainRows = train.join(broadcast(bk), "qkey")
+      .crossJoin(broadcast(tot))
+      .withColumn("cum_tokens",
+        (col("cum_before") + sum("n_tokens").over(wd)).cast("long"))
+      .select(col("doc_id"), col("cluster_id"), col("split"), col("quality_score"),
+        col("n_tokens"), (col("cum_tokens") <= expr("total DIV 2")).as("kept"),
+        col("cum_tokens"))
+    val holdRows = winners.filter(col("split") === "holdout")
+      .select(col("doc_id"), col("cluster_id"), col("split"), col("quality_score"),
+        col("n_tokens"), lit(true).as("kept"), lit(-1L).as("cum_tokens"))
+    trainRows.unionByName(holdRows).orderBy("doc_id")
+  }
+
+  val curationPipelineSql: String =
+    s"""WITH $dupLabelCtes,
+       |${TextAnalysisOps.qualityCtes},
+       |lab AS (SELECT doc_id, label AS cluster_id FROM l$ClusterIterations),
+       |cj AS (SELECT cluster_id, doc_id, quality_score, n_tokens,
+       |         CAST(floor(quality_score * 1000000 + 0.5) AS BIGINT) AS qkey
+       |       FROM lab JOIN qual USING (doc_id)),
+       |win AS (SELECT cluster_id, doc_id, quality_score, n_tokens, qkey FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |            ORDER BY qkey DESC, doc_id) AS rk FROM cj) WHERE rk = 1),
+       |sp AS (SELECT doc_id, cluster_id, quality_score, n_tokens, qkey,
+       |         CASE WHEN CAST(('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |                   % $SplitBuckets < $TrainBuckets
+       |              THEN 'train' ELSE 'holdout' END AS split
+       |       FROM win),
+       |tr AS (SELECT *, CAST(sum(n_tokens) OVER (ORDER BY qkey DESC, doc_id
+       |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |       FROM sp WHERE split = 'train'),
+       |tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM sp
+       |       WHERE split = 'train')
+       |SELECT doc_id, cluster_id, split, quality_score,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  cum_tokens <= total // 2 AS kept, cum_tokens
+       |FROM tr, tt
+       |UNION ALL
+       |SELECT doc_id, cluster_id, split, quality_score,
+       |  CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  true AS kept, CAST(-1 AS BIGINT) AS cum_tokens
+       |FROM sp WHERE split = 'holdout'
+       |ORDER BY doc_id""".stripMargin
+
+  // ---- q83: verbatim-window decontamination (contiguous containment) ------
+
+  /** Contiguous-window size in tokens — the Dolma/CCNet-style
+    * contamination test: a training doc is contaminated if it contains a
+    * VERBATIM run of VerbatimWindow consecutive benchmark tokens. Compare
+    * q45 (≥3 distinct 3-shingles ANYWHERE — scattered coincidental shares
+    * can flag) and q43 (set Jaccard ≥ 0.30 — a short quote inside a long
+    * doc has tiny Jaccard and is MISSED); contiguity is exactly the
+    * verbatim-quote signal both of those blur. Round7OpsSpec separates
+    * the three on planted contamination. */
+  val VerbatimWindow = 8
+
+  /** Flag training docs sharing ≥1 exact VerbatimWindow-token contiguous
+    * window with any pseudo-benchmark doc (the q45 1/97 slice). Windows
+    * are explodedShingles at n = VerbatimWindow (docs shorter than the
+    * window contribute their whole token string — a benchmark doc quoted
+    * IN FULL is contamination too), keyed by md5 so the join exchanges a
+    * 16-byte key instead of a ~50-char string. Same scale shape as q45:
+    * the benchmark side is eval-set-sized and broadcast; the corpus side
+    * streams map-side into a per-doc partial aggregate. An 8-token window
+    * is far more selective than a 3-shingle, so candidate volume is
+    * strictly below q45's. */
+  def verbatimDecontamination(spark: SparkSession, dir: String): DataFrame = {
+    val ws = explodedShingles(docs(spark, dir), VerbatimWindow)
+      .select(col("doc_id"), md5(col("s")).as("w")).distinct()
+    val bench = ws.filter(pmod(col("doc_id"), lit(DecontamMod)) === 0)
+      .select(col("w"), col("doc_id").as("bench_id"))
+    ws.filter(pmod(col("doc_id"), lit(DecontamMod)) =!= 0)
+      .join(broadcast(bench), "w")
+      .groupBy("doc_id")
+      .agg(countDistinct("w").as("n_windows"),
+        countDistinct("bench_id").as("n_bench_docs"))
+      .orderBy("doc_id")
+  }
+
+  val verbatimDecontaminationSql: String =
+    s"""WITH wtk AS (SELECT doc_id, regexp_extract_all(lower(text), '$TokRe') AS t
+       |             FROM documents),
+       |wsh AS (SELECT doc_id,
+       |          CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
+       |               WHEN len(t) < $VerbatimWindow THEN [array_to_string(t, ' ')]
+       |               ELSE [array_to_string(t[i:i+${VerbatimWindow - 1}], ' ')
+       |                     FOR i IN range(1, len(t) - ${VerbatimWindow - 2})]
+       |          END AS ws
+       |        FROM wtk),
+       |wx AS (SELECT doc_id, unnest(ws) AS s FROM wsh),
+       |wd AS (SELECT DISTINCT doc_id, md5(s) AS w FROM wx),
+       |bench AS (SELECT w, doc_id AS bench_id FROM wd WHERE doc_id % $DecontamMod = 0)
+       |SELECT wd.doc_id, count(DISTINCT wd.w) AS n_windows,
+       |  count(DISTINCT bench_id) AS n_bench_docs
+       |FROM wd JOIN bench ON wd.w = bench.w
+       |WHERE wd.doc_id % $DecontamMod <> 0
+       |GROUP BY wd.doc_id ORDER BY wd.doc_id""".stripMargin
+
   // ---- q48: SimHash near-dup pairs (Hamming-LSH banding) ------------------
 
   val SimhashBandBits = 15
   val SimhashNumBands = 4 // covers the 60-bit simhash
   val HammingThreshold = 12
 
-  /** Near-dup pairs over the q35 SimHash fingerprints: candidates share at
-    * least one 15-bit band of the 60-bit hash (Hamming-LSH — any pair
-    * within distance 3 is guaranteed caught; more distant pairs
-    * probabilistically), verified with the exact popcount Hamming
-    * distance. Both the band extraction (shift/mask) and the verification
-    * (`bit_count(a ^ b)`) are built-in codegen'd integer ops — this is
-    * the cheap complement to the shingle-MinHash pipeline: no shingling,
-    * one 8-byte key per doc, band join on a short int key. */
-  def simhashNearDups(spark: SparkSession, dir: String): DataFrame = {
-    val sh = TextAnalysisOps.simhashFrame(spark, dir)
-    val bands = sh.select(col("doc_id"), col("simhash"),
+  /** Hamming-LSH candidate pairs over ANY 60-bit fingerprint frame
+    * (doc_id, <hashCol>): candidates share at least one 15-bit band
+    * (any pair within Hamming distance SimhashNumBands−1 is guaranteed
+    * caught; more distant pairs probabilistically), verified with the
+    * exact popcount distance. Shared by q48 (text SimHash) and q81
+    * (image dHash) — the machinery is fingerprint-agnostic: band
+    * extraction (shift/mask) and verification (`bit_count(a ^ b)`) are
+    * built-in codegen'd integer ops, the band join keys on a short int. */
+  private[operators] def hammingBandPairs(sh: DataFrame, hashCol: String): DataFrame = {
+    val bands = sh.select(col("doc_id"), col(hashCol).as("h"),
         explode(sequence(lit(0), lit(SimhashNumBands - 1))).as("b"))
       .withColumn("band_val",
-        expr(s"shiftright(simhash, CAST($SimhashBandBits * b AS INT)) & ${(1 << SimhashBandBits) - 1}"))
+        expr(s"shiftright(h, CAST($SimhashBandBits * b AS INT)) & ${(1 << SimhashBandBits) - 1}"))
     bands.as("a").join(bands.as("b"),
         col("a.b") === col("b.b") && col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sh_a"), col("b.simhash").as("sh_b"))
+        col("a.h").as("h_a"), col("b.h").as("h_b"))
       .distinct()
-      .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
+      .withColumn("hamming", expr("CAST(bit_count(h_a ^ h_b) AS BIGINT)"))
+  }
+
+  /** Near-dup pairs over the q35 SimHash fingerprints — the cheap
+    * complement to the shingle-MinHash pipeline: no shingling, one 8-byte
+    * key per doc, band join on a short int key (see hammingBandPairs). */
+  def simhashNearDups(spark: SparkSession, dir: String): DataFrame =
+    hammingBandPairs(TextAnalysisOps.simhashFrame(spark, dir), "simhash")
       .filter(col("hamming") <= HammingThreshold)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
-  }
 
   val simhashNearDupsSql: String =
     s"""WITH ${TextAnalysisOps.simhashCtes},
@@ -588,6 +739,8 @@ object DedupOps {
     "q49_dup_clusters" -> (dupClusters _),
     "q75_dedup_keep_best" -> (dedupKeepBest _),
     "q76_leakage_safe_splits" -> (leakageSafeSplits _),
+    "q82_curation_pipeline" -> (curationPipeline _),
+    "q83_verbatim_decontam" -> (verbatimDecontamination _),
     "q40_exact_dup_groups" -> (exactDupGroups _),
     "q41_minhash_bands" -> (minhashBands _),
     "q42_minhash_dup_pairs" -> (minhashDupPairs _),
@@ -600,6 +753,8 @@ object DedupOps {
     "q49_dup_clusters" -> dupClustersSql,
     "q75_dedup_keep_best" -> dedupKeepBestSql,
     "q76_leakage_safe_splits" -> leakageSafeSplitsSql,
+    "q82_curation_pipeline" -> curationPipelineSql,
+    "q83_verbatim_decontam" -> verbatimDecontaminationSql,
     "q40_exact_dup_groups" -> exactDupGroupsSql,
     "q41_minhash_bands" -> minhashBandsSql,
     "q42_minhash_dup_pairs" -> minhashDupPairsSql,

@@ -144,15 +144,128 @@ object MultimodalOps {
        |  CAST(ascii(substring(text, pos, 1)) AS BIGINT) AS byte_val
        |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
+  // ---- q80/q81: perceptual-hash (dHash) image dedup -----------------------
+
+  /** dHash bits: a 61-point nearest-neighbor downsample of the payload
+    * yields 60 adjacent-pair gradient bits — 60 rather than the classic
+    * 64 so the fingerprint shares q48's proven 4×15-bit Hamming-LSH band
+    * geometry AND never touches a BIGINT's sign bit (engine-portable
+    * shifts). */
+  val DhashBits = 60
+  /** Same verification threshold as the text SimHash tier (q48). */
+  val DhashHammingThreshold = 12
+
+  /** q80: perceptual hash over the media payload — the 1-D stand-in for
+    * image dHash (difference hash): "resize" the payload to DhashBits + 1
+    * segments by AREA AVERAGING (char p lands in segment
+    * ⌊(p−1)·61/len⌋ — the same integral-image downsample a real dHash
+    * uses, not point sampling, so a small insertion shifts every mean a
+    * little instead of every sample arbitrarily), then
+    * bit i = [mean(seg i) < mean(seg i+1)] (the gradient step). Near-dup
+    * variants of the same content land at small Hamming distance — the
+    * raw md5 of q70 can never do that (measured on the corpus: the q42
+    * token-level near-dups sit ≤ 12 bits apart; point-sampling left them
+    * ≥ 13 bits and found nothing below sf0.1).
+    *
+    * The mean comparison is pure-INTEGER cross-multiplication
+    * (s_i·c_{i+1} < s_{i+1}·c_i — exact, no doubles anywhere near a bit
+    * decision; |s| < 2⁸·len, c < len/60, so the product is < 2⁵⁸ even at
+    * the 2³¹ max document length). Byte values read as ascii() of the
+    * char (the pure-ASCII invariant q71 verifies).
+    *
+    * Scale shape: the char explode is the q56 entropy shape — one
+    * partial-agg shuffle carrying a (doc, segment) sum/count pair, i.e.
+    * ≤ 61 rows per doc; the adjacent-segment join keys on doc_id against
+    * ≤ 61-row groups; one more partial `sum` of distinct powers of two
+    * reassembles the fingerprint. Zero-length payloads are excluded (no
+    * bytes to sample), matching frameSample; single-segment docs anchor
+    * through the left join with dhash = 0. */
+  def imageDhash(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+    val segs = base
+      .select(col("doc_id"), col("text"), col("len"),
+        explode(sequence(lit(1), col("len"))).as("p"))
+      .select(col("doc_id"),
+        expr(s"CAST((CAST(p AS BIGINT) - 1) * ${DhashBits + 1} DIV len AS INT)").as("seg"),
+        ascii(expr("substr(text, p, 1)")).cast("long").as("bv"))
+      .groupBy("doc_id", "seg")
+      .agg(sum("bv").as("s"), count(lit(1)).as("c"))
+    val bits = segs.as("x").join(segs.as("y"),
+        col("x.doc_id") === col("y.doc_id") && col("y.seg") === col("x.seg") + 1)
+      .select(col("x.doc_id").as("doc_id"),
+        when(col("x.s") * col("y.c") < col("y.s") * col("x.c"),
+          expr("shiftleft(CAST(1 AS BIGINT), x.seg)")).otherwise(lit(0L)).as("contrib"))
+      .groupBy("doc_id")
+      .agg(sum("contrib").as("dhash"))
+    base.select("doc_id").join(bits, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("dhash"), lit(0L)).as("dhash"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared q80/q81 oracle CTE ending in dh(doc_id, dhash). */
+  private val dhashCte: String =
+    s"""dch AS (SELECT doc_id, CAST((i - 1) * ${DhashBits + 1} // length(text) AS INT) AS seg,
+       |          ascii(substring(text, i, 1)) AS bv
+       |        FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+       |              FROM documents WHERE length(text) > 0)),
+       |dsg AS (SELECT doc_id, seg, CAST(sum(bv) AS BIGINT) AS s, count(*) AS c
+       |        FROM dch GROUP BY 1, 2),
+       |dbits AS (SELECT x.doc_id,
+       |            CASE WHEN x.s * y.c < y.s * x.c
+       |                 THEN CAST(1 AS BIGINT) << x.seg ELSE 0 END AS contrib
+       |          FROM dsg x JOIN dsg y ON x.doc_id = y.doc_id AND y.seg = x.seg + 1),
+       |dagg AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS dhash
+       |         FROM dbits GROUP BY doc_id),
+       |dh AS (SELECT d.doc_id, coalesce(dagg.dhash, 0) AS dhash
+       |       FROM (SELECT doc_id FROM documents WHERE length(text) > 0) d
+       |       LEFT JOIN dagg ON d.doc_id = dagg.doc_id)""".stripMargin
+
+  val imageDhashSql: String =
+    s"""WITH $dhashCte
+       |SELECT doc_id, dhash FROM dh ORDER BY doc_id""".stripMargin
+
+  /** q81: image near-dup pairs — the dHash fingerprints fed through the
+    * SAME Hamming-LSH machinery as the text tier
+    * (DedupOps.hammingBandPairs: 4×15-bit band join, popcount verify), so
+    * the dedup story covers both modalities with one candidate-generation
+    * shape. A real deployment swaps imageDhash's byte sampler for a
+    * decoded-pixel dHash (MultimodalOps.stubDecode's codec boundary);
+    * everything downstream — banding, verification, clustering — is
+    * unchanged. */
+  def imageNearDups(spark: SparkSession, dir: String): DataFrame =
+    DedupOps.hammingBandPairs(imageDhash(spark, dir), "dhash")
+      .filter(col("hamming") <= DhashHammingThreshold)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy("doc_a", "doc_b")
+
+  val imageNearDupsSql: String =
+    s"""WITH $dhashCte,
+       |dbands AS (SELECT doc_id, dhash, b,
+       |             (dhash >> (${DedupOps.SimhashBandBits} * b)) & ${(1 << DedupOps.SimhashBandBits) - 1} AS band_val
+       |           FROM dh, (SELECT unnest(range(0, ${DedupOps.SimhashNumBands})) AS b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |           a.dhash AS h_a, b.dhash AS h_b
+       |         FROM dbands a JOIN dbands b
+       |           ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(bit_count(xor(h_a, h_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(h_a, h_b)) <= $DhashHammingThreshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_media_meta" -> (mediaMeta _),
     "q71_media_features" -> (mediaFeatures _),
-    "q72_frame_sample" -> (frameSample _))
+    "q72_frame_sample" -> (frameSample _),
+    "q80_image_dhash" -> (imageDhash _),
+    "q81_image_neardups" -> (imageNearDups _))
 
   val oracles: Map[String, String] = Map(
     "q70_media_meta" -> mediaMetaSql,
     "q71_media_features" -> mediaFeaturesSql,
-    "q72_frame_sample" -> frameSampleSql)
+    "q72_frame_sample" -> frameSampleSql,
+    "q80_image_dhash" -> imageDhashSql,
+    "q81_image_neardups" -> imageNearDupsSql)
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupOps, MultimodalOps, SimilarityOps}
+
+/** Round-7 operator behavior that the oracle gate can't express:
+  * planted-contamination separation between the three decontamination
+  * tiers, dHash locality, and the recall-curve invariants.
+  */
+class Round7OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Write a crafted documents table and return its dir. */
+  private def plantedDir(): String = {
+    val out = java.nio.file.Files.createTempDirectory("graft_planted").toString
+    val alpha = (0 until 20).map(i => s"alpha$i")
+    val bench = alpha.mkString(" ") // doc 97: the "benchmark" doc (97 % 97 == 0)
+    // doc 1: a long doc QUOTING 8 consecutive benchmark tokens — verbatim
+    // contamination. Jaccard vs bench ≈ 6/68 ≈ 0.09, far below q43's 0.30.
+    val quoted = ((0 until 30).map(i => s"uniq$i") ++
+      alpha.slice(5, 13) ++ (0 until 20).map(i => s"tail$i")).mkString(" ")
+    // doc 2: three SCATTERED 3-token benchmark phrases — shares 3 distinct
+    // 3-shingles (q45 flags it) but no 8-token contiguous window.
+    val scattered = (alpha.slice(0, 3) ++ (0 until 10).map(i => s"fillA$i") ++
+      alpha.slice(7, 10) ++ (0 until 10).map(i => s"fillB$i") ++
+      alpha.slice(14, 17) ++ (0 until 10).map(i => s"fillC$i")).mkString(" ")
+    val clean = (0 until 40).map(i => s"clean$i").mkString(" ")
+    Seq((97L, bench), (1L, quoted), (2L, scattered), (3L, clean))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    out
+  }
+
+  test("q83 catches planted verbatim quotes that q43 misses; q45 over-flags scatter") {
+    val dir = plantedDir()
+
+    // q83: exactly the verbatim-quoting doc, nothing else.
+    val flagged = DedupOps.verbatimDecontamination(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(flagged == Set(1L), s"q83 flagged $flagged, expected {1}")
+
+    // q43 (shingle-set Jaccard at 0.30) misses the quote entirely.
+    val jpairs = DedupOps.jaccardPairs(spark, dir)
+      .filter(col("doc_a") === 97L || col("doc_b") === 97L).count()
+    assert(jpairs == 0L, "q43 unexpectedly caught the quote pair")
+
+    // q45 (>= 3 scattered 3-shingles) flags BOTH the quote and the
+    // scattered doc — the precision gap contiguity closes.
+    val overlap = DedupOps.decontamination(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(overlap == Set(1L, 2L), s"q45 flagged $overlap, expected {1, 2}")
+  }
+
+  test("dHash: identical payloads collide at hamming 0; near-identical stay close") {
+    val out = java.nio.file.Files.createTempDirectory("graft_dhash").toString
+    val base = (0 until 80).map(i => s"tok${i % 13} word$i").mkString(" ")
+    // One byte-level edit deep inside the payload: most downsample points
+    // see the same bytes, so the gradient fingerprint moves only a little.
+    val nearDup = base.replace("word40", "word41")
+    Seq((10L, base), (11L, base), (12L, nearDup))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val pairs = MultimodalOps.imageNearDups(spark, out).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    assert(pairs.get((10L, 11L)).contains(0L), s"identical pair: $pairs")
+    assert(pairs.contains((10L, 12L)) && pairs((10L, 12L)) <= 12L,
+      s"near-dup pair missing/far: $pairs")
+  }
+
+  test("recall curve is monotone in nprobe and complete at nprobe = K") {
+    val dir = "/root/testdata/sf0.001"
+    val curve = SimilarityOps.ivfRecallCurve(spark, dir)
+      .orderBy("nprobe").collect()
+      .map(r => r.getAs[Long]("nprobe") -> r.getAs[Double]("recall"))
+    assert(curve.map(_._1).toSeq == SimilarityOps.NProbeSweep.map(_.toLong))
+    curve.sliding(2).foreach { case Array((_, r1), (_, r2)) =>
+      assert(r2 >= r1, s"recall not monotone: $curve")
+    }
+  }
+}
