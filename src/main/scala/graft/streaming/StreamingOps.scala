@@ -184,6 +184,49 @@ object StreamingOps {
       .select(col("doc_id"), col("band_id").cast("long").as("band_id"), col("band_hash"))
   }
 
+  /** Per-document keep/drop dedup verdict over the LSH band gate
+    * (VERDICT r6 #4): a document KEEPS iff it owns (first-claims) every
+    * one of its MinHash bands within the watermark horizon; losing any
+    * band to an earlier document makes it a near-dup candidate (the q42
+    * candidate condition is sharing ≥1 band) and it is DROPPED — the
+    * conservative ingest-dedup decision, since the stream cannot run the
+    * batch tier's exact-Jaccard verification without holding full
+    * shingle sets in state.
+    *
+    * Two chained stateful operators, both watermark-bounded (the
+    * supported append-mode chain): `dropDuplicatesWithinWatermark` keeps
+    * each band's first claim, then a tumbling-window count per doc
+    * compares owned vs emitted band counts (`n_bands` rides every
+    * exploded row, so the comparison is row-local after the count).
+    * Verdicts emit when the watermark passes the document's window —
+    * the latency/completeness trade every streaming dedup makes.
+    *
+    * Every document gets a verdict, including FULL duplicates that lose
+    * all their bands: a per-doc PRESENCE row ("doc:" + md5(doc_id) — a
+    * value space no real 32-hex band hash can collide with) rides the
+    * same explode→dedup→count pipeline; its key is unique, so it always
+    * survives and anchors the doc's aggregate even when every real band
+    * was claimed earlier (without it, exact dups silently vanish instead
+    * of reading keep = false). Shingle-less docs carry only the presence
+    * row (n_bands = 0) and trivially keep — nothing to collide on.
+    * StreamingSpec pins the batch tie: every dropped doc is in a batch
+    * q42 candidate pair; no singleton is ever dropped. */
+  def lshDedupVerdicts(
+      docs: DataFrame, tsCol: String, delay: String,
+      windowDur: String = "10 minutes"): DataFrame =
+    docs
+      .select(col("doc_id"), col(tsCol), bandHashes(col("text")).as("bands"))
+      .select(col("doc_id"), col(tsCol), size(col("bands")).as("n_bands"),
+        posexplode(concat(col("bands"),
+          array(concat(lit("doc:"), md5(col("doc_id").cast("string"))))))
+          .as(Seq("band_id", "band_hash")))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(Seq("band_id", "band_hash"))
+      .groupBy(window(col(tsCol), windowDur), col("doc_id"), col("n_bands"))
+      .agg((count(lit(1)) - 1).as("n_owned")) // minus the presence row
+      .select(col("doc_id"), col("n_bands").cast("long").as("n_bands"),
+        col("n_owned"), (col("n_owned") === col("n_bands")).as("keep"))
+
   /** Gap-based sessions via the native session_window (30-minute gap).
     * Boundary semantics differ slightly from the batch formulation
     * (EventsOps.userSessions): session_window splits at gaps >= 30 min on

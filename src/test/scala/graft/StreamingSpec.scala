@@ -189,6 +189,61 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("per-doc dedup verdict: dropped ⊆ batch candidate pairs; no singleton dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    import graft.operators.DedupOps
+
+    val docsDf = spark.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+    val docs = docsDf.orderBy("doc_id").collect().zipWithIndex.map { case (r, i) =>
+      DocIngest(r.getLong(0), new Timestamp(1700000000000L + i * 1000L), r.getString(1))
+    }.toSeq
+    val (first, second) = docs.splitAt(docs.size / 2)
+    // Sentinel far past every doc + watermark horizon: advances the
+    // watermark so every real document's window closes and its verdict
+    // emits in append mode. Its own verdict stays pending — excluded below.
+    val sentinel = DocIngest(-1L,
+      new Timestamp(1700000000000L + 30L * 24 * 3600 * 1000), "sentinel advance")
+
+    val stream = MemoryStream[DocIngest]
+    val q = StreamingOps.lshDedupVerdicts(stream.toDF(), "ts", "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("verdict_out").start()
+    try {
+      stream.addData(first); q.processAllAvailable()
+      stream.addData(second); q.processAllAvailable()
+      stream.addData(Seq(sentinel)); q.processAllAvailable()
+    } finally q.stop()
+
+    val verdicts = spark.table("verdict_out").filter(col("doc_id") >= 0)
+    // Exactly one verdict per document — full dups (all bands lost) and
+    // shingle-less docs included, anchored by the presence row.
+    assert(verdicts.count() == docs.size)
+    assert(verdicts.select("doc_id").distinct().count() == docs.size)
+    val banded = DedupOps.minhashBands(spark, dir)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+
+    val dropped = verdicts.filter(!col("keep")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val pairDocs = DedupOps.minhashDupPairs(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    // Every dropped doc is a member of some batch q42 candidate pair.
+    assert(dropped.nonEmpty && dropped.subsetOf(pairDocs),
+      s"dropped outside batch pairs: ${dropped -- pairDocs}")
+    // No singleton (doc in no candidate pair) is ever dropped.
+    val singletons = banded -- pairDocs
+    assert((singletons & dropped).isEmpty)
+    // And at least one member of every pair was dropped-or-flagged: a pair
+    // sharing a band cannot both own all their bands.
+    DedupOps.minhashDupPairs(spark, dir).select("doc_a", "doc_b").collect()
+      .foreach { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        assert(dropped.contains(a) || dropped.contains(b),
+          s"pair ($a, $b): neither dropped")
+      }
+  }
+
   test("streaming session_window yields plausible sessions with bounded counts") {
     implicit val sqlCtx = spark.sqlContext
     val events = loadEvents()
