@@ -180,29 +180,39 @@ object MultimodalOps {
     * reassembles the fingerprint. Zero-length payloads are excluded (no
     * bytes to sample), matching frameSample; single-segment docs anchor
     * through the left join with dhash = 0. */
-  def imageDhash(spark: SparkSession, dir: String): DataFrame = {
-    val base = spark.read.parquet(s"$dir/documents.parquet")
-      .filter(length(col("text")) > 0)
-      .select(col("doc_id"), col("text"), length(col("text")).as("len"))
-    val segs = base
-      .select(col("doc_id"), col("text"), col("len"),
-        explode(sequence(lit(1), col("len"))).as("p"))
-      .select(col("doc_id"),
-        expr(s"CAST((CAST(p AS BIGINT) - 1) * ${DhashBits + 1} DIV len AS INT)").as("seg"),
-        ascii(expr("substr(text, p, 1)")).cast("long").as("bv"))
-      .groupBy("doc_id", "seg")
-      .agg(sum("bv").as("s"), count(lit(1)).as("c"))
-    val bits = segs.as("x").join(segs.as("y"),
-        col("x.doc_id") === col("y.doc_id") && col("y.seg") === col("x.seg") + 1)
-      .select(col("x.doc_id").as("doc_id"),
-        when(col("x.s") * col("y.c") < col("y.s") * col("x.c"),
-          expr("shiftleft(CAST(1 AS BIGINT), x.seg)")).otherwise(lit(0L)).as("contrib"))
-      .groupBy("doc_id")
-      .agg(sum("contrib").as("dhash"))
-    base.select("doc_id").join(bits, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("dhash"), lit(0L)).as("dhash"))
-      .orderBy("doc_id")
-  }
+  // The fingerprint frame memoizes per (appId, dir) like simhashFrame:
+  // q80 emits it and q81's band SELF-join consumes it twice — without the
+  // cache the full char explode + segment aggregation runs once per join
+  // side per pass.
+  private val dhashCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def dhashFrame(spark: SparkSession, dir: String): DataFrame =
+    dhashCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
+      val base = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+      val segs = base
+        .select(col("doc_id"), col("text"), col("len"),
+          explode(sequence(lit(1), col("len"))).as("p"))
+        .select(col("doc_id"),
+          expr(s"CAST((CAST(p AS BIGINT) - 1) * ${DhashBits + 1} DIV len AS INT)").as("seg"),
+          ascii(expr("substr(text, p, 1)")).cast("long").as("bv"))
+        .groupBy("doc_id", "seg")
+        .agg(sum("bv").as("s"), count(lit(1)).as("c"))
+      val bits = segs.as("x").join(segs.as("y"),
+          col("x.doc_id") === col("y.doc_id") && col("y.seg") === col("x.seg") + 1)
+        .select(col("x.doc_id").as("doc_id"),
+          when(col("x.s") * col("y.c") < col("y.s") * col("x.c"),
+            expr("shiftleft(CAST(1 AS BIGINT), x.seg)")).otherwise(lit(0L)).as("contrib"))
+        .groupBy("doc_id")
+        .agg(sum("contrib").as("dhash"))
+      base.select("doc_id").join(bits, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("dhash"), lit(0L)).as("dhash"))
+        .cache()
+    })
+
+  def imageDhash(spark: SparkSession, dir: String): DataFrame =
+    dhashFrame(spark, dir).orderBy("doc_id")
 
   /** Shared q80/q81 oracle CTE ending in dh(doc_id, dhash). */
   private val dhashCte: String =
@@ -235,7 +245,7 @@ object MultimodalOps {
     * everything downstream — banding, verification, clustering — is
     * unchanged. */
   def imageNearDups(spark: SparkSession, dir: String): DataFrame =
-    DedupOps.hammingBandPairs(imageDhash(spark, dir), "dhash")
+    DedupOps.hammingBandPairs(dhashFrame(spark, dir), "dhash")
       .filter(col("hamming") <= DhashHammingThreshold)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy("doc_a", "doc_b")
