@@ -4,16 +4,38 @@ import org.apache.spark.sql.functions._
 
 import graft.streaming.StreamingOps
 
-/** `sbt "runMain graft.StreamEvents <sfDir> [hourly|sessions|running]"` —
-  * run the Structured Streaming operators over the events table as a
+/** `sbt "runMain graft.StreamEvents <sfDir> [hourly|sessions|running|dedup]"`
+  * — run the Structured Streaming operators over the events table as a
   * bounded file stream (micro-batch to completion), print the resulting
-  * table. `running` exercises the custom flatMapGroupsWithState state.
+  * table. `running` exercises the custom flatMapGroupsWithState state;
+  * `dedup` streams the DOCUMENTS table through the per-document LSH
+  * keep/drop verdict (ingest order = doc_id order, one doc per second of
+  * synthetic event time).
   */
 object StreamEvents {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val mode = if (args.length > 1) args(1) else "hourly"
     val spark = Cli.session() // sets nanosAsLong for the nanos events table
+
+    if (mode == "dedup") {
+      val docs = spark.readStream
+        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(dir)
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+      // Zero lateness: the bounded stream's final watermark lands on the
+      // max ts, so every closed window's verdicts emit before the drain.
+      val q = StreamingOps.lshDedupVerdicts(docs, "ts", "0 seconds")
+        .writeStream.outputMode("append")
+        .format("memory").queryName("dedup_out").start()
+      q.processAllAvailable()
+      val t = spark.table("dedup_out")
+      println(s"[stream] dedup verdicts=${t.count()} " +
+        s"kept=${t.filter(col("keep")).count()} dropped=${t.filter(!col("keep")).count()}")
+      t.orderBy("doc_id").show(10, truncate = false)
+      q.stop(); spark.stop(); return
+    }
 
     // Schema must be declared for a streaming file source; ts arrives as
     // raw nanos (see EventsOps) and is floor-converted to micros.
