@@ -17,7 +17,9 @@ object ExplainAudit {
       "q46_lang_mixture", "q47_sequence_packing", "q50_ann_bruteforce",
       "q53_embedding_quantization", "q55_unigram_surprisal", "q56_char_entropy",
       "q73_bigram_lm", "q74_bigram_surprisal", "q75_dedup_keep_best",
-      "q76_leakage_safe_splits", "q77_ann_ivf_int8",
+      "q76_leakage_safe_splits", "q77_ann_ivf_int8", "q79_ivf_recall_curve",
+      "q80_image_dhash", "q81_image_neardups", "q82_curation_pipeline",
+      "q83_verbatim_decontam",
       "q62_user_sessions", "q67_retention_cohorts", "q69_event_anomalies",
       "q70_media_meta", "q72_frame_sample")
 
