@@ -586,17 +586,22 @@ object DedupOps {
     val bt = train.groupBy("qkey").agg(sum("n_tokens").as("btok"))
     val wb = Window.orderBy(col("qkey").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bk = bt.withColumn("cum_before", coalesce(sum("btok").over(wb), lit(0L)))
-      .select("qkey", "cum_before")
-    val tot = train.agg(sum("n_tokens").cast("long").as("total"))
+    // Grand total rides the same bucket-window pass as the prefix sum
+    // (q78's shape) — no separate aggregate + crossJoin jobs.
+    val wAll = Window.orderBy(col("qkey").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bk = bt
+      .withColumn("cum_before", coalesce(sum("btok").over(wb), lit(0L)))
+      .withColumn("tot_all", sum("btok").over(wAll))
+      .withColumn("budget", expr("CAST(tot_all DIV 2 AS BIGINT)"))
+      .select("qkey", "cum_before", "budget")
     val wd = Window.partitionBy("qkey").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, 0)
     val trainRows = train.join(broadcast(bk), "qkey")
-      .crossJoin(broadcast(tot))
       .withColumn("cum_tokens",
         (col("cum_before") + sum("n_tokens").over(wd)).cast("long"))
       .select(col("doc_id"), col("cluster_id"), col("split"), col("quality_score"),
-        col("n_tokens"), (col("cum_tokens") <= expr("total DIV 2")).as("kept"),
+        col("n_tokens"), (col("cum_tokens") <= col("budget")).as("kept"),
         col("cum_tokens"))
     val holdRows = winners.filter(col("split") === "holdout")
       .select(col("doc_id"), col("cluster_id"), col("split"), col("quality_score"),
@@ -620,14 +625,13 @@ object DedupOps {
        |              THEN 'train' ELSE 'holdout' END AS split
        |       FROM win),
        |tr AS (SELECT *, CAST(sum(n_tokens) OVER (ORDER BY qkey DESC, doc_id
-       |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
-       |       FROM sp WHERE split = 'train'),
-       |tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM sp
-       |       WHERE split = 'train')
+       |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       |         CAST(sum(n_tokens) OVER () // 2 AS BIGINT) AS budget
+       |       FROM sp WHERE split = 'train')
        |SELECT doc_id, cluster_id, split, quality_score,
        |  CAST(n_tokens AS BIGINT) AS n_tokens,
-       |  cum_tokens <= total // 2 AS kept, cum_tokens
-       |FROM tr, tt
+       |  cum_tokens <= budget AS kept, cum_tokens
+       |FROM tr
        |UNION ALL
        |SELECT doc_id, cluster_id, split, quality_score,
        |  CAST(n_tokens AS BIGINT) AS n_tokens,

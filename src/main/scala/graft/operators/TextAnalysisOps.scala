@@ -903,16 +903,23 @@ object TextAnalysisOps {
     val bt = d.groupBy("qkey").agg(sum("n_tokens").as("btok"))
     val wb = Window.orderBy(col("qkey").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
-    val bk = bt.withColumn("cum_before", coalesce(sum("btok").over(wb), lit(0L)))
-      .select("qkey", "cum_before")
-    val tot = d.agg((sum("n_tokens").cast("long")).as("total"))
+    // The grand total (= the budget's numerator) rides the SAME bounded
+    // bucket-window pass as the prefix sum — a separate corpus aggregate +
+    // crossJoin costs two more jobs per run for a number the histogram
+    // already holds.
+    val wAll = Window.orderBy(col("qkey").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val bk = bt
+      .withColumn("cum_before", coalesce(sum("btok").over(wb), lit(0L)))
+      .withColumn("tot_all", sum("btok").over(wAll))
+      .withColumn("budget", expr("CAST(tot_all DIV 2 AS BIGINT)"))
+      .select("qkey", "cum_before", "budget")
     val wd = Window.partitionBy("qkey").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, 0)
     d.join(broadcast(bk), "qkey")
-      .crossJoin(broadcast(tot))
       .withColumn("doc_cum", sum("n_tokens").over(wd))
       .withColumn("cum_tokens", (col("cum_before") + col("doc_cum")).cast("long"))
-      .filter(col("cum_tokens") <= expr("total DIV 2"))
+      .filter(col("cum_tokens") <= col("budget"))
       .select(col("doc_id"), col("quality_score"), col("n_tokens"), col("cum_tokens"))
       .orderBy("doc_id")
   }
@@ -924,19 +931,19 @@ object TextAnalysisOps {
        |       FROM qual),
        |bt AS (SELECT qkey, CAST(sum(n_tokens) AS BIGINT) AS btok
        |       FROM qk GROUP BY 1),
-       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM qk),
        |bk AS (SELECT qkey,
        |         CAST(coalesce(sum(btok) OVER (ORDER BY qkey DESC
        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-       |           AS cum_before
+       |           AS cum_before,
+       |         CAST(sum(btok) OVER () // 2 AS BIGINT) AS budget
        |       FROM bt),
-       |dd AS (SELECT q.doc_id, q.quality_score, q.n_tokens, bk.cum_before,
+       |dd AS (SELECT q.doc_id, q.quality_score, q.n_tokens, bk.cum_before, bk.budget,
        |         CAST(sum(q.n_tokens) OVER (PARTITION BY q.qkey
        |           ORDER BY q.doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS doc_cum
        |       FROM qk q JOIN bk USING (qkey))
        |SELECT doc_id, quality_score, CAST(n_tokens AS BIGINT) AS n_tokens,
        |  cum_before + doc_cum AS cum_tokens
-       |FROM dd, tot WHERE cum_before + doc_cum <= total // 2
+       |FROM dd WHERE cum_before + doc_cum <= budget
        |ORDER BY doc_id""".stripMargin
 
   // -------------------------------------------------------------------------
