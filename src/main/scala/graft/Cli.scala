@@ -26,7 +26,6 @@ object Cli {
       org.apache.logging.log4j.Level.ERROR)
 
   def session(): SparkSession = {
-    quietBoundedWindowWarnings()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val s = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,7 +36,10 @@ object Cli {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // Order matters: setLogLevel → Configurator.setAllLevels, which wipes
+    // per-logger overrides — quiet the WindowExec logger AFTER it.
     s.sparkContext.setLogLevel("WARN")
+    quietBoundedWindowWarnings()
     s
   }
 }
