@@ -75,6 +75,34 @@ object BuildVectorIndex {
   }
 }
 
+/** `sbt "runMain graft.AppendVectorIndex <indexDir> <deltaSfDir> [idOffset]"`
+  * — incremental index growth: assign a delta of new vectors to the
+  * PERSISTED centroids (no retraining), quantize them, and append into
+  * the existing `partitionBy(cluster)` files. `idOffset` shifts the
+  * delta's vec_ids so a testdata table can stand in for genuinely new
+  * vectors. Prints per-cluster growth.
+  */
+object AppendVectorIndex {
+  def main(args: Array[String]): Unit = {
+    val idx = if (args.nonEmpty) args(0) else "target/graft_ivf_index"
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.001"
+    val offset = if (args.length > 2) args(2).toLong else 1000000L
+    val spark = Cli.session()
+
+    val before = spark.read.parquet(s"$idx/vectors").count()
+    val delta = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
+    graft.operators.SimilarityOps.appendArtifacts(spark, idx, delta)
+      .write.mode("append").partitionBy("cluster").parquet(s"$idx/vectors")
+
+    val after = spark.read.parquet(s"$idx/vectors")
+    val sizes = after.groupBy("cluster").count().orderBy("cluster").collect()
+    println(s"[vappend] idx=$idx before=$before after=${after.count()} " +
+      s"sizes=${sizes.map(r => s"${r.get(0)}:${r.getLong(1)}").mkString(",")}")
+    spark.stop()
+  }
+}
+
 /** `sbt "runMain graft.ServeVectorIndex <indexDir> [sfDir]"` — the ANN
   * serving entry point: answer a query from the PERSISTED index alone
   * (BuildVectorIndex output) — float tier and int8 tier — with the probe

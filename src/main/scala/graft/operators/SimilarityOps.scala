@@ -445,9 +445,16 @@ object SimilarityOps {
     * fine here: this is the offline build job, not a query path. */
   def indexArtifacts(spark: SparkSession, dir: String): DataFrame = {
     val (_, asg) = kmeansModel(spark, dir)
-    val ex = embLong(spark, dir)
-    val amax = ex.groupBy("vec_id").agg(max(abs(col("v"))).as("amax"))
-    val codes = ex.join(amax, "vec_id")
+    emb(spark, dir).select("vec_id", "embedding")
+      .join(int8Codes(embLong(spark, dir)), "vec_id")
+      .join(asg, "vec_id")
+  }
+
+  /** Per-vector int8 codes + scale from a long-form (vec_id, pos, v)
+    * frame — q53/q77's symmetric quantization, materialized as index
+    * columns. Shared by the full build and the incremental append. */
+  private def int8Codes(ex: DataFrame): DataFrame =
+    ex.join(ex.groupBy("vec_id").agg(max(abs(col("v"))).as("amax")), "vec_id")
       .withColumn("scale", when(col("amax") === 0.0, 1.0).otherwise(col("amax") / 127.0))
       .withColumn("code", floor(col("v") / col("scale") + 0.5).cast("tinyint"))
       .groupBy("vec_id")
@@ -455,9 +462,24 @@ object SimilarityOps {
         transform(array_sort(collect_list(struct(col("pos"), col("code")))),
           s => s.getField("code")).as("codes"),
         min(col("scale")).as("scale"))
-    emb(spark, dir).select("vec_id", "embedding")
-      .join(codes, "vec_id")
-      .join(asg, "vec_id")
+
+  /** Incremental index growth — the daily-increment operation a 100 TB
+    * deployment runs between retrains: quantize a DELTA of new vectors
+    * against the PERSISTED centroids (same DECIMAL squared-L2 argmin as
+    * training assignment — no k-means anywhere) and emit rows in the
+    * index's exact schema, ready to `mode("append").partitionBy(cluster)`
+    * onto the existing files. Appended vectors land in the partition
+    * directory their cluster owns, so the serving probe's file-level
+    * pruning covers them with no rebuild; q58's cohesion audit is the
+    * signal for when accumulated drift warrants a retrain. */
+  def appendArtifacts(spark: SparkSession, indexDir: String, delta: DataFrame): DataFrame = {
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val ex = delta
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v0")))
+      .select(col("vec_id"), col("pos"), col("v0").cast("double").as("v"))
+    delta.select("vec_id", "embedding")
+      .join(int8Codes(ex), "vec_id")
+      .join(assignTo(ex, cent), "vec_id")
   }
 
   /** Probe-cluster selection against the PERSISTED centroids: the same

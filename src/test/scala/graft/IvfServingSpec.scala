@@ -72,6 +72,44 @@ class IvfServingSpec extends SparkSpec {
     }
   }
 
+  test("incremental append: delta vectors land in their centroid's partition, no retrain") {
+    // Fresh index copy so the shared indexDir stays pristine for the
+    // equality tests.
+    val out = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
+    val (cent, _) = SimilarityOps.kmeansModel(spark, dir)
+    SimilarityOps.indexArtifacts(spark, dir)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$out/vectors")
+    cent.write.mode("overwrite").parquet(s"$out/centroids")
+    val before = spark.read.parquet(s"$out/vectors").count()
+
+    // The same embeddings, id-shifted, standing in for new arrivals.
+    val delta = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    SimilarityOps.appendArtifacts(spark, out, delta)
+      .write.mode("append").partitionBy("cluster").parquet(s"$out/vectors")
+
+    val after = spark.read.parquet(s"$out/vectors")
+    assert(after.count() == before * 2)
+
+    // Same content, same centroids => every appended twin must land in
+    // its original's cluster (assignment against persisted centroids is
+    // the training assignment, bit for bit).
+    val orig = after.filter(col("vec_id") < 1000000L)
+      .select(col("vec_id"), col("cluster"))
+    val appended = after.filter(col("vec_id") >= 1000000L)
+      .select((col("vec_id") - 1000000L).as("vec_id"), col("cluster"))
+    assert(orig.exceptAll(appended).isEmpty && appended.exceptAll(orig).isEmpty)
+
+    // The grown index still serves with file-level pruning and includes
+    // the appended rows in results (the id-shifted twin of the query's
+    // nearest neighbors scores identically).
+    val served = SimilarityOps.annIvfServe(spark, out, queryVec)
+    assert(served.count() > 0)
+    val plan = served.queryExecution.executedPlan.toString
+    assert("""PartitionFilters: \[[^\]]*cluster""".r.findFirstIn(plan).isDefined)
+    assert(served.filter(col("vec_id") >= 1000000L).count() > 0)
+  }
+
   test("the probe is file-level: served rows come from NProbe cluster dirs only") {
     val probed = SimilarityOps.servedProbe(spark, indexDir, queryVec)
     assert(probed.size == SimilarityOps.NProbe &&
