@@ -121,6 +121,8 @@ object ServeVectorIndex {
       .filter(col("vec_id") === SimilarityOps.QueryVecId)
       .select("embedding").collect()(0).getSeq[Float](0).toArray
 
+    // Serves at the declared operating point (nprobe = NProbeServe,
+    // recall@50 >= 0.8 — see the q79 curve).
     val served = SimilarityOps.annIvfServe(spark, idx, qv)
     val pruned = """PartitionFilters: \[[^\]]*cluster""".r
       .findFirstIn(served.queryExecution.executedPlan.toString).isDefined
@@ -128,7 +130,8 @@ object ServeVectorIndex {
       .map(r => s"${r.getAs[Long]("vec_id")}:${r.getAs[Double]("cos")}")
     val top8 = SimilarityOps.annIvfInt8Serve(spark, idx, qv).limit(5).collect()
       .map(r => s"${r.getAs[Long]("vec_id")}:${r.getAs[Double]("qcos")}")
-    println(s"[vserve] idx=$idx probe_partition_pruned=$pruned " +
+    println(s"[vserve] idx=$idx nprobe=${SimilarityOps.NProbeServe} " +
+      s"probe_partition_pruned=$pruned " +
       s"float_top5=${top.mkString(",")} int8_top5=${top8.mkString(",")}")
     spark.stop()
   }

@@ -19,18 +19,31 @@ object StreamEvents {
     val spark = Cli.session() // sets nanosAsLong for the nanos events table
 
     if (mode == "dedup") {
-      val docs = spark.readStream
-        .schema("doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT")
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(dir)
-        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
-      // Zero lateness: the bounded stream's final watermark lands on the
-      // max ts, so every closed window's verdicts emit before the drain.
+      val docSchema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+      // Watermark sentinel: in append mode a window's verdicts emit only
+      // once the watermark passes its END, and a bounded stream's final
+      // watermark stops AT the max event time — so the last tumbling
+      // window would otherwise never close and its documents would get no
+      // verdict. One far-future doc (doc_id = −1, excluded from the
+      // report) unioned in as a second file source pushes the watermark
+      // past every real window.
+      val sentDir = java.nio.file.Files.createTempDirectory("graft_dedup_sentinel").toString
+      spark.range(1).selectExpr("CAST(-1 AS BIGINT) AS doc_id",
+        "'watermark sentinel' AS text", "'en' AS lang",
+        "'sentinel' AS source", "CAST(18 AS BIGINT) AS n_chars")
+        .write.mode("overwrite").parquet(sentDir)
+      val real = spark.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val sentinel = spark.readStream.schema(docSchema).parquet(sentDir)
+      val docs = real.union(sentinel)
+        .withColumn("ts", timestamp_seconds(
+          when(col("doc_id") < 0, lit(2000000000L))
+            .otherwise(lit(1700000000L) + col("doc_id"))))
       val q = StreamingOps.lshDedupVerdicts(docs, "ts", "0 seconds")
         .writeStream.outputMode("append")
         .format("memory").queryName("dedup_out").start()
       q.processAllAvailable()
-      val t = spark.table("dedup_out")
+      val t = spark.table("dedup_out").filter(col("doc_id") >= 0)
       println(s"[stream] dedup verdicts=${t.count()} " +
         s"kept=${t.filter(col("keep")).count()} dropped=${t.filter(!col("keep")).count()}")
       t.orderBy("doc_id").show(10, truncate = false)

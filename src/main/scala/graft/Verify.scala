@@ -20,7 +20,9 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Dev-only subset filter (comma-separated name prefixes): iterate on a
     // new query without re-dumping all of them. The driver never sets it.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty) // set-but-empty = unset, not select-all-silently
     def selected(name: String) = only.forall(_.exists(name.startsWith))
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -652,17 +652,23 @@ object DedupOps {
   val VerbatimWindow = 8
 
   /** Flag training docs sharing ≥1 exact VerbatimWindow-token contiguous
-    * window with any pseudo-benchmark doc (the q45 1/97 slice). Windows
-    * are explodedShingles at n = VerbatimWindow (docs shorter than the
-    * window contribute their whole token string — a benchmark doc quoted
-    * IN FULL is contamination too), keyed by md5 so the join exchanges a
-    * 16-byte key instead of a ~50-char string. Same scale shape as q45:
-    * the benchmark side is eval-set-sized and broadcast; the corpus side
-    * streams map-side into a per-doc partial aggregate. An 8-token window
-    * is far more selective than a 3-shingle, so candidate volume is
-    * strictly below q45's. */
+    * window with any pseudo-benchmark doc (the q45 1/97 slice), keyed by
+    * md5 so the join exchanges a 16-byte key instead of a ~50-char
+    * string. VerbatimWindow is the MINIMUM detectable span: docs with
+    * fewer tokens are excluded from BOTH sides (a shorter-than-window
+    * doc's whole-string "window" could only ever match a token-identical
+    * short doc, never its verbatim quotation inside a longer one — a
+    * false promise of coverage), so sub-window benchmark docs are the
+    * overlap tier's (q45) job, as in Dolma-style pipelines where the
+    * contamination n-gram length is a declared floor. Same scale shape as
+    * q45: the benchmark side is eval-set-sized and broadcast; the corpus
+    * side streams map-side into a per-doc partial aggregate. An 8-token
+    * window is far more selective than a 3-shingle, so candidate volume
+    * is strictly below q45's. */
   def verbatimDecontamination(spark: SparkSession, dir: String): DataFrame = {
-    val ws = explodedShingles(docs(spark, dir), VerbatimWindow)
+    val eligible = docs(spark, dir)
+      .filter(size(TextOps.tokenize(col("text"))) >= VerbatimWindow)
+    val ws = explodedShingles(eligible, VerbatimWindow)
       .select(col("doc_id"), md5(col("s")).as("w")).distinct()
     val bench = ws.filter(pmod(col("doc_id"), lit(DecontamMod)) === 0)
       .select(col("w"), col("doc_id").as("bench_id"))
@@ -678,12 +684,9 @@ object DedupOps {
     s"""WITH wtk AS (SELECT doc_id, regexp_extract_all(lower(text), '$TokRe') AS t
        |             FROM documents),
        |wsh AS (SELECT doc_id,
-       |          CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[])
-       |               WHEN len(t) < $VerbatimWindow THEN [array_to_string(t, ' ')]
-       |               ELSE [array_to_string(t[i:i+${VerbatimWindow - 1}], ' ')
-       |                     FOR i IN range(1, len(t) - ${VerbatimWindow - 2})]
-       |          END AS ws
-       |        FROM wtk),
+       |          [array_to_string(t[i:i+${VerbatimWindow - 1}], ' ')
+       |           FOR i IN range(1, len(t) - ${VerbatimWindow - 2})] AS ws
+       |        FROM wtk WHERE len(t) >= $VerbatimWindow),
        |wx AS (SELECT doc_id, unnest(ws) AS s FROM wsh),
        |wd AS (SELECT DISTINCT doc_id, md5(s) AS w FROM wx),
        |bench AS (SELECT w, doc_id AS bench_id FROM wd WHERE doc_id % $DecontamMod = 0)

@@ -177,9 +177,16 @@ object MultimodalOps {
     * partial-agg shuffle carrying a (doc, segment) sum/count pair, i.e.
     * ≤ 61 rows per doc; the adjacent-segment join keys on doc_id against
     * ≤ 61-row groups; one more partial `sum` of distinct powers of two
-    * reassembles the fingerprint. Zero-length payloads are excluded (no
-    * bytes to sample), matching frameSample; single-segment docs anchor
-    * through the left join with dhash = 0. */
+    * reassembles the fingerprint.
+    *
+    * Payloads SHORTER THAN THE RESIZE GRID (len ≤ DhashBits) are
+    * excluded, exactly as a real dHash cannot fingerprint an image
+    * smaller than its resize target: a sub-grid payload leaves segments
+    * empty, its missing gradient bits default to 0, and every short
+    * payload would collapse toward dhash = 0 — flagging arbitrary short
+    * docs as mutual hamming-0 "duplicates" and putting O(m²) false pairs
+    * through the q81 band join. Short payloads stay covered by the exact
+    * tier (q40's md5). */
   // The fingerprint frame memoizes per (appId, dir) like simhashFrame:
   // q80 emits it and q81's band SELF-join consumes it twice — without the
   // cache the full char explode + segment aggregation runs once per join
@@ -189,7 +196,7 @@ object MultimodalOps {
   private def dhashFrame(spark: SparkSession, dir: String): DataFrame =
     dhashCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
       val base = spark.read.parquet(s"$dir/documents.parquet")
-        .filter(length(col("text")) > 0)
+        .filter(length(col("text")) > DhashBits)
         .select(col("doc_id"), col("text"), length(col("text")).as("len"))
       val segs = base
         .select(col("doc_id"), col("text"), col("len"),
@@ -219,7 +226,7 @@ object MultimodalOps {
     s"""dch AS (SELECT doc_id, CAST((i - 1) * ${DhashBits + 1} // length(text) AS INT) AS seg,
        |          ascii(substring(text, i, 1)) AS bv
        |        FROM (SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
-       |              FROM documents WHERE length(text) > 0)),
+       |              FROM documents WHERE length(text) > $DhashBits)),
        |dsg AS (SELECT doc_id, seg, CAST(sum(bv) AS BIGINT) AS s, count(*) AS c
        |        FROM dch GROUP BY 1, 2),
        |dbits AS (SELECT x.doc_id,
@@ -229,7 +236,7 @@ object MultimodalOps {
        |dagg AS (SELECT doc_id, CAST(sum(contrib) AS BIGINT) AS dhash
        |         FROM dbits GROUP BY doc_id),
        |dh AS (SELECT d.doc_id, coalesce(dagg.dhash, 0) AS dhash
-       |       FROM (SELECT doc_id FROM documents WHERE length(text) > 0) d
+       |       FROM (SELECT doc_id FROM documents WHERE length(text) > $DhashBits) d
        |       LEFT JOIN dagg ON d.doc_id = dagg.doc_id)""".stripMargin
 
   val imageDhashSql: String =

@@ -506,13 +506,15 @@ object SimilarityOps {
     * vector files for the scan (the `isin` over literal probe ids IS the
     * partition pruning; IvfServingSpec asserts PartitionFilters on the
     * executed plan and that no file outside the index is read). Zero
-    * k-means, zero corpus reads, zero amax jobs at query time.
-    * Bit-identical to annIvf on the same corpus: same centroid doubles
-    * (exact parquet round-trip), same DECIMAL probe arithmetic, same
-    * codegen'd cosine, same (cos DESC, vec_id ASC) order. */
+    * k-means, zero corpus reads, zero amax jobs at query time. Defaults
+    * to the DECLARED operating point nprobe = NProbeServe (recall ≥ 0.8);
+    * at nprobe = NProbe it is bit-identical to annIvf on the same corpus
+    * (same centroid doubles — exact parquet round-trip — same DECIMAL
+    * probe arithmetic, same codegen'd cosine, same ordering), which is
+    * what IvfServingSpec pins. */
   def annIvfServe(
       spark: SparkSession, indexDir: String, queryVec: Array[Float],
-      nprobe: Int = NProbe): DataFrame = {
+      nprobe: Int = NProbeServe): DataFrame = {
     val probed = servedProbe(spark, indexDir, queryVec, nprobe)
     spark.read.parquet(s"$indexDir/vectors")
       .filter(col("cluster").isin(probed: _*))
@@ -538,7 +540,7 @@ object SimilarityOps {
     * and dot/nn/qq accumulate in the same DECIMAL(38,18). */
   def annIvfInt8Serve(
       spark: SparkSession, indexDir: String, queryVec: Array[Float],
-      nprobe: Int = NProbe): DataFrame = {
+      nprobe: Int = NProbeServe): DataFrame = {
     val probed = servedProbe(spark, indexDir, queryVec, nprobe)
     val qx = spark.range(1)
       .select(posexplode(typedlit(queryVec.map(_.toDouble))).as(Seq("pos", "v")))

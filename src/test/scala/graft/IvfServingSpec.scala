@@ -35,18 +35,32 @@ class IvfServingSpec extends SparkSpec {
       .filter(col("vec_id") === SimilarityOps.QueryVecId)
       .select("embedding").collect()(0).getSeq[Float](0).toArray
 
-  test("served float tier equals the in-session q51 frame") {
-    val served = SimilarityOps.annIvfServe(spark, indexDir, queryVec)
+  test("served float tier at nprobe=NProbe equals the in-session q51 frame") {
+    val served = SimilarityOps.annIvfServe(spark, indexDir, queryVec,
+      nprobe = SimilarityOps.NProbe)
     val inSession = SimilarityOps.annIvf(spark, dir)
     assert(served.count() > 0)
     assert(served.exceptAll(inSession).isEmpty && inSession.exceptAll(served).isEmpty)
   }
 
-  test("served int8 tier equals the in-session q77 frame") {
-    val served = SimilarityOps.annIvfInt8Serve(spark, indexDir, queryVec)
+  test("served int8 tier at nprobe=NProbe equals the in-session q77 frame") {
+    val served = SimilarityOps.annIvfInt8Serve(spark, indexDir, queryVec,
+      nprobe = SimilarityOps.NProbe)
     val inSession = SimilarityOps.annIvfInt8(spark, dir)
     assert(served.count() > 0)
     assert(served.exceptAll(inSession).isEmpty && inSession.exceptAll(served).isEmpty)
+  }
+
+  test("serving default is the declared operating point (nprobe = NProbeServe)") {
+    // The default-probe serve answers at the recall >= 0.8 point — a
+    // superset probe of the NProbe tier whose top-k can only improve:
+    // every vector the NProbe serve scored is also scored here.
+    val atDefault = SimilarityOps.annIvfServe(spark, indexDir, queryVec)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val exact = SimilarityOps.annBruteForce(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (atDefault & exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"served default recall $recall < 0.8")
   }
 
   test("served scans are partition-pruned and read only index files") {
