@@ -17,8 +17,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSimilarityFn)
+    ext.injectFunction(GraftExtensions.charEntropyFn)
+    ext.injectFunction(GraftExtensions.charDistinctFn)
+  }
 }
 
 object GraftExtensions {
@@ -27,6 +30,35 @@ object GraftExtensions {
     require(children.size == 2, "cosine_similarity(a, b) takes exactly 2 arguments")
     CosineSimilarity(children.head, children(1))
   }
+
+  private def buildEntropy(children: Seq[Expression]): Expression = {
+    require(children.size == 1, "char_entropy_nats_neg(s) takes exactly 1 argument")
+    CharEntropyNatsNeg(children.head)
+  }
+
+  private def buildDistinct(children: Seq[Expression]): Expression = {
+    require(children.size == 1, "char_distinct(s) takes exactly 1 argument")
+    CharDistinct(children.head)
+  }
+
+  private[functions] val charEntropyFn
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("char_entropy_nats_neg"),
+    new ExpressionInfo(
+      classOf[CharEntropyNatsNeg].getName, null, "char_entropy_nats_neg",
+      "char_entropy_nats_neg(s) - negated Shannon entropy (nats) of the " +
+        "character histogram of s, DECIMAL(30,8)-accumulated.",
+      "", "", "", "", "", "", "scala_udf"),
+    buildEntropy _)
+
+  private[functions] val charDistinctFn
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("char_distinct"),
+    new ExpressionInfo(
+      classOf[CharDistinct].getName, null, "char_distinct",
+      "char_distinct(s) - distinct character count of s.",
+      "", "", "", "", "", "", "scala_udf"),
+    buildDistinct _)
 
   private[functions] val cosineSimilarityFn
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
@@ -40,7 +72,12 @@ object GraftExtensions {
 
   /** Late registration on an already-running session (the extensions conf
     * only applies at session construction). Idempotent. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction("cosine_similarity", build, "scala_udf")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("char_entropy_nats_neg", buildEntropy, "scala_udf")
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction("char_distinct", buildDistinct, "scala_udf")
+  }
 }

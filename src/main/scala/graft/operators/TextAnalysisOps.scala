@@ -688,9 +688,33 @@ object TextAnalysisOps {
 
   /** Per-document character entropy in bits plus distinct-char count — the
     * gibberish/boilerplate detector (low entropy = repetitive filler, high
-    * = random noise). Chars explode from sequence+substring (codegen); the
-    * per-char p·ln p terms sum in DECIMAL per doc (≤ ~90 terms). */
+    * = random noise).
+    *
+    * Computed by the native [[graft.functions.CharStats]] expressions
+    * (codegen'd histogram loop): entropy is a pure per-row function, but
+    * the declarative formulation this replaced (rounds 4–6) was forced
+    * through explode(chars) → groupBy(doc, ch) → groupBy(doc) — two
+    * corpus-wide shuffles whose exchanged volume was the corpus's
+    * character count, the engine's single most expensive text query
+    * (1.7 s at sf0.1 → ~0.1 s). The expression reproduces the shuffled
+    * DECIMAL(30,8) term accumulation bit-for-bit (exact decimal addition
+    * is order-free — see the CharStats scaladoc), so the DuckDB oracle is
+    * unchanged; Round7OpsSpec also pins the expression against the old
+    * DataFrame derivation row-for-row. */
   def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.CharStats.{charDistinct, charEntropyNatsNeg}
+    docs(spark, dir)
+      .select(col("doc_id"),
+        coalesce(charDistinct(col("text")), lit(0L)).as("n_distinct_chars"),
+        r6(coalesce(charEntropyNatsNeg(col("text")), lit(0.0)) / Ln2)
+          .as("entropy_bits"))
+      .orderBy("doc_id")
+  }
+
+  /** The pre-round-7 shuffled derivation, kept as the spec-pinning
+    * reference formulation for the native expression (not on any query
+    * path — Round7OpsSpec equates the two). */
+  private[graft] def charEntropyShuffled(spark: SparkSession, dir: String): DataFrame = {
     val chars = docs(spark, dir)
       .filter(length(col("text")) > 0)
       .select(col("doc_id"), col("text"),

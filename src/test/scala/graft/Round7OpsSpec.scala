@@ -70,6 +70,26 @@ class Round7OpsSpec extends SparkSpec {
       s"near-dup pair missing/far: $pairs")
   }
 
+  test("native char-entropy expressions equal the shuffled DataFrame derivation") {
+    val dir = "/root/testdata/sf0.001"
+    import graft.operators.TextAnalysisOps
+    val native = TextAnalysisOps.charEntropy(spark, dir)
+    val shuffled = TextAnalysisOps.charEntropyShuffled(spark, dir)
+    assert(native.count() > 0)
+    assert(native.exceptAll(shuffled).isEmpty && shuffled.exceptAll(native).isEmpty)
+
+    // SQL registration plans the same expression.
+    graft.functions.GraftExtensions.register(spark)
+    spark.read.parquet(s"$dir/documents.parquet").createOrReplaceTempView("r7docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |  coalesce(char_distinct(text), 0L) AS n_distinct_chars,
+        |  floor((coalesce(char_entropy_nats_neg(text), 0.0d) / 0.6931471805599453d)
+        |        * 1000000 + 0.5) / 1000000 AS entropy_bits
+        |FROM r7docs""".stripMargin)
+    assert(viaSql.exceptAll(native).isEmpty && native.exceptAll(viaSql).isEmpty)
+  }
+
   test("recall curve is monotone in nprobe and complete at nprobe = K") {
     val dir = "/root/testdata/sf0.001"
     val curve = SimilarityOps.ivfRecallCurve(spark, dir)
