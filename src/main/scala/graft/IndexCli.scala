@@ -75,6 +75,36 @@ object BuildVectorIndex {
   }
 }
 
+/** `sbt "runMain graft.CurateCorpus <sfDir> [outDir]"` — write the
+  * corpus-release artifact: run the q82 curation pipeline (keep-best per
+  * near-dup cluster → leakage-safe splits → token-budget fill over train
+  * survivors), join the surviving documents' text back on, and write the
+  * release `partitionBy(split)` — a training run then reads ONLY the
+  * `split=train` directory (file-level pruning), exactly like the vector
+  * index's cluster partitions. Prints the per-split manifest.
+  */
+object CurateCorpus {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val out = if (args.length > 1) args(1) else "target/graft_release"
+    val spark = Cli.session()
+
+    val curated = graft.operators.DedupOps.curationPipeline(spark, dir)
+      .filter(col("kept"))
+      .join(spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text", "lang", "source"), "doc_id")
+    curated.write.mode("overwrite").partitionBy("split").parquet(out)
+
+    val manifest = spark.read.parquet(out)
+      .groupBy("split")
+      .agg(count(lit(1)).as("docs"), sum("n_tokens").as("tokens"))
+      .orderBy("split").collect()
+      .map(r => s"${r.getString(0)}:docs=${r.getLong(1)},tokens=${r.getLong(2)}")
+    println(s"[release] out=$out ${manifest.mkString(" ")}")
+    spark.stop()
+  }
+}
+
 /** `sbt "runMain graft.AppendVectorIndex <indexDir> <deltaSfDir> [idOffset]"`
   * — incremental index growth: assign a delta of new vectors to the
   * PERSISTED centroids (no retraining), quantize them, and append into

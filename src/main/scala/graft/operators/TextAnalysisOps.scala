@@ -904,7 +904,7 @@ object TextAnalysisOps {
     * and sort order become pure-integer-derived in both engines, removing
     * the last-ulp-at-a-rounding-boundary risk of grouping/joining on a
     * DOUBLE key. SQL twin: CAST(floor(q * 1000000 + 0.5) AS BIGINT). */
-  private[operators] def qkeyOf(r6Score: Column): Column =
+  private[graft] def qkeyOf(r6Score: Column): Column =
     floor(r6Score * lit(1e6) + lit(0.5)).cast("long")
 
   /** Curate the corpus to a token budget (half the corpus total here):

@@ -99,4 +99,24 @@ class PropertySpec extends SparkSpec {
       else conserved
     })
   }
+
+  test("qkey: integer micro-score key is exact and order-preserving on the r6 grid") {
+    // qkey = floor(r6(q)·10⁶ + 0.5) must recover the r6 numerator exactly
+    // (no representation-error off-by-one at any bucket boundary) and
+    // order identically to the rounded double — the invariant that makes
+    // integer bucket joins/sorts safe substitutes for DOUBLE keys in
+    // q75/q78/q82 (ADVICE r6).
+    check(Prop.forAll(Gen.listOfN(40, Gen.chooseNum(0.0, 1.0))) { qs =>
+      val df = qs.zipWithIndex.map { case (q, i) => (i.toLong, q) }.toDF("id", "q")
+        .select(org.apache.spark.sql.functions.col("id"),
+          graft.operators.r6(org.apache.spark.sql.functions.col("q")).as("r6q"))
+        .withColumn("qkey",
+          graft.operators.TextAnalysisOps.qkeyOf(
+            org.apache.spark.sql.functions.col("r6q")))
+      val rows = df.collect().map(r => (r.getDouble(1), r.getLong(2)))
+      rows.forall { case (r6q, qkey) =>
+        qkey == math.floor(r6q * 1e6 + 0.5).toLong && qkey / 1e6 == r6q
+      } && rows.sortBy(_._1).map(_._2).sameElements(rows.map(_._2).sorted)
+    })
+  }
 }
