@@ -746,9 +746,218 @@ object DedupOps {
        |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= $HammingThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- q84: repeated-span self-dedup (corpus-internal verbatim runs) ------
+
+  /** Span length in tokens for corpus-internal repeated-span detection.
+    * 5 tokens is long enough that shares are verbatim reuse, short enough
+    * to catch partial overlap the whole-doc tiers miss. */
+  val SpanK = 5
+
+  /** Per-document repeated-span coverage — the span-level complement to
+    * the whole-document dedup tiers (reference dedups whole docs;
+    * suffix-array pipelines remove repeated SPANS: boilerplate, quoted
+    * headers, licence blocks). A span is a SpanK-token contiguous window
+    * occurring in ≥ 2 distinct documents; per doc, overlapping dup spans
+    * are interval-merged with one ordered window pass so each token is
+    * counted once. Output: token count, merged dup-token coverage,
+    * merged span-run count, covered fraction.
+    *
+    * Scale shape: positioned windows are assembled inside whole-stage
+    * codegen (the explodedShingles formulation, position kept) and keyed
+    * by md5 so the df join exchanges 16-byte keys; the df aggregate has a
+    * map-side partial combine; the merge window partitions BY DOC over
+    * only the duplicated positions (dup spans are a small fraction of any
+    * healthy corpus). Nothing global, no all-pairs step — at 100 TB this
+    * is two hash shuffles (span df, per-doc merge) over span-sized rows. */
+  def repeatedSpans(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), TextOps.tokenize(col("text")).as("t"))
+    val base = d.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+    val grams = d.filter(size(col("t")) >= SpanK)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - (SpanK - 1))).as("i"))
+      .select(col("doc_id"), col("i").cast("long").as("i"),
+        md5(concat_ws(" ",
+          (0 until SpanK).map(k => element_at(col("t"), col("i") + k)): _*)).as("g"))
+    val dupGrams = grams.groupBy("g").agg(countDistinct("doc_id").as("gdf"))
+      .filter(col("gdf") >= 2).select("g")
+    val hits = grams.join(dupGrams, "g").select("doc_id", "i")
+    // Interval union: spans cover [i, i+SpanK-1]; sorted by i, each row's
+    // marginal contribution is its end minus the running max end (prev
+    // ends are always < this row's end because SpanK is constant).
+    val w = Window.partitionBy("doc_id").orderBy("i")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val merged = hits
+      .withColumn("prev_end", max(col("i") + (SpanK - 1)).over(w))
+      .select(col("doc_id"),
+        when(col("prev_end").isNull, lit(SpanK.toLong))
+          .otherwise(least(lit(SpanK.toLong), col("i") + (SpanK - 1) - col("prev_end")))
+          .as("marginal"),
+        when(col("prev_end").isNull || col("i") > col("prev_end") + 1, 1L)
+          .otherwise(0L).as("run_start"))
+      .groupBy("doc_id")
+      .agg(sum("marginal").as("dup_tokens"), sum("run_start").as("n_runs"))
+    base.join(merged, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        r6(when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+            col("n_tokens"))).as("dup_span_frac"))
+      .orderBy("doc_id")
+  }
+
+  val repeatedSpansSql: String =
+    s"""WITH stk AS (SELECT doc_id, regexp_extract_all(lower(text), '$TokRe') AS t
+       |             FROM documents),
+       |sg AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+       |         md5(array_to_string(t[i:i+${SpanK - 1}], ' ')) AS g
+       |       FROM stk, LATERAL (SELECT unnest(range(1, len(t) - ${SpanK - 2})) AS i) u
+       |       WHERE len(t) >= $SpanK),
+       |dupg AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS gdf FROM sg GROUP BY g)
+       |         WHERE gdf >= 2),
+       |hits AS (SELECT doc_id, i FROM sg JOIN dupg USING (g)),
+       |mrk AS (SELECT doc_id, i,
+       |          max(i + ${SpanK - 1}) OVER (PARTITION BY doc_id ORDER BY i
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |        FROM hits),
+       |agg AS (SELECT doc_id,
+       |          sum(CASE WHEN prev_end IS NULL THEN $SpanK
+       |                   ELSE least($SpanK, i + ${SpanK - 1} - prev_end) END) AS dup_tokens,
+       |          sum(CASE WHEN prev_end IS NULL OR i > prev_end + 1 THEN 1 ELSE 0 END) AS n_runs
+       |        FROM mrk GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |  CAST(coalesce(n_runs, 0) AS BIGINT) AS n_runs,
+       |  floor((CASE WHEN len(t) = 0 THEN 0.0
+       |              ELSE coalesce(dup_tokens, 0)::DOUBLE / len(t) END) * 1000000 + 0.5)
+       |    / 1000000 AS dup_span_frac
+       |FROM stk d LEFT JOIN agg ON d.doc_id = agg.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---- q85: incremental dedup (incoming snapshot vs retained corpus) ------
+
+  /** The incoming "crawl snapshot" for the incremental-dedup query: one of
+    * the 20 synthetic sources stands in for the newest ingest batch. */
+  val IncomingSource = "src19"
+
+  /** Dedup an incoming batch AGAINST the retained corpus — the production
+    * ingest shape (the batch variant of the streaming LSH gate): never
+    * re-pair the retained corpus with itself, only (new × retained)
+    * band-hash matches, verified with exact shingle Jaccard. One row per
+    * incoming doc: candidate count, best retained match (highest Jaccard,
+    * ties to the lowest doc_id; −1 when no candidate) and the keep/drop
+    * verdict at JaccardThreshold.
+    *
+    * Scale shape: the band join keys on (band_id, band_hash) and is
+    * asymmetric — candidates are bounded by the incoming batch's bands,
+    * not the corpus pair count. The incoming side is broadcast here
+    * (a snapshot is small next to the retained corpus; the cached corpus
+    * band frame also defeats size estimation, as at q45); at a scale
+    * where the batch outgrows broadcast it becomes a plain hash join on
+    * the same key — the shape is unchanged. Verification touches only
+    * candidate pairs, and the argmax is a map-side-combined min(struct). */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val src = docs(spark, dir).select("doc_id", "source")
+    val bands = minhashBands(spark, dir).join(src, "doc_id")
+    val newB = bands.filter(col("source") === IncomingSource)
+      .select(col("doc_id").as("doc_a"), col("band_id"), col("band_hash"))
+    val oldB = bands.filter(col("source") =!= IncomingSource)
+      .select(col("doc_id").as("doc_b"), col("band_id"), col("band_hash"))
+    val cand = oldB.join(broadcast(newB), Seq("band_id", "band_hash"))
+      .select("doc_a", "doc_b").distinct()
+    val best = withJaccard(spark, dir, cand)
+      .groupBy("doc_a")
+      .agg(count(lit(1)).as("n_candidates"),
+        min(struct((-col("jaccard")).as("nj"), col("doc_b"))).as("best"))
+      .select(col("doc_a"), col("n_candidates"),
+        col("best.doc_b").as("best_match"), (-col("best.nj")).as("best_jaccard"))
+    src.filter(col("source") === IncomingSource)
+      .join(best, col("doc_id") === col("doc_a"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("best_match"), lit(-1L)).as("best_match"),
+        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
+        coalesce(col("best_jaccard") >= JaccardThreshold, lit(false)).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  val incrementalDedupSql: String =
+    s"""WITH $shinglesCte,
+       |$minhashCtes,
+       |srcs AS (SELECT doc_id, source FROM documents),
+       |nb AS (SELECT doc_id AS doc_a, band_id, band_hash FROM bands
+       |       JOIN srcs USING (doc_id) WHERE source = '$IncomingSource'),
+       |ob AS (SELECT doc_id AS doc_b, band_id, band_hash FROM bands
+       |       JOIN srcs USING (doc_id) WHERE source <> '$IncomingSource'),
+       |pairs AS (SELECT DISTINCT doc_a, doc_b FROM nb JOIN ob USING (band_id, band_hash)),
+       |$jaccardCtes,
+       |best AS (SELECT doc_a, cnt AS n_candidates, doc_b AS best_match,
+       |           jaccard AS best_jaccard
+       |         FROM (SELECT *, row_number() OVER (PARTITION BY doc_a
+       |                 ORDER BY jaccard DESC, doc_b ASC) AS rn,
+       |                 count(*) OVER (PARTITION BY doc_a) AS cnt
+       |               FROM jac)
+       |         WHERE rn = 1),
+       |newdocs AS (SELECT doc_id FROM srcs WHERE source = '$IncomingSource')
+       |SELECT n.doc_id,
+       |  CAST(coalesce(n_candidates, 0) AS BIGINT) AS n_candidates,
+       |  coalesce(best_match, -1) AS best_match,
+       |  coalesce(best_jaccard, 0.0) AS best_jaccard,
+       |  coalesce(best_jaccard >= $JaccardThreshold, false) AS is_dup
+       |FROM newdocs n LEFT JOIN best ON best.doc_a = n.doc_id
+       |ORDER BY n.doc_id""".stripMargin
+
+  // ---- q88: cross-source duplication matrix -------------------------------
+
+  /** Which sources duplicate each other — the corpus-health diagnostic a
+    * multi-crawl pipeline runs before choosing mixture weights (two crawls
+    * of the same site double-count unless one is dropped). Consumes the
+    * memoized q42 candidate pairs + verified Jaccard, keeps verified dups
+    * (≥ JaccardThreshold), maps both endpoints to their sources (order-
+    * normalized so (a,b) and (b,a) accumulate together), and aggregates a
+    * source-pair matrix: dup-pair count + DECIMAL-stable mean Jaccard.
+    *
+    * Scale shape: everything after the (already scale-safe) pair build is
+    * two broadcast-able joins on doc_id against a 2-column source map and
+    * one aggregate over a key space bounded by sources² — metadata scale. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val src = docs(spark, dir).select("doc_id", "source")
+    val dups = withJaccard(spark, dir, lshCandidatePairs(spark, dir))
+      .filter(col("jaccard") >= JaccardThreshold)
+    dups
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"), col("jaccard"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_dup_pairs"),
+        r6(davg(col("jaccard"))).as("mean_jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH $shinglesCte,
+       |$minhashCtes,
+       |$lshPairsCte,
+       |$jaccardCtes,
+       |lbl AS (SELECT least(sa.source, sb.source) AS source_a,
+       |          greatest(sa.source, sb.source) AS source_b, jaccard
+       |        FROM jac
+       |        JOIN documents sa ON sa.doc_id = jac.doc_a
+       |        JOIN documents sb ON sb.doc_id = jac.doc_b
+       |        WHERE jaccard >= $JaccardThreshold)
+       |SELECT source_a, source_b, count(*) AS n_dup_pairs,
+       |  floor((CAST(sum(CAST(jaccard AS DECIMAL(30,8))) AS DOUBLE) / count(*))
+       |    * 1000000 + 0.5) / 1000000 AS mean_jaccard
+       |FROM lbl GROUP BY source_a, source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_repeated_spans" -> (repeatedSpans _),
+    "q85_incremental_dedup" -> (incrementalDedup _),
+    "q88_source_overlap" -> (sourceOverlap _),
     "q48_simhash_neardups" -> (simhashNearDups _),
     "q49_dup_clusters" -> (dupClusters _),
     "q75_dedup_keep_best" -> (dedupKeepBest _),
@@ -763,6 +972,9 @@ object DedupOps {
     "q45_decontamination" -> (decontamination _))
 
   val oracles: Map[String, String] = Map(
+    "q84_repeated_spans" -> repeatedSpansSql,
+    "q85_incremental_dedup" -> incrementalDedupSql,
+    "q88_source_overlap" -> sourceOverlapSql,
     "q48_simhash_neardups" -> simhashNearDupsSql,
     "q49_dup_clusters" -> dupClustersSql,
     "q75_dedup_keep_best" -> dedupKeepBestSql,

@@ -90,6 +90,44 @@ class Round7OpsSpec extends SparkSpec {
     assert(viaSql.exceptAll(native).isEmpty && native.exceptAll(viaSql).isEmpty)
   }
 
+  test("q84 merges overlapping dup spans; straddling windows stay unique") {
+    val out = java.nio.file.Files.createTempDirectory("graft_spans").toString
+    // A and B share a 7-token run ("shared0..shared6") planted mid-doc.
+    // Only the 3 windows fully inside the run are duplicated (straddling
+    // windows mix in unique context), so merged coverage is exactly the
+    // 7 run tokens, one run. C is all-unique → zero coverage.
+    val shared = (0 until 7).map(i => s"shared$i")
+    val a = ((0 until 10).map(i => s"ua$i") ++ shared ++ (0 until 5).map(i => s"va$i"))
+    val b = ((0 until 10).map(i => s"ub$i") ++ shared ++ (0 until 5).map(i => s"vb$i"))
+    val c = (0 until 22).map(i => s"uc$i")
+    Seq((1L, a.mkString(" ")), (2L, b.mkString(" ")), (3L, c.mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val rows = DedupOps.repeatedSpans(spark, out).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("dup_tokens"), r.getAs[Long]("n_runs")))).toMap
+    assert(rows(1L) == ((7L, 1L)), s"doc 1: ${rows(1L)}")
+    assert(rows(2L) == ((7L, 1L)), s"doc 2: ${rows(2L)}")
+    assert(rows(3L) == ((0L, 0L)), s"doc 3: ${rows(3L)}")
+  }
+
+  test("q85 flags incoming exact copies, passes novel docs with no candidates") {
+    val out = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val retained = (0 until 30).map(i => s"ret$i").mkString(" ")
+    val novel = (0 until 30).map(i => s"new$i").mkString(" ")
+    Seq((1L, retained, "src0"), (2L, retained, DedupOps.IncomingSource),
+        (3L, novel, DedupOps.IncomingSource))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val rows = DedupOps.incrementalDedup(spark, out).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("best_match"), r.getAs[Double]("best_jaccard"),
+          r.getAs[Boolean]("is_dup")))).toMap
+    assert(rows(2L) == ((1L, 1.0, true)), s"copy verdict: ${rows(2L)}")
+    assert(rows(3L) == ((-1L, 0.0, false)), s"novel verdict: ${rows(3L)}")
+    assert(!rows.contains(1L), "retained doc leaked into the incoming report")
+  }
+
   test("recall curve is monotone in nprobe and complete at nprobe = K") {
     val dir = "/root/testdata/sf0.001"
     val curve = SimilarityOps.ivfRecallCurve(spark, dir)
