@@ -731,9 +731,60 @@ object SimilarityOps {
        |  floor((min(cos)) * 1000000 + 0.5) / 1000000 AS min_cos
        |FROM sc GROUP BY cluster ORDER BY cluster""".stripMargin
 
+  // ---- q86: semantic dedup over the learned clusters (SemDeDup) -----------
+
+  /** Cosine threshold for semantic duplicates within a quantizer cell
+    * (the q44 threshold, applied in the learned-cell blocking space). */
+  val SemDedupThreshold = 0.35
+
+  /** SemDeDup-style semantic deduplication: candidate pairs are generated
+    * WITHIN the learned k-means cells (the same coarse quantizer the ANN
+    * tier probes), scored with the exact native cosine, and collapsed to
+    * a per-vector verdict — a vector is dropped when any lower-id vector
+    * in its cell is within SemDedupThreshold; dup_of is the lowest such
+    * id (the q40 canonical-min convention — one aggregate, not an
+    * iterative greedy pass, so the oracle unrolls it directly).
+    *
+    * This is q44 with the blocking key upgraded from the ground-truth
+    * label to the quantizer's own cells — the shape semantic dedup runs
+    * at scale: pair volume is Σ|cell|² (bounded by balancing the
+    * quantizer: more clusters → smaller cells), and the cell self-join
+    * co-locates on exactly the cluster key the serving index is
+    * partitioned by. Consumes the session-shared kmeansModel — no extra
+    * training run. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (_, asg) = kmeansModel(spark, dir)
+    val e = emb(spark, dir).select("vec_id", "embedding").join(asg, "vec_id")
+    val dropped = e.as("a").join(e.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.vec_id") < col("b.vec_id") &&
+          cosineSim(col("a.embedding"), col("b.embedding")) >= SemDedupThreshold)
+      .groupBy(col("b.vec_id").as("vec_id"))
+      .agg(min(col("a.vec_id")).as("dup_of"))
+    e.select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+      .join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("dup_of").isNull.as("kept"),
+        coalesce(col("dup_of"), lit(-1L)).as("dup_of"))
+      .orderBy("vec_id")
+  }
+
+  val semanticDedupSql: String =
+    s"""WITH $kmeansCtes,
+       |se AS (SELECT e.vec_id, e.embedding, kasg.cluster
+       |       FROM embeddings e JOIN kasg USING (vec_id)),
+       |dp AS (SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+       |       FROM se a JOIN se b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |       WHERE ${sqlCos("a.embedding", "b.embedding")} >= $SemDedupThreshold
+       |       GROUP BY b.vec_id)
+       |SELECT se.vec_id, CAST(se.cluster AS BIGINT) AS cluster,
+       |  dup_of IS NULL AS kept, coalesce(dup_of, -1) AS dup_of
+       |FROM se LEFT JOIN dp USING (vec_id)
+       |ORDER BY se.vec_id""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_semantic_dedup" -> (semanticDedup _),
     "q58_centroid_stats" -> (centroidStats _),
     "q50_ann_bruteforce" -> (annBruteForce _),
     "q51_ann_ivf" -> (annIvf _),
@@ -743,6 +794,7 @@ object SimilarityOps {
     "q79_ivf_recall_curve" -> (ivfRecallCurve _))
 
   val oracles: Map[String, String] = Map(
+    "q86_semantic_dedup" -> semanticDedupSql,
     "q77_ann_ivf_int8" -> annIvfInt8Sql,
     "q58_centroid_stats" -> centroidStatsSql,
     "q50_ann_bruteforce" -> annBruteForceSql,

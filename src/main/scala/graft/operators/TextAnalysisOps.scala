@@ -970,9 +970,74 @@ object TextAnalysisOps {
        |FROM dd WHERE cum_before + doc_cum <= budget
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q87: Zipf slope (corpus-health diagnostic) -------------------------
+
+  /** Least-squares fit of ln(term frequency) against ln(frequency rank) —
+    * the Zipf exponent. A healthy natural-language corpus sits near −1;
+    * drift toward 0 means boilerplate/templating flattened the
+    * distribution, steeper means vocabulary collapse — the one-row
+    * diagnostic a pipeline tracks per ingest batch. Reports the slope,
+    * intercept, and R² of the log-log fit plus vocabulary size.
+    *
+    * Shapes: the term count is the standard map-side-combined aggregate;
+    * ranking is ONE window over the vocab-sized count frame (metadata
+    * scale, like q78's histogram — at a 10⁸-term vocab rank two-stage:
+    * per-partition ranks + broadcast partition offsets, same answer);
+    * the five fit moments accumulate in DECIMAL (dsum) so partition
+    * order can't move the closed-form division inputs. All post-moment
+    * arithmetic is scalar double on identical operands in both engines. */
+  def zipfSlope(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = docs(spark, dir)
+      .select(explode(TextOps.tokenize(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val xy = cnt
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("c").desc, col("term"))).cast("long"))
+      .select(log(col("rk").cast("double")).as("x"), log(col("c").cast("double")).as("y"))
+    val m = xy.agg(count(lit(1)).as("n"), dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+      dsum(col("x") * col("y")).as("sxy"), dsum(col("x") * col("x")).as("sxx"),
+      dsum(col("y") * col("y")).as("syy"))
+    val dxx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dyy = col("n") * col("syy") - col("sy") * col("sy")
+    val dxy = col("n") * col("sxy") - col("sx") * col("sy")
+    m.select(col("n").as("n_terms"),
+      r6(when(dxx === 0.0, 0.0).otherwise(dxy / dxx)).as("slope"),
+      r6(when(dxx === 0.0, 0.0)
+        .otherwise((col("sy") - (dxy / dxx) * col("sx")) / col("n"))).as("intercept"),
+      r6(when(dxx === 0.0 || dyy === 0.0, 0.0)
+        .otherwise(dxy * dxy / (dxx * dyy))).as("r2"))
+  }
+
+  val zipfSlopeSql: String =
+    s"""WITH ztk AS (SELECT unnest(regexp_extract_all(lower(text), '$TokRe')) AS term
+       |             FROM documents),
+       |zc AS (SELECT term, count(*) AS c FROM ztk GROUP BY term),
+       |zr AS (SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, term) AS DOUBLE)) AS x,
+       |         ln(c::DOUBLE) AS y FROM zc),
+       |zm AS (SELECT count(*) AS n,
+       |         CAST(sum(CAST(x AS DECIMAL(30,8))) AS DOUBLE) AS sx,
+       |         CAST(sum(CAST(y AS DECIMAL(30,8))) AS DOUBLE) AS sy,
+       |         CAST(sum(CAST(x * y AS DECIMAL(30,8))) AS DOUBLE) AS sxy,
+       |         CAST(sum(CAST(x * x AS DECIMAL(30,8))) AS DOUBLE) AS sxx,
+       |         CAST(sum(CAST(y * y AS DECIMAL(30,8))) AS DOUBLE) AS syy
+       |       FROM zr)
+       |SELECT n AS n_terms,
+       |  floor((CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+       |              ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END) * 1000000 + 0.5)
+       |    / 1000000 AS slope,
+       |  floor((CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+       |              ELSE (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n END)
+       |    * 1000000 + 0.5) / 1000000 AS intercept,
+       |  floor((CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0.0
+       |              ELSE (n * sxy - sx * sy) * (n * sxy - sx * sy) /
+       |                ((n * sxx - sx * sx) * (n * syy - sy * sy)) END) * 1000000 + 0.5)
+       |    / 1000000 AS r2
+       |FROM zm""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_zipf_slope" -> (zipfSlope _),
     "q78_token_budget_curation" -> (tokenBudgetCuration _),
     "q73_bigram_lm" -> (bigramLm _),
     "q74_bigram_surprisal" -> (bigramSurprisal _),
@@ -993,6 +1058,7 @@ object TextAnalysisOps {
     "q35_simhash" -> (simhash _))
 
   val oracles: Map[String, String] = Map(
+    "q87_zipf_slope" -> zipfSlopeSql,
     "q78_token_budget_curation" -> tokenBudgetCurationSql,
     "q73_bigram_lm" -> bigramLmSql,
     "q74_bigram_surprisal" -> bigramSurprisalSql,

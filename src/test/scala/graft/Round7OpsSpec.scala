@@ -128,6 +128,41 @@ class Round7OpsSpec extends SparkSpec {
     assert(!rows.contains(1L), "retained doc leaked into the incoming report")
   }
 
+  test("q86 verdicts are cell-consistent: dup_of is a lower id in the same cell") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SimilarityOps.semanticDedup(spark, dir).collect()
+    val cluster = rows.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    val dropped = rows.filterNot(_.getAs[Boolean]("kept"))
+    assert(dropped.nonEmpty, "threshold too high: nothing deduplicated")
+    assert(dropped.length < rows.length, "threshold too low: everything deduplicated")
+    dropped.foreach { r =>
+      val (v, dupOf) = (r.getAs[Long]("vec_id"), r.getAs[Long]("dup_of"))
+      assert(dupOf >= 0 && dupOf < v, s"dup_of $dupOf !< vec $v")
+      assert(cluster(dupOf) == cluster(v), s"dup_of $dupOf crosses cells from $v")
+    }
+    // The lowest id of every cell can never be dropped (no lower id exists).
+    rows.groupBy(_.getAs[Long]("cluster")).foreach { case (c, rs) =>
+      val lowest = rs.minBy(_.getAs[Long]("vec_id"))
+      assert(lowest.getAs[Boolean]("kept"), s"cell $c dropped its lowest id")
+    }
+  }
+
+  test("q87 recovers slope ~ -1 on a planted Zipf corpus") {
+    val out = java.nio.file.Files.createTempDirectory("graft_zipf").toString
+    // Term i (i = 1..16) appears round(512/i) times: ln(freq) = ln 512 - ln(rank).
+    val words = (1 to 16).flatMap(i => Seq.fill(math.round(512.0 / i).toInt)(f"zipf$i%02d"))
+    // Spread across a few docs (the fit is corpus-global, split is irrelevant).
+    val docsRows = words.grouped(200).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+    docsRows.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val r = graft.operators.TextAnalysisOps.zipfSlope(spark, out).collect().head
+    val (slope, r2) = (r.getAs[Double]("slope"), r.getAs[Double]("r2"))
+    assert(math.abs(slope - (-1.0)) < 0.05, s"slope $slope not ~ -1")
+    assert(r2 > 0.99, s"r2 $r2 not ~ 1")
+    assert(r.getAs[Long]("n_terms") == 16L)
+  }
+
   test("recall curve is monotone in nprobe and complete at nprobe = K") {
     val dir = "/root/testdata/sf0.001"
     val curve = SimilarityOps.ivfRecallCurve(spark, dir)
