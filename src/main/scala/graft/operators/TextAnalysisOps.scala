@@ -970,6 +970,72 @@ object TextAnalysisOps {
        |FROM dd WHERE cum_before + doc_cum <= budget
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q89: PII detection + redaction -------------------------------------
+
+  /** PII patterns, written in the common subset of Java regex (Spark) and
+    * RE2 (DuckDB): character classes, bounded quantifiers, \b — no
+    * backrefs, no lookaround. Greedy quantifiers are leftmost-longest for
+    * these alternation-free patterns in both engines. Applied to
+    * lower(text). */
+  val PiiEmailRe = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+  val PiiIpRe = """\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"""
+  val PiiSsnRe = """\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"""
+  val PiiPhoneRe = """\+[0-9][0-9() -]{6,}[0-9]"""
+
+  /** Per-document PII scan + scrub — the redaction pass every released
+    * training corpus runs: count matches per category (emails, IPv4s,
+    * SSN-shaped ids, international phone numbers) on the raw text, and
+    * produce the md5 of the text with each category replaced by its
+    * placeholder tag, in a fixed category order so the scrub is
+    * deterministic. The synthetic corpus is PII-free (all-zero counts;
+    * the oracle still pins engine agreement on the full scan+scrub
+    * plumbing); Round7OpsSpec plants real PII shapes and pins counts,
+    * redaction, and clean-text passthrough.
+    *
+    * Scale shape: entirely row-local regex work inside whole-stage
+    * codegen — the ideal 100 TB operator: one pass, no shuffle at all
+    * beyond the final ordered dump. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val t = lower(col("text"))
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(t, PiiEmailRe, "<email>"),
+            PiiIpRe, "<ip>"),
+          PiiSsnRe, "<ssn>"),
+        PiiPhoneRe, "<phone>")
+    docs(spark, dir).select(col("doc_id"),
+        size(regexp_extract_all(t, lit(PiiEmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(t, lit(PiiIpRe), lit(0))).cast("long").as("n_ips"),
+        size(regexp_extract_all(t, lit(PiiSsnRe), lit(0))).cast("long").as("n_ssns"),
+        size(regexp_extract_all(t, lit(PiiPhoneRe), lit(0))).cast("long").as("n_phones"),
+        md5(scrubbed).as("scrubbed_md5"))
+      .withColumn("has_pii",
+        (col("n_emails") + col("n_ips") + col("n_ssns") + col("n_phones")) > 0)
+      .orderBy("doc_id")
+  }
+
+  // DuckDB single-quoted strings keep backslashes literal (see emKeySql's
+  // '\s'), so the patterns drop in verbatim; regexp_replace needs the 'g'
+  // flag to scrub ALL occurrences (Spark's regexp_replace is always global).
+  val piiScrubSql: String =
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(lower(text), '$PiiEmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(lower(text), '$PiiIpRe')) AS BIGINT) AS n_ips,
+       |  CAST(len(regexp_extract_all(lower(text), '$PiiSsnRe')) AS BIGINT) AS n_ssns,
+       |  CAST(len(regexp_extract_all(lower(text), '$PiiPhoneRe')) AS BIGINT) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(text),
+       |    '$PiiEmailRe', '<email>', 'g'),
+       |    '$PiiIpRe', '<ip>', 'g'),
+       |    '$PiiSsnRe', '<ssn>', 'g'),
+       |    '$PiiPhoneRe', '<phone>', 'g')) AS scrubbed_md5,
+       |  len(regexp_extract_all(lower(text), '$PiiEmailRe')) +
+       |    len(regexp_extract_all(lower(text), '$PiiIpRe')) +
+       |    len(regexp_extract_all(lower(text), '$PiiSsnRe')) +
+       |    len(regexp_extract_all(lower(text), '$PiiPhoneRe')) > 0 AS has_pii
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---- q87: Zipf slope (corpus-health diagnostic) -------------------------
 
   /** Least-squares fit of ln(term frequency) against ln(frequency rank) —
@@ -1037,6 +1103,7 @@ object TextAnalysisOps {
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_pii_scrub" -> (piiScrub _),
     "q87_zipf_slope" -> (zipfSlope _),
     "q78_token_budget_curation" -> (tokenBudgetCuration _),
     "q73_bigram_lm" -> (bigramLm _),
@@ -1058,6 +1125,7 @@ object TextAnalysisOps {
     "q35_simhash" -> (simhash _))
 
   val oracles: Map[String, String] = Map(
+    "q89_pii_scrub" -> piiScrubSql,
     "q87_zipf_slope" -> zipfSlopeSql,
     "q78_token_budget_curation" -> tokenBudgetCurationSql,
     "q73_bigram_lm" -> bigramLmSql,

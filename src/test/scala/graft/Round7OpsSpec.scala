@@ -163,6 +163,32 @@ class Round7OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_terms") == 16L)
   }
 
+  test("q89 counts and scrubs planted PII; clean text passes through unchanged") {
+    val out = java.nio.file.Files.createTempDirectory("graft_pii").toString
+    val dirty = "contact Bob.Smith+x@example.co.uk or 10.0.255.7 " +
+      "ssn 123-45-6789 tel +1 (415) 555-0134 end"
+    val clean = "no personal data here just words and the number 42"
+    Seq((1L, dirty), (2L, clean)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val rows = graft.operators.TextAnalysisOps.piiScrub(spark, out)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val d = rows(1L)
+    assert((d.getAs[Long]("n_emails"), d.getAs[Long]("n_ips"),
+      d.getAs[Long]("n_ssns"), d.getAs[Long]("n_phones")) == ((1L, 1L, 1L, 1L)),
+      s"counts: $d")
+    assert(d.getAs[Boolean]("has_pii"))
+    // The scrub replaces every category: its md5 equals the hand-scrubbed text's.
+    val expected = "contact <email> or <ip> ssn <ssn> tel <phone> end"
+    val expectedMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(d.getAs[String]("scrubbed_md5") == expectedMd5, "scrub mismatch")
+    val c = rows(2L)
+    assert(!c.getAs[Boolean]("has_pii") && c.getAs[Long]("n_ips") == 0L)
+    val cleanMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(clean.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(c.getAs[String]("scrubbed_md5") == cleanMd5, "clean text altered")
+  }
+
   test("recall curve is monotone in nprobe and complete at nprobe = K") {
     val dir = "/root/testdata/sf0.001"
     val curve = SimilarityOps.ivfRecallCurve(spark, dir)
