@@ -19,7 +19,9 @@ object ExplainAudit {
       "q73_bigram_lm", "q74_bigram_surprisal", "q75_dedup_keep_best",
       "q76_leakage_safe_splits", "q77_ann_ivf_int8", "q79_ivf_recall_curve",
       "q80_image_dhash", "q81_image_neardups", "q82_curation_pipeline",
-      "q83_verbatim_decontam",
+      "q83_verbatim_decontam", "q84_repeated_spans", "q85_incremental_dedup",
+      "q86_semantic_dedup", "q87_zipf_slope", "q88_source_overlap",
+      "q89_pii_scrub",
       "q62_user_sessions", "q67_retention_cohorts", "q69_event_anomalies",
       "q70_media_meta", "q72_frame_sample")
 
