@@ -92,7 +92,7 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
-  private val emKeySql =
+  private[operators] val emKeySql =
     """regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g')"""
 
   val exactDupGroupsSql: String =

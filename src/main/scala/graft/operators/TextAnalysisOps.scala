@@ -970,6 +970,59 @@ object TextAnalysisOps {
        |FROM dd WHERE cum_before + doc_cum <= budget
        |ORDER BY doc_id""".stripMargin
 
+  // ---- q90: corpus card (one-row release profile) -------------------------
+
+  /** The one-row profile a corpus release ships with — the "corpus card"
+    * numbers every dataset writeup quotes: document/token/vocabulary
+    * counts, mean document length, language and source diversity, the
+    * largest single source's share (skew signal for mixture weighting),
+    * and the exact-duplicate rate from the q40 fingerprint.
+    *
+    * Scale shape: four independent aggregates (token moments, metadata
+    * counts, source histogram max, fingerprint group sizes), each a
+    * map-side-combined shuffle to a 1-row frame, cross-joined at the end
+    * (all sides are single rows — broadcast by construction). Nothing
+    * quadratic, nothing driver-side. */
+  def corpusCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    val tokAgg = d.select(explode(TextOps.tokenize(col("text"))).as("term"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct("term").as("vocab_size"))
+    val meta = d.agg(count(lit(1)).as("n_docs"),
+      countDistinct("lang").as("n_langs"), countDistinct("source").as("n_sources"))
+    val srcMax = d.groupBy("source").agg(count(lit(1)).as("c"))
+      .agg(max("c").as("max_src"))
+    val dupAgg = d.select(DedupOps.fingerprint(col("text")).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("gs"))
+      .agg(coalesce(sum(when(col("gs") > 1, col("gs"))), lit(0L)).as("exact_dup_docs"))
+    meta.crossJoin(tokAgg).crossJoin(srcMax).crossJoin(dupAgg)
+      .select(col("n_docs"), col("n_tokens"), col("vocab_size"),
+        r6(col("n_tokens").cast("double") / col("n_docs")).as("mean_doc_tokens"),
+        col("n_langs"), col("n_sources"),
+        r6(col("max_src").cast("double") / col("n_docs")).as("max_source_share"),
+        col("exact_dup_docs"),
+        r6(col("exact_dup_docs").cast("double") / col("n_docs")).as("exact_dup_rate"))
+  }
+
+  val corpusCardSql: String =
+    s"""WITH ctk AS (SELECT unnest(regexp_extract_all(lower(text), '$TokRe')) AS term
+       |             FROM documents),
+       |ta AS (SELECT count(*) AS n_tokens, count(DISTINCT term) AS vocab_size FROM ctk),
+       |meta AS (SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+       |           count(DISTINCT source) AS n_sources FROM documents),
+       |sm AS (SELECT max(c) AS max_src FROM
+       |         (SELECT count(*) AS c FROM documents GROUP BY source)),
+       |dg AS (SELECT count(*) AS gs FROM
+       |         (SELECT md5(${DedupOps.emKeySql}) AS fp FROM documents) GROUP BY fp),
+       |da AS (SELECT CAST(coalesce(sum(CASE WHEN gs > 1 THEN gs END), 0) AS BIGINT)
+       |         AS exact_dup_docs FROM dg)
+       |SELECT n_docs, n_tokens, vocab_size,
+       |  floor((n_tokens::DOUBLE / n_docs) * 1000000 + 0.5) / 1000000 AS mean_doc_tokens,
+       |  n_langs, n_sources,
+       |  floor((max_src::DOUBLE / n_docs) * 1000000 + 0.5) / 1000000 AS max_source_share,
+       |  exact_dup_docs,
+       |  floor((exact_dup_docs::DOUBLE / n_docs) * 1000000 + 0.5) / 1000000 AS exact_dup_rate
+       |FROM meta, ta, sm, da""".stripMargin
+
   // ---- q89: PII detection + redaction -------------------------------------
 
   /** PII patterns, written in the common subset of Java regex (Spark) and
@@ -1103,6 +1156,7 @@ object TextAnalysisOps {
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q90_corpus_card" -> (corpusCard _),
     "q89_pii_scrub" -> (piiScrub _),
     "q87_zipf_slope" -> (zipfSlope _),
     "q78_token_budget_curation" -> (tokenBudgetCuration _),
@@ -1125,6 +1179,7 @@ object TextAnalysisOps {
     "q35_simhash" -> (simhash _))
 
   val oracles: Map[String, String] = Map(
+    "q90_corpus_card" -> corpusCardSql,
     "q89_pii_scrub" -> piiScrubSql,
     "q87_zipf_slope" -> zipfSlopeSql,
     "q78_token_budget_curation" -> tokenBudgetCurationSql,
