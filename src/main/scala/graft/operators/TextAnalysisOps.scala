@@ -31,7 +31,10 @@ object TextAnalysisOps {
 
   // ---- q30: per-document quality scores -----------------------------------
 
-  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+  /** Unrounded quality derivation shared by q30 and the q91 classifier so
+    * the two can't drift — the Column twin of qualityCtes' `qual`:
+    * (doc_id, n_tokens, atl, sr, dr, quality_score[r6]). */
+  private def qualityFrame(spark: SparkSession, dir: String): DataFrame = {
     val toks = TextOps.tokenize(col("text"))
     val n = size(toks)
     val nD = n.cast("double")
@@ -48,12 +51,21 @@ object TextAnalysisOps {
     docs(spark, dir).select(
       col("doc_id"),
       n.cast("long").as("n_tokens"),
-      r6(avgTokLen).as("avg_token_len"),
-      r6(stopRatio).as("stopword_ratio"),
-      r6(digitRatio).as("digit_char_ratio"),
+      avgTokLen.as("atl"),
+      stopRatio.as("sr"),
+      digitRatio.as("dr"),
       r6(quality).as("quality_score"))
-      .orderBy("doc_id")
   }
+
+  def textQuality(spark: SparkSession, dir: String): DataFrame =
+    qualityFrame(spark, dir).select(
+      col("doc_id"),
+      col("n_tokens"),
+      r6(col("atl")).as("avg_token_len"),
+      r6(col("sr")).as("stopword_ratio"),
+      r6(col("dr")).as("digit_char_ratio"),
+      col("quality_score"))
+      .orderBy("doc_id")
 
   private val stopList = Stopwords.map(s => s"'$s'").mkString("[", ", ", "]")
 
@@ -1153,9 +1165,351 @@ object TextAnalysisOps {
        |    / 1000000 AS r2
        |FROM zm""".stripMargin
 
+  // ---- q91: in-engine trained quality classifier (logistic GD) ------------
+
+  /** Learning rate, iteration count, and weak-label threshold for
+    * [[qualityLrModel]] — all FIXED so the whole training run unrolls into
+    * the DuckDB oracle (lrCtes), exactly like SimilarityOps.kmeansCtes.
+    * Picked by a dev sweep over (eta, iters) at three scale factors:
+    * accuracy 0.96 / 0.96 / 0.95 at sf0.001 / 0.01 / 0.1 — the plateau of
+    * the standardized-feature model. */
+  val LrEta = 4.0
+  val LrIters = 8
+  val LrLabelThreshold = 0.8
+
+  /** DECIMAL(38,18)-accumulated sum surfaced as double — the k-means
+    * precision (package.dsum's DECIMAL(30,8) is too coarse for gradient
+    * terms of order 1e-3 · 1e-3). Order-independent, so Spark partition
+    * parallelism and DuckDB's serial scan agree bit-for-bit. */
+  private def dsum18(c: Column): Column = sum(c.cast("decimal(38,18)")).cast("double")
+
+  /** Rational squashing function σ(z) = 0.5 + z / (2·(1+|z|)).
+    *
+    * Deliberately NOT exp-based: IEEE 754 specifies exact rounding for
+    * + − × ÷ |·| but not for exp(), so a logistic sigmoid could diverge
+    * between engines in the last ulp and flip a prediction. This sigmoid
+    * is built only from exactly-rounded ops — identical inputs give
+    * identical outputs in Spark and DuckDB — while keeping the shape GD
+    * needs (monotone, (0,1), σ(0)=0.5). */
+  private def sigma(z: Column): Column =
+    lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+
+  /** Raw classifier features in [0,1] + weak label, derived from the SAME
+    * q30 quality frame the label comes from — but the label collapses the
+    * features through fixed weights, so recovering it from the four raw
+    * coordinates is a genuine (if easy) linear-separation problem. */
+  private def lrRaw(spark: SparkSession, dir: String): DataFrame =
+    qualityFrame(spark, dir).select(
+      col("doc_id"),
+      least(lit(1.0), col("n_tokens").cast("double") / 50.0).as("r1"),
+      col("sr").as("r2"),
+      least(lit(1.0), col("atl") / 8.0).as("r3"),
+      col("dr").as("r4"),
+      when(col("quality_score") >= LrLabelThreshold, 1.0).otherwise(0.0).as("y"))
+
+  /** Z-scored features (population std, zero-guard). Standardization is
+    * what makes plain batch GD converge here — the raw coordinates differ
+    * 10× in variance and the unstandardized sweep plateaued at 0.84. */
+  private def lrFeats(spark: SparkSession, dir: String): DataFrame = {
+    val raw = lrRaw(spark, dir)
+    val mu = raw.agg(
+      (dsum18(col("r1")) / count(lit(1))).as("m1"),
+      (dsum18(col("r2")) / count(lit(1))).as("m2"),
+      (dsum18(col("r3")) / count(lit(1))).as("m3"),
+      (dsum18(col("r4")) / count(lit(1))).as("m4"))
+    val withMu = raw.crossJoin(broadcast(mu))
+    val sd = withMu.agg(
+      sqrt(dsum18((col("r1") - col("m1")) * (col("r1") - col("m1"))) / count(lit(1))).as("s1"),
+      sqrt(dsum18((col("r2") - col("m2")) * (col("r2") - col("m2"))) / count(lit(1))).as("s2"),
+      sqrt(dsum18((col("r3") - col("m3")) * (col("r3") - col("m3"))) / count(lit(1))).as("s3"),
+      sqrt(dsum18((col("r4") - col("m4")) * (col("r4") - col("m4"))) / count(lit(1))).as("s4"))
+    def z(r: String, m: String, s: String): Column =
+      when(col(s) === 0.0, 0.0).otherwise((col(r) - col(m)) / col(s))
+    withMu.crossJoin(broadcast(sd)).select(
+      col("doc_id"), col("y"),
+      z("r1", "m1", "s1").as("x1"), z("r2", "m2", "s2").as("x2"),
+      z("r3", "m3", "s3").as("x3"), z("r4", "m4", "s4").as("x4"))
+  }
+
+  private val lrCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Double]]
+
+  /** Fixed-iteration batch-gradient-descent logistic regression:
+    * w ← w + η · mean((y − σ(w·x)) · x), LrIters rounds from w = 0.
+    *
+    * Scale shape — textbook distributed batch GD: per iteration the ONLY
+    * cluster work is one map-side-combined aggregate collapsing the corpus
+    * to a 5-double gradient (DECIMAL-accumulated, so partition order can't
+    * move it); the driver holds the 5-double model and re-broadcasts it as
+    * literals. At 100 TB that is 8 scans with tree-reduced partial
+    * aggregates and zero shuffled rows. The 1-row head() per round is the
+    * sanctioned scalar-read pattern (cf. CorpusIndex stats). Memoized per
+    * (appId, dir) like kmeansModel. */
+  def qualityLrModel(spark: SparkSession, dir: String): Array[Double] =
+    lrCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
+      val feats = lrFeats(spark, dir).cache()
+      var w = Array(0.0, 0.0, 0.0, 0.0, 0.0)
+      try {
+        for (_ <- 1 to LrIters) {
+          val zc = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+            lit(w(3)) * col("x3") + lit(w(4)) * col("x4")
+          val p = sigma(zc)
+          val g = feats.agg(
+            (dsum18(col("y") - p) / count(lit(1))).as("gb"),
+            (dsum18((col("y") - p) * col("x1")) / count(lit(1))).as("g1"),
+            (dsum18((col("y") - p) * col("x2")) / count(lit(1))).as("g2"),
+            (dsum18((col("y") - p) * col("x3")) / count(lit(1))).as("g3"),
+            (dsum18((col("y") - p) * col("x4")) / count(lit(1))).as("g4")).head()
+          w = Array.tabulate(5)(i => w(i) + LrEta * g.getDouble(i))
+        }
+      } finally feats.unpersist()
+      w
+    })
+
+  /** q91: score every document with the in-engine-trained classifier.
+    * Output: (doc_id, weak_label, p_quality[r6], pred_label) — pred flips
+    * on the UNROUNDED probability, which both engines compute identically
+    * by the σ/DECIMAL construction above. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val w = qualityLrModel(spark, dir)
+    val zc = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+      lit(w(3)) * col("x3") + lit(w(4)) * col("x4")
+    val p = sigma(zc)
+    lrFeats(spark, dir).select(
+      col("doc_id"),
+      col("y").cast("long").as("weak_label"),
+      r6(p).as("p_quality"),
+      when(p >= 0.5, 1L).otherwise(0L).as("pred_label"))
+      .orderBy("doc_id")
+  }
+
+  /** Unrolled training oracle (expects qualityCtes in scope): mirrors
+    * lrFeats + qualityLrModel round for round, ending in
+    * lscored(doc_id, y, p). */
+  private val lrCtes: String = {
+    val header = Seq(
+      s"""lraw AS (SELECT doc_id,
+         |  least(1.0, n_tokens / 50.0) AS r1, sr AS r2,
+         |  least(1.0, atl / 8.0) AS r3, dr AS r4,
+         |  CASE WHEN quality_score >= $LrLabelThreshold THEN 1.0 ELSE 0.0 END AS y
+         |FROM qual)""".stripMargin,
+      """lmu AS (SELECT
+        |  CAST(sum(CAST(r1 AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m1,
+        |  CAST(sum(CAST(r2 AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m2,
+        |  CAST(sum(CAST(r3 AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m3,
+        |  CAST(sum(CAST(r4 AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m4
+        |FROM lraw)""".stripMargin,
+      """lsd AS (SELECT
+        |  sqrt(CAST(sum(CAST((r1-m1)*(r1-m1) AS DECIMAL(38,18))) AS DOUBLE) / count(*)) AS s1,
+        |  sqrt(CAST(sum(CAST((r2-m2)*(r2-m2) AS DECIMAL(38,18))) AS DOUBLE) / count(*)) AS s2,
+        |  sqrt(CAST(sum(CAST((r3-m3)*(r3-m3) AS DECIMAL(38,18))) AS DOUBLE) / count(*)) AS s3,
+        |  sqrt(CAST(sum(CAST((r4-m4)*(r4-m4) AS DECIMAL(38,18))) AS DOUBLE) / count(*)) AS s4
+        |FROM lraw, lmu)""".stripMargin,
+      """lfe AS (SELECT doc_id, y,
+        |  CASE WHEN s1 = 0.0 THEN 0.0 ELSE (r1-m1)/s1 END AS x1,
+        |  CASE WHEN s2 = 0.0 THEN 0.0 ELSE (r2-m2)/s2 END AS x2,
+        |  CASE WHEN s3 = 0.0 THEN 0.0 ELSE (r3-m3)/s3 END AS x3,
+        |  CASE WHEN s4 = 0.0 THEN 0.0 ELSE (r4-m4)/s4 END AS x4
+        |FROM lraw, lmu, lsd)""".stripMargin,
+      "lw0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3, 0.0 AS w4)")
+    val rounds = (1 to LrIters).flatMap { t =>
+      Seq(
+        s"""lp$t AS (SELECT doc_id, y, x1, x2, x3, x4,
+           |  0.5 + z / (2.0 * (1.0 + abs(z))) AS p
+           |FROM (SELECT f.*, w.b + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4 AS z
+           |      FROM lfe f, lw${t - 1} w))""".stripMargin,
+        s"""lg$t AS (SELECT
+           |  CAST(sum(CAST((y-p) AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS gb,
+           |  CAST(sum(CAST((y-p)*x1 AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS g1,
+           |  CAST(sum(CAST((y-p)*x2 AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS g2,
+           |  CAST(sum(CAST((y-p)*x3 AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS g3,
+           |  CAST(sum(CAST((y-p)*x4 AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS g4
+           |FROM lp$t)""".stripMargin,
+        s"""lw$t AS (SELECT w.b + $LrEta*g.gb AS b, w.w1 + $LrEta*g.g1 AS w1,
+           |  w.w2 + $LrEta*g.g2 AS w2, w.w3 + $LrEta*g.g3 AS w3, w.w4 + $LrEta*g.g4 AS w4
+           |FROM lw${t - 1} w, lg$t g)""".stripMargin)
+    }
+    val tail =
+      s"""lscored AS (SELECT doc_id, y, 0.5 + z / (2.0 * (1.0 + abs(z))) AS p
+         |FROM (SELECT f.doc_id, f.y,
+         |        w.b + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4 AS z
+         |      FROM lfe f, lw$LrIters w))""".stripMargin
+    (header ++ rounds :+ tail).mkString(",\n")
+  }
+
+  val qualityClassifierSql: String =
+    s"""WITH $qualityCtes,
+       |$lrCtes
+       |SELECT doc_id, CAST(y AS BIGINT) AS weak_label,
+       |  floor(p * 1000000 + 0.5) / 1000000 AS p_quality,
+       |  CAST(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred_label
+       |FROM lscored ORDER BY doc_id""".stripMargin
+
+  // ---- q92/q93: learned BPE merge table + tokens under the learned vocab --
+
+  /** Number of BPE merge rounds — FIXED so training unrolls into the
+    * DuckDB oracle (bpeCtes), one CTE triple per round, like kmeansCtes /
+    * lrCtes. */
+  val BpeMerges = 12
+
+  /** Word-type table with counts and the guarded symbol representation:
+    * "hello" → " h e l l o " (space-joined symbols, space guards at both
+    * ends so a merge pattern " l r " can only match at symbol boundaries).
+    *
+    * Learning on word TYPES, not occurrences, is the scalable BPE shape:
+    * the corpus collapses to a vocab-sized count table in one shuffle and
+    * every merge round after that touches only the vocab. */
+  private def bpeVocab0(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(explode(TextOps.tokenize(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .withColumn("repr", concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
+
+  /** Adjacent-symbol pair counts weighted by word count (a pair occurring
+    * twice inside one word counts twice, as in reference BPE). Interpreted
+    * array HOFs are fine here: this runs on the vocab table, never on the
+    * corpus. */
+  private def bpePairs(vocab: DataFrame): DataFrame = {
+    val s = split(trim(col("repr")), " ")
+    val n = size(s)
+    vocab
+      .select(col("cnt"), explode(zip_with(
+        slice(s, lit(1), n - 1), slice(s, lit(2), n - 1),
+        (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("pr"))
+      .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
+      .agg(sum(col("cnt")).as("pair_count"))
+  }
+
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[(Int, String, String, Long)], DataFrame)]
+
+  /** Fixed-iteration BPE training: per round, count adjacent symbol pairs
+    * over the vocab, take the top pair (count DESC, lhs ASC, rhs ASC — an
+    * integer/binary-string argmax, so exactly reproducible cross-engine),
+    * and rewrite every repr with a single scan-and-skip replace. Both
+    * engines' replace builds the result scanning the ORIGINAL string
+    * left-to-right, skipping over what it already replaced (verified:
+    * " a a a a " → " aa a a " in Spark/Java and DuckDB alike), so the
+    * merge application is bit-identical by construction.
+    *
+    * Scale shape: one corpus shuffle total (the word-count groupBy behind
+    * bpeVocab0, cached); then BpeMerges vocab-local jobs, each a map-side
+    * combined pair count plus a 1-row argmax collect — the driver holds
+    * the merge table (the model), exactly like qualityLrModel holds its
+    * weights. At 100 TB the vocab table is ~10⁸ rows — still executor
+    * work, never a driver bottleneck. */
+  def bpeModel(spark: SparkSession, dir: String):
+      (Seq[(Int, String, String, Long)], DataFrame) =
+    bpeCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
+      var vocab = bpeVocab0(spark, dir).cache()
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (t <- 1 to BpeMerges) {
+        val top = bpePairs(vocab)
+          .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
+          .limit(1).head()
+        val (l, r) = (top.getString(0), top.getString(1))
+        merges += ((t, l, r, top.getLong(2)))
+        vocab = vocab.withColumn("repr",
+          replace(col("repr"), lit(s" $l $r "), lit(s" $l$r ")))
+      }
+      (merges.toSeq, vocab.cache())
+    })
+
+  /** q92: the learned merge table — rank, the merged pair, and its count
+    * at merge time. This IS the model artifact a tokenizer ships. */
+  def bpeMergeTable(spark: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = bpeModel(spark, dir)
+    import spark.implicits._
+    merges.toDF("merge_rank", "lhs", "rhs", "pair_count")
+      .select(col("merge_rank").cast("long").as("merge_rank"),
+        col("lhs"), col("rhs"), concat(col("lhs"), col("rhs")).as("merged"),
+        col("pair_count"))
+      .orderBy("merge_rank")
+  }
+
+  /** q93: per-document token counts under the learned vocab. The corpus
+    * never re-runs the merges: each word type's final symbol count is read
+    * off the trained vocab table and joined back to the exploded corpus —
+    * the standard "apply tokenizer at scale" join (word-keyed, AQE picks
+    * broadcast vs shuffle by vocab size). */
+  def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    val (_, vocab) = bpeModel(spark, dir)
+    val symCounts = vocab.select(col("word"),
+      size(split(trim(col("repr")), " ")).cast("long").as("n_sym"))
+    val perDoc = docs(spark, dir)
+      .select(col("doc_id"), explode(TextOps.tokenize(col("text"))).as("word"))
+      .join(symCounts, "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("bpe_tokens"))
+    docs(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("bpe_tokens"), lit(0L)).as("bpe_tokens"),
+        r6(when(coalesce(col("bpe_tokens"), lit(0L)) === 0L, 0.0)
+          .otherwise(col("n_chars").cast("double") / col("bpe_tokens").cast("double")))
+          .as("chars_per_token"))
+      .orderBy("doc_id")
+  }
+
+  /** Unrolled BPE training oracle ending in bv$BpeMerges(word, cnt, repr)
+    * and bm1..bm$BpeMerges (the per-round winners). Mirrors bpeModel round
+    * for round; DuckDB's zipped equal-length unnests pair adjacent
+    * symbols. */
+  private val bpeCtes: String = {
+    val header =
+      s"""bv0 AS (SELECT word, count(*) AS cnt,
+         |  ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS repr
+         |FROM (SELECT unnest(regexp_extract_all(lower(text), '$TokRe')) AS word
+         |      FROM documents)
+         |GROUP BY word)""".stripMargin
+    val rounds = (1 to BpeMerges).flatMap { t =>
+      Seq(
+        s"""bp$t AS (SELECT lhs, rhs, sum(cnt) AS c FROM (
+           |  SELECT cnt, unnest(s[1:len(s)-1]) AS lhs, unnest(s[2:len(s)]) AS rhs
+           |  FROM (SELECT cnt, string_split(trim(repr), ' ') AS s FROM bv${t - 1}))
+           |GROUP BY lhs, rhs)""".stripMargin,
+        s"bm$t AS (SELECT lhs, rhs, c FROM bp$t ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1)",
+        s"""bv$t AS (SELECT word, cnt,
+           |  replace(repr, ' ' || m.lhs || ' ' || m.rhs || ' ', ' ' || m.lhs || m.rhs || ' ') AS repr
+           |FROM bv${t - 1}, bm$t m)""".stripMargin)
+    }
+    (header +: rounds).mkString(",\n")
+  }
+
+  val bpeMergeTableSql: String = {
+    val union = (1 to BpeMerges)
+      .map(t => s"SELECT CAST($t AS BIGINT) AS merge_rank, lhs, rhs, lhs || rhs AS merged, CAST(c AS BIGINT) AS pair_count FROM bm$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $bpeCtes
+       |SELECT * FROM (
+       |$union
+       |) ORDER BY merge_rank""".stripMargin
+  }
+
+  val bpeTokenCountsSql: String =
+    s"""WITH $bpeCtes,
+       |btm AS (SELECT word, CAST(len(string_split(trim(repr), ' ')) AS BIGINT) AS n_sym
+       |        FROM bv$BpeMerges),
+       |bw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$TokRe')) AS word
+       |       FROM documents),
+       |bd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(sum(n_sym) AS BIGINT) AS bpe_tokens
+       |       FROM bw JOIN btm USING (word) GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars,
+       |  coalesce(bd.n_words, 0) AS n_words, coalesce(bd.bpe_tokens, 0) AS bpe_tokens,
+       |  floor((CASE WHEN coalesce(bd.bpe_tokens, 0) = 0 THEN 0.0
+       |              ELSE length(d.text)::DOUBLE / bd.bpe_tokens END) * 1000000 + 0.5)
+       |    / 1000000 AS chars_per_token
+       |FROM documents d LEFT JOIN bd USING (doc_id) ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_bpe_token_counts" -> (bpeTokenCounts _),
+    "q92_bpe_merge_table" -> (bpeMergeTable _),
+    "q91_quality_classifier" -> (qualityClassifier _),
     "q90_corpus_card" -> (corpusCard _),
     "q89_pii_scrub" -> (piiScrub _),
     "q87_zipf_slope" -> (zipfSlope _),
@@ -1179,6 +1533,9 @@ object TextAnalysisOps {
     "q35_simhash" -> (simhash _))
 
   val oracles: Map[String, String] = Map(
+    "q93_bpe_token_counts" -> bpeTokenCountsSql,
+    "q92_bpe_merge_table" -> bpeMergeTableSql,
+    "q91_quality_classifier" -> qualityClassifierSql,
     "q90_corpus_card" -> corpusCardSql,
     "q89_pii_scrub" -> piiScrubSql,
     "q87_zipf_slope" -> zipfSlopeSql,
