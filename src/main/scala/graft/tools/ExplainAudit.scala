@@ -21,7 +21,8 @@ object ExplainAudit {
       "q80_image_dhash", "q81_image_neardups", "q82_curation_pipeline",
       "q83_verbatim_decontam", "q84_repeated_spans", "q85_incremental_dedup",
       "q86_semantic_dedup", "q87_zipf_slope", "q88_source_overlap",
-      "q89_pii_scrub",
+      "q89_pii_scrub", "q91_quality_classifier", "q92_bpe_merge_table",
+      "q93_bpe_token_counts",
       "q62_user_sessions", "q67_retention_cohorts", "q69_event_anomalies",
       "q70_media_meta", "q72_frame_sample")
 

@@ -189,6 +189,69 @@ class Round7OpsSpec extends SparkSpec {
     assert(c.getAs[String]("scrubbed_md5") == cleanMd5, "clean text altered")
   }
 
+  test("q91 classifier separates its weak labels well beyond chance") {
+    val dir = "/root/testdata/sf0.001"
+    import graft.operators.TextAnalysisOps
+    val rows = TextAnalysisOps.qualityClassifier(spark, dir).collect()
+    val acc = rows.count(r =>
+      r.getAs[Long]("pred_label") == r.getAs[Long]("weak_label")).toDouble / rows.length
+    assert(acc >= 0.9, s"accuracy $acc below the 0.9 pin (sweep plateau 0.96)")
+    // Non-degenerate: both predicted classes occur, and probabilities
+    // actually order the classes (mean p | y=1 > mean p | y=0).
+    val preds = rows.map(_.getAs[Long]("pred_label")).toSet
+    assert(preds == Set(0L, 1L), s"degenerate predictions: $preds")
+    def meanP(y: Long) = {
+      val g = rows.filter(_.getAs[Long]("weak_label") == y)
+      g.map(_.getAs[Double]("p_quality")).sum / g.length
+    }
+    assert(meanP(1L) > meanP(0L) + 0.2,
+      s"probability separation too weak: ${meanP(1L)} vs ${meanP(0L)}")
+  }
+
+  test("q92 learns the planted top merge; pair counts are non-increasing") {
+    val out = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    import graft.operators.TextAnalysisOps
+    // "ee" x100 makes (e,e) the unambiguous first merge; the 14-char word
+    // (13 adjacent pairs, 50 copies) feeds the remaining 11 fixed rounds.
+    val text = (Seq.fill(100)("ee") ++ Seq.fill(50)("zyxwvutsrqponm")).mkString(" ")
+    Seq((1L, text)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val merges = TextAnalysisOps.bpeMergeTable(spark, out).orderBy("merge_rank").collect()
+    assert(merges.length == TextAnalysisOps.BpeMerges)
+    val first = merges.head
+    assert((first.getAs[String]("lhs"), first.getAs[String]("rhs"),
+      first.getAs[String]("merged"), first.getAs[Long]("pair_count")) ==
+      (("e", "e", "ee", 100L)), s"first merge: $first")
+    // Classic BPE invariant: the winning pair count never increases —
+    // a merge can only create pairs at most as frequent as itself.
+    val counts = merges.map(_.getAs[Long]("pair_count")).toSeq
+    assert(counts.sliding(2).forall { case Seq(a, b) => b <= a },
+      s"pair counts increased: $counts")
+  }
+
+  test("q93 token counts are consistent with q31 and compress under merges") {
+    val dir = "/root/testdata/sf0.001"
+    import graft.operators.TextAnalysisOps
+    val bpe = TextAnalysisOps.bpeTokenCounts(spark, dir)
+    val q31 = TextAnalysisOps.tokenCounts(spark, dir)
+      .select(col("doc_id"), col("n_word_tokens"))
+    val joined = bpe.join(q31, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (w, t) = (r.getAs[Long]("n_words"), r.getAs[Long]("bpe_tokens"))
+      // Same tokenizer as q31's regex count, and every word is >= 1 symbol.
+      assert(w == r.getAs[Long]("n_word_tokens"),
+        s"doc ${r.getAs[Long]("doc_id")}: q93 words $w != q31 ${r.getAs[Long]("n_word_tokens")}")
+      assert(t >= w, s"doc ${r.getAs[Long]("doc_id")}: $t BPE tokens < $w words")
+    }
+    // The learned merges must actually compress: strictly fewer BPE tokens
+    // than raw characters-in-words corpus-wide.
+    val totalBpe = joined.map(_.getAs[Long]("bpe_tokens")).sum
+    val totalWords = joined.map(_.getAs[Long]("n_words")).sum
+    assert(totalBpe < joined.map(r => r.getAs[Long]("n_chars")).sum)
+    assert(totalBpe > totalWords, "12 merges cannot collapse every word to one symbol")
+  }
+
   test("recall curve is monotone in nprobe and complete at nprobe = K") {
     val dir = "/root/testdata/sf0.001"
     val curve = SimilarityOps.ivfRecallCurve(spark, dir)
