@@ -933,9 +933,17 @@ object TextAnalysisOps {
     * BY bucket for the one boundary bucket the budget lands in. A doc is
     * kept iff bucket_prefix + its within-bucket prefix fits — exactly the
     * global greedy order, with no single-partition pass over the corpus. */
-  def tokenBudgetCuration(spark: SparkSession, dir: String): DataFrame = {
-    val d = textQuality(spark, dir).select("doc_id", "quality_score", "n_tokens")
-      .withColumn("qkey", qkeyOf(col("quality_score")))
+  def tokenBudgetCuration(spark: SparkSession, dir: String): DataFrame =
+    budgetFill(
+      textQuality(spark, dir).select("doc_id", "quality_score", "n_tokens")
+        .withColumn("qkey", qkeyOf(col("quality_score"))),
+      "quality_score")
+
+  /** The shared greedy-budget-fill decomposition (q78 heuristic score, q94
+    * learned probability): over (doc_id, <score>, n_tokens, qkey), keep the
+    * maximal prefix in (score DESC, doc_id ASC) order whose cumulative
+    * token count fits half the corpus total. */
+  private def budgetFill(d: DataFrame, scoreCol: String): DataFrame = {
     val bt = d.groupBy("qkey").agg(sum("n_tokens").as("btok"))
     val wb = Window.orderBy(col("qkey").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -956,15 +964,16 @@ object TextAnalysisOps {
       .withColumn("doc_cum", sum("n_tokens").over(wd))
       .withColumn("cum_tokens", (col("cum_before") + col("doc_cum")).cast("long"))
       .filter(col("cum_tokens") <= col("budget"))
-      .select(col("doc_id"), col("quality_score"), col("n_tokens"), col("cum_tokens"))
+      .select(col("doc_id"), col(scoreCol), col("n_tokens"), col("cum_tokens"))
       .orderBy("doc_id")
   }
 
-  val tokenBudgetCurationSql: String =
-    s"""WITH $qualityCtes,
-       |qk AS (SELECT doc_id, quality_score, n_tokens,
-       |         CAST(floor(quality_score * 1000000 + 0.5) AS BIGINT) AS qkey
-       |       FROM qual),
+  /** SQL twin of [[budgetFill]]: the qk/bt/bk/dd chain over a CTE named
+    * `src` with columns (doc_id, `scoreCol`, n_tokens). */
+  private def budgetFillSql(src: String, scoreCol: String): String =
+    s"""qk AS (SELECT doc_id, $scoreCol, n_tokens,
+       |         CAST(floor($scoreCol * 1000000 + 0.5) AS BIGINT) AS qkey
+       |       FROM $src),
        |bt AS (SELECT qkey, CAST(sum(n_tokens) AS BIGINT) AS btok
        |       FROM qk GROUP BY 1),
        |bk AS (SELECT qkey,
@@ -973,14 +982,18 @@ object TextAnalysisOps {
        |           AS cum_before,
        |         CAST(sum(btok) OVER () // 2 AS BIGINT) AS budget
        |       FROM bt),
-       |dd AS (SELECT q.doc_id, q.quality_score, q.n_tokens, bk.cum_before, bk.budget,
+       |dd AS (SELECT q.doc_id, q.$scoreCol, q.n_tokens, bk.cum_before, bk.budget,
        |         CAST(sum(q.n_tokens) OVER (PARTITION BY q.qkey
        |           ORDER BY q.doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS doc_cum
        |       FROM qk q JOIN bk USING (qkey))
-       |SELECT doc_id, quality_score, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |SELECT doc_id, $scoreCol, CAST(n_tokens AS BIGINT) AS n_tokens,
        |  cum_before + doc_cum AS cum_tokens
        |FROM dd WHERE cum_before + doc_cum <= budget
        |ORDER BY doc_id""".stripMargin
+
+  val tokenBudgetCurationSql: String =
+    s"""WITH $qualityCtes,
+       |${budgetFillSql("qual", "quality_score")}""".stripMargin
 
   // ---- q90: corpus card (one-row release profile) -------------------------
 
@@ -1201,6 +1214,7 @@ object TextAnalysisOps {
   private def lrRaw(spark: SparkSession, dir: String): DataFrame =
     qualityFrame(spark, dir).select(
       col("doc_id"),
+      col("n_tokens"),
       least(lit(1.0), col("n_tokens").cast("double") / 50.0).as("r1"),
       col("sr").as("r2"),
       least(lit(1.0), col("atl") / 8.0).as("r3"),
@@ -1226,7 +1240,7 @@ object TextAnalysisOps {
     def z(r: String, m: String, s: String): Column =
       when(col(s) === 0.0, 0.0).otherwise((col(r) - col(m)) / col(s))
     withMu.crossJoin(broadcast(sd)).select(
-      col("doc_id"), col("y"),
+      col("doc_id"), col("n_tokens"), col("y"),
       z("r1", "m1", "s1").as("x1"), z("r2", "m2", "s2").as("x2"),
       z("r3", "m3", "s3").as("x3"), z("r4", "m4", "s4").as("x4"))
   }
@@ -1288,7 +1302,7 @@ object TextAnalysisOps {
     * lscored(doc_id, y, p). */
   private val lrCtes: String = {
     val header = Seq(
-      s"""lraw AS (SELECT doc_id,
+      s"""lraw AS (SELECT doc_id, n_tokens,
          |  least(1.0, n_tokens / 50.0) AS r1, sr AS r2,
          |  least(1.0, atl / 8.0) AS r3, dr AS r4,
          |  CASE WHEN quality_score >= $LrLabelThreshold THEN 1.0 ELSE 0.0 END AS y
@@ -1305,7 +1319,7 @@ object TextAnalysisOps {
         |  sqrt(CAST(sum(CAST((r3-m3)*(r3-m3) AS DECIMAL(38,18))) AS DOUBLE) / count(*)) AS s3,
         |  sqrt(CAST(sum(CAST((r4-m4)*(r4-m4) AS DECIMAL(38,18))) AS DOUBLE) / count(*)) AS s4
         |FROM lraw, lmu)""".stripMargin,
-      """lfe AS (SELECT doc_id, y,
+      """lfe AS (SELECT doc_id, n_tokens, y,
         |  CASE WHEN s1 = 0.0 THEN 0.0 ELSE (r1-m1)/s1 END AS x1,
         |  CASE WHEN s2 = 0.0 THEN 0.0 ELSE (r2-m2)/s2 END AS x2,
         |  CASE WHEN s3 = 0.0 THEN 0.0 ELSE (r3-m3)/s3 END AS x3,
@@ -1330,8 +1344,8 @@ object TextAnalysisOps {
            |FROM lw${t - 1} w, lg$t g)""".stripMargin)
     }
     val tail =
-      s"""lscored AS (SELECT doc_id, y, 0.5 + z / (2.0 * (1.0 + abs(z))) AS p
-         |FROM (SELECT f.doc_id, f.y,
+      s"""lscored AS (SELECT doc_id, n_tokens, y, 0.5 + z / (2.0 * (1.0 + abs(z))) AS p
+         |FROM (SELECT f.doc_id, f.n_tokens, f.y,
          |        w.b + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4 AS z
          |      FROM lfe f, lw$LrIters w))""".stripMargin
     (header ++ rounds :+ tail).mkString(",\n")
@@ -1344,6 +1358,34 @@ object TextAnalysisOps {
        |  floor(p * 1000000 + 0.5) / 1000000 AS p_quality,
        |  CAST(CASE WHEN p >= 0.5 THEN 1 ELSE 0 END AS BIGINT) AS pred_label
        |FROM lscored ORDER BY doc_id""".stripMargin
+
+  // ---- q94: budget curation ranked by the LEARNED quality probability -----
+
+  /** q94: the q78 greedy budget fill, but ranked by the q91 classifier's
+    * probability instead of the heuristic score — the composition a real
+    * recipe runs once a trained filter replaces hand-tuned heuristics
+    * (keep the best half of the corpus BY MODEL OPINION). Bucket key is
+    * the integer micro-score of r6(p); p is bit-identical cross-engine by
+    * the σ/DECIMAL construction, so bucket membership is integer-derived.
+    * Shares [[budgetFill]] with q78 — same histogram decomposition, no
+    * single-partition corpus pass — and the memoized [[qualityLrModel]]
+    * with q91 (one training run serves both). */
+  def learnedBudgetCuration(spark: SparkSession, dir: String): DataFrame = {
+    val w = qualityLrModel(spark, dir)
+    val zc = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+      lit(w(3)) * col("x3") + lit(w(4)) * col("x4")
+    val scored = lrFeats(spark, dir).select(
+      col("doc_id"), col("n_tokens"), r6(sigma(zc)).as("p_quality"))
+    budgetFill(scored.withColumn("qkey", qkeyOf(col("p_quality"))), "p_quality")
+  }
+
+  val learnedBudgetCurationSql: String =
+    s"""WITH $qualityCtes,
+       |$lrCtes,
+       |lq AS (SELECT doc_id, n_tokens,
+       |         floor(p * 1000000 + 0.5) / 1000000 AS p_quality
+       |       FROM lscored),
+       |${budgetFillSql("lq", "p_quality")}""".stripMargin
 
   // ---- q92/q93: learned BPE merge table + tokens under the learned vocab --
 
@@ -1507,6 +1549,7 @@ object TextAnalysisOps {
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q94_learned_curation" -> (learnedBudgetCuration _),
     "q93_bpe_token_counts" -> (bpeTokenCounts _),
     "q92_bpe_merge_table" -> (bpeMergeTable _),
     "q91_quality_classifier" -> (qualityClassifier _),
@@ -1533,6 +1576,7 @@ object TextAnalysisOps {
     "q35_simhash" -> (simhash _))
 
   val oracles: Map[String, String] = Map(
+    "q94_learned_curation" -> learnedBudgetCurationSql,
     "q93_bpe_token_counts" -> bpeTokenCountsSql,
     "q92_bpe_merge_table" -> bpeMergeTableSql,
     "q91_quality_classifier" -> qualityClassifierSql,
