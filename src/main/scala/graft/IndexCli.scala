@@ -105,6 +105,49 @@ object CurateCorpus {
   }
 }
 
+/** `sbt "runMain graft.BuildTokenizer <sfDir> [outDir]"` — offline BPE
+  * tokenizer training job: learn the merge table on word types
+  * (TextAnalysisOps.bpeModel — one corpus shuffle, then vocab-local merge
+  * rounds) and write the tokenizer artifact set a serving pipeline ships:
+  *
+  *   `<out>/merges` (merge_rank, lhs, rhs, merged, pair_count)
+  *   `<out>/vocab`  (word, cnt, n_sym) — final symbol count per word type
+  *
+  * then re-tokenize the corpus from the persisted vocab ALONE
+  * (TextAnalysisOps.bpeTokenCountsFrom — a word-keyed join, zero merge
+  * rounds at apply time) and prove it equals the in-session q93 frame.
+  * The merges file is the portable model (any tokenizer runtime can
+  * replay it); the vocab file is the precomputed fast path for corpus
+  * tokenization, exactly like the vector index's int8 codes.
+  */
+object BuildTokenizer {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val out = if (args.length > 1) args(1) else "target/graft_tokenizer"
+    val spark = Cli.session()
+    import graft.operators.TextAnalysisOps
+
+    val (merges, vocab) = TextAnalysisOps.bpeModel(spark, dir)
+    TextAnalysisOps.bpeMergeTable(spark, dir)
+      .write.mode("overwrite").parquet(s"$out/merges")
+    vocab.select(col("word"), col("cnt"),
+        size(split(trim(col("repr")), " ")).cast("long").as("n_sym"))
+      .write.mode("overwrite").parquet(s"$out/vocab")
+
+    val fromArtifact = TextAnalysisOps.bpeTokenCountsFrom(spark, dir,
+      spark.read.parquet(s"$out/vocab").select("word", "n_sym"))
+    val inSession = TextAnalysisOps.bpeTokenCounts(spark, dir)
+    val equal = fromArtifact.exceptAll(inSession).isEmpty &&
+      inSession.exceptAll(fromArtifact).isEmpty
+    val vstats = spark.read.parquet(s"$out/vocab")
+      .agg(count(lit(1)), sum(when(col("n_sym") === 1, 1L).otherwise(0L))).collect()(0)
+    println(s"[tokenizer] out=$out merges=${merges.length} " +
+      s"word_types=${vstats.getLong(0)} fully_merged_types=${vstats.getLong(1)} " +
+      s"apply_from_artifact_equal=$equal")
+    spark.stop()
+  }
+}
+
 /** `sbt "runMain graft.AppendVectorIndex <indexDir> <deltaSfDir> [idOffset]"`
   * — incremental index growth: assign a delta of new vectors to the
   * PERSISTED centroids (no retraining), quantize them, and append into

@@ -1476,8 +1476,15 @@ object TextAnalysisOps {
     * broadcast vs shuffle by vocab size). */
   def bpeTokenCounts(spark: SparkSession, dir: String): DataFrame = {
     val (_, vocab) = bpeModel(spark, dir)
-    val symCounts = vocab.select(col("word"),
-      size(split(trim(col("repr")), " ")).cast("long").as("n_sym"))
+    bpeTokenCountsFrom(spark, dir, vocab.select(col("word"),
+      size(split(trim(col("repr")), " ")).cast("long").as("n_sym")))
+  }
+
+  /** Tokenize the corpus from a (word, n_sym) symbol-count table — either
+    * the in-session trained vocab (q93) or BuildTokenizer's persisted
+    * artifact (the production shape: apply never retrains). */
+  def bpeTokenCountsFrom(spark: SparkSession, dir: String,
+      symCounts: DataFrame): DataFrame = {
     val perDoc = docs(spark, dir)
       .select(col("doc_id"), explode(TextOps.tokenize(col("text"))).as("word"))
       .join(symCounts, "word")

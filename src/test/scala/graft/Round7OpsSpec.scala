@@ -252,6 +252,22 @@ class Round7OpsSpec extends SparkSpec {
     assert(totalBpe > totalWords, "12 merges cannot collapse every word to one symbol")
   }
 
+  test("tokenizer artifact round-trips: apply from persisted vocab equals q93") {
+    val dir = "/root/testdata/sf0.001"
+    import graft.operators.TextAnalysisOps
+    val art = java.nio.file.Files.createTempDirectory("graft_tok_art").toString
+    val (_, vocab) = TextAnalysisOps.bpeModel(spark, dir)
+    vocab.select(col("word"),
+        size(split(trim(col("repr")), " ")).cast("long").as("n_sym"))
+      .write.mode("overwrite").parquet(s"$art/vocab")
+    val fromArtifact = TextAnalysisOps.bpeTokenCountsFrom(spark, dir,
+      spark.read.parquet(s"$art/vocab"))
+    val inSession = TextAnalysisOps.bpeTokenCounts(spark, dir)
+    assert(fromArtifact.exceptAll(inSession).isEmpty &&
+      inSession.exceptAll(fromArtifact).isEmpty,
+      "artifact-applied tokenization diverged from the in-session frame")
+  }
+
   test("recall curve is monotone in nprobe and complete at nprobe = K") {
     val dir = "/root/testdata/sf0.001"
     val curve = SimilarityOps.ivfRecallCurve(spark, dir)
