@@ -1387,6 +1387,42 @@ object TextAnalysisOps {
        |       FROM lscored),
        |${budgetFillSql("lq", "p_quality")}""".stripMargin
 
+  // ---- q95: classifier calibration (reliability by probability decile) ----
+
+  /** q95: the reliability table every deployed filter ships with — bin the
+    * classifier's probability into deciles and compare predicted
+    * confidence (mean p) with the observed positive rate per bin. Binning
+    * uses the UNROUNDED p (bit-identical cross-engine by the σ
+    * construction), and σ < 1 strictly, so floor(p·10) ∈ [0, 9] with no
+    * boundary clamp. One map-side-combined aggregate over ≤ 10 keys;
+    * pos_rate is an integer ratio (exact in both engines), mean_p rides
+    * the DECIMAL(38,18) accumulator. */
+  def classifierCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val w = qualityLrModel(spark, dir)
+    val zc = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+      lit(w(3)) * col("x3") + lit(w(4)) * col("x4")
+    val p = sigma(zc)
+    lrFeats(spark, dir).select(col("y"), p.as("p"))
+      .groupBy(floor(col("p") * 10).cast("long").as("p_decile"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("y")).cast("long").as("n_pos"),
+        r6(dsum18(col("p")) / count(lit(1))).as("mean_p"),
+        r6(sum(col("y")) / count(lit(1))).as("pos_rate"))
+      .orderBy("p_decile")
+  }
+
+  val classifierCalibrationSql: String =
+    s"""WITH $qualityCtes,
+       |$lrCtes
+       |SELECT CAST(floor(p * 10) AS BIGINT) AS p_decile,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
+       |  floor((CAST(sum(CAST(p AS DECIMAL(38,18))) AS DOUBLE) / count(*))
+       |        * 1000000 + 0.5) / 1000000 AS mean_p,
+       |  floor((sum(y) / count(*)) * 1000000 + 0.5) / 1000000 AS pos_rate
+       |FROM lscored GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- q92/q93: learned BPE merge table + tokens under the learned vocab --
 
   /** Number of BPE merge rounds — FIXED so training unrolls into the
@@ -1446,9 +1482,17 @@ object TextAnalysisOps {
       var vocab = bpeVocab0(spark, dir).cache()
       val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
       for (t <- 1 to BpeMerges) {
-        val top = bpePairs(vocab)
+        // Fixed-iteration contract: the corpus must support all BpeMerges
+        // rounds (the oracle unroll has no early-stop branch). Fail loudly
+        // on a degenerate corpus instead of NoSuchElementException — the
+        // SQL twin would silently empty out via the bm-CTE cross join.
+        val cand = bpePairs(vocab)
           .orderBy(col("pair_count").desc, col("lhs").asc, col("rhs").asc)
-          .limit(1).head()
+          .limit(1).collect()
+        require(cand.nonEmpty,
+          s"BPE corpus exhausted at merge round $t/$BpeMerges: no adjacent " +
+            "symbol pairs remain (corpus too small for the fixed merge count)")
+        val top = cand(0)
         val (l, r) = (top.getString(0), top.getString(1))
         merges += ((t, l, r, top.getLong(2)))
         vocab = vocab.withColumn("repr",
@@ -1556,6 +1600,7 @@ object TextAnalysisOps {
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_classifier_calibration" -> (classifierCalibration _),
     "q94_learned_curation" -> (learnedBudgetCuration _),
     "q93_bpe_token_counts" -> (bpeTokenCounts _),
     "q92_bpe_merge_table" -> (bpeMergeTable _),
@@ -1583,6 +1628,7 @@ object TextAnalysisOps {
     "q35_simhash" -> (simhash _))
 
   val oracles: Map[String, String] = Map(
+    "q95_classifier_calibration" -> classifierCalibrationSql,
     "q94_learned_curation" -> learnedBudgetCurationSql,
     "q93_bpe_token_counts" -> bpeTokenCountsSql,
     "q92_bpe_merge_table" -> bpeMergeTableSql,
