@@ -148,6 +148,43 @@ object BuildTokenizer {
   }
 }
 
+/** `sbt "runMain graft.TrainQualityModel <sfDir> [outDir]"` — offline
+  * quality-model training job: run the fixed-iteration logistic GD
+  * (TextAnalysisOps.qualityLrModel) and persist the COMPLETE model — the
+  * 5 weights plus the training corpus's feature mean/std — as a one-row
+  * parquet. Freezing the standardization stats is the point: a deployed
+  * filter must z-score new documents with TRAINING statistics, not
+  * re-derive them from whatever corpus it is scoring. Then reload and
+  * prove the serve path (scoreWithQualityModel — a single projection
+  * pass, zero aggregates over the scored corpus) reproduces the
+  * in-session q91 scores on the training corpus.
+  */
+object TrainQualityModel {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val out = if (args.length > 1) args(1) else "target/graft_quality_model"
+    val spark = Cli.session()
+    import graft.operators.TextAnalysisOps
+
+    TextAnalysisOps.qualityModelArtifact(spark, dir)
+      .write.mode("overwrite").parquet(out)
+
+    val served = TextAnalysisOps.scoreWithQualityModel(spark, dir,
+      spark.read.parquet(out))
+    val inSession = TextAnalysisOps.qualityClassifier(spark, dir)
+      .select("doc_id", "p_quality", "pred_label")
+    val equal = served.exceptAll(inSession).isEmpty &&
+      inSession.exceptAll(served).isEmpty
+    val m = spark.read.parquet(out).collect()(0)
+    val kept = served.filter(col("pred_label") === 1L).count()
+    println(s"[qmodel] out=$out weights=(${m.getAs[Double]("b")}," +
+      s"${m.getAs[Double]("w1")},${m.getAs[Double]("w2")}," +
+      s"${m.getAs[Double]("w3")},${m.getAs[Double]("w4")}) " +
+      s"serve_equals_in_session=$equal kept=$kept of ${served.count()}")
+    spark.stop()
+  }
+}
+
 /** `sbt "runMain graft.AppendVectorIndex <indexDir> <deltaSfDir> [idOffset]"`
   * — incremental index growth: assign a delta of new vectors to the
   * PERSISTED centroids (no retraining), quantize them, and append into

@@ -1221,29 +1221,37 @@ object TextAnalysisOps {
       col("dr").as("r4"),
       when(col("quality_score") >= LrLabelThreshold, 1.0).otherwise(0.0).as("y"))
 
-  /** Z-scored features (population std, zero-guard). Standardization is
-    * what makes plain batch GD converge here — the raw coordinates differ
-    * 10× in variance and the unstandardized sweep plateaued at 0.84. */
-  private def lrFeats(spark: SparkSession, dir: String): DataFrame = {
+  /** One-row standardization-stat frame (m1..m4, s1..s4) — population
+    * mean/std of the raw features. Part of the persisted model artifact:
+    * a frozen model must standardize NEW corpora with TRAINING statistics,
+    * not re-derive them from the data being scored. */
+  private def lrStats(spark: SparkSession, dir: String): DataFrame = {
     val raw = lrRaw(spark, dir)
     val mu = raw.agg(
       (dsum18(col("r1")) / count(lit(1))).as("m1"),
       (dsum18(col("r2")) / count(lit(1))).as("m2"),
       (dsum18(col("r3")) / count(lit(1))).as("m3"),
       (dsum18(col("r4")) / count(lit(1))).as("m4"))
-    val withMu = raw.crossJoin(broadcast(mu))
-    val sd = withMu.agg(
+    val sd = raw.crossJoin(broadcast(mu)).agg(
       sqrt(dsum18((col("r1") - col("m1")) * (col("r1") - col("m1"))) / count(lit(1))).as("s1"),
       sqrt(dsum18((col("r2") - col("m2")) * (col("r2") - col("m2"))) / count(lit(1))).as("s2"),
       sqrt(dsum18((col("r3") - col("m3")) * (col("r3") - col("m3"))) / count(lit(1))).as("s3"),
       sqrt(dsum18((col("r4") - col("m4")) * (col("r4") - col("m4"))) / count(lit(1))).as("s4"))
-    def z(r: String, m: String, s: String): Column =
-      when(col(s) === 0.0, 0.0).otherwise((col(r) - col(m)) / col(s))
-    withMu.crossJoin(broadcast(sd)).select(
-      col("doc_id"), col("n_tokens"), col("y"),
-      z("r1", "m1", "s1").as("x1"), z("r2", "m2", "s2").as("x2"),
-      z("r3", "m3", "s3").as("x3"), z("r4", "m4", "s4").as("x4"))
+    mu.crossJoin(sd)
   }
+
+  /** Z-score against a 1-row stats frame (zero-guard). */
+  private def zCol(r: String, m: String, s: String): Column =
+    when(col(s) === 0.0, 0.0).otherwise((col(r) - col(m)) / col(s))
+
+  /** Z-scored features (population std, zero-guard). Standardization is
+    * what makes plain batch GD converge here — the raw coordinates differ
+    * 10× in variance and the unstandardized sweep plateaued at 0.84. */
+  private def lrFeats(spark: SparkSession, dir: String): DataFrame =
+    lrRaw(spark, dir).crossJoin(broadcast(lrStats(spark, dir))).select(
+      col("doc_id"), col("n_tokens"), col("y"),
+      zCol("r1", "m1", "s1").as("x1"), zCol("r2", "m2", "s2").as("x2"),
+      zCol("r3", "m3", "s3").as("x3"), zCol("r4", "m4", "s4").as("x4"))
 
   private val lrCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Double]]
@@ -1279,6 +1287,36 @@ object TextAnalysisOps {
       } finally feats.unpersist()
       w
     })
+
+  /** The complete persisted model: one row
+    * (m1..m4, s1..s4, b, w1..w4) — standardization stats AND weights.
+    * What `graft.TrainQualityModel` writes; [[scoreWithQualityModel]]
+    * consumes it with zero training or corpus statistics at serve time. */
+  def qualityModelArtifact(spark: SparkSession, dir: String): DataFrame = {
+    val w = qualityLrModel(spark, dir)
+    lrStats(spark, dir)
+      .withColumn("b", lit(w(0)))
+      .withColumn("w1", lit(w(1))).withColumn("w2", lit(w(2)))
+      .withColumn("w3", lit(w(3))).withColumn("w4", lit(w(4)))
+  }
+
+  /** Serve path: score ANY corpus with a frozen model row — raw features
+    * are row-local, standardization uses the model's TRAINING stats (not
+    * the scored corpus's), and the 1-row model broadcast-joins in. No
+    * aggregate touches the scored corpus at all: the whole query is one
+    * codegen'd projection pass. */
+  def scoreWithQualityModel(spark: SparkSession, dir: String,
+      model: DataFrame): DataFrame = {
+    val zc = col("b") +
+      col("w1") * zCol("r1", "m1", "s1") + col("w2") * zCol("r2", "m2", "s2") +
+      col("w3") * zCol("r3", "m3", "s3") + col("w4") * zCol("r4", "m4", "s4")
+    val p = sigma(zc)
+    lrRaw(spark, dir).crossJoin(broadcast(model)).select(
+      col("doc_id"),
+      r6(p).as("p_quality"),
+      when(p >= 0.5, 1L).otherwise(0L).as("pred_label"))
+      .orderBy("doc_id")
+  }
 
   /** q91: score every document with the in-engine-trained classifier.
     * Output: (doc_id, weak_label, p_quality[r6], pred_label) — pred flips

@@ -252,6 +252,26 @@ class Round7OpsSpec extends SparkSpec {
     assert(totalBpe > totalWords, "12 merges cannot collapse every word to one symbol")
   }
 
+  test("quality-model artifact round-trips: frozen-stats serve equals q91") {
+    val dir = "/root/testdata/sf0.001"
+    import graft.operators.TextAnalysisOps
+    val art = java.nio.file.Files.createTempDirectory("graft_qm_art").toString
+    TextAnalysisOps.qualityModelArtifact(spark, dir)
+      .write.mode("overwrite").parquet(art)
+    val served = TextAnalysisOps.scoreWithQualityModel(spark, dir,
+      spark.read.parquet(art))
+    val inSession = TextAnalysisOps.qualityClassifier(spark, dir)
+      .select("doc_id", "p_quality", "pred_label")
+    assert(served.exceptAll(inSession).isEmpty &&
+      inSession.exceptAll(served).isEmpty,
+      "frozen-model serve diverged from in-session training scores")
+    // The serve plan must not aggregate over the scored corpus: the only
+    // aggregates allowed are inside the (already-materialized) 1-row model.
+    val aggs = served.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("HashAggregate"))
+    assert(aggs == 0, s"serve plan contains $aggs aggregates over the corpus")
+  }
+
   test("tokenizer artifact round-trips: apply from persisted vocab equals q93") {
     val dir = "/root/testdata/sf0.001"
     import graft.operators.TextAnalysisOps
