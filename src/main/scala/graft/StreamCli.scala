@@ -4,19 +4,41 @@ import org.apache.spark.sql.functions._
 
 import graft.streaming.StreamingOps
 
-/** `sbt "runMain graft.StreamEvents <sfDir> [hourly|sessions|running|dedup]"`
+/** `sbt "runMain graft.StreamEvents <sfDir> [hourly|sessions|running|dedup|quality]"`
   * — run the Structured Streaming operators over the events table as a
   * bounded file stream (micro-batch to completion), print the resulting
   * table. `running` exercises the custom flatMapGroupsWithState state;
   * `dedup` streams the DOCUMENTS table through the per-document LSH
   * keep/drop verdict (ingest order = doc_id order, one doc per second of
-  * synthetic event time).
+  * synthetic event time); `quality` streams documents through the frozen
+  * quality-model gate (stateless scoring — the other half of the ingest
+  * pipeline).
   */
 object StreamEvents {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val mode = if (args.length > 1) args(1) else "hourly"
     val spark = Cli.session() // sets nanosAsLong for the nanos events table
+
+    if (mode == "quality") {
+      val docSchema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+      // Train (memoized) on the batch table, freeze, then score the stream
+      // with the literal-inlined model — no state, no shuffle.
+      val model = graft.operators.TextAnalysisOps
+        .qualityModelArtifact(spark, dir).collect()(0)
+      val docs = spark.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val q = StreamingOps.qualityGate(docs, model)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("quality_out").start()
+      q.processAllAvailable()
+      val t = spark.table("quality_out")
+      println(s"[stream] quality scored=${t.count()} " +
+        s"kept=${t.filter(col("pred_label") === 1L).count()} " +
+        s"dropped=${t.filter(col("pred_label") === 0L).count()}")
+      t.orderBy("doc_id").show(5, truncate = false)
+      q.stop(); spark.stop(); return
+    }
 
     if (mode == "dedup") {
       val docSchema = "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"

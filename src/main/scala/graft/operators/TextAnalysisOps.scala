@@ -34,7 +34,13 @@ object TextAnalysisOps {
   /** Unrounded quality derivation shared by q30 and the q91 classifier so
     * the two can't drift — the Column twin of qualityCtes' `qual`:
     * (doc_id, n_tokens, atl, sr, dr, quality_score[r6]). */
-  private def qualityFrame(spark: SparkSession, dir: String): DataFrame = {
+  private def qualityFrame(spark: SparkSession, dir: String): DataFrame =
+    qualityFrameOf(docs(spark, dir))
+
+  /** [[qualityFrame]] over ANY (doc_id, text) frame — row-local
+    * projections only, so it plans identically on a batch table or a
+    * stream (the streaming quality gate rides this same derivation). */
+  private[graft] def qualityFrameOf(d: DataFrame): DataFrame = {
     val toks = TextOps.tokenize(col("text"))
     val n = size(toks)
     val nD = n.cast("double")
@@ -48,7 +54,7 @@ object TextAnalysisOps {
     val quality = lit(0.4) * least(lit(1.0), nD / 50.0) +
       lit(0.3) * (lit(1.0) - stopRatio) +
       lit(0.3) * least(lit(1.0), avgTokLen / 8.0)
-    docs(spark, dir).select(
+    d.select(
       col("doc_id"),
       n.cast("long").as("n_tokens"),
       avgTokLen.as("atl"),
@@ -1212,7 +1218,13 @@ object TextAnalysisOps {
     * features through fixed weights, so recovering it from the four raw
     * coordinates is a genuine (if easy) linear-separation problem. */
   private def lrRaw(spark: SparkSession, dir: String): DataFrame =
-    qualityFrame(spark, dir).select(
+    lrRawOf(docs(spark, dir))
+
+  /** [[lrRaw]] over ANY (doc_id, text) frame — the one definition of the
+    * classifier's raw feature coordinates, shared by batch training,
+    * frozen-model batch serving, and the streaming quality gate. */
+  private[graft] def lrRawOf(d: DataFrame): DataFrame =
+    qualityFrameOf(d).select(
       col("doc_id"),
       col("n_tokens"),
       least(lit(1.0), col("n_tokens").cast("double") / 50.0).as("r1"),
@@ -1316,6 +1328,25 @@ object TextAnalysisOps {
       r6(p).as("p_quality"),
       when(p >= 0.5, 1L).otherwise(0L).as("pred_label"))
       .orderBy("doc_id")
+  }
+
+  /** Literal-model scoring columns (p_quality[r6], pred_label) from a
+    * collected model row — for the streaming quality gate, which inlines
+    * the 13 doubles as literals so scoring is a stateless row-local
+    * projection over [[lrRawOf]] output. Bit-identical to
+    * [[scoreWithQualityModel]] by construction: same raw features, same
+    * zero-guarded z-score, same σ. */
+  def scoreColumnsFor(model: org.apache.spark.sql.Row): (Column, Column) = {
+    def g(n: String) = model.getAs[Double](n)
+    def z(r: String, m: Double, s: Double): Column =
+      if (s == 0.0) lit(0.0) else (col(r) - lit(m)) / lit(s)
+    val zc = lit(g("b")) +
+      lit(g("w1")) * z("r1", g("m1"), g("s1")) +
+      lit(g("w2")) * z("r2", g("m2"), g("s2")) +
+      lit(g("w3")) * z("r3", g("m3"), g("s3")) +
+      lit(g("w4")) * z("r4", g("m4"), g("s4"))
+    val p = sigma(zc)
+    (r6(p), when(p >= 0.5, 1L).otherwise(0L))
   }
 
   /** q91: score every document with the in-engine-trained classifier.

@@ -227,6 +227,21 @@ object StreamingOps {
       .select(col("doc_id"), col("n_bands").cast("long").as("n_bands"),
         col("n_owned"), (col("n_owned") === col("n_bands")).as("keep"))
 
+  /** Streaming quality gate: score each arriving document with a FROZEN
+    * persisted model (`graft.TrainQualityModel` output). The 1-row model
+    * is read once driver-side and inlined as literals, so the gate is a
+    * stateless, shuffle-free row-local projection — it composes in front
+    * of (or behind) the LSH dedup gate on the same ingest stream. The
+    * raw-feature derivation and σ come from TextAnalysisOps itself
+    * (lrRawOf / scoreColumnsFor — one definition, so the batch serve path
+    * and this gate can't drift; StreamingSpec pins stream == batch). */
+  def qualityGate(docs: DataFrame, model: org.apache.spark.sql.Row): DataFrame = {
+    import graft.operators.TextAnalysisOps
+    val (p, pred) = TextAnalysisOps.scoreColumnsFor(model)
+    TextAnalysisOps.lrRawOf(docs)
+      .select(col("doc_id"), p.as("p_quality"), pred.as("pred_label"))
+  }
+
   /** Gap-based sessions via the native session_window (30-minute gap).
     * Boundary semantics differ slightly from the batch formulation
     * (EventsOps.userSessions): session_window splits at gaps >= 30 min on

@@ -244,6 +244,34 @@ class StreamingSpec extends SparkSpec {
       }
   }
 
+  test("streaming quality gate scores equal the batch frozen-model serve path") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    import graft.operators.TextAnalysisOps
+
+    val model = TextAnalysisOps.qualityModelArtifact(spark, dir)
+    val modelRow = model.collect()(0)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val (first, second) = docs.splitAt(docs.size / 2)
+
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.qualityGate(
+        stream.toDF().toDF("doc_id", "text"), modelRow)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("quality_gate_out").start()
+    try {
+      stream.addData(first); q.processAllAvailable()
+      stream.addData(second); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("quality_gate_out")
+    val batch = TextAnalysisOps.scoreWithQualityModel(spark, dir, model)
+    assert(streamed.count() == docs.size.toLong)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stream-scored documents diverged from the batch frozen-model scores")
+  }
+
   test("streaming session_window yields plausible sessions with bounded counts") {
     implicit val sqlCtx = spark.sqlContext
     val events = loadEvents()
