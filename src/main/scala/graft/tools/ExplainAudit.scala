@@ -22,7 +22,7 @@ object ExplainAudit {
       "q83_verbatim_decontam", "q84_repeated_spans", "q85_incremental_dedup",
       "q86_semantic_dedup", "q87_zipf_slope", "q88_source_overlap",
       "q89_pii_scrub", "q91_quality_classifier", "q92_bpe_merge_table",
-      "q93_bpe_token_counts",
+      "q93_bpe_token_counts", "q94_learned_curation", "q95_classifier_calibration",
       "q62_user_sessions", "q67_retention_cohorts", "q69_event_anomalies",
       "q70_media_meta", "q72_frame_sample")
 
