@@ -577,20 +577,28 @@ object SimilarityOps {
 
   // ---- q52: LSH sign-projection buckets -----------------------------------
 
-  /** Bucket signature: sign bits of the dot products against the anchor
-    * embeddings (vec_id 1..LshAnchors) — row-local, map-side computable. */
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** (vec_id, bucket) for every vector — the sign-LSH bucket table
+    * shared by q52 and the streaming embedding gate's batch tie
+    * (StreamingSpec asserts the stream's row-local literal-anchor
+    * derivation lands in exactly these buckets). */
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
     val anchors = e.filter(col("vec_id").between(1, LshAnchors))
       .select(col("vec_id").as("anchor_id"), col("embedding").as("anchor"))
-
-    val dots = e.crossJoin(broadcast(anchors))
+    e.crossJoin(broadcast(anchors))
       .select(col("vec_id"),
         col("anchor_id"),
         when(cosineSim(col("embedding"), col("anchor")) >= 0.0, lit(1)).otherwise(lit(0))
           .as("bit"))
-    val buckets = dots.groupBy("vec_id")
+      .groupBy("vec_id")
       .agg(sum(col("bit") * pow(lit(2.0), col("anchor_id") - 1)).cast("long").as("bucket"))
+  }
+
+  /** Bucket signature: sign bits of the dot products against the anchor
+    * embeddings (vec_id 1..LshAnchors) — row-local, map-side computable. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val buckets = lshBuckets(spark, dir)
 
     val qBucket = buckets.filter(col("vec_id") === QueryVecId)
       .select(col("bucket").as("q_bucket"))

@@ -227,6 +227,34 @@ object StreamingOps {
       .select(col("doc_id"), col("n_bands").cast("long").as("n_bands"),
         col("n_owned"), (col("n_owned") === col("n_bands")).as("keep"))
 
+  /** Row-local sign-LSH bucket id from driver-held anchor vectors — the
+    * streaming twin of SimilarityOps.annLsh's bucket derivation. Anchors
+    * are inlined as array literals and the sign rule is the SAME
+    * codegen'd cosine expression, so an arriving vector lands in exactly
+    * the batch tier's bucket (StreamingSpec pins bucket equality). */
+  def lshBucket(embCol: Column, anchors: Seq[(Int, Array[Float])]): Column =
+    anchors.map { case (aid, a) =>
+      when(graft.functions.CosineSimilarity.cosineSim(
+          embCol, typedlit(a)) >= 0.0,
+        lit(1L << (aid - 1))).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Streaming embedding near-dup gate: each arriving vector computes its
+    * sign-LSH bucket row-local (zero shuffles, zero training) and only
+    * the FIRST vector claiming a bucket within the watermark horizon
+    * passes — a later same-bucket arrival is a near-dup candidate (the
+    * q52 candidate condition) and is suppressed. State is one short key
+    * per occupied bucket within the horizon; the production embedding-
+    * ingest shape, composing with the text LSH gate and the quality gate
+    * on the same stream. */
+  def embeddingGate(vecs: DataFrame, tsCol: String, delay: String,
+      anchors: Seq[(Int, Array[Float])]): DataFrame =
+    vecs
+      .withColumn("bucket", lshBucket(col("embedding"), anchors))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(Seq("bucket"))
+      .select(col("vec_id"), col("bucket"))
+
   /** Streaming quality gate: score each arriving document with a FROZEN
     * persisted model (`graft.TrainQualityModel` output). The 1-row model
     * is read once driver-side and inlined as literals, so the gate is a

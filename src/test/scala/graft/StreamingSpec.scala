@@ -272,6 +272,54 @@ class StreamingSpec extends SparkSpec {
       "stream-scored documents diverged from the batch frozen-model scores")
   }
 
+  test("streaming embedding gate: buckets match batch; one survivor per bucket") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    import graft.operators.SimilarityOps
+
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val anchors = e.filter(col("vec_id").between(1, SimilarityOps.LshAnchors))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+
+    // The row-local literal-anchor bucket must equal the batch bucket table.
+    val rowLocal = e.select(col("vec_id"),
+      StreamingOps.lshBucket(col("embedding"), anchors).as("bucket"))
+    val batch = SimilarityOps.lshBuckets(spark, dir)
+    assert(rowLocal.exceptAll(batch).isEmpty && batch.exceptAll(rowLocal).isEmpty)
+
+    // Stream the vectors; exactly one survivor per occupied bucket.
+    val vecs = e.orderBy("vec_id").collect().map(r =>
+      (r.getLong(0), new Timestamp(1700000000000L + r.getLong(0) * 1000L),
+        r.getSeq[Float](1))).toSeq
+    val (first, second) = vecs.splitAt(vecs.size / 2)
+    val stream = MemoryStream[(Long, Timestamp, scala.collection.Seq[Float])]
+    val q = StreamingOps.embeddingGate(
+        stream.toDF().toDF("vec_id", "ts", "embedding")
+          .withColumn("embedding", col("embedding").cast("array<float>")),
+        "ts", "1 hour", anchors)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("emb_gate_out").start()
+    try {
+      stream.addData(first); q.processAllAvailable()
+      stream.addData(second); q.processAllAvailable()
+    } finally q.stop()
+
+    val survivors = spark.table("emb_gate_out")
+    val batchBuckets = batch.select("bucket").distinct()
+    assert(survivors.count() == batchBuckets.count(),
+      "survivor count != occupied bucket count")
+    assert(survivors.select("bucket").distinct().count() == survivors.count(),
+      "a bucket passed two vectors")
+    assert(survivors.select("bucket").exceptAll(batchBuckets).isEmpty,
+      "survivor bucket not in the batch bucket set")
+    // Each survivor sits in its batch-assigned bucket.
+    assert(survivors.join(batch, Seq("vec_id"))
+      .filter(survivors("bucket") =!= batch("bucket")).isEmpty)
+  }
+
   test("streaming session_window yields plausible sessions with bounded counts") {
     implicit val sqlCtx = spark.sqlContext
     val events = loadEvents()
