@@ -1595,12 +1595,19 @@ object TextAnalysisOps {
 
   /** Tokenize the corpus from a (word, n_sym) symbol-count table — either
     * the in-session trained vocab (q93) or BuildTokenizer's persisted
-    * artifact (the production shape: apply never retrains). */
+    * artifact (the production shape: apply never retrains). A word type
+    * ABSENT from the vocab (possible only when the artifact scores a
+    * corpus it wasn't trained on) falls back to character segmentation —
+    * length(word) symbols, standard BPE OOV behavior — instead of being
+    * silently dropped by an inner join. On the training corpus the
+    * fallback never fires (vocab is total there), so q93's oracle is
+    * unaffected; Round7OpsSpec pins the cross-corpus case. */
   def bpeTokenCountsFrom(spark: SparkSession, dir: String,
       symCounts: DataFrame): DataFrame = {
     val perDoc = docs(spark, dir)
       .select(col("doc_id"), explode(TextOps.tokenize(col("text"))).as("word"))
-      .join(symCounts, "word")
+      .join(symCounts, Seq("word"), "left")
+      .withColumn("n_sym", coalesce(col("n_sym"), length(col("word")).cast("long")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("bpe_tokens"))
     docs(spark, dir)

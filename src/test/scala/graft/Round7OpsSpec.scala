@@ -252,6 +252,20 @@ class Round7OpsSpec extends SparkSpec {
     assert(totalBpe > totalWords, "12 merges cannot collapse every word to one symbol")
   }
 
+  test("tokenizer OOV fallback: unseen words segment to characters, not dropped") {
+    import graft.operators.TextAnalysisOps
+    // Vocab trained elsewhere knows only "abc" (2 symbols). The scored
+    // corpus has one known word and two unseen ones.
+    val vocab = Seq(("abc", 2L)).toDF("word", "n_sym")
+    val out = java.nio.file.Files.createTempDirectory("graft_oov").toString
+    Seq((1L, "abc zz qqqq")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val r = TextAnalysisOps.bpeTokenCountsFrom(spark, out, vocab).collect().head
+    assert(r.getAs[Long]("n_words") == 3L, s"OOV words dropped: $r")
+    // 2 (abc) + 2 (zz chars) + 4 (qqqq chars)
+    assert(r.getAs[Long]("bpe_tokens") == 8L, s"char fallback wrong: $r")
+  }
+
   test("quality-model artifact round-trips: frozen-stats serve equals q91") {
     val dir = "/root/testdata/sf0.001"
     import graft.operators.TextAnalysisOps
