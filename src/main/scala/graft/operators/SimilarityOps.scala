@@ -789,9 +789,118 @@ object SimilarityOps {
        |FROM se LEFT JOIN dp USING (vec_id)
        |ORDER BY se.vec_id""".stripMargin
 
+  // ---- q97: top principal component (fixed-iteration power method) --------
+
+  /** Power-method iteration count — FIXED so the whole derivation unrolls
+    * into the DuckDB oracle (pcaCtes), like KmeansIters / LrIters /
+    * BpeMerges. On this corpus the Rayleigh quotient is stable to 1e-9 by
+    * iteration 8 (spectral gap is wide); the residual is spec-pinned. */
+  val PcaIters = 8
+
+  private def dsum18(c: Column): Column =
+    sum(c.cast("decimal(38,18)")).cast("double")
+
+  /** q97: the top principal component of the embedding covariance — the
+    * spectrum diagnostic a vector pipeline runs before trusting cosine
+    * geometry (anisotropy check: one dominant direction means raw-cosine
+    * similarity degenerates and embeddings want centering/whitening
+    * before the q50-q52 tiers index them). Output: per-dimension loading
+    * of the unit top eigenvector, plus λ₁ and λ₁/trace (variance share).
+    *
+    * Scale shape — the moment trick keeps EVERYTHING after one corpus
+    * pass at metadata scale: cov = E[xxᵀ] − μμᵀ, so the corpus
+    * contributes only (a) per-dimension sums (d keys) and (b) raw second
+    * moments S_ij (row-local d² pair expansion, map-side-combined to d²
+    * keys — no self-join, no shuffle of vector rows). The d×d covariance
+    * (4096 rows at d=64, corpus-size-INDEPENDENT) then drives PcaIters
+    * power steps, each a broadcast join + tiny aggregate; nothing ever
+    * returns to the corpus. At 100 TB this is one scan + fixed constant
+    * work. All sums DECIMAL(38,18)-accumulated and every scalar op
+    * (+,−,×,÷,√,|·|) exactly rounded, so DuckDB reproduces the iteration
+    * bit-for-bit; the deterministic all-positive start vector 1/√d fixes
+    * the eigenvector sign. */
+  def pcaTopComponent(spark: SparkSession, dir: String): DataFrame = {
+    val ex = embLong(spark, dir)
+    val mu = ex.groupBy("pos")
+      .agg((dsum18(col("v")) / count(lit(1))).as("m"))
+
+    // Raw second moments: row-local pair expansion of each vector (keep
+    // the array through the first posexplode, explode it again), then one
+    // map-side-combined aggregate down to d² keys.
+    val sij = emb(spark, dir)
+      .select(col("embedding"), posexplode(col("embedding")).as(Seq("i", "vi0")))
+      .select(col("i"), col("vi0").cast("double").as("vi"),
+        posexplode(col("embedding")).as(Seq("j", "vj0")))
+      .select(col("i"), col("j"), (col("vi") * col("vj0").cast("double")).as("vij"))
+      .groupBy("i", "j")
+      .agg(dsum18(col("vij")).as("s"), count(lit(1)).as("cnt"))
+
+    val cov = sij
+      .join(broadcast(mu.select(col("pos").as("i"), col("m").as("mi"))), "i")
+      .join(broadcast(mu.select(col("pos").as("j"), col("m").as("mj"))), "j")
+      .select(col("i"), col("j"),
+        (col("s") / col("cnt") - col("mi") * col("mj")).as("c"))
+      .cache()
+
+    val dims = mu.agg(count(lit(1)).as("d"))
+    var v = mu.crossJoin(broadcast(dims))
+      .select(col("pos"), (lit(1.0) / sqrt(col("d").cast("double"))).as("v"))
+    var nrmF: DataFrame = null
+    for (_ <- 1 to PcaIters) {
+      val u = cov.join(broadcast(v.select(col("pos").as("j"), col("v").as("vj"))), "j")
+        .groupBy(col("i").as("pos"))
+        .agg(dsum18(col("c") * col("vj")).as("u"))
+      nrmF = u.agg(sqrt(dsum18(col("u") * col("u"))).as("nrm"))
+      v = u.crossJoin(broadcast(nrmF))
+        .select(col("pos"),
+          when(col("nrm") === 0.0, 0.0).otherwise(col("u") / col("nrm")).as("v"))
+    }
+
+    val trace = cov.filter(col("i") === col("j")).agg(dsum18(col("c")).as("tr"))
+    v.crossJoin(broadcast(nrmF)).crossJoin(broadcast(trace))
+      .select(col("pos").cast("long").as("pos"), r6(col("v")).as("loading"),
+        r6(col("nrm")).as("lambda1"),
+        r6(when(col("tr") === 0.0, 0.0).otherwise(col("nrm") / col("tr")))
+          .as("var_share"))
+      .orderBy("pos")
+  }
+
+  /** Oracle twin of [[pcaTopComponent]] — pex is 0-based (pos is an
+    * OUTPUT column here, so it must match posexplode's indexing, unlike
+    * kex where pos only ever joins against itself). */
+  val pcaTopComponentSql: String = {
+    val header = Seq(
+      "pex AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos, (unnest(embedding))::DOUBLE AS v FROM embeddings)",
+      """pmu AS (SELECT pos, CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
+        |        FROM pex GROUP BY pos)""".stripMargin,
+      """ps AS (SELECT a.pos AS i, b.pos AS j,
+        |  CAST(sum(CAST(a.v * b.v AS DECIMAL(38,18))) AS DOUBLE) AS s, count(*) AS cnt
+        |FROM pex a JOIN pex b USING (vec_id) GROUP BY 1, 2)""".stripMargin,
+      """pcov AS (SELECT i, j, s / cnt - mi.m * mj.m AS c
+        |FROM ps JOIN pmu mi ON ps.i = mi.pos JOIN pmu mj ON ps.j = mj.pos)""".stripMargin,
+      "pdim AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM pmu)",
+      "pv0 AS (SELECT pos, 1.0 / sqrt(d) AS v FROM pmu, pdim)")
+    val iters = (1 to PcaIters).flatMap { t =>
+      Seq(
+        s"""pu$t AS (SELECT i AS pos, CAST(sum(CAST(c * v AS DECIMAL(38,18))) AS DOUBLE) AS u
+           |FROM pcov JOIN pv${t - 1} ON pcov.j = pv${t - 1}.pos GROUP BY 1)""".stripMargin,
+        s"pn$t AS (SELECT sqrt(CAST(sum(CAST(u * u AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM pu$t)",
+        s"pv$t AS (SELECT pos, CASE WHEN nrm = 0 THEN 0.0 ELSE u / nrm END AS v FROM pu$t, pn$t)")
+    }
+    val tail =
+      s"""ptr AS (SELECT CAST(sum(CAST(c AS DECIMAL(38,18))) AS DOUBLE) AS tr FROM pcov WHERE i = j)
+         |SELECT CAST(pos AS BIGINT) AS pos,
+         |  floor(v * 1000000 + 0.5) / 1000000 AS loading,
+         |  floor(nrm * 1000000 + 0.5) / 1000000 AS lambda1,
+         |  floor((CASE WHEN tr = 0 THEN 0.0 ELSE nrm / tr END) * 1000000 + 0.5) / 1000000 AS var_share
+         |FROM pv$PcaIters, pn$PcaIters, ptr ORDER BY pos""".stripMargin
+    s"WITH ${(header ++ iters).mkString(",\n")},\n$tail"
+  }
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_pca_top_component" -> (pcaTopComponent _),
     "q86_semantic_dedup" -> (semanticDedup _),
     "q58_centroid_stats" -> (centroidStats _),
     "q50_ann_bruteforce" -> (annBruteForce _),
@@ -802,6 +911,7 @@ object SimilarityOps {
     "q79_ivf_recall_curve" -> (ivfRecallCurve _))
 
   val oracles: Map[String, String] = Map(
+    "q97_pca_top_component" -> pcaTopComponentSql,
     "q86_semantic_dedup" -> semanticDedupSql,
     "q77_ann_ivf_int8" -> annIvfInt8Sql,
     "q58_centroid_stats" -> centroidStatsSql,

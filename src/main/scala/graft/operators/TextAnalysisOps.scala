@@ -1492,6 +1492,76 @@ object TextAnalysisOps {
        |  floor((sum(y) / count(*)) * 1000000 + 0.5) / 1000000 AS pos_rate
        |FROM lscored GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q96: classifier ranking quality (exact AUC, histogram-decomposed) --
+
+  /** q96: threshold-free ranking quality of the learned filter — the
+    * Mann-Whitney AUC of the q91 classifier probability against its weak
+    * labels, with the standard tie treatment (a tied positive/negative
+    * pair counts ½). AUC is THE number a curation team reads before
+    * trusting a filter to rank 100 TB: calibration (q95) says the
+    * probabilities mean what they claim; AUC says the ORDERING works.
+    *
+    * Scale shape — the q78 histogram decomposition applied to a rank
+    * statistic: scores quantize to the integer micro-score key
+    * qkey = floor(r6(p)·10⁶ + 0.5) (AUC of the quantized score is the
+    * declared statistic — deterministic cross-engine, and the 10⁻⁶ grid
+    * is far below any decision-relevant resolution), one
+    * map-side-combined groupBy collapses the corpus to ≤ 10⁶ + 1 integer
+    * keys with (pos, neg) counts, and the prefix-negative window runs on
+    * that METADATA-SCALE histogram — never on the corpus. With per-key
+    * counts the pair sum is Σ_k pos_k·(cumneg_k + neg_k/2); doubling
+    * keeps every term integer: 2·num = Σ_k pos_k·(2·cumneg_k + neg_k),
+    * DECIMAL(38,0)-accumulated (pair counts overflow BIGINT long before
+    * they overflow 38 digits), so both engines agree bit-for-bit and the
+    * ONE double division at the end is exactly rounded, then r6'd. */
+  def classifierAuc(spark: SparkSession, dir: String): DataFrame = {
+    val w = qualityLrModel(spark, dir)
+    val zc = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+      lit(w(3)) * col("x3") + lit(w(4)) * col("x4")
+    val hist = lrFeats(spark, dir)
+      .select(qkeyOf(r6(sigma(zc))).as("qkey"), col("y"))
+      .groupBy("qkey")
+      .agg(sum(col("y")).cast("long").as("pos"),
+        sum(lit(1.0) - col("y")).cast("long").as("neg"))
+    val below = Window.orderBy("qkey")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    hist
+      .withColumn("cumneg", coalesce(sum(col("neg")).over(below), lit(0L)))
+      .agg(
+        sum(col("pos")).cast("long").as("n_pos"),
+        sum(col("neg")).cast("long").as("n_neg"),
+        count(lit(1)).as("n_keys"),
+        sum(col("pos").cast("decimal(38,0)") *
+          (col("cumneg") * 2 + col("neg")).cast("decimal(38,0)")).as("num2"))
+      .select(col("n_pos"), col("n_neg"), col("n_keys"),
+        r6(when(col("n_pos") === 0 || col("n_neg") === 0, lit(0.5))
+          .otherwise(col("num2").cast("double") /
+            (lit(2.0) * col("n_pos") * col("n_neg")))).as("auc"))
+  }
+
+  val classifierAucSql: String =
+    s"""WITH $qualityCtes,
+       |$lrCtes,
+       |ahist AS (SELECT
+       |    CAST(floor((floor(p * 1000000 + 0.5) / 1000000) * 1000000 + 0.5) AS BIGINT) AS qkey,
+       |    CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS pos,
+       |    CAST(sum(1 - CAST(y AS BIGINT)) AS BIGINT) AS neg
+       |  FROM lscored GROUP BY 1),
+       |acum AS (SELECT pos, neg,
+       |    CAST(COALESCE(sum(neg) OVER
+       |      (ORDER BY qkey ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumneg
+       |  FROM ahist),
+       |atot AS (SELECT
+       |    CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(neg) AS BIGINT) AS n_neg,
+       |    CAST(count(*) AS BIGINT) AS n_keys,
+       |    sum(CAST(pos AS DECIMAL(38,0)) * CAST(cumneg * 2 + neg AS DECIMAL(38,0))) AS num2
+       |  FROM acum)
+       |SELECT n_pos, n_neg, n_keys,
+       |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0.5
+       |       ELSE floor((CAST(num2 AS DOUBLE) / (2.0 * n_pos * n_neg)) * 1000000 + 0.5) / 1000000
+       |  END AS auc
+       |FROM atot""".stripMargin
+
   // ---- q92/q93: learned BPE merge table + tokens under the learned vocab --
 
   /** Number of BPE merge rounds — FIXED so training unrolls into the
@@ -1676,6 +1746,7 @@ object TextAnalysisOps {
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_classifier_auc" -> (classifierAuc _),
     "q95_classifier_calibration" -> (classifierCalibration _),
     "q94_learned_curation" -> (learnedBudgetCuration _),
     "q93_bpe_token_counts" -> (bpeTokenCounts _),
@@ -1704,6 +1775,7 @@ object TextAnalysisOps {
     "q35_simhash" -> (simhash _))
 
   val oracles: Map[String, String] = Map(
+    "q96_classifier_auc" -> classifierAucSql,
     "q95_classifier_calibration" -> classifierCalibrationSql,
     "q94_learned_curation" -> learnedBudgetCurationSql,
     "q93_bpe_token_counts" -> bpeTokenCountsSql,

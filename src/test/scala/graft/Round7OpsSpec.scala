@@ -302,6 +302,54 @@ class Round7OpsSpec extends SparkSpec {
       "artifact-applied tokenization diverged from the in-session frame")
   }
 
+  test("q96 AUC equals brute-force tie-aware pair counting; well above chance") {
+    val dir = "/root/testdata/sf0.001"
+    import graft.operators.TextAnalysisOps
+    // Independent formulation: O(n_pos·n_neg) pairwise comparison on the
+    // same micro-score quantization q96 declares (q91's r6 p_quality).
+    val scored = TextAnalysisOps.qualityClassifier(spark, dir).collect()
+      .map(r => (math.floor(r.getAs[Double]("p_quality") * 1e6 + 0.5).toLong,
+        r.getAs[Long]("weak_label")))
+    val pos = scored.filter(_._2 == 1L).map(_._1)
+    val neg = scored.filter(_._2 == 0L).map(_._1)
+    val wins = (for (p <- pos; n <- neg)
+      yield if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    val expected = math.floor(wins / (pos.length.toDouble * neg.length) * 1e6 + 0.5) / 1e6
+
+    val r = TextAnalysisOps.classifierAuc(spark, dir).collect().head
+    assert(r.getAs[Long]("n_pos") == pos.length && r.getAs[Long]("n_neg") == neg.length)
+    assert(r.getAs[Double]("auc") == expected,
+      s"histogram AUC ${r.getAs[Double]("auc")} != pairwise $expected")
+    assert(r.getAs[Double]("auc") > 0.8, s"classifier ranks no better than chance: $r")
+  }
+
+  test("q97 returns a unit eigenvector of the embedding covariance") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SimilarityOps.pcaTopComponent(spark, dir).orderBy("pos").collect()
+    val v = out.map(_.getAs[Double]("loading"))
+    val lambda = out.head.getAs[Double]("lambda1")
+    val share = out.head.getAs[Double]("var_share")
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-3, "loadings not unit-norm")
+    assert(lambda > 0 && share > 0 && share <= 1.0, s"bad spectrum stats: $lambda, $share")
+
+    // Independent check: plain-double covariance from the raw table; the
+    // returned (v, λ) must satisfy C·v ≈ λ·v.
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+    val n = embs.length
+    val d = embs.head.length
+    val mu = Array.tabulate(d)(i => embs.map(_(i)).sum / n)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      embs.map(e => e(i) * e(j)).sum / n - mu(i) * mu(j))
+    val cv = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+    val residual = math.sqrt((0 until d).map(i => math.pow(cv(i) - lambda * v(i), 2)).sum)
+    assert(residual / lambda < 0.02,
+      s"not an eigenpair: residual/lambda = ${residual / lambda}")
+    val trace = (0 until d).map(i => cov(i)(i)).sum
+    assert(math.abs(share - lambda / trace) < 1e-3, "var_share != lambda/trace")
+  }
+
   test("recall curve is monotone in nprobe and complete at nprobe = K") {
     val dir = "/root/testdata/sf0.001"
     val curve = SimilarityOps.ivfRecallCurve(spark, dir)
