@@ -72,16 +72,22 @@ object StreamEvents {
       q.stop(); spark.stop(); return
     }
 
-    // Schema must be declared for a streaming file source; ts arrives as
-    // raw nanos (see EventsOps) and is floor-converted to micros.
-    val schema = "event_id BIGINT, ts BIGINT, user_id BIGINT, " +
-      "event_type STRING, value DOUBLE, props STRING"
+    // Schema must be declared for a streaming file source; peek at the
+    // batch footer to match the file's ts encoding (raw nanos LONG vs
+    // TIMESTAMP_NTZ micros — see EventsOps.events), then normalize the
+    // stream the same way the batch reader does.
+    val tsIsLong = spark.read.parquet(s"$dir/events.parquet")
+      .schema("ts").dataType == org.apache.spark.sql.types.LongType
+    val schema = s"event_id BIGINT, ts ${if (tsIsLong) "BIGINT" else "TIMESTAMP_NTZ"}, " +
+      "user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
     // The streaming file source requires a directory; glob-filter down to
     // the events table.
     val events = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withColumn("ts",
+        if (tsIsLong) timestamp_micros(expr("ts DIV 1000"))
+        else col("ts").cast("timestamp"))
 
     import spark.implicits._
     val out = mode match {

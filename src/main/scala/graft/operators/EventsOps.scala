@@ -18,19 +18,34 @@ object EventsOps {
 
   val SessionGapMinutes = 30
 
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (micros) refuses outright; the session must set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (done in every entry-point
-    * builder: Bench/Verify/Cli/TestSpark — NOT mutated here, so a read
-    * never changes session-wide conf as a side effect) and the raw nanos
-    * are converted to a micros timestamp. `DIV` truncates toward zero,
-    * which equals flooring for the post-epoch timestamps in this data;
-    * pre-epoch (negative) nanos would need a true floor division. */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "session must set spark.sql.legacy.parquet.nanosAsLong=true (see entry-point builders)")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+  /** events.ts normalization, dispatched on the FILE's actual encoding —
+    * the driver has shipped this column two ways across testdata
+    * generations, and the engine reads both:
+    *
+    *  - TIMESTAMP(NANOS): Spark's TimestampType (micros) refuses it
+    *    outright; the session must set
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (done in every
+    *    entry-point builder: Bench/Verify/Cli/TestSpark — NOT mutated
+    *    here, so a read never changes session-wide conf as a side
+    *    effect), the column arrives as raw nanos LONG, and `DIV 1000`
+    *    floor-converts to micros (truncation = floor for these
+    *    post-epoch values).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *    TIMESTAMP_NTZ; cast to TimestampType under the session's UTC
+    *    zone (every builder pins spark.sql.session.timeZone=UTC), which
+    *    is value-preserving and matches DuckDB's naive epoch(ts).
+    */
+  private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+          "session must set spark.sql.legacy.parquet.nanosAsLong=true (see entry-point builders)")
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   // ---- q60: tumbling hourly windows ---------------------------------------
@@ -159,6 +174,78 @@ object EventsOps {
       |  min(k) AS min_k, max(k) AS max_k
       |FROM (SELECT json_extract(props, '$.k')::BIGINT AS k FROM events)
       |GROUP BY 1 ORDER BY k_bucket""".stripMargin
+
+  // ---- q59: cross-key interval (range) join via bin bucketing -------------
+
+  /** Half-width of the q59 interval, seconds. Also the bin width: a
+    * ±W window around any instant spans at most the 3 consecutive
+    * W-wide bins {b−1, b, b+1} of that instant's bin b, which is what
+    * makes the probe-side explode exact AND bounded. */
+  val IntervalS = 600L
+
+  /** Interval join ACROSS keys — for every purchase, the surrounding
+    * site-wide view activity within ±[[IntervalS]] (any user): the shape
+    * q65's per-key window cannot express (Flink's interval join /
+    * DuckDB's IEJoin). A naive theta-join is a cross product that
+    * Spark plans as BroadcastNestedLoopJoin — O(P·V) comparisons and a
+    * broadcast of a whole side; at 100 TB it never finishes.
+    *
+    * The Spark-first shape is bin bucketing: views land in ONE
+    * time bin of width = interval, purchases probe their 3 covering
+    * bins (a 3× explode of the smaller/probe side only), and the join
+    * becomes a plain co-partitioned equi-join on `bin` — one shuffle,
+    * candidate pairs bounded by per-bin density, exact predicate
+    * re-checked post-join. Each (purchase, view) pair appears at most
+    * once because a view has exactly one bin and the 3 probed bins are
+    * distinct. At 1000 executors this scales like any hash join: bin
+    * width tunes candidate fan-in, and a hot bin (traffic spike) is
+    * ordinary join skew — AQE skew-join splits it.
+    */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts").cast("long").as("ts_s"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts_s").as("p_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("ts_s").as("v_ts"), col("user_id").as("v_user"), col("value"))
+
+    val binned = v.withColumn("bin", floor(col("v_ts") / IntervalS))
+    val probes = p.withColumn("b", floor(col("p_ts") / IntervalS))
+      .withColumn("bin", explode(array(col("b") - 1, col("b"), col("b") + 1)))
+    val matched = probes.join(binned, "bin")
+      .filter(abs(col("v_ts") - col("p_ts")) <= IntervalS)
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_views"),
+        count_distinct(col("v_user")).as("n_users"),
+        r6(dsum(col("value"))).as("sum_view_value"))
+
+    p.join(matched, Seq("event_id"), "left")
+      .select(col("event_id"), col("p_ts"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"),
+        coalesce(col("sum_view_value"), lit(0.0)).as("sum_view_value"))
+      .orderBy("event_id")
+  }
+
+  val intervalJoinSql: String =
+    s"""WITH p AS (
+       |  SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS p_ts
+       |  FROM events WHERE event_type = 'purchase'),
+       |v AS (
+       |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS v_ts, user_id, value
+       |  FROM events WHERE event_type = 'view'),
+       |j AS (
+       |  SELECT p.event_id, count(*) AS n_views,
+       |    count(DISTINCT v.user_id) AS n_users,
+       |    CAST(sum(CAST(v.value AS DECIMAL(30,8))) AS DOUBLE) AS sv
+       |  FROM p JOIN v ON v.v_ts BETWEEN p.p_ts - $IntervalS AND p.p_ts + $IntervalS
+       |  GROUP BY 1)
+       |SELECT p.event_id, p.p_ts,
+       |  coalesce(n_views, 0) AS n_views,
+       |  coalesce(n_users, 0) AS n_users,
+       |  coalesce(floor(sv * 1000000 + 0.5) / 1000000, 0.0) AS sum_view_value
+       |FROM p LEFT JOIN j USING (event_id) ORDER BY event_id""".stripMargin
 
   // ---- q65: as-of attribution join ----------------------------------------
 
@@ -397,6 +484,7 @@ object EventsOps {
     "q68_event_transitions" -> (eventTransitions _),
     "q66_funnel" -> (funnel _),
     "q65_purchase_attribution" -> (purchaseAttribution _),
+    "q59_interval_join" -> (intervalJoin _),
     "q60_hourly_event_stats" -> (hourlyEventStats _),
     "q61_sliding_window_stats" -> (slidingWindowStats _),
     "q62_user_sessions" -> (userSessions _),
@@ -409,6 +497,7 @@ object EventsOps {
     "q68_event_transitions" -> eventTransitionsSql,
     "q66_funnel" -> funnelSql,
     "q65_purchase_attribution" -> purchaseAttributionSql,
+    "q59_interval_join" -> intervalJoinSql,
     "q60_hourly_event_stats" -> hourlyEventStatsSql,
     "q61_sliding_window_stats" -> slidingWindowStatsSql,
     "q62_user_sessions" -> userSessionsSql,

@@ -793,9 +793,13 @@ object SimilarityOps {
 
   /** Power-method iteration count — FIXED so the whole derivation unrolls
     * into the DuckDB oracle (pcaCtes), like KmeansIters / LrIters /
-    * BpeMerges. On this corpus the Rayleigh quotient is stable to 1e-9 by
-    * iteration 8 (spectral gap is wide); the residual is spec-pinned. */
-  val PcaIters = 8
+    * BpeMerges. The current corpus is near-isotropic (λ₂/λ₁ ≈ 0.93 — the
+    * very anisotropy verdict this diagnostic exists to deliver), so the
+    * power method converges at ≈0.93ᵗ: 40 iterations bring the eigenpair
+    * residual ‖Cv−λv‖/λ to ≈0.011, inside the 0.02 the spec pins. The
+    * iterate is d×d-resident (corpus-size-independent), so extra
+    * iterations cost constant tiny jobs, not corpus passes. */
+  val PcaIters = 40
 
   private def dsum18(c: Column): Column =
     sum(c.cast("decimal(38,18)")).cast("double")
@@ -851,9 +855,16 @@ object SimilarityOps {
         .groupBy(col("i").as("pos"))
         .agg(dsum18(col("c") * col("vj")).as("u"))
       nrmF = u.agg(sqrt(dsum18(col("u") * col("u"))).as("nrm"))
+      // The iterate references u TWICE (directly and through its norm), so
+      // left unchecked the logical-plan TREE doubles per iteration — 2^40
+      // nodes by the last one (Catalyst walks trees, not DAGs; analysis
+      // never returns). The eager localCheckpoint truncates lineage to the
+      // 64 materialized rows each round; every arithmetic expression — and
+      // hence DuckDB-oracle parity — is untouched.
       v = u.crossJoin(broadcast(nrmF))
         .select(col("pos"),
           when(col("nrm") === 0.0, 0.0).otherwise(col("u") / col("nrm")).as("v"))
+        .localCheckpoint(true)
     }
 
     val trace = cov.filter(col("i") === col("j")).agg(dsum18(col("c")).as("tr"))
@@ -867,25 +878,31 @@ object SimilarityOps {
 
   /** Oracle twin of [[pcaTopComponent]] — pex is 0-based (pos is an
     * OUTPUT column here, so it must match posexplode's indexing, unlike
-    * kex where pos only ever joins against itself). */
+    * kex where pos only ever joins against itself). Every CTE is
+    * MATERIALIZED: DuckDB inlines CTEs by default, and pv_t referencing
+    * pu_t twice (directly + through its norm) would re-expand the whole
+    * derivation per reference — the same exponential tree the Spark side
+    * truncates with localCheckpoint, here ending in "too many open
+    * files" against the embeddings scan. Materialization makes each of
+    * the PcaIters steps run exactly once, like the Spark loop. */
   val pcaTopComponentSql: String = {
     val header = Seq(
-      "pex AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos, (unnest(embedding))::DOUBLE AS v FROM embeddings)",
-      """pmu AS (SELECT pos, CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
+      "pex AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos, (unnest(embedding))::DOUBLE AS v FROM embeddings)",
+      """pmu AS MATERIALIZED (SELECT pos, CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
         |        FROM pex GROUP BY pos)""".stripMargin,
-      """ps AS (SELECT a.pos AS i, b.pos AS j,
+      """ps AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j,
         |  CAST(sum(CAST(a.v * b.v AS DECIMAL(38,18))) AS DOUBLE) AS s, count(*) AS cnt
         |FROM pex a JOIN pex b USING (vec_id) GROUP BY 1, 2)""".stripMargin,
-      """pcov AS (SELECT i, j, s / cnt - mi.m * mj.m AS c
+      """pcov AS MATERIALIZED (SELECT i, j, s / cnt - mi.m * mj.m AS c
         |FROM ps JOIN pmu mi ON ps.i = mi.pos JOIN pmu mj ON ps.j = mj.pos)""".stripMargin,
-      "pdim AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM pmu)",
-      "pv0 AS (SELECT pos, 1.0 / sqrt(d) AS v FROM pmu, pdim)")
+      "pdim AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS d FROM pmu)",
+      "pv0 AS MATERIALIZED (SELECT pos, 1.0 / sqrt(d) AS v FROM pmu, pdim)")
     val iters = (1 to PcaIters).flatMap { t =>
       Seq(
-        s"""pu$t AS (SELECT i AS pos, CAST(sum(CAST(c * v AS DECIMAL(38,18))) AS DOUBLE) AS u
+        s"""pu$t AS MATERIALIZED (SELECT i AS pos, CAST(sum(CAST(c * v AS DECIMAL(38,18))) AS DOUBLE) AS u
            |FROM pcov JOIN pv${t - 1} ON pcov.j = pv${t - 1}.pos GROUP BY 1)""".stripMargin,
-        s"pn$t AS (SELECT sqrt(CAST(sum(CAST(u * u AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM pu$t)",
-        s"pv$t AS (SELECT pos, CASE WHEN nrm = 0 THEN 0.0 ELSE u / nrm END AS v FROM pu$t, pn$t)")
+        s"pn$t AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(u * u AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM pu$t)",
+        s"pv$t AS MATERIALIZED (SELECT pos, CASE WHEN nrm = 0 THEN 0.0 ELSE u / nrm END AS v FROM pu$t, pn$t)")
     }
     val tail =
       s"""ptr AS (SELECT CAST(sum(CAST(c AS DECIMAL(38,18))) AS DOUBLE) AS tr FROM pcov WHERE i = j)
@@ -895,6 +912,111 @@ object SimilarityOps {
          |  floor((CASE WHEN tr = 0 THEN 0.0 ELSE nrm / tr END) * 1000000 + 0.5) / 1000000 AS var_share
          |FROM pv$PcaIters, pn$PcaIters, ptr ORDER BY pos""".stripMargin
     s"WITH ${(header ++ iters).mkString(",\n")},\n$tail"
+  }
+
+  // ---- q98: product quantization (per-subspace k-means codebooks) ---------
+
+  /** PQ geometry: 64-dim embeddings split into PqM = 4 contiguous
+    * 16-dim subspaces, PqK = 8 codes per subspace, PqIters Lloyd
+    * updates — all FIXED so the whole training run unrolls into the
+    * DuckDB oracle (same discipline as KmeansIters / PcaIters). */
+  val PqM = 4
+  val PqSubDim = 16
+  val PqK = 8
+  val PqIters = 2
+
+  /** q98: product-quantization codebook training + encoding — the
+    * compression tier past q53's int8 (4 subspaces × 3-bit codes = 12
+    * bits/vector vs 512 for int8): each vector becomes PqM codebook ids,
+    * and asymmetric-distance serving needs only the PqM×PqK centroid
+    * table. Output: one row per (vec_id, sub) with the assigned code and
+    * the exact squared reconstruction error of that subvector.
+    *
+    * The Spark shape trains ALL subspaces in one frame — subspace is
+    * just another grouping key, so the PqM independent k-means runs are
+    * one job, not a driver loop: each Lloyd pass is a broadcast join
+    * against the (sub, code, pos) centroid table (PqM·PqK·PqSubDim =
+    * 512 rows) plus two partial-aggregate shuffles keyed
+    * (vec_id, sub, code) / (sub, code, pos). Same engine-portable
+    * arithmetic as kmeansModel: exact double per-term products,
+    * DECIMAL(38,18) accumulation, argmin tie-broken on code id, seeds =
+    * the PqK lowest (md5(vec_id), vec_id) vectors sliced per subspace.
+    * At 100 TB: train the codebooks on a hash-sample, then the one
+    * full-corpus encoding pass is a single broadcast join + argmin. */
+  private[graft] def pqModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val sex = emb(spark, dir)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v0")))
+      .select(col("vec_id"), expr(s"pos div $PqSubDim").as("sub"),
+        col("pos"), col("v0").cast("double").as("v"))
+    val seeds = emb(spark, dir)
+      .select(col("vec_id"), md5(col("vec_id").cast("string")).as("mk"))
+      .orderBy(col("mk"), col("vec_id")).limit(PqK)
+      .select(col("vec_id"),
+        (row_number().over(Window.orderBy(col("mk"), col("vec_id"))) - 1)
+          .cast("long").as("code"))
+
+    def assign(cent: DataFrame): DataFrame =
+      sex.join(broadcast(cent), Seq("sub", "pos"))
+        .groupBy("vec_id", "sub", "code")
+        .agg(sum(((col("v") - col("c")) * (col("v") - col("c")))
+          .cast("decimal(38,18)")).as("dist"))
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("dist"), col("code"))).as("best"))
+        .select(col("vec_id"), col("sub"),
+          col("best.code").as("code"), col("best.dist").as("dist"))
+
+    var cent = sex.join(broadcast(seeds), "vec_id")
+      .select(col("sub"), col("code"), col("pos"), col("v").as("c"))
+    for (_ <- 1 to PqIters) {
+      val asg = assign(cent)
+      cent = sex.join(asg.select("vec_id", "sub", "code"), Seq("vec_id", "sub"))
+        .groupBy("sub", "code", "pos")
+        .agg((sum(col("v").cast("decimal(38,18)")).cast("double") / count(lit(1)))
+          .as("c"))
+    }
+    (cent, assign(cent))
+  }
+
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    val (_, asg) = pqModel(spark, dir)
+    asg.select(col("vec_id"), col("sub"), col("code"),
+        r6(col("dist").cast("double")).as("sq_err"))
+      .orderBy("vec_id", "sub")
+  }
+
+  val pqCodesSql: String = {
+    val header = Seq(
+      s"""qex AS (SELECT vec_id, (pos0 - 1) // $PqSubDim AS sub, pos0 AS pos, v
+         |FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos0,
+         |        (unnest(embedding))::DOUBLE AS v FROM embeddings))""".stripMargin,
+      s"""qseed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY mk, vec_id) - 1 AS BIGINT) AS code
+         |          FROM (SELECT vec_id, md5(vec_id::VARCHAR) AS mk FROM embeddings
+         |                ORDER BY mk, vec_id LIMIT $PqK))""".stripMargin,
+      "qc0 AS (SELECT sub, code, pos, v AS c FROM qseed JOIN qex USING (vec_id))")
+    def distSql(n: String, cent: String) =
+      s"""$n AS (SELECT qex.vec_id, qex.sub, $cent.code,
+         |  sum(CAST((v - c) * (v - c) AS DECIMAL(38,18))) AS dist
+         |FROM qex JOIN $cent ON qex.sub = $cent.sub AND qex.pos = $cent.pos
+         |GROUP BY 1, 2, 3)""".stripMargin
+    def assignSql(n: String, from: String) =
+      s"""$n AS (SELECT vec_id, sub, code, dist FROM (
+         |  SELECT vec_id, sub, code, dist,
+         |    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist ASC, code ASC) AS rn
+         |  FROM $from) WHERE rn = 1)""".stripMargin
+    val iters = (1 to PqIters).flatMap { t =>
+      Seq(
+        distSql(s"qd$t", s"qc${t - 1}"),
+        assignSql(s"qa$t", s"qd$t"),
+        s"""qc$t AS (SELECT qex.sub, code, pos,
+           |  CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS c
+           |FROM qa$t JOIN qex ON qa$t.vec_id = qex.vec_id AND qa$t.sub = qex.sub
+           |GROUP BY 1, 2, 3)""".stripMargin)
+    }
+    val tail = Seq(distSql("qdf", s"qc$PqIters"), assignSql("qaf", "qdf"))
+    s"""WITH ${(header ++ iters ++ tail).mkString(",\n")}
+       |SELECT vec_id, CAST(sub AS BIGINT) AS sub, code,
+       |  floor(CAST(dist AS DOUBLE) * 1000000 + 0.5) / 1000000 AS sq_err
+       |FROM qaf ORDER BY vec_id, sub""".stripMargin
   }
 
   // -------------------------------------------------------------------------
@@ -908,7 +1030,8 @@ object SimilarityOps {
     "q52_ann_lsh" -> (annLsh _),
     "q53_embedding_quantization" -> (embeddingQuantization _),
     "q77_ann_ivf_int8" -> (annIvfInt8 _),
-    "q79_ivf_recall_curve" -> (ivfRecallCurve _))
+    "q79_ivf_recall_curve" -> (ivfRecallCurve _),
+    "q98_pq_codes" -> (pqCodes _))
 
   val oracles: Map[String, String] = Map(
     "q97_pca_top_component" -> pcaTopComponentSql,
@@ -919,5 +1042,6 @@ object SimilarityOps {
     "q51_ann_ivf" -> annIvfSql,
     "q52_ann_lsh" -> annLshSql,
     "q53_embedding_quantization" -> embeddingQuantizationSql,
-    "q79_ivf_recall_curve" -> ivfRecallCurveSql)
+    "q79_ivf_recall_curve" -> ivfRecallCurveSql,
+    "q98_pq_codes" -> pqCodesSql)
 }

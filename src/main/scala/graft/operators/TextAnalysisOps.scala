@@ -491,6 +491,72 @@ object TextAnalysisOps {
       |WHERE (lang = 'en' AND bucket < 20) OR (lang <> 'en' AND bucket < 50)
       |ORDER BY doc_id""".stripMargin
 
+  // ---- q99: weighted sample without replacement (deterministic A-ES) ------
+
+  /** Sample size for q99. */
+  val SampleN = 100
+
+  /** 16¹³ = 2⁵² — the hashed-uniform denominator. 13 md5 hex digits give
+    * h ∈ [0, 2⁵²), so h, h + 0.5, and (h + 0.5)/2⁵² are all EXACT in
+    * double (53-bit mantissa, power-of-two divisor): the only inexact
+    * step in the sort key is the final ln and divide, both evaluated
+    * identically by the JVM and DuckDB on identical inputs. */
+  private val UDenom = 4503599627370496.0
+
+  /** q99: weight-proportional sample WITHOUT replacement — the curation
+    * primitive behind "take 100 docs, long ones proportionally more
+    * often" (mixture construction, eval-set draws, debug slices).
+    * Efraimidis–Spiliotis A-ES: per row key u^(1/w) (compared as
+    * ln(u)/w), global top-N by key. The uniform u derives from
+    * md5(doc_id) — fully deterministic, so the sample is a reproducible
+    * artifact of the corpus snapshot, and re-running after an append
+    * only swaps rows whose keys the new docs beat (the reservoir
+    * property).
+    *
+    * Scale shape: the key is row-local (one projection, no shuffle);
+    * the top-N plans as TakeOrderedAndProject — per-partition partial
+    * top-N then an N·partitions merge, never a global sort. Weight here
+    * is the n_chars metadata column (floored at 1); any positive
+    * integer weight column slots in unchanged. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val keyed = docs(spark, dir).select(
+        col("doc_id"),
+        greatest(col("n_chars"), lit(1L)).as("weight"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+          .cast("long").as("h"))
+      .withColumn("skey",
+        log((col("h").cast("double") + lit(0.5)) / lit(UDenom)) /
+          col("weight").cast("double"))
+    keyed.orderBy(col("skey").desc, col("doc_id").asc).limit(SampleN)
+      .select(
+        row_number().over(Window.orderBy(col("skey").desc, col("doc_id").asc))
+          .cast("long").as("rank"),
+        col("doc_id"), col("weight"), r6(col("skey")).as("skey"))
+      .orderBy("rank")
+  }
+
+  /** NOTE the rank/limit runs on the RAW key in a subquery and the r6
+    * rounding happens only in the outer projection: `ORDER BY skey` in a
+    * query that also aliases a rounded `skey` output resolves to the
+    * ALIAS in DuckDB, and rounded near-ties at the cutoff then admit a
+    * different top-N than the raw-key order Spark uses (seen at sf0.1). */
+  val weightedSampleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, greatest(n_chars, 1) AS weight,
+       |    CAST(('0x' || substring(md5(doc_id::VARCHAR), 1, 13)) AS BIGINT) AS h
+       |  FROM documents),
+       |k AS (
+       |  SELECT doc_id, weight,
+       |    ln((CAST(h AS DOUBLE) + 0.5) / $UDenom) / CAST(weight AS DOUBLE) AS skey_raw
+       |  FROM d)
+       |SELECT rank, doc_id, weight,
+       |  floor(skey_raw * 1000000 + 0.5) / 1000000 AS skey
+       |FROM (
+       |  SELECT CAST(row_number() OVER (ORDER BY skey_raw DESC, doc_id ASC) AS BIGINT) AS rank,
+       |    doc_id, weight, skey_raw
+       |  FROM k)
+       |WHERE rank <= $SampleN ORDER BY rank""".stripMargin
+
   // ---- q39: repetition signals (Gopher-style quality filters) -------------
 
   /** Per-document repetition statistics, the standard pre-training quality
@@ -1767,6 +1833,7 @@ object TextAnalysisOps {
     "q36_doc_chunks" -> (docChunks _),
     "q37_top_terms_per_doc" -> (topTermsPerDoc _),
     "q38_stratified_sample" -> (stratifiedSample _),
+    "q99_weighted_sample" -> (weightedSample _),
     "q30_text_quality" -> (textQuality _),
     "q31_token_counts" -> (tokenCounts _),
     "q32_lang_stats" -> (langStats _),
@@ -1796,6 +1863,7 @@ object TextAnalysisOps {
     "q36_doc_chunks" -> docChunksSql,
     "q37_top_terms_per_doc" -> topTermsPerDocSql,
     "q38_stratified_sample" -> stratifiedSampleSql,
+    "q99_weighted_sample" -> weightedSampleSql,
     "q30_text_quality" -> textQualitySql,
     "q31_token_counts" -> tokenCountsSql,
     "q32_lang_stats" -> langStatsSql,

@@ -360,4 +360,98 @@ class Round7OpsSpec extends SparkSpec {
       assert(r2 >= r1, s"recall not monotone: $curve")
     }
   }
+
+  test("q98 PQ encoding is a per-subspace nearest-centroid argmin") {
+    val dir = "/root/testdata/sf0.001"
+    val (centF, asgF) = SimilarityOps.pqModel(spark, dir)
+    // centroids: (sub, code) -> dense subvector over GLOBAL positions
+    val cent = centF.collect()
+      .groupBy(r => (r.getAs[Long]("sub"), r.getAs[Long]("code")))
+      .view.mapValues(_.map(r => r.getAs[Int]("pos") -> r.getAs[Double]("c")).toMap)
+      .toMap
+    val asg = asgF.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sub")) -> r.getAs[Long]("code"))
+      .toMap
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      .toMap
+
+    val n = vecs.size
+    assert(asg.size == n * SimilarityOps.PqM, "one code per (vec, subspace)")
+    assert(asg.values.forall(c => c >= 0 && c < SimilarityOps.PqK))
+
+    def sqErr(v: Array[Double], sub: Long, code: Long): Double = {
+      val c = cent((sub, code))
+      c.map { case (pos, cv) => val d = v(pos) - cv; d * d }.sum
+    }
+    // Every assignment beats (or ties) every other surviving code.
+    for (((vecId, sub), code) <- asg) {
+      val chosen = sqErr(vecs(vecId), sub, code)
+      val codes = cent.keys.filter(_._1 == sub).map(_._2)
+      codes.foreach { other =>
+        assert(chosen <= sqErr(vecs(vecId), sub, other) + 1e-9,
+          s"vec $vecId sub $sub: code $code not the argmin")
+      }
+    }
+  }
+
+  test("q99 weighted sample is the exact top-N of the recomputed A-ES keys") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.TextAnalysisOps.weightedSample(spark, dir).collect()
+    assert(out.length == graft.operators.TextAnalysisOps.SampleN)
+    assert(out.map(_.getAs[Long]("rank")).toSeq == (1L to out.length).toSeq)
+
+    // Recompute every doc's key independently (same md5→2^52 uniform, JVM
+    // math.log == Spark's log on identical doubles) and confirm the
+    // selected set IS the global top-N with the declared tie-break.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val all = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "n_chars").collect().map { r =>
+        val id = r.getAs[Long]("doc_id")
+        val w = math.max(r.getAs[Long]("n_chars"), 1L)
+        val hex = md.digest(id.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(13)
+        val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4503599627370496.0
+        (id, w, math.log(u) / w.toDouble)
+      }
+    val expect = all.sortBy { case (id, _, k) => (-k, id) }.take(out.length)
+    assert(out.map(_.getAs[Long]("doc_id")).toSeq == expect.map(_._1).toSeq,
+      "sampled set/order differs from recomputed top-N")
+    // heavier docs must be overrepresented relative to uniform: the mean
+    // sampled weight exceeds the corpus mean weight
+    val corpusMean = all.map(_._2.toDouble).sum / all.length
+    val sampleMean = out.map(_.getAs[Long]("weight").toDouble).sum / out.length
+    assert(sampleMean > corpusMean, s"no weight bias: $sampleMean <= $corpusMean")
+  }
+
+  test("q59 interval join matches a direct per-purchase recount") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.EventsOps.intervalJoin(spark, dir).collect()
+    val ev = graft.operators.EventsOps.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), col("ts").cast("long").as("ts_s")).collect()
+    val views = ev.filter(_.getAs[String]("event_type") == "view")
+    val purchases = ev.filter(_.getAs[String]("event_type") == "purchase")
+    assert(out.length == purchases.length, "one row per purchase")
+    val w = graft.operators.EventsOps.IntervalS
+    val byId = out.map(r => r.getAs[Long]("event_id") -> r).toMap
+    purchases.foreach { p =>
+      val pts = p.getAs[Long]("ts_s")
+      val near = views.filter(v => math.abs(v.getAs[Long]("ts_s") - pts) <= w)
+      val r = byId(p.getAs[Long]("event_id"))
+      assert(r.getAs[Long]("n_views") == near.length)
+      assert(r.getAs[Long]("n_users") ==
+        near.map(_.getAs[Long]("user_id")).distinct.length)
+    }
+    // the join genuinely crosses keys: at least one purchase counts a view
+    // from a DIFFERENT user (q65's per-key window could never see it)
+    val crossKey = purchases.exists { p =>
+      val pts = p.getAs[Long]("ts_s")
+      val pu = p.getAs[Long]("user_id")
+      views.exists(v => math.abs(v.getAs[Long]("ts_s") - pts) <= w &&
+        v.getAs[Long]("user_id") != pu)
+    }
+    assert(crossKey, "test data has no cross-user interval matches")
+  }
 }

@@ -19,9 +19,7 @@ class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
   private def loadEvents(): Seq[Ev] = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    graft.operators.EventsOps.events(spark, "/root/testdata/sf0.001")
       .select("event_id", "ts", "user_id", "event_type", "value")
       .as[Ev].collect().toSeq
   }
