@@ -791,15 +791,18 @@ object SimilarityOps {
 
   // ---- q97: top principal component (fixed-iteration power method) --------
 
-  /** Power-method iteration count — FIXED so the whole derivation unrolls
-    * into the DuckDB oracle (pcaCtes), like KmeansIters / LrIters /
-    * BpeMerges. The current corpus is near-isotropic (λ₂/λ₁ ≈ 0.93 — the
-    * very anisotropy verdict this diagnostic exists to deliver), so the
-    * power method converges at ≈0.93ᵗ: 40 iterations bring the eigenpair
-    * residual ‖Cv−λv‖/λ to ≈0.011, inside the 0.02 the spec pins. The
-    * iterate is d×d-resident (corpus-size-independent), so extra
-    * iterations cost constant tiny jobs, not corpus passes. */
-  val PcaIters = 40
+  /** Matrix-squaring count — FIXED so the whole derivation unrolls into
+    * the DuckDB oracle, like KmeansIters / BpeMerges. The current corpus
+    * is near-isotropic (λ₂/λ₁ ≈ 0.93 — the very anisotropy verdict this
+    * diagnostic exists to deliver), so plain power iteration converges at
+    * ≈0.93ᵗ and needs ~40 steps; repeated squaring reaches the same
+    * subspace as C^(2^6)·v₀ — equivalent to 64 plain steps (measured
+    * residual ‖Cv−λv‖/λ ≈ 0.0019, spec pins < 0.02) — in 6 d×d matrix
+    * products. Each squared matrix renormalizes by its max |entry|
+    * (eigenvalues ~0.03 would underflow double by the 6th squaring;
+    * scaling leaves the eigenvector untouched), and max/divide are
+    * exactly-rounded single ops, so cross-engine parity holds. */
+  val PcaSquarings = 6
 
   private def dsum18(c: Column): Column =
     sum(c.cast("decimal(38,18)")).cast("double")
@@ -816,13 +819,15 @@ object SimilarityOps {
     * contributes only (a) per-dimension sums (d keys) and (b) raw second
     * moments S_ij (row-local d² pair expansion, map-side-combined to d²
     * keys — no self-join, no shuffle of vector rows). The d×d covariance
-    * (4096 rows at d=64, corpus-size-INDEPENDENT) then drives PcaIters
-    * power steps, each a broadcast join + tiny aggregate; nothing ever
-    * returns to the corpus. At 100 TB this is one scan + fixed constant
-    * work. All sums DECIMAL(38,18)-accumulated and every scalar op
-    * (+,−,×,÷,√,|·|) exactly rounded, so DuckDB reproduces the iteration
-    * bit-for-bit; the deterministic all-positive start vector 1/√d fixes
-    * the eigenvector sign. */
+    * (4096 rows at d=64, corpus-size-INDEPENDENT) then drives
+    * PcaSquarings normalized matrix squarings — C^64 in 6 self-joins of
+    * a 4096-row frame — and one matrix-vector apply + normalize;
+    * nothing ever returns to the corpus. At 100 TB this is one scan +
+    * fixed constant work. All sums DECIMAL(38,18)-accumulated and every
+    * scalar op (+,−,×,÷,√,|·|) exactly rounded, so DuckDB reproduces
+    * the derivation bit-for-bit; the deterministic all-positive start
+    * vector 1/√d fixes the eigenvector sign, and λ₁ = ‖C·v‖ for the
+    * returned unit v. */
   def pcaTopComponent(spark: SparkSession, dir: String): DataFrame = {
     val ex = embLong(spark, dir)
     val mu = ex.groupBy("pos")
@@ -846,32 +851,44 @@ object SimilarityOps {
         (col("s") / col("cnt") - col("mi") * col("mj")).as("c"))
       .cache()
 
-    val dims = mu.agg(count(lit(1)).as("d"))
-    var v = mu.crossJoin(broadcast(dims))
-      .select(col("pos"), (lit(1.0) / sqrt(col("d").cast("double"))).as("v"))
-    var nrmF: DataFrame = null
-    for (_ <- 1 to PcaIters) {
-      val u = cov.join(broadcast(v.select(col("pos").as("j"), col("v").as("vj"))), "j")
-        .groupBy(col("i").as("pos"))
-        .agg(dsum18(col("c") * col("vj")).as("u"))
-      nrmF = u.agg(sqrt(dsum18(col("u") * col("u"))).as("nrm"))
-      // The iterate references u TWICE (directly and through its norm), so
-      // left unchecked the logical-plan TREE doubles per iteration — 2^40
-      // nodes by the last one (Catalyst walks trees, not DAGs; analysis
-      // never returns). The eager localCheckpoint truncates lineage to the
-      // 64 materialized rows each round; every arithmetic expression — and
-      // hence DuckDB-oracle parity — is untouched.
-      v = u.crossJoin(broadcast(nrmF))
-        .select(col("pos"),
-          when(col("nrm") === 0.0, 0.0).otherwise(col("u") / col("nrm")).as("v"))
+    // C^(2^PcaSquarings) by normalized repeated squaring. Each step
+    // references the product TWICE (entries + its max), so lineage is
+    // truncated with an eager localCheckpoint (4096 rows) — Catalyst
+    // walks trees, not DAGs, and unchecked the plan would double per
+    // step; the checkpoint changes no arithmetic, so oracle parity holds.
+    var m = cov
+    for (_ <- 1 to PcaSquarings) {
+      val mm = m.select(col("i"), col("j").as("k"), col("c").as("a"))
+        .join(m.select(col("i").as("k"), col("j"), col("c").as("b")), "k")
+        .groupBy("i", "j")
+        .agg(dsum18(col("a") * col("b")).as("c"))
+      val sF = mm.agg(max(abs(col("c"))).as("s"))
+      m = mm.crossJoin(broadcast(sF))
+        .select(col("i"), col("j"),
+          when(col("s") === 0.0, 0.0).otherwise(col("c") / col("s")).as("c"))
         .localCheckpoint(true)
     }
 
+    val dims = mu.agg(count(lit(1)).as("d"))
+    val v0 = mu.crossJoin(broadcast(dims))
+      .select(col("pos"), (lit(1.0) / sqrt(col("d").cast("double"))).as("v"))
+    val u = m.join(broadcast(v0.select(col("pos").as("j"), col("v").as("vj"))), "j")
+      .groupBy(col("i").as("pos"))
+      .agg(dsum18(col("c") * col("vj")).as("u"))
+    val nrmF = u.agg(sqrt(dsum18(col("u") * col("u"))).as("nrm"))
+    val vf = u.crossJoin(broadcast(nrmF))
+      .select(col("pos"),
+        when(col("nrm") === 0.0, 0.0).otherwise(col("u") / col("nrm")).as("v"))
+    val w = cov.join(broadcast(vf.select(col("pos").as("j"), col("v").as("vj"))), "j")
+      .groupBy(col("i").as("pos"))
+      .agg(dsum18(col("c") * col("vj")).as("w"))
+    val lamF = w.agg(sqrt(dsum18(col("w") * col("w"))).as("lam"))
+
     val trace = cov.filter(col("i") === col("j")).agg(dsum18(col("c")).as("tr"))
-    v.crossJoin(broadcast(nrmF)).crossJoin(broadcast(trace))
+    vf.crossJoin(broadcast(lamF)).crossJoin(broadcast(trace))
       .select(col("pos").cast("long").as("pos"), r6(col("v")).as("loading"),
-        r6(col("nrm")).as("lambda1"),
-        r6(when(col("tr") === 0.0, 0.0).otherwise(col("nrm") / col("tr")))
+        r6(col("lam")).as("lambda1"),
+        r6(when(col("tr") === 0.0, 0.0).otherwise(col("lam") / col("tr")))
           .as("var_share"))
       .orderBy("pos")
   }
@@ -879,12 +896,12 @@ object SimilarityOps {
   /** Oracle twin of [[pcaTopComponent]] — pex is 0-based (pos is an
     * OUTPUT column here, so it must match posexplode's indexing, unlike
     * kex where pos only ever joins against itself). Every CTE is
-    * MATERIALIZED: DuckDB inlines CTEs by default, and pv_t referencing
-    * pu_t twice (directly + through its norm) would re-expand the whole
-    * derivation per reference — the same exponential tree the Spark side
-    * truncates with localCheckpoint, here ending in "too many open
-    * files" against the embeddings scan. Materialization makes each of
-    * the PcaIters steps run exactly once, like the Spark loop. */
+    * MATERIALIZED: DuckDB inlines CTEs by default, and each squaring
+    * referencing its product twice (entries + max) would re-expand the
+    * whole derivation per reference — the same exponential tree the
+    * Spark side truncates with localCheckpoint, observed here as "too
+    * many open files" against the embeddings scan. Materialization makes
+    * each step run exactly once, like the Spark loop. */
   val pcaTopComponentSql: String = {
     val header = Seq(
       "pex AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos, (unnest(embedding))::DOUBLE AS v FROM embeddings)",
@@ -893,24 +910,32 @@ object SimilarityOps {
       """ps AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j,
         |  CAST(sum(CAST(a.v * b.v AS DECIMAL(38,18))) AS DOUBLE) AS s, count(*) AS cnt
         |FROM pex a JOIN pex b USING (vec_id) GROUP BY 1, 2)""".stripMargin,
-      """pcov AS MATERIALIZED (SELECT i, j, s / cnt - mi.m * mj.m AS c
+      """pm0 AS MATERIALIZED (SELECT i, j, s / cnt - mi.m * mj.m AS c
         |FROM ps JOIN pmu mi ON ps.i = mi.pos JOIN pmu mj ON ps.j = mj.pos)""".stripMargin,
       "pdim AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS d FROM pmu)",
       "pv0 AS MATERIALIZED (SELECT pos, 1.0 / sqrt(d) AS v FROM pmu, pdim)")
-    val iters = (1 to PcaIters).flatMap { t =>
+    val iters = (1 to PcaSquarings).flatMap { t =>
       Seq(
-        s"""pu$t AS MATERIALIZED (SELECT i AS pos, CAST(sum(CAST(c * v AS DECIMAL(38,18))) AS DOUBLE) AS u
-           |FROM pcov JOIN pv${t - 1} ON pcov.j = pv${t - 1}.pos GROUP BY 1)""".stripMargin,
-        s"pn$t AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(u * u AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM pu$t)",
-        s"pv$t AS MATERIALIZED (SELECT pos, CASE WHEN nrm = 0 THEN 0.0 ELSE u / nrm END AS v FROM pu$t, pn$t)")
+        s"""pp$t AS MATERIALIZED (SELECT a.i, b.j,
+           |  CAST(sum(CAST(a.c * b.c AS DECIMAL(38,18))) AS DOUBLE) AS c
+           |FROM pm${t - 1} a JOIN pm${t - 1} b ON a.j = b.i GROUP BY 1, 2)""".stripMargin,
+        s"psc$t AS MATERIALIZED (SELECT max(abs(c)) AS s FROM pp$t)",
+        s"pm$t AS MATERIALIZED (SELECT i, j, CASE WHEN s = 0 THEN 0.0 ELSE c / s END AS c FROM pp$t, psc$t)")
     }
     val tail =
-      s"""ptr AS (SELECT CAST(sum(CAST(c AS DECIMAL(38,18))) AS DOUBLE) AS tr FROM pcov WHERE i = j)
+      s"""pu AS MATERIALIZED (SELECT i AS pos, CAST(sum(CAST(c * v AS DECIMAL(38,18))) AS DOUBLE) AS u
+         |  FROM pm$PcaSquarings JOIN pv0 ON pm$PcaSquarings.j = pv0.pos GROUP BY 1),
+         |pn AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(u * u AS DECIMAL(38,18))) AS DOUBLE)) AS nrm FROM pu),
+         |pvf AS MATERIALIZED (SELECT pos, CASE WHEN nrm = 0 THEN 0.0 ELSE u / nrm END AS v FROM pu, pn),
+         |pw AS MATERIALIZED (SELECT pm0.i AS pos, CAST(sum(CAST(c * v AS DECIMAL(38,18))) AS DOUBLE) AS w
+         |  FROM pm0 JOIN pvf ON pm0.j = pvf.pos GROUP BY 1),
+         |plam AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(w * w AS DECIMAL(38,18))) AS DOUBLE)) AS lam FROM pw),
+         |ptr AS (SELECT CAST(sum(CAST(c AS DECIMAL(38,18))) AS DOUBLE) AS tr FROM pm0 WHERE i = j)
          |SELECT CAST(pos AS BIGINT) AS pos,
          |  floor(v * 1000000 + 0.5) / 1000000 AS loading,
-         |  floor(nrm * 1000000 + 0.5) / 1000000 AS lambda1,
-         |  floor((CASE WHEN tr = 0 THEN 0.0 ELSE nrm / tr END) * 1000000 + 0.5) / 1000000 AS var_share
-         |FROM pv$PcaIters, pn$PcaIters, ptr ORDER BY pos""".stripMargin
+         |  floor(lam * 1000000 + 0.5) / 1000000 AS lambda1,
+         |  floor((CASE WHEN tr = 0 THEN 0.0 ELSE lam / tr END) * 1000000 + 0.5) / 1000000 AS var_share
+         |FROM pvf, plam, ptr ORDER BY pos""".stripMargin
     s"WITH ${(header ++ iters).mkString(",\n")},\n$tail"
   }
 
@@ -942,8 +967,20 @@ object SimilarityOps {
     * DECIMAL(38,18) accumulation, argmin tie-broken on code id, seeds =
     * the PqK lowest (md5(vec_id), vec_id) vectors sliced per subspace.
     * At 100 TB: train the codebooks on a hash-sample, then the one
-    * full-corpus encoding pass is a single broadcast join + argmin. */
-  private[graft] def pqModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    * full-corpus encoding pass is a single broadcast join + argmin.
+    *
+    * Memoized per (appId, dir) like kmeansModel — q98 and the q100 ADC
+    * tier share one training run. */
+  private val pqCache =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+
+  private[graft] def pqModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    pqCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
+      val (cent, asg) = trainPq(spark, dir)
+      (cent.cache(), asg.cache())
+    })
+
+  private def trainPq(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val sex = emb(spark, dir)
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v0")))
       .select(col("vec_id"), expr(s"pos div $PqSubDim").as("sub"),
@@ -984,7 +1021,11 @@ object SimilarityOps {
       .orderBy("vec_id", "sub")
   }
 
-  val pqCodesSql: String = {
+  /** Shared q98/q100 oracle CTEs ending in qc$PqIters (codebooks) and
+    * qaf(vec_id, sub, code, dist) — ONE unrolled PQ training derivation
+    * mirroring pqModel exactly, so the code dump and the ADC serving
+    * oracle can't drift (the kmeansCtes pattern). */
+  private[operators] val pqCtes: String = {
     val header = Seq(
       s"""qex AS (SELECT vec_id, (pos0 - 1) // $PqSubDim AS sub, pos0 AS pos, v
          |FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos0,
@@ -1013,11 +1054,66 @@ object SimilarityOps {
            |GROUP BY 1, 2, 3)""".stripMargin)
     }
     val tail = Seq(distSql("qdf", s"qc$PqIters"), assignSql("qaf", "qdf"))
-    s"""WITH ${(header ++ iters ++ tail).mkString(",\n")}
+    (header ++ iters ++ tail).mkString(",\n")
+  }
+
+  val pqCodesSql: String =
+    s"""WITH $pqCtes
        |SELECT vec_id, CAST(sub AS BIGINT) AS sub, code,
        |  floor(CAST(dist AS DOUBLE) * 1000000 + 0.5) / 1000000 AS sq_err
        |FROM qaf ORDER BY vec_id, sub""".stripMargin
+
+  // ---- q100: PQ serving via asymmetric distance computation (ADC) ---------
+
+  /** q100: top-k by PQ-approximate distance — the serving pattern q98's
+    * codebooks exist for. The query side precomputes ONE distance table:
+    * ‖q_sub − c‖² for every (subspace, code) — PqM·PqK = 32 rows derived
+    * from the query vector alone. The corpus side then never touches a
+    * float: each vector is its PqM codes, the approximate distance is a
+    * table lookup + sum, and the top-k is a TakeOrdered. At 100 TB the
+    * scanned payload is 12 bits/vector instead of 256 bytes — the codes
+    * column is the index. Distances stay DECIMAL end-to-end, so the
+    * ranking order is EXACT in both engines (no float-sum tie hazards);
+    * r6 happens only on the emitted column. */
+  def annPqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val (cent, asg) = pqModel(spark, dir)
+    val q = embLong(spark, dir).filter(col("vec_id") === QueryVecId)
+      .select(col("pos"), col("v").as("qv"))
+    val dtab = cent.join(broadcast(q), "pos")
+      .groupBy("sub", "code")
+      .agg(sum(((col("qv") - col("c")) * (col("qv") - col("c")))
+        .cast("decimal(38,18)")).as("d"))
+    asg.select("vec_id", "sub", "code")
+      .join(broadcast(dtab), Seq("sub", "code"))
+      .groupBy("vec_id")
+      .agg(sum(col("d")).as("adist"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+      .limit(TopK)
+      .select(col("vec_id"),
+        row_number().over(Window.orderBy(col("adist").asc, col("vec_id").asc))
+          .cast("long").as("rank"),
+        r6(col("adist").cast("double")).as("adist"))
+      .orderBy("rank")
   }
+
+  val annPqAdcSql: String =
+    s"""WITH $pqCtes,
+       |aq AS (SELECT pos0 AS pos, v AS qv
+       |       FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos0,
+       |               (unnest(embedding))::DOUBLE AS v FROM embeddings)
+       |       WHERE vec_id = $QueryVecId),
+       |adtab AS (SELECT qc.sub, qc.code,
+       |    sum(CAST((qv - c) * (qv - c) AS DECIMAL(38,18))) AS d
+       |  FROM qc$PqIters qc JOIN aq ON qc.pos = aq.pos GROUP BY 1, 2),
+       |ad AS (SELECT vec_id, sum(d) AS adist
+       |       FROM qaf JOIN adtab USING (sub, code) GROUP BY 1)
+       |SELECT vec_id, rank,
+       |  floor(CAST(adist AS DOUBLE) * 1000000 + 0.5) / 1000000 AS adist
+       |FROM (
+       |  SELECT vec_id, adist,
+       |    CAST(row_number() OVER (ORDER BY adist ASC, vec_id ASC) AS BIGINT) AS rank
+       |  FROM ad)
+       |WHERE rank <= $TopK ORDER BY rank""".stripMargin
 
   // -------------------------------------------------------------------------
 
@@ -1031,7 +1127,8 @@ object SimilarityOps {
     "q53_embedding_quantization" -> (embeddingQuantization _),
     "q77_ann_ivf_int8" -> (annIvfInt8 _),
     "q79_ivf_recall_curve" -> (ivfRecallCurve _),
-    "q98_pq_codes" -> (pqCodes _))
+    "q98_pq_codes" -> (pqCodes _),
+    "q100_ann_pq_adc" -> (annPqAdc _))
 
   val oracles: Map[String, String] = Map(
     "q97_pca_top_component" -> pcaTopComponentSql,
@@ -1043,5 +1140,6 @@ object SimilarityOps {
     "q52_ann_lsh" -> annLshSql,
     "q53_embedding_quantization" -> embeddingQuantizationSql,
     "q79_ivf_recall_curve" -> ivfRecallCurveSql,
-    "q98_pq_codes" -> pqCodesSql)
+    "q98_pq_codes" -> pqCodesSql,
+    "q100_ann_pq_adc" -> annPqAdcSql)
 }

@@ -23,7 +23,8 @@ object ExplainAudit {
       "q86_semantic_dedup", "q87_zipf_slope", "q88_source_overlap",
       "q89_pii_scrub", "q91_quality_classifier", "q92_bpe_merge_table",
       "q93_bpe_token_counts", "q94_learned_curation", "q95_classifier_calibration",
-      "q96_classifier_auc", "q97_pca_top_component",
+      "q96_classifier_auc", "q97_pca_top_component", "q98_pq_codes",
+      "q99_weighted_sample", "q100_ann_pq_adc", "q59_interval_join",
       "q62_user_sessions", "q67_retention_cohorts", "q69_event_anomalies",
       "q70_media_meta", "q72_frame_sample")
 

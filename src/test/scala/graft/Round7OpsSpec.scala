@@ -396,6 +396,40 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("q100 ADC ranking equals a direct lookup-table recomputation") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SimilarityOps.annPqAdc(spark, dir).collect()
+    assert(out.length == SimilarityOps.TopK)
+    assert(out.map(_.getAs[Long]("rank")).toSeq == (1L to out.length).toSeq)
+
+    val (centF, asgF) = SimilarityOps.pqModel(spark, dir)
+    val cent = centF.collect()
+      .groupBy(r => (r.getAs[Long]("sub"), r.getAs[Long]("code")))
+      .view.mapValues(_.map(r => r.getAs[Int]("pos") -> r.getAs[Double]("c")).toMap)
+      .toMap
+    val codes = asgF.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sub")) -> r.getAs[Long]("code"))
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      .toMap
+    val qv = vecs(SimilarityOps.QueryVecId)
+    // distance table from the query alone, then per-vector lookup + sum
+    val dtab = cent.map { case (k, c) =>
+      k -> c.map { case (pos, cv) => val d = qv(pos) - cv; d * d }.sum
+    }
+    val adist = codes.groupBy(_._1._1).map { case (vecId, sc) =>
+      vecId -> sc.map { case ((_, sub), code) => dtab((sub, code)) }.sum
+    }
+    val expect = adist.toSeq.sortBy { case (id, d) => (d, id) }
+      .take(out.length).map(_._1)
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == expect,
+      "ADC top-k differs from recomputed lookup-table ranking")
+    // the approximation is informative: the true nearest vector (the query
+    // itself, distance 0 to its own codes' reconstruction) ranks first
+    assert(out.head.getAs[Long]("vec_id") == SimilarityOps.QueryVecId)
+  }
+
   test("q99 weighted sample is the exact top-N of the recomputed A-ES keys") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.operators.TextAnalysisOps.weightedSample(spark, dir).collect()
