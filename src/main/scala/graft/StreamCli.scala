@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.streaming.StreamingOps
 
-/** `sbt "runMain graft.StreamEvents <sfDir> [hourly|sessions|running|dedup|quality]"`
+/** `sbt "runMain graft.StreamEvents <sfDir> [hourly|sessions|running|dedup|quality|interval]"`
   * — run the Structured Streaming operators over the events table as a
   * bounded file stream (micro-batch to completion), print the resulting
   * table. `running` exercises the custom flatMapGroupsWithState state;
@@ -91,13 +91,18 @@ object StreamEvents {
 
     import spark.implicits._
     val out = mode match {
+      case "interval" => StreamingOps.intervalMatches(events, "1 hour")
       case "sessions" => StreamingOps.userSessions(events)
       case "running" => StreamingOps.runningUserTotals(
         events.select("event_id", "ts", "user_id", "event_type", "value")
           .as[graft.streaming.EventRow]).toDF()
       case _ => StreamingOps.hourlyCounts(events)
     }
-    val outputMode = if (mode == "running") "update" else "complete"
+    val outputMode = mode match {
+      case "running" => "update"
+      case "interval" => "append" // stream-stream inner join emits matches eagerly
+      case _ => "complete"
+    }
     val q = out.writeStream.outputMode(outputMode)
       .format("memory").queryName("stream_out").start()
     q.processAllAvailable()

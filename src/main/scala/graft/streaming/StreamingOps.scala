@@ -43,6 +43,45 @@ object StreamingOps {
       .select(unix_timestamp(col("window.start")).as("hour_epoch"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming twin of the batch q59 cross-key interval join
+    * (EventsOps.intervalJoin): every purchase matched to site-wide view
+    * activity within ±IntervalS, expressed as a watermarked stream-stream
+    * self-join with a two-sided event-time range predicate — the Flink
+    * interval-join shape on Structured Streaming. One row per
+    * (purchase, view) match; the per-purchase aggregate (the batch
+    * output's shape) composes downstream of this frame.
+    *
+    * Scale/state notes: Structured Streaming refuses a stream-stream
+    * join without an equality predicate, so the batch q59 bin-bucketing
+    * trick is not just an optimization here — it is what makes the
+    * streaming formulation EXPRESSIBLE: views key on their one
+    * interval-width time bin (micros-exact, so the 3-bin cover proof
+    * holds at full timestamp precision), purchases explode to their 3
+    * covering bins, and the exact ±interval predicate rides along as the
+    * range condition. The range condition plus BOTH watermarks lets
+    * Spark bound each side's join state to the watermark horizon +
+    * interval; inner-join matches emit eagerly (no watermark wait), and
+    * late data inside `delay` still joins.
+    */
+  def intervalMatches(events: DataFrame, delay: String): DataFrame = {
+    val w = graft.operators.EventsOps.IntervalS
+    val wUs = w * 1000000L
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("ts").as("p_ts"))
+      .withColumn("pb", floor(unix_micros(col("p_ts")) / wUs))
+      .withColumn("pbin", explode(array(col("pb") - 1, col("pb"), col("pb") + 1)))
+      .withWatermark("p_ts", delay)
+    val v = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("v_event_id"), col("user_id").as("v_user"),
+        col("value").as("v_value"), col("ts").as("v_ts"))
+      .withColumn("vbin", floor(unix_micros(col("v_ts")) / wUs))
+      .withWatermark("v_ts", delay)
+    p.join(v, expr(
+        s"pbin = vbin AND v_ts BETWEEN p_ts - INTERVAL $w SECONDS" +
+          s" AND p_ts + INTERVAL $w SECONDS"))
+      .drop("pb", "pbin", "vbin")
+  }
+
   /** Custom cross-batch state via flatMapGroupsWithState: running per-user
     * totals + error counts that survive micro-batch boundaries — the escape
     * hatch for state the built-in windows can't express. Each emission is

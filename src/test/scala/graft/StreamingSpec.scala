@@ -318,6 +318,37 @@ class StreamingSpec extends SparkSpec {
       .filter(survivors("bucket") =!= batch("bucket")).isEmpty)
   }
 
+  test("streaming interval join emits exactly the in-horizon purchase-view pairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents()
+    val stream = MemoryStream[Ev]
+    stream.addData(events)
+
+    val q = StreamingOps.intervalMatches(stream.toDF(), "1 hour")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ij_out").start()
+    try q.processAllAvailable() finally q.stop()
+
+    val got = spark.table("ij_out")
+      .select("p_event_id", "v_event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // Expected pair set at the stream's own (micros) precision — the
+    // batch q59 truncates to whole seconds first, so its counts are the
+    // wrong oracle exactly at |Δt| = interval boundaries.
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    val w = graft.operators.EventsOps.IntervalS * 1000000L
+    val ps = events.filter(_.event_type == "purchase")
+    val vs = events.filter(_.event_type == "view")
+    val expect = (for {
+      p <- ps; v <- vs if math.abs(us(p.ts) - us(v.ts)) <= w
+    } yield (p.event_id, v.event_id)).toSet
+    assert(expect.nonEmpty, "test data has no in-horizon pairs")
+    assert(got == expect,
+      s"pair sets differ: got ${got.size}, expected ${expect.size}")
+  }
+
   test("streaming session_window yields plausible sessions with bounded counts") {
     implicit val sqlCtx = spark.sqlContext
     val events = loadEvents()
