@@ -329,6 +329,43 @@ object RelationalOps {
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY gid, returnflag, linestatus""".stripMargin
 
+  // ---- q16: GROUPING SETS (the non-hierarchical cube slice) ---------------
+
+  /** q16: an explicit grouping-set list — per-returnflag AND
+    * per-linestatus marginals in one pass, with neither the pairwise
+    * detail nor the grand total (so it is expressible by neither rollup
+    * nor cube without waste). Spark plans GROUPING SETS exactly like
+    * cube: one Expand (2 rows per input here) + one hash aggregate —
+    * N marginals for one shuffle instead of N separate groupBys over the
+    * corpus. Same gid/revenue conventions as q13. */
+  def groupingSetsSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus")))
+          .cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        (round(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,8)")), 2) * 100).cast("long")
+          .as("revenue_cents"))
+      .select(col("gid"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("revenue_cents"))
+      .orderBy("gid", "returnflag", "linestatus")
+
+  val groupingSetsSummarySql: String =
+    """SELECT CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+      |  coalesce(l_returnflag, 'ALL') AS returnflag,
+      |  coalesce(l_linestatus, 'ALL') AS linestatus,
+      |  count(*) AS n,
+      |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))), 2) * 100 AS BIGINT) AS revenue_cents
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY gid, returnflag, linestatus""".stripMargin
+
   // ---- q14: exact interpolated quantiles ----------------------------------
 
   /** Per-flag exact quartiles of l_extendedprice. Spark's `percentile`
@@ -390,6 +427,7 @@ object RelationalOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_cube_summary" -> (cubeSummary _),
+    "q16_grouping_sets" -> (groupingSetsSummary _),
     "q14_price_quantiles" -> (priceQuantiles _),
     "q15_approx_price_quantiles" -> (approxPriceQuantiles _),
     "q11_salted_order_revenue" -> (saltedOrderRevenue _),
@@ -407,6 +445,7 @@ object RelationalOps {
 
   val oracles: Map[String, String] = Map(
     "q13_cube_summary" -> cubeSummarySql,
+    "q16_grouping_sets" -> groupingSetsSummarySql,
     "q14_price_quantiles" -> priceQuantilesSql,
     "q11_salted_order_revenue" -> saltedOrderRevenueSql,
     "q01_pricing_summary" -> pricingSummarySql,

@@ -979,6 +979,143 @@ object TextAnalysisOps {
        |  floor((coalesce(ssum / n_bigrams, 0.0)) * 1000000 + 0.5) / 1000000 AS mean_surprisal
        |FROM documents d LEFT JOIN per USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  // ---- q103: boilerplate cleaning pass (C4-style) -------------------------
+
+  /** URL pattern in the proven Java-regex/RE2 common subset (see q89's
+    * note): no lookaround, leftmost-longest alternation-free matching. */
+  val CleanUrlRe = """https?://[^\s]+"""
+  /** Repeated-punctuation runs (3+ of the same separator chars). */
+  val CleanPunctRe = """[!?.,;:*#=~_-]{3,}"""
+
+  /** q103: the deterministic text-cleaning pass a web corpus runs before
+    * anything else touches it — strip URLs and email addresses (reusing
+    * q89's email pattern), collapse repeated-punctuation runs to one
+    * placeholder char, squeeze whitespace, trim. Emits per-doc removal
+    * counts, before/after lengths, the removed-character fraction, and
+    * the md5 of the cleaned text (the dedup tiers' input were this
+    * chained). Entirely row-local regex work in whole-stage codegen —
+    * one pass, no shuffle beyond the ordered dump (q89's scale shape).
+    */
+  def cleanText(spark: SparkSession, dir: String): DataFrame = {
+    val t = lower(col("text"))
+    val cleaned = trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, CleanUrlRe, " "),
+          PiiEmailRe, " "),
+        CleanPunctRe, "."),
+      """\s+""", " "))
+    docs(spark, dir).select(col("doc_id"),
+        size(regexp_extract_all(t, lit(CleanUrlRe), lit(0))).cast("long").as("n_urls"),
+        size(regexp_extract_all(t, lit(PiiEmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(t, lit(CleanPunctRe), lit(0))).cast("long").as("n_punct_runs"),
+        length(t).cast("long").as("n_chars_raw"),
+        length(cleaned).cast("long").as("n_chars_clean"),
+        r6(when(length(t) === 0, 0.0)
+          .otherwise((length(t) - length(cleaned)).cast("double") /
+            length(t).cast("double"))).as("removed_frac"),
+        md5(cleaned).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  val cleanTextSql: String = {
+    val ws = """\s+"""
+    val cleaned = s"""trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(text),
+       |    '$CleanUrlRe', ' ', 'g'), '$PiiEmailRe', ' ', 'g'), '$CleanPunctRe', '.', 'g'), '$ws', ' ', 'g'))"""
+    s"""SELECT doc_id,
+       |  CAST(len(regexp_extract_all(lower(text), '$CleanUrlRe')) AS BIGINT) AS n_urls,
+       |  CAST(len(regexp_extract_all(lower(text), '$PiiEmailRe')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(lower(text), '$CleanPunctRe')) AS BIGINT) AS n_punct_runs,
+       |  CAST(length(lower(text)) AS BIGINT) AS n_chars_raw,
+       |  CAST(length($cleaned) AS BIGINT) AS n_chars_clean,
+       |  floor((CASE WHEN length(lower(text)) = 0 THEN 0.0
+       |    ELSE CAST(length(lower(text)) - length($cleaned) AS DOUBLE) / length(lower(text))
+       |    END) * 1000000 + 0.5) / 1000000 AS removed_frac,
+       |  md5($cleaned) AS clean_md5
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- q101/q102: interpolated Kneser-Ney bigram LM -----------------------
+
+  /** Absolute discount D for interpolated Kneser-Ney. 0.75 (the standard
+    * choice) is exact in double, and every other operand is
+    * exact-integer-derived, so the probability arithmetic is
+    * engine-portable op by op. */
+  val KnDiscount = 0.75
+
+  /** Count frame for KN: observed bigrams with c12, left totals c1,
+    * N1+(w1·) (distinct continuations of w1 = rows per w1 in the distinct
+    * pair table), N1+(·w2) (distinct left contexts of w2), and N1+(··)
+    * (total distinct bigram types). One (w1,w2) aggregate then three
+    * metadata-scale regroupings — at 100 TB the pair table is the only
+    * big intermediate, and it is vocab²-bounded, far below the token
+    * stream. */
+  private[graft] def knFrame(spark: SparkSession, dir: String): DataFrame = {
+    val c12 = bigramPairs(spark, dir).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"), count(lit(1)).as("n1w1"))
+    val cont = c12.groupBy("w2").agg(count(lit(1)).as("n1w2"))
+    val tot = c12.agg(count(lit(1)).as("ntypes"))
+    c12.join(c1, "w1").join(cont, "w2").crossJoin(broadcast(tot))
+  }
+
+  /** p_KN(w2|w1) for observed bigrams: discounted ML mass plus the
+    * back-off weight λ(w1) = D·N1+(w1·)/c1 times the continuation
+    * probability N1+(·w2)/N1+(··) — the novel-continuation estimate that
+    * makes KN the standard n-gram smoother (add-k, q73, over-rewards
+    * frequent unigrams in unseen contexts; KN rewards versatile ones). */
+  private def pkn: Column =
+    (col("c12") - KnDiscount) / col("c1") +
+      (lit(KnDiscount) * col("n1w1") / col("c1")) *
+        (col("n1w2") / col("ntypes").cast("double"))
+
+  /** q101: the trained KN model table — same shape/order contract as q73
+    * so the two smoothers compare row for row. */
+  def knBigramLm(spark: SparkSession, dir: String): DataFrame =
+    knFrame(spark, dir)
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), r6(pkn).as("p_kn"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
+      .limit(BigramTop)
+
+  /** q102: per-document mean KN surprisal — q74's quality filter under
+    * the better-calibrated smoother. Join/aggregate shape identical to
+    * q74 (AQE-chosen join, DECIMAL surprisal sums). */
+  def knSurprisal(spark: SparkSession, dir: String): DataFrame = {
+    val lm = knFrame(spark, dir).select(col("w1"), col("w2"), (-log(pkn)).as("surp"))
+    val per = bigramPairs(spark, dir).join(lm, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), dsum(col("surp")).as("ssum"))
+    docs(spark, dir).select("doc_id").join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        r6(coalesce(col("ssum") / col("n_bigrams"), lit(0.0))).as("mean_kn_surprisal"))
+      .orderBy("doc_id")
+  }
+
+  private val knCtes: String =
+    s"""$bigramCtes,
+       |kc1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1w1
+       |        FROM cb GROUP BY w1),
+       |kcont AS (SELECT w2, count(*) AS n1w2 FROM cb GROUP BY w2),
+       |ktot AS (SELECT count(*) AS ntypes FROM cb),
+       |klm AS (SELECT w1, w2, c12, c1,
+       |    (c12 - $KnDiscount) / c1 + ($KnDiscount * n1w1 / c1) * (n1w2 / CAST(ntypes AS DOUBLE)) AS pkn
+       |  FROM cb JOIN kc1 USING (w1) JOIN kcont USING (w2), ktot)""".stripMargin
+
+  val knBigramLmSql: String =
+    s"""WITH $knCtes
+       |SELECT w1, w2, c12, c1,
+       |  floor(pkn * 1000000 + 0.5) / 1000000 AS p_kn
+       |FROM klm ORDER BY c12 DESC, w1, w2 LIMIT $BigramTop""".stripMargin
+
+  val knSurprisalSql: String =
+    s"""WITH $knCtes,
+       |kper AS (SELECT doc_id, count(*) AS n_bigrams,
+       |           CAST(sum(CAST(-ln(pkn) AS DECIMAL(30,8))) AS DOUBLE) AS ssum
+       |         FROM bi JOIN klm USING (w1, w2) GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams,
+       |  floor((coalesce(ssum / n_bigrams, 0.0)) * 1000000 + 0.5) / 1000000 AS mean_kn_surprisal
+       |FROM documents d LEFT JOIN kper USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   // ---- q78: token-budget corpus curation (quality-greedy budget fill) -----
 
   /** Integer micro-score bucket key (ADVICE r6): qkey = floor(q·10⁶ + 0.5)
@@ -1834,6 +1971,9 @@ object TextAnalysisOps {
     "q37_top_terms_per_doc" -> (topTermsPerDoc _),
     "q38_stratified_sample" -> (stratifiedSample _),
     "q99_weighted_sample" -> (weightedSample _),
+    "q101_kn_bigram_lm" -> (knBigramLm _),
+    "q102_kn_surprisal" -> (knSurprisal _),
+    "q103_clean_text" -> (cleanText _),
     "q30_text_quality" -> (textQuality _),
     "q31_token_counts" -> (tokenCounts _),
     "q32_lang_stats" -> (langStats _),
@@ -1864,6 +2004,9 @@ object TextAnalysisOps {
     "q37_top_terms_per_doc" -> topTermsPerDocSql,
     "q38_stratified_sample" -> stratifiedSampleSql,
     "q99_weighted_sample" -> weightedSampleSql,
+    "q101_kn_bigram_lm" -> knBigramLmSql,
+    "q102_kn_surprisal" -> knSurprisalSql,
+    "q103_clean_text" -> cleanTextSql,
     "q30_text_quality" -> textQualitySql,
     "q31_token_counts" -> tokenCountsSql,
     "q32_lang_stats" -> langStatsSql,

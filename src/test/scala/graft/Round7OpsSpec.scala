@@ -396,6 +396,82 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
+  test("q101 KN probabilities sum to exactly 1 over the full continuation vocab") {
+    val dir = "/root/testdata/sf0.001"
+    val frame = graft.operators.TextAnalysisOps.knFrame(spark, dir).collect()
+    val D = graft.operators.TextAnalysisOps.KnDiscount
+    val ntypes = frame.head.getAs[Long]("ntypes").toDouble
+    // continuation distribution: pcont(w2) = N1+(·w2)/N1+(··), sums to 1
+    val pcont = frame.map(r => r.getAs[String]("w2") -> r.getAs[Long]("n1w2"))
+      .distinct.toMap
+    assert(math.abs(pcont.values.sum / ntypes - 1.0) < 1e-9, "pcont not a distribution")
+
+    val byW1 = frame.groupBy(_.getAs[String]("w1"))
+    val sample = byW1.keys.toSeq.sorted.take(25)
+    sample.foreach { w1 =>
+      val rows = byW1(w1)
+      val c1 = rows.head.getAs[Long]("c1").toDouble
+      val n1w1 = rows.head.getAs[Long]("n1w1").toDouble
+      val lam = D * n1w1 / c1
+      val observed = rows.map { r =>
+        (r.getAs[Long]("c12") - D) / c1 + lam * (r.getAs[Long]("n1w2") / ntypes)
+      }.sum
+      val observedW2 = rows.map(_.getAs[String]("w2")).toSet
+      val unseen = pcont.collect {
+        case (w2, n) if !observedW2.contains(w2) => lam * (n / ntypes)
+      }.sum
+      assert(math.abs(observed + unseen - 1.0) < 1e-9,
+        s"KN mass for '$w1' sums to ${observed + unseen}")
+      assert(rows.forall { r =>
+        val p = (r.getAs[Long]("c12") - D) / c1 + lam * (r.getAs[Long]("n1w2") / ntypes)
+        p > 0 && p < 1
+      }, s"p_kn out of (0,1) for '$w1'")
+    }
+  }
+
+  test("q102 KN surprisal covers every doc and is positive where bigrams exist") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.operators.TextAnalysisOps.knSurprisal(spark, dir).collect()
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(out.length == nDocs)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_bigrams")
+      val s = r.getAs[Double]("mean_kn_surprisal")
+      if (n > 0) assert(s > 0, s"doc ${r.getAs[Long]("doc_id")}: surprisal $s")
+      else assert(s == 0.0)
+    }
+  }
+
+  test("q103 cleaning scrubs planted boilerplate and passes clean text through") {
+    val out = java.nio.file.Files.createTempDirectory("graft_clean").toString
+    val dirty = "Read THIS at https://ex.com/a?b=1 now!!!! mail bob@example.com   ok"
+    val clean = "just a plain sentence"
+    Seq((1L, dirty), (2L, clean)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val got = graft.operators.TextAnalysisOps.cleanText(spark, out)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+    val d = got(1L)
+    assert(d.getAs[Long]("n_urls") == 1 && d.getAs[Long]("n_emails") == 1 &&
+      d.getAs[Long]("n_punct_runs") == 1)
+    // expected string via the same pipeline in JVM regex
+    val expected = dirty.toLowerCase
+      .replaceAll(graft.operators.TextAnalysisOps.CleanUrlRe, " ")
+      .replaceAll(graft.operators.TextAnalysisOps.PiiEmailRe, " ")
+      .replaceAll(graft.operators.TextAnalysisOps.CleanPunctRe, ".")
+      .replaceAll("\\s+", " ").trim
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(d.getAs[String]("clean_md5") == md5hex(expected))
+    assert(d.getAs[Double]("removed_frac") > 0)
+
+    val c = got(2L)
+    assert(c.getAs[Long]("n_urls") == 0 && c.getAs[Long]("n_emails") == 0)
+    assert(c.getAs[String]("clean_md5") == md5hex(clean))
+    assert(c.getAs[Double]("removed_frac") == 0.0)
+  }
+
   test("q100 ADC ranking equals a direct lookup-table recomputation") {
     val dir = "/root/testdata/sf0.001"
     val out = SimilarityOps.annPqAdc(spark, dir).collect()
