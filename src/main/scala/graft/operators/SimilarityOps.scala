@@ -1115,6 +1115,69 @@ object SimilarityOps {
        |  FROM ad)
        |WHERE rank <= $TopK ORDER BY rank""".stripMargin
 
+  // ---- q104: IVF-PQ — pruned probe + compressed scan (the FAISS combo) ----
+
+  /** q104: the composed serving index — IVF coarse probing picks the
+    * NProbe nearest learned cells (partition pruning at scale, exactly
+    * q51's probe), and candidates are ranked by PQ asymmetric distance
+    * (q100's lookup table) instead of raw floats. This is the standard
+    * large-scale ANN layout (IVF+PQ): the probe never reads 98% of the
+    * index, and what it does read is 12-bit codes, not 256-byte vectors —
+    * the two compressions multiply. Shares the memoized kmeansModel and
+    * pqModel builds with q51/q58/q98/q100; distances stay DECIMAL so the
+    * ranking is exact in both engines. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val (kcent, kasg) = kmeansModel(spark, dir)
+    val (pcent, pasg) = pqModel(spark, dir)
+    val qx = embLong(spark, dir).filter(col("vec_id") === QueryVecId)
+    val probed = sqDist(qx, kcent)
+      .orderBy(col("dist").asc, col("cluster").asc)
+      .limit(NProbe)
+      .select("cluster")
+    val dtab = pcent.join(broadcast(qx.select(col("pos"), col("v").as("qv"))), "pos")
+      .groupBy("sub", "code")
+      .agg(sum(((col("qv") - col("c")) * (col("qv") - col("c")))
+        .cast("decimal(38,18)")).as("d"))
+    kasg.join(broadcast(probed), "cluster")
+      .join(pasg.select("vec_id", "sub", "code"), "vec_id")
+      .join(broadcast(dtab), Seq("sub", "code"))
+      .groupBy("vec_id")
+      .agg(sum(col("d")).as("adist"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+      .limit(TopK)
+      .select(col("vec_id"),
+        row_number().over(Window.orderBy(col("adist").asc, col("vec_id").asc))
+          .cast("long").as("rank"),
+        r6(col("adist").cast("double")).as("adist"))
+      .orderBy("rank")
+  }
+
+  val annIvfPqSql: String =
+    s"""WITH $kmeansCtes,
+       |$pqCtes,
+       |iqd AS (SELECT cluster, sum(CAST((v - c) * (v - c) AS DECIMAL(38,18))) AS dist
+       |        FROM (SELECT pos, v FROM kex WHERE vec_id = $QueryVecId) x
+       |        JOIN kcent USING (pos) GROUP BY 1),
+       |iprobe AS (SELECT cluster FROM iqd ORDER BY dist ASC, cluster ASC LIMIT $NProbe),
+       |iaq AS (SELECT pos0 AS pos, v AS qv
+       |        FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos0,
+       |                (unnest(embedding))::DOUBLE AS v FROM embeddings)
+       |        WHERE vec_id = $QueryVecId),
+       |idtab AS (SELECT qc.sub, qc.code,
+       |    sum(CAST((qv - c) * (qv - c) AS DECIMAL(38,18))) AS d
+       |  FROM qc$PqIters qc JOIN iaq ON qc.pos = iaq.pos GROUP BY 1, 2),
+       |iad AS (SELECT qaf.vec_id, sum(d) AS adist
+       |        FROM kasg JOIN iprobe USING (cluster)
+       |        JOIN qaf ON kasg.vec_id = qaf.vec_id
+       |        JOIN idtab USING (sub, code) GROUP BY 1)
+       |SELECT vec_id, rank,
+       |  floor(CAST(adist AS DOUBLE) * 1000000 + 0.5) / 1000000 AS adist
+       |FROM (
+       |  SELECT vec_id, adist,
+       |    CAST(row_number() OVER (ORDER BY adist ASC, vec_id ASC) AS BIGINT) AS rank
+       |  FROM iad)
+       |WHERE rank <= $TopK ORDER BY rank""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1128,7 +1191,8 @@ object SimilarityOps {
     "q77_ann_ivf_int8" -> (annIvfInt8 _),
     "q79_ivf_recall_curve" -> (ivfRecallCurve _),
     "q98_pq_codes" -> (pqCodes _),
-    "q100_ann_pq_adc" -> (annPqAdc _))
+    "q100_ann_pq_adc" -> (annPqAdc _),
+    "q104_ann_ivfpq" -> (annIvfPq _))
 
   val oracles: Map[String, String] = Map(
     "q97_pca_top_component" -> pcaTopComponentSql,
@@ -1141,5 +1205,6 @@ object SimilarityOps {
     "q53_embedding_quantization" -> embeddingQuantizationSql,
     "q79_ivf_recall_curve" -> ivfRecallCurveSql,
     "q98_pq_codes" -> pqCodesSql,
-    "q100_ann_pq_adc" -> annPqAdcSql)
+    "q100_ann_pq_adc" -> annPqAdcSql,
+    "q104_ann_ivfpq" -> annIvfPqSql)
 }

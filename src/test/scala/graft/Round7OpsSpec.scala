@@ -506,6 +506,56 @@ class Round7OpsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("vec_id") == SimilarityOps.QueryVecId)
   }
 
+  test("q104 IVF-PQ equals the ADC ranking restricted to the probed cells") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SimilarityOps.annIvfPq(spark, dir).collect()
+    assert(out.length == SimilarityOps.TopK)
+
+    // Recompute: probe set from the collected k-means model, candidates'
+    // ADC distances from the collected PQ codebooks.
+    val (kcentF, kasgF) = SimilarityOps.kmeansModel(spark, dir)
+    val kcent = kcentF.collect()
+      .groupBy(_.getAs[Long]("cluster"))
+      .view.mapValues(_.map(r => r.getAs[Int]("pos") -> r.getAs[Double]("c")).toMap)
+      .toMap
+    val kasg = kasgF.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      .toMap
+    val qv = vecs(SimilarityOps.QueryVecId)
+    val probed = kcent.toSeq.map { case (cl, c) =>
+      cl -> c.map { case (pos, cv) => val d = qv(pos) - cv; d * d }.sum
+    }.sortBy { case (cl, d) => (d, cl) }.take(SimilarityOps.NProbe).map(_._1).toSet
+
+    val (pcentF, pasgF) = SimilarityOps.pqModel(spark, dir)
+    val pcent = pcentF.collect()
+      .groupBy(r => (r.getAs[Long]("sub"), r.getAs[Long]("code")))
+      .view.mapValues(_.map(r => r.getAs[Int]("pos") -> r.getAs[Double]("c")).toMap)
+      .toMap
+    val dtab = pcent.map { case (k, c) =>
+      k -> c.map { case (pos, cv) => val d = qv(pos) - cv; d * d }.sum
+    }
+    val codes = pasgF.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sub")) -> r.getAs[Long]("code"))
+    val adist = codes.groupBy(_._1._1).map { case (vecId, sc) =>
+      vecId -> sc.map { case ((_, sub), code) => dtab((sub, code)) }.sum
+    }
+    val expect = adist.toSeq
+      .filter { case (id, _) => probed.contains(kasg(id)) }
+      .sortBy { case (id, d) => (d, id) }
+      .take(out.length).map(_._1)
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq == expect,
+      "IVF-PQ top-k differs from the probe-restricted ADC ranking")
+    // the composition genuinely pruned: some vector outside the probed
+    // cells would have ranked inside the top-k under full ADC
+    val fullTop = adist.toSeq.sortBy { case (id, d) => (d, id) }
+      .take(out.length).map(_._1)
+    assert(fullTop.exists(id => !probed.contains(kasg(id))),
+      "probe pruned nothing — spec can't distinguish q104 from q100")
+  }
+
   test("q99 weighted sample is the exact top-N of the recomputed A-ES keys") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.operators.TextAnalysisOps.weightedSample(spark, dir).collect()
