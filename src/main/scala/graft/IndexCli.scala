@@ -58,6 +58,8 @@ object BuildVectorIndex {
     graft.operators.SimilarityOps.indexArtifacts(spark, dir)
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$out/vectors")
     cent.write.mode("overwrite").parquet(s"$out/centroids")
+    graft.operators.SimilarityOps.pqModel(spark, dir)._1
+      .write.mode("overwrite").parquet(s"$out/pq_centroids")
 
     val reread = spark.read.parquet(s"$out/vectors")
     val sizes = reread.groupBy("cluster").count().orderBy("cluster").collect()
@@ -240,9 +242,12 @@ object ServeVectorIndex {
       .map(r => s"${r.getAs[Long]("vec_id")}:${r.getAs[Double]("cos")}")
     val top8 = SimilarityOps.annIvfInt8Serve(spark, idx, qv).limit(5).collect()
       .map(r => s"${r.getAs[Long]("vec_id")}:${r.getAs[Double]("qcos")}")
+    val topPq = SimilarityOps.annPqServe(spark, idx, qv).limit(5).collect()
+      .map(r => s"${r.getAs[Long]("vec_id")}:${r.getAs[Double]("adist")}")
     println(s"[vserve] idx=$idx nprobe=${SimilarityOps.NProbeServe} " +
       s"probe_partition_pruned=$pruned " +
-      s"float_top5=${top.mkString(",")} int8_top5=${top8.mkString(",")}")
+      s"float_top5=${top.mkString(",")} int8_top5=${top8.mkString(",")} " +
+      s"pq_top5=${topPq.mkString(",")}")
     spark.stop()
   }
 }

@@ -447,8 +447,16 @@ object SimilarityOps {
     val (_, asg) = kmeansModel(spark, dir)
     emb(spark, dir).select("vec_id", "embedding")
       .join(int8Codes(embLong(spark, dir)), "vec_id")
+      .join(pqCodeColumn(pqModel(spark, dir)._2), "vec_id")
       .join(asg, "vec_id")
   }
+
+  /** Collapse a long-form PQ assignment (vec_id, sub, code) to the
+    * per-vector `pq_codes` index column (codes ordered by subspace). */
+  private def pqCodeColumn(pasg: DataFrame): DataFrame =
+    pasg.groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        s => s.getField("code")).as("pq_codes"))
 
   /** Per-vector int8 codes + scale from a long-form (vec_id, pos, v)
     * frame — q53/q77's symmetric quantization, materialized as index
@@ -474,11 +482,13 @@ object SimilarityOps {
     * signal for when accumulated drift warrants a retrain. */
   def appendArtifacts(spark: SparkSession, indexDir: String, delta: DataFrame): DataFrame = {
     val cent = spark.read.parquet(s"$indexDir/centroids")
+    val pqCent = spark.read.parquet(s"$indexDir/pq_centroids")
     val ex = delta
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v0")))
       .select(col("vec_id"), col("pos"), col("v0").cast("double").as("v"))
     delta.select("vec_id", "embedding")
       .join(int8Codes(ex), "vec_id")
+      .join(pqCodeColumn(pqAssign(withSub(ex), pqCent)), "vec_id")
       .join(assignTo(ex, cent), "vec_id")
   }
 
@@ -572,6 +582,42 @@ object SimilarityOps {
         row_number().over(Window.orderBy(col("qcos").desc, col("vec_id").asc))
           .cast("long").as("rank"),
         r6(col("qcos")).as("qcos"))
+      .orderBy("rank")
+  }
+
+  /** PQ IVF serving: q104's composed tier served from the index — the
+    * probe is partition pruning on literal cluster ids, the scan reads
+    * ONLY (vec_id, pq_codes) from the probed partitions (the narrowest
+    * possible index read: 12 bits of payload per vector plus the id),
+    * and the query side computes its PqM·PqK ADC lookup table from the
+    * persisted codebooks at query time. Matches annIvfPq exactly when
+    * probed with q51's NProbe on the same corpus (same codebook doubles
+    * through the parquet round-trip, same DECIMAL distance sums, same
+    * ordering) — IvfServingSpec pins it. */
+  def annPqServe(
+      spark: SparkSession, indexDir: String, queryVec: Array[Float],
+      nprobe: Int = NProbeServe): DataFrame = {
+    val probed = servedProbe(spark, indexDir, queryVec, nprobe)
+    val qx = spark.range(1)
+      .select(posexplode(typedlit(queryVec.map(_.toDouble))).as(Seq("pos", "v")))
+    val dtab = spark.read.parquet(s"$indexDir/pq_centroids")
+      .join(broadcast(qx.select(col("pos"), col("v").as("qv"))), "pos")
+      .groupBy("sub", "code")
+      .agg(sum(((col("qv") - col("c")) * (col("qv") - col("c")))
+        .cast("decimal(38,18)")).as("d"))
+    spark.read.parquet(s"$indexDir/vectors")
+      .filter(col("cluster").isin(probed: _*))
+      .select(col("vec_id"), posexplode(col("pq_codes")).as(Seq("sub", "code")))
+      .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
+      .join(broadcast(dtab), Seq("sub", "code"))
+      .groupBy("vec_id")
+      .agg(sum(col("d")).as("adist"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+      .limit(TopK)
+      .select(col("vec_id"),
+        row_number().over(Window.orderBy(col("adist").asc, col("vec_id").asc))
+          .cast("long").as("rank"),
+        r6(col("adist").cast("double")).as("adist"))
       .orderBy("rank")
   }
 
@@ -980,11 +1026,28 @@ object SimilarityOps {
       (cent.cache(), asg.cache())
     })
 
+  /** Subspace-tagged long form (vec_id, sub, pos, v) from a plain
+    * (vec_id, pos, v) explode. */
+  private def withSub(ex: DataFrame): DataFrame =
+    ex.select(col("vec_id"), expr(s"pos div $PqSubDim").as("sub"),
+      col("pos"), col("v"))
+
+  /** One PQ encoding pass: per (vec_id, sub) nearest codebook entry by
+    * exact-DECIMAL squared-L2, ties to the lowest code — shared by
+    * training, the q98/q100/q104 tiers, and the incremental index
+    * append (which encodes deltas against the PERSISTED codebooks). */
+  private def pqAssign(sex: DataFrame, cent: DataFrame): DataFrame =
+    sex.join(broadcast(cent), Seq("sub", "pos"))
+      .groupBy("vec_id", "sub", "code")
+      .agg(sum(((col("v") - col("c")) * (col("v") - col("c")))
+        .cast("decimal(38,18)")).as("dist"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("dist"), col("code"))).as("best"))
+      .select(col("vec_id"), col("sub"),
+        col("best.code").as("code"), col("best.dist").as("dist"))
+
   private def trainPq(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val sex = emb(spark, dir)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v0")))
-      .select(col("vec_id"), expr(s"pos div $PqSubDim").as("sub"),
-        col("pos"), col("v0").cast("double").as("v"))
+    val sex = withSub(embLong(spark, dir))
     val seeds = emb(spark, dir)
       .select(col("vec_id"), md5(col("vec_id").cast("string")).as("mk"))
       .orderBy(col("mk"), col("vec_id")).limit(PqK)
@@ -992,26 +1055,16 @@ object SimilarityOps {
         (row_number().over(Window.orderBy(col("mk"), col("vec_id"))) - 1)
           .cast("long").as("code"))
 
-    def assign(cent: DataFrame): DataFrame =
-      sex.join(broadcast(cent), Seq("sub", "pos"))
-        .groupBy("vec_id", "sub", "code")
-        .agg(sum(((col("v") - col("c")) * (col("v") - col("c")))
-          .cast("decimal(38,18)")).as("dist"))
-        .groupBy("vec_id", "sub")
-        .agg(min(struct(col("dist"), col("code"))).as("best"))
-        .select(col("vec_id"), col("sub"),
-          col("best.code").as("code"), col("best.dist").as("dist"))
-
     var cent = sex.join(broadcast(seeds), "vec_id")
       .select(col("sub"), col("code"), col("pos"), col("v").as("c"))
     for (_ <- 1 to PqIters) {
-      val asg = assign(cent)
+      val asg = pqAssign(sex, cent)
       cent = sex.join(asg.select("vec_id", "sub", "code"), Seq("vec_id", "sub"))
         .groupBy("sub", "code", "pos")
         .agg((sum(col("v").cast("decimal(38,18)")).cast("double") / count(lit(1)))
           .as("c"))
     }
-    (cent, assign(cent))
+    (cent, pqAssign(sex, cent))
   }
 
   def pqCodes(spark: SparkSession, dir: String): DataFrame = {

@@ -27,6 +27,8 @@ class IvfServingSpec extends SparkSpec {
     SimilarityOps.indexArtifacts(spark, dir)
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$out/vectors")
     cent.write.mode("overwrite").parquet(s"$out/centroids")
+    SimilarityOps.pqModel(spark, dir)._1
+      .write.mode("overwrite").parquet(s"$out/pq_centroids")
     out
   }
 
@@ -51,6 +53,14 @@ class IvfServingSpec extends SparkSpec {
     assert(served.exceptAll(inSession).isEmpty && inSession.exceptAll(served).isEmpty)
   }
 
+  test("served PQ tier at nprobe=NProbe equals the in-session q104 frame") {
+    val served = SimilarityOps.annPqServe(spark, indexDir, queryVec,
+      nprobe = SimilarityOps.NProbe)
+    val inSession = SimilarityOps.annIvfPq(spark, dir)
+    assert(served.count() > 0)
+    assert(served.exceptAll(inSession).isEmpty && inSession.exceptAll(served).isEmpty)
+  }
+
   test("serving default is the declared operating point (nprobe = NProbeServe)") {
     // The default-probe serve answers at the recall >= 0.8 point — a
     // superset probe of the NProbe tier whose top-k can only improve:
@@ -66,7 +76,8 @@ class IvfServingSpec extends SparkSpec {
   test("served scans are partition-pruned and read only index files") {
     for (served <- Seq(
         SimilarityOps.annIvfServe(spark, indexDir, queryVec),
-        SimilarityOps.annIvfInt8Serve(spark, indexDir, queryVec))) {
+        SimilarityOps.annIvfInt8Serve(spark, indexDir, queryVec),
+        SimilarityOps.annPqServe(spark, indexDir, queryVec))) {
       // Cluster predicate INSIDE the PartitionFilters bracket (a whole
       // FileScan renders on one line whose attribute list also says
       // `cluster`, so a plain substring test could pass with
@@ -94,6 +105,8 @@ class IvfServingSpec extends SparkSpec {
     SimilarityOps.indexArtifacts(spark, dir)
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$out/vectors")
     cent.write.mode("overwrite").parquet(s"$out/centroids")
+    SimilarityOps.pqModel(spark, dir)._1
+      .write.mode("overwrite").parquet(s"$out/pq_centroids")
     val before = spark.read.parquet(s"$out/vectors").count()
 
     // The same embeddings, id-shifted, standing in for new arrivals.
