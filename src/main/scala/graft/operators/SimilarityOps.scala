@@ -425,6 +425,95 @@ object SimilarityOps {
        |FROM pv LEFT JOIN hits ON crank <= nprobe
        |GROUP BY nprobe ORDER BY nprobe""".stripMargin
 
+  // ---- q105: IVF-PQ end-to-end recall curve -------------------------------
+
+  /** q105: the operating curve for the COMPOSED tier — unlike q79 (which
+    * measures probe coverage alone: how much of the exact top-k lives in
+    * the first nprobe cells), this ranks the probed candidates by PQ
+    * asymmetric distance and scores the resulting top-k against the
+    * exact answer, so the curve prices BOTH losses (probe misses ×
+    * quantization misranking) at once: the number a deployment actually
+    * picks nprobe from. Candidate ranking per sweep point partitions the
+    * window by nprobe (4 fixed values); like q79 this is an offline
+    * diagnostic — at 100 TB it runs over a query/corpus sample, not the
+    * full index. DECIMAL distances keep every per-nprobe ranking exact
+    * in both engines. */
+  def ivfPqRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (kcent, kasg) = kmeansModel(spark, dir)
+    val (pcent, pasg) = pqModel(spark, dir)
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === QueryVecId)
+      .select(col("embedding").as("q_embedding"))
+    val exact = e.crossJoin(broadcast(q))
+      .select(col("vec_id"), cosineSim(col("embedding"), col("q_embedding")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(TopK)
+      .select("vec_id")
+    val qx = embLong(spark, dir).filter(col("vec_id") === QueryVecId)
+    val crank = sqDist(qx, kcent)
+      .select(col("cluster"),
+        row_number().over(Window.orderBy(col("dist").asc, col("cluster").asc))
+          .as("crank"))
+    val dtab = pcent.join(broadcast(qx.select(col("pos"), col("v").as("qv"))), "pos")
+      .groupBy("sub", "code")
+      .agg(sum(((col("qv") - col("c")) * (col("qv") - col("c")))
+        .cast("decimal(38,18)")).as("d"))
+    val cand = kasg.join(broadcast(crank), "cluster")
+      .join(pasg.select("vec_id", "sub", "code"), "vec_id")
+      .join(broadcast(dtab), Seq("sub", "code"))
+      .groupBy("vec_id", "crank")
+      .agg(sum(col("d")).as("adist"))
+    val ranked = NProbeSweep.toDF("np").select(col("np").cast("long").as("nprobe"))
+      .join(cand, col("crank") <= col("nprobe"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("nprobe").orderBy(col("adist").asc, col("vec_id").asc)))
+      .filter(col("rank") <= TopK)
+      .join(exact, Seq("vec_id"))
+      .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+    NProbeSweep.toDF("np").select(col("np").cast("long").as("nprobe"))
+      .join(ranked, Seq("nprobe"), "left")
+      .select(col("nprobe"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        r6(coalesce(col("n_hits"), lit(0L)).cast("double") / TopK).as("recall"))
+      .orderBy("nprobe")
+  }
+
+  lazy val ivfPqRecallCurveSql: String =
+    s"""WITH $kmeansCtes,
+       |$pqCtes,
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $QueryVecId),
+       |sc AS (SELECT vec_id, ${sqlCos("embedding", "qe")} AS cos FROM embeddings, q),
+       |ex AS (SELECT vec_id FROM (
+       |         SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
+       |         FROM sc) WHERE rank <= $TopK),
+       |rqd AS (SELECT cluster, sum(CAST((v - c) * (v - c) AS DECIMAL(38,18))) AS dist
+       |        FROM (SELECT pos, v FROM kex WHERE vec_id = $QueryVecId) qx
+       |        JOIN kcent USING (pos) GROUP BY 1),
+       |rcr AS (SELECT cluster, row_number() OVER (ORDER BY dist ASC, cluster ASC) AS crank
+       |        FROM rqd),
+       |raq AS (SELECT pos0 AS pos, v AS qv
+       |        FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos0,
+       |                (unnest(embedding))::DOUBLE AS v FROM embeddings)
+       |        WHERE vec_id = $QueryVecId),
+       |rdtab AS (SELECT qc.sub, qc.code,
+       |    sum(CAST((qv - c) * (qv - c) AS DECIMAL(38,18))) AS d
+       |  FROM qc$PqIters qc JOIN raq ON qc.pos = raq.pos GROUP BY 1, 2),
+       |rcand AS (SELECT qaf.vec_id, crank, sum(d) AS adist
+       |          FROM kasg JOIN rcr USING (cluster)
+       |          JOIN qaf ON kasg.vec_id = qaf.vec_id
+       |          JOIN rdtab USING (sub, code) GROUP BY 1, 2),
+       |rpv AS (SELECT CAST(unnest([${NProbeSweep.mkString(", ")}]) AS BIGINT) AS nprobe),
+       |rrk AS (SELECT nprobe, vec_id,
+       |          row_number() OVER (PARTITION BY nprobe ORDER BY adist ASC, vec_id ASC) AS rank
+       |        FROM rpv JOIN rcand ON crank <= nprobe),
+       |rhit AS (SELECT nprobe, count(*) AS n_hits
+       |         FROM rrk JOIN ex USING (vec_id) WHERE rank <= $TopK GROUP BY 1)
+       |SELECT rpv.nprobe, coalesce(n_hits, 0) AS n_hits,
+       |  floor((coalesce(n_hits, 0)::DOUBLE / $TopK) * 1000000 + 0.5) / 1000000 AS recall
+       |FROM rpv LEFT JOIN rhit ON rpv.nprobe = rhit.nprobe
+       |ORDER BY rpv.nprobe""".stripMargin
+
   // ---- persisted-index serving tier (VERDICT r6 #1) -----------------------
 
   /** Offline index artifacts — everything the serving tier needs, so that
@@ -1078,7 +1167,9 @@ object SimilarityOps {
     * qaf(vec_id, sub, code, dist) — ONE unrolled PQ training derivation
     * mirroring pqModel exactly, so the code dump and the ADC serving
     * oracle can't drift (the kmeansCtes pattern). */
-  private[operators] val pqCtes: String = {
+  // lazy: referenced by oracle vals that appear EARLIER in source order
+  // (q105's curve SQL) — a strict val would interpolate null at init.
+  private[operators] lazy val pqCtes: String = {
     val header = Seq(
       s"""qex AS (SELECT vec_id, (pos0 - 1) // $PqSubDim AS sub, pos0 AS pos, v
          |FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos0,
@@ -1245,7 +1336,8 @@ object SimilarityOps {
     "q79_ivf_recall_curve" -> (ivfRecallCurve _),
     "q98_pq_codes" -> (pqCodes _),
     "q100_ann_pq_adc" -> (annPqAdc _),
-    "q104_ann_ivfpq" -> (annIvfPq _))
+    "q104_ann_ivfpq" -> (annIvfPq _),
+    "q105_ivfpq_recall_curve" -> (ivfPqRecallCurve _))
 
   val oracles: Map[String, String] = Map(
     "q97_pca_top_component" -> pcaTopComponentSql,
@@ -1259,5 +1351,6 @@ object SimilarityOps {
     "q79_ivf_recall_curve" -> ivfRecallCurveSql,
     "q98_pq_codes" -> pqCodesSql,
     "q100_ann_pq_adc" -> annPqAdcSql,
-    "q104_ann_ivfpq" -> annIvfPqSql)
+    "q104_ann_ivfpq" -> annIvfPqSql,
+    "q105_ivfpq_recall_curve" -> ivfPqRecallCurveSql)
 }

@@ -506,6 +506,24 @@ class Round7OpsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("vec_id") == SimilarityOps.QueryVecId)
   }
 
+  test("q105 end-to-end curve is complete at full probe of a lossless ranking bound") {
+    val dir = "/root/testdata/sf0.001"
+    val e2e = SimilarityOps.ivfPqRecallCurve(spark, dir).orderBy("nprobe").collect()
+      .map(r => r.getAs[Long]("nprobe") -> r.getAs[Double]("recall"))
+    val probeOnly = SimilarityOps.ivfRecallCurve(spark, dir).orderBy("nprobe").collect()
+      .map(r => r.getAs[Long]("nprobe") -> r.getAs[Double]("recall")).toMap
+    assert(e2e.map(_._1).toSeq == SimilarityOps.NProbeSweep.map(_.toLong))
+    e2e.foreach { case (np, r) =>
+      assert(r >= 0 && r <= 1)
+      // probe coverage is an upper bound: ADC misranking can only LOSE
+      // exact-top-k members relative to what the probed cells contain
+      // (both curves share the probe; q105 additionally ranks by ADC)
+      assert(r <= probeOnly(np) + 1e-9,
+        s"e2e recall $r exceeds probe coverage ${probeOnly(np)} at nprobe=$np")
+    }
+    assert(e2e.last._2 > 0, "zero recall even at the widest probe")
+  }
+
   test("q104 IVF-PQ equals the ADC ranking restricted to the probed cells") {
     val dir = "/root/testdata/sf0.001"
     val out = SimilarityOps.annIvfPq(spark, dir).collect()
