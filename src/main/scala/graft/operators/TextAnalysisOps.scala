@@ -1896,24 +1896,30 @@ object TextAnalysisOps {
   }
 
   /** Unrolled BPE training oracle ending in bv$BpeMerges(word, cnt, repr)
-    * and bm1..bm$BpeMerges (the per-round winners). Mirrors bpeModel round
+    * and bm1..bm$BpeMerges (the per-round winners). Every CTE is
+    * MATERIALIZED: bv_t references bv_{t−1} twice (through the round's
+    * pair count AND directly for the rewrite), and DuckDB's default
+    * inlining re-expands the whole prefix per reference — 2^BpeMerges
+    * re-evaluations of the corpus tokenization by the last round
+    * (measured ~5 min at sf0.01; materialized, seconds). Same medicine
+    * as the q97 oracle. Mirrors bpeModel round
     * for round; DuckDB's zipped equal-length unnests pair adjacent
     * symbols. */
   private val bpeCtes: String = {
     val header =
-      s"""bv0 AS (SELECT word, count(*) AS cnt,
+      s"""bv0 AS MATERIALIZED (SELECT word, count(*) AS cnt,
          |  ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS repr
          |FROM (SELECT unnest(regexp_extract_all(lower(text), '$TokRe')) AS word
          |      FROM documents)
          |GROUP BY word)""".stripMargin
     val rounds = (1 to BpeMerges).flatMap { t =>
       Seq(
-        s"""bp$t AS (SELECT lhs, rhs, sum(cnt) AS c FROM (
+        s"""bp$t AS MATERIALIZED (SELECT lhs, rhs, sum(cnt) AS c FROM (
            |  SELECT cnt, unnest(s[1:len(s)-1]) AS lhs, unnest(s[2:len(s)]) AS rhs
            |  FROM (SELECT cnt, string_split(trim(repr), ' ') AS s FROM bv${t - 1}))
            |GROUP BY lhs, rhs)""".stripMargin,
-        s"bm$t AS (SELECT lhs, rhs, c FROM bp$t ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1)",
-        s"""bv$t AS (SELECT word, cnt,
+        s"bm$t AS MATERIALIZED (SELECT lhs, rhs, c FROM bp$t ORDER BY c DESC, lhs ASC, rhs ASC LIMIT 1)",
+        s"""bv$t AS MATERIALIZED (SELECT word, cnt,
            |  replace(repr, ' ' || m.lhs || ' ' || m.rhs || ' ', ' ' || m.lhs || m.rhs || ' ') AS repr
            |FROM bv${t - 1}, bm$t m)""".stripMargin)
     }
