@@ -62,24 +62,38 @@ object StreamingOps {
     * Spark bound each side's join state to the watermark horizon +
     * interval; inner-join matches emit eagerly (no watermark wait), and
     * late data inside `delay` still joins.
+    *
+    * `joinType = "left_outer"` keeps purchases with NO in-horizon view
+    * (null view columns) — and the EXPLODE SIDE is what makes that
+    * clean: views carry the 3-bin probe copies and purchases stay ONE
+    * row each, so an unmatched purchase emits exactly one null-padded
+    * row (outer-match state is per left row; had purchases been the
+    * exploded side, every purchase would shed a spurious null row for
+    * each of its bin copies that individually matched nothing). A view's
+    * 3 copies have distinct bins and a purchase has one bin, so no
+    * duplicate matches either way. The unmatched row can only emit once
+    * the watermark proves no matching view can still arrive — a bounded
+    * drain needs a watermark push past the tail (the far-future-sentinel
+    * pattern the dedup CLI documents).
     */
-  def intervalMatches(events: DataFrame, delay: String): DataFrame = {
+  def intervalMatches(
+      events: DataFrame, delay: String, joinType: String = "inner"): DataFrame = {
     val w = graft.operators.EventsOps.IntervalS
     val wUs = w * 1000000L
     val p = events.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_event_id"), col("ts").as("p_ts"))
-      .withColumn("pb", floor(unix_micros(col("p_ts")) / wUs))
-      .withColumn("pbin", explode(array(col("pb") - 1, col("pb"), col("pb") + 1)))
+      .withColumn("pbin", floor(unix_micros(col("p_ts")) / wUs))
       .withWatermark("p_ts", delay)
     val v = events.filter(col("event_type") === "view")
       .select(col("event_id").as("v_event_id"), col("user_id").as("v_user"),
         col("value").as("v_value"), col("ts").as("v_ts"))
-      .withColumn("vbin", floor(unix_micros(col("v_ts")) / wUs))
+      .withColumn("vb", floor(unix_micros(col("v_ts")) / wUs))
+      .withColumn("vbin", explode(array(col("vb") - 1, col("vb"), col("vb") + 1)))
       .withWatermark("v_ts", delay)
     p.join(v, expr(
         s"pbin = vbin AND v_ts BETWEEN p_ts - INTERVAL $w SECONDS" +
-          s" AND p_ts + INTERVAL $w SECONDS"))
-      .drop("pb", "pbin", "vbin")
+          s" AND p_ts + INTERVAL $w SECONDS"), joinType)
+      .drop("pbin", "vb", "vbin")
   }
 
   /** Custom cross-batch state via flatMapGroupsWithState: running per-user

@@ -349,6 +349,51 @@ class StreamingSpec extends SparkSpec {
       s"pair sets differ: got ${got.size}, expected ${expect.size}")
   }
 
+  test("left-outer interval join: one null row per unmatched purchase, after watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = loadEvents()
+    // Far-future sentinel pair (one per side's filter) pushes the global
+    // watermark past every real event so tail unmatched verdicts emit.
+    val maxTs = events.map(_.ts.getTime).max
+    val far = new java.sql.Timestamp(maxTs + 10L * 24 * 3600 * 1000)
+    val sentinels = Seq(
+      Ev(-1L, far, -1L, "purchase", 0.0), Ev(-2L, far, -1L, "view", 0.0))
+    val stream = MemoryStream[Ev]
+    stream.addData(events ++ sentinels)
+
+    val q = StreamingOps.intervalMatches(stream.toDF(), "0 seconds", "left_outer")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("loj_out").start()
+    try {
+      q.processAllAvailable()
+      // second batch so the watermark advanced by batch 1's max lands
+      stream.addData(Ev(-3L, new java.sql.Timestamp(far.getTime + 1000), -1L, "view", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val rows = spark.table("loj_out").filter(col("p_event_id") >= 0).collect()
+    val matched = rows.filter(r => !r.isNullAt(r.fieldIndex("v_event_id")))
+      .map(r => (r.getAs[Long]("p_event_id"), r.getAs[Long]("v_event_id")))
+    val unmatched = rows.filter(r => r.isNullAt(r.fieldIndex("v_event_id")))
+      .map(_.getAs[Long]("p_event_id"))
+
+    def us(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    val w = graft.operators.EventsOps.IntervalS * 1000000L
+    val ps = events.filter(_.event_type == "purchase")
+    val vs = events.filter(_.event_type == "view")
+    val expectPairs = (for {
+      p <- ps; v <- vs if math.abs(us(p.ts) - us(v.ts)) <= w
+    } yield (p.event_id, v.event_id)).toSet
+    val expectUnmatched = ps.map(_.event_id).toSet -- expectPairs.map(_._1)
+
+    assert(matched.toSet == expectPairs, "matched pair set differs")
+    assert(unmatched.length == unmatched.distinct.length,
+      "an unmatched purchase emitted more than one null row")
+    assert(unmatched.toSet == expectUnmatched,
+      s"unmatched set differs: got ${unmatched.length}, expected ${expectUnmatched.size}")
+  }
+
   test("streaming session_window yields plausible sessions with bounded counts") {
     implicit val sqlCtx = spark.sqlContext
     val events = loadEvents()
