@@ -952,9 +952,73 @@ object DedupOps {
        |FROM lbl GROUP BY source_a, source_b
        |ORDER BY source_a, source_b""".stripMargin
 
+  // ---- q106: blocked fuzzy (edit-distance) join ---------------------------
+
+  /** Normalized-prefix length compared by levenshtein. */
+  val FuzzyPrefixLen = 80
+  /** Max edit distance for a pair to qualify (¼ of the prefix). */
+  val FuzzyMaxDist = 20
+  /** Blocking-key df cap — the q43 discipline: a first-3-token key shared
+    * by thousands of docs is boilerplate, and capping it bounds the Σdf²
+    * pair blowup on power-law corpora. */
+  val FuzzyBlockCap = 100
+
+  /** q106: spelling-tolerant near-title matching — the curation join the
+    * hash tiers can't express: exact/MinHash/SimHash all need token or
+    * bit identity somewhere, while a typo'd near-reissue ("teh" for
+    * "the") slides past every one of them but sits at edit distance 1.
+    * Candidates block on the md5 of the first 3 tokens (df-capped), then
+    * verify with levenshtein over the FuzzyPrefixLen-char
+    * whitespace-normalized prefix — an integer DP, bit-identical in both
+    * engines.
+    *
+    * Scale shape: the block key is computed map-side and 16 bytes; pairs
+    * come from a hash self-join on it (never a cross join) with volume
+    * ≤ cap · N; the edit-distance verify is O(prefix²) row-local work in
+    * codegen. At 100 TB the dials are key width (more tokens = smaller
+    * blocks) and the df cap, exactly like q43's shingle blocking. */
+  def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .select(col("doc_id"), TextOps.tokenize(col("text")).as("t"),
+        substring(trim(regexp_replace(lower(col("text")), "\\s+", " ")),
+          1, FuzzyPrefixLen).as("pfx"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), col("pfx"),
+        md5(concat_ws(" ", slice(col("t"), 1, 3))).as("bkey"))
+    val keep = base.groupBy("bkey").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= FuzzyBlockCap).select("bkey")
+    val capped = base.join(keep, "bkey")
+    capped.select(col("bkey"), col("doc_id").as("doc_a"), col("pfx").as("pfx_a"))
+      .join(capped.select(col("bkey"), col("doc_id").as("doc_b"), col("pfx").as("pfx_b")),
+        "bkey")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("dist", levenshtein(col("pfx_a"), col("pfx_b")).cast("long"))
+      .filter(col("dist") <= FuzzyMaxDist)
+      .select("doc_a", "doc_b", "dist")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val fuzzyJoinSql: String = {
+    val ws = """\s+"""
+    s"""WITH fb AS (
+       |  SELECT doc_id,
+       |    substring(trim(regexp_replace(lower(text), '$ws', ' ', 'g')), 1, $FuzzyPrefixLen) AS pfx,
+       |    md5(array_to_string((regexp_extract_all(lower(text), '$TokRe'))[1:3], ' ')) AS bkey,
+       |    len(regexp_extract_all(lower(text), '$TokRe')) AS nt
+       |  FROM documents),
+       |fe AS (SELECT doc_id, pfx, bkey FROM fb WHERE nt >= 3),
+       |fk AS (SELECT bkey FROM fe GROUP BY bkey HAVING count(*) <= $FuzzyBlockCap)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+       |FROM fe a JOIN fk USING (bkey) JOIN fe b USING (bkey)
+       |WHERE a.doc_id < b.doc_id AND levenshtein(a.pfx, b.pfx) <= $FuzzyMaxDist
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q106_fuzzy_join" -> (fuzzyJoin _),
     "q84_repeated_spans" -> (repeatedSpans _),
     "q85_incremental_dedup" -> (incrementalDedup _),
     "q88_source_overlap" -> (sourceOverlap _),
@@ -972,6 +1036,7 @@ object DedupOps {
     "q45_decontamination" -> (decontamination _))
 
   val oracles: Map[String, String] = Map(
+    "q106_fuzzy_join" -> fuzzyJoinSql,
     "q84_repeated_spans" -> repeatedSpansSql,
     "q85_incremental_dedup" -> incrementalDedupSql,
     "q88_source_overlap" -> sourceOverlapSql,

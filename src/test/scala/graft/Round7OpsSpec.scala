@@ -506,6 +506,21 @@ class Round7OpsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("vec_id") == SimilarityOps.QueryVecId)
   }
 
+  test("q106 fuzzy join finds the typo'd near-title and respects its blocking") {
+    val out = java.nio.file.Files.createTempDirectory("graft_fuzzy").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilom zeta"), // 1 substitution, same block
+      (3L, "alpha beta gamma " + ("x" * 200)), // same block, distance >> cap
+      (4L, "omega beta gamma delta epsilon zeta")) // 1 sub vs doc 1, DIFFERENT block
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val pairs = DedupOps.fuzzyJoin(spark, out).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"), r.getAs[Long]("dist")))
+    assert(pairs.toSeq == Seq((1L, 2L, 1L)),
+      s"expected exactly the typo pair at distance 1, got ${pairs.toSeq}")
+  }
+
   test("q105 end-to-end curve is complete at full probe of a lossless ranking bound") {
     val dir = "/root/testdata/sf0.001"
     val e2e = SimilarityOps.ivfPqRecallCurve(spark, dir).orderBy("nprobe").collect()
