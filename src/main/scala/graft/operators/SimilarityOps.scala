@@ -677,7 +677,7 @@ object SimilarityOps {
   /** PQ IVF serving: q104's composed tier served from the index — the
     * probe is partition pruning on literal cluster ids, the scan reads
     * ONLY (vec_id, pq_codes) from the probed partitions (the narrowest
-    * possible index read: 12 bits of payload per vector plus the id),
+    * possible index read: 64 bits of payload per vector plus the id),
     * and the query side computes its PqM·PqK ADC lookup table from the
     * persisted codebooks at query time. Matches annIvfPq exactly when
     * probed with q51's NProbe on the same corpus (same codebook doubles
@@ -1076,17 +1076,25 @@ object SimilarityOps {
 
   // ---- q98: product quantization (per-subspace k-means codebooks) ---------
 
-  /** PQ geometry: 64-dim embeddings split into PqM = 4 contiguous
-    * 16-dim subspaces, PqK = 8 codes per subspace, PqIters Lloyd
+  /** PQ geometry: 64-dim embeddings split into PqM = 16 contiguous
+    * 4-dim subspaces, PqK = 16 codes per subspace, PqIters Lloyd
     * updates — all FIXED so the whole training run unrolls into the
-    * DuckDB oracle (same discipline as KmeansIters / PcaIters). */
-  val PqM = 4
-  val PqSubDim = 16
-  val PqK = 8
+    * DuckDB oracle (same discipline as KmeansIters / PcaIters).
+    * Geometry chosen by a measured sweep (q97 shows the corpus
+    * near-isotropic, which rewards many narrow subspaces over few wide
+    * ones and caps what ANY fixed bit budget can recall): full-scan ADC
+    * recall@50 at 4×8 (12 bits/vec) vs 16×16 (64 bits — still 8×
+    * smaller than int8, 32× smaller than float32) is 0.24 → 0.66 on the
+    * 500-vector table and 0.16 → 0.40 on the 2000-vector sf0.1 table;
+    * doubling again to 128 bits buys only ~0.56 there. The q105 curve
+    * reports the composed operating points per corpus. */
+  val PqM = 16
+  val PqSubDim = 4
+  val PqK = 16
   val PqIters = 2
 
   /** q98: product-quantization codebook training + encoding — the
-    * compression tier past q53's int8 (4 subspaces × 3-bit codes = 12
+    * compression tier past q53's int8 (16 subspaces × 4-bit codes = 64
     * bits/vector vs 512 for int8): each vector becomes PqM codebook ids,
     * and asymmetric-distance serving needs only the PqM×PqK centroid
     * table. Output: one row per (vec_id, sub) with the assigned code and
@@ -1096,7 +1104,7 @@ object SimilarityOps {
     * just another grouping key, so the PqM independent k-means runs are
     * one job, not a driver loop: each Lloyd pass is a broadcast join
     * against the (sub, code, pos) centroid table (PqM·PqK·PqSubDim =
-    * 512 rows) plus two partial-aggregate shuffles keyed
+    * 1024 rows) plus two partial-aggregate shuffles keyed
     * (vec_id, sub, code) / (sub, code, pos). Same engine-portable
     * arithmetic as kmeansModel: exact double per-term products,
     * DECIMAL(38,18) accumulation, argmin tie-broken on code id, seeds =
@@ -1211,11 +1219,11 @@ object SimilarityOps {
 
   /** q100: top-k by PQ-approximate distance — the serving pattern q98's
     * codebooks exist for. The query side precomputes ONE distance table:
-    * ‖q_sub − c‖² for every (subspace, code) — PqM·PqK = 32 rows derived
+    * ‖q_sub − c‖² for every (subspace, code) — PqM·PqK = 256 rows derived
     * from the query vector alone. The corpus side then never touches a
     * float: each vector is its PqM codes, the approximate distance is a
     * table lookup + sum, and the top-k is a TakeOrdered. At 100 TB the
-    * scanned payload is 12 bits/vector instead of 256 bytes — the codes
+    * scanned payload is 64 bits/vector instead of 256 bytes — the codes
     * column is the index. Distances stay DECIMAL end-to-end, so the
     * ranking order is EXACT in both engines (no float-sum tie hazards);
     * r6 happens only on the emitted column. */
@@ -1266,7 +1274,7 @@ object SimilarityOps {
     * q51's probe), and candidates are ranked by PQ asymmetric distance
     * (q100's lookup table) instead of raw floats. This is the standard
     * large-scale ANN layout (IVF+PQ): the probe never reads 98% of the
-    * index, and what it does read is 12-bit codes, not 256-byte vectors —
+    * index, and what it does read is 64-bit codes, not 256-byte vectors —
     * the two compressions multiply. Shares the memoized kmeansModel and
     * pqModel builds with q51/q58/q98/q100; distances stay DECIMAL so the
     * ranking is exact in both engines. */
