@@ -158,6 +158,12 @@ object Bench {
     val canaryMean = (canaryStart + canaryEnd) / 2.0
     val totalNorm = if (canaryMean > 0) total * IdleCanarySec / canaryMean else total
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"suspect":$suspectJson,"passes":$passesJson,"canary_start_sec":$canaryStart,"canary_end_sec":$canaryEnd,"total_canary_norm":$totalNorm,"warmup_sec":$warmup,"sf":"$sfDir"}""")
+    // Memo lifecycle (VERDICT r7 #2): this process serves one SF dir and
+    // exits, but the discipline is the point — a long-lived session that
+    // switches corpora calls release(dir) between them (see
+    // graft.tools.ScaleGrowth, which does exactly that) and storage
+    // returns to baseline (Round8OpsSpec pins the accounting).
+    graft.operators.Memos.release(sfDir)
     spark.stop()
   }
 }

@@ -93,7 +93,7 @@ object DedupOps {
   }
 
   private[operators] val emKeySql =
-    """regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g')"""
+    s"""regexp_replace(regexp_replace(lower(text), '^${graft.textops.TextOps.WsClass}+|${graft.textops.TextOps.WsClass}+$$', '', 'g'), '${graft.textops.TextOps.WsClass}+', ' ', 'g')"""
 
   val exactDupGroupsSql: String =
     s"""WITH fp AS (SELECT doc_id, md5($emKeySql) AS fp FROM documents),
@@ -136,8 +136,8 @@ object DedupOps {
     * volume is 16 longs per document regardless of document length. */
   // Signature tables are memoized per corpus dir (like the retrieval
   // indexes): q41/q42 and repeated calls share one build.
-  private val bandCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private val shingleCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val bandCache = Memo.frame()
+  private val shingleCache = Memo.frame()
 
   /** Distinct (doc_id, s) shingle sets, cached per dir. */
   private def shingleSets(spark: SparkSession, dir: String): DataFrame =
@@ -194,7 +194,7 @@ object DedupOps {
   // Candidate pairs memoize per dir (shared by q42's Jaccard verification
   // and q49's cluster consolidation; a per-call .cache() would leak a
   // fresh cached frame per invocation).
-  private val pairCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val pairCache = Memo.frame()
 
   /** Distinct LSH candidate (doc_a, doc_b) pairs — docs sharing any band
     * hash — cached per dir. */
@@ -408,7 +408,7 @@ object DedupOps {
     * fixpoint (labels stop changing) with the same per-round plan. Output
     * is each doc's cluster representative (min doc_id reachable within
     * ClusterIterations hops) and the cluster's size. */
-  private val labelCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val labelCache = Memo.frame()
 
   /** Propagated min-label frame (doc_id, label) — the cluster
     * representative each doc reaches within ClusterIterations hops.
@@ -472,7 +472,7 @@ object DedupOps {
   // Winners frame memoized per (appId, dir): q75 and q82 share one
   // labels⋈quality join + cluster window instead of re-deriving it per
   // query per bench pass.
-  private val winnersCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val winnersCache = Memo.frame()
 
   /** Keep-best representatives (doc_id, cluster_id, quality_score,
     * n_tokens, qkey, n_members) — one row per cluster, winner by
@@ -980,7 +980,7 @@ object DedupOps {
   def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
     val base = docs(spark, dir)
       .select(col("doc_id"), TextOps.tokenize(col("text")).as("t"),
-        substring(trim(regexp_replace(lower(col("text")), "\\s+", " ")),
+        substring(trim(regexp_replace(lower(col("text")), s"${TextOps.WsClass}+", " ")),
           1, FuzzyPrefixLen).as("pfx"))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), col("pfx"),
@@ -999,7 +999,7 @@ object DedupOps {
   }
 
   val fuzzyJoinSql: String = {
-    val ws = """\s+"""
+    val ws = s"${TextOps.WsClass}+"
     s"""WITH fb AS (
        |  SELECT doc_id,
        |    substring(trim(regexp_replace(lower(text), '$ws', ' ', 'g')), 1, $FuzzyPrefixLen) AS pfx,

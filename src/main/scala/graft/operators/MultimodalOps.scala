@@ -191,7 +191,7 @@ object MultimodalOps {
   // q80 emits it and q81's band SELF-join consumes it twice — without the
   // cache the full char explode + segment aggregation runs once per join
   // side per pass.
-  private val dhashCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val dhashCache = Memo.frame()
 
   private def dhashFrame(spark: SparkSession, dir: String): DataFrame =
     dhashCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {

@@ -38,8 +38,8 @@ object RetrievalOps {
 
   // Index builds are memoized per corpus dir within a session (an engine
   // builds its inverted index once and serves many queries against it).
-  private val tokCache = scala.collection.concurrent.TrieMap.empty[String, TokenIndex]
-  private val gramCache = scala.collection.concurrent.TrieMap.empty[String, GramIndex]
+  private val tokCache = new Memo[TokenIndex](_.uncache())
+  private val gramCache = new Memo[GramIndex](_.uncache())
 
   // Keyed by (applicationId, dir): a memo entry must not outlive the
   // SparkSession whose plans it holds (a stopped context poisons the entry).
@@ -77,7 +77,7 @@ object RetrievalOps {
 
   /** (doc_id, gram) exploded char-4-grams over ws-normalized text. */
   private val gramCte =
-    """gsrc AS (SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS s FROM documents),
+    s"""gsrc AS (SELECT doc_id, trim(regexp_replace(lower(text), '${graft.textops.TextOps.WsClass}+', ' ', 'g')) AS s FROM documents),
       |gr AS (SELECT doc_id, unnest(CASE WHEN length(s) = 0 THEN CAST([] AS VARCHAR[])
       |                                  WHEN length(s) < 4 THEN [s]
       |                                  ELSE [substring(s, i, 4) FOR i IN range(1, length(s) - 2)]
@@ -88,7 +88,7 @@ object RetrievalOps {
     s"""(SELECT CASE WHEN length(s) = 0 THEN CAST([] AS VARCHAR[])
        |            WHEN length(s) < 4 THEN [s]
        |            ELSE [substring(s, i, 4) FOR i IN range(1, length(s) - 2)] END AS gl
-       |     FROM (SELECT trim(regexp_replace(lower('$q'), '\\s+', ' ', 'g')) AS s))""".stripMargin
+       |     FROM (SELECT trim(regexp_replace(lower('$q'), '${graft.textops.TextOps.WsClass}+', ' ', 'g')) AS s))""".stripMargin
 
   // ---- q20/q21: token-space corpus statistics -----------------------------
 

@@ -105,8 +105,7 @@ object SimilarityOps {
   val KmeansK = 10
   val KmeansIters = 2
 
-  private val kmeansCache =
-    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+  private val kmeansCache = Memo.frames2()
 
   /** Long-form (vec_id, pos, v::double) exploded embeddings — the shape
     * every quantizer step works in (posexplode keeps the arithmetic in
@@ -439,9 +438,19 @@ object SimilarityOps {
     * full index. DECIMAL distances keep every per-nprobe ranking exact
     * in both engines. */
   def ivfPqRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    val (pcent, pasg) = pqModel(spark, dir)
+    pqCurveFor(spark, dir, pcent, pasg, residual = true)
+  }
+
+  /** The composed curve for a GIVEN PQ model — shared by q105 (residual
+    * model) and the Round8OpsSpec dominance test (raw-vector model,
+    * `residual = false`), so old-vs-new geometry is measured by the
+    * exact same machinery. */
+  private[graft] def pqCurveFor(
+      spark: SparkSession, dir: String, pcent: DataFrame, pasg: DataFrame,
+      residual: Boolean): DataFrame = {
     import spark.implicits._
     val (kcent, kasg) = kmeansModel(spark, dir)
-    val (pcent, pasg) = pqModel(spark, dir)
     val e = emb(spark, dir)
     val q = e.filter(col("vec_id") === QueryVecId)
       .select(col("embedding").as("q_embedding"))
@@ -455,13 +464,11 @@ object SimilarityOps {
       .select(col("cluster"),
         row_number().over(Window.orderBy(col("dist").asc, col("cluster").asc))
           .as("crank"))
-    val dtab = pcent.join(broadcast(qx.select(col("pos"), col("v").as("qv"))), "pos")
-      .groupBy("sub", "code")
-      .agg(sum(((col("qv") - col("c")) * (col("qv") - col("c")))
-        .cast("decimal(38,18)")).as("d"))
+    val dtab = adcTable(kcent, pcent,
+      qx.select(col("pos"), col("v").as("qv")), residual)
     val cand = kasg.join(broadcast(crank), "cluster")
       .join(pasg.select("vec_id", "sub", "code"), "vec_id")
-      .join(broadcast(dtab), Seq("sub", "code"))
+      .join(broadcast(dtab), Seq("cluster", "sub", "code"))
       .groupBy("vec_id", "crank")
       .agg(sum(col("d")).as("adist"))
     val ranked = NProbeSweep.toDF("np").select(col("np").cast("long").as("nprobe"))
@@ -496,13 +503,17 @@ object SimilarityOps {
        |        FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos0,
        |                (unnest(embedding))::DOUBLE AS v FROM embeddings)
        |        WHERE vec_id = $QueryVecId),
-       |rdtab AS (SELECT qc.sub, qc.code,
-       |    sum(CAST((qv - c) * (qv - c) AS DECIMAL(38,18))) AS d
-       |  FROM qc$PqIters qc JOIN raq ON qc.pos = raq.pos GROUP BY 1, 2),
+       |rdtab AS (SELECT kcent.cluster, qc.sub, qc.code,
+       |    sum(CAST((qv - kcent.c - qc.c) * (qv - kcent.c - qc.c) AS DECIMAL(38,18))) AS d
+       |  FROM kcent JOIN raq ON kcent.pos = raq.pos
+       |  JOIN qc$PqIters qc ON qc.pos = kcent.pos
+       |  GROUP BY 1, 2, 3),
        |rcand AS (SELECT qaf.vec_id, crank, sum(d) AS adist
        |          FROM kasg JOIN rcr USING (cluster)
        |          JOIN qaf ON kasg.vec_id = qaf.vec_id
-       |          JOIN rdtab USING (sub, code) GROUP BY 1, 2),
+       |          JOIN rdtab ON kasg.cluster = rdtab.cluster
+       |            AND qaf.sub = rdtab.sub AND qaf.code = rdtab.code
+       |          GROUP BY 1, 2),
        |rpv AS (SELECT CAST(unnest([${NProbeSweep.mkString(", ")}]) AS BIGINT) AS nprobe),
        |rrk AS (SELECT nprobe, vec_id,
        |          row_number() OVER (PARTITION BY nprobe ORDER BY adist ASC, vec_id ASC) AS rank
@@ -575,10 +586,17 @@ object SimilarityOps {
     val ex = delta
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v0")))
       .select(col("vec_id"), col("pos"), col("v0").cast("double").as("v"))
+    // Residual PQ codes: assign against the persisted coarse centroids,
+    // subtract, then encode with the persisted residual codebooks —
+    // exactly the training-side derivation, no retrain.
+    val asg = assignTo(ex, cent)
+    val rex = ex.join(asg, "vec_id")
+      .join(broadcast(cent), Seq("cluster", "pos"))
+      .select(col("vec_id"), col("pos"), (col("v") - col("c")).as("v"))
     delta.select("vec_id", "embedding")
       .join(int8Codes(ex), "vec_id")
-      .join(pqCodeColumn(pqAssign(withSub(ex), pqCent)), "vec_id")
-      .join(assignTo(ex, cent), "vec_id")
+      .join(pqCodeColumn(pqAssign(withSub(rex), pqCent)), "vec_id")
+      .join(asg, "vec_id")
   }
 
   /** Probe-cluster selection against the PERSISTED centroids: the same
@@ -676,29 +694,33 @@ object SimilarityOps {
 
   /** PQ IVF serving: q104's composed tier served from the index — the
     * probe is partition pruning on literal cluster ids, the scan reads
-    * ONLY (vec_id, pq_codes) from the probed partitions (the narrowest
-    * possible index read: 64 bits of payload per vector plus the id),
-    * and the query side computes its PqM·PqK ADC lookup table from the
-    * persisted codebooks at query time. Matches annIvfPq exactly when
-    * probed with q51's NProbe on the same corpus (same codebook doubles
-    * through the parquet round-trip, same DECIMAL distance sums, same
-    * ordering) — IvfServingSpec pins it. */
+    * ONLY (vec_id, pq_codes) plus the directory-derived cluster key from
+    * the probed partitions (the narrowest possible index read: 64 bits
+    * of payload per vector plus the id), and the query side builds one
+    * ADC lookup table PER PROBED CELL from the persisted coarse
+    * centroids + residual codebooks at query time (nprobe·PqM·PqK rows —
+    * the residual construction's only serving cost). Matches annIvfPq
+    * exactly when probed with q51's NProbe on the same corpus (same
+    * centroid/codebook doubles through the parquet round-trip, same
+    * DECIMAL distance sums, same ordering) — IvfServingSpec pins it. */
   def annPqServe(
       spark: SparkSession, indexDir: String, queryVec: Array[Float],
       nprobe: Int = NProbeServe): DataFrame = {
     val probed = servedProbe(spark, indexDir, queryVec, nprobe)
     val qx = spark.range(1)
       .select(posexplode(typedlit(queryVec.map(_.toDouble))).as(Seq("pos", "v")))
-    val dtab = spark.read.parquet(s"$indexDir/pq_centroids")
-      .join(broadcast(qx.select(col("pos"), col("v").as("qv"))), "pos")
-      .groupBy("sub", "code")
-      .agg(sum(((col("qv") - col("c")) * (col("qv") - col("c")))
-        .cast("decimal(38,18)")).as("d"))
+    val dtab = adcTable(
+      spark.read.parquet(s"$indexDir/centroids")
+        .filter(col("cluster").isin(probed: _*)),
+      spark.read.parquet(s"$indexDir/pq_centroids"),
+      qx.select(col("pos"), col("v").as("qv")))
     spark.read.parquet(s"$indexDir/vectors")
       .filter(col("cluster").isin(probed: _*))
-      .select(col("vec_id"), posexplode(col("pq_codes")).as(Seq("sub", "code")))
-      .select(col("vec_id"), col("sub").cast("long").as("sub"), col("code"))
-      .join(broadcast(dtab), Seq("sub", "code"))
+      .select(col("vec_id"), col("cluster"),
+        posexplode(col("pq_codes")).as(Seq("sub", "code")))
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        col("sub").cast("long").as("sub"), col("code"))
+      .join(broadcast(dtab), Seq("cluster", "sub", "code"))
       .groupBy("vec_id")
       .agg(sum(col("d")).as("adist"))
       .orderBy(col("adist").asc, col("vec_id").asc)
@@ -963,6 +985,8 @@ object SimilarityOps {
     * the derivation bit-for-bit; the deterministic all-positive start
     * vector 1/√d fixes the eigenvector sign, and λ₁ = ‖C·v‖ for the
     * returned unit v. */
+  private val covCache = Memo.frame()
+
   def pcaTopComponent(spark: SparkSession, dir: String): DataFrame = {
     val ex = embLong(spark, dir)
     val mu = ex.groupBy("pos")
@@ -979,18 +1003,32 @@ object SimilarityOps {
       .groupBy("i", "j")
       .agg(dsum18(col("vij")).as("s"), count(lit(1)).as("cnt"))
 
-    val cov = sij
-      .join(broadcast(mu.select(col("pos").as("i"), col("m").as("mi"))), "i")
-      .join(broadcast(mu.select(col("pos").as("j"), col("m").as("mj"))), "j")
-      .select(col("i"), col("j"),
-        (col("s") / col("cnt") - col("mi") * col("mj")).as("c"))
-      .cache()
+    // Memoized (released via Memos): cov is referenced three times per
+    // call (squaring input, trace, final apply) and by repeated calls.
+    val cov = covCache.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}:$dir",
+      sij
+        .join(broadcast(mu.select(col("pos").as("i"), col("m").as("mi"))), "i")
+        .join(broadcast(mu.select(col("pos").as("j"), col("m").as("mj"))), "j")
+        .select(col("i"), col("j"),
+          (col("s") / col("cnt") - col("mi") * col("mj")).as("c"))
+        .cache())
 
     // C^(2^PcaSquarings) by normalized repeated squaring. Each step
     // references the product TWICE (entries + its max), so lineage is
-    // truncated with an eager localCheckpoint (4096 rows) — Catalyst
+    // truncated with an eager RELIABLE checkpoint (4096 rows) — Catalyst
     // walks trees, not DAGs, and unchecked the plan would double per
     // step; the checkpoint changes no arithmetic, so oracle parity holds.
+    // Reliable (checkpoint-dir) rather than localCheckpoint (ADVICE r7):
+    // localCheckpoint stores blocks only on executors, so under dynamic
+    // allocation an executor loss makes the truncated lineage
+    // unrecoverable and fails the job; the frame is 4096 rows, so the
+    // durable write costs nothing. A deployment points the checkpoint dir
+    // at HDFS; local runs fall back to the JVM temp dir.
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${sc.applicationId}")
     var m = cov
     for (_ <- 1 to PcaSquarings) {
       val mm = m.select(col("i"), col("j").as("k"), col("c").as("a"))
@@ -1001,7 +1039,7 @@ object SimilarityOps {
       m = mm.crossJoin(broadcast(sF))
         .select(col("i"), col("j"),
           when(col("s") === 0.0, 0.0).otherwise(col("c") / col("s")).as("c"))
-        .localCheckpoint(true)
+        .checkpoint(true)
     }
 
     val dims = mu.agg(count(lit(1)).as("d"))
@@ -1097,8 +1135,13 @@ object SimilarityOps {
     * compression tier past q53's int8 (16 subspaces × 4-bit codes = 64
     * bits/vector vs 512 for int8): each vector becomes PqM codebook ids,
     * and asymmetric-distance serving needs only the PqM×PqK centroid
-    * table. Output: one row per (vec_id, sub) with the assigned code and
-    * the exact squared reconstruction error of that subvector.
+    * table plus the K coarse centroids. Codebooks train on RESIDUALS
+    * v − centroid(v) (IVFADC proper, VERDICT r7 #1): the coarse cell id
+    * is already stored, so the bits go to within-cell variance — the
+    * round-8 residual switch moved the q105 composed recall curve up at
+    * every probe depth (Round8OpsSpec pins the dominance). Output: one
+    * row per (vec_id, sub) with the assigned code and the exact squared
+    * reconstruction error of that residual subvector.
     *
     * The Spark shape trains ALL subspaces in one frame — subspace is
     * just another grouping key, so the PqM independent k-means runs are
@@ -1114,12 +1157,23 @@ object SimilarityOps {
     *
     * Memoized per (appId, dir) like kmeansModel — q98 and the q100 ADC
     * tier share one training run. */
-  private val pqCache =
-    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, DataFrame)]
+  private val pqCache = Memo.frames2()
 
+  /** The PQ model q98/q100/q104/q105 and the index build share: codebooks
+    * trained on RESIDUALS v − centroid(v) (IVFADC proper). */
   private[graft] def pqModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     pqCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
-      val (cent, asg) = trainPq(spark, dir)
+      val (cent, asg) = trainPqOn(spark, dir, withSub(residLong(spark, dir)))
+      (cent.cache(), asg.cache())
+    })
+
+  /** Pre-round-8 geometry — codebooks on RAW vectors — kept ONLY as the
+    * measured baseline for the residual-dominance spec (Round8OpsSpec
+    * pins that the residual q105 curve is at least as good at every
+    * nprobe). Not reachable from any declared query or serving path. */
+  private[graft] def rawPqModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    pqCache.getOrElseUpdate(s"raw:${spark.sparkContext.applicationId}:$dir", {
+      val (cent, asg) = trainPqOn(spark, dir, withSub(embLong(spark, dir)))
       (cent.cache(), asg.cache())
     })
 
@@ -1128,6 +1182,22 @@ object SimilarityOps {
   private def withSub(ex: DataFrame): DataFrame =
     ex.select(col("vec_id"), expr(s"pos div $PqSubDim").as("sub"),
       col("pos"), col("v"))
+
+  /** Residual long form (vec_id, pos, v − c): each vector minus its
+    * assigned coarse centroid — the frame IVFADC proper quantizes
+    * (VERDICT r7 #1). The coarse id already pins the cell, so spending
+    * the 64 PQ bits on the residual concentrates every codebook on
+    * within-cell variance — the variance that remains after the probe —
+    * instead of re-encoding the cell means the coarse index has already
+    * paid for. One broadcast join against the K×dims centroid table;
+    * row-local subtraction. */
+  private def residLong(spark: SparkSession, dir: String): DataFrame = {
+    val (cent, asg) = kmeansModel(spark, dir)
+    embLong(spark, dir)
+      .join(asg, "vec_id")
+      .join(broadcast(cent), Seq("cluster", "pos"))
+      .select(col("vec_id"), col("pos"), (col("v") - col("c")).as("v"))
+  }
 
   /** One PQ encoding pass: per (vec_id, sub) nearest codebook entry by
     * exact-DECIMAL squared-L2, ties to the lowest code — shared by
@@ -1143,8 +1213,8 @@ object SimilarityOps {
       .select(col("vec_id"), col("sub"),
         col("best.code").as("code"), col("best.dist").as("dist"))
 
-  private def trainPq(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val sex = withSub(embLong(spark, dir))
+  private def trainPqOn(
+      spark: SparkSession, dir: String, sex: DataFrame): (DataFrame, DataFrame) = {
     val seeds = emb(spark, dir)
       .select(col("vec_id"), md5(col("vec_id").cast("string")).as("mk"))
       .orderBy(col("mk"), col("vec_id")).limit(PqK)
@@ -1164,6 +1234,26 @@ object SimilarityOps {
     (cent, pqAssign(sex, cent))
   }
 
+  /** Per-cell ADC lookup tables for a query (pos, qv) frame: with
+    * residual codes, d(q, x) ≈ ‖(q − c_cell(x)) − recon(r_x)‖², so the
+    * lookup table is built PER COARSE CELL from the query's residual
+    * against that cell — d(cluster, sub, code) = Σ_pos∈sub
+    * ((qv − kc) − pc)². K·PqM·PqK rows (2 560 here; a few million at a
+    * 100 TB K — still driver/broadcast metadata, and the serving path
+    * only builds the nprobe probed cells' tables). `residual = false`
+    * reproduces the raw-vector geometry (qr = qv), kept for the
+    * dominance spec's baseline. */
+  private def adcTable(
+      kcent: DataFrame, pcent: DataFrame, qx: DataFrame,
+      residual: Boolean = true): DataFrame =
+    kcent.join(broadcast(qx), "pos")
+      .select(col("cluster"), col("pos"),
+        (if (residual) col("qv") - col("c") else col("qv")).as("qr"))
+      .join(pcent.select(col("sub"), col("code"), col("pos"), col("c").as("pc")), "pos")
+      .groupBy("cluster", "sub", "code")
+      .agg(sum(((col("qr") - col("pc")) * (col("qr") - col("pc")))
+        .cast("decimal(38,18)")).as("d"))
+
   def pqCodes(spark: SparkSession, dir: String): DataFrame = {
     val (_, asg) = pqModel(spark, dir)
     asg.select(col("vec_id"), col("sub"), col("code"),
@@ -1174,14 +1264,18 @@ object SimilarityOps {
   /** Shared q98/q100 oracle CTEs ending in qc$PqIters (codebooks) and
     * qaf(vec_id, sub, code, dist) — ONE unrolled PQ training derivation
     * mirroring pqModel exactly, so the code dump and the ADC serving
-    * oracle can't drift (the kmeansCtes pattern). */
+    * oracle can't drift (the kmeansCtes pattern). RESIDUAL geometry:
+    * qex carries v − c against the coarse assignment, so every oracle
+    * embedding pqCtes must ALSO include kmeansCtes (kex/kasg/kcent)
+    * before it. */
   // lazy: referenced by oracle vals that appear EARLIER in source order
   // (q105's curve SQL) — a strict val would interpolate null at init.
   private[operators] lazy val pqCtes: String = {
     val header = Seq(
-      s"""qex AS (SELECT vec_id, (pos0 - 1) // $PqSubDim AS sub, pos0 AS pos, v
-         |FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos0,
-         |        (unnest(embedding))::DOUBLE AS v FROM embeddings))""".stripMargin,
+      s"""qex AS (SELECT kex.vec_id, (kex.pos - 1) // $PqSubDim AS sub, kex.pos AS pos,
+         |  v - c AS v
+         |FROM kex JOIN kasg ON kex.vec_id = kasg.vec_id
+         |JOIN kcent ON kasg.cluster = kcent.cluster AND kex.pos = kcent.pos)""".stripMargin,
       s"""qseed AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY mk, vec_id) - 1 AS BIGINT) AS code
          |          FROM (SELECT vec_id, md5(vec_id::VARCHAR) AS mk FROM embeddings
          |                ORDER BY mk, vec_id LIMIT $PqK))""".stripMargin,
@@ -1209,8 +1303,9 @@ object SimilarityOps {
     (header ++ iters ++ tail).mkString(",\n")
   }
 
-  val pqCodesSql: String =
-    s"""WITH $pqCtes
+  lazy val pqCodesSql: String =
+    s"""WITH $kmeansCtes,
+       |$pqCtes
        |SELECT vec_id, CAST(sub AS BIGINT) AS sub, code,
        |  floor(CAST(dist AS DOUBLE) * 1000000 + 0.5) / 1000000 AS sq_err
        |FROM qaf ORDER BY vec_id, sub""".stripMargin
@@ -1218,25 +1313,25 @@ object SimilarityOps {
   // ---- q100: PQ serving via asymmetric distance computation (ADC) ---------
 
   /** q100: top-k by PQ-approximate distance — the serving pattern q98's
-    * codebooks exist for. The query side precomputes ONE distance table:
-    * ‖q_sub − c‖² for every (subspace, code) — PqM·PqK = 256 rows derived
-    * from the query vector alone. The corpus side then never touches a
-    * float: each vector is its PqM codes, the approximate distance is a
-    * table lookup + sum, and the top-k is a TakeOrdered. At 100 TB the
-    * scanned payload is 64 bits/vector instead of 256 bytes — the codes
-    * column is the index. Distances stay DECIMAL end-to-end, so the
-    * ranking order is EXACT in both engines (no float-sum tie hazards);
-    * r6 happens only on the emitted column. */
+    * codebooks exist for. With residual codes (IVFADC), the query side
+    * precomputes one distance table PER COARSE CELL — K·PqM·PqK = 2 560
+    * rows derived from the query vector and the two centroid tables
+    * alone. The corpus side then never touches a float: each vector is
+    * its cell id plus PqM codes, the approximate distance is a
+    * cell-keyed table lookup + sum, and the top-k is a TakeOrdered. At
+    * 100 TB the scanned payload is 64 bits/vector instead of 256 bytes —
+    * the codes column is the index. Distances stay DECIMAL end-to-end,
+    * so the ranking order is EXACT in both engines (no float-sum tie
+    * hazards); r6 happens only on the emitted column. */
   def annPqAdc(spark: SparkSession, dir: String): DataFrame = {
-    val (cent, asg) = pqModel(spark, dir)
+    val (kcent, kasg) = kmeansModel(spark, dir)
+    val (pcent, pasg) = pqModel(spark, dir)
     val q = embLong(spark, dir).filter(col("vec_id") === QueryVecId)
       .select(col("pos"), col("v").as("qv"))
-    val dtab = cent.join(broadcast(q), "pos")
-      .groupBy("sub", "code")
-      .agg(sum(((col("qv") - col("c")) * (col("qv") - col("c")))
-        .cast("decimal(38,18)")).as("d"))
-    asg.select("vec_id", "sub", "code")
-      .join(broadcast(dtab), Seq("sub", "code"))
+    val dtab = adcTable(kcent, pcent, q)
+    pasg.select("vec_id", "sub", "code")
+      .join(kasg, "vec_id")
+      .join(broadcast(dtab), Seq("cluster", "sub", "code"))
       .groupBy("vec_id")
       .agg(sum(col("d")).as("adist"))
       .orderBy(col("adist").asc, col("vec_id").asc)
@@ -1248,17 +1343,23 @@ object SimilarityOps {
       .orderBy("rank")
   }
 
-  val annPqAdcSql: String =
-    s"""WITH $pqCtes,
+  lazy val annPqAdcSql: String =
+    s"""WITH $kmeansCtes,
+       |$pqCtes,
        |aq AS (SELECT pos0 AS pos, v AS qv
        |       FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos0,
        |               (unnest(embedding))::DOUBLE AS v FROM embeddings)
        |       WHERE vec_id = $QueryVecId),
-       |adtab AS (SELECT qc.sub, qc.code,
-       |    sum(CAST((qv - c) * (qv - c) AS DECIMAL(38,18))) AS d
-       |  FROM qc$PqIters qc JOIN aq ON qc.pos = aq.pos GROUP BY 1, 2),
-       |ad AS (SELECT vec_id, sum(d) AS adist
-       |       FROM qaf JOIN adtab USING (sub, code) GROUP BY 1)
+       |adtab AS (SELECT kcent.cluster, qc.sub, qc.code,
+       |    sum(CAST((qv - kcent.c - qc.c) * (qv - kcent.c - qc.c) AS DECIMAL(38,18))) AS d
+       |  FROM kcent JOIN aq ON kcent.pos = aq.pos
+       |  JOIN qc$PqIters qc ON qc.pos = kcent.pos
+       |  GROUP BY 1, 2, 3),
+       |ad AS (SELECT qaf.vec_id, sum(d) AS adist
+       |       FROM qaf JOIN kasg ON qaf.vec_id = kasg.vec_id
+       |       JOIN adtab ON kasg.cluster = adtab.cluster
+       |         AND qaf.sub = adtab.sub AND qaf.code = adtab.code
+       |       GROUP BY 1)
        |SELECT vec_id, rank,
        |  floor(CAST(adist AS DOUBLE) * 1000000 + 0.5) / 1000000 AS adist
        |FROM (
@@ -1286,13 +1387,14 @@ object SimilarityOps {
       .orderBy(col("dist").asc, col("cluster").asc)
       .limit(NProbe)
       .select("cluster")
-    val dtab = pcent.join(broadcast(qx.select(col("pos"), col("v").as("qv"))), "pos")
-      .groupBy("sub", "code")
-      .agg(sum(((col("qv") - col("c")) * (col("qv") - col("c")))
-        .cast("decimal(38,18)")).as("d"))
+    // Residual codes: the ADC table is per probed cell (built from the
+    // query's residual against that cell's centroid), and the candidate
+    // lookup keys on (cluster, sub, code).
+    val dtab = adcTable(kcent.join(broadcast(probed), "cluster"), pcent,
+      qx.select(col("pos"), col("v").as("qv")))
     kasg.join(broadcast(probed), "cluster")
       .join(pasg.select("vec_id", "sub", "code"), "vec_id")
-      .join(broadcast(dtab), Seq("sub", "code"))
+      .join(broadcast(dtab), Seq("cluster", "sub", "code"))
       .groupBy("vec_id")
       .agg(sum(col("d")).as("adist"))
       .orderBy(col("adist").asc, col("vec_id").asc)
@@ -1315,13 +1417,18 @@ object SimilarityOps {
        |        FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos0,
        |                (unnest(embedding))::DOUBLE AS v FROM embeddings)
        |        WHERE vec_id = $QueryVecId),
-       |idtab AS (SELECT qc.sub, qc.code,
-       |    sum(CAST((qv - c) * (qv - c) AS DECIMAL(38,18))) AS d
-       |  FROM qc$PqIters qc JOIN iaq ON qc.pos = iaq.pos GROUP BY 1, 2),
+       |idtab AS (SELECT kcent.cluster, qc.sub, qc.code,
+       |    sum(CAST((qv - kcent.c - qc.c) * (qv - kcent.c - qc.c) AS DECIMAL(38,18))) AS d
+       |  FROM kcent JOIN iprobe USING (cluster)
+       |  JOIN iaq ON kcent.pos = iaq.pos
+       |  JOIN qc$PqIters qc ON qc.pos = kcent.pos
+       |  GROUP BY 1, 2, 3),
        |iad AS (SELECT qaf.vec_id, sum(d) AS adist
        |        FROM kasg JOIN iprobe USING (cluster)
        |        JOIN qaf ON kasg.vec_id = qaf.vec_id
-       |        JOIN idtab USING (sub, code) GROUP BY 1)
+       |        JOIN idtab ON kasg.cluster = idtab.cluster
+       |          AND qaf.sub = idtab.sub AND qaf.code = idtab.code
+       |        GROUP BY 1)
        |SELECT vec_id, rank,
        |  floor(CAST(adist AS DOUBLE) * 1000000 + 0.5) / 1000000 AS adist
        |FROM (

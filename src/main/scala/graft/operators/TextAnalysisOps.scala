@@ -27,7 +27,8 @@ object TextAnalysisOps {
     spark.read.parquet(s"$dir/documents.parquet")
 
   private val TokRe = "[a-z0-9]+(?:[-_][a-z0-9]+)*"
-  private val BpeRe = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+  // Negated class spells out Java's \s (TextOps.WsChars) so RE2 agrees.
+  private val BpeRe = s"[a-z]+|[0-9]|[^a-z0-9${TextOps.WsChars}]"
 
   // ---- q30: per-document quality scores -----------------------------------
 
@@ -114,7 +115,7 @@ object TextAnalysisOps {
       col("doc_id"),
       size(TextOps.tokenize(col("text"))).cast("long").as("n_word_tokens"),
       when(length(TextOps.strip(col("text"))) === 0, 0L)
-        .otherwise(size(split(TextOps.strip(col("text")), "\\s+")).cast("long"))
+        .otherwise(size(split(TextOps.strip(col("text")), s"${TextOps.WsClass}+")).cast("long"))
         .as("n_ws_tokens"),
       size(regexp_extract_all(lower(col("text")), lit(BpeRe), lit(0))).cast("long")
         .as("n_bpe_tokens"),
@@ -124,8 +125,8 @@ object TextAnalysisOps {
   val tokenCountsSql: String =
     s"""SELECT doc_id,
        |  len(regexp_extract_all(lower(text), '$TokRe')) AS n_word_tokens,
-       |  CASE WHEN length(regexp_replace(text, '^\\s+|\\s+$$', '', 'g')) = 0 THEN 0
-       |       ELSE len(str_split_regex(regexp_replace(text, '^\\s+|\\s+$$', '', 'g'), '\\s+'))
+       |  CASE WHEN length(regexp_replace(text, '^${TextOps.WsClass}+|${TextOps.WsClass}+$$', '', 'g')) = 0 THEN 0
+       |       ELSE len(str_split_regex(regexp_replace(text, '^${TextOps.WsClass}+|${TextOps.WsClass}+$$', '', 'g'), '${TextOps.WsClass}+'))
        |  END AS n_ws_tokens,
        |  len(regexp_extract_all(lower(text), '$BpeRe')) AS n_bpe_tokens,
        |  length(text) AS n_chars
@@ -155,7 +156,7 @@ object TextAnalysisOps {
   /** (appId, dir)-memoized (doc_id, lang, trigram) frame — the shared build
     * behind langId; the memo (same pattern as DedupOps.shingleCache) keeps
     * repeated calls from stacking fresh cached frames. */
-  private val triCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val triCache = Memo.frame()
 
   private def langTrigrams(spark: SparkSession, dir: String): DataFrame =
     triCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
@@ -201,7 +202,7 @@ object TextAnalysisOps {
   val langIdSql: String =
     s"""WITH src AS (
        |  SELECT doc_id, lang,
-       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+       |    trim(regexp_replace(lower(text), '${TextOps.WsClass}+', ' ', 'g')) AS s
        |  FROM documents),
        |tri AS (
        |  SELECT doc_id, lang, unnest(
@@ -311,7 +312,7 @@ object TextAnalysisOps {
   }
 
   private val emKeySql =
-    """regexp_replace(regexp_replace(lower(text), '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g')"""
+    s"""regexp_replace(regexp_replace(lower(text), '^${graft.textops.TextOps.WsClass}+|${graft.textops.TextOps.WsClass}+$$', '', 'g'), '${graft.textops.TextOps.WsClass}+', ' ', 'g')"""
 
   val fingerprintsSql: String =
     s"""WITH n AS (SELECT doc_id, $emKeySql AS s FROM documents)
@@ -329,7 +330,7 @@ object TextAnalysisOps {
   // expensive to rebuild per call, and both q35 and q48 (near-dup pairs)
   // consume it, so the fingerprint frame memoizes per (appId, dir) like
   // the other shared builds.
-  private val simhashCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val simhashCache = Memo.frame()
 
   /** Unordered (doc_id, simhash) fingerprint frame, cached per dir. */
   private[operators] def simhashFrame(spark: SparkSession, dir: String): DataFrame =
@@ -983,7 +984,7 @@ object TextAnalysisOps {
 
   /** URL pattern in the proven Java-regex/RE2 common subset (see q89's
     * note): no lookaround, leftmost-longest alternation-free matching. */
-  val CleanUrlRe = """https?://[^\s]+"""
+  val CleanUrlRe = s"https?://[^${TextOps.WsChars}]+"
   /** Repeated-punctuation runs (3+ of the same separator chars). */
   val CleanPunctRe = """[!?.,;:*#=~_-]{3,}"""
 
@@ -995,6 +996,15 @@ object TextAnalysisOps {
     * the md5 of the cleaned text (the dedup tiers' input were this
     * chained). Entirely row-local regex work in whole-stage codegen —
     * one pass, no shuffle beyond the ordered dump (q89's scale shape).
+    *
+    * The n_urls/n_emails/n_punct_runs columns are RAW-TEXT occurrence
+    * counts (each pattern matched against the original lowered text), not
+    * replacement counts: the cleaning chain applies sequentially, so e.g.
+    * a punctuation run inside a URL is counted here but already removed
+    * by the URL pass. Raw occurrence counts are the corpus-profiling
+    * number (how much of each artifact the corpus contains); the
+    * performed-replacement delta is visible via n_chars_raw −
+    * n_chars_clean. (ADVICE r7 #3.)
     */
   def cleanText(spark: SparkSession, dir: String): DataFrame = {
     val t = lower(col("text"))
@@ -1004,7 +1014,7 @@ object TextAnalysisOps {
           regexp_replace(t, CleanUrlRe, " "),
           PiiEmailRe, " "),
         CleanPunctRe, "."),
-      """\s+""", " "))
+      s"${TextOps.WsClass}+", " "))
     docs(spark, dir).select(col("doc_id"),
         size(regexp_extract_all(t, lit(CleanUrlRe), lit(0))).cast("long").as("n_urls"),
         size(regexp_extract_all(t, lit(PiiEmailRe), lit(0))).cast("long").as("n_emails"),
@@ -1019,7 +1029,7 @@ object TextAnalysisOps {
   }
 
   val cleanTextSql: String = {
-    val ws = """\s+"""
+    val ws = s"${TextOps.WsClass}+"
     val cleaned = s"""trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(text),
        |    '$CleanUrlRe', ' ', 'g'), '$PiiEmailRe', ' ', 'g'), '$CleanPunctRe', '.', 'g'), '$ws', ' ', 'g'))"""
     s"""SELECT doc_id,
@@ -1468,8 +1478,7 @@ object TextAnalysisOps {
       zCol("r1", "m1", "s1").as("x1"), zCol("r2", "m2", "s2").as("x2"),
       zCol("r3", "m3", "s3").as("x3"), zCol("r4", "m4", "s4").as("x4"))
 
-  private val lrCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[Double]]
+  private val lrCache = Memo.plain[Array[Double]]()
 
   /** Fixed-iteration batch-gradient-descent logistic regression:
     * w ← w + η · mean((y − σ(w·x)) · x), LrIters rounds from w = 0.
@@ -1800,8 +1809,8 @@ object TextAnalysisOps {
       .agg(sum(col("cnt")).as("pair_count"))
   }
 
-  private val bpeCache = scala.collection.concurrent.TrieMap
-    .empty[String, (Seq[(Int, String, String, Long)], DataFrame)]
+  private val bpeCache =
+    new Memo[(Seq[(Int, String, String, Long)], DataFrame)](_._2.unpersist(true))
 
   /** Fixed-iteration BPE training: per round, count adjacent symbol pairs
     * over the vocab, take the top pair (count DESC, lhs ASC, rhs ASC — an

@@ -53,6 +53,11 @@ final case class TokenIndex(
   def cache(): TokenIndex = {
     docTermFreq.cache(); termStats.cache(); docLen.cache(); this
   }
+
+  /** Blocking unpersist of every cached frame (memo release path). */
+  def uncache(): Unit = {
+    docTermFreq.unpersist(true); termStats.unpersist(true); docLen.unpersist(true)
+  }
 }
 
 object TokenIndex {
@@ -101,10 +106,20 @@ final case class GramIndex(
     gramStats: DataFrame,
     docNorm: DataFrame,
     nDocs: Long,
-    n: Int) {
+    n: Int)(
+    // Second parameter list (outside equals/unapply): the build-internal
+    // cached TF frame, carried only so uncache() can release it.
+    private val docGramFreq: DataFrame) {
 
   def cache(): GramIndex = {
     docGramVec.cache(); gramStats.cache(); docNorm.cache(); this
+  }
+
+  /** Blocking unpersist of every cached frame (memo release path),
+    * including the build-internal TF cache. */
+  def uncache(): Unit = {
+    docGramVec.unpersist(true); gramStats.unpersist(true); docNorm.unpersist(true)
+    docGramFreq.unpersist(true)
   }
 }
 
@@ -158,6 +173,6 @@ object GramIndex {
         when(col("norm0").isNull || col("norm0") === 0.0, 1.0)
           .otherwise(col("norm0")).as("norm"))
 
-    GramIndex(docGramVec, gramStats, docNorm, nDocs, n)
+    GramIndex(docGramVec, gramStats, docNorm, nDocs, n)(docGramFreq)
   }
 }

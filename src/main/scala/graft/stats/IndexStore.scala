@@ -93,7 +93,10 @@ object IndexStore {
       gramStats = spark.table(s"${prefix}_gram_stats"),
       docNorm = spark.table(s"${prefix}_doc_norm"),
       nDocs = meta.getLong(0),
-      n = meta.getInt(1))
+      n = meta.getInt(1))(
+      // A loaded index has no build-internal cache; unpersisting the
+      // (uncached) vec frame again on release is a no-op.
+      spark.table(s"${prefix}_doc_gram_vec"))
   }
 
   /** True when a join over the two key-bucketed tables plans without a

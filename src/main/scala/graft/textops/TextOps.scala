@@ -24,23 +24,33 @@ object TextOps {
     */
   val TokenRegex = "[a-z0-9]+(?:[-_][a-z0-9]+)*"
 
+  /** Java's ASCII \s — the class [ \t\n\x0B\f\r] — written out explicitly
+    * (ADVICE r7): RE2, the oracle's regex engine, excludes vertical tab
+    * U+000B from its \s, so a bare \s in paired Spark/DuckDB patterns
+    * silently diverges on any document containing one. Interpolating this
+    * literal class into BOTH engines keeps them aligned while preserving
+    * the Java semantics the reference-parity contract pins. `WsChars` is
+    * the bare character list for embedding in negated classes. */
+  val WsChars = """ \t\n\r\f\x0B"""
+  val WsClass = s"[$WsChars]"
+
   /** Lowercase tokenization → array<string>. */
   def tokenize(c: Column): Column =
     regexp_extract_all(lower(c), lit(TokenRegex), lit(0))
 
   /** Whitespace strip on both ends (unlike `trim`, strips all \s). */
   def strip(c: Column): Column =
-    regexp_replace(c, "^\\s+|\\s+$", "")
+    regexp_replace(c, s"^$WsClass+|$WsClass+$$", "")
 
   /** Lowercase + collapse internal whitespace to single spaces + strip.
     * Matches `_WS_RE.sub(" ", text.lower()).strip()`. */
   def wsNormalize(c: Column): Column =
-    strip(regexp_replace(lower(c), "\\s+", " "))
+    strip(regexp_replace(lower(c), s"$WsClass+", " "))
 
   /** Case/whitespace-insensitive exact-match key:
     * `" ".join(s.lower().split())`. */
   def emKey(c: Column): Column =
-    regexp_replace(strip(lower(c)), "\\s+", " ")
+    regexp_replace(strip(lower(c)), s"$WsClass+", " ")
 
   /** Any ASCII digit present. */
   def hasDigits(c: Column): Column = c.rlike("[0-9]")
@@ -64,7 +74,7 @@ object TextOps {
     */
   def joinTopSentences(c: Column, maxSentences: Int = 2): Column = {
     val parts = filter(
-      transform(split(c, "[.!?]\\s+"), p => strip(p)),
+      transform(split(c, s"[.!?]$WsClass+"), p => strip(p)),
       p => length(p) > 0)
     val joined = strip(array_join(slice(parts, 1, maxSentences), ". "))
     when(size(parts) === 0, lit(""))

@@ -1,0 +1,59 @@
+package graft.tools
+
+import graft.operators.Memos
+
+/** `sbt "runMain graft.tools.ScaleGrowth [passes]"` — the measured
+  * scale-growth checkpoint (VERDICT r7 #7): time the five most expensive
+  * declared queries at sf0.001 / sf0.01 / sf0.1 and fit the growth
+  * exponent α in t ∝ SFᵅ from the log-log slope between consecutive SFs,
+  * verifying SCALE.md's structural claims empirically — q97's cost is
+  * dominated by corpus-size-independent matrix work (α ≈ 0 between the
+  * larger SFs), the curation/calibration family near-linear (α ≈ 1 or
+  * below once constant train cost amortizes).
+  *
+  * This is also the between-corpora memo-lifecycle consumer Bench's
+  * release comment points at: after each SF's timings, `Memos.release`
+  * unpersists every memoized frame for that dir before the next SF
+  * builds its own (VERDICT r7 #2) — a long-lived multi-tenant session's
+  * exact shape. Dev tool: prints a markdown table for SCALE.md. */
+object ScaleGrowth {
+  val Queries = Seq("q97_pca_top_component", "q82_curation_pipeline",
+    "q94_learned_curation", "q95_classifier_calibration", "q88_source_overlap")
+  val Dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+  def main(args: Array[String]): Unit = {
+    val passes = if (args.nonEmpty) args(0).toInt else 2
+    val spark = graft.Cli.session()
+    val fns = graft.SparkEntry.queries
+
+    val rows = Dirs.map { dir =>
+      // Untimed warmup (memo builds + JIT), then min over timed passes —
+      // Bench's steady-state protocol.
+      Queries.foreach(n => fns(n)(spark, dir).count())
+      val t = Queries.map { name =>
+        val ts = (1 to passes).map { _ =>
+          val t0 = System.nanoTime()
+          fns(name)(spark, dir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> ts.min
+      }.toMap
+      val released = Memos.release(dir)
+      println(s"[scale] $dir done, released $released memo entries")
+      dir -> t
+    }
+
+    val sfOf = Dirs.map(d => d -> d.split("sf").last.toDouble).toMap
+    println("| query | " + Dirs.map(_.split("/").last).mkString(" | ") +
+      " | alpha(0.001->0.01) | alpha(0.01->0.1) |")
+    println("|---|" + ("---|" * (Dirs.size + 2)))
+    Queries.foreach { name =>
+      val ts = rows.map { case (d, t) => t(name) }
+      def alpha(i: Int) = math.log(ts(i + 1) / ts(i)) /
+        math.log(sfOf(Dirs(i + 1)) / sfOf(Dirs(i)))
+      println(f"| $name | " + ts.map(t => f"$t%.2f").mkString(" | ") +
+        f" | ${alpha(0)}%.2f | ${alpha(1)}%.2f |")
+    }
+    spark.stop()
+  }
+}

@@ -361,7 +361,7 @@ class Round7OpsSpec extends SparkSpec {
     }
   }
 
-  test("q98 PQ encoding is a per-subspace nearest-centroid argmin") {
+  test("q98 PQ encoding is a per-subspace nearest-centroid argmin on residuals") {
     val dir = "/root/testdata/sf0.001"
     val (centF, asgF) = SimilarityOps.pqModel(spark, dir)
     // centroids: (sub, code) -> dense subvector over GLOBAL positions
@@ -372,9 +372,22 @@ class Round7OpsSpec extends SparkSpec {
     val asg = asgF.collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sub")) -> r.getAs[Long]("code"))
       .toMap
+    // Residual vectors: v − coarse centroid of v's assigned cell (the
+    // round-8 IVFADC geometry — codebooks quantize residuals).
+    val (kcentF, kasgF) = SimilarityOps.kmeansModel(spark, dir)
+    val kcent = kcentF.collect()
+      .groupBy(_.getAs[Long]("cluster"))
+      .view.mapValues(_.map(r => r.getAs[Int]("pos") -> r.getAs[Double]("c")).toMap)
+      .toMap
+    val kasg = kasgF.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet").collect()
-      .map(r => r.getAs[Long]("vec_id") ->
-        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      .map { r =>
+        val id = r.getAs[Long]("vec_id")
+        val raw = r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray
+        val c = kcent(kasg(id))
+        id -> raw.zipWithIndex.map { case (v, pos) => v - c(pos) }
+      }
       .toMap
 
     val n = vecs.size
@@ -472,7 +485,7 @@ class Round7OpsSpec extends SparkSpec {
     assert(c.getAs[Double]("removed_frac") == 0.0)
   }
 
-  test("q100 ADC ranking equals a direct lookup-table recomputation") {
+  test("q100 ADC ranking equals a direct per-cell lookup-table recomputation") {
     val dir = "/root/testdata/sf0.001"
     val out = SimilarityOps.annPqAdc(spark, dir).collect()
     assert(out.length == SimilarityOps.TopK)
@@ -485,24 +498,37 @@ class Round7OpsSpec extends SparkSpec {
       .toMap
     val codes = asgF.collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sub")) -> r.getAs[Long]("code"))
+    val (kcentF, kasgF) = SimilarityOps.kmeansModel(spark, dir)
+    val kcent = kcentF.collect()
+      .groupBy(_.getAs[Long]("cluster"))
+      .view.mapValues(_.map(r => r.getAs[Int]("pos") -> r.getAs[Double]("c")).toMap)
+      .toMap
+    val kasg = kasgF.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
     val vecs = spark.read.parquet(s"$dir/embeddings.parquet").collect()
       .map(r => r.getAs[Long]("vec_id") ->
         r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
       .toMap
     val qv = vecs(SimilarityOps.QueryVecId)
-    // distance table from the query alone, then per-vector lookup + sum
-    val dtab = cent.map { case (k, c) =>
-      k -> c.map { case (pos, cv) => val d = qv(pos) - cv; d * d }.sum
-    }
+    // Residual ADC: one distance table per coarse cell, built from the
+    // query's residual against that cell; per-vector lookup keys on the
+    // vector's own cell.
+    val dtab = kcent.keys.flatMap { cl =>
+      val kc = kcent(cl)
+      cent.map { case (k, c) =>
+        (cl, k._1, k._2) ->
+          c.map { case (pos, cv) => val d = qv(pos) - kc(pos) - cv; d * d }.sum
+      }
+    }.toMap
     val adist = codes.groupBy(_._1._1).map { case (vecId, sc) =>
-      vecId -> sc.map { case ((_, sub), code) => dtab((sub, code)) }.sum
+      vecId -> sc.map { case ((_, sub), code) => dtab((kasg(vecId), sub, code)) }.sum
     }
     val expect = adist.toSeq.sortBy { case (id, d) => (d, id) }
       .take(out.length).map(_._1)
     assert(out.map(_.getAs[Long]("vec_id")).toSeq == expect,
       "ADC top-k differs from recomputed lookup-table ranking")
     // the approximation is informative: the true nearest vector (the query
-    // itself, distance 0 to its own codes' reconstruction) ranks first
+    // itself, distance = its own residual quantization error) ranks first
     assert(out.head.getAs[Long]("vec_id") == SimilarityOps.QueryVecId)
   }
 
@@ -567,13 +593,18 @@ class Round7OpsSpec extends SparkSpec {
       .groupBy(r => (r.getAs[Long]("sub"), r.getAs[Long]("code")))
       .view.mapValues(_.map(r => r.getAs[Int]("pos") -> r.getAs[Double]("c")).toMap)
       .toMap
-    val dtab = pcent.map { case (k, c) =>
-      k -> c.map { case (pos, cv) => val d = qv(pos) - cv; d * d }.sum
-    }
+    // Residual ADC tables, one per cell (round-8 geometry).
+    val dtab = kcent.keys.flatMap { cl =>
+      val kc = kcent(cl)
+      pcent.map { case (k, c) =>
+        (cl, k._1, k._2) ->
+          c.map { case (pos, cv) => val d = qv(pos) - kc(pos) - cv; d * d }.sum
+      }
+    }.toMap
     val codes = pasgF.collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("sub")) -> r.getAs[Long]("code"))
     val adist = codes.groupBy(_._1._1).map { case (vecId, sc) =>
-      vecId -> sc.map { case ((_, sub), code) => dtab((sub, code)) }.sum
+      vecId -> sc.map { case ((_, sub), code) => dtab((kasg(vecId), sub, code)) }.sum
     }
     val expect = adist.toSeq
       .filter { case (id, _) => probed.contains(kasg(id)) }
