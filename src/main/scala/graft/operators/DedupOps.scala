@@ -651,24 +651,33 @@ object DedupOps {
     * the three on planted contamination. */
   val VerbatimWindow = 8
 
-  /** Flag training docs sharing ≥1 exact VerbatimWindow-token contiguous
-    * window with any pseudo-benchmark doc (the q45 1/97 slice), keyed by
-    * md5 so the join exchanges a 16-byte key instead of a ~50-char
-    * string. VerbatimWindow is the MINIMUM detectable span: docs with
-    * fewer tokens are excluded from BOTH sides (a shorter-than-window
-    * doc's whole-string "window" could only ever match a token-identical
-    * short doc, never its verbatim quotation inside a longer one — a
-    * false promise of coverage), so sub-window benchmark docs are the
-    * overlap tier's (q45) job, as in Dolma-style pipelines where the
-    * contamination n-gram length is a declared floor. Same scale shape as
-    * q45: the benchmark side is eval-set-sized and broadcast; the corpus
-    * side streams map-side into a per-doc partial aggregate. An 8-token
-    * window is far more selective than a 3-shingle, so candidate volume
-    * is strictly below q45's. */
-  def verbatimDecontamination(spark: SparkSession, dir: String): DataFrame = {
+  /** Window lengths the multi-n sweep (q107) reports. Contamination
+    * practice sweeps n rather than trusting one floor: 13 tokens is the
+    * common published standard (GPT-3/Dolma-style 13-gram checks) — at
+    * n = 13 a truly verbatim quote still matches while borderline
+    * 8-token coincidences (idioms, boilerplate phrases) drop out; n = 8
+    * is the aggressive floor q83 declares. Round8OpsSpec plants a quote
+    * of each length and pins the separation. */
+  val VerbatimWindows: Seq[Int] = Seq(VerbatimWindow, 13)
+
+  /** Flag training docs sharing ≥1 exact n-token contiguous window with
+    * any pseudo-benchmark doc (the q45 1/97 slice), keyed by md5 so the
+    * join exchanges a 16-byte key instead of a ~50-char string. n is the
+    * MINIMUM detectable span: docs with fewer tokens are excluded from
+    * BOTH sides (a shorter-than-window doc's whole-string "window" could
+    * only ever match a token-identical short doc, never its verbatim
+    * quotation inside a longer one — a false promise of coverage), so
+    * sub-window benchmark docs are the overlap tier's (q45) job, as in
+    * Dolma-style pipelines where the contamination n-gram length is a
+    * declared floor. Same scale shape as q45: the benchmark side is
+    * eval-set-sized and broadcast; the corpus side streams map-side into
+    * a per-doc partial aggregate. An 8-token window is far more
+    * selective than a 3-shingle, so candidate volume is strictly below
+    * q45's; 13-token windows are more selective still. */
+  private def verbatimAt(spark: SparkSession, dir: String, n: Int): DataFrame = {
     val eligible = docs(spark, dir)
-      .filter(size(TextOps.tokenize(col("text"))) >= VerbatimWindow)
-    val ws = explodedShingles(eligible, VerbatimWindow)
+      .filter(size(TextOps.tokenize(col("text"))) >= n)
+    val ws = explodedShingles(eligible, n)
       .select(col("doc_id"), md5(col("s")).as("w")).distinct()
     val bench = ws.filter(pmod(col("doc_id"), lit(DecontamMod)) === 0)
       .select(col("w"), col("doc_id").as("bench_id"))
@@ -680,21 +689,60 @@ object DedupOps {
       .orderBy("doc_id")
   }
 
+  /** q83: the declared operating point (n = VerbatimWindow). */
+  def verbatimDecontamination(spark: SparkSession, dir: String): DataFrame =
+    verbatimAt(spark, dir, VerbatimWindow)
+
+  /** q107: the multi-n containment sweep — the same test at every
+    * declared window length, one (n, doc, windows, bench_docs) row per
+    * flagged doc per n. The n = 13 rows are definitionally a subset of
+    * the n = 8 rows (a 13-window contains an 8-window), so the report
+    * reads as a precision ladder: docs present only at n = 8 are the
+    * borderline tier a release reviews by hand, docs surviving at n = 13
+    * are contamination by the published standard. Each n is an
+    * independent broadcast join over its own shingle pass — no shared
+    * state, so the sweep is embarrassingly parallel and 100 TB cost is
+    * |sweep| × the q83 shape. */
+  def verbatimMultiN(spark: SparkSession, dir: String): DataFrame =
+    VerbatimWindows.map { n =>
+      verbatimAt(spark, dir, n)
+        .select(lit(n.toLong).as("n"), col("doc_id"),
+          col("n_windows"), col("n_bench_docs"))
+    }.reduce(_.unionByName(_)).orderBy("n", "doc_id")
+
+  /** Shared q83/q107 oracle block generator: the full derivation for one
+    * window length with suffixed CTE names, ending in out$n(n, doc_id,
+    * n_windows, n_bench_docs). */
+  private def verbatimCtes(n: Int): String =
+    s"""wsh$n AS (SELECT doc_id,
+       |          [array_to_string(t[i:i+${n - 1}], ' ')
+       |           FOR i IN range(1, len(t) - ${n - 2})] AS ws
+       |        FROM wtk WHERE len(t) >= $n),
+       |wx$n AS (SELECT doc_id, unnest(ws) AS s FROM wsh$n),
+       |wd$n AS (SELECT DISTINCT doc_id, md5(s) AS w FROM wx$n),
+       |bench$n AS (SELECT w, doc_id AS bench_id FROM wd$n WHERE doc_id % $DecontamMod = 0),
+       |out$n AS (SELECT CAST($n AS BIGINT) AS n, wd$n.doc_id,
+       |    count(DISTINCT wd$n.w) AS n_windows,
+       |    count(DISTINCT bench_id) AS n_bench_docs
+       |  FROM wd$n JOIN bench$n ON wd$n.w = bench$n.w
+       |  WHERE wd$n.doc_id % $DecontamMod <> 0
+       |  GROUP BY wd$n.doc_id)""".stripMargin
+
+  private val wtkCte: String =
+    s"""wtk AS (SELECT doc_id, regexp_extract_all(lower(text), '$TokRe') AS t
+       |        FROM documents)""".stripMargin
+
   val verbatimDecontaminationSql: String =
-    s"""WITH wtk AS (SELECT doc_id, regexp_extract_all(lower(text), '$TokRe') AS t
-       |             FROM documents),
-       |wsh AS (SELECT doc_id,
-       |          [array_to_string(t[i:i+${VerbatimWindow - 1}], ' ')
-       |           FOR i IN range(1, len(t) - ${VerbatimWindow - 2})] AS ws
-       |        FROM wtk WHERE len(t) >= $VerbatimWindow),
-       |wx AS (SELECT doc_id, unnest(ws) AS s FROM wsh),
-       |wd AS (SELECT DISTINCT doc_id, md5(s) AS w FROM wx),
-       |bench AS (SELECT w, doc_id AS bench_id FROM wd WHERE doc_id % $DecontamMod = 0)
-       |SELECT wd.doc_id, count(DISTINCT wd.w) AS n_windows,
-       |  count(DISTINCT bench_id) AS n_bench_docs
-       |FROM wd JOIN bench ON wd.w = bench.w
-       |WHERE wd.doc_id % $DecontamMod <> 0
-       |GROUP BY wd.doc_id ORDER BY wd.doc_id""".stripMargin
+    s"""WITH $wtkCte,
+       |${verbatimCtes(VerbatimWindow)}
+       |SELECT doc_id, n_windows, n_bench_docs FROM out$VerbatimWindow
+       |ORDER BY doc_id""".stripMargin
+
+  val verbatimMultiNSql: String =
+    s"""WITH $wtkCte,
+       |${VerbatimWindows.map(verbatimCtes).mkString(",\n")}
+       |${VerbatimWindows.map(n => s"SELECT * FROM out$n").mkString("\nUNION ALL\n")}
+       |ORDER BY n, doc_id""".stripMargin
 
   // ---- q48: SimHash near-dup pairs (Hamming-LSH banding) ------------------
 
@@ -1028,6 +1076,7 @@ object DedupOps {
     "q76_leakage_safe_splits" -> (leakageSafeSplits _),
     "q82_curation_pipeline" -> (curationPipeline _),
     "q83_verbatim_decontam" -> (verbatimDecontamination _),
+    "q107_verbatim_multi_n" -> (verbatimMultiN _),
     "q40_exact_dup_groups" -> (exactDupGroups _),
     "q41_minhash_bands" -> (minhashBands _),
     "q42_minhash_dup_pairs" -> (minhashDupPairs _),
@@ -1046,6 +1095,7 @@ object DedupOps {
     "q76_leakage_safe_splits" -> leakageSafeSplitsSql,
     "q82_curation_pipeline" -> curationPipelineSql,
     "q83_verbatim_decontam" -> verbatimDecontaminationSql,
+    "q107_verbatim_multi_n" -> verbatimMultiNSql,
     "q40_exact_dup_groups" -> exactDupGroupsSql,
     "q41_minhash_bands" -> minhashBandsSql,
     "q42_minhash_dup_pairs" -> minhashDupPairsSql,

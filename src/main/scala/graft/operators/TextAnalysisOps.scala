@@ -1333,6 +1333,127 @@ object TextAnalysisOps {
        |    len(regexp_extract_all(lower(text), '$PiiPhoneRe')) > 0 AS has_pii
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---- q109: validated PII detectors (checksum / range verification) ------
+
+  /** Candidate patterns for the VALIDATED tier (VERDICT r7 #6). q89
+    * counts pattern hits; real scrubbing also verifies — a 16-digit run
+    * is only a card number if its Luhn checksum passes, an IPv4 shape is
+    * only an address if every octet fits in a byte, an IBAN shape is only
+    * an account if its ISO 7064 mod-97 residue is 1. Validation is what
+    * separates redacting PII from redacting phone-book page numbers.
+    * Same portable-regex subset as q89; the card pattern admits single
+    * space/dash separators between digits (13–19 digits total), IBAN
+    * matches on the RAW text (uppercase is significant). */
+  val PiiCardRe = """\b[0-9](?:[ -]?[0-9]){12,18}\b"""
+  val PiiIbanRe = """\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\b"""
+
+  /** Luhn checksum over a separator-stripped digit string: from the
+    * rightmost digit, odd positions add d, even positions add 2d (minus 9
+    * above 9); valid iff the total ≡ 0 (mod 10). Pure integer fold over
+    * ≤ 19 characters — bit-identical in both engines. */
+  private def luhnValid(cand: Column): Column = {
+    val digits = regexp_replace(cand, "[ -]", "")
+    val n = length(digits)
+    val s = aggregate(
+      sequence(lit(1), n), lit(0),
+      (acc, i) => {
+        val d = ascii(digits.substr(n - i + 1, lit(1))) - lit(48)
+        acc + when(i % 2 === 1, d)
+          .otherwise(when(d * 2 > 9, d * 2 - 9).otherwise(d * 2))
+      })
+    s % 10 === 0
+  }
+
+  /** IPv4 range check: every dotted octet parses ≤ 255. */
+  private def ipValid(cand: Column): Column =
+    forall(split(cand, "\\."), o => o.cast("int") <= 255)
+
+  /** ISO 7064 mod-97 IBAN check: move the first four chars to the end,
+    * expand letters to two digits (A = 10 … Z = 35), residue of the
+    * resulting number mod 97 must be 1. The fold keeps the accumulator
+    * < 97 throughout (digit: acc·10 + d mod 97; letter: acc·100 + v
+    * mod 97 — two digits in one exact step), so nothing overflows and
+    * every operation is integer arithmetic both engines share. */
+  private def ibanValid(cand: Column): Column = {
+    val re = concat(cand.substr(lit(5), length(cand) - 4),
+      cand.substr(lit(1), lit(4)))
+    val m = aggregate(
+      sequence(lit(1), length(re)), lit(0),
+      (acc, i) => {
+        val c = ascii(re.substr(i, lit(1)))
+        when(c.between(48, 57), (acc * 10 + (c - lit(48))) % 97)
+          .otherwise((acc * 100 + (c - lit(55))) % 97)
+      })
+    m === 1
+  }
+
+  /** q109: per-document validated-PII counts — candidates (pattern hits)
+    * next to survivors (checksum/range-verified), per category. The gap
+    * between the two columns is the false-positive mass validation
+    * removes — the planted-invalid spec (Round8OpsSpec) pins that a
+    * checksum-failing lookalike counts as candidate, never as valid.
+    * Row-local HOF folds over ≤ 34-char candidates — interpreted, but
+    * candidates are rare (a few per document at worst), so the per-row
+    * cost is bounded and the 100 TB shape stays one pass, no shuffle
+    * beyond the ordered dump (q89's shape). */
+  def piiValidated(spark: SparkSession, dir: String): DataFrame = {
+    val t = lower(col("text"))
+    val cards = regexp_extract_all(t, lit(PiiCardRe), lit(0))
+    val ips = regexp_extract_all(t, lit(PiiIpRe), lit(0))
+    val ibans = regexp_extract_all(col("text"), lit(PiiIbanRe), lit(0))
+    docs(spark, dir).select(col("doc_id"),
+        size(cards).cast("long").as("n_card_cand"),
+        size(filter(cards, c => luhnValid(c))).cast("long").as("n_card_valid"),
+        size(ips).cast("long").as("n_ip_cand"),
+        size(filter(ips, c => ipValid(c))).cast("long").as("n_ip_valid"),
+        size(ibans).cast("long").as("n_iban_cand"),
+        size(filter(ibans, c => ibanValid(c))).cast("long").as("n_iban_valid"))
+      .withColumn("has_valid_pii",
+        (col("n_card_valid") + col("n_ip_valid") + col("n_iban_valid")) > 0)
+      .orderBy("doc_id")
+  }
+
+  /** Oracle twin. The checksum folds bind their derived string (stripped
+    * digits, rearranged IBAN) as an inner singleton-list lambda variable —
+    * DuckDB lambdas can nest, while a correlated scalar subquery inside a
+    * lambda cannot reference the lambda parameter. */
+  val piiValidatedSql: String = {
+    val luhn = """list_sum(list_transform(range(1, length(dg) + 1), i ->
+      |      CASE WHEN i % 2 = 1 THEN ascii(substring(dg, length(dg) - i + 1, 1)) - 48
+      |           ELSE CASE WHEN 2 * (ascii(substring(dg, length(dg) - i + 1, 1)) - 48) > 9
+      |                     THEN 2 * (ascii(substring(dg, length(dg) - i + 1, 1)) - 48) - 9
+      |                     ELSE 2 * (ascii(substring(dg, length(dg) - i + 1, 1)) - 48) END
+      |      END)) % 10 = 0""".stripMargin
+    s"""WITH pv AS (SELECT doc_id,
+       |    regexp_extract_all(lower(text), '$PiiCardRe') AS cards,
+       |    regexp_extract_all(lower(text), '$PiiIpRe') AS ips,
+       |    regexp_extract_all(text, '$PiiIbanRe') AS ibans
+       |  FROM documents),
+       |pc AS (SELECT doc_id,
+       |    CAST(len(cards) AS BIGINT) AS n_card_cand,
+       |    CAST(len(list_filter(cards, c ->
+       |      len(list_filter([regexp_replace(c, '[ -]', '', 'g')], dg ->
+       |        $luhn)) = 1)) AS BIGINT)
+       |      AS n_card_valid,
+       |    CAST(len(ips) AS BIGINT) AS n_ip_cand,
+       |    CAST(len(list_filter(ips, c ->
+       |      len(list_filter(str_split(c, '.'), o -> o::INT > 255)) = 0)) AS BIGINT)
+       |      AS n_ip_valid,
+       |    CAST(len(ibans) AS BIGINT) AS n_iban_cand,
+       |    CAST(len(list_filter(ibans, c ->
+       |      len(list_filter([substring(c, 5) || substring(c, 1, 4)], re ->
+       |        list_reduce(list_prepend(0, list_transform(range(1, length(re) + 1),
+       |            i -> ascii(substring(re, i, 1)))),
+       |          (acc, ch) -> CASE WHEN ch BETWEEN 48 AND 57 THEN (acc * 10 + (ch - 48)) % 97
+       |                            ELSE (acc * 100 + (ch - 55)) % 97 END) = 1)) = 1)) AS BIGINT)
+       |      AS n_iban_valid
+       |  FROM pv)
+       |SELECT doc_id, n_card_cand, n_card_valid, n_ip_cand, n_ip_valid,
+       |  n_iban_cand, n_iban_valid,
+       |  n_card_valid + n_ip_valid + n_iban_valid > 0 AS has_valid_pii
+       |FROM pc ORDER BY doc_id""".stripMargin
+  }
+
   // ---- q87: Zipf slope (corpus-health diagnostic) -------------------------
 
   /** Least-squares fit of ln(term frequency) against ln(frequency rank) —
@@ -1704,6 +1825,112 @@ object TextAnalysisOps {
        |  floor((sum(y) / count(*)) * 1000000 + 0.5) / 1000000 AS pos_rate
        |FROM lscored GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---- q108: calibrated curation threshold + ECE --------------------------
+
+  /** The candidate table behind q108: per probability decile of the q91
+    * classifier (q95's bins), document/positive/token totals plus the
+    * cumulative-from-the-top sums, the q94 token budget (half the corpus
+    * total, integer-derived), and the scalar expected calibration error.
+    * Metadata-scale end to end — ≤ 10 rows after one map-side-combined
+    * corpus aggregate. Exposed for the Round8OpsSpec tie to q95. */
+  private[graft] def thresholdCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val w = qualityLrModel(spark, dir)
+    val zc = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+      lit(w(3)) * col("x3") + lit(w(4)) * col("x4")
+    val p = sigma(zc)
+    val dec = lrFeats(spark, dir)
+      .select(col("y"), col("n_tokens"), p.as("p"))
+      .groupBy(floor(col("p") * 10).cast("long").as("p_decile"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("y")).cast("long").as("n_pos"),
+        sum(col("n_tokens")).cast("long").as("tok"),
+        dsum18(col("p")).as("psum"))
+    val wTop = Window.orderBy(col("p_decile").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wAll = Window.orderBy(col("p_decile").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // ECE term per bin: (n_b/N)·|pos_rate_b − mean_p_b|, DECIMAL(30,8)-
+    // accumulated over the ≤ 10 bins so summation order is irrelevant.
+    val nAll = sum(col("n_docs")).over(wAll)
+    dec
+      .withColumn("cum_docs", sum(col("n_docs")).over(wTop).cast("long"))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wTop).cast("long"))
+      .withColumn("cum_tok", sum(col("tok")).over(wTop).cast("long"))
+      .withColumn("cum_psum", sum(col("psum")).over(wTop))
+      .withColumn("tot_tok", sum(col("tok")).over(wAll).cast("long"))
+      .withColumn("budget", expr("CAST(tot_tok DIV 2 AS BIGINT)"))
+      .withColumn("ece",
+        sum((((col("n_docs").cast("double") / nAll) *
+          abs(col("n_pos").cast("double") / col("n_docs") -
+            col("psum") / col("n_docs")))).cast("decimal(30,8)"))
+          .over(wAll).cast("double"))
+  }
+
+  /** q108: the calibrated operating threshold — the number a deployed
+    * curation pipeline actually tunes (VERDICT r7 #4). Candidate
+    * thresholds are the decile boundaries of q95's reliability table;
+    * keeping docs with p ≥ d/10 keeps the top deciles whole, and the
+    * chosen operating point is the LOWEST candidate whose kept token
+    * mass still fits the q94 budget (half the corpus total) — i.e. the
+    * p-cutoff that spends the whole budget on the highest-probability
+    * documents, the threshold form of q94's greedy fill. Emits one row:
+    * the threshold, kept document/token totals against the budget, the
+    * kept set's observed positive rate and mean predicted p (the two
+    * numbers whose agreement q95 certifies), and the scalar expected
+    * calibration error ECE = Σ_b (n_b/N)·|pos_rate_b − mean_p_b| — the
+    * one-number summary of q95's table.
+    *
+    * Every selector is integer-derived (decile keys, token sums, integer
+    * budget); the emitted ratios are exactly-rounded double divisions
+    * r6'd at the edge, and the ECE accumulates in DECIMAL — fully
+    * oracle-able, like q95/q96. */
+  def calibratedThreshold(spark: SparkSession, dir: String): DataFrame =
+    thresholdCandidates(spark, dir)
+      .filter(col("cum_tok") <= col("budget"))
+      .orderBy(col("p_decile").asc)
+      .limit(1)
+      .select(
+        (col("p_decile").cast("double") / 10.0).as("threshold"),
+        col("cum_docs").as("kept_docs"),
+        col("cum_tok").as("kept_tokens"),
+        col("budget"),
+        r6(col("cum_pos").cast("double") / col("cum_docs")).as("kept_pos_rate"),
+        r6(col("cum_psum") / col("cum_docs")).as("kept_mean_p"),
+        r6(col("ece")).as("ece"))
+
+  val calibratedThresholdSql: String =
+    s"""WITH $qualityCtes,
+       |$lrCtes,
+       |cdec AS (SELECT CAST(floor(p * 10) AS BIGINT) AS p_decile,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS n_pos,
+       |    CAST(sum(n_tokens) AS BIGINT) AS tok,
+       |    CAST(sum(CAST(p AS DECIMAL(38,18))) AS DOUBLE) AS psum
+       |  FROM lscored GROUP BY 1),
+       |ctot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nall,
+       |    CAST(sum(tok) // 2 AS BIGINT) AS budget
+       |  FROM cdec),
+       |cece AS (SELECT CAST(sum(CAST(
+       |      (CAST(n_docs AS DOUBLE) / nall) *
+       |        abs(CAST(n_pos AS DOUBLE) / n_docs - psum / n_docs)
+       |    AS DECIMAL(30,8))) AS DOUBLE) AS ece
+       |  FROM cdec, ctot),
+       |ccand AS (SELECT p_decile,
+       |    CAST(sum(n_docs) OVER wt AS BIGINT) AS cum_docs,
+       |    CAST(sum(n_pos) OVER wt AS BIGINT) AS cum_pos,
+       |    CAST(sum(tok) OVER wt AS BIGINT) AS cum_tok,
+       |    sum(psum) OVER wt AS cum_psum
+       |  FROM cdec
+       |  WINDOW wt AS (ORDER BY p_decile DESC ROWS UNBOUNDED PRECEDING))
+       |SELECT p_decile / 10.0 AS threshold,
+       |  cum_docs AS kept_docs, cum_tok AS kept_tokens, budget,
+       |  floor((CAST(cum_pos AS DOUBLE) / cum_docs) * 1000000 + 0.5) / 1000000 AS kept_pos_rate,
+       |  floor((cum_psum / cum_docs) * 1000000 + 0.5) / 1000000 AS kept_mean_p,
+       |  floor(ece * 1000000 + 0.5) / 1000000 AS ece
+       |FROM ccand, ctot, cece WHERE cum_tok <= budget
+       |ORDER BY p_decile ASC LIMIT 1""".stripMargin
+
   // ---- q96: classifier ranking quality (exact AUC, histogram-decomposed) --
 
   /** q96: threshold-free ranking quality of the learned filter — the
@@ -1966,6 +2193,8 @@ object TextAnalysisOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_classifier_auc" -> (classifierAuc _),
     "q95_classifier_calibration" -> (classifierCalibration _),
+    "q108_calibrated_threshold" -> (calibratedThreshold _),
+    "q109_pii_validated" -> (piiValidated _),
     "q94_learned_curation" -> (learnedBudgetCuration _),
     "q93_bpe_token_counts" -> (bpeTokenCounts _),
     "q92_bpe_merge_table" -> (bpeMergeTable _),
@@ -1999,6 +2228,8 @@ object TextAnalysisOps {
   val oracles: Map[String, String] = Map(
     "q96_classifier_auc" -> classifierAucSql,
     "q95_classifier_calibration" -> classifierCalibrationSql,
+    "q108_calibrated_threshold" -> calibratedThresholdSql,
+    "q109_pii_validated" -> piiValidatedSql,
     "q94_learned_curation" -> learnedBudgetCurationSql,
     "q93_bpe_token_counts" -> bpeTokenCountsSql,
     "q92_bpe_merge_table" -> bpeMergeTableSql,

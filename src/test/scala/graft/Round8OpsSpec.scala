@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.SimilarityOps
+import graft.operators.{DedupOps, SimilarityOps}
 
 /** Round-8 additions: residual IVF-PQ (IVFADC proper — VERDICT r7 #1).
   *
@@ -57,6 +57,104 @@ class Round8OpsSpec extends SparkSpec {
       .map(_.toString).sorted.toSeq
     assert(before == after, "re-derivation after release changed the frame")
     Memos.release(dir)
+  }
+
+  test("q107 multi-n decontamination: n=13 drops the borderline 8-token quote") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_multin").toString
+    val alpha = (0 until 20).map(i => s"alpha$i")
+    val bench = alpha.mkString(" ") // doc 97: benchmark slice (97 % 97 == 0)
+    // doc 1: quotes 13 CONSECUTIVE benchmark tokens — contamination by the
+    // published 13-gram standard; must survive at both window lengths.
+    val quote13 = ((0 until 30).map(i => s"uniq$i") ++ alpha.slice(3, 16) ++
+      (0 until 20).map(i => s"tail$i")).mkString(" ")
+    // doc 2: quotes exactly 8 consecutive tokens — the borderline tier
+    // the aggressive floor flags and the 13-gram standard drops.
+    val quote8 = ((0 until 30).map(i => s"mid$i") ++ alpha.slice(5, 13) ++
+      (0 until 20).map(i => s"end$i")).mkString(" ")
+    val clean = (0 until 40).map(i => s"clean$i").mkString(" ")
+    Seq((97L, bench), (1L, quote13), (2L, quote8), (3L, clean))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val byN = DedupOps.verbatimMultiN(spark, out).collect()
+      .groupBy(_.getAs[Long]("n"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
+    assert(byN(8L) == Set(1L, 2L), s"n=8 flagged ${byN.get(8L)}, expected {1, 2}")
+    assert(byN(13L) == Set(1L), s"n=13 flagged ${byN.get(13L)}, expected {1}")
+    // q83's declared floor is the n=8 row of the sweep, row for row.
+    val q83 = DedupOps.verbatimDecontamination(spark, out).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_windows"))).toSet
+    val sweep8 = DedupOps.verbatimMultiN(spark, out)
+      .filter(col("n") === 8L).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_windows"))).toSet
+    assert(q83 == sweep8)
+  }
+
+  test("q108 picks the lowest decile cut fitting the q94 budget; ECE ties to q95") {
+    import graft.operators.TextAnalysisOps
+    val out = TextAnalysisOps.calibratedThreshold(spark, dir).collect()
+    assert(out.length == 1, "expected exactly one operating point")
+    val row = out(0)
+    val threshold = row.getAs[Double]("threshold")
+    val budget = row.getAs[Long]("budget")
+    assert(row.getAs[Long]("kept_tokens") <= budget)
+
+    // The declared selection rule, recomputed from the candidate table:
+    // lowest decile whose cumulative-from-top token mass fits the budget.
+    val cand = TextAnalysisOps.thresholdCandidates(spark, dir).collect()
+      .map(r => (r.getAs[Long]("p_decile"), r.getAs[Long]("cum_tok")))
+      .sortBy(_._1)
+    val fitting = cand.filter(_._2 <= budget).map(_._1)
+    assert(fitting.nonEmpty && threshold == fitting.min / 10.0,
+      s"threshold $threshold != lowest fitting decile ${fitting.headOption}/10")
+    cand.filter(_._1 < fitting.min)
+      .foreach { case (d, t) => assert(t > budget, s"decile $d also fits") }
+
+    // Tie to q95: kept_docs is the sum of the reliability table's bins at
+    // or above the threshold, and the scalar ECE matches the table's
+    // weighted |pos_rate - mean_p| (rounded columns => loose tolerance).
+    val q95 = TextAnalysisOps.classifierCalibration(spark, dir).collect()
+    val keptDocs = q95.filter(_.getAs[Long]("p_decile") >= (threshold * 10).round)
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(row.getAs[Long]("kept_docs") == keptDocs)
+    val n = q95.map(_.getAs[Long]("n_docs")).sum.toDouble
+    val eceFromTable = q95.map { r =>
+      (r.getAs[Long]("n_docs") / n) *
+        math.abs(r.getAs[Double]("pos_rate") - r.getAs[Double]("mean_p"))
+    }.sum
+    assert(math.abs(row.getAs[Double]("ece") - eceFromTable) < 2e-5,
+      s"ece ${row.getAs[Double]("ece")} vs q95-table $eceFromTable")
+  }
+
+  test("q109 validation rejects checksum-failing lookalikes, keeps genuine PII") {
+    import spark.implicits._
+    import graft.operators.TextAnalysisOps
+    val out = java.nio.file.Files.createTempDirectory("graft_piiv").toString
+    Seq(
+      (1L, "pay with 4539 1488 0343 6467 now"), // valid Luhn (Visa test number)
+      (2L, "fake card 4539 1488 0343 6468 here"), // last digit off: fails Luhn
+      (3L, "host at 10.2.3.4 and bogus 999.300.1.1"), // one in-range, one not
+      (4L, "send to GB82WEST12345698765432 please"), // valid ISO 7064 mod-97
+      (5L, "typo'd GB82WEST12345698765433 account"), // residue != 1
+      (6L, "nothing sensitive here at all"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val m = TextAnalysisOps.piiValidated(spark, out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(m(1L).getAs[Long]("n_card_cand") == 1 && m(1L).getAs[Long]("n_card_valid") == 1)
+    assert(m(2L).getAs[Long]("n_card_cand") == 1 && m(2L).getAs[Long]("n_card_valid") == 0,
+      "checksum-failing card lookalike must stay a candidate, never valid")
+    assert(m(3L).getAs[Long]("n_ip_cand") == 2 && m(3L).getAs[Long]("n_ip_valid") == 1,
+      "out-of-range octets must fail IP validation")
+    assert(m(4L).getAs[Long]("n_iban_cand") == 1 && m(4L).getAs[Long]("n_iban_valid") == 1)
+    assert(m(5L).getAs[Long]("n_iban_cand") == 1 && m(5L).getAs[Long]("n_iban_valid") == 0,
+      "mod-97-failing IBAN lookalike must stay a candidate, never valid")
+    assert(m(1L).getAs[Boolean]("has_valid_pii") && m(3L).getAs[Boolean]("has_valid_pii")
+      && m(4L).getAs[Boolean]("has_valid_pii"))
+    assert(!m(2L).getAs[Boolean]("has_valid_pii") && !m(5L).getAs[Boolean]("has_valid_pii")
+      && !m(6L).getAs[Boolean]("has_valid_pii"))
   }
 
   test("residual codes reconstruct better than raw codes (mean sq_err strictly lower)") {
