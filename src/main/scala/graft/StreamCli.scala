@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.streaming.StreamingOps
 
-/** `sbt "runMain graft.StreamEvents <sfDir> [hourly|sessions|running|dedup|quality|interval]"`
+/** `sbt "runMain graft.StreamEvents <sfDir> [hourly|sessions|running|dedup|quality|interval|ingest]"`
   * — run the Structured Streaming operators over the events table as a
   * bounded file stream (micro-batch to completion), print the resulting
   * table. `running` exercises the custom flatMapGroupsWithState state;
@@ -12,7 +12,11 @@ import graft.streaming.StreamingOps
   * keep/drop verdict (ingest order = doc_id order, one doc per second of
   * synthetic event time); `quality` streams documents through the frozen
   * quality-model gate (stateless scoring — the other half of the ingest
-  * pipeline).
+  * pipeline); `ingest` (3rd arg = indexDir, default
+  * target/graft_ivf_index from BuildVectorIndex) streams id-shifted
+  * embeddings through the sign-LSH near-dup gate into the persisted IVF
+  * index via foreachBatch + appendArtifacts — the full dedup-then-index
+  * ingest path; prints per-cluster growth and the gate's pass count.
   */
 object StreamEvents {
   def main(args: Array[String]): Unit = {
@@ -70,6 +74,34 @@ object StreamEvents {
         s"kept=${t.filter(col("keep")).count()} dropped=${t.filter(!col("keep")).count()}")
       t.orderBy("doc_id").show(10, truncate = false)
       q.stop(); spark.stop(); return
+    }
+
+    if (mode == "ingest") {
+      val idx = if (args.length > 2) args(2) else "target/graft_ivf_index"
+      import graft.operators.SimilarityOps
+      val anchors = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id").between(1, SimilarityOps.LshAnchors))
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+        .sortBy(_._1).toSeq
+      val before = spark.read.parquet(s"$idx/vectors").count()
+      // Id-shifted embeddings standing in for new arrivals, one per
+      // second of synthetic event time.
+      val vecs = spark.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .select((col("vec_id") + 3000000L).as("vec_id"), col("embedding"))
+        .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("vec_id")))
+      val q = StreamingOps.indexIngest(vecs, "ts", "0 seconds", anchors, idx)
+        .start()
+      q.processAllAvailable(); q.stop()
+      val after = spark.read.parquet(s"$idx/vectors")
+      val appended = after.filter(col("vec_id") >= 3000000L)
+      val sizes = after.groupBy("cluster").count().orderBy("cluster").collect()
+        .map(r => s"${r.get(0)}:${r.getLong(1)}").mkString(",")
+      println(s"[stream] ingest before=$before after=${after.count()} " +
+        s"gate_passed=${appended.count()} sizes=$sizes")
+      spark.stop(); return
     }
 
     // Schema must be declared for a streaming file source; peek at the

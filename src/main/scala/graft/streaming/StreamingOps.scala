@@ -308,6 +308,38 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(Seq("bucket"))
       .select(col("vec_id"), col("bucket"))
 
+  /** Production "dedup-then-index" streaming ingest (VERDICT r7 #3): gate
+    * arriving vectors with the sign-LSH embedding near-dup gate, then
+    * append each surviving micro-batch into the PERSISTED IVF index via
+    * the incremental-append path (SimilarityOps.appendArtifacts: assign
+    * against the persisted coarse centroids, int8 + residual-PQ encode
+    * with the persisted codebooks, land in the owning cluster's partition
+    * directory — no retraining anywhere). `foreachBatch` is the right
+    * sink shape: the index append is a batch parquet write against index
+    * files, and routing each surviving micro-batch through the exact
+    * batch-tier derivation means the stream and the offline build cannot
+    * drift. Gated duplicates are dropped BEFORE the append, so they
+    * never reach the index (StreamingSpec pins it). Returns the
+    * configured writer; callers `.start()` it. */
+  def indexIngest(
+      vecs: DataFrame, tsCol: String, delay: String,
+      anchors: Seq[(Int, Array[Float])], indexDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs
+      .withColumn("bucket", lshBucket(col("embedding"), anchors))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(Seq("bucket"))
+      .select("vec_id", "embedding")
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.SimilarityOps
+            .appendArtifacts(batch.sparkSession, indexDir, batch)
+            .write.mode("append").partitionBy("cluster")
+            .parquet(s"$indexDir/vectors")
+      }
+
   /** Streaming quality gate: score each arriving document with a FROZEN
     * persisted model (`graft.TrainQualityModel` output). The 1-row model
     * is read once driver-side and inlined as literals, so the gate is a

@@ -318,6 +318,83 @@ class StreamingSpec extends SparkSpec {
       .filter(survivors("bucket") =!= batch("bucket")).isEmpty)
   }
 
+  test("streaming index ingest: gated append lands in owning partitions, dups never indexed") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    import graft.operators.SimilarityOps
+
+    // Fresh persisted index (the BuildVectorIndex artifact set).
+    val out = java.nio.file.Files.createTempDirectory("graft_ingest_idx").toString
+    val (cent, kasgF) = SimilarityOps.kmeansModel(spark, dir)
+    SimilarityOps.indexArtifacts(spark, dir)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$out/vectors")
+    cent.write.mode("overwrite").parquet(s"$out/centroids")
+    SimilarityOps.pqModel(spark, dir)._1
+      .write.mode("overwrite").parquet(s"$out/pq_centroids")
+    val before = spark.read.parquet(s"$out/vectors").count()
+
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val anchors = e.filter(col("vec_id").between(1, SimilarityOps.LshAnchors))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
+      .sortBy(_._1).toSeq
+
+    // Three source vectors in pairwise-DISTINCT sign-LSH buckets (so they
+    // don't gate each other), plus an exact duplicate of the first (same
+    // embedding, new id) that MUST be gated.
+    val buckets = SimilarityOps.lshBuckets(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    val srcIds = buckets.toSeq.sortBy(_._1)
+      .foldLeft(Vector.empty[Long]) { case (acc, (id, b)) =>
+        if (acc.size < 3 && !acc.exists(a => buckets(a) == b)) acc :+ id else acc
+      }
+    assert(srcIds.size == 3, s"corpus has < 3 distinct occupied buckets")
+    val embOf = e.filter(col("vec_id").isin(srcIds: _*)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val delta = srcIds.zipWithIndex.map { case (id, i) =>
+      (2000000L + id, new Timestamp(1700000000000L + i * 1000L), embOf(id))
+    } :+ ((2900000L, new Timestamp(1700000004000L), embOf(srcIds.head)))
+
+    val stream = MemoryStream[(Long, Timestamp, scala.collection.Seq[Float])]
+    val q = StreamingOps.indexIngest(
+        stream.toDF().toDF("vec_id", "ts", "embedding")
+          .withColumn("embedding", col("embedding").cast("array<float>")),
+        "ts", "1 hour", anchors, out)
+      .start()
+    try { stream.addData(delta); q.processAllAvailable() } finally q.stop()
+
+    // Exactly the three gate survivors were appended; the duplicate never
+    // reached the index.
+    val after = spark.read.parquet(s"$out/vectors")
+    assert(after.count() == before + 3)
+    assert(after.filter(col("vec_id") === 2900000L).isEmpty,
+      "gated duplicate reached the index")
+
+    // Each appended row landed in its source vector's owning cluster
+    // partition (same embedding + same persisted centroids => same
+    // assignment as training, file-level).
+    val kasg = kasgF.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    val appended = after.filter(col("vec_id") >= 2000000L)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        input_file_name().as("f"))
+      .collect()
+    assert(appended.length == 3)
+    appended.foreach { r =>
+      val srcCluster = kasg(r.getAs[Long]("vec_id") - 2000000L)
+      assert(r.getAs[Long]("cluster") == srcCluster)
+      assert(r.getAs[String]("f").contains(s"cluster=$srcCluster"),
+        s"appended row not in its owning partition dir: ${r.getAs[String]("f")}")
+    }
+
+    // The grown index serves the appended vectors: querying with the
+    // first source embedding returns its appended twin (cosine 1).
+    val served = SimilarityOps.annIvfServe(spark, out, embOf(srcIds.head).toArray)
+    assert(served.filter(col("vec_id") === (2000000L + srcIds.head)).count() == 1,
+      "served top-k missing the appended twin of the query vector")
+  }
+
   test("streaming interval join emits exactly the in-horizon purchase-view pairs") {
     implicit val sqlCtx = spark.sqlContext
     val events = loadEvents()
