@@ -449,6 +449,17 @@ object SimilarityOps {
   private[graft] def pqCurveFor(
       spark: SparkSession, dir: String, pcent: DataFrame, pasg: DataFrame,
       residual: Boolean): DataFrame = {
+    val (kcent, _) = kmeansModel(spark, dir)
+    val qx = embLong(spark, dir).filter(col("vec_id") === QueryVecId)
+    val dtab = adcTable(kcent, pcent,
+      qx.select(col("pos"), col("v").as("qv")), residual)
+    curveFromDtab(spark, dir, pasg, dtab)
+  }
+
+  /** Shared curve tail: rank probed candidates by a per-cell ADC table
+    * at every swept probe depth and score against the exact top-k. */
+  private def curveFromDtab(
+      spark: SparkSession, dir: String, pasg: DataFrame, dtab: DataFrame): DataFrame = {
     import spark.implicits._
     val (kcent, kasg) = kmeansModel(spark, dir)
     val e = emb(spark, dir)
@@ -464,8 +475,6 @@ object SimilarityOps {
       .select(col("cluster"),
         row_number().over(Window.orderBy(col("dist").asc, col("cluster").asc))
           .as("crank"))
-    val dtab = adcTable(kcent, pcent,
-      qx.select(col("pos"), col("v").as("qv")), residual)
     val cand = kasg.join(broadcast(crank), "cluster")
       .join(pasg.select("vec_id", "sub", "code"), "vec_id")
       .join(broadcast(dtab), Seq("cluster", "sub", "code"))
@@ -484,6 +493,65 @@ object SimilarityOps {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
         r6(coalesce(col("n_hits"), lit(0L)).cast("double") / TopK).as("recall"))
       .orderBy("nprobe")
+  }
+
+  // ---- OPQ-lite rotation probe (measurement-only, VERDICT r7 stretch #8) --
+
+  /** Closed-form orthonormal rotation R = (1/√d)·H·D over d = 64:
+    * H[i][j] = (−1)^popcount(i AND j) (Walsh–Hadamard) and D = diag(±1)
+    * seeded from per-coordinate md5 parity — the SRHT-style structured
+    * rotation an OPQ-lite uses to spread variance evenly across the PQ
+    * subspaces. Deterministic, engine-portable (bit_count + md5 exist in
+    * both), and expressible as one matrix-multiply CTE if promoted. */
+  private def rotTable(spark: SparkSession): DataFrame =
+    spark.range(64).select(col("id").cast("int").as("i"))
+      .crossJoin(spark.range(64).select(col("id").cast("int").as("j")))
+      .select(col("i"), col("j"),
+        (((lit(1) - lit(2) * (expr("bit_count(i & j)") % 2)) *
+          (lit(1) - lit(2) * (ascii(substring(md5(col("j").cast("string")), 1, 1)) % 2)))
+          .cast("double") / 8.0).as("r"))
+
+  /** Rotate a (<idCol>, pos, v) long frame: u_i = Σ_j R[i][j]·v_j,
+    * DECIMAL-accumulated. */
+  private def rotateLongBy(spark: SparkSession, ex: DataFrame, idCol: String): DataFrame =
+    ex.join(broadcast(rotTable(spark)), ex("pos") === col("j"))
+      .groupBy(col(idCol), col("i"))
+      .agg(sum((col("v") * col("r")).cast("decimal(38,18)")).cast("double").as("u"))
+      .select(col(idCol), col("i").as("pos"), col("u").as("v"))
+
+  /** The q105 curve under rotated-residual codebooks — the OPQ-lite
+    * candidate geometry. Exact distances are rotation-invariant, so only
+    * the subspace partitioning (hence codebook quality) changes; the
+    * probe and exact reference are untouched. Measurement tool only
+    * (graft.tools.OpqProbe) — promoted to the declared geometry only if
+    * the curve dominates the plain-residual one. */
+  /** The rotated-residual PQ model, memoized like its siblings —
+    * measurement-only (OpqProbe). */
+  private[graft] def rotatedPqModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    pqCache.getOrElseUpdate(s"rot:${spark.sparkContext.applicationId}:$dir", {
+      val rex = rotateLongBy(spark, residLong(spark, dir), "vec_id")
+      val (cent, asg) = trainPqOn(spark, dir, withSub(rex))
+      (cent.cache(), asg.cache())
+    })
+
+  /** The rotation matrix as a collectable frame (i, j, r) —
+    * measurement-only (OpqProbe replicates the rotation driver-side). */
+  private[graft] def rotTableFrame(spark: SparkSession): DataFrame = rotTable(spark)
+
+  private[graft] def opqRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    val (kcent, _) = kmeansModel(spark, dir)
+    val (pcent, pasg) = rotatedPqModel(spark, dir)
+    val qx = embLong(spark, dir).filter(col("vec_id") === QueryVecId)
+    val qres = kcent
+      .join(broadcast(qx.select(col("pos"), col("v").as("qv"))), "pos")
+      .select(col("cluster"), col("pos"), (col("qv") - col("c")).as("v"))
+    val qrot = rotateLongBy(spark, qres, "cluster")
+    val dtab = qrot.select(col("cluster"), col("pos"), col("v").as("qr"))
+      .join(pcent.select(col("sub"), col("code"), col("pos"), col("c").as("pc")), "pos")
+      .groupBy("cluster", "sub", "code")
+      .agg(sum(((col("qr") - col("pc")) * (col("qr") - col("pc")))
+        .cast("decimal(38,18)")).as("d"))
+    curveFromDtab(spark, dir, pasg, dtab)
   }
 
   lazy val ivfPqRecallCurveSql: String =
@@ -1137,10 +1205,17 @@ object SimilarityOps {
     * and asymmetric-distance serving needs only the PqM×PqK centroid
     * table plus the K coarse centroids. Codebooks train on RESIDUALS
     * v − centroid(v) (IVFADC proper, VERDICT r7 #1): the coarse cell id
-    * is already stored, so the bits go to within-cell variance — the
-    * round-8 residual switch moved the q105 composed recall curve up at
-    * every probe depth (Round8OpsSpec pins the dominance). Output: one
-    * row per (vec_id, sub) with the assigned code and the exact squared
+    * is already stored, so the bits go to within-cell variance.
+    * Round8OpsSpec pins that the residual switch strictly lowers mean
+    * reconstruction error and holds-or-improves the declared q105 curve
+    * at every probe depth; on THIS corpus the mean-recall gain over a
+    * 50-query panel is within noise (OpqProbe) — exactly what q97's
+    * near-isotropy (λ₂/λ₁ ≈ 0.93) predicts, since residual coding's win
+    * scales with how much of the variance the coarse cells explain.
+    * Residual stays the declared geometry: never worse, strictly
+    * better-conditioned, and the standard production construction on
+    * real (clustered) embedding corpora. Output: one row per
+    * (vec_id, sub) with the assigned code and the exact squared
     * reconstruction error of that residual subvector.
     *
     * The Spark shape trains ALL subspaces in one frame — subspace is

@@ -4,13 +4,19 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{DedupOps, SimilarityOps}
 
-/** Round-8 additions: residual IVF-PQ (IVFADC proper — VERDICT r7 #1).
+/** Round-8 additions: residual IVF-PQ (IVFADC proper — VERDICT r7 #1),
+  * memo lifecycle, multi-n decontamination, calibrated threshold,
+  * validated PII.
   *
-  * The dominance test is the round's acceptance criterion: training the
-  * PQ codebooks on residuals v − centroid(v) must move the q105 composed
-  * recall curve up (or hold it) at EVERY probe depth relative to the
+  * The dominance test pins the declared q105 configuration: training the
+  * PQ codebooks on residuals v − centroid(v) must hold-or-improve the
+  * composed recall curve at EVERY probe depth relative to the
   * pre-round-8 raw-vector geometry, measured by the exact same curve
-  * machinery over the same corpus and the same coarse quantizer.
+  * machinery over the same corpus and coarse quantizer. (A single-query
+  * curve moves in 0.02 steps, so this pins the declared operating
+  * configuration, not a statistical claim — graft.tools.OpqProbe runs
+  * the 50-query mean-recall panel; see SCALE.md for the measured
+  * near-isotropy context.)
   */
 class Round8OpsSpec extends SparkSpec {
 
