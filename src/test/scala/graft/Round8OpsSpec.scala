@@ -163,6 +163,25 @@ class Round8OpsSpec extends SparkSpec {
       && !m(6L).getAs[Boolean]("has_valid_pii"))
   }
 
+  test("q110 panel curve: monotone in nprobe, bounded, informative at depth") {
+    val panel = SimilarityOps.pqRecallPanel(spark, dir).orderBy("nprobe").collect()
+      .map(r => (r.getAs[Long]("nprobe"), r.getAs[Long]("n_hits"),
+        r.getAs[Double]("mean_recall")))
+    assert(panel.map(_._1).toSeq == SimilarityOps.NProbeSweep.map(_.toLong))
+    val cap = SimilarityOps.TopK.toLong * SimilarityOps.NPanel
+    panel.foreach { case (np, h, r) =>
+      assert(h >= 0 && h <= cap, s"n_hits $h outside [0, $cap] at nprobe=$np")
+      assert(r >= 0.0 && r <= 1.0)
+    }
+    // Unlike q79's probe-coverage curve, ADC misranking makes strict
+    // per-step monotonicity non-guaranteed (a new closer-by-ADC candidate
+    // can evict a true hit) — but the wide-vs-narrow gap is structural:
+    // probing 8 of 10 cells must beat probing 1 by a wide margin.
+    assert(panel.last._3 > panel.head._3,
+      s"widest probe no better than narrowest: ${panel.toSeq}")
+    assert(panel.last._3 > 0.3, s"widest-probe panel recall implausibly low: ${panel.last}")
+  }
+
   test("residual codes reconstruct better than raw codes (mean sq_err strictly lower)") {
     // The mechanism behind the recall win: 64 bits spent on within-cell
     // variance quantize what remains after the probe. Mean squared
