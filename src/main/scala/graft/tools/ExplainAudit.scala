@@ -26,7 +26,9 @@ object ExplainAudit {
       "q96_classifier_auc", "q97_pca_top_component", "q98_pq_codes",
       "q99_weighted_sample", "q100_ann_pq_adc", "q59_interval_join",
       "q62_user_sessions", "q67_retention_cohorts", "q69_event_anomalies",
-      "q70_media_meta", "q72_frame_sample")
+      "q70_media_meta", "q72_frame_sample",
+      "q104_ann_ivfpq", "q107_verbatim_multi_n", "q108_calibrated_threshold",
+      "q109_pii_validated", "q110_pq_recall_panel")
 
     targets.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
