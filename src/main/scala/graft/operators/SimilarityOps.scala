@@ -593,6 +593,132 @@ object SimilarityOps {
        |FROM rpv LEFT JOIN rhit ON rpv.nprobe = rhit.nprobe
        |ORDER BY rpv.nprobe""".stripMargin
 
+  // ---- q111: IVF-PQ with exact re-ranking (the refine stage) --------------
+
+  /** ADC shortlist size for the re-rank stage. */
+  val RerankK = 200
+
+  /** q111: the production last mile of the composed tier — IVF-PQ's
+    * 64-bit ADC scan produces a RerankK-deep shortlist, and only those
+    * RerankK rows' float vectors are read back for an EXACT cosine
+    * re-rank (FAISS's refine stage). This converts ADC misranking from a
+    * recall loss into a latency knob: any exact-top-k member the probe
+    * covered and ADC placed anywhere in the top RerankK ends up
+    * correctly ranked, so recall approaches q79's probe-coverage bound
+    * while the corpus-side scan still reads 64 bits/vector — the float
+    * payload is touched for RerankK rows only (a vec_id-keyed join
+    * against the probed partitions; point-lookup volume at 100 TB).
+    * Output shape matches q50/q51 (vec_id, rank, cos). Round8OpsSpec
+    * pins shortlist containment, exact-order agreement, and that
+    * re-ranking recovers recall the plain ADC ranking loses. */
+  def annIvfPqRerank(spark: SparkSession, dir: String): DataFrame = {
+    val (kcent, kasg) = kmeansModel(spark, dir)
+    val (pcent, pasg) = pqModel(spark, dir)
+    val qx = embLong(spark, dir).filter(col("vec_id") === QueryVecId)
+    val probed = sqDist(qx, kcent)
+      .orderBy(col("dist").asc, col("cluster").asc)
+      .limit(NProbe)
+      .select("cluster")
+    val dtab = adcTable(kcent.join(broadcast(probed), "cluster"), pcent,
+      qx.select(col("pos"), col("v").as("qv")))
+    val shortlist = kasg.join(broadcast(probed), "cluster")
+      .join(pasg.select("vec_id", "sub", "code"), "vec_id")
+      .join(broadcast(dtab), Seq("cluster", "sub", "code"))
+      .groupBy("vec_id")
+      .agg(sum(col("d")).as("adist"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+      .limit(RerankK)
+      .select("vec_id")
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === QueryVecId)
+      .select(col("embedding").as("q_embedding"))
+    e.join(shortlist, "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), cosineSim(col("embedding"), col("q_embedding")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(TopK)
+      .select(col("vec_id"),
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id").asc))
+          .cast("long").as("rank"),
+        r6(col("cos")).as("cos"))
+      .orderBy("rank")
+  }
+
+  lazy val annIvfPqRerankSql: String =
+    s"""WITH $kmeansCtes,
+       |$pqCtes,
+       |rrqd AS (SELECT cluster, sum(CAST((v - c) * (v - c) AS DECIMAL(38,18))) AS dist
+       |         FROM (SELECT pos, v FROM kex WHERE vec_id = $QueryVecId) x
+       |         JOIN kcent USING (pos) GROUP BY 1),
+       |rrprobe AS (SELECT cluster FROM rrqd ORDER BY dist ASC, cluster ASC LIMIT $NProbe),
+       |rraq AS (SELECT pos0 AS pos, v AS qv
+       |         FROM (SELECT vec_id, generate_subscripts(embedding, 1) AS pos0,
+       |                 (unnest(embedding))::DOUBLE AS v FROM embeddings)
+       |         WHERE vec_id = $QueryVecId),
+       |rrdtab AS (SELECT kcent.cluster, qc.sub, qc.code,
+       |    sum(CAST((qv - kcent.c - qc.c) * (qv - kcent.c - qc.c) AS DECIMAL(38,18))) AS d
+       |  FROM kcent JOIN rrprobe USING (cluster)
+       |  JOIN rraq ON kcent.pos = rraq.pos
+       |  JOIN qc$PqIters qc ON qc.pos = kcent.pos
+       |  GROUP BY 1, 2, 3),
+       |rrsl AS (SELECT qaf.vec_id, sum(d) AS adist
+       |         FROM kasg JOIN rrprobe USING (cluster)
+       |         JOIN qaf ON kasg.vec_id = qaf.vec_id
+       |         JOIN rrdtab ON kasg.cluster = rrdtab.cluster
+       |           AND qaf.sub = rrdtab.sub AND qaf.code = rrdtab.code
+       |         GROUP BY 1
+       |         ORDER BY adist ASC, qaf.vec_id ASC LIMIT $RerankK),
+       |rrq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $QueryVecId),
+       |rrsc AS (SELECT e.vec_id, ${sqlCos("e.embedding", "qe")} AS cos
+       |         FROM embeddings e JOIN rrsl ON e.vec_id = rrsl.vec_id, rrq),
+       |rrrk AS (SELECT vec_id, cos,
+       |           row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank FROM rrsc)
+       |SELECT vec_id, rank, floor((cos) * 1000000 + 0.5) / 1000000 AS cos FROM rrrk
+       |WHERE rank <= $TopK ORDER BY rank""".stripMargin
+
+  /** Re-ranked PQ serving from the persisted index: annPqServe's 64-bit
+    * ADC scan produces the RerankK shortlist, then ONLY those rows'
+    * float embeddings are read back (a second partition-pruned scan of
+    * the probed clusters, semi-joined to the shortlist ids) for the
+    * exact cosine re-rank. Everything still comes from index files
+    * (IvfServingSpec's read-set test covers the same directories). */
+  def annPqRerankServe(
+      spark: SparkSession, indexDir: String, queryVec: Array[Float],
+      nprobe: Int = NProbeServe): DataFrame = {
+    val probed = servedProbe(spark, indexDir, queryVec, nprobe)
+    val qx = spark.range(1)
+      .select(posexplode(typedlit(queryVec.map(_.toDouble))).as(Seq("pos", "v")))
+    val dtab = adcTable(
+      spark.read.parquet(s"$indexDir/centroids")
+        .filter(col("cluster").isin(probed: _*)),
+      spark.read.parquet(s"$indexDir/pq_centroids"),
+      qx.select(col("pos"), col("v").as("qv")))
+    val shortlist = spark.read.parquet(s"$indexDir/vectors")
+      .filter(col("cluster").isin(probed: _*))
+      .select(col("vec_id"), col("cluster"),
+        posexplode(col("pq_codes")).as(Seq("sub", "code")))
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        col("sub").cast("long").as("sub"), col("code"))
+      .join(broadcast(dtab), Seq("cluster", "sub", "code"))
+      .groupBy("vec_id")
+      .agg(sum(col("d")).as("adist"))
+      .orderBy(col("adist").asc, col("vec_id").asc)
+      .limit(RerankK)
+      .select("vec_id")
+    spark.read.parquet(s"$indexDir/vectors")
+      .filter(col("cluster").isin(probed: _*))
+      .join(broadcast(shortlist), "vec_id")
+      .select(col("vec_id"),
+        cosineSim(col("embedding"), typedlit(queryVec)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(TopK)
+      .select(col("vec_id"),
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id").asc))
+          .cast("long").as("rank"),
+        r6(col("cos")).as("cos"))
+      .orderBy("rank")
+  }
+
   // ---- q110: multi-query IVF-PQ recall panel ------------------------------
 
   /** Panel size for q110 — the first NPanel vec_ids serve as queries. */
@@ -1642,7 +1768,8 @@ object SimilarityOps {
     "q100_ann_pq_adc" -> (annPqAdc _),
     "q104_ann_ivfpq" -> (annIvfPq _),
     "q105_ivfpq_recall_curve" -> (ivfPqRecallCurve _),
-    "q110_pq_recall_panel" -> (pqRecallPanel _))
+    "q110_pq_recall_panel" -> (pqRecallPanel _),
+    "q111_ann_ivfpq_rerank" -> (annIvfPqRerank _))
 
   val oracles: Map[String, String] = Map(
     "q97_pca_top_component" -> pcaTopComponentSql,
@@ -1658,5 +1785,6 @@ object SimilarityOps {
     "q100_ann_pq_adc" -> annPqAdcSql,
     "q104_ann_ivfpq" -> annIvfPqSql,
     "q105_ivfpq_recall_curve" -> ivfPqRecallCurveSql,
-    "q110_pq_recall_panel" -> pqRecallPanelSql)
+    "q110_pq_recall_panel" -> pqRecallPanelSql,
+    "q111_ann_ivfpq_rerank" -> annIvfPqRerankSql)
 }

@@ -61,6 +61,14 @@ class IvfServingSpec extends SparkSpec {
     assert(served.exceptAll(inSession).isEmpty && inSession.exceptAll(served).isEmpty)
   }
 
+  test("served re-rank tier at nprobe=NProbe equals the in-session q111 frame") {
+    val served = SimilarityOps.annPqRerankServe(spark, indexDir, queryVec,
+      nprobe = SimilarityOps.NProbe)
+    val inSession = SimilarityOps.annIvfPqRerank(spark, dir)
+    assert(served.count() > 0)
+    assert(served.exceptAll(inSession).isEmpty && inSession.exceptAll(served).isEmpty)
+  }
+
   test("serving default is the declared operating point (nprobe = NProbeServe)") {
     // The default-probe serve answers at the recall >= 0.8 point — a
     // superset probe of the NProbe tier whose top-k can only improve:
@@ -77,7 +85,8 @@ class IvfServingSpec extends SparkSpec {
     for (served <- Seq(
         SimilarityOps.annIvfServe(spark, indexDir, queryVec),
         SimilarityOps.annIvfInt8Serve(spark, indexDir, queryVec),
-        SimilarityOps.annPqServe(spark, indexDir, queryVec))) {
+        SimilarityOps.annPqServe(spark, indexDir, queryVec),
+        SimilarityOps.annPqRerankServe(spark, indexDir, queryVec))) {
       // Cluster predicate INSIDE the PartitionFilters bracket (a whole
       // FileScan renders on one line whose attribute list also says
       // `cluster`, so a plain substring test could pass with

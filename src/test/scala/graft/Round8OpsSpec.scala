@@ -182,6 +182,38 @@ class Round8OpsSpec extends SparkSpec {
     assert(panel.last._3 > 0.3, s"widest-probe panel recall implausibly low: ${panel.last}")
   }
 
+  test("q111 re-rank: exact order over the ADC shortlist; never below plain ADC recall") {
+    val rerank = SimilarityOps.annIvfPqRerank(spark, dir).collect()
+    assert(rerank.length == SimilarityOps.TopK)
+    assert(rerank.map(_.getAs[Long]("rank")).toSeq == (1L to rerank.length).toSeq)
+    // cos column is the EXACT cosine: the top hit is the query itself.
+    assert(rerank.head.getAs[Long]("vec_id") == SimilarityOps.QueryVecId)
+    assert(math.abs(rerank.head.getAs[Double]("cos") - 1.0) < 1e-9)
+
+    val exact = SimilarityOps.annBruteForce(spark, dir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    val adcHits = SimilarityOps.annIvfPq(spark, dir).collect()
+      .map(_.getAs[Long]("vec_id")).count(exact.contains)
+    val rrHits = rerank.map(_.getAs[Long]("vec_id")).count(exact.contains)
+    // Structural guarantee: an exact-top-k member in the ADC top-TopK is
+    // also in the top-RerankK shortlist, and exact re-ranking keeps it.
+    assert(rrHits >= adcHits,
+      s"re-rank recall $rrHits below plain ADC recall $adcHits")
+
+    // The re-ranked list is the exact cosine order restricted to the
+    // shortlist: its cosines are non-increasing and every emitted cosine
+    // matches the brute-force value for that vec_id.
+    val cosOf = SimilarityOps.annBruteForce(spark, dir).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    rerank.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("cos") >= b.getAs[Double]("cos") - 1e-9)
+    }
+    rerank.filter(r => cosOf.contains(r.getAs[Long]("vec_id"))).foreach { r =>
+      assert(math.abs(r.getAs[Double]("cos") - cosOf(r.getAs[Long]("vec_id"))) < 1e-9,
+        s"re-ranked cosine differs from brute force for ${r.getAs[Long]("vec_id")}")
+    }
+  }
+
   test("residual codes reconstruct better than raw codes (mean sq_err strictly lower)") {
     // The mechanism behind the recall win: 64 bits spent on within-cell
     // variance quantize what remains after the probe. Mean squared
