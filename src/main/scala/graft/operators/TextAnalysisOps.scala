@@ -1454,6 +1454,63 @@ object TextAnalysisOps {
        |FROM pc ORDER BY doc_id""".stripMargin
   }
 
+  // ---- q112: per-source unigram KL divergence (mixture-drift check) -------
+
+  /** q112: KL(P_source ‖ P_corpus) over the unigram distribution, per
+    * source — the mixture diagnostic a multi-source corpus runs before
+    * setting sampling weights (q88 counts cross-source DUPLICATION; this
+    * measures distributional drift): a templated or machine-generated
+    * source reads high-KL against the corpus mix, a representative crawl
+    * slice reads near zero. No smoothing is needed: every source term
+    * has corpus count ≥ its source count, so the log ratio is finite by
+    * construction.
+    *
+    * Scale shape: one (source, term) map-side-combined aggregate (the
+    * only corpus-sized shuffle), then vocab-scale regroupings; KL terms
+    * p·ln(p/q) are exactly-rounded double arithmetic on integer-ratio
+    * operands, DECIMAL(30,8)-accumulated so partition order cannot move
+    * the 6th decimal (the q87 moment discipline). */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val scw = docs(spark, dir)
+      .select(col("source"), explode(TextOps.tokenize(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c_sw"))
+    val sn = scw.groupBy("source")
+      .agg(sum("c_sw").as("n_s"), count(lit(1)).as("n_terms"))
+    val cw = scw.groupBy("term").agg(sum("c_sw").as("c_w"))
+    val nn = cw.agg(sum("c_w").as("n"))
+    val p = col("c_sw").cast("double") / col("n_s")
+    val q = col("c_w").cast("double") / col("n")
+    val kl = scw.join(broadcast(sn), "source").join(cw, "term")
+      .crossJoin(broadcast(nn))
+      .groupBy("source")
+      .agg(dsum(p * log(p / q)).as("kl"))
+    val sd = docs(spark, dir).groupBy("source").agg(count(lit(1)).as("n_docs"))
+    sd.join(sn, "source").join(kl, "source")
+      .select(col("source"), col("n_docs"),
+        col("n_s").cast("long").as("n_tokens"), col("n_terms"),
+        r6(col("kl")).as("kl_unigram"))
+      .orderBy("source")
+  }
+
+  val sourceDivergenceSql: String =
+    s"""WITH stk2 AS (SELECT source, unnest(regexp_extract_all(lower(text), '$TokRe')) AS term
+       |              FROM documents),
+       |scw AS (SELECT source, term, count(*) AS c_sw FROM stk2 GROUP BY 1, 2),
+       |ssn AS (SELECT source, CAST(sum(c_sw) AS BIGINT) AS n_s,
+       |          count(*) AS n_terms FROM scw GROUP BY 1),
+       |scww AS (SELECT term, CAST(sum(c_sw) AS BIGINT) AS c_w FROM scw GROUP BY 1),
+       |snn AS (SELECT CAST(sum(c_w) AS BIGINT) AS n FROM scww),
+       |skl AS (SELECT source,
+       |          CAST(sum(CAST((c_sw::DOUBLE / n_s) *
+       |            ln((c_sw::DOUBLE / n_s) / (c_w::DOUBLE / n)) AS DECIMAL(30,8))) AS DOUBLE) AS kl
+       |        FROM scw JOIN ssn USING (source) JOIN scww USING (term), snn
+       |        GROUP BY source),
+       |ssd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+       |SELECT source, n_docs, n_s AS n_tokens, n_terms,
+       |  floor(kl * 1000000 + 0.5) / 1000000 AS kl_unigram
+       |FROM ssd JOIN ssn USING (source) JOIN skl USING (source)
+       |ORDER BY source""".stripMargin
+
   // ---- q87: Zipf slope (corpus-health diagnostic) -------------------------
 
   /** Least-squares fit of ln(term frequency) against ln(frequency rank) —
@@ -2195,6 +2252,7 @@ object TextAnalysisOps {
     "q95_classifier_calibration" -> (classifierCalibration _),
     "q108_calibrated_threshold" -> (calibratedThreshold _),
     "q109_pii_validated" -> (piiValidated _),
+    "q112_source_divergence" -> (sourceDivergence _),
     "q94_learned_curation" -> (learnedBudgetCuration _),
     "q93_bpe_token_counts" -> (bpeTokenCounts _),
     "q92_bpe_merge_table" -> (bpeMergeTable _),
@@ -2230,6 +2288,7 @@ object TextAnalysisOps {
     "q95_classifier_calibration" -> classifierCalibrationSql,
     "q108_calibrated_threshold" -> calibratedThresholdSql,
     "q109_pii_validated" -> piiValidatedSql,
+    "q112_source_divergence" -> sourceDivergenceSql,
     "q94_learned_curation" -> learnedBudgetCurationSql,
     "q93_bpe_token_counts" -> bpeTokenCountsSql,
     "q92_bpe_merge_table" -> bpeMergeTableSql,

@@ -214,6 +214,33 @@ class Round8OpsSpec extends SparkSpec {
     }
   }
 
+  test("q112 source KL: nonnegative, zero for a lone source, high for a templated one") {
+    import spark.implicits._
+    import graft.operators.TextAnalysisOps
+    val out = java.nio.file.Files.createTempDirectory("graft_kl").toString
+    val varied = (0 until 50).map(i => s"word$i").mkString(" ")
+    Seq(
+      (1L, varied, "crawl_a"), (2L, varied, "crawl_a"),
+      (3L, varied, "crawl_b"), (4L, varied, "crawl_b"),
+      (5L, Seq.fill(100)("spam").mkString(" "), "template"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val kl = TextAnalysisOps.sourceDivergence(spark, out).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("kl_unigram")).toMap
+    kl.values.foreach(v => assert(v >= -1e-9, s"negative KL: $kl"))
+    assert(kl("template") > kl("crawl_a") + 0.5,
+      s"templated source not flagged: $kl")
+    assert(kl("crawl_a") == kl("crawl_b"))
+
+    // A lone source IS the corpus distribution: KL exactly 0.
+    val solo = java.nio.file.Files.createTempDirectory("graft_kl1").toString
+    Seq((1L, varied, "only"), (2L, "alpha beta alpha", "only"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$solo/documents.parquet")
+    val k1 = TextAnalysisOps.sourceDivergence(spark, solo).collect()
+    assert(k1.length == 1 && k1(0).getAs[Double]("kl_unigram") == 0.0)
+  }
+
   test("residual codes reconstruct better than raw codes (mean sq_err strictly lower)") {
     // The mechanism behind the recall win: 64 bits spent on within-cell
     // variance quantize what remains after the probe. Mean squared
