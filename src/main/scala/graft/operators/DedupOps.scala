@@ -693,6 +693,22 @@ object DedupOps {
   def verbatimDecontamination(spark: SparkSession, dir: String): DataFrame =
     verbatimAt(spark, dir, VerbatimWindow)
 
+  /** The benchmark side's window keys, collected — the eval-set-scale
+    * artifact the STREAMING decontamination gate inlines as a literal
+    * (same driver-scale argument as the frozen quality model and the
+    * sign-LSH anchors: an eval set is thousands of windows, not a
+    * corpus). Batch-derived with the exact q83 derivation so the gate
+    * and the declared query cannot drift. */
+  def benchWindowKeys(spark: SparkSession, dir: String,
+      n: Int = VerbatimWindow): Array[String] = {
+    val eligible = docs(spark, dir)
+      .filter(pmod(col("doc_id"), lit(DecontamMod)) === 0)
+      .filter(size(TextOps.tokenize(col("text"))) >= n)
+    explodedShingles(eligible, n)
+      .select(md5(col("s")).as("w")).distinct()
+      .collect().map(_.getString(0))
+  }
+
   /** q107: the multi-n containment sweep — the same test at every
     * declared window length, one (n, doc, windows, bench_docs) row per
     * flagged doc per n. The n = 13 rows are definitionally a subset of

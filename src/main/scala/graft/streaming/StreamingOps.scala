@@ -308,6 +308,30 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(Seq("bucket"))
       .select(col("vec_id"), col("bucket"))
 
+  /** Streaming verbatim-decontamination gate: each arriving document
+    * derives its VerbatimWindow-token md5 windows ROW-LOCAL and counts
+    * distinct hits against the benchmark window set inlined as a literal
+    * (DedupOps.benchWindowKeys — eval-set-scale, the frozen-model /
+    * anchor-literal pattern). Fully STATELESS: no state store, no
+    * watermark, no shuffle — it composes with the quality, dedup, and
+    * embedding gates on the same ingest stream at zero added state.
+    * Documents shorter than the window pass untouched (sub-window quotes
+    * are the overlap tier's job, exactly as in batch q83);
+    * array_intersect counts DISTINCT shared windows, matching q83's
+    * countDistinct semantics. StreamingSpec pins the batch tie on the
+    * planted-contamination corpus. */
+  def decontamGate(docs: DataFrame, benchWindows: Seq[String]): DataFrame = {
+    import graft.operators.DedupOps
+    val n = DedupOps.VerbatimWindow
+    val toks = graft.textops.TextOps.tokenize(col("text"))
+    val ws = when(size(toks) >= n,
+        transform(DedupOps.shingles(col("text"), n), s => md5(s)))
+      .otherwise(array().cast("array<string>"))
+    docs.withColumn("n_hits",
+        size(array_intersect(ws, typedlit(benchWindows))).cast("long"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   /** Production "dedup-then-index" streaming ingest (VERDICT r7 #3): gate
     * arriving vectors with the sign-LSH embedding near-dup gate, then
     * append each surviving micro-batch into the PERSISTED IVF index via

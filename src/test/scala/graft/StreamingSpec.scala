@@ -395,6 +395,51 @@ class StreamingSpec extends SparkSpec {
       "served top-k missing the appended twin of the query vector")
   }
 
+  test("streaming decontam gate flags the planted verbatim quote, stateless") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.DedupOps
+    // The Round7OpsSpec planted corpus: doc 97 is the benchmark, doc 1
+    // quotes 8 consecutive benchmark tokens, doc 2 scatters 3-token
+    // phrases (no verbatim window), doc 3 is clean.
+    val out = java.nio.file.Files.createTempDirectory("graft_sdecon").toString
+    val alpha = (0 until 20).map(i => s"alpha$i")
+    val quoted = ((0 until 30).map(i => s"uniq$i") ++ alpha.slice(5, 13) ++
+      (0 until 20).map(i => s"tail$i")).mkString(" ")
+    val scattered = (alpha.slice(0, 3) ++ (0 until 10).map(i => s"fillA$i") ++
+      alpha.slice(7, 10) ++ (0 until 10).map(i => s"fillB$i") ++
+      alpha.slice(14, 17) ++ (0 until 10).map(i => s"fillC$i")).mkString(" ")
+    Seq((97L, alpha.mkString(" ")), (1L, quoted), (2L, scattered),
+      (3L, (0 until 40).map(i => s"clean$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val bench = DedupOps.benchWindowKeys(spark, out)
+    assert(bench.nonEmpty)
+
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.decontamGate(
+        stream.toDF().toDF("doc_id", "text"), bench.toSeq)
+      .select("doc_id", "n_hits", "contaminated")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sdecon_out").start()
+    try {
+      stream.addData(Seq((1L, quoted), (2L, scattered),
+        (3L, (0 until 40).map(i => s"clean$i").mkString(" "))))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.table("sdecon_out").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Boolean]("contaminated"))).toMap
+    assert(got(1L)._2 && got(1L)._1 == 1L, s"quote not flagged: $got")
+    assert(!got(2L)._2 && !got(3L)._2, s"false positives: $got")
+
+    // Batch tie: the gate's verdict matches q83 on the same corpus.
+    val batch = DedupOps.verbatimDecontamination(spark, out).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(batch == got.filter(_._2._2).keySet)
+  }
+
   test("streaming interval join emits exactly the in-horizon purchase-view pairs") {
     implicit val sqlCtx = spark.sqlContext
     val events = loadEvents()
