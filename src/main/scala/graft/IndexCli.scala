@@ -78,7 +78,8 @@ object BuildVectorIndex {
 }
 
 /** `sbt "runMain graft.CurateCorpus <sfDir> [outDir]"` — write the
-  * corpus-release artifact: run the q82 curation pipeline (keep-best per
+  * corpus-release artifact: run the q113 release pipeline (benchmark
+  * slice + verbatim-contamination exclusion gates, then keep-best per
   * near-dup cluster → leakage-safe splits → token-budget fill over train
   * survivors), join the surviving documents' text back on, and write the
   * release `partitionBy(split)` — a training run then reads ONLY the
@@ -91,7 +92,7 @@ object CurateCorpus {
     val out = if (args.length > 1) args(1) else "target/graft_release"
     val spark = Cli.session()
 
-    val curated = graft.operators.DedupOps.curationPipeline(spark, dir)
+    val curated = graft.operators.DedupOps.releasePipeline(spark, dir)
       .filter(col("kept"))
       .join(spark.read.parquet(s"$dir/documents.parquet")
         .select("doc_id", "text", "lang", "source"), "doc_id")

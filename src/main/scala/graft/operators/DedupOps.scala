@@ -575,8 +575,13 @@ object DedupOps {
     * cum_tokens = −1 (sentinel, not NULL — a mixed NULL/BIGINT column
     * breaks cross-engine row-sort comparison); train survivors carry
     * their budget prefix sum and kept = fits-the-budget. */
-  def curationPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val winners = clusterWinners(spark, dir)
+  def curationPipeline(spark: SparkSession, dir: String): DataFrame =
+    splitAndBudget(clusterWinners(spark, dir))
+
+  /** The shared q82/q113 tail: cluster-atomic split assignment, then the
+    * q78 histogram-decomposed greedy budget fill over train survivors. */
+  private def splitAndBudget(winnersIn: DataFrame): DataFrame = {
+    val winners = winnersIn
       .withColumn("bucket", TextAnalysisOps.shardOf(col("cluster_id"), SplitBuckets))
       .withColumn("split",
         when(col("bucket") < TrainBuckets, "train").otherwise("holdout"))
@@ -609,16 +614,46 @@ object DedupOps {
     trainRows.unionByName(holdRows).orderBy("doc_id")
   }
 
-  val curationPipelineSql: String =
+  /** q113: the release pipeline with the CONTAMINATION gates in front —
+    * what a real corpus release runs, composed from the declared
+    * operators over their shared memoized builds:
+    *
+    *   0. exclusions — the benchmark slice itself (the q45/q83 1/97
+    *      pseudo-eval set; a release never ships its eval documents)
+    *      and every q83-flagged verbatim-contaminated document;
+    *   1–3. q82's keep-best → cluster-atomic splits → token-budget fill
+    *      over what remains.
+    *
+    * Exclusion applies to the keep-best WINNERS: a cluster whose
+    * representative is benchmark/contaminated drops entirely — its other
+    * members are near-dups of excluded text and have no business in a
+    * release (the conservative call, documented rather than silent).
+    * Same output shape as q82; budgets re-derive over the surviving
+    * train set. One extra broadcast anti-join over q83's flagged ids
+    * (eval-set-scale) on top of q82's plan — the scale shape is
+    * unchanged. */
+  def releasePipeline(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = verbatimDecontamination(spark, dir).select("doc_id")
+    splitAndBudget(
+      clusterWinners(spark, dir)
+        .filter(pmod(col("doc_id"), lit(DecontamMod)) =!= 0)
+        .join(broadcast(flagged), Seq("doc_id"), "left_anti"))
+  }
+
+  /** Shared q82/q113 oracle generator: the winners → splits → budget
+    * chain, with optional extra CTE blocks and a filter applied to the
+    * keep-best winners (q113's exclusion gates). */
+  private def pipelineSqlFrom(extraCtes: String, winFilter: String): String =
     s"""WITH $dupLabelCtes,
-       |${TextAnalysisOps.qualityCtes},
+       |${TextAnalysisOps.qualityCtes},$extraCtes
        |lab AS (SELECT doc_id, label AS cluster_id FROM l$ClusterIterations),
        |cj AS (SELECT cluster_id, doc_id, quality_score, n_tokens,
        |         CAST(floor(quality_score * 1000000 + 0.5) AS BIGINT) AS qkey
        |       FROM lab JOIN qual USING (doc_id)),
        |win AS (SELECT cluster_id, doc_id, quality_score, n_tokens, qkey FROM (
        |          SELECT *, row_number() OVER (PARTITION BY cluster_id
-       |            ORDER BY qkey DESC, doc_id) AS rk FROM cj) WHERE rk = 1),
+       |            ORDER BY qkey DESC, doc_id) AS rk FROM cj) WHERE rk = 1
+       |        $winFilter),
        |sp AS (SELECT doc_id, cluster_id, quality_score, n_tokens, qkey,
        |         CASE WHEN CAST(('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT)
        |                   % $SplitBuckets < $TrainBuckets
@@ -638,6 +673,14 @@ object DedupOps {
        |  true AS kept, CAST(-1 AS BIGINT) AS cum_tokens
        |FROM sp WHERE split = 'holdout'
        |ORDER BY doc_id""".stripMargin
+
+  val curationPipelineSql: String = pipelineSqlFrom("", "")
+
+  // lazy: wtkCte is declared later in the object body (q83 section).
+  lazy val releasePipelineSql: String = pipelineSqlFrom(
+    s"\n$wtkCte,\n${verbatimCtes(VerbatimWindow)},",
+    s"""AND doc_id % $DecontamMod <> 0
+       |          AND doc_id NOT IN (SELECT doc_id FROM out$VerbatimWindow)""".stripMargin)
 
   // ---- q83: verbatim-window decontamination (contiguous containment) ------
 
@@ -1093,6 +1136,7 @@ object DedupOps {
     "q82_curation_pipeline" -> (curationPipeline _),
     "q83_verbatim_decontam" -> (verbatimDecontamination _),
     "q107_verbatim_multi_n" -> (verbatimMultiN _),
+    "q113_release_pipeline" -> (releasePipeline _),
     "q40_exact_dup_groups" -> (exactDupGroups _),
     "q41_minhash_bands" -> (minhashBands _),
     "q42_minhash_dup_pairs" -> (minhashDupPairs _),
@@ -1112,6 +1156,7 @@ object DedupOps {
     "q82_curation_pipeline" -> curationPipelineSql,
     "q83_verbatim_decontam" -> verbatimDecontaminationSql,
     "q107_verbatim_multi_n" -> verbatimMultiNSql,
+    "q113_release_pipeline" -> releasePipelineSql,
     "q40_exact_dup_groups" -> exactDupGroupsSql,
     "q41_minhash_bands" -> minhashBandsSql,
     "q42_minhash_dup_pairs" -> minhashDupPairsSql,

@@ -241,6 +241,39 @@ class Round8OpsSpec extends SparkSpec {
     assert(k1.length == 1 && k1(0).getAs[Double]("kl_unigram") == 0.0)
   }
 
+  test("q113 release pipeline excludes the benchmark slice and contaminated docs; q82 doesn't") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_release").toString
+    val alpha = (0 until 20).map(i => s"alpha$i")
+    val quoted = ((0 until 30).map(i => s"uniq$i") ++ alpha.slice(5, 13) ++
+      (0 until 20).map(i => s"tail$i")).mkString(" ")
+    val dupText = (0 until 40).map(i => s"dup$i").mkString(" ")
+    Seq(
+      (97L, alpha.mkString(" "), "bench"), // benchmark slice (97 % 97 == 0)
+      (1L, quoted, "crawl"), // verbatim-contaminated
+      (3L, (0 until 40).map(i => s"clean$i").mkString(" "), "crawl"),
+      (4L, dupText, "crawl"), (5L, dupText, "crawl")) // exact near-dup pair
+      .toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val release = DedupOps.releasePipeline(spark, out).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val plain = DedupOps.curationPipeline(spark, out).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+
+    // The gates are exactly what q113 adds over q82.
+    assert(plain.contains(97L) && plain.contains(1L),
+      s"q82 should carry bench + contaminated winners: $plain")
+    assert(!release.contains(97L), "benchmark doc shipped in the release")
+    assert(!release.contains(1L), "contaminated doc shipped in the release")
+    assert(release.contains(3L), "clean doc missing from the release")
+    // keep-best collapsed the exact-dup pair to its lowest-id winner
+    // (already in q82), and the release is exactly q82 minus the gated ids.
+    assert(plain == Set(97L, 1L, 3L, 4L), s"unexpected q82 winner set: $plain")
+    assert(release == Set(3L, 4L), s"unexpected release set: $release")
+  }
+
   test("residual codes reconstruct better than raw codes (mean sq_err strictly lower)") {
     // The mechanism behind the recall win: 64 bits spent on within-cell
     // variance quantize what remains after the probe. Mean squared
