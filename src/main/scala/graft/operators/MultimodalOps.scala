@@ -270,6 +270,81 @@ object MultimodalOps {
        |FROM cand WHERE bit_count(xor(h_a, h_b)) <= $DhashHammingThreshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // ---- q114: image keep-best (resolution policy over perceptual dups) ----
+
+  /** q114: the image twin of q75's keep-best policy — among perceptually
+    * near-duplicate images (the q81 pair graph), an image is kept iff NO
+    * neighbor within the Hamming threshold is strictly better by
+    * (pixels DESC, doc_id ASC); the report carries its best better
+    * neighbor. A local-argmax policy over pair EDGES rather than a
+    * transitive-closure cluster pass: perceptual similarity is not
+    * transitive (A≈B≈C does not make A≈C at the same threshold), so
+    * chaining clusters would discard images no retained image actually
+    * resembles — the per-edge tournament is the defensible semantics,
+    * and it needs only one aggregate over the (already banded,
+    * df-bounded) pair frame — no iterative propagation. Pixels come from
+    * the media metadata (the stub formula; a real deployment reads the
+    * decoded width×height — the policy and plan are unchanged).
+    *
+    * Scale shape: q81's band join (never all-pairs) + two broadcast-able
+    * metadata joins + one per-image argmax aggregate with map-side
+    * combine. */
+  def imageKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val px = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(length(col("text")) > DhashBits)
+      .select(col("doc_id"),
+        ((pmod(col("n_chars"), lit(64)) + 1) * (pmod(col("doc_id"), lit(32)) + 1))
+          .cast("long").as("pixels"))
+    val p0 = DedupOps.hammingBandPairs(dhashFrame(spark, dir), "dhash")
+      .filter(col("hamming") <= DhashHammingThreshold)
+      .select("doc_a", "doc_b")
+    val undirected = p0.unionByName(
+      p0.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val beaten = undirected
+      .join(px.select(col("doc_id").as("doc_a"), col("pixels").as("px_a")), "doc_a")
+      .join(px.select(col("doc_id").as("doc_b"), col("pixels").as("px_b")), "doc_b")
+      .filter(col("px_b") > col("px_a") ||
+        (col("px_b") === col("px_a") && col("doc_b") < col("doc_a")))
+      .groupBy(col("doc_a").as("doc_id"))
+      .agg(max(struct(col("px_b").as("px"), (-col("doc_b")).as("nid"))).as("best"))
+      .select(col("doc_id"), (-col("best.nid")).cast("long").as("bn"))
+    px.join(beaten, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("pixels"),
+        col("bn").isNull.as("kept"),
+        coalesce(col("bn"), lit(-1L)).as("better_neighbor"))
+      .orderBy("doc_id")
+  }
+
+  val imageKeepBestSql: String =
+    s"""WITH $dhashCte,
+       |kbx AS (SELECT doc_id, CAST((n_chars % 64 + 1) * (doc_id % 32 + 1) AS BIGINT) AS pixels
+       |        FROM documents WHERE length(text) > $DhashBits),
+       |kbands AS (SELECT doc_id, dhash, b,
+       |             (dhash >> (${DedupOps.SimhashBandBits} * b)) & ${(1 << DedupOps.SimhashBandBits) - 1} AS band_val
+       |           FROM dh, (SELECT unnest(range(0, ${DedupOps.SimhashNumBands})) AS b)),
+       |kcand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |            a.dhash AS h_a, b.dhash AS h_b
+       |          FROM kbands a JOIN kbands b
+       |            ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+       |kpair AS (SELECT doc_a, doc_b FROM kcand
+       |          WHERE bit_count(xor(h_a, h_b)) <= $DhashHammingThreshold),
+       |kund AS (SELECT doc_a, doc_b FROM kpair
+       |         UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM kpair),
+       |kbeat AS (SELECT doc_a AS doc_id, doc_b AS bn FROM (
+       |            SELECT u.doc_a, u.doc_b,
+       |              row_number() OVER (PARTITION BY u.doc_a
+       |                ORDER BY pb.pixels DESC, u.doc_b ASC) AS rn
+       |            FROM kund u
+       |            JOIN kbx pa ON u.doc_a = pa.doc_id
+       |            JOIN kbx pb ON u.doc_b = pb.doc_id
+       |            WHERE pb.pixels > pa.pixels
+       |               OR (pb.pixels = pa.pixels AND u.doc_b < u.doc_a))
+       |          WHERE rn = 1)
+       |SELECT kbx.doc_id, pixels, bn IS NULL AS kept,
+       |  coalesce(bn, -1) AS better_neighbor
+       |FROM kbx LEFT JOIN kbeat ON kbx.doc_id = kbeat.doc_id
+       |ORDER BY kbx.doc_id""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -277,12 +352,14 @@ object MultimodalOps {
     "q71_media_features" -> (mediaFeatures _),
     "q72_frame_sample" -> (frameSample _),
     "q80_image_dhash" -> (imageDhash _),
-    "q81_image_neardups" -> (imageNearDups _))
+    "q81_image_neardups" -> (imageNearDups _),
+    "q114_image_keep_best" -> (imageKeepBest _))
 
   val oracles: Map[String, String] = Map(
     "q70_media_meta" -> mediaMetaSql,
     "q71_media_features" -> mediaFeaturesSql,
     "q72_frame_sample" -> frameSampleSql,
     "q80_image_dhash" -> imageDhashSql,
-    "q81_image_neardups" -> imageNearDupsSql)
+    "q81_image_neardups" -> imageNearDupsSql,
+    "q114_image_keep_best" -> imageKeepBestSql)
 }

@@ -274,6 +274,35 @@ class Round8OpsSpec extends SparkSpec {
     assert(release == Set(3L, 4L), s"unexpected release set: $release")
   }
 
+  test("q114 image keep-best: the higher-resolution twin wins its perceptual pair") {
+    import spark.implicits._
+    import graft.operators.MultimodalOps
+    val out = java.nio.file.Files.createTempDirectory("graft_ikb").toString
+    val base = (0 until 80).map(i => s"tok${i % 13} word$i").mkString(" ")
+    val nearDup = base.replace("word40", "word41") // same length, tiny edit
+    val other = (0 until 90).map(i => s"zz${(i * 7) % 17} qq$i").mkString(" ")
+    // Same payload length => pixels differ only via the doc_id factor:
+    // doc 20's stub resolution is higher than doc 10's.
+    Seq((10L, base), (20L, nearDup), (30L, other))
+      .toDF("doc_id", "text")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val pairs = MultimodalOps.imageNearDups(spark, out).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    assert(pairs.contains((10L, 20L)), s"planted perceptual pair missing: ${pairs.toSeq}")
+
+    val m = MultimodalOps.imageKeepBest(spark, out).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!m(10L).getAs[Boolean]("kept") &&
+      m(10L).getAs[Long]("better_neighbor") == 20L,
+      "lower-resolution twin should lose to doc 20")
+    assert(m(20L).getAs[Boolean]("kept") &&
+      m(20L).getAs[Long]("better_neighbor") == -1L)
+    assert(m(30L).getAs[Boolean]("kept"), "unpaired image must keep")
+    assert(m(20L).getAs[Long]("pixels") > m(10L).getAs[Long]("pixels"))
+  }
+
   test("residual codes reconstruct better than raw codes (mean sq_err strictly lower)") {
     // The mechanism behind the recall win: 64 bits spent on within-cell
     // variance quantize what remains after the probe. Mean squared
