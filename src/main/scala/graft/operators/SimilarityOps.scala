@@ -1254,6 +1254,57 @@ object SimilarityOps {
        |FROM se LEFT JOIN dp USING (vec_id)
        |ORDER BY se.vec_id""".stripMargin
 
+  // ---- q116: cluster-balanced diversity sample ----------------------------
+
+  /** q116: diversity-aware corpus sampling over the LEARNED embedding
+    * clusters — per-cell budget = ⌈√|cell|⌉, so dense modes are
+    * down-weighted and rare modes survive (the cluster-balanced sampling
+    * recipe data-curation pipelines run after semantic dedup; q46 applies
+    * the same √-scaling to language mixture — this is its geometry-space
+    * twin over the quantizer cells q86 dedups in). Within a cell the
+    * kept set is a deterministic uniform draw: rank by the exact
+    * md5→2⁵² key (salted 'cbal:' — independent of every other draw in
+    * the engine), keep rank ≤ budget.
+    *
+    * Scale shape: consumes the session-shared kmeansModel (no extra
+    * training); the census is one cluster-keyed aggregate collapsing to
+    * K rows (broadcast back); the rank window partitions on cluster —
+    * the SAME key the serving index is partitioned by, so at 100 TB the
+    * window runs inside each index partition with no extra exchange.
+    * Nothing global, nothing driver-side. */
+  def clusterBalancedSample(spark: SparkSession, dir: String): DataFrame = {
+    val (_, asg) = kmeansModel(spark, dir)
+    val census = asg.groupBy("cluster").agg(count(lit(1)).as("cell_n"))
+      .select(col("cluster"), col("cell_n"),
+        ceil(sqrt(col("cell_n").cast("double"))).cast("long").as("budget"))
+    val ranked = asg
+      .withColumn("h",
+        conv(substring(md5(concat(lit("cbal:"), col("vec_id").cast("string"))), 1, 13),
+          16, 10).cast("long"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cluster")).orderBy(col("h").asc, col("vec_id").asc)))
+    ranked.join(broadcast(census), "cluster")
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        col("cell_n"), col("budget"), (col("rk") <= col("budget")).as("kept"))
+      .orderBy("vec_id")
+  }
+
+  val clusterBalancedSampleSql: String =
+    s"""WITH $kmeansCtes,
+       |cbn AS (SELECT cluster, count(*) AS cell_n FROM kasg GROUP BY cluster),
+       |cbb AS (SELECT cluster, cell_n,
+       |          CAST(ceil(sqrt(cell_n::DOUBLE)) AS BIGINT) AS budget FROM cbn),
+       |cbk AS (SELECT vec_id, cluster,
+       |          CAST(('0x' || substring(md5('cbal:' || vec_id::VARCHAR), 1, 13))
+       |            AS BIGINT) AS h
+       |        FROM kasg),
+       |cbr AS (SELECT vec_id, cluster,
+       |          row_number() OVER (PARTITION BY cluster ORDER BY h ASC, vec_id ASC) AS rk
+       |        FROM cbk)
+       |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster, cell_n, budget,
+       |  rk <= budget AS kept
+       |FROM cbr JOIN cbb USING (cluster) ORDER BY vec_id""".stripMargin
+
   // ---- q97: top principal component (fixed-iteration power method) --------
 
   /** Matrix-squaring count — FIXED so the whole derivation unrolls into
@@ -1769,7 +1820,8 @@ object SimilarityOps {
     "q104_ann_ivfpq" -> (annIvfPq _),
     "q105_ivfpq_recall_curve" -> (ivfPqRecallCurve _),
     "q110_pq_recall_panel" -> (pqRecallPanel _),
-    "q111_ann_ivfpq_rerank" -> (annIvfPqRerank _))
+    "q111_ann_ivfpq_rerank" -> (annIvfPqRerank _),
+    "q116_cluster_balanced_sample" -> (clusterBalancedSample _))
 
   val oracles: Map[String, String] = Map(
     "q97_pca_top_component" -> pcaTopComponentSql,
@@ -1786,5 +1838,6 @@ object SimilarityOps {
     "q104_ann_ivfpq" -> annIvfPqSql,
     "q105_ivfpq_recall_curve" -> ivfPqRecallCurveSql,
     "q110_pq_recall_panel" -> pqRecallPanelSql,
-    "q111_ann_ivfpq_rerank" -> annIvfPqRerankSql)
+    "q111_ann_ivfpq_rerank" -> annIvfPqRerankSql,
+    "q116_cluster_balanced_sample" -> clusterBalancedSampleSql)
 }

@@ -1511,6 +1511,195 @@ object TextAnalysisOps {
        |FROM ssd JOIN ssn USING (source) JOIN skl USING (source)
        |ORDER BY source""".stripMargin
 
+  // ---- q117: per-source document caps (domain-cap curation) ---------------
+
+  /** Per-source keep cap for q117 (binds at every SF on the testdata:
+    * sources carry 25 docs at sf0.001/0.01 and 250 at sf0.1). */
+  val SourceCap = 20
+
+  /** Salt fan-out for q117's skew-safe two-stage rank. */
+  val SourceCapSalts = 8L
+
+  /** q117: the per-domain contribution cap every web-corpus recipe
+    * applies (C4 / RefinedWeb cap pages per domain) — no source may
+    * contribute more than SourceCap documents, and the kept ones are its
+    * BEST by quality: rank within source by (integer micro-score qkey
+    * DESC, doc_id ASC), keep rank ≤ cap. Complements q88/q112 (which
+    * DIAGNOSE source imbalance; this enforces the bound).
+    *
+    * Scale shape — the naive formulation is one window partitioned by
+    * source, and a mega-source (half the crawl) makes that one hot
+    * partition. This runs the standard two-stage rank instead: stage 1
+    * ranks within (source, salt = doc_id mod SourceCapSalts) and keeps
+    * only rank ≤ cap (any doc in a source's true top-cap is in its salt
+    * bucket's top-cap, so no winner is lost); stage 2 ranks exactly over
+    * the ≤ salts·cap survivors per source. The hot partition shrinks
+    * from |source| rows to ≤ 160, and both windows are deterministic, so
+    * the whole derivation unrolls into the oracle. Dropped docs carry
+    * src_rank −1 (they never reach stage 2). */
+  def sourceCaps(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docs(spark, dir).select(col("doc_id"), col("source"))
+      .join(qualityFrame(spark, dir).select(col("doc_id"), col("quality_score")), "doc_id")
+      .withColumn("qkey", qkeyOf(col("quality_score")))
+    val stage1 = scored
+      .withColumn("salt", pmod(col("doc_id"), lit(SourceCapSalts)))
+      .withColumn("rk0", row_number().over(
+        Window.partitionBy(col("source"), col("salt"))
+          .orderBy(col("qkey").desc, col("doc_id").asc)))
+      .filter(col("rk0") <= SourceCap)
+    val stage2 = stage1
+      .withColumn("src_rank", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("qkey").desc, col("doc_id").asc)).cast("long"))
+      .filter(col("src_rank") <= SourceCap)
+      .select(col("doc_id"), col("src_rank"))
+    scored.join(stage2, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        coalesce(col("src_rank"), lit(-1L)).as("src_rank"),
+        col("src_rank").isNotNull.as("kept"))
+      .orderBy("doc_id")
+  }
+
+  val sourceCapsSql: String =
+    s"""WITH $qualityCtes,
+       |ss AS (SELECT d.doc_id, d.source, qual.quality_score,
+       |         CAST(floor(qual.quality_score * 1000000 + 0.5) AS BIGINT) AS qkey
+       |       FROM documents d JOIN qual ON d.doc_id = qual.doc_id),
+       |ss1 AS (SELECT doc_id, source, qkey FROM (
+       |          SELECT doc_id, source, qkey,
+       |            row_number() OVER (PARTITION BY source, doc_id % $SourceCapSalts
+       |                               ORDER BY qkey DESC, doc_id ASC) AS rk0
+       |          FROM ss) WHERE rk0 <= $SourceCap),
+       |ss2 AS (SELECT doc_id, src_rank FROM (
+       |          SELECT doc_id,
+       |            CAST(row_number() OVER (PARTITION BY source
+       |                                    ORDER BY qkey DESC, doc_id ASC) AS BIGINT)
+       |              AS src_rank
+       |          FROM ss1) WHERE src_rank <= $SourceCap)
+       |SELECT ss.doc_id, ss.source, ss.quality_score,
+       |  coalesce(ss2.src_rank, -1) AS src_rank,
+       |  ss2.src_rank IS NOT NULL AS kept
+       |FROM ss LEFT JOIN ss2 ON ss.doc_id = ss2.doc_id
+       |ORDER BY ss.doc_id""".stripMargin
+
+  // ---- q115: DSIR importance weights (hashed-unigram target matching) -----
+
+  /** Hashed feature-space size for q115. Published DSIR uses hashed
+    * n-gram buckets precisely so the parameter vector stays fixed-size
+    * when the raw vocabulary doesn't — at 100 TB the bucket tables below
+    * are B rows regardless of corpus size. */
+  val DsirBuckets = 1024L
+
+  /** The target domain for q115 — the slice whose distribution selection
+    * should match. In production this is the trusted corpus (Wikipedia,
+    * curated books); on the testdata the `en` slice plays that role. */
+  val DsirTargetLang = "en"
+
+  /** Gumbel-top-k resample size for q115. */
+  val DsirKeepN = 150
+
+  /** q115: data selection via importance resampling (the DSIR recipe,
+    * Xie et al. 2023): estimate hashed-unigram bag-of-words LMs for the
+    * target slice and the raw pool, score every raw document with its
+    * log importance weight log w(d) = Σ_b c_d(b)·ln(p_target(b)/p_raw(b)),
+    * then draw a without-replacement sample ∝ softmax(log w) via
+    * deterministic Gumbel-top-k — the published construction for "make
+    * the web crawl look like the trusted corpus". Complements q112
+    * (which diagnoses per-SOURCE drift; this selects per-DOCUMENT) and
+    * q99 (A-ES samples by a metadata weight; this learns the weight
+    * from content).
+    *
+    * Determinism/portability: bucket ids are md5-derived (the q34 shard
+    * pattern), add-1 smoothing keeps every log ratio finite, the per-doc
+    * weight accumulates in DECIMAL(30,8) so partition order can't move
+    * it, and the Gumbel noise g = −ln(−ln(u)) draws u from the exact
+    * md5→2⁵² uniform (salted 'dsir:' so it is independent of q99's draw).
+    * kept is decided on the RAW key in a subquery (the q99 alias
+    * lesson); outputs are r6-rounded.
+    *
+    * Scale shape: ONE corpus-keyed shuffle — the (doc_id, bucket) count
+    * aggregate (map-side combined); both LM tables collapse to B=1024
+    * rows and broadcast back; the Gumbel top-N is TakeOrdered. Nothing
+    * global, nothing driver-side. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val db = docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(TextOps.tokenize(col("text"))).as("term"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("term")), 1, 15), 16, 10).cast("long") %
+          DsirBuckets).as("b"))
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c_db"))
+    val tgt = db.filter(col("lang") === DsirTargetLang)
+      .groupBy("b").agg(sum("c_db").as("c_t"))
+    val raw = db.groupBy("b").agg(sum("c_db").as("c_r"))
+    val nT = tgt.agg(sum("c_t").as("n_t"))
+    val nR = raw.agg(sum("c_r").as("n_r"))
+    // B-row smoothed log-ratio table: ln(p_t(b)/p_r(b)) with add-1 over
+    // the B buckets (tgt is left-joined so empty buckets smooth to 1).
+    val ratio = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(nT)).crossJoin(broadcast(nR))
+      .select(col("b"), log(
+        ((coalesce(col("c_t"), lit(0L)) + lit(1L)).cast("double") /
+          (col("n_t") + lit(DsirBuckets)).cast("double")) /
+        ((col("c_r") + lit(1L)).cast("double") /
+          (col("n_r") + lit(DsirBuckets)).cast("double"))).as("lr"))
+    val logw = db.join(broadcast(ratio), "b")
+      .groupBy("doc_id")
+      .agg(dsum(col("c_db").cast("double") * col("lr")).as("logw"),
+        sum("c_db").as("n_tokens"))
+    val keyed = docs(spark, dir).select(col("doc_id"), col("lang"))
+      .join(logw, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_tokens"), lit(0L)).cast("long").as("n_tokens"),
+        coalesce(col("logw"), lit(0.0)).as("logw"),
+        conv(substring(md5(concat(lit("dsir:"), col("doc_id").cast("string"))), 1, 13),
+          16, 10).cast("long").as("h"))
+      .withColumn("skey", coalesce(col("logw"), lit(0.0)) -
+        log(-log((col("h").cast("double") + lit(0.5)) / lit(UDenom))))
+    val ranked = keyed.withColumn("rk",
+      row_number().over(Window.orderBy(col("skey").desc, col("doc_id").asc)))
+    ranked.select(col("doc_id"), col("lang"), col("n_tokens"),
+        r6(col("logw")).as("log_weight"), r6(col("skey")).as("skey"),
+        (col("rk") <= DsirKeepN).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  val dsirWeightsSql: String =
+    s"""WITH wtk AS (SELECT doc_id, lang,
+       |    unnest(regexp_extract_all(lower(text), '$TokRe')) AS term
+       |  FROM documents),
+       |wdb AS (SELECT doc_id, lang,
+       |    CAST(('0x' || substring(md5(term), 1, 15)) AS BIGINT) % $DsirBuckets AS b,
+       |    count(*) AS c_db
+       |  FROM wtk GROUP BY 1, 2, 3),
+       |wtgt AS (SELECT b, CAST(sum(c_db) AS BIGINT) AS c_t FROM wdb
+       |         WHERE lang = '$DsirTargetLang' GROUP BY b),
+       |wraw AS (SELECT b, CAST(sum(c_db) AS BIGINT) AS c_r FROM wdb GROUP BY b),
+       |wnt AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_t FROM wtgt),
+       |wnr AS (SELECT CAST(sum(c_r) AS BIGINT) AS n_r FROM wraw),
+       |wlr AS (SELECT b,
+       |    ln(((coalesce(c_t, 0) + 1)::DOUBLE / (n_t + $DsirBuckets)) /
+       |       ((c_r + 1)::DOUBLE / (n_r + $DsirBuckets))) AS lr
+       |  FROM wraw LEFT JOIN wtgt USING (b), wnt, wnr),
+       |wlw AS (SELECT doc_id,
+       |    CAST(sum(CAST(c_db::DOUBLE * lr AS DECIMAL(30,8))) AS DOUBLE) AS logw,
+       |    CAST(sum(c_db) AS BIGINT) AS n_tokens
+       |  FROM wdb JOIN wlr USING (b) GROUP BY doc_id),
+       |wk AS (SELECT d.doc_id, d.lang,
+       |    coalesce(n_tokens, 0) AS n_tokens, coalesce(logw, 0.0) AS logw,
+       |    coalesce(logw, 0.0) - ln(-ln(
+       |      (CAST(CAST(('0x' || substring(md5('dsir:' || d.doc_id::VARCHAR), 1, 13))
+       |         AS BIGINT) AS DOUBLE) + 0.5) / $UDenom)) AS skey_raw
+       |  FROM documents d LEFT JOIN wlw USING (doc_id)),
+       |wrk AS (SELECT doc_id, lang, n_tokens, logw, skey_raw,
+       |    row_number() OVER (ORDER BY skey_raw DESC, doc_id ASC) AS rk
+       |  FROM wk)
+       |SELECT doc_id, lang, n_tokens,
+       |  floor(logw * 1000000 + 0.5) / 1000000 AS log_weight,
+       |  floor(skey_raw * 1000000 + 0.5) / 1000000 AS skey,
+       |  rk <= $DsirKeepN AS kept
+       |FROM wrk ORDER BY doc_id""".stripMargin
+
   // ---- q87: Zipf slope (corpus-health diagnostic) -------------------------
 
   /** Least-squares fit of ln(term frequency) against ln(frequency rank) —
@@ -2245,6 +2434,53 @@ object TextAnalysisOps {
        |    / 1000000 AS chars_per_token
        |FROM documents d LEFT JOIN bd USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ---- q118: tokenizer fertility by language ------------------------------
+
+  /** q118: per-language tokenizer fertility under the learned BPE vocab —
+    * mean symbols per word (fertility) and chars per symbol. THE health
+    * check a multilingual corpus runs before committing a tokenizer to a
+    * 100 TB tokenization pass: a vocab trained on the majority language
+    * over-segments the rest (fertility climbs toward character-level),
+    * which silently inflates their token budgets and shifts the q46/q99
+    * mixture — this table is where that decision gets made. Shares q92's
+    * memoized training run and q93's apply-join (word-keyed, vocab-scale
+    * right side, OOV character fallback), then collapses to one row per
+    * language — the corpus-sized work is exactly q93's. */
+  def bpeFertility(spark: SparkSession, dir: String): DataFrame = {
+    val (_, vocab) = bpeModel(spark, dir)
+    val sym = vocab.select(col("word"),
+      size(split(trim(col("repr")), " ")).cast("long").as("n_sym"))
+    docs(spark, dir)
+      .select(col("lang"), explode(TextOps.tokenize(col("text"))).as("word"))
+      .join(sym, Seq("word"), "left")
+      .withColumn("n_sym", coalesce(col("n_sym"), length(col("word")).cast("long")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_sym")).as("bpe_tokens"),
+        sum(length(col("word")).cast("long")).as("word_chars"))
+      .select(col("lang"), col("n_words"), col("bpe_tokens"),
+        r6(col("bpe_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"),
+        r6(col("word_chars").cast("double") / col("bpe_tokens").cast("double"))
+          .as("chars_per_token"))
+      .orderBy("lang")
+  }
+
+  val bpeFertilitySql: String =
+    s"""WITH $bpeCtes,
+       |ftm AS (SELECT word, CAST(len(string_split(trim(repr), ' ')) AS BIGINT) AS n_sym
+       |        FROM bv$BpeMerges),
+       |fw AS (SELECT lang, unnest(regexp_extract_all(lower(text), '$TokRe')) AS word
+       |       FROM documents),
+       |fa AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(sum(coalesce(n_sym, length(word))) AS BIGINT) AS bpe_tokens,
+       |         CAST(sum(length(word)) AS BIGINT) AS word_chars
+       |       FROM fw LEFT JOIN ftm USING (word) GROUP BY lang)
+       |SELECT lang, n_words, bpe_tokens,
+       |  floor((bpe_tokens::DOUBLE / n_words) * 1000000 + 0.5) / 1000000 AS fertility,
+       |  floor((word_chars::DOUBLE / bpe_tokens) * 1000000 + 0.5) / 1000000 AS chars_per_token
+       |FROM fa ORDER BY lang""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2253,6 +2489,9 @@ object TextAnalysisOps {
     "q108_calibrated_threshold" -> (calibratedThreshold _),
     "q109_pii_validated" -> (piiValidated _),
     "q112_source_divergence" -> (sourceDivergence _),
+    "q115_dsir_weights" -> (dsirWeights _),
+    "q117_source_caps" -> (sourceCaps _),
+    "q118_bpe_fertility" -> (bpeFertility _),
     "q94_learned_curation" -> (learnedBudgetCuration _),
     "q93_bpe_token_counts" -> (bpeTokenCounts _),
     "q92_bpe_merge_table" -> (bpeMergeTable _),
@@ -2289,6 +2528,9 @@ object TextAnalysisOps {
     "q108_calibrated_threshold" -> calibratedThresholdSql,
     "q109_pii_validated" -> piiValidatedSql,
     "q112_source_divergence" -> sourceDivergenceSql,
+    "q115_dsir_weights" -> dsirWeightsSql,
+    "q117_source_caps" -> sourceCapsSql,
+    "q118_bpe_fertility" -> bpeFertilitySql,
     "q94_learned_curation" -> learnedBudgetCurationSql,
     "q93_bpe_token_counts" -> bpeTokenCountsSql,
     "q92_bpe_merge_table" -> bpeMergeTableSql,

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{SimilarityOps, TextAnalysisOps}
+
+/** Round-8 curation/sampling additions: DSIR importance resampling
+  * (q115), cluster-balanced diversity sampling (q116), per-source domain
+  * caps (q117), and tokenizer fertility by language (q118). */
+class CurationSamplingSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q115 DSIR: target slice scores higher; resample size exact; deterministic") {
+    val rows = TextAnalysisOps.dsirWeights(spark, dir).collect()
+    assert(rows.length == 500)
+
+    // The importance weight exists to pull the raw pool toward the target
+    // distribution, so the target slice itself must average higher than
+    // the rest — the sanity check the DSIR paper's quality plot encodes.
+    val (en, rest) = rows.partition(_.getAs[String]("lang") == TextAnalysisOps.DsirTargetLang)
+    val meanEn = en.map(_.getAs[Double]("log_weight")).sum / en.length
+    val meanRest = rest.map(_.getAs[Double]("log_weight")).sum / rest.length
+    assert(meanEn > meanRest,
+      s"target-slice mean log-weight $meanEn not above non-target $meanRest")
+
+    val kept = rows.filter(_.getAs[Boolean]("kept"))
+    assert(kept.length == TextAnalysisOps.DsirKeepN)
+    // Gumbel-top-k draws ∝ softmax(log w): the kept set must lean toward
+    // the target distribution relative to the pool (selection is doing
+    // something), without being a degenerate argmax of lang alone.
+    val keptEnFrac = kept.count(_.getAs[String]("lang") == "en").toDouble / kept.length
+    val poolEnFrac = en.length.toDouble / rows.length
+    assert(keptEnFrac > poolEnFrac,
+      s"kept en-fraction $keptEnFrac not above pool fraction $poolEnFrac")
+
+    val again = TextAnalysisOps.dsirWeights(spark, dir).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq,
+      "q115 must be deterministic across runs")
+  }
+
+  test("q116 cluster-balanced sample: sqrt budgets exact, kept counts honor them") {
+    val rows = SimilarityOps.clusterBalancedSample(spark, dir).collect()
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster"))
+    byCluster.foreach { case (c, members) =>
+      val cellN = members.head.getAs[Long]("cell_n")
+      assert(members.length == cellN, s"cell_n mismatch in cluster $c")
+      val budget = members.head.getAs[Long]("budget")
+      assert(budget == math.ceil(math.sqrt(cellN.toDouble)).toLong)
+      val kept = members.count(_.getAs[Boolean]("kept"))
+      assert(kept == math.min(budget, cellN),
+        s"cluster $c kept $kept, expected min($budget, $cellN)")
+    }
+    // √-scaling must actually rebalance: the kept share of the largest
+    // cell is below the kept share of the smallest (dense modes diluted).
+    val shares = byCluster.values.map { m =>
+      (m.length, m.count(_.getAs[Boolean]("kept")).toDouble / m.length)
+    }.toSeq
+    assert(shares.maxBy(_._1)._2 < shares.minBy(_._1)._2)
+  }
+
+  test("q117 source caps: kept set IS the per-source quality top-20") {
+    val rows = TextAnalysisOps.sourceCaps(spark, dir).collect()
+    val quality = TextAnalysisOps.textQuality(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        math.floor(r.getAs[Double]("quality_score") * 1e6 + 0.5).toLong).toMap
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, members) =>
+      val kept = members.filter(_.getAs[Boolean]("kept"))
+      assert(kept.length == math.min(TextAnalysisOps.SourceCap, members.length),
+        s"source $src kept ${kept.length}")
+      // Independent reference ranking straight off q30's scores.
+      val expect = members.map(_.getAs[Long]("doc_id"))
+        .sortBy(id => (-quality(id), id))
+        .take(TextAnalysisOps.SourceCap).toSet
+      assert(kept.map(_.getAs[Long]("doc_id")).toSet == expect,
+        s"source $src kept set is not the quality top-${TextAnalysisOps.SourceCap}")
+      // Dropped rows never carry a rank.
+      assert(members.filterNot(_.getAs[Boolean]("kept"))
+        .forall(_.getAs[Long]("src_rank") == -1L))
+    }
+  }
+
+  test("q118 fertility: bounded below by 1, consistent with the q93 per-doc counts") {
+    val byLang = TextAnalysisOps.bpeFertility(spark, dir).collect()
+    assert(byLang.nonEmpty)
+    byLang.foreach { r =>
+      assert(r.getAs[Double]("fertility") >= 1.0, s"fertility < 1 for ${r.getAs[String]("lang")}")
+      assert(r.getAs[Double]("chars_per_token") >= 1.0)
+    }
+    // Same apply-join underneath: the per-lang token mass must re-total
+    // to q93's per-doc token mass exactly.
+    val langTotal = byLang.map(_.getAs[Long]("bpe_tokens")).sum
+    val docTotal = TextAnalysisOps.bpeTokenCounts(spark, dir)
+      .agg(sum("bpe_tokens")).collect()(0).getLong(0)
+    assert(langTotal == docTotal, s"per-lang total $langTotal != per-doc total $docTotal")
+  }
+}
