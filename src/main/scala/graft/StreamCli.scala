@@ -16,7 +16,11 @@ import graft.streaming.StreamingOps
   * target/graft_ivf_index from BuildVectorIndex) streams id-shifted
   * embeddings through the sign-LSH near-dup gate into the persisted IVF
   * index via foreachBatch + appendArtifacts — the full dedup-then-index
-  * ingest path; prints per-cluster growth and the gate's pass count.
+  * ingest path; prints per-cluster growth and the gate's pass count;
+  * `serve` (3rd arg = indexDir) streams the first 8 embeddings as query
+  * requests through the batch-of-queries ANN serving tier
+  * (annIvfServeMany per micro-batch) and prints each query's top
+  * answers — the online half of the index lifecycle.
   */
 object StreamEvents {
   def main(args: Array[String]): Unit = {
@@ -101,6 +105,23 @@ object StreamEvents {
         .map(r => s"${r.get(0)}:${r.getLong(1)}").mkString(",")
       println(s"[stream] ingest before=$before after=${after.count()} " +
         s"gate_passed=${appended.count()} sizes=$sizes")
+      spark.stop(); return
+    }
+
+    if (mode == "serve") {
+      val idx = if (args.length > 2) args(2) else "target/graft_ivf_index"
+      val resDir = java.nio.file.Files.createTempDirectory("graft_serve_out").toString
+      val queries = spark.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+        .filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val q = StreamingOps.annServe(queries, idx, resDir).start()
+      q.processAllAvailable(); q.stop()
+      val res = spark.read.parquet(resDir)
+      println(s"[stream] serve queries=${res.select("query_id").distinct().count()} " +
+        s"answers=${res.count()}")
+      res.filter(col("rank") <= 3).orderBy("query_id", "rank").show(24, truncate = false)
       spark.stop(); return
     }
 

@@ -954,6 +954,55 @@ object SimilarityOps {
       .orderBy("rank")
   }
 
+  /** Batch-of-queries IVF serving: one distributed plan answering a whole
+    * request batch (query_id, embedding) from the persisted index — the
+    * shape a streaming/online serving tier runs per micro-batch, where
+    * collecting per-query probe literals ([[servedProbe]]) would put the
+    * batch size on the driver. Everything stays on executors: coarse
+    * scoring is queries × broadcast(centroids) (K·d rows), per-query
+    * probe selection is a rank window partitioned by query_id over K·|Q|
+    * rows, and the index scan joins vectors to the broadcast probe set
+    * on the PARTITION column — with a parquet index laid out
+    * partitionBy(cluster), Spark's dynamic partition pruning turns that
+    * broadcast join into file-level pruning just like the literal `isin`
+    * of the single-query tier (the spec pins result equality with
+    * [[annIvfServe]] per query; the single-query tier keeps the static
+    * proof). Top-k is one window per query_id.
+    *
+    * At 1000 executors the per-batch cost is: one broadcast of |Q|
+    * queries, one pruned scan of the union of probed clusters, one
+    * (query_id-keyed) top-k shuffle — nothing scales with corpus size
+    * except the pruned scan. */
+  def annIvfServeMany(
+      spark: SparkSession, indexDir: String, queries: DataFrame,
+      nprobe: Int = NProbeServe): DataFrame = {
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val qx = queries
+      .select(col("query_id"), posexplode(col("embedding")).as(Seq("pos", "v0")))
+      .select(col("query_id"), col("pos"), col("v0").cast("double").as("v"))
+    val probes = qx.join(broadcast(cent), "pos")
+      .groupBy("query_id", "cluster")
+      .agg(sum(((col("v") - col("c")) * (col("v") - col("c")))
+        .cast("decimal(38,18)")).as("dist"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist").asc, col("cluster").asc)))
+      .filter(col("crank") <= nprobe)
+      .select("query_id", "cluster")
+    spark.read.parquet(s"$indexDir/vectors")
+      .select(col("vec_id"), col("cluster"), col("embedding"))
+      .join(broadcast(probes), "cluster")
+      .join(broadcast(queries.select(col("query_id"),
+        col("embedding").as("q_embedding"))), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        cosineSim(col("embedding"), col("q_embedding")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc))
+        .cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id"), col("rank"), r6(col("cos")).as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Int8 IVF serving: q77's quantized tier served from the index — codes
     * and scales are INDEX COLUMNS (reconstruction r = code·scale is one
     * row-local multiply; the corpus-wide amax pass happened at build), the

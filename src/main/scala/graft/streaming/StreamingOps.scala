@@ -364,6 +364,32 @@ object StreamingOps {
             .parquet(s"$indexDir/vectors")
       }
 
+  /** Streaming ANN serving: answer a stream of (query_id, embedding)
+    * requests from the persisted IVF index, one distributed plan per
+    * micro-batch (SimilarityOps.annIvfServeMany — coarse-score against
+    * broadcast centroids, per-query probe window, partition-pruned index
+    * scan, per-query top-k), results appended to `outDir` as
+    * (query_id, vec_id, rank, cos). The batch twin of ServeVectorIndex:
+    * same index files, same ranking arithmetic, so online answers cannot
+    * drift from offline ones (StreamingSpec pins per-query equality with
+    * annIvfServe). `foreachBatch` rather than a stream-static join
+    * because per-query top-k needs a rank window, which append-mode
+    * streaming can't express — and each request batch is a complete,
+    * self-contained serving job anyway. */
+  def annServe(
+      queries: DataFrame, indexDir: String, outDir: String,
+      nprobe: Int = graft.operators.SimilarityOps.NProbeServe)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.SimilarityOps
+            .annIvfServeMany(batch.sparkSession, indexDir,
+              batch.select("query_id", "embedding"), nprobe)
+            .write.mode("append").parquet(outDir)
+      }
+
   /** Streaming quality gate: score each arriving document with a FROZEN
     * persisted model (`graft.TrainQualityModel` output). The 1-row model
     * is read once driver-side and inlined as literals, so the gate is a

@@ -318,6 +318,54 @@ class StreamingSpec extends SparkSpec {
       .filter(survivors("bucket") =!= batch("bucket")).isEmpty)
   }
 
+  test("streaming ANN serve: per-query answers equal the single-query serving tier") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    import graft.operators.SimilarityOps
+
+    // Persisted index (same artifact set the ingest test builds).
+    val out = java.nio.file.Files.createTempDirectory("graft_serve_idx").toString
+    val (cent, _) = SimilarityOps.kmeansModel(spark, dir)
+    SimilarityOps.indexArtifacts(spark, dir)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$out/vectors")
+    cent.write.mode("overwrite").parquet(s"$out/centroids")
+
+    val qids = Seq(5L, 17L, 42L)
+    val embOf = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id").isin(qids: _*)).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding")).toMap
+
+    val resDir = java.nio.file.Files.createTempDirectory("graft_serve_out").toString
+    val stream = MemoryStream[(Long, scala.collection.Seq[Float])]
+    val q = StreamingOps.annServe(
+        stream.toDF().toDF("query_id", "embedding")
+          .withColumn("embedding", col("embedding").cast("array<float>")),
+        out, resDir)
+      .start()
+    try {
+      // Two micro-batches, so append-mode accumulation is exercised too.
+      stream.addData(qids.take(2).map(id => (id, embOf(id))))
+      q.processAllAvailable()
+      stream.addData(qids.drop(2).map(id => (id, embOf(id))))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val served = spark.read.parquet(resDir).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    assert(served.keySet == qids.toSet)
+    qids.foreach { id =>
+      val got = served(id)
+        .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+        .sortBy(_._1)
+      val want = SimilarityOps.annIvfServe(spark, out, embOf(id).toArray).collect()
+        .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+        .sortBy(_._1)
+      assert(got.toSeq == want.toSeq, s"query $id: streamed answers diverge from annIvfServe")
+      assert(got.head._2 == id, s"query $id: rank 1 is not the query vector itself")
+    }
+  }
+
   test("streaming index ingest: gated append lands in owning partitions, dups never indexed") {
     implicit val sqlCtx = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
