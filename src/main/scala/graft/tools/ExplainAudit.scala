@@ -28,7 +28,9 @@ object ExplainAudit {
       "q62_user_sessions", "q67_retention_cohorts", "q69_event_anomalies",
       "q70_media_meta", "q72_frame_sample",
       "q104_ann_ivfpq", "q107_verbatim_multi_n", "q108_calibrated_threshold",
-      "q109_pii_validated", "q110_pq_recall_panel")
+      "q109_pii_validated", "q110_pq_recall_panel",
+      "q115_dsir_weights", "q116_cluster_balanced_sample",
+      "q117_source_caps", "q118_bpe_fertility")
 
     targets.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
