@@ -1354,6 +1354,63 @@ object SimilarityOps {
        |  rk <= budget AS kept
        |FROM cbr JOIN cbb USING (cluster) ORDER BY vec_id""".stripMargin
 
+  // ---- q119: semantic (embedding-level) decontamination -------------------
+
+  /** Cosine threshold for q119 — the q44/q86 near-dup operating point.
+    * A production run pins a stricter value from a labeled sweep; on
+    * this corpus 0.35 is where the near-dup tiers agree a pair is "the
+    * same item". */
+  val SemDecontamCos = SemDedupThreshold
+
+  /** q119: embedding-level benchmark decontamination — the PARAPHRASE
+    * tier of the decontamination stack. q45 flags shingle overlap and
+    * q83/q107 flag verbatim token runs, but a reworded eval item shares
+    * neither; its embedding still sits next to the benchmark's. Every
+    * corpus vector is scored by its maximum cosine against the
+    * benchmark slice (the q45 convention: vec_id ≡ 0 mod DecontamMod
+    * stands in for the eval set) and flagged at the declared threshold,
+    * with the nearest benchmark item reported for audit.
+    *
+    * Scale shape: the benchmark side is 1/97 of the corpus — broadcast
+    * (an eval set is ALWAYS broadcast-scale next to a training corpus);
+    * the scan is one pass of corpus × bench with the codegen'd cosine,
+    * collapsed by a map-side-combined min(struct) argmax — no window,
+    * no self-join, no shuffle of embedding payloads (only the 3-column
+    * verdict row moves). At 100 TB: embarrassingly parallel, like q50. */
+  def semanticDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select("vec_id", "embedding")
+    val bench = e.filter(pmod(col("vec_id"), lit(graft.operators.DedupOps.DecontamMod)) === 0)
+      .select(col("vec_id").as("bench_id"), col("embedding").as("b_embedding"))
+    val best = e.filter(pmod(col("vec_id"), lit(graft.operators.DedupOps.DecontamMod)) =!= 0)
+      .crossJoin(broadcast(bench))
+      .select(col("vec_id"),
+        cosineSim(col("embedding"), col("b_embedding")).as("cos"), col("bench_id"))
+      .groupBy("vec_id")
+      .agg(min(struct((-col("cos")).as("ncos"), col("bench_id"))).as("best"))
+      .select(col("vec_id"), (-col("best.ncos")).as("max_cos"),
+        col("best.bench_id").as("nearest_bench_id"))
+    best.select(col("vec_id"), r6(col("max_cos")).as("max_cos"),
+        col("nearest_bench_id"),
+        (col("max_cos") >= SemDecontamCos).as("contaminated"))
+      .orderBy("vec_id")
+  }
+
+  val semanticDecontamSql: String =
+    s"""WITH sde AS (SELECT vec_id, embedding FROM embeddings),
+       |sdb AS (SELECT vec_id AS bench_id, embedding AS be FROM sde
+       |        WHERE vec_id % ${graft.operators.DedupOps.DecontamMod} = 0),
+       |sdc AS (SELECT sde.vec_id, sdb.bench_id,
+       |          ${sqlCos("sde.embedding", "be")} AS cos
+       |        FROM sde, sdb WHERE sde.vec_id % ${graft.operators.DedupOps.DecontamMod} <> 0),
+       |sdm AS (SELECT vec_id, bench_id, cos FROM (
+       |          SELECT vec_id, bench_id, cos,
+       |            row_number() OVER (PARTITION BY vec_id
+       |                               ORDER BY cos DESC, bench_id ASC) AS rn
+       |          FROM sdc) WHERE rn = 1)
+       |SELECT vec_id, floor(cos * 1000000 + 0.5) / 1000000 AS max_cos,
+       |  bench_id AS nearest_bench_id, cos >= $SemDecontamCos AS contaminated
+       |FROM sdm ORDER BY vec_id""".stripMargin
+
   // ---- q97: top principal component (fixed-iteration power method) --------
 
   /** Matrix-squaring count — FIXED so the whole derivation unrolls into
@@ -1870,7 +1927,8 @@ object SimilarityOps {
     "q105_ivfpq_recall_curve" -> (ivfPqRecallCurve _),
     "q110_pq_recall_panel" -> (pqRecallPanel _),
     "q111_ann_ivfpq_rerank" -> (annIvfPqRerank _),
-    "q116_cluster_balanced_sample" -> (clusterBalancedSample _))
+    "q116_cluster_balanced_sample" -> (clusterBalancedSample _),
+    "q119_semantic_decontam" -> (semanticDecontam _))
 
   val oracles: Map[String, String] = Map(
     "q97_pca_top_component" -> pcaTopComponentSql,
@@ -1888,5 +1946,6 @@ object SimilarityOps {
     "q105_ivfpq_recall_curve" -> ivfPqRecallCurveSql,
     "q110_pq_recall_panel" -> pqRecallPanelSql,
     "q111_ann_ivfpq_rerank" -> annIvfPqRerankSql,
-    "q116_cluster_balanced_sample" -> clusterBalancedSampleSql)
+    "q116_cluster_balanced_sample" -> clusterBalancedSampleSql,
+    "q119_semantic_decontam" -> semanticDecontamSql)
 }

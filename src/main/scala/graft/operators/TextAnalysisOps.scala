@@ -1700,6 +1700,61 @@ object TextAnalysisOps {
        |  rk <= $DsirKeepN AS kept
        |FROM wrk ORDER BY doc_id""".stripMargin
 
+  // ---- q120: temperature-scaled mixture weights ---------------------------
+
+  /** q120: the per-source sampling-mixture table a training run actually
+    * consumes — α = 0.5 temperature weights w_s = √n_s / Σ√n_t (the
+    * q46 √-scaling, per SOURCE, as an explicit artifact rather than a
+    * resample), each source's token draw under the half-corpus training
+    * budget, and the implied EPOCH count drawn/n_s — the number that
+    * says "this tail source will repeat 3× while the head source is
+    * seen once", i.e. the over-sampling a mixture designer is actually
+    * signing up for. Closes the mixture loop: q88 measures cross-source
+    * duplication, q112 measures drift, q117 caps contributions, this
+    * emits the weights.
+    *
+    * Scale shape: one (source)-keyed map-side-combined aggregate over
+    * the corpus, then all arithmetic on the |sources|-row frame against
+    * a broadcast 1-row total. √ is exactly rounded IEEE in both engines
+    * and the √-sum accumulates in DECIMAL, so weights agree to the last
+    * bit; draws use an integer half-total budget (DIV 2 / //). */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val src = docs(spark, dir)
+      .select(col("source"), size(TextOps.tokenize(col("text"))).cast("long").as("n"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+    val tot = src.agg(sum("n_tokens").as("tot"),
+      dsum(sqrt(col("n_tokens").cast("double"))).as("ssq"))
+    src.crossJoin(broadcast(tot))
+      .withColumn("w", sqrt(col("n_tokens").cast("double")) / col("ssq"))
+      .withColumn("budget", expr("CAST(tot DIV 2 AS BIGINT)"))
+      .withColumn("drawn",
+        floor(col("w") * col("budget").cast("double")).cast("long"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        r6(col("w")).as("weight"), col("drawn").as("tokens_drawn"),
+        r6(col("drawn").cast("double") / col("n_tokens").cast("double")).as("epochs"))
+      .orderBy("source")
+  }
+
+  val mixtureWeightsSql: String =
+    s"""WITH mt AS (SELECT source,
+       |    len(regexp_extract_all(lower(text), '$TokRe')) AS n FROM documents),
+       |ms AS (SELECT source, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+       |       FROM mt GROUP BY source),
+       |mtot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+       |           CAST(sum(CAST(sqrt(n_tokens::DOUBLE) AS DECIMAL(30,8))) AS DOUBLE) AS ssq
+       |         FROM ms),
+       |mw AS (SELECT source, n_docs, n_tokens,
+       |         sqrt(n_tokens::DOUBLE) / ssq AS w,
+       |         CAST(floor((sqrt(n_tokens::DOUBLE) / ssq) *
+       |           CAST(tot // 2 AS DOUBLE)) AS BIGINT) AS drawn
+       |       FROM ms, mtot)
+       |SELECT source, n_docs, n_tokens,
+       |  floor(w * 1000000 + 0.5) / 1000000 AS weight,
+       |  drawn AS tokens_drawn,
+       |  floor((drawn::DOUBLE / n_tokens) * 1000000 + 0.5) / 1000000 AS epochs
+       |FROM mw ORDER BY source""".stripMargin
+
   // ---- q87: Zipf slope (corpus-health diagnostic) -------------------------
 
   /** Least-squares fit of ln(term frequency) against ln(frequency rank) —
@@ -2492,6 +2547,7 @@ object TextAnalysisOps {
     "q115_dsir_weights" -> (dsirWeights _),
     "q117_source_caps" -> (sourceCaps _),
     "q118_bpe_fertility" -> (bpeFertility _),
+    "q120_mixture_weights" -> (mixtureWeights _),
     "q94_learned_curation" -> (learnedBudgetCuration _),
     "q93_bpe_token_counts" -> (bpeTokenCounts _),
     "q92_bpe_merge_table" -> (bpeMergeTable _),
@@ -2531,6 +2587,7 @@ object TextAnalysisOps {
     "q115_dsir_weights" -> dsirWeightsSql,
     "q117_source_caps" -> sourceCapsSql,
     "q118_bpe_fertility" -> bpeFertilitySql,
+    "q120_mixture_weights" -> mixtureWeightsSql,
     "q94_learned_curation" -> learnedBudgetCurationSql,
     "q93_bpe_token_counts" -> bpeTokenCountsSql,
     "q92_bpe_merge_table" -> bpeMergeTableSql,

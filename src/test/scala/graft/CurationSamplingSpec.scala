@@ -80,6 +80,54 @@ class CurationSamplingSpec extends SparkSpec {
     }
   }
 
+  test("q119 semantic decontam: argmax matches a driver-side recount; bench excluded") {
+    val mod = graft.operators.DedupOps.DecontamMod
+    val rows = SimilarityOps.semanticDecontam(spark, dir).collect()
+    assert(rows.forall(_.getAs[Long]("vec_id") % mod != 0),
+      "benchmark slice must not appear among scored vectors")
+
+    val all = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    assert(rows.length == all.size - all.keys.count(_ % mod == 0))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val bench = all.filter(_._1 % mod == 0).toSeq.sortBy(_._1)
+    // Recompute the verdict for a handful of vectors end to end.
+    rows.filter(r => Seq(1L, 2L, 101L, 350L).contains(r.getAs[Long]("vec_id"))).foreach { r =>
+      val v = all(r.getAs[Long]("vec_id"))
+      val (bestId, bestCos) = bench.map { case (bid, bv) => (bid, cos(v, bv)) }
+        .maxBy { case (bid, c) => (c, -bid) }
+      assert(r.getAs[Long]("nearest_bench_id") == bestId)
+      assert(math.abs(r.getAs[Double]("max_cos") - bestCos) < 1e-6)
+      assert(r.getAs[Boolean]("contaminated") == (bestCos >= SimilarityOps.SemDecontamCos))
+    }
+  }
+
+  test("q120 mixture: weights normalize, draws fit the budget, tail sources get more epochs") {
+    val rows = TextAnalysisOps.mixtureWeights(spark, dir).collect()
+    assert(rows.length == 20)
+    val wSum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wSum - 1.0) < 1e-4, s"weights sum to $wSum")
+    val tot = rows.map(_.getAs[Long]("n_tokens")).sum
+    val drawn = rows.map(_.getAs[Long]("tokens_drawn")).sum
+    assert(drawn <= tot / 2, "per-source floors must never exceed the budget")
+    assert(drawn > tot / 2 - rows.length, "floor loss is at most one token per source")
+    // α = 0.5 over-samples the tail: epochs must be antitone in source size.
+    val bySize = rows.sortBy(_.getAs[Long]("n_tokens"))
+    bySize.sliding(2).foreach { case Array(small, big) =>
+      assert(small.getAs[Double]("epochs") >= big.getAs[Double]("epochs") - 1e-9,
+        s"smaller source ${small.getAs[String]("source")} got fewer epochs than " +
+          s"${big.getAs[String]("source")}")
+    }
+  }
+
   test("q118 fertility: bounded below by 1, consistent with the q93 per-doc counts") {
     val byLang = TextAnalysisOps.bpeFertility(spark, dir).collect()
     assert(byLang.nonEmpty)
