@@ -366,6 +366,130 @@ object RelationalOps {
       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
       |ORDER BY gid, returnflag, linestatus""".stripMargin
 
+  // ---- q17: small-quantity revenue (scalar-subquery decorrelation) --------
+
+  /** q17 (the TPC-H Q17 shape): average yearly revenue lost to
+    * small-quantity orders of one brand — lineitems whose quantity is
+    * below 20% of their part's average quantity. The interesting part is
+    * the SHAPE: the correlated scalar subquery ("this part's average")
+    * decorrelates into one partkey-keyed aggregate re-joined to the fact
+    * table — the standard rewrite every optimizer applies, declared here
+    * directly so the plan is one agg + one join instead of a per-row
+    * subquery. The brand filter reaches the part scan (PushedFilters)
+    * and makes the dimension side broadcast-size; the per-part average
+    * divides a DECIMAL sum by an exact count, and the 0.2· threshold
+    * compares doubles derived identically in both engines. */
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val brandParts = t(spark, dir, "part")
+      .filter(col("p_brand") === "Brand#12").select("p_partkey")
+    val partAvg = li.join(broadcast(brandParts),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey")
+      .agg((sum(col("l_quantity").cast("decimal(30,8)")).cast("double") /
+        count(lit(1))).as("avg_qty"))
+    li.join(broadcast(partAvg), "l_partkey")
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(
+        count(lit(1)).as("n_small"),
+        r6((sum(col("l_extendedprice").cast("decimal(30,8)")).cast("double") /
+          lit(7.0))).as("avg_yearly"))
+  }
+
+  val smallQuantityRevenueSql: String =
+    """WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#12'),
+      |pa AS (SELECT l_partkey,
+      |         CAST(sum(CAST(l_quantity AS DECIMAL(30,8))) AS DOUBLE) / count(*) AS avg_qty
+      |       FROM lineitem JOIN bp ON l_partkey = p_partkey
+      |       GROUP BY l_partkey)
+      |SELECT count(*) AS n_small,
+      |  floor((CAST(sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS DOUBLE) / 7.0)
+      |    * 1000000 + 0.5) / 1000000 AS avg_yearly
+      |FROM lineitem JOIN pa USING (l_partkey)
+      |WHERE l_quantity < 0.2 * avg_qty""".stripMargin
+
+  // ---- q18: large-volume orders (aggregate-then-join) ---------------------
+
+  /** Order-quantity floor for q18 (orders here carry ~4 lineitems of up
+    * to 50 units, so 150 selects the big tail at every SF). */
+  val LargeOrderQty = 150.0
+
+  /** q18 (the TPC-H Q18 shape): who placed the largest-volume orders —
+    * aggregate lineitem to order quantity totals, keep the HAVING tail,
+    * then enrich the few survivors with customer + order attributes.
+    * The shape matters at scale: aggregate FIRST (map-side-combined,
+    * orderkey-keyed), filter to the tail, and only then join — the join
+    * input is the tail, not the fact table, and AQE broadcasts it. The
+    * top-100 ranks on the DECIMAL-exact quantity sum with an orderkey
+    * tie-break. */
+  def largeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val oq = t(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast("decimal(30,8)")).as("sq"))
+      .filter(col("sq") > LargeOrderQty)
+    val enriched = oq
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+    enriched
+      .select(col("c_name"), col("o_orderkey"), col("o_totalprice"),
+        col("sq").cast("double").as("sum_qty"))
+      .orderBy(col("sum_qty").desc, col("o_orderkey").asc)
+      .limit(100)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("sum_qty").desc, col("o_orderkey").asc)).cast("long"))
+      .orderBy("rank")
+  }
+
+  val largeOrdersSql: String =
+    s"""WITH oq AS (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(30,8))) AS sq
+       |            FROM lineitem GROUP BY l_orderkey
+       |            HAVING sum(CAST(l_quantity AS DECIMAL(30,8))) > $LargeOrderQty)
+       |SELECT c_name, o_orderkey, o_totalprice, sum_qty,
+       |  CAST(row_number() OVER (ORDER BY sum_qty DESC, o_orderkey ASC) AS BIGINT) AS rank
+       |FROM (SELECT c_name, o_orderkey, o_totalprice, CAST(sq AS DOUBLE) AS sum_qty
+       |      FROM oq JOIN orders ON l_orderkey = o_orderkey
+       |      JOIN customer ON o_custkey = c_custkey
+       |      ORDER BY sum_qty DESC, o_orderkey ASC LIMIT 100)
+       |ORDER BY rank""".stripMargin
+
+  // ---- q19: disjunctive-predicate revenue ---------------------------------
+
+  /** q19 (the TPC-H Q19 shape): revenue under an OR of brand/size/
+    * quantity conjunctions — the classic disjunctive join predicate.
+    * Declared as one broadcast join with the OR evaluated post-join:
+    * the common conjunct derivable from the disjunction (p_brand IN the
+    * three brands) is applied ON THE DIMENSION SCAN explicitly, which
+    * is the pushdown an optimizer must infer from CNF — stated in the
+    * plan it is guaranteed, and the part side stays broadcast-size. One
+    * DECIMAL revenue aggregate; no shuffle beyond the broadcast. */
+  def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part")
+      .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#3"))
+      .select("p_partkey", "p_brand", "p_size")
+    val cond =
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 25) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
+        col("l_quantity").between(20, 30))
+    t(spark, dir, "lineitem")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(count(lit(1)).as("n_items"),
+        r6(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(30,8)")).cast("double")).as("revenue"))
+  }
+
+  val disjunctiveRevenueSql: String =
+    """SELECT count(*) AS n_items,
+      |  floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE))
+      |    * 1000000 + 0.5) / 1000000 AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   // ---- q14: exact interpolated quantiles ----------------------------------
 
   /** Per-flag exact quartiles of l_extendedprice. Spark's `percentile`
@@ -441,7 +565,10 @@ object RelationalOps {
     "q07_customers_without_orders" -> (customersWithoutOrders _),
     "q08_returnflag_rollup" -> (returnFlagRollup _),
     "q09_supplier_part_stats" -> (supplierPartStats _),
-    "q10_monthly_order_priorities" -> (monthlyOrderPriorities _))
+    "q10_monthly_order_priorities" -> (monthlyOrderPriorities _),
+    "q17_small_quantity_revenue" -> (smallQuantityRevenue _),
+    "q18_large_orders" -> (largeOrders _),
+    "q19_disjunctive_revenue" -> (disjunctiveRevenue _))
 
   val oracles: Map[String, String] = Map(
     "q13_cube_summary" -> cubeSummarySql,
@@ -457,5 +584,8 @@ object RelationalOps {
     "q07_customers_without_orders" -> customersWithoutOrdersSql,
     "q08_returnflag_rollup" -> returnFlagRollupSql,
     "q09_supplier_part_stats" -> supplierPartStatsSql,
-    "q10_monthly_order_priorities" -> monthlyOrderPrioritiesSql)
+    "q10_monthly_order_priorities" -> monthlyOrderPrioritiesSql,
+    "q17_small_quantity_revenue" -> smallQuantityRevenueSql,
+    "q18_large_orders" -> largeOrdersSql,
+    "q19_disjunctive_revenue" -> disjunctiveRevenueSql)
 }

@@ -2,14 +2,32 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{SimilarityOps, TextAnalysisOps}
+import graft.operators.{RelationalOps, SimilarityOps, TextAnalysisOps}
 
 /** Round-8 curation/sampling additions: DSIR importance resampling
   * (q115), cluster-balanced diversity sampling (q116), per-source domain
-  * caps (q117), and tokenizer fertility by language (q118). */
+  * caps (q117), tokenizer fertility by language (q118), semantic
+  * decontamination (q119), the mixture weight table (q120), and the
+  * q17-q19 relational fill-ins. */
 class CurationSamplingSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
+
+  test("q17/q18/q19: thresholds bind and every q18 order honors the HAVING floor") {
+    val q17 = RelationalOps.smallQuantityRevenue(spark, dir).collect()(0)
+    assert(q17.getAs[Long]("n_small") > 0, "q17 brand/quantity predicate selected nothing")
+    assert(q17.getAs[Double]("avg_yearly") > 0.0)
+
+    val q18 = RelationalOps.largeOrders(spark, dir).collect()
+    assert(q18.nonEmpty && q18.length <= 100)
+    assert(q18.forall(_.getAs[Double]("sum_qty") > RelationalOps.LargeOrderQty))
+    val qtys = q18.map(_.getAs[Double]("sum_qty")).toSeq
+    assert(qtys == qtys.sorted.reverse, "q18 must rank by quantity descending")
+
+    val q19 = RelationalOps.disjunctiveRevenue(spark, dir).collect()(0)
+    assert(q19.getAs[Long]("n_items") > 0, "q19 disjunction selected nothing")
+    assert(q19.getAs[Double]("revenue") > 0.0)
+  }
 
   test("q115 DSIR: target slice scores higher; resample size exact; deterministic") {
     val rows = TextAnalysisOps.dsirWeights(spark, dir).collect()
