@@ -390,6 +390,53 @@ object StreamingOps {
             .write.mode("append").parquet(outDir)
       }
 
+  /** Streaming mixture-drift monitor: the live feed that tells a corpus
+    * owner WHEN to re-run the batch mixture diagnostics (q112 drift,
+    * q120 weights) — per hour-window, per source: document/token counts,
+    * each source's token SHARE of its window, and the drift of that
+    * share against a frozen baseline table (source, base_share) from the
+    * last release. The windowed aggregate is the standard watermarked
+    * tumbling agg (append mode — each (window, source) row emits exactly
+    * once, when the watermark closes the window; all of a window's
+    * sources expire on the same watermark advance, so a window is always
+    * complete within one micro-batch). Shares need the window TOTAL — a
+    * second aggregation over a streaming aggregate, which append mode
+    * can't chain — so the per-window normalization runs in foreachBatch
+    * over the just-closed windows (the annServe pattern): a few rows per
+    * window, joined to the broadcast baseline.
+    *
+    * At scale: the streaming state is |open windows|·|sources| rows, the
+    * foreachBatch job touches only closed windows, and the baseline is a
+    * release artifact — nothing grows with stream length. */
+  def mixtureMonitor(
+      docs: DataFrame, tsCol: String, delay: String,
+      baseline: DataFrame, outDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs
+      .select(col("source"), col(tsCol),
+        size(graft.textops.TextOps.tokenize(col("text"))).cast("long").as("n"))
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), "1 hour"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("n_tokens"))
+      .select(col("window.start").as("win_start"), col("source"),
+        col("n_docs"), col("n_tokens"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val tot = batch.groupBy("win_start")
+            .agg(sum("n_tokens").as("win_tokens"))
+          batch.join(tot, "win_start")
+            .join(broadcast(baseline), Seq("source"), "left")
+            .select(col("win_start"), col("source"), col("n_docs"), col("n_tokens"),
+              (col("n_tokens").cast("double") / col("win_tokens").cast("double"))
+                .as("share"),
+              ((col("n_tokens").cast("double") / col("win_tokens").cast("double")) -
+                coalesce(col("base_share"), lit(0.0))).as("share_delta"))
+            .write.mode("append").parquet(outDir)
+        }
+      }
+
   /** Streaming quality gate: score each arriving document with a FROZEN
     * persisted model (`graft.TrainQualityModel` output). The 1-row model
     * is read once driver-side and inlined as literals, so the gate is a

@@ -318,6 +318,73 @@ class StreamingSpec extends SparkSpec {
       .filter(survivors("bucket") =!= batch("bucket")).isEmpty)
   }
 
+  test("streaming mixture monitor: window shares normalize and tie to a batch recount") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    import graft.operators.TextAnalysisOps
+
+    // Frozen baseline: the corpus's own per-source token shares.
+    val mw = TextAnalysisOps.mixtureWeights(spark, dir)
+      .select("source", "n_tokens").collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_tokens"))
+    val totTok = mw.map(_._2).sum.toDouble
+    val baseline = spark.createDataFrame(
+      spark.sparkContext.parallelize(mw.toSeq.map { case (s, n) =>
+        org.apache.spark.sql.Row(s, n / totTok) }),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("base_share",
+          org.apache.spark.sql.types.DoubleType))))
+
+    // First 250 docs land in hour 1, the rest in hour 2; a far-future
+    // sentinel closes both windows under a 0-second watermark.
+    val docRows = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text", "source").collect()
+    val base = 1700000000L - (1700000000L % 3600)
+    val feed = docRows.map { r =>
+      val id = r.getAs[Long]("doc_id")
+      (id, new Timestamp((base + (if (id < 250) 0L else 3600L) + id % 60) * 1000L),
+        r.getAs[String]("text"), r.getAs[String]("source"))
+    }.toSeq
+    val outDir = java.nio.file.Files.createTempDirectory("graft_mixmon").toString
+    val stream = MemoryStream[(Long, Timestamp, String, String)]
+    val q = StreamingOps.mixtureMonitor(
+        stream.toDF().toDF("doc_id", "ts", "text", "source"),
+        "ts", "0 seconds", baseline, outDir)
+      .start()
+    try {
+      stream.addData(feed)
+      q.processAllAvailable()
+      stream.addData(Seq((-1L, new Timestamp((base + 36000L) * 1000L), "sentinel", "sentinel")))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val res = spark.read.parquet(outDir).collect()
+    val wins = res.groupBy(_.getAs[Timestamp]("win_start"))
+    assert(wins.size == 2, s"expected 2 closed windows, got ${wins.size}")
+    wins.foreach { case (_, rows) =>
+      val shareSum = rows.map(_.getAs[Double]("share")).sum
+      assert(math.abs(shareSum - 1.0) < 1e-9, s"window shares sum to $shareSum")
+    }
+    // Hour-1 token counts tie to a batch recount over the same slice.
+    val batchH1 = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 250)
+      .select(col("source"),
+        size(graft.textops.TextOps.tokenize(col("text"))).cast("long").as("n"))
+      .groupBy("source").agg(sum("n").as("n_tokens")).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_tokens")).toMap
+    val h1 = wins.minBy(_._1.getTime)._2
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("n_tokens")).toMap
+    assert(h1 == batchH1, "streamed hour-1 token counts diverge from the batch recount")
+    // share_delta is share minus the frozen baseline share, exactly.
+    val baseMap = mw.map { case (s, n) => s -> n / totTok }.toMap
+    wins.values.flatten.foreach { r =>
+      val expect = r.getAs[Double]("share") - baseMap(r.getAs[String]("source"))
+      assert(math.abs(r.getAs[Double]("share_delta") - expect) < 1e-12)
+    }
+  }
+
   test("streaming ANN serve: per-query answers equal the single-query serving tier") {
     implicit val sqlCtx = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
