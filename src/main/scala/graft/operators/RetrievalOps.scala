@@ -209,6 +209,99 @@ object RetrievalOps {
        |SELECT doc_id, rank, floor((score) * 1000000 + 0.5) / 1000000 AS score FROM rk
        |WHERE rank <= $TopK ORDER BY rank""".stripMargin
 
+  // ---- q121: Dirichlet query-likelihood top-k -----------------------------
+
+  /** Dirichlet smoothing pseudo-count for q121 — ~10× this corpus's mean
+    * doc length (≈27 tokens), the regime the prior expects for short
+    * fields; the standard 2000 assumes passage-length docs. */
+  val QlMu = 300.0
+
+  /** q121: language-model retrieval — Dirichlet-smoothed query
+    * likelihood (Zhai–Lafferty), the third classic ranking family next
+    * to BM25 (q22) and vector cosine (q24):
+    * score(d) = Σ_q qtf · ln((tf(q,d) + μ·P(q|C)) / (dl(d) + μ)).
+    *
+    * Computed in the sparse decomposition every LM engine uses: the
+    * score splits into a BACKGROUND part Σ qtf·ln(μ·P(q)) − |q|·ln(dl+μ)
+    * that depends only on the doc LENGTH (row-local given two broadcast
+    * scalars), plus a CORRECTION qtf·(ln(tf+μP) − ln(μP)) for the few
+    * (doc, term) pairs where the doc actually contains a query term — so
+    * the inverted-index join touches only posting-list rows, never
+    * all (doc × query-term) pairs, yet every document is scored
+    * (densified, like q22/q24). Query terms absent from the corpus drop
+    * out (standard QL: P = 0 terms are undefined for every doc alike).
+    *
+    * Scale shape: corpus frequencies reuse the memoized token index; the
+    * query-side stats collapse to ≤|q| rows and broadcast; corrections
+    * are one term-keyed join + doc-keyed aggregate (DECIMAL-accumulated,
+    * ≤|q| terms per doc); the final ranking is the same two-key top-k as
+    * every retrieval tier. */
+  def qlTopK(spark: SparkSession, dir: String): DataFrame = {
+    val ti = tokenIndex(spark, dir)
+    val qt = singleQuery(spark, Bm25Query)
+      .select(explode(graft.textops.TextOps.tokenize(col("query"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).cast("long").as("qtf"))
+    val cf = ti.docTermFreq.groupBy("term")
+      .agg(sum(col("tf").cast("long")).as("cf"))
+    val tot = ti.docLen.agg(sum(col("dl").cast("long")).as("ctot"))
+    val qstats = qt.join(cf, "term")
+      .crossJoin(broadcast(tot))
+      .select(col("term"), col("qtf"),
+        (col("cf").cast("double") / col("ctot").cast("double")).as("p"))
+    val bg = qstats.agg(
+      sum((col("qtf").cast("double") * log(lit(QlMu) * col("p")))
+        .cast("decimal(30,8)")).cast("double").as("qbg"),
+      sum("qtf").as("qlen"))
+    val corr = ti.docTermFreq.join(broadcast(qstats), "term")
+      .groupBy("doc_id")
+      .agg(sum((col("qtf").cast("double") *
+          (log(col("tf").cast("double") + lit(QlMu) * col("p")) -
+            log(lit(QlMu) * col("p"))))
+        .cast("decimal(30,8)")).cast("double").as("corr"))
+    val scored = ti.docLen.join(corr, Seq("doc_id"), "left")
+      .crossJoin(broadcast(bg))
+      .select(col("doc_id"),
+        (coalesce(col("corr"), lit(0.0)) + col("qbg") -
+          col("qlen").cast("double") * log(col("dl").cast("double") + QlMu))
+          .as("score"))
+    scored.orderBy(col("score").desc, col("doc_id").asc).limit(TopK)
+      .select(col("doc_id"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id").asc)).cast("long").as("rank"),
+        r6(col("score")).as("score"))
+      .orderBy("rank")
+  }
+
+  def qlSql(q: String): String =
+    s"""WITH $tokCte,
+       |qlq AS (SELECT term, CAST(count(*) AS BIGINT) AS qtf FROM (
+       |          SELECT unnest(regexp_extract_all(lower('$q'), '$TokRe')) AS term)
+       |        GROUP BY term),
+       |qlcf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM tok GROUP BY term),
+       |qltot AS (SELECT CAST(count(*) AS BIGINT) AS ctot FROM tok),
+       |qls AS (SELECT term, qtf, cf::DOUBLE / ctot AS p
+       |        FROM qlq JOIN qlcf USING (term), qltot),
+       |qlbg AS (SELECT CAST(sum(CAST(qtf::DOUBLE * ln($QlMu * p) AS DECIMAL(30,8)))
+       |            AS DOUBLE) AS qbg,
+       |          CAST(sum(qtf) AS BIGINT) AS qlen FROM qls),
+       |qltf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |qlcorr AS (SELECT doc_id,
+       |    CAST(sum(CAST(qtf::DOUBLE *
+       |      (ln(tf::DOUBLE + $QlMu * p) - ln($QlMu * p)) AS DECIMAL(30,8)))
+       |      AS DOUBLE) AS corr
+       |  FROM qltf JOIN qls USING (term) GROUP BY doc_id),
+       |qldl AS (SELECT doc_id, len(regexp_extract_all(lower(text), '$TokRe')) AS dl
+       |         FROM documents),
+       |qlsc AS (SELECT d.doc_id,
+       |    coalesce(corr, 0.0) + qbg - qlen::DOUBLE * ln(dl::DOUBLE + $QlMu) AS score
+       |  FROM qldl d LEFT JOIN qlcorr USING (doc_id), qlbg),
+       |qlrk AS (SELECT doc_id, score,
+       |           row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank
+       |         FROM qlsc)
+       |SELECT doc_id, CAST(rank AS BIGINT) AS rank,
+       |  floor(score * 1000000 + 0.5) / 1000000 AS score
+       |FROM qlrk WHERE rank <= $TopK ORDER BY rank""".stripMargin
+
   // ---- q23: gram-space statistics -----------------------------------------
 
   def gramStats(spark: SparkSession, dir: String): DataFrame =
@@ -498,9 +591,11 @@ object RetrievalOps {
     "q24_cosine_topk" -> (cosineTopK _),
     "q25_hybrid_topk" -> (hybridTopK _),
     "q26_query_features" -> (queryFeatures _),
-    "q27_route_decisions" -> (routeDecisions _))
+    "q27_route_decisions" -> (routeDecisions _),
+    "q121_ql_topk" -> (qlTopK _))
 
   val oracles: Map[String, String] = Map(
+    "q121_ql_topk" -> qlSql(Bm25Query),
     "q54_prf_expansion" -> prfSql(Bm25Query),
     "q28_hashed_embeddings" -> hashedEmbeddingsSql,
     "q29_rrf_fusion" -> rrfSql(Bm25Query),

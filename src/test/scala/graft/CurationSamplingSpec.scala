@@ -146,6 +146,38 @@ class CurationSamplingSpec extends SparkSpec {
     }
   }
 
+  test("q121 QL retrieval: sparse background+correction equals a dense recount") {
+    val rows = graft.operators.RetrievalOps.qlTopK(spark, dir).collect()
+    assert(rows.length == graft.operators.RetrievalOps.TopK)
+    assert(rows.head.getAs[Long]("rank") == 1L)
+
+    // Dense driver-side recount: every (doc, query-term) pair scored with
+    // the textbook formula, no background/correction split.
+    def tok(s: String): Seq[String] =
+      graft.textops.TextOps.TokenRegex.r.findAllIn(s.toLowerCase).toSeq
+    val mu = graft.operators.RetrievalOps.QlMu
+    val docs = spark.read.parquet(s"$dir/documents.parquet").collect()
+      .map(r => r.getAs[Long]("doc_id") -> tok(r.getAs[String]("text"))).toMap
+    val qTerms = tok(graft.operators.RetrievalOps.Bm25Query)
+    val cf = docs.values.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ctot = docs.values.map(_.size.toLong).sum.toDouble
+    val scores = docs.map { case (id, toks) =>
+      val dl = toks.size.toDouble
+      val tf = toks.groupBy(identity).view.mapValues(_.size).toMap
+      id -> qTerms.filter(cf.contains).map { t =>
+        val p = cf(t) / ctot
+        math.log((tf.getOrElse(t, 0) + mu * p) / (dl + mu))
+      }.sum
+    }
+    val expect = scores.toSeq.sortBy { case (id, s) => (-s, id) }
+      .take(graft.operators.RetrievalOps.TopK)
+    rows.zip(expect).foreach { case (got, (eid, es)) =>
+      assert(got.getAs[Long]("doc_id") == eid,
+        s"rank ${got.getAs[Long]("rank")}: got doc ${got.getAs[Long]("doc_id")}, want $eid")
+      assert(math.abs(got.getAs[Double]("score") - es) < 1e-6)
+    }
+  }
+
   test("q118 fertility: bounded below by 1, consistent with the q93 per-doc counts") {
     val byLang = TextAnalysisOps.bpeFertility(spark, dir).collect()
     assert(byLang.nonEmpty)
