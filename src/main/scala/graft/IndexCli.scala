@@ -216,6 +216,26 @@ object AppendVectorIndex {
   }
 }
 
+/** `sbt "runMain graft.CompactVectorIndex <indexDir>"` — rewrite the
+  * vectors table so each cluster partition holds one file again
+  * (incremental appends add a file per append per cluster; serve-time
+  * task count and footer overhead grow with append history until
+  * compaction pays it down). Rows are untouched; the rewrite lands in a
+  * sibling directory and swaps in atomically.
+  */
+object CompactVectorIndex {
+  def main(args: Array[String]): Unit = {
+    val idx = if (args.nonEmpty) args(0) else "target/graft_ivf_index"
+    val spark = Cli.session()
+    val rowsBefore = spark.read.parquet(s"$idx/vectors").count()
+    val (fb, fa) = graft.operators.SimilarityOps.compactVectors(spark, idx)
+    val rowsAfter = spark.read.parquet(s"$idx/vectors").count()
+    println(s"[vcompact] idx=$idx files_before=$fb files_after=$fa " +
+      s"rows_before=$rowsBefore rows_after=$rowsAfter")
+    spark.stop()
+  }
+}
+
 /** `sbt "runMain graft.ServeVectorIndex <indexDir> [sfDir]"` — the ANN
   * serving entry point: answer a query from the PERSISTED index alone
   * (BuildVectorIndex output) — float tier and int8 tier — with the probe

@@ -907,6 +907,36 @@ object SimilarityOps {
       .join(asg, "vec_id")
   }
 
+  /** Index compaction — the lifecycle operation that pays down append
+    * debt: every appendArtifacts call adds one small file per touched
+    * cluster partition, and at serve time file count drives task count
+    * and footer/open overhead, so probe latency degrades with APPEND
+    * HISTORY rather than data size. Compaction rewrites the vectors
+    * table with each cluster's rows hash-routed to one task (one output
+    * file per cluster partition — at 100 TB, `repartition(n, cluster)`
+    * with a per-cluster file budget), writes to a sibling directory,
+    * and atomically swaps. Rows are untouched — only layout changes —
+    * so serving equality is structural (IvfServingSpec pins it anyway).
+    * Returns (filesBefore, filesAfter). */
+  def compactVectors(spark: SparkSession, indexDir: String): (Int, Int) = {
+    val path = s"$indexDir/vectors"
+    val before = spark.read.parquet(path)
+    val filesBefore = before.inputFiles.length
+    val tmp = s"$indexDir/vectors_compacting"
+    before.repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
+    val old = new org.apache.hadoop.fs.Path(path)
+    val retired = new org.apache.hadoop.fs.Path(s"$indexDir/vectors_retired")
+    fs.delete(retired, true)
+    require(fs.rename(old, retired), s"compaction: could not retire $path")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), old),
+      s"compaction: could not promote $tmp")
+    fs.delete(retired, true)
+    (filesBefore, spark.read.parquet(path).inputFiles.length)
+  }
+
   /** Probe-cluster selection against the PERSISTED centroids: the same
     * DECIMAL-stable squared-L2 + (dist ASC, cluster ASC) ordering as
     * q51's in-session probe, evaluated over the K×dims centroid file. The

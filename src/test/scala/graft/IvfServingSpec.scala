@@ -146,6 +146,41 @@ class IvfServingSpec extends SparkSpec {
     assert(served.filter(col("vec_id") >= 1000000L).count() > 0)
   }
 
+  test("compaction: fewer files, identical rows, identical served answers") {
+    // Fresh index, then three appends to fragment the partitions.
+    val out = java.nio.file.Files.createTempDirectory("graft_ivf_compact").toString
+    val (cent, _) = SimilarityOps.kmeansModel(spark, dir)
+    SimilarityOps.indexArtifacts(spark, dir)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$out/vectors")
+    cent.write.mode("overwrite").parquet(s"$out/centroids")
+    SimilarityOps.pqModel(spark, dir)._1
+      .write.mode("overwrite").parquet(s"$out/pq_centroids")
+    (1 to 3).foreach { i =>
+      val delta = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 50)
+        .select((col("vec_id") + i * 1000000L).as("vec_id"), col("embedding"))
+      SimilarityOps.appendArtifacts(spark, out, delta)
+        .write.mode("append").partitionBy("cluster").parquet(s"$out/vectors")
+    }
+    val rowsBefore = spark.read.parquet(s"$out/vectors")
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    val servedBefore = SimilarityOps.annIvfServe(spark, out, queryVec)
+      .collect().map(_.toString).toSeq
+
+    val (fb, fa) = SimilarityOps.compactVectors(spark, out)
+    assert(fa < fb, s"compaction did not reduce file count ($fb -> $fa)")
+    val clusters = spark.read.parquet(s"$out/vectors")
+      .select("cluster").distinct().count()
+    assert(fa == clusters, s"expected one file per cluster partition, got $fa for $clusters")
+
+    val rowsAfter = spark.read.parquet(s"$out/vectors")
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(rowsAfter == rowsBefore, "compaction must not change a single row")
+    val servedAfter = SimilarityOps.annIvfServe(spark, out, queryVec)
+      .collect().map(_.toString).toSeq
+    assert(servedAfter == servedBefore, "served answers drifted across compaction")
+  }
+
   test("the probe is file-level: served rows come from NProbe cluster dirs only") {
     val probed = SimilarityOps.servedProbe(spark, indexDir, queryVec)
     assert(probed.size == SimilarityOps.NProbe &&
