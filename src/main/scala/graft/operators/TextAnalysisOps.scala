@@ -199,8 +199,11 @@ object TextAnalysisOps {
       .orderBy("doc_id")
   }
 
-  val langIdSql: String =
-    s"""WITH src AS (
+  /** Shared q33 derivation CTEs ending in best(doc_id, predicted_lang,
+    * score) — reused by the q122 confusion-matrix oracle so the two
+    * cannot drift. */
+  private val langIdCtes: String =
+    s"""src AS (
        |  SELECT doc_id, lang,
        |    trim(regexp_replace(lower(text), '${TextOps.WsClass}+', ' ', 'g')) AS s
        |  FROM documents),
@@ -223,12 +226,50 @@ object TextAnalysisOps {
        |  SELECT doc_id, p_lang AS predicted_lang, score FROM (
        |    SELECT doc_id, p_lang, score, row_number() OVER (PARTITION BY doc_id
        |      ORDER BY score DESC, p_lang ASC) AS rn FROM sc)
-       |  WHERE rn = 1)
+       |  WHERE rn = 1)""".stripMargin
+
+  val langIdSql: String =
+    s"""WITH $langIdCtes
        |SELECT d.doc_id, coalesce(predicted_lang, 'und') AS predicted_lang,
        |  coalesce(score, 0) AS score, d.lang AS actual_lang,
        |  (coalesce(predicted_lang, 'und') = d.lang) AS correct
        |FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  // ---- q122: language-ID confusion matrix ---------------------------------
+
+  /** q122: the confusion matrix of the q33 heuristic language classifier
+    * against the labeled lang column — per (actual, predicted) pair the
+    * document count and the row-normalized rate (the diagonal is
+    * per-language recall). THE evaluation a pipeline runs before
+    * trusting lang-ID to drive the q46 mixture or per-language filters:
+    * confusion between sibling languages tells you which mixture cells
+    * are leaking into each other. One metadata-scale regrouping of q33's
+    * verdict frame (|langs|² rows, row totals broadcast back). */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val cm = langId(spark, dir)
+      .groupBy("actual_lang", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val rt = cm.groupBy("actual_lang").agg(sum("n_docs").as("tot"))
+    cm.join(broadcast(rt), "actual_lang")
+      .select(col("actual_lang"), col("predicted_lang"), col("n_docs"),
+        r6(col("n_docs").cast("double") / col("tot").cast("double")).as("frac"))
+      .orderBy("actual_lang", "predicted_lang")
+  }
+
+  val langConfusionSql: String =
+    s"""WITH $langIdCtes,
+       |cv AS (SELECT d.lang AS actual_lang,
+       |         coalesce(predicted_lang, 'und') AS predicted_lang
+       |       FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id),
+       |cmx AS (SELECT actual_lang, predicted_lang, count(*) AS n_docs
+       |        FROM cv GROUP BY 1, 2),
+       |crt AS (SELECT actual_lang, CAST(sum(n_docs) AS BIGINT) AS tot
+       |        FROM cmx GROUP BY 1)
+       |SELECT actual_lang, predicted_lang, n_docs,
+       |  floor((n_docs::DOUBLE / tot) * 1000000 + 0.5) / 1000000 AS frac
+       |FROM cmx JOIN crt USING (actual_lang)
+       |ORDER BY actual_lang, predicted_lang""".stripMargin
 
   // ---- q34: document fingerprints (md5 + polynomial rolling hash) ---------
 
@@ -2548,6 +2589,7 @@ object TextAnalysisOps {
     "q117_source_caps" -> (sourceCaps _),
     "q118_bpe_fertility" -> (bpeFertility _),
     "q120_mixture_weights" -> (mixtureWeights _),
+    "q122_lang_confusion" -> (langConfusion _),
     "q94_learned_curation" -> (learnedBudgetCuration _),
     "q93_bpe_token_counts" -> (bpeTokenCounts _),
     "q92_bpe_merge_table" -> (bpeMergeTable _),
@@ -2588,6 +2630,7 @@ object TextAnalysisOps {
     "q117_source_caps" -> sourceCapsSql,
     "q118_bpe_fertility" -> bpeFertilitySql,
     "q120_mixture_weights" -> mixtureWeightsSql,
+    "q122_lang_confusion" -> langConfusionSql,
     "q94_learned_curation" -> learnedBudgetCurationSql,
     "q93_bpe_token_counts" -> bpeTokenCountsSql,
     "q92_bpe_merge_table" -> bpeMergeTableSql,

@@ -178,6 +178,22 @@ class CurationSamplingSpec extends SparkSpec {
     }
   }
 
+  test("q122 confusion matrix re-totals to the corpus and to q33's verdicts") {
+    val cm = TextAnalysisOps.langConfusion(spark, dir).collect()
+    assert(cm.map(_.getAs[Long]("n_docs")).sum == 500L)
+    cm.groupBy(_.getAs[String]("actual_lang")).foreach { case (lang, rows) =>
+      val fracSum = rows.map(_.getAs[Double]("frac")).sum
+      assert(math.abs(fracSum - 1.0) < 1e-4, s"$lang row fracs sum to $fracSum")
+    }
+    // Diagonal mass == q33's correct count.
+    val diag = cm.filter(r =>
+        r.getAs[String]("actual_lang") == r.getAs[String]("predicted_lang"))
+      .map(_.getAs[Long]("n_docs")).sum
+    val correct = TextAnalysisOps.langId(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("correct")).count()
+    assert(diag == correct, s"diagonal $diag != q33 correct count $correct")
+  }
+
   test("q118 fertility: bounded below by 1, consistent with the q93 per-doc counts") {
     val byLang = TextAnalysisOps.bpeFertility(spark, dir).collect()
     assert(byLang.nonEmpty)
