@@ -30,7 +30,10 @@ object ExplainAudit {
       "q104_ann_ivfpq", "q107_verbatim_multi_n", "q108_calibrated_threshold",
       "q109_pii_validated", "q110_pq_recall_panel",
       "q115_dsir_weights", "q116_cluster_balanced_sample",
-      "q117_source_caps", "q118_bpe_fertility")
+      "q117_source_caps", "q118_bpe_fertility",
+      "q17_small_quantity_revenue", "q18_large_orders", "q19_disjunctive_revenue",
+      "q119_semantic_decontam", "q120_mixture_weights",
+      "q121_ql_topk", "q122_lang_confusion")
 
     targets.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
