@@ -56,7 +56,7 @@ object BuildVectorIndex {
     val (cent, _) = graft.operators.SimilarityOps.kmeansModel(spark, dir)
 
     graft.operators.SimilarityOps.indexArtifacts(spark, dir)
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$out/vectors")
+      .write.mode("overwrite").partitionBy("cluster", "ingest_batch").parquet(s"$out/vectors")
     cent.write.mode("overwrite").parquet(s"$out/centroids")
     graft.operators.SimilarityOps.pqModel(spark, dir)._1
       .write.mode("overwrite").parquet(s"$out/pq_centroids")
@@ -206,7 +206,8 @@ object AppendVectorIndex {
     val delta = spark.read.parquet(s"$dir/embeddings.parquet")
       .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
     graft.operators.SimilarityOps.appendArtifacts(spark, idx, delta)
-      .write.mode("append").partitionBy("cluster").parquet(s"$idx/vectors")
+      .withColumn("ingest_batch", lit(-1L)) // offline append joins the base tier
+      .write.mode("append").partitionBy("cluster", "ingest_batch").parquet(s"$idx/vectors")
 
     val after = spark.read.parquet(s"$idx/vectors")
     val sizes = after.groupBy("cluster").count().orderBy("cluster").collect()

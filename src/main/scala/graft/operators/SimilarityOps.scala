@@ -857,6 +857,14 @@ object SimilarityOps {
       .join(int8Codes(embLong(spark, dir)), "vec_id")
       .join(pqCodeColumn(pqModel(spark, dir)._2), "vec_id")
       .join(asg, "vec_id")
+      // Second-level partition key: −1 marks the offline base build;
+      // streaming ingest writes each micro-batch under its own
+      // ingest_batch=<batchId> so a RETRIED batch overwrites its own
+      // directories instead of double-appending (exactly-once ingest —
+      // see StreamingOps.ingestBatch). Writers partitionBy
+      // ("cluster", "ingest_batch"); cluster stays the top level, so
+      // probe-time partition pruning is unchanged.
+      .withColumn("ingest_batch", lit(-1L))
   }
 
   /** Collapse a long-form PQ assignment (vec_id, sub, code) to the
@@ -923,8 +931,12 @@ object SimilarityOps {
     val before = spark.read.parquet(path)
     val filesBefore = before.inputFiles.length
     val tmp = s"$indexDir/vectors_compacting"
-    before.repartition(col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(tmp)
+    // Compaction also folds the ingest history into the base: appended
+    // batches' ingest_batch=<id> partitions collapse to −1, so the
+    // per-batch directory fan-out from streaming ingest is paid down too.
+    before.withColumn("ingest_batch", lit(-1L))
+      .repartition(col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster", "ingest_batch").parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(tmp), spark.sparkContext.hadoopConfiguration)
     val old = new org.apache.hadoop.fs.Path(path)

@@ -356,13 +356,35 @@ object StreamingOps {
       .select("vec_id", "embedding")
       .writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          graft.operators.SimilarityOps
-            .appendArtifacts(batch.sparkSession, indexDir, batch)
-            .write.mode("append").partitionBy("cluster")
-            .parquet(s"$indexDir/vectors")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        ingestBatch(batch, batchId, indexDir)
       }
+
+  /** One micro-batch of index ingest, EXACTLY-ONCE: the batch's
+    * artifacts land under their clusters' `ingest_batch=<batchId>`
+    * partitions via dynamic partition overwrite, so a batch replayed
+    * after a sink failure (same batchId, same data — the Structured
+    * Streaming replay contract) rewrites its own directories instead of
+    * double-appending. A plain `mode("append")` sink would duplicate
+    * every vector of an acked-but-crashed batch; this is the
+    * idempotent-writer half of the exactly-once recipe, with no
+    * read-side dedup and no table format required. `cluster` stays the
+    * TOP partition level, so probe pruning is untouched; compaction
+    * folds the accumulated batch directories back into the base.
+    * (Requires an index built with the ingest_batch layout —
+    * BuildVectorIndex writes it since round 8.) */
+  def ingestBatch(batch: DataFrame, batchId: Long, indexDir: String): Unit =
+    if (!batch.isEmpty)
+      graft.operators.SimilarityOps
+        .appendArtifacts(batch.sparkSession, indexDir, batch)
+        .withColumn("ingest_batch", lit(batchId))
+        .write.mode("overwrite")
+        // Per-write option (not session conf): only THIS batch's
+        // (cluster, ingest_batch) directories are replaced; the base
+        // tier and other batches are never touched.
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cluster", "ingest_batch")
+        .parquet(s"$indexDir/vectors")
 
   /** Streaming ANN serving: answer a stream of (query_id, embedding)
     * requests from the persisted IVF index, one distributed plan per

@@ -25,7 +25,7 @@ class IvfServingSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("graft_ivf_serve").toString
     val (cent, _) = SimilarityOps.kmeansModel(spark, dir)
     SimilarityOps.indexArtifacts(spark, dir)
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$out/vectors")
+      .write.mode("overwrite").partitionBy("cluster", "ingest_batch").parquet(s"$out/vectors")
     cent.write.mode("overwrite").parquet(s"$out/centroids")
     SimilarityOps.pqModel(spark, dir)._1
       .write.mode("overwrite").parquet(s"$out/pq_centroids")
@@ -112,7 +112,7 @@ class IvfServingSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
     val (cent, _) = SimilarityOps.kmeansModel(spark, dir)
     SimilarityOps.indexArtifacts(spark, dir)
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$out/vectors")
+      .write.mode("overwrite").partitionBy("cluster", "ingest_batch").parquet(s"$out/vectors")
     cent.write.mode("overwrite").parquet(s"$out/centroids")
     SimilarityOps.pqModel(spark, dir)._1
       .write.mode("overwrite").parquet(s"$out/pq_centroids")
@@ -122,7 +122,8 @@ class IvfServingSpec extends SparkSpec {
     val delta = spark.read.parquet(s"$dir/embeddings.parquet")
       .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
     SimilarityOps.appendArtifacts(spark, out, delta)
-      .write.mode("append").partitionBy("cluster").parquet(s"$out/vectors")
+      .withColumn("ingest_batch", lit(-1L))
+      .write.mode("append").partitionBy("cluster", "ingest_batch").parquet(s"$out/vectors")
 
     val after = spark.read.parquet(s"$out/vectors")
     assert(after.count() == before * 2)
@@ -151,7 +152,7 @@ class IvfServingSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("graft_ivf_compact").toString
     val (cent, _) = SimilarityOps.kmeansModel(spark, dir)
     SimilarityOps.indexArtifacts(spark, dir)
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$out/vectors")
+      .write.mode("overwrite").partitionBy("cluster", "ingest_batch").parquet(s"$out/vectors")
     cent.write.mode("overwrite").parquet(s"$out/centroids")
     SimilarityOps.pqModel(spark, dir)._1
       .write.mode("overwrite").parquet(s"$out/pq_centroids")
@@ -160,7 +161,8 @@ class IvfServingSpec extends SparkSpec {
         .filter(col("vec_id") < 50)
         .select((col("vec_id") + i * 1000000L).as("vec_id"), col("embedding"))
       SimilarityOps.appendArtifacts(spark, out, delta)
-        .write.mode("append").partitionBy("cluster").parquet(s"$out/vectors")
+        .withColumn("ingest_batch", lit(-1L))
+        .write.mode("append").partitionBy("cluster", "ingest_batch").parquet(s"$out/vectors")
     }
     val rowsBefore = spark.read.parquet(s"$out/vectors")
       .orderBy("vec_id").collect().map(_.toString).toSeq

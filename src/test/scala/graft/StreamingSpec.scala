@@ -394,7 +394,7 @@ class StreamingSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("graft_serve_idx").toString
     val (cent, _) = SimilarityOps.kmeansModel(spark, dir)
     SimilarityOps.indexArtifacts(spark, dir)
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$out/vectors")
+      .write.mode("overwrite").partitionBy("cluster", "ingest_batch").parquet(s"$out/vectors")
     cent.write.mode("overwrite").parquet(s"$out/centroids")
 
     val qids = Seq(5L, 17L, 42L)
@@ -442,7 +442,7 @@ class StreamingSpec extends SparkSpec {
     val out = java.nio.file.Files.createTempDirectory("graft_ingest_idx").toString
     val (cent, kasgF) = SimilarityOps.kmeansModel(spark, dir)
     SimilarityOps.indexArtifacts(spark, dir)
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$out/vectors")
+      .write.mode("overwrite").partitionBy("cluster", "ingest_batch").parquet(s"$out/vectors")
     cent.write.mode("overwrite").parquet(s"$out/centroids")
     SimilarityOps.pqModel(spark, dir)._1
       .write.mode("overwrite").parquet(s"$out/pq_centroids")
@@ -508,6 +508,52 @@ class StreamingSpec extends SparkSpec {
     val served = SimilarityOps.annIvfServe(spark, out, embOf(srcIds.head).toArray)
     assert(served.filter(col("vec_id") === (2000000L + srcIds.head)).count() == 1,
       "served top-k missing the appended twin of the query vector")
+  }
+
+  test("ingest is exactly-once: a replayed micro-batch does not double-append") {
+    val dir = "/root/testdata/sf0.001"
+    import graft.operators.SimilarityOps
+
+    val out = java.nio.file.Files.createTempDirectory("graft_ingest_once").toString
+    val (cent, _) = SimilarityOps.kmeansModel(spark, dir)
+    SimilarityOps.indexArtifacts(spark, dir)
+      .write.mode("overwrite").partitionBy("cluster", "ingest_batch").parquet(s"$out/vectors")
+    cent.write.mode("overwrite").parquet(s"$out/centroids")
+    SimilarityOps.pqModel(spark, dir)._1
+      .write.mode("overwrite").parquet(s"$out/pq_centroids")
+    val base = spark.read.parquet(s"$out/vectors").count()
+
+    val batch = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") < 40)
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+
+    StreamingOps.ingestBatch(batch, 7L, out)
+    val afterFirst = spark.read.parquet(s"$out/vectors").count()
+    assert(afterFirst == base + 40)
+
+    // The Structured Streaming replay contract: same batchId, same data.
+    // A plain append sink would land 40 duplicates here.
+    StreamingOps.ingestBatch(batch, 7L, out)
+    val afterReplay = spark.read.parquet(s"$out/vectors").count()
+    assert(afterReplay == afterFirst, s"replayed batch changed the index: " +
+      s"$afterFirst -> $afterReplay")
+    assert(spark.read.parquet(s"$out/vectors")
+      .groupBy("vec_id").count().filter(col("count") > 1).isEmpty,
+      "replay produced duplicate vec_ids")
+
+    // A NEW batch id is genuinely new data and must append.
+    StreamingOps.ingestBatch(
+      batch.select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")), 8L, out)
+    assert(spark.read.parquet(s"$out/vectors").count() == afterFirst + 40)
+
+    // The dynamic overwrite touched ONLY batch 7's partitions: the base
+    // tier is intact and the grown index still serves.
+    assert(spark.read.parquet(s"$out/vectors")
+      .filter(col("ingest_batch") === -1L).count() == base)
+    val qv = spark.read.parquet(s"$dir/embeddings.parquet")
+      .filter(col("vec_id") === SimilarityOps.QueryVecId)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    assert(SimilarityOps.annIvfServe(spark, out, qv).count() > 0)
   }
 
   test("streaming decontam gate flags the planted verbatim quote, stateless") {
