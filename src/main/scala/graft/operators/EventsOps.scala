@@ -476,9 +476,149 @@ object EventsOps {
       |SELECT event_type, hour_epoch, c, z, abs(z) > 2.0 AS is_anomaly
       |FROM z ORDER BY event_type, hour_epoch""".stripMargin
 
+  // ---- q123: hour-of-day seasonality (chi-square uniformity) --------------
+
+  /** χ² critical value at α = 0.01 for df = 23 (24 hour bins − 1) — the
+    * published table constant, compared on identically-derived doubles
+    * in both engines. */
+  val ChiSq23Crit01 = 41.638
+
+  /** q123: per-event-type hour-of-day profile with a chi-square
+    * uniformity test — the diurnal-rhythm check behind bot/synthetic
+    * traffic detection (human traffic is seasonal, χ² huge; scripted
+    * uniform traffic fails to reject). Reports each type's event count,
+    * peak hour and its share, and χ² against the uniform 24-bin null,
+    * flagged at the α = 0.01 critical value.
+    *
+    * Empty bins MUST contribute (0 − e)²/e, so the bin frame is the
+    * DENSE type × 24 grid (|types|·24 rows — metadata scale, built from
+    * a sequence explode) left-joined with observed counts. One
+    * corpus-sized aggregate (type, hour) with map-side combine; χ² sums
+    * 24 DECIMAL terms per type. */
+  def hourSeasonality(spark: SparkSession, dir: String): DataFrame = {
+    val counts = events(spark, dir)
+      .groupBy(col("event_type"), hour(col("ts")).cast("long").as("h"))
+      .agg(count(lit(1)).as("c"))
+    val types = counts.select("event_type").distinct()
+    val grid = types.select(col("event_type"),
+        explode(sequence(lit(0L), lit(23L))).as("h"))
+      .join(counts, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"), coalesce(col("c"), lit(0L)).as("c"))
+    val tot = grid.groupBy("event_type").agg(sum("c").as("n_events"))
+    val chi = grid.join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("h"), col("c"), col("n_events"),
+        (col("n_events").cast("double") / lit(24.0)).as("e"))
+      .groupBy("event_type")
+      .agg(
+        dsum((col("c").cast("double") - col("e")) * (col("c").cast("double") - col("e")) /
+          col("e")).as("chi2"),
+        min(struct((-col("c")).as("nc"), col("h"))).as("peak"))
+    chi.join(tot, "event_type")
+      .select(col("event_type"), col("n_events"),
+        col("peak.h").as("peak_hour"),
+        r6((-col("peak.nc")).cast("double") / col("n_events").cast("double"))
+          .as("peak_share"),
+        r6(col("chi2")).as("chi2_uniform"),
+        (col("chi2") > ChiSq23Crit01).as("seasonal"))
+      .orderBy("event_type")
+  }
+
+  val hourSeasonalitySql: String =
+    s"""WITH hc AS (SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS h,
+       |              count(*) AS c
+       |            FROM events GROUP BY 1, 2),
+       |ht AS (SELECT DISTINCT event_type FROM hc),
+       |hg AS (SELECT ht.event_type, g.h, coalesce(hc.c, 0) AS c
+       |       FROM ht CROSS JOIN (SELECT unnest(range(0, 24)) AS h) g
+       |       LEFT JOIN hc ON hc.event_type = ht.event_type AND hc.h = g.h),
+       |htot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n_events
+       |         FROM hg GROUP BY 1),
+       |hchi AS (SELECT hg.event_type,
+       |    CAST(sum(CAST((hg.c::DOUBLE - n_events / 24.0) * (hg.c::DOUBLE - n_events / 24.0) /
+       |      (n_events / 24.0) AS DECIMAL(30,8))) AS DOUBLE) AS chi2
+       |  FROM hg JOIN htot USING (event_type) GROUP BY 1),
+       |hpk AS (SELECT event_type, h AS peak_hour, c AS peak_c FROM (
+       |          SELECT event_type, h, c,
+       |            row_number() OVER (PARTITION BY event_type
+       |                               ORDER BY c DESC, h ASC) AS rn
+       |          FROM hg) WHERE rn = 1)
+       |SELECT event_type, n_events, peak_hour,
+       |  floor((peak_c::DOUBLE / n_events) * 1000000 + 0.5) / 1000000 AS peak_share,
+       |  floor(chi2 * 1000000 + 0.5) / 1000000 AS chi2_uniform,
+       |  chi2 > $ChiSq23Crit01 AS seasonal
+       |FROM hchi JOIN htot USING (event_type) JOIN hpk USING (event_type)
+       |ORDER BY event_type""".stripMargin
+
+  // ---- q124: per-user inter-arrival burstiness ----------------------------
+
+  /** q124: per-user inter-arrival statistics — mean gap, coefficient of
+    * variation, and the Goh–Barabási burstiness B = (cv − 1)/(cv + 1):
+    * B → −1 for metronomic (scripted) activity, ≈ 0 for Poisson, → 1
+    * for bursty human sessions. The behavioral fingerprint behind rate
+    * anomaly and bot scoring, complementing q123's population-level
+    * rhythm with a per-actor statistic.
+    *
+    * Gaps derive from second-floored epochs via one lag window
+    * partitioned by user (the q62 sessionization shape — per-user
+    * partitions, no global window); moments are exact-integer sums
+    * DECIMAL-accumulated, and users need ≥ 3 events (2 gaps) for the
+    * sample sd to exist. */
+  def userBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    // Ordering by (ep, event_id) rather than raw ts is gap-equivalent:
+    // floor-to-seconds is monotone, so any non-decreasing-in-ep order
+    // yields the same consecutive-difference sequence per user.
+    val w = Window.partitionBy("user_id").orderBy(col("ep").asc, col("event_id").asc)
+    val gaps = events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ep"))
+      .withColumn("gap", col("ep") - lag(col("ep"), 1).over(w))
+      .filter(col("gap").isNotNull)
+    val m = gaps.groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum("gap").as("s"),
+        sum(col("gap") * col("gap")).as("sq"))
+      .filter(col("n_gaps") >= 2)
+    m.select(col("user_id"), (col("n_gaps") + 1).as("n_events"), col("n_gaps"),
+        (col("s").cast("double") / col("n_gaps").cast("double")).as("mean_gap"),
+        sqrt((col("sq").cast("double") -
+          col("s").cast("double") * col("s").cast("double") / col("n_gaps").cast("double")) /
+          (col("n_gaps").cast("double") - 1.0)).as("sd"))
+      .select(col("user_id"), col("n_events"), col("n_gaps"),
+        r6(col("mean_gap")).as("mean_gap_s"),
+        r6(when(col("mean_gap") === 0.0, 0.0).otherwise(col("sd") / col("mean_gap")))
+          .as("cv"),
+        r6(when(col("mean_gap") === 0.0, lit(-1.0))
+          .otherwise((col("sd") / col("mean_gap") - 1.0) / (col("sd") / col("mean_gap") + 1.0)))
+          .as("burstiness"))
+      .orderBy("user_id")
+  }
+
+  val userBurstinessSql: String =
+    """WITH be AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ep
+      |            FROM events),
+      |bg AS (SELECT user_id,
+      |         ep - lag(ep) OVER (PARTITION BY user_id ORDER BY ep ASC, event_id ASC) AS gap
+      |       FROM be),
+      |bm AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+      |         CAST(sum(gap) AS BIGINT) AS s, CAST(sum(gap * gap) AS BIGINT) AS sq
+      |       FROM bg WHERE gap IS NOT NULL GROUP BY user_id
+      |       HAVING count(*) >= 2),
+      |bs AS (SELECT user_id, n_gaps + 1 AS n_events, n_gaps,
+      |         s::DOUBLE / n_gaps AS mean_gap,
+      |         sqrt((sq::DOUBLE - s::DOUBLE * s::DOUBLE / n_gaps) / (n_gaps::DOUBLE - 1.0)) AS sd
+      |       FROM bm)
+      |SELECT user_id, n_events, n_gaps,
+      |  floor(mean_gap * 1000000 + 0.5) / 1000000 AS mean_gap_s,
+      |  floor((CASE WHEN mean_gap = 0.0 THEN 0.0 ELSE sd / mean_gap END) * 1000000 + 0.5) / 1000000 AS cv,
+      |  floor((CASE WHEN mean_gap = 0.0 THEN -1.0
+      |              ELSE (sd / mean_gap - 1.0) / (sd / mean_gap + 1.0) END) * 1000000 + 0.5) / 1000000 AS burstiness
+      |FROM bs ORDER BY user_id""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_hour_seasonality" -> (hourSeasonality _),
+    "q124_user_burstiness" -> (userBurstiness _),
     "q69_event_anomalies" -> (eventAnomalies _),
     "q67_retention_cohorts" -> (retentionCohorts _),
     "q68_event_transitions" -> (eventTransitions _),
@@ -492,6 +632,8 @@ object EventsOps {
     "q64_json_prop_histogram" -> (jsonPropHistogram _))
 
   val oracles: Map[String, String] = Map(
+    "q123_hour_seasonality" -> hourSeasonalitySql,
+    "q124_user_burstiness" -> userBurstinessSql,
     "q69_event_anomalies" -> eventAnomaliesSql,
     "q67_retention_cohorts" -> retentionCohortsSql,
     "q68_event_transitions" -> eventTransitionsSql,

@@ -194,6 +194,49 @@ class CurationSamplingSpec extends SparkSpec {
     assert(diag == correct, s"diagonal $diag != q33 correct count $correct")
   }
 
+  test("q123/q124: chi-square and burstiness tie to driver-side recounts") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.EventsOps
+    val seas = EventsOps.hourSeasonality(spark, dir).collect()
+    assert(seas.nonEmpty)
+    seas.foreach { r =>
+      assert(r.getAs[Double]("chi2_uniform") >= 0.0)
+      assert(r.getAs[Double]("peak_share") >= 1.0 / 24.0 - 1e-9)
+      assert(r.getAs[Boolean]("seasonal") ==
+        (r.getAs[Double]("chi2_uniform") > EventsOps.ChiSq23Crit01))
+    }
+    // Recount one type end to end from the raw table.
+    val t0 = seas.head.getAs[String]("event_type")
+    val hs = EventsOps.events(spark, dir)
+      .filter(col("event_type") === t0)
+      .groupBy(hour(col("ts")).as("h")).count().collect()
+      .map(r => r.getAs[Int]("h") -> r.getAs[Long]("count")).toMap
+    val n = hs.values.sum.toDouble
+    val e = n / 24.0
+    val chi2 = (0 until 24).map(h => { val c = hs.getOrElse(h, 0L).toDouble
+      (c - e) * (c - e) / e }).sum
+    assert(math.abs(seas.head.getAs[Double]("chi2_uniform") - chi2) < 1e-4)
+    assert(seas.head.getAs[Long]("n_events") == n.toLong)
+
+    val b = EventsOps.userBurstiness(spark, dir).collect()
+    assert(b.nonEmpty)
+    b.foreach { r =>
+      val bv = r.getAs[Double]("burstiness")
+      assert(bv >= -1.0 - 1e-9 && bv < 1.0, s"burstiness $bv out of range")
+      assert(r.getAs[Long]("n_events") == r.getAs[Long]("n_gaps") + 1)
+    }
+    // Recount one user's gaps.
+    val u0 = b.head.getAs[Long]("user_id")
+    val eps = EventsOps.events(spark, dir).filter(col("user_id") === u0)
+      .select(unix_timestamp(col("ts")).as("ep")).collect()
+      .map(_.getAs[Long]("ep")).sorted
+    val gaps = eps.sliding(2).map(p => (p(1) - p(0)).toDouble).toSeq
+    val mean = gaps.sum / gaps.size
+    val sd = math.sqrt(gaps.map(g => (g - mean) * (g - mean)).sum / (gaps.size - 1))
+    assert(math.abs(b.head.getAs[Double]("mean_gap_s") - mean) < 1e-4)
+    assert(math.abs(b.head.getAs[Double]("cv") - sd / mean) < 1e-4)
+  }
+
   test("q118 fertility: bounded below by 1, consistent with the q93 per-doc counts") {
     val byLang = TextAnalysisOps.bpeFertility(spark, dir).collect()
     assert(byLang.nonEmpty)
