@@ -209,6 +209,85 @@ object RetrievalOps {
        |SELECT doc_id, rank, floor((score) * 1000000 + 0.5) / 1000000 AS score FROM rk
        |WHERE rank <= $TopK ORDER BY rank""".stripMargin
 
+  // ---- q125: known-item retrieval evaluation (MRR) ------------------------
+
+  /** Query length (tokens) for q125's synthetic known-item queries. */
+  val KnownItemPrefix = 8
+
+  /** q125: the retrieval-quality evaluation the engine runs on ITSELF —
+    * known-item search, the standard zero-label eval: each benchmark-
+    * slice document's first KnownItemPrefix distinct tokens become a
+    * query whose one relevant answer IS the source document; report the
+    * source's BM25 rank and reciprocal rank per query (the MRR table).
+    * A ranking regression (tokenizer change, stats drift, formula bug)
+    * shows up here as a rank shift before any user sees it.
+    *
+    * Rank is defined among SCORED documents (docs sharing ≥1 query
+    * term — the inverted-index candidate set; unscored docs are
+    * unranked), computed by counting strictly-better (score, doc_id)
+    * pairs — an aggregate, not a per-query global sort, so the shape
+    * survives any corpus size with the query panel broadcast.
+    * Contributions accumulate in DECIMAL so the rank comparisons see
+    * identical sums in both engines. */
+  def knownItemEval(spark: SparkSession, dir: String): DataFrame = {
+    val ti = tokenIndex(spark, dir)
+    val avgDl = if (ti.avgDl == 0.0) 1.0 else ti.avgDl
+    val qt = corpus(spark, dir)
+      .filter(pmod(col("doc_id"), lit(graft.operators.DedupOps.DecontamMod)) === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(slice(graft.textops.TextOps.tokenize(col("text")),
+          1, KnownItemPrefix))).as("term"))
+    val sparse = broadcast(qt)
+      .join(ti.termStats.select("term", "idf"), "term")
+      .join(ti.docTermFreq, "term")
+      .join(ti.docLen.select("doc_id", "dl"), "doc_id")
+      .select(col("query_id"), col("doc_id"),
+        (col("idf") * (col("tf") * lit(Retrievers.K1 + 1.0)) /
+          (col("tf") + lit(Retrievers.K1) *
+            (lit(1.0 - Retrievers.B) + lit(Retrievers.B) * col("dl") / lit(avgDl))))
+          .as("c"))
+      .groupBy("query_id", "doc_id")
+      .agg(dsum(col("c")).as("s"))
+    val src = sparse.filter(col("doc_id") === col("query_id"))
+      .select(col("query_id"), col("s").as("s_src"))
+    sparse.join(broadcast(src), "query_id")
+      .groupBy("query_id", "s_src")
+      .agg(count(lit(1)).as("n_scored"),
+        (lit(1L) + sum(when(col("s") > col("s_src") ||
+          (col("s") === col("s_src") && col("doc_id") < col("query_id")), 1L)
+          .otherwise(0L))).as("src_rank"))
+      .select(col("query_id"), col("n_scored"), col("src_rank"),
+        r6(lit(1.0) / col("src_rank").cast("double")).as("rr"),
+        r6(col("s_src")).as("src_score"))
+      .orderBy("query_id")
+  }
+
+  val knownItemEvalSql: String =
+    s"""WITH $tokCte,
+       |$bm25StatsCtes,
+       |kiq AS (SELECT query_id, unnest(list_distinct(t[1:$KnownItemPrefix])) AS term
+       |        FROM (SELECT doc_id AS query_id,
+       |                regexp_extract_all(lower(text), '$TokRe') AS t
+       |              FROM documents
+       |              WHERE doc_id % ${graft.operators.DedupOps.DecontamMod} = 0)),
+       |ksc AS (SELECT query_id, tf.doc_id,
+       |          CAST(sum(CAST(idf.idf * (tf.tf * 2.5) /
+       |            (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / ad.avgdl)) AS DECIMAL(30,8)))
+       |            AS DOUBLE) AS s
+       |        FROM kiq JOIN idf USING (term) JOIN tf USING (term)
+       |        JOIN dl ON tf.doc_id = dl.doc_id, ad
+       |        GROUP BY 1, 2),
+       |ksrc AS (SELECT query_id, s AS s_src FROM ksc WHERE doc_id = query_id)
+       |SELECT ksc.query_id, CAST(count(*) AS BIGINT) AS n_scored,
+       |  CAST(1 + sum(CASE WHEN ksc.s > s_src OR (ksc.s = s_src AND ksc.doc_id < ksc.query_id)
+       |                    THEN 1 ELSE 0 END) AS BIGINT) AS src_rank,
+       |  floor((1.0 / (1 + sum(CASE WHEN ksc.s > s_src OR (ksc.s = s_src AND ksc.doc_id < ksc.query_id)
+       |                             THEN 1 ELSE 0 END))) * 1000000 + 0.5) / 1000000 AS rr,
+       |  floor(s_src * 1000000 + 0.5) / 1000000 AS src_score
+       |FROM ksc JOIN ksrc USING (query_id)
+       |GROUP BY ksc.query_id, s_src
+       |ORDER BY ksc.query_id""".stripMargin
+
   // ---- q121: Dirichlet query-likelihood top-k -----------------------------
 
   /** Dirichlet smoothing pseudo-count for q121 — ~10× this corpus's mean
@@ -592,10 +671,12 @@ object RetrievalOps {
     "q25_hybrid_topk" -> (hybridTopK _),
     "q26_query_features" -> (queryFeatures _),
     "q27_route_decisions" -> (routeDecisions _),
-    "q121_ql_topk" -> (qlTopK _))
+    "q121_ql_topk" -> (qlTopK _),
+    "q125_known_item_eval" -> (knownItemEval _))
 
   val oracles: Map[String, String] = Map(
     "q121_ql_topk" -> qlSql(Bm25Query),
+    "q125_known_item_eval" -> knownItemEvalSql,
     "q54_prf_expansion" -> prfSql(Bm25Query),
     "q28_hashed_embeddings" -> hashedEmbeddingsSql,
     "q29_rrf_fusion" -> rrfSql(Bm25Query),

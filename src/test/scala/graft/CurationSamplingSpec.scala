@@ -237,6 +237,37 @@ class CurationSamplingSpec extends SparkSpec {
     assert(math.abs(b.head.getAs[Double]("cv") - sd / mean) < 1e-4)
   }
 
+  test("q125 known-item eval agrees with the production BM25 scoring path") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.RetrievalOps
+    val rows = RetrievalOps.knownItemEval(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("src_rank") >= 1L)
+      assert(math.abs(r.getAs[Double]("rr") - 1.0 / r.getAs[Long]("src_rank")) < 1e-6)
+    }
+    // Re-derive one query through Retrievers.keywordScores (the q22
+    // production path): the source's rank among nonzero-scored docs must
+    // match, DECIMAL-vs-plain summation differences notwithstanding
+    // (the prefix has <= 8 terms; a rank flip would need a 1e-8 tie).
+    val qid = rows.head.getAs[Long]("query_id")
+    val prefix = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") === qid)
+      .select(concat_ws(" ", slice(graft.textops.TextOps.tokenize(col("text")),
+        1, RetrievalOps.KnownItemPrefix))).collect()(0).getString(0)
+    import spark.implicits._
+    val scored = graft.retrieve.Retrievers.keywordScores(
+        Seq(("q", prefix)).toDF("query_id", "query"),
+        RetrievalOps.tokenIndex(spark, dir))
+      .filter(col("score") =!= 0.0).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score")))
+    val srcScore = scored.find(_._1 == qid).get._2
+    val rank = 1 + scored.count { case (d, s) =>
+      s > srcScore || (s == srcScore && d < qid) }
+    assert(rank == rows.head.getAs[Long]("src_rank"),
+      s"production-path rank $rank != q125 rank ${rows.head.getAs[Long]("src_rank")}")
+  }
+
   test("q118 fertility: bounded below by 1, consistent with the q93 per-doc counts") {
     val byLang = TextAnalysisOps.bpeFertility(spark, dir).collect()
     assert(byLang.nonEmpty)
