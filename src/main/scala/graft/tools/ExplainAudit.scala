@@ -33,7 +33,8 @@ object ExplainAudit {
       "q117_source_caps", "q118_bpe_fertility",
       "q17_small_quantity_revenue", "q18_large_orders", "q19_disjunctive_revenue",
       "q119_semantic_decontam", "q120_mixture_weights",
-      "q121_ql_topk", "q122_lang_confusion")
+      "q121_ql_topk", "q122_lang_confusion",
+      "q123_hour_seasonality", "q124_user_burstiness", "q125_known_item_eval")
 
     targets.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)

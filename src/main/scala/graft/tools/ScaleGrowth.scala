@@ -18,7 +18,12 @@ import graft.operators.Memos
   * exact shape. Dev tool: prints a markdown table for SCALE.md. */
 object ScaleGrowth {
   val Queries = Seq("q97_pca_top_component", "q82_curation_pipeline",
-    "q94_learned_curation", "q95_classifier_calibration", "q88_source_overlap")
+    "q94_learned_curation", "q95_classifier_calibration", "q88_source_overlap",
+    // round-8 additions worth a growth checkpoint: DSIR (one corpus-keyed
+    // shuffle + B-row broadcasts), known-item eval (panel grows WITH the
+    // corpus — expect alpha near the superlinear panel x candidates
+    // bound), QL ranking (one posting join, like BM25).
+    "q115_dsir_weights", "q125_known_item_eval", "q121_ql_topk")
   val Dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
   def main(args: Array[String]): Unit = {
