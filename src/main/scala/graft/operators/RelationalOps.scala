@@ -547,9 +547,121 @@ object RelationalOps {
         element_at(col("q"), 3).as("p75"))
       .orderBy("l_returnflag")
 
+  // ---- q130: lone-failure suppliers (Q21 semi+anti self-join shape) -------
+
+  /** q130 (the TPC-H Q21 shape, adapted to this schema's columns — the
+    * testdata lineitem carries no commit/receipt dates, so `l_returnflag
+    * = 'R'` stands in for "failed to deliver on time"): suppliers who
+    * were the ONLY failing supplier on a finished multi-supplier order.
+    * The classic exists + not-exists pair, declared as a left-semi and a
+    * left-anti self-join of lineitem on l_orderkey:
+    *   - semi: another lineitem of the SAME order from a DIFFERENT
+    *     supplier exists (the order genuinely had alternatives);
+    *   - anti: no OTHER supplier on that order also flagged 'R' (our
+    *     supplier is the lone failure).
+    * Scale shape: all three lineitem sides shuffle on l_orderkey — one
+    * co-partitioned exchange feeds both the semi and the anti probe, the
+    * canonical Q21 plan (bucketing lineitem by orderkey would eliminate
+    * even that). The supplier/nation enrichment stays broadcast. Counts
+    * rank DESC with an s_name tie-break. */
+  def loneFailureSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val l1 = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(t(spark, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_suppkey")
+    val others = li.select(col("l_orderkey").as("o2_orderkey"),
+      col("l_suppkey").as("o2_suppkey"))
+    val othersR = li.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("o3_orderkey"), col("l_suppkey").as("o3_suppkey"))
+    val lone = l1
+      .join(others,
+        col("l_orderkey") === col("o2_orderkey") &&
+          col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+      .join(othersR,
+        col("l_orderkey") === col("o3_orderkey") &&
+          col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+    lone
+      .join(broadcast(t(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy("s_name", "n_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+  }
+
+  val loneFailureSuppliersSql: String =
+    """SELECT s_name, n_name, count(*) AS numwait
+      |FROM lineitem l1
+      |JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+      |JOIN supplier ON l1.l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name, n_name
+      |ORDER BY numwait DESC, s_name ASC""".stripMargin
+
+  // ---- q131: dormant high-balance customers (Q22 shape) --------------------
+
+  /** q131 (the TPC-H Q22 shape): market segments' count + total balance
+    * of customers whose account balance exceeds the global positive-
+    * balance average AND who have no OPEN ('O') order — the dormant
+    * high-value book. (TPC-H proper anti-joins against ALL orders; this
+    * testdata gives every customer at least one order at every SF, so
+    * the open-status restriction keeps the identical plan shape while
+    * producing a non-empty, SF-stable answer.) Three classic pieces in
+    * one plan: a scalar aggregate subquery (the global average — one
+    * map-side-combined DECIMAL reduce to a 1-row frame, broadcast into
+    * the filter), the anti join against filtered orders on o_custkey,
+    * and a final segment rollup. Scale shape: the scalar is corpus-
+    * size-independent metadata; the anti join shuffles customer and the
+    * filtered order custkeys (both far smaller than the fact table);
+    * the segment agg is 5 keys. */
+  def dormantHighBalance(spark: SparkSession, dir: String): DataFrame = {
+    val c = t(spark, dir, "customer")
+    // Global average over positive balances, DECIMAL-exact then double —
+    // a 1-row frame the filter cross-joins (broadcast) rather than a
+    // driver collect.
+    val avgBal = c.filter(col("c_acctbal") > 0.0)
+      .agg((sum(col("c_acctbal").cast("decimal(30,8)")).cast("double") /
+        count(lit(1))).as("avg_bal"))
+    c.crossJoin(broadcast(avgBal))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(t(spark, dir, "orders").filter(col("o_orderstatus") === "O")
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_custs"),
+        r6(sum(col("c_acctbal").cast("decimal(30,8)")).cast("double"))
+          .as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val dormantHighBalanceSql: String =
+    """WITH ab AS (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE) / count(*) AS avg_bal
+      |            FROM customer WHERE c_acctbal > 0.0)
+      |SELECT c_mktsegment, count(*) AS n_custs,
+      |  floor((CAST(sum(CAST(c_acctbal AS DECIMAL(30,8))) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS total_bal
+      |FROM customer, ab
+      |WHERE c_acctbal > avg_bal
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_lone_failure_suppliers" -> (loneFailureSuppliers _),
+    "q131_dormant_high_balance" -> (dormantHighBalance _),
     "q13_cube_summary" -> (cubeSummary _),
     "q16_grouping_sets" -> (groupingSetsSummary _),
     "q14_price_quantiles" -> (priceQuantiles _),
@@ -571,6 +683,8 @@ object RelationalOps {
     "q19_disjunctive_revenue" -> (disjunctiveRevenue _))
 
   val oracles: Map[String, String] = Map(
+    "q130_lone_failure_suppliers" -> loneFailureSuppliersSql,
+    "q131_dormant_high_balance" -> dormantHighBalanceSql,
     "q13_cube_summary" -> cubeSummarySql,
     "q16_grouping_sets" -> groupingSetsSummarySql,
     "q14_price_quantiles" -> priceQuantilesSql,

@@ -1951,9 +1951,74 @@ object SimilarityOps {
        |  FROM iad)
        |WHERE rank <= $TopK ORDER BY rank""".stripMargin
 
+  // ---- q128: matryoshka dim-truncation recall curve ------------------------
+
+  /** Embedding-prefix lengths for q128 (powers of two up to the full 64
+    * dims; the 64 row is the recall = 1.0 sanity anchor). */
+  val MatryoshkaDims = Seq(8, 16, 32, 64)
+
+  /** q128: recall@50 of cosine ranking over TRUNCATED embedding prefixes
+    * vs the full-dimension exact answer — the matryoshka ablation. Where
+    * q53/q100 price fewer bits PER dimension (int8 / PQ), this prices
+    * fewer DIMENSIONS at full precision: the curve that decides whether
+    * a 2× index-size cut comes from dropping dims or dropping bits (read
+    * next to q105's curve at equal compression). Cosines are computed
+    * row-locally over the array prefix — both engines sum in array
+    * order, so ranks are bit-identical cross-engine. Like q79/q105 this
+    * is an offline diagnostic: at 100 TB it runs over a query/corpus
+    * sample, and the per-dim ranking (a 4-partition window here) becomes
+    * the strictly-better-count aggregate q125 uses if the sample
+    * outgrows a window partition. */
+  def dimTruncationRecall(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val q = e.filter(col("vec_id") === QueryVecId)
+      .select(col("embedding").as("q_embedding"))
+    val exact = e.crossJoin(broadcast(q))
+      .select(col("vec_id"), cosineSim(col("embedding"), col("q_embedding")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(TopK)
+      .select(col("vec_id"), lit(1).as("hit"))
+    val dims = MatryoshkaDims.toDF("dim")
+    val ranked = e.crossJoin(broadcast(q)).crossJoin(broadcast(dims))
+      .select(col("dim"), col("vec_id"),
+        cosineSim(slice(col("embedding"), lit(1), col("dim")),
+          slice(col("q_embedding"), lit(1), col("dim"))).as("cos_d"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("dim").orderBy(col("cos_d").desc, col("vec_id").asc)))
+      .filter(col("rank") <= TopK)
+    ranked.join(broadcast(exact), Seq("vec_id"), "left")
+      .groupBy("dim")
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("dim").cast("long").as("dim"), col("n_hits"),
+        r6(col("n_hits").cast("double") / TopK).as("recall_at_50"))
+      .orderBy("dim")
+  }
+
+  val dimTruncationRecallSql: String =
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $QueryVecId),
+       |fsc AS (SELECT vec_id, ${sqlCos("embedding", "qe")} AS cos FROM embeddings, q),
+       |fex AS (SELECT vec_id FROM (
+       |          SELECT vec_id, row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rank
+       |          FROM fsc) WHERE rank <= $TopK),
+       |dv AS (SELECT unnest([${MatryoshkaDims.mkString(", ")}]) AS dim),
+       |sl AS (SELECT dim, vec_id, list_slice(embedding, 1, dim) AS se,
+       |              list_slice(qe, 1, dim) AS sqe
+       |       FROM embeddings, q, dv),
+       |dsc AS (SELECT dim, vec_id, ${sqlCos("se", "sqe")} AS cos_d FROM sl),
+       |drk AS (SELECT dim, vec_id,
+       |          row_number() OVER (PARTITION BY dim ORDER BY cos_d DESC, vec_id ASC) AS rank
+       |        FROM dsc)
+       |SELECT CAST(dim AS BIGINT) AS dim, CAST(count(fex.vec_id) AS BIGINT) AS n_hits,
+       |  floor((count(fex.vec_id)::DOUBLE / $TopK) * 1000000 + 0.5) / 1000000 AS recall_at_50
+       |FROM drk LEFT JOIN fex ON drk.vec_id = fex.vec_id
+       |WHERE drk.rank <= $TopK
+       |GROUP BY dim ORDER BY dim""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_dim_truncation_recall" -> (dimTruncationRecall _),
     "q97_pca_top_component" -> (pcaTopComponent _),
     "q86_semantic_dedup" -> (semanticDedup _),
     "q58_centroid_stats" -> (centroidStats _),
@@ -1973,6 +2038,7 @@ object SimilarityOps {
     "q119_semantic_decontam" -> (semanticDecontam _))
 
   val oracles: Map[String, String] = Map(
+    "q128_dim_truncation_recall" -> dimTruncationRecallSql,
     "q97_pca_top_component" -> pcaTopComponentSql,
     "q86_semantic_dedup" -> semanticDedupSql,
     "q77_ann_ivf_int8" -> annIvfInt8Sql,

@@ -2577,9 +2577,199 @@ object TextAnalysisOps {
        |  floor((word_chars::DOUBLE / bpe_tokens) * 1000000 + 0.5) / 1000000 AS chars_per_token
        |FROM fa ORDER BY lang""".stripMargin
 
+  // ---- q126: context-length truncation ablation ----------------------------
+
+  /** Candidate max-sequence-lengths for the q126 ablation (word tokens;
+    * spans the corpus's length distribution so every row is informative). */
+  val TruncLens = Seq(16L, 32L, 64L, 128L)
+
+  /** q126: what each candidate training context length costs — per
+    * max_seq_len L: how many documents get truncated, the exact token
+    * mass kept (Σ min(n, L), DECIMAL-free — integer sums), and the doc/
+    * token loss rates. The table a pipeline reads before fixing
+    * max_seq_len: the tipping point where longer contexts stop buying
+    * token coverage. Scale shape: one row-local token count per doc, a
+    * 4× explode on a TWO-column frame (n only), then one map-side-
+    * combined aggregate on 4 keys — corpus-size-linear with constant
+    * output. */
+  def truncationLoss(spark: SparkSession, dir: String): DataFrame = {
+    val lens = docs(spark, dir)
+      .select(size(TextOps.tokenize(col("text"))).cast("long").as("n"))
+    lens
+      .select(col("n"), explode(lit(TruncLens.toArray)).as("max_seq_len"))
+      .groupBy("max_seq_len")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n") > col("max_seq_len"), 1L).otherwise(0L)).as("n_truncated"),
+        sum(col("n")).as("tokens_total"),
+        sum(least(col("n"), col("max_seq_len"))).as("tokens_kept"))
+      .select(col("max_seq_len"), col("n_docs"), col("n_truncated"),
+        col("tokens_total"), col("tokens_kept"),
+        r6(col("n_truncated").cast("double") / col("n_docs").cast("double"))
+          .as("doc_trunc_rate"),
+        r6(lit(1.0) - col("tokens_kept").cast("double") /
+          col("tokens_total").cast("double")).as("token_loss_rate"))
+      .orderBy("max_seq_len")
+  }
+
+  val truncationLossSql: String =
+    s"""WITH tl AS (SELECT len(regexp_extract_all(lower(text), '$TokRe')) AS n FROM documents),
+       |lv AS (SELECT CAST(unnest([${TruncLens.mkString(", ")}]) AS BIGINT) AS max_seq_len),
+       |ag AS (SELECT max_seq_len,
+       |         CAST(count(*) AS BIGINT) AS n_docs,
+       |         CAST(sum(CASE WHEN n > max_seq_len THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+       |         CAST(sum(n) AS BIGINT) AS tokens_total,
+       |         CAST(sum(least(n, max_seq_len)) AS BIGINT) AS tokens_kept
+       |       FROM tl CROSS JOIN lv GROUP BY max_seq_len)
+       |SELECT max_seq_len, n_docs, n_truncated, tokens_total, tokens_kept,
+       |  floor((n_truncated::DOUBLE / n_docs) * 1000000 + 0.5) / 1000000 AS doc_trunc_rate,
+       |  floor((1.0 - tokens_kept::DOUBLE / tokens_total) * 1000000 + 0.5) / 1000000 AS token_loss_rate
+       |FROM ag ORDER BY max_seq_len""".stripMargin
+
+  // ---- q127: Gopher-rule quality filter ablation ---------------------------
+
+  /** q127 word-count bounds (Gopher's 50..100k floor scaled to this
+    * corpus's ~24-token documents so the rule discriminates here). */
+  val GopherMinWords = 20L
+  val GopherMaxWords = 100000L
+
+  /** Gopher's required-stopword list (Rae et al. 2021, App. A1.1). */
+  val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** q127: the Gopher repetition-free quality rules as a per-rule
+    * ablation table — for each rule, how many documents it alone would
+    * remove, plus the `any_rule` union row. Publishing the per-rule
+    * breakdown (not just the surviving corpus) is what lets a curator
+    * see WHICH heuristic is doing the cutting before composing them.
+    * Rules (Rae et al. 2021 App. A1.1, thresholds noted inline):
+    * word count outside [min, max]; mean word length outside [3, 10];
+    * symbol-to-word ratio (# / ellipsis) > 0.1; > 90% of lines
+    * bullet-led; > 30% of lines ellipsis-terminated; < 80% of words
+    * containing an alphabetic char; < 2 of the 8 required stopwords.
+    * Scale shape: every flag is row-local column arithmetic (whole-stage
+    * codegen), one global map-side-combined aggregate, then a constant
+    * 8-row unpivot — one corpus pass total. */
+  /** Per-document Gopher rule flags over ANY (doc_id, text) frame —
+    * row-local only, exposed for the planted-document spec. */
+  private[graft] def gopherFlagsOf(d: DataFrame): DataFrame = {
+    val toks = TextOps.tokenize(col("text"))
+    val n = size(toks).cast("long")
+    val nD = n.cast("double")
+    val mwl = when(n === 0, 0.0)
+      .otherwise(length(array_join(toks, "")).cast("double") / nD)
+    val nHash = (length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+      .cast("double")
+    val nEll = ((length(col("text")) -
+      length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("double")
+    val lines = split(col("text"), "\n")
+    val nLines = size(lines).cast("double")
+    val bulletLines = size(filter(lines,
+      l => ltrim(l, " \t").startsWith("-") || ltrim(l, " \t").startsWith("*")))
+      .cast("double")
+    val ellLines = size(filter(lines, l => rtrim(l, " \t").endsWith("...")))
+      .cast("double")
+    val alphaToks = size(filter(toks, t => t.rlike("[a-z]"))).cast("double")
+    val stopsPresent = size(filter(lit(GopherStops.toArray),
+      w => array_contains(toks, w)))
+    d.select(
+      col("doc_id"),
+      (n < GopherMinWords || n > GopherMaxWords).as("f_word_count"),
+      (n === 0 || mwl < 3.0 || mwl > 10.0).as("f_mean_word_len"),
+      (n === 0 || (nHash + nEll) / nD > 0.1).as("f_symbol_ratio"),
+      (bulletLines / nLines > 0.9).as("f_bullet_lines"),
+      (ellLines / nLines > 0.3).as("f_ellipsis_lines"),
+      (n === 0 || alphaToks / nD < 0.8).as("f_alpha_words"),
+      (stopsPresent < 2).as("f_stopwords"))
+  }
+
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val flags = gopherFlagsOf(docs(spark, dir))
+    val anyFlag = Seq("f_word_count", "f_mean_word_len", "f_symbol_ratio",
+      "f_bullet_lines", "f_ellipsis_lines", "f_alpha_words", "f_stopwords")
+      .map(col).reduce(_ || _)
+    val agg = flags.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("f_word_count"), 1L).otherwise(0L)).as("c1"),
+      sum(when(col("f_mean_word_len"), 1L).otherwise(0L)).as("c2"),
+      sum(when(col("f_symbol_ratio"), 1L).otherwise(0L)).as("c3"),
+      sum(when(col("f_bullet_lines"), 1L).otherwise(0L)).as("c4"),
+      sum(when(col("f_ellipsis_lines"), 1L).otherwise(0L)).as("c5"),
+      sum(when(col("f_alpha_words"), 1L).otherwise(0L)).as("c6"),
+      sum(when(col("f_stopwords"), 1L).otherwise(0L)).as("c7"),
+      sum(when(anyFlag, 1L).otherwise(0L)).as("c8"))
+    agg.select(col("n_docs"), explode(array(
+      struct(lit("1_word_count").as("rule"), col("c1").as("n_flagged")),
+      struct(lit("2_mean_word_len").as("rule"), col("c2").as("n_flagged")),
+      struct(lit("3_symbol_ratio").as("rule"), col("c3").as("n_flagged")),
+      struct(lit("4_bullet_lines").as("rule"), col("c4").as("n_flagged")),
+      struct(lit("5_ellipsis_lines").as("rule"), col("c5").as("n_flagged")),
+      struct(lit("6_alpha_words").as("rule"), col("c6").as("n_flagged")),
+      struct(lit("7_stopwords").as("rule"), col("c7").as("n_flagged")),
+      struct(lit("8_any_rule").as("rule"), col("c8").as("n_flagged")))).as("r"))
+      .select(col("r.rule").as("rule"), col("r.n_flagged").as("n_flagged"),
+        r6(col("r.n_flagged").cast("double") / col("n_docs").cast("double"))
+          .as("flag_rate"))
+      .orderBy("rule")
+  }
+
+  val gopherRulesSql: String = {
+    val stopList = GopherStops.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"""WITH gb AS (
+       |  SELECT regexp_extract_all(lower(text), '$TokRe') AS t,
+       |         string_split(text, chr(10)) AS lines, text
+       |  FROM documents),
+       |gm AS (
+       |  SELECT len(t) AS n,
+       |    CASE WHEN len(t) = 0 THEN 0.0
+       |         ELSE length(array_to_string(t, ''))::DOUBLE / len(t) END AS mwl,
+       |    (length(text) - length(replace(text, '#', '')))::DOUBLE AS n_hash,
+       |    ((length(text) - length(replace(text, '...', ''))) / 3)::DOUBLE AS n_ell,
+       |    len(lines)::DOUBLE AS n_lines,
+       |    len(list_filter(lines, l -> starts_with(ltrim(l, ' ' || chr(9)), '-')
+       |                            OR starts_with(ltrim(l, ' ' || chr(9)), '*')))::DOUBLE AS bullet_lines,
+       |    len(list_filter(lines, l -> ends_with(rtrim(l, ' ' || chr(9)), '...')))::DOUBLE AS ell_lines,
+       |    len(list_filter(t, x -> regexp_matches(x, '[a-z]')))::DOUBLE AS alpha_toks,
+       |    len(list_filter($stopList, w -> list_contains(t, w))) AS stops_present
+       |  FROM gb),
+       |gf AS (
+       |  SELECT (n < $GopherMinWords OR n > $GopherMaxWords) AS f1,
+       |    (n = 0 OR mwl < 3.0 OR mwl > 10.0) AS f2,
+       |    (n = 0 OR (n_hash + n_ell) / n > 0.1) AS f3,
+       |    (bullet_lines / n_lines > 0.9) AS f4,
+       |    (ell_lines / n_lines > 0.3) AS f5,
+       |    (n = 0 OR alpha_toks / n < 0.8) AS f6,
+       |    (stops_present < 2) AS f7
+       |  FROM gm),
+       |ga AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+       |    CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+       |    CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+       |    CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+       |    CAST(sum(CASE WHEN f5 THEN 1 ELSE 0 END) AS BIGINT) AS c5,
+       |    CAST(sum(CASE WHEN f6 THEN 1 ELSE 0 END) AS BIGINT) AS c6,
+       |    CAST(sum(CASE WHEN f7 THEN 1 ELSE 0 END) AS BIGINT) AS c7,
+       |    CAST(sum(CASE WHEN f1 OR f2 OR f3 OR f4 OR f5 OR f6 OR f7 THEN 1 ELSE 0 END) AS BIGINT) AS c8
+       |  FROM gf),
+       |gu AS (
+       |  SELECT '1_word_count' AS rule, c1 AS n_flagged, n_docs FROM ga
+       |  UNION ALL SELECT '2_mean_word_len', c2, n_docs FROM ga
+       |  UNION ALL SELECT '3_symbol_ratio', c3, n_docs FROM ga
+       |  UNION ALL SELECT '4_bullet_lines', c4, n_docs FROM ga
+       |  UNION ALL SELECT '5_ellipsis_lines', c5, n_docs FROM ga
+       |  UNION ALL SELECT '6_alpha_words', c6, n_docs FROM ga
+       |  UNION ALL SELECT '7_stopwords', c7, n_docs FROM ga
+       |  UNION ALL SELECT '8_any_rule', c8, n_docs FROM ga)
+       |SELECT rule, n_flagged,
+       |  floor((n_flagged::DOUBLE / n_docs) * 1000000 + 0.5) / 1000000 AS flag_rate
+       |FROM gu ORDER BY rule""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_truncation_loss" -> (truncationLoss _),
+    "q127_gopher_rules" -> (gopherRules _),
     "q96_classifier_auc" -> (classifierAuc _),
     "q95_classifier_calibration" -> (classifierCalibration _),
     "q108_calibrated_threshold" -> (calibratedThreshold _),
@@ -2621,6 +2811,8 @@ object TextAnalysisOps {
     "q35_simhash" -> (simhash _))
 
   val oracles: Map[String, String] = Map(
+    "q126_truncation_loss" -> truncationLossSql,
+    "q127_gopher_rules" -> gopherRulesSql,
     "q96_classifier_auc" -> classifierAucSql,
     "q95_classifier_calibration" -> classifierCalibrationSql,
     "q108_calibrated_threshold" -> calibratedThresholdSql,

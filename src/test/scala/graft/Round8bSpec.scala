@@ -1,0 +1,179 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{RelationalOps, SimilarityOps, TextAnalysisOps}
+
+/** Round-8 second-wave additions: context-length truncation ablation
+  * (q126), Gopher-rule quality filter ablation (q127), matryoshka
+  * dim-truncation recall (q128), and the TPC-H Q21/Q22 join shapes
+  * (q130/q131). Each test recounts the query's answer from first
+  * principles driver-side (collected rows + plain Scala), so the
+  * distributed plan and an independent sequential recount must agree.
+  */
+class Round8bSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private val TokRe = "[a-z0-9]+(?:[-_][a-z0-9]+)*".r
+
+  private def tok(text: String): Seq[String] =
+    TokRe.findAllIn(text.toLowerCase).toSeq
+
+  test("q126 truncation-loss table matches a sequential recount") {
+    val lens = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect().map(r => tok(r.getString(0)).size.toLong)
+    val rows = TextAnalysisOps.truncationLoss(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("max_seq_len")).toSeq ==
+      TextAnalysisOps.TruncLens)
+    rows.foreach { r =>
+      val l = r.getAs[Long]("max_seq_len")
+      assert(r.getAs[Long]("n_docs") == lens.length)
+      assert(r.getAs[Long]("n_truncated") == lens.count(_ > l))
+      assert(r.getAs[Long]("tokens_total") == lens.sum)
+      assert(r.getAs[Long]("tokens_kept") == lens.map(math.min(_, l)).sum)
+    }
+    // Longer contexts keep monotonically more tokens and truncate fewer docs.
+    val kept = rows.map(_.getAs[Long]("tokens_kept"))
+    assert(kept.zip(kept.tail).forall { case (a, b) => a <= b })
+    val trunc = rows.map(_.getAs[Long]("n_truncated"))
+    assert(trunc.zip(trunc.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q127 planted documents trip exactly their Gopher rule") {
+    import spark.implicits._
+    val clean = "the cat sat on the mat and that dog ran with all off " +
+      "into the barn where the hens have corn that they peck all day long"
+    val planted = Seq(
+      (0L, clean),
+      (1L, "- item one\n- item two\n- item three"), // bullet-led lines
+      (2L, "we wait for the\nresults to come...\nstill waiting today..."), // ellipsis lines
+      (3L, clean + " ## ## ## ## ## ## ## ## ## ## ## ##"), // symbol ratio
+      (4L, ("12345 " * 25).trim + " the of"), // non-alphabetic words
+      (5L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi")) // no required stopwords
+      .toDF("doc_id", "text")
+    val flags = TextAnalysisOps.gopherFlagsOf(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Seq("f_word_count", "f_mean_word_len", "f_symbol_ratio",
+          "f_bullet_lines", "f_ellipsis_lines", "f_alpha_words", "f_stopwords")
+          .map(f => f -> r.getAs[Boolean](f)).toMap).toMap
+
+    assert(flags(0L).values.forall(!_), s"clean doc flagged: ${flags(0L)}")
+    assert(flags(1L)("f_bullet_lines"))
+    assert(flags(2L)("f_ellipsis_lines"))
+    assert(!flags(2L)("f_bullet_lines"))
+    assert(flags(3L)("f_symbol_ratio"))
+    assert(flags(4L)("f_alpha_words"))
+    assert(!flags(4L)("f_word_count"), "25-word planted doc is long enough")
+    assert(flags(5L)("f_stopwords"))
+    assert(!flags(5L)("f_alpha_words"))
+  }
+
+  test("q127 corpus rates recount from the per-doc flags") {
+    val flagCols = Seq("f_word_count", "f_mean_word_len", "f_symbol_ratio",
+      "f_bullet_lines", "f_ellipsis_lines", "f_alpha_words", "f_stopwords")
+    val perDoc = TextAnalysisOps.gopherFlagsOf(
+      spark.read.parquet(s"$dir/documents.parquet")).collect()
+    val rows = TextAnalysisOps.gopherRules(spark, dir).collect()
+      .map(r => r.getAs[String]("rule") -> r.getAs[Long]("n_flagged")).toMap
+    flagCols.zipWithIndex.foreach { case (f, i) =>
+      assert(rows(s"${i + 1}_${f.stripPrefix("f_")}") ==
+        perDoc.count(_.getAs[Boolean](f)).toLong, s"rule $f count mismatch")
+    }
+    assert(rows("8_any_rule") ==
+      perDoc.count(r => flagCols.exists(r.getAs[Boolean](_))).toLong)
+  }
+
+  test("q128 matryoshka recall: full-dim anchor at 1.0, recounted at dim=16") {
+    val rows = SimilarityOps.dimTruncationRecall(spark, dir).collect()
+      .map(r => r.getAs[Long]("dim") ->
+        (r.getAs[Long]("n_hits"), r.getAs[Double]("recall_at_50"))).toMap
+    assert(rows.keySet == SimilarityOps.MatryoshkaDims.map(_.toLong).toSet)
+    assert(rows(64L) == ((50L, 1.0)), "full-dim prefix must recover the exact answer")
+    rows.values.foreach { case (h, r) =>
+      assert(h >= 0 && h <= 50 && r >= 0.0 && r <= 1.0)
+    }
+
+    // Sequential recount of the dim=16 row from collected embeddings.
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    def cos(a: Array[Float], b: Array[Float], d: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      (0 until d).foreach { i =>
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val q = embs(SimilarityOps.QueryVecId)
+    def top50(d: Int): Set[Long] =
+      embs.toSeq.map { case (id, v) => (id, cos(v, q, d)) }
+        .sortBy { case (id, c) => (-c, id) }.take(50).map(_._1).toSet
+    val expected16 = (top50(16) intersect top50(64)).size.toLong
+    assert(rows(16L)._1 == expected16,
+      s"dim=16 n_hits ${rows(16L)._1} != recounted $expected16")
+  }
+
+  test("q130 lone-failure suppliers matches a sequential recount and plans semi+anti") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey", "l_returnflag").collect()
+      .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_suppkey"),
+        r.getAs[String]("l_returnflag")))
+    val fOrders = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderstatus") === "F").select("o_orderkey").collect()
+      .map(_.getAs[Long]("o_orderkey")).toSet
+    val byOrder = li.groupBy(_._1)
+    val waits = for {
+      (ok, sk, rf) <- li
+      if rf == "R" && fOrders(ok)
+      others = byOrder(ok)
+      if others.exists(_._2 != sk) // another supplier touched the order
+      if !others.exists(o => o._2 != sk && o._3 == "R") // and none of them failed
+    } yield sk
+    val suppliers = spark.read.parquet(s"$dir/supplier.parquet").collect()
+      .map(r => r.getAs[Long]("s_suppkey") ->
+        (r.getAs[String]("s_name"), r.getAs[Int]("s_nationkey"))).toMap
+    val nations = spark.read.parquet(s"$dir/nation.parquet").collect()
+      .map(r => r.getAs[Int]("n_nationkey") -> r.getAs[String]("n_name")).toMap
+    val expected = waits.groupBy(identity).map { case (sk, xs) =>
+      val (name, nk) = suppliers(sk)
+      (name, nations(nk)) -> xs.length.toLong
+    }
+
+    val q = RelationalOps.loneFailureSuppliers(spark, dir)
+    val got = q.collect().map(r => (r.getAs[String]("s_name"),
+      r.getAs[String]("n_name")) -> r.getAs[Long]("numwait")).toMap
+    assert(got == expected, s"got $got expected $expected")
+    assert(got.nonEmpty, "q130 should produce rows at sf0.001")
+
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), "expected a left-semi self-join in the plan")
+    assert(plan.contains("LeftAnti"), "expected a left-anti self-join in the plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "the non-equi supplier predicate must ride the orderkey equi-join, " +
+        "not a nested-loop join")
+  }
+
+  test("q131 dormant high-balance segments match a sequential recount") {
+    val custs = spark.read.parquet(s"$dir/customer.parquet").collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[String]("c_mktsegment"),
+        r.getAs[Double]("c_acctbal")))
+    val withOrders = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderstatus") === "O")
+      .select("o_custkey").collect().map(_.getAs[Long]("o_custkey")).toSet
+    val pos = custs.filter(_._3 > 0.0).map(c => BigDecimal(c._3))
+    val avg = (pos.sum / pos.length).toDouble
+    val kept = custs.filter(c => c._3 > avg && !withOrders(c._1))
+    val expected = kept.groupBy(_._2).map { case (seg, xs) =>
+      seg -> (xs.length.toLong,
+        math.floor(xs.map(x => BigDecimal(x._3)).sum.toDouble * 1e6 + 0.5) / 1e6)
+    }
+    val got = RelationalOps.dormantHighBalance(spark, dir).collect()
+      .map(r => r.getAs[String]("c_mktsegment") ->
+        (r.getAs[Long]("n_custs"), r.getAs[Double]("total_bal"))).toMap
+    assert(got == expected, s"got $got expected $expected")
+    assert(got.nonEmpty, "q131 should produce rows at sf0.001")
+  }
+}
