@@ -416,7 +416,7 @@ object DedupOps {
     * (leakage-safe splits); memoized + cached per (appId, dir) like every
     * other shared build (kmeansModel, minhashBands, shingleSets) so the
     * three consumers run the ClusterIterations propagation rounds once. */
-  private def dupLabels(spark: SparkSession, dir: String): DataFrame =
+  private[operators] def dupLabels(spark: SparkSession, dir: String): DataFrame =
     labelCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
       // Candidate pairs only — the exact-Jaccard verification q42 layers on
       // top never changes the pair set (no threshold), so clustering over
@@ -452,7 +452,7 @@ object DedupOps {
   /** Shared label-propagation CTE chain ending in
     * l[ClusterIterations](doc_id, label) — one unrolled derivation behind
     * the q49/q75/q76 oracles so they can't drift. */
-  private val dupLabelCtes: String =
+  private[operators] val dupLabelCtes: String =
     s"""$shinglesCte,
        |$minhashCtes,
        |$lshPairsCte,

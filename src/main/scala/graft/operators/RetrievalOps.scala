@@ -229,7 +229,11 @@ object RetrievalOps {
     * survives any corpus size with the query panel broadcast.
     * Contributions accumulate in DECIMAL so the rank comparisons see
     * identical sums in both engines. */
-  def knownItemEval(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared q125/q129 scoring frame: every benchmark-slice document's
+    * KnownItemPrefix-token prefix scored (BM25) against the candidate
+    * set sharing ≥1 term — (query_id, doc_id, s). One derivation behind
+    * both evals so they can't drift. */
+  private def knownItemSparse(spark: SparkSession, dir: String): DataFrame = {
     val ti = tokenIndex(spark, dir)
     val avgDl = if (ti.avgDl == 0.0) 1.0 else ti.avgDl
     val qt = corpus(spark, dir)
@@ -237,7 +241,7 @@ object RetrievalOps {
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(slice(graft.textops.TextOps.tokenize(col("text")),
           1, KnownItemPrefix))).as("term"))
-    val sparse = broadcast(qt)
+    broadcast(qt)
       .join(ti.termStats.select("term", "idf"), "term")
       .join(ti.docTermFreq, "term")
       .join(ti.docLen.select("doc_id", "dl"), "doc_id")
@@ -248,6 +252,10 @@ object RetrievalOps {
           .as("c"))
       .groupBy("query_id", "doc_id")
       .agg(dsum(col("c")).as("s"))
+  }
+
+  def knownItemEval(spark: SparkSession, dir: String): DataFrame = {
+    val sparse = knownItemSparse(spark, dir)
     val src = sparse.filter(col("doc_id") === col("query_id"))
       .select(col("query_id"), col("s").as("s_src"))
     sparse.join(broadcast(src), "query_id")
@@ -262,8 +270,10 @@ object RetrievalOps {
       .orderBy("query_id")
   }
 
-  val knownItemEvalSql: String =
-    s"""WITH $tokCte,
+  /** SQL twin of [[knownItemSparse]] — ends in ksc(query_id, doc_id, s).
+    * Shared by the q125 and q129 oracles. */
+  private val knownItemScoreCtes: String =
+    s"""$tokCte,
        |$bm25StatsCtes,
        |kiq AS (SELECT query_id, unnest(list_distinct(t[1:$KnownItemPrefix])) AS term
        |        FROM (SELECT doc_id AS query_id,
@@ -276,7 +286,10 @@ object RetrievalOps {
        |            AS DOUBLE) AS s
        |        FROM kiq JOIN idf USING (term) JOIN tf USING (term)
        |        JOIN dl ON tf.doc_id = dl.doc_id, ad
-       |        GROUP BY 1, 2),
+       |        GROUP BY 1, 2)""".stripMargin
+
+  val knownItemEvalSql: String =
+    s"""WITH $knownItemScoreCtes,
        |ksrc AS (SELECT query_id, s AS s_src FROM ksc WHERE doc_id = query_id)
        |SELECT ksc.query_id, CAST(count(*) AS BIGINT) AS n_scored,
        |  CAST(1 + sum(CASE WHEN ksc.s > s_src OR (ksc.s = s_src AND ksc.doc_id < ksc.query_id)
@@ -287,6 +300,130 @@ object RetrievalOps {
        |FROM ksc JOIN ksrc USING (query_id)
        |GROUP BY ksc.query_id, s_src
        |ORDER BY ksc.query_id""".stripMargin
+
+  // ---- q129: cluster-aware retrieval eval (recall@10 / nDCG@10) -----------
+
+  /** Rank cutoff for q129's graded metrics. */
+  val NdcgK = 10
+
+  /** nDCG gain table: rank → 1/log2(1+rank), DECLARED as exact
+    * DECIMAL(20,18) literals (the double value of 1/log2(1+r) rounded to
+    * 18 fraction digits) rather than computed in-engine — both engines'
+    * libm log could round differently, and a gain that differs in the
+    * last ulp flips a rounded nDCG at a boundary. Summing the identical
+    * decimal literals is exact and order-free in both engines. */
+  private[graft] val NdcgGains: Seq[(Long, String)] = Seq(
+    1L -> "1.000000000000000000", 2L -> "0.630929753571457530",
+    3L -> "0.500000000000000000", 4L -> "0.430676558073393057",
+    5L -> "0.386852807234541629", 6L -> "0.356207187108022183",
+    7L -> "0.333333333333333315", 8L -> "0.315464876785728765",
+    9L -> "0.301029995663981198", 10L -> "0.289064826317887880")
+
+  /** q129: q125's known-item eval upgraded with MULTI-document relevance
+    * — the relevant set for each benchmark-slice query is the q49
+    * near-dup CLUSTER containing the source document (any member is a
+    * correct answer; a singleton collapses to q125's known-item case).
+    * Per query: cluster size, how many members the candidate set scored,
+    * hits / exact-decimal DCG / IDCG at NdcgK, recall@10, nDCG@10 — the
+    * graded-relevance panel that q125's binary MRR cannot express (a
+    * ranker that surfaces a duplicate of the source instead of the
+    * source itself is RIGHT here and wrong there).
+    *
+    * Scale shape: ranks are strictly-better-pair counts (an aggregate
+    * over the candidate × relevant join, never a global sort); the
+    * relevant sets ride the memoized q49 label frame; the gain table is
+    * a 10-row broadcast; per-query finishers are |panel|-row frames.
+    * Offline eval — at 100 TB it runs over a benchmark sample like
+    * q79/q105/q125. */
+  def clusterRelevantEval(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gains = NdcgGains.toDF("rank_pos", "g_str")
+      .select(col("rank_pos"), col("g_str").cast("decimal(20,18)").as("g"))
+    val labels = graft.operators.DedupOps.dupLabels(spark, dir)
+    val rel = labels
+      .filter(pmod(col("doc_id"), lit(graft.operators.DedupOps.DecontamMod)) === 0)
+      .select(col("doc_id").as("query_id"), col("label"))
+      .join(labels.select(col("doc_id").as("rel_id"), col("label")), "label")
+      .select("query_id", "rel_id")
+    val sparse = knownItemSparse(spark, dir)
+    val relScores = sparse.join(rel,
+      sparse("query_id") === rel("query_id") && sparse("doc_id") === rel("rel_id"))
+      .select(rel("query_id"), col("rel_id"), col("s").as("s_rel"))
+    val ranks = sparse.join(relScores, "query_id")
+      .groupBy(col("query_id"), col("rel_id"))
+      .agg((lit(1L) + sum(when(col("s") > col("s_rel") ||
+        (col("s") === col("s_rel") && col("doc_id") < col("rel_id")), 1L)
+        .otherwise(0L))).as("rank"))
+    val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val nScored = relScores.groupBy("query_id")
+      .agg(count(lit(1)).as("n_scored_rel"))
+    val dcg = ranks.filter(col("rank") <= NdcgK)
+      .join(broadcast(gains), col("rank_pos") === col("rank"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("hits_at_10"), sum(col("g")).as("dcg"))
+    val idcg = nRel.join(broadcast(gains),
+        col("rank_pos") <= least(col("n_rel"), lit(NdcgK.toLong)))
+      .groupBy("query_id", "n_rel")
+      .agg(sum(col("g")).as("idcg"))
+    idcg
+      .join(nScored, Seq("query_id"), "left")
+      .join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("n_scored_rel"), lit(0L)).as("n_scored_rel"),
+        coalesce(col("hits_at_10"), lit(0L)).as("hits_at_10"),
+        r6(coalesce(col("hits_at_10"), lit(0L)).cast("double") /
+          col("n_rel").cast("double")).as("recall_at_10"),
+        r6(coalesce(col("dcg").cast("double"), lit(0.0))).as("dcg_at_10"),
+        r6(col("idcg").cast("double")).as("idcg_at_10"),
+        r6(coalesce(col("dcg").cast("double"), lit(0.0)) /
+          col("idcg").cast("double")).as("ndcg_at_10"))
+      .orderBy("query_id")
+  }
+
+  val clusterRelevantEvalSql: String = {
+    val gainRows = NdcgGains.map { case (r, g) =>
+      s"(CAST($r AS BIGINT), CAST('$g' AS DECIMAL(20,18)))" }.mkString(", ")
+    s"""WITH ${graft.operators.DedupOps.dupLabelCtes},
+       |$knownItemScoreCtes,
+       |gains(rank_pos, g) AS (VALUES $gainRows),
+       |crq AS (SELECT doc_id AS query_id, label
+       |        FROM l${graft.operators.DedupOps.ClusterIterations}
+       |        WHERE doc_id % ${graft.operators.DedupOps.DecontamMod} = 0),
+       |crel AS (SELECT query_id, lr.doc_id AS rel_id
+       |         FROM crq JOIN l${graft.operators.DedupOps.ClusterIterations} lr
+       |         USING (label)),
+       |crs AS (SELECT c.query_id, c.rel_id, ksc.s AS s_rel
+       |        FROM crel c JOIN ksc
+       |          ON ksc.query_id = c.query_id AND ksc.doc_id = c.rel_id),
+       |crk AS (SELECT ksc.query_id, rel_id,
+       |          CAST(1 + sum(CASE WHEN ksc.s > s_rel OR
+       |                                 (ksc.s = s_rel AND ksc.doc_id < rel_id)
+       |                            THEN 1 ELSE 0 END) AS BIGINT) AS rank
+       |        FROM ksc JOIN crs ON ksc.query_id = crs.query_id
+       |        GROUP BY ksc.query_id, rel_id, s_rel),
+       |cnr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+       |        FROM crel GROUP BY 1),
+       |cns AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_scored_rel
+       |        FROM crs GROUP BY 1),
+       |cdcg AS (SELECT query_id, CAST(count(*) AS BIGINT) AS hits_at_10,
+       |           sum(g) AS dcg
+       |         FROM crk JOIN gains ON rank_pos = rank
+       |         WHERE rank <= $NdcgK GROUP BY 1),
+       |cidcg AS (SELECT query_id, n_rel, sum(g) AS idcg
+       |          FROM cnr JOIN gains ON rank_pos <= least(n_rel, $NdcgK)
+       |          GROUP BY 1, 2)
+       |SELECT cidcg.query_id, n_rel,
+       |  CAST(coalesce(n_scored_rel, 0) AS BIGINT) AS n_scored_rel,
+       |  CAST(coalesce(hits_at_10, 0) AS BIGINT) AS hits_at_10,
+       |  floor((coalesce(hits_at_10, 0)::DOUBLE / n_rel) * 1000000 + 0.5) / 1000000 AS recall_at_10,
+       |  floor((coalesce(CAST(dcg AS DOUBLE), 0.0)) * 1000000 + 0.5) / 1000000 AS dcg_at_10,
+       |  floor((CAST(idcg AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS idcg_at_10,
+       |  floor((coalesce(CAST(dcg AS DOUBLE), 0.0) / CAST(idcg AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS ndcg_at_10
+       |FROM cidcg
+       |LEFT JOIN cns ON cidcg.query_id = cns.query_id
+       |LEFT JOIN cdcg ON cidcg.query_id = cdcg.query_id
+       |ORDER BY cidcg.query_id""".stripMargin
+  }
 
   // ---- q121: Dirichlet query-likelihood top-k -----------------------------
 
@@ -672,11 +809,13 @@ object RetrievalOps {
     "q26_query_features" -> (queryFeatures _),
     "q27_route_decisions" -> (routeDecisions _),
     "q121_ql_topk" -> (qlTopK _),
-    "q125_known_item_eval" -> (knownItemEval _))
+    "q125_known_item_eval" -> (knownItemEval _),
+    "q129_cluster_relevant_eval" -> (clusterRelevantEval _))
 
   val oracles: Map[String, String] = Map(
     "q121_ql_topk" -> qlSql(Bm25Query),
     "q125_known_item_eval" -> knownItemEvalSql,
+    "q129_cluster_relevant_eval" -> clusterRelevantEvalSql,
     "q54_prf_expansion" -> prfSql(Bm25Query),
     "q28_hashed_embeddings" -> hashedEmbeddingsSql,
     "q29_rrf_fusion" -> rrfSql(Bm25Query),

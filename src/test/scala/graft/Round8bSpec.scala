@@ -156,6 +156,44 @@ class Round8bSpec extends SparkSpec {
         "not a nested-loop join")
   }
 
+  test("q129 collapses to q125 on singleton clusters; IDCG is the gain prefix sum") {
+    import graft.operators.RetrievalOps
+    val gains = RetrievalOps.NdcgGains.map { case (r, g) => r -> BigDecimal(g) }.toMap
+    val eval129 = RetrievalOps.clusterRelevantEval(spark, dir).collect()
+      .map(r => r.getAs[Long]("query_id") -> r).toMap
+    val eval125 = RetrievalOps.knownItemEval(spark, dir).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("src_rank")).toMap
+    assert(eval129.keySet == eval125.keySet, "same benchmark panel")
+
+    // IDCG@10 for a cluster of size k is the exact prefix sum of the
+    // declared gain table — recomputed here from the same literals.
+    eval129.values.foreach { r =>
+      val k = math.min(r.getAs[Long]("n_rel"), 10L)
+      val idcg = (1L to k).map(gains).sum
+      val expected = (idcg * 1000000).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble / 1e6
+      assert(math.abs(r.getAs[Double]("idcg_at_10") - expected) < 1e-9,
+        s"idcg mismatch for n_rel=${r.getAs[Long]("n_rel")}")
+    }
+
+    // On a singleton cluster the graded metrics must equal the known-item
+    // ones: hit iff the source ranked ≤ 10, nDCG = gain(rank).
+    val singletons = eval129.filter(_._2.getAs[Long]("n_rel") == 1L)
+    assert(singletons.nonEmpty, "sf0.001 panel should contain singleton clusters")
+    singletons.foreach { case (qid, r) =>
+      val rank = eval125(qid)
+      val expHits = if (rank <= 10) 1L else 0L
+      assert(r.getAs[Long]("hits_at_10") == expHits, s"q$qid hits")
+      assert(r.getAs[Double]("recall_at_10") == expHits.toDouble, s"q$qid recall")
+      val expNdcg = if (rank <= 10)
+        (gains(rank) * 1000000).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble / 1e6
+      else 0.0
+      assert(math.abs(r.getAs[Double]("ndcg_at_10") - expNdcg) < 1e-9,
+        s"q$qid ndcg ${r.getAs[Double]("ndcg_at_10")} != $expNdcg (rank $rank)")
+    }
+  }
+
   test("q131 dormant high-balance segments match a sequential recount") {
     val custs = spark.read.parquet(s"$dir/customer.parquet").collect()
       .map(r => (r.getAs[Long]("c_custkey"), r.getAs[String]("c_mktsegment"),
