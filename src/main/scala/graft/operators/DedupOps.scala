@@ -352,7 +352,7 @@ object DedupOps {
   /** Pseudo-benchmark membership: a deterministic 1/97 slice of the corpus
     * stands in for an eval set (real pipelines read a separate benchmark
     * table; the overlap machinery is identical). */
-  val DecontamMod = 97L
+  final val DecontamMod = 97L  // final literal: constant-folded at use sites (object-init-cycle-proof)
   val DecontamMinOverlap = 3L
 
   /** Flag training docs sharing ≥ MinOverlap distinct 3-token shingles
@@ -396,7 +396,7 @@ object DedupOps {
 
   // ---- q49: dup-cluster consolidation (bounded label propagation) ---------
 
-  val ClusterIterations = 3
+  final val ClusterIterations = 3  // final literal: constant-folded at use sites (object-init-cycle-proof)
 
   /** Consolidate the q42 LSH dup pairs into clusters: every doc starts
     * labeled with its own id, then ClusterIterations rounds of
@@ -526,8 +526,8 @@ object DedupOps {
 
   // ---- q76: leakage-safe train/holdout split assignment -------------------
 
-  val SplitBuckets = 100
-  val TrainBuckets = 90
+  final val SplitBuckets = 100  // final literal: constant-folded at use sites (object-init-cycle-proof)
+  final val TrainBuckets = 90  // final literal: constant-folded at use sites (object-init-cycle-proof)
 
   /** Contamination-safe split assignment: the split key is the doc's
     * CLUSTER representative, never the doc itself, so every near-dup of a

@@ -1913,8 +1913,13 @@ object TextAnalysisOps {
     * mean/std of the raw features. Part of the persisted model artifact:
     * a frozen model must standardize NEW corpora with TRAINING statistics,
     * not re-derive them from the data being scored. */
-  private def lrStats(spark: SparkSession, dir: String): DataFrame = {
-    val raw = lrRaw(spark, dir)
+  private def lrStats(spark: SparkSession, dir: String): DataFrame =
+    lrStatsOf(lrRaw(spark, dir))
+
+  /** [[lrStats]] over ANY raw-feature population — the q132 holdout
+    * evaluation trains on the train split only, so its standardization
+    * stats must come from that population alone. */
+  private def lrStatsOf(raw: DataFrame): DataFrame = {
     val mu = raw.agg(
       (dsum18(col("r1")) / count(lit(1))).as("m1"),
       (dsum18(col("r2")) / count(lit(1))).as("m2"),
@@ -1936,7 +1941,13 @@ object TextAnalysisOps {
     * what makes plain batch GD converge here — the raw coordinates differ
     * 10× in variance and the unstandardized sweep plateaued at 0.84. */
   private def lrFeats(spark: SparkSession, dir: String): DataFrame =
-    lrRaw(spark, dir).crossJoin(broadcast(lrStats(spark, dir))).select(
+    lrFeatsOf(lrRaw(spark, dir), lrStats(spark, dir))
+
+  /** Standardize ANY raw-feature population against a GIVEN 1-row stats
+    * frame — scoring a holdout with the train split's frozen statistics
+    * is exactly the [[scoreWithQualityModel]] discipline in-session. */
+  private def lrFeatsOf(raw: DataFrame, stats: DataFrame): DataFrame =
+    raw.crossJoin(broadcast(stats)).select(
       col("doc_id"), col("n_tokens"), col("y"),
       zCol("r1", "m1", "s1").as("x1"), zCol("r2", "m2", "s2").as("x2"),
       zCol("r3", "m3", "s3").as("x3"), zCol("r4", "m4", "s4").as("x4"))
@@ -1955,8 +1966,13 @@ object TextAnalysisOps {
     * sanctioned scalar-read pattern (cf. CorpusIndex stats). Memoized per
     * (appId, dir) like kmeansModel. */
   def qualityLrModel(spark: SparkSession, dir: String): Array[Double] =
-    lrCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
-      val feats = lrFeats(spark, dir).cache()
+    lrCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir",
+      lrTrainOn(lrFeats(spark, dir)))
+
+  /** The GD loop over a GIVEN standardized-feature population (q132
+    * trains on the train split only). */
+  private def lrTrainOn(featsIn: DataFrame): Array[Double] = {
+      val feats = featsIn.cache()
       var w = Array(0.0, 0.0, 0.0, 0.0, 0.0)
       try {
         for (_ <- 1 to LrIters) {
@@ -1973,7 +1989,7 @@ object TextAnalysisOps {
         }
       } finally feats.unpersist()
       w
-    })
+  }
 
   /** The complete persisted model: one row
     * (m1..m4, s1..s4, b, w1..w4) — standardization stats AND weights.
@@ -2044,13 +2060,20 @@ object TextAnalysisOps {
   /** Unrolled training oracle (expects qualityCtes in scope): mirrors
     * lrFeats + qualityLrModel round for round, ending in
     * lscored(doc_id, y, p). */
-  private val lrCtes: String = {
+  /** The full-corpus raw-feature CTE (the default training population). */
+  private val lrawFromQualCte: String =
+    s"""lraw AS (SELECT doc_id, n_tokens,
+       |  least(1.0, n_tokens / 50.0) AS r1, sr AS r2,
+       |  least(1.0, atl / 8.0) AS r3, dr AS r4,
+       |  CASE WHEN quality_score >= $LrLabelThreshold THEN 1.0 ELSE 0.0 END AS y
+       |FROM qual)""".stripMargin
+
+  /** The lrCtes chain with a CALLER-SUPPLIED training population `lraw`
+    * CTE — q132 trains on the q76 train split; every other oracle uses
+    * the full-corpus default (emitted text unchanged). */
+  private def lrCtesFrom(lrawCte: String): String = {
     val header = Seq(
-      s"""lraw AS (SELECT doc_id, n_tokens,
-         |  least(1.0, n_tokens / 50.0) AS r1, sr AS r2,
-         |  least(1.0, atl / 8.0) AS r3, dr AS r4,
-         |  CASE WHEN quality_score >= $LrLabelThreshold THEN 1.0 ELSE 0.0 END AS y
-         |FROM qual)""".stripMargin,
+      lrawCte,
       """lmu AS (SELECT
         |  CAST(sum(CAST(r1 AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m1,
         |  CAST(sum(CAST(r2 AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m2,
@@ -2094,6 +2117,8 @@ object TextAnalysisOps {
          |      FROM lfe f, lw$LrIters w))""".stripMargin
     (header ++ rounds :+ tail).mkString(",\n")
   }
+
+  private val lrCtes: String = lrCtesFrom(lrawFromQualCte)
 
   val qualityClassifierSql: String =
     s"""WITH $qualityCtes,
@@ -2299,8 +2324,16 @@ object TextAnalysisOps {
     val w = qualityLrModel(spark, dir)
     val zc = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
       lit(w(3)) * col("x3") + lit(w(4)) * col("x4")
-    val hist = lrFeats(spark, dir)
-      .select(qkeyOf(r6(sigma(zc))).as("qkey"), col("y"))
+    aucOf(lrFeats(spark, dir).select(sigma(zc).as("p"), col("y")))
+  }
+
+  /** The exact tie-aware AUC of ANY (p unrounded, y) frame — the
+    * histogram machinery above factored so q96 (full-corpus) and q132
+    * (train/holdout populations) share one implementation. Returns one
+    * row (n_pos, n_neg, n_keys, auc[r6]). */
+  private def aucOf(scored: DataFrame): DataFrame = {
+    val hist = scored
+      .select(qkeyOf(r6(col("p"))).as("qkey"), col("y"))
       .groupBy("qkey")
       .agg(sum(col("y")).cast("long").as("pos"),
         sum(lit(1.0) - col("y")).cast("long").as("neg"))
@@ -2320,28 +2353,128 @@ object TextAnalysisOps {
             (lit(2.0) * col("n_pos") * col("n_neg")))).as("auc"))
   }
 
-  val classifierAucSql: String =
-    s"""WITH $qualityCtes,
-       |$lrCtes,
-       |ahist AS (SELECT
+  // ---- q132: leakage-safe holdout evaluation (train/holdout AUC gap) ------
+
+  private val holdoutLrCache = Memo.plain[Array[Double]]()
+
+  /** q132: the evaluation discipline every learned filter needs before
+    * anyone trusts its 100 TB verdicts — train the q91 classifier on the
+    * q76 TRAIN split only (cluster-atomic, so near-dups of holdout docs
+    * can't leak into training), freeze the train split's standardization
+    * stats, score BOTH splits with the frozen model, and report exact
+    * tie-aware AUC on each plus the generalization gap. q96's full-corpus
+    * AUC evaluates on the training population; this is the number that
+    * catches a filter that memorized its corpus.
+    *
+    * Scale shape: split assignment rides the memoized q49 label frame
+    * (row-local md5 bucketing after one join); training is the same
+    * 8-aggregate GD over the train subset; each AUC is the q96 histogram
+    * decomposition (≤10⁶ integer keys, never corpus-pairwise). */
+  /** (train, holdout) frames of (doc_id, p unrounded, y) under the
+    * train-split-trained, train-stats-standardized model — the spec
+    * brute-forces the pairwise AUC from these. */
+  private[graft] def holdoutScoredFrames(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val splits = DedupOps.leakageSafeSplits(spark, dir).select("doc_id", "split")
+    val raw = lrRawOf(docs(spark, dir)).join(splits, "doc_id")
+    val rawTrain = raw.filter(col("split") === "train")
+    val stats = lrStatsOf(rawTrain)
+    val w = holdoutLrCache.getOrElseUpdate(
+      s"${spark.sparkContext.applicationId}:$dir",
+      lrTrainOn(lrFeatsOf(rawTrain, stats)))
+    def scored(pop: DataFrame): DataFrame = {
+      val zc = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+        lit(w(3)) * col("x3") + lit(w(4)) * col("x4")
+      lrFeatsOf(pop, stats).select(col("doc_id"), sigma(zc).as("p"), col("y"))
+    }
+    (scored(rawTrain), scored(raw.filter(col("split") === "holdout")))
+  }
+
+  def holdoutAuc(spark: SparkSession, dir: String): DataFrame = {
+    val (st, sh) = holdoutScoredFrames(spark, dir)
+    val t = aucOf(st)
+      .select((col("n_pos") + col("n_neg")).as("n_train"),
+        col("auc").as("auc_train"))
+    val h = aucOf(sh)
+      .select((col("n_pos") + col("n_neg")).as("n_holdout"),
+        col("auc").as("auc_holdout"))
+    t.crossJoin(h).select(
+      col("n_train"), col("n_holdout"), col("auc_train"), col("auc_holdout"),
+      r6(col("auc_train") - col("auc_holdout")).as("auc_gap"))
+  }
+
+  /** The q96 AUC histogram block over a (doc, y, p) CTE `scored`,
+    * prefixed so q132 can instantiate it twice in one query — ends in
+    * `${pfx}tot(n_pos, n_neg, n_keys, num2)`. */
+  private def aucSqlBlock(scored: String, pfx: String): String =
+    s"""${pfx}hist AS (SELECT
        |    CAST(floor((floor(p * 1000000 + 0.5) / 1000000) * 1000000 + 0.5) AS BIGINT) AS qkey,
        |    CAST(sum(CAST(y AS BIGINT)) AS BIGINT) AS pos,
        |    CAST(sum(1 - CAST(y AS BIGINT)) AS BIGINT) AS neg
-       |  FROM lscored GROUP BY 1),
-       |acum AS (SELECT pos, neg,
+       |  FROM $scored GROUP BY 1),
+       |${pfx}cum AS (SELECT pos, neg,
        |    CAST(COALESCE(sum(neg) OVER
        |      (ORDER BY qkey ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumneg
-       |  FROM ahist),
-       |atot AS (SELECT
+       |  FROM ${pfx}hist),
+       |${pfx}tot AS (SELECT
        |    CAST(sum(pos) AS BIGINT) AS n_pos, CAST(sum(neg) AS BIGINT) AS n_neg,
        |    CAST(count(*) AS BIGINT) AS n_keys,
        |    sum(CAST(pos AS DECIMAL(38,0)) * CAST(cumneg * 2 + neg AS DECIMAL(38,0))) AS num2
-       |  FROM acum)
+       |  FROM ${pfx}cum)""".stripMargin
+
+  /** r6'd AUC select expression over `${pfx}tot`. */
+  private def aucSqlExpr(pfx: String): String =
+    s"""CASE WHEN ${pfx}tot.n_pos = 0 OR ${pfx}tot.n_neg = 0 THEN 0.5
+       |       ELSE floor((CAST(${pfx}tot.num2 AS DOUBLE) / (2.0 * ${pfx}tot.n_pos * ${pfx}tot.n_neg)) * 1000000 + 0.5) / 1000000
+       |  END""".stripMargin
+
+  val classifierAucSql: String =
+    s"""WITH $qualityCtes,
+       |$lrCtes,
+       |${aucSqlBlock("lscored", "a")}
        |SELECT n_pos, n_neg, n_keys,
-       |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0.5
-       |       ELSE floor((CAST(num2 AS DOUBLE) / (2.0 * n_pos * n_neg)) * 1000000 + 0.5) / 1000000
-       |  END AS auc
+       |  ${aucSqlExpr("a")} AS auc
        |FROM atot""".stripMargin
+
+  /** q132 oracle: q76's split assignment (cluster-atomic md5 buckets over
+    * the unrolled label propagation), training unrolled over the TRAIN
+    * population only, holdout standardized with the train stats and
+    * scored with the final weights, the q96 AUC block instantiated per
+    * split. */
+  val holdoutAucSql: String =
+    s"""WITH $qualityCtes,
+       |${DedupOps.dupLabelCtes},
+       |tsp AS MATERIALIZED (SELECT doc_id,
+       |          CASE WHEN CAST(('0x' || substring(md5(CAST(label AS VARCHAR)), 1, 15)) AS BIGINT)
+       |                    % ${DedupOps.SplitBuckets} < ${DedupOps.TrainBuckets}
+       |               THEN 'train' ELSE 'holdout' END AS split
+       |        FROM l${DedupOps.ClusterIterations}),
+       |${lrawFromQualCte.replace("lraw AS", "lraw_all AS MATERIALIZED")},
+       |${lrCtesFrom(
+            """lraw AS (SELECT lraw_all.* FROM lraw_all
+              |JOIN tsp USING (doc_id) WHERE split = 'train')""".stripMargin)},
+       |hfe AS (SELECT a.doc_id, a.y,
+       |  CASE WHEN s1 = 0.0 THEN 0.0 ELSE (r1-m1)/s1 END AS x1,
+       |  CASE WHEN s2 = 0.0 THEN 0.0 ELSE (r2-m2)/s2 END AS x2,
+       |  CASE WHEN s3 = 0.0 THEN 0.0 ELSE (r3-m3)/s3 END AS x3,
+       |  CASE WHEN s4 = 0.0 THEN 0.0 ELSE (r4-m4)/s4 END AS x4
+       |FROM lraw_all a JOIN tsp USING (doc_id), lmu, lsd
+       |WHERE split = 'holdout'),
+       |hscored AS (SELECT doc_id, y, 0.5 + z / (2.0 * (1.0 + abs(z))) AS p
+       |FROM (SELECT f.doc_id, f.y,
+       |        w.b + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3 + w.w4*f.x4 AS z
+       |      FROM hfe f, lw$LrIters w)),
+       |${aucSqlBlock("lscored", "t")},
+       |${aucSqlBlock("hscored", "h")},
+       |hsel AS (SELECT
+       |    CAST(ttot.n_pos + ttot.n_neg AS BIGINT) AS n_train,
+       |    CAST(htot.n_pos + htot.n_neg AS BIGINT) AS n_holdout,
+       |    ${aucSqlExpr("t")} AS auc_train,
+       |    ${aucSqlExpr("h")} AS auc_holdout
+       |  FROM ttot, htot)
+       |SELECT n_train, n_holdout, auc_train, auc_holdout,
+       |  floor((auc_train - auc_holdout) * 1000000 + 0.5) / 1000000 AS auc_gap
+       |FROM hsel""".stripMargin
 
   // ---- q92/q93: learned BPE merge table + tokens under the learned vocab --
 
@@ -2770,6 +2903,7 @@ object TextAnalysisOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q126_truncation_loss" -> (truncationLoss _),
     "q127_gopher_rules" -> (gopherRules _),
+    "q132_holdout_auc" -> (holdoutAuc _),
     "q96_classifier_auc" -> (classifierAuc _),
     "q95_classifier_calibration" -> (classifierCalibration _),
     "q108_calibrated_threshold" -> (calibratedThreshold _),
@@ -2813,6 +2947,7 @@ object TextAnalysisOps {
   val oracles: Map[String, String] = Map(
     "q126_truncation_loss" -> truncationLossSql,
     "q127_gopher_rules" -> gopherRulesSql,
+    "q132_holdout_auc" -> holdoutAucSql,
     "q96_classifier_auc" -> classifierAucSql,
     "q95_classifier_calibration" -> classifierCalibrationSql,
     "q108_calibrated_threshold" -> calibratedThresholdSql,

@@ -194,6 +194,39 @@ class Round8bSpec extends SparkSpec {
     }
   }
 
+  test("q132 holdout AUC matches a brute-force pairwise recount; splits tie to q76") {
+    import graft.operators.{DedupOps, TextAnalysisOps}
+    val row = TextAnalysisOps.holdoutAuc(spark, dir).collect().head
+    val splitCounts = DedupOps.leakageSafeSplits(spark, dir).collect()
+      .groupBy(_.getAs[String]("split")).view.mapValues(_.length.toLong).toMap
+    assert(row.getAs[Long]("n_train") == splitCounts("train"))
+    assert(row.getAs[Long]("n_holdout") == splitCounts("holdout"))
+
+    // Brute-force tie-aware Mann-Whitney AUC over the quantized scores
+    // (the declared statistic) on the holdout population.
+    val (_, sh) = TextAnalysisOps.holdoutScoredFrames(spark, dir)
+    val scored = sh.collect().map { r =>
+      (math.floor(math.floor(r.getAs[Double]("p") * 1e6 + 0.5) / 1e6 * 1e6 + 0.5).toLong,
+        r.getAs[Double]("y"))
+    }
+    val pos = scored.filter(_._2 == 1.0).map(_._1)
+    val neg = scored.filter(_._2 == 0.0).map(_._1)
+    val expected =
+      if (pos.isEmpty || neg.isEmpty) 0.5
+      else {
+        val num = (for (p <- pos; n <- neg) yield
+          if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+        val auc = num / (pos.length.toDouble * neg.length)
+        math.floor(auc * 1e6 + 0.5) / 1e6
+      }
+    assert(row.getAs[Double]("auc_holdout") == expected,
+      s"holdout auc ${row.getAs[Double]("auc_holdout")} != pairwise $expected " +
+        s"(${pos.length} pos, ${neg.length} neg)")
+    assert(math.abs(row.getAs[Double]("auc_gap") -
+      (math.floor((row.getAs[Double]("auc_train") - row.getAs[Double]("auc_holdout"))
+        * 1e6 + 0.5) / 1e6)) < 1e-12)
+  }
+
   test("q131 dormant high-balance segments match a sequential recount") {
     val custs = spark.read.parquet(s"$dir/customer.parquet").collect()
       .map(r => (r.getAs[Long]("c_custkey"), r.getAs[String]("c_mktsegment"),
