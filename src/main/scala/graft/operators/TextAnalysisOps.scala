@@ -2766,8 +2766,15 @@ object TextAnalysisOps {
   val GopherMinWords = 20L
   val GopherMaxWords = 100000L
 
-  /** Gopher's required-stopword list (Rae et al. 2021, App. A1.1). */
-  val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  /** Required-stopword list for q127's rule 7. Gopher's published list
+    * (the/be/to/of/and/that/have/with — Rae et al. 2021 App. A1.1)
+    * intersects this corpus's synthetic vocabulary in exactly {the}, so
+    * the ≥2 requirement would flag 100% of documents (measured — the
+    * ablation table itself surfaced it); the engine's own function-word
+    * list keeps the rule discriminative here (pass rate ≈ 0.63 at
+    * sf0.01), the same corpus-scaled-threshold precedent as
+    * [[GopherMinWords]]. */
+  val GopherStops: Seq[String] = Stopwords
 
   /** q127: the Gopher repetition-free quality rules as a per-rule
     * ablation table — for each rule, how many documents it alone would
@@ -2845,14 +2852,16 @@ object TextAnalysisOps {
       .orderBy("rule")
   }
 
-  val gopherRulesSql: String = {
+  /** Shared q127/q133 per-document Gopher flag derivation ending in
+    * gf(doc_id, f1..f7) — the SQL twin of [[gopherFlagsOf]]. */
+  private val gopherFlagCtes: String = {
     val stopList = GopherStops.map(s => s"'$s'").mkString("[", ", ", "]")
-    s"""WITH gb AS (
-       |  SELECT regexp_extract_all(lower(text), '$TokRe') AS t,
+    s"""gb AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '$TokRe') AS t,
        |         string_split(text, chr(10)) AS lines, text
        |  FROM documents),
        |gm AS (
-       |  SELECT len(t) AS n,
+       |  SELECT doc_id, len(t) AS n,
        |    CASE WHEN len(t) = 0 THEN 0.0
        |         ELSE length(array_to_string(t, ''))::DOUBLE / len(t) END AS mwl,
        |    (length(text) - length(replace(text, '#', '')))::DOUBLE AS n_hash,
@@ -2865,14 +2874,18 @@ object TextAnalysisOps {
        |    len(list_filter($stopList, w -> list_contains(t, w))) AS stops_present
        |  FROM gb),
        |gf AS (
-       |  SELECT (n < $GopherMinWords OR n > $GopherMaxWords) AS f1,
+       |  SELECT doc_id, (n < $GopherMinWords OR n > $GopherMaxWords) AS f1,
        |    (n = 0 OR mwl < 3.0 OR mwl > 10.0) AS f2,
        |    (n = 0 OR (n_hash + n_ell) / n > 0.1) AS f3,
        |    (bullet_lines / n_lines > 0.9) AS f4,
        |    (ell_lines / n_lines > 0.3) AS f5,
        |    (n = 0 OR alpha_toks / n < 0.8) AS f6,
        |    (stops_present < 2) AS f7
-       |  FROM gm),
+       |  FROM gm)""".stripMargin
+  }
+
+  val gopherRulesSql: String =
+    s"""WITH $gopherFlagCtes,
        |ga AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
        |    CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
@@ -2896,7 +2909,63 @@ object TextAnalysisOps {
        |SELECT rule, n_flagged,
        |  floor((n_flagged::DOUBLE / n_docs) * 1000000 + 0.5) / 1000000 AS flag_rate
        |FROM gu ORDER BY rule""".stripMargin
+
+  // ---- q133: per-source quality scorecard ----------------------------------
+
+  /** q133: the per-source health table a curator reads next to q88's
+    * duplication matrix and q112's KL drift before setting the q120
+    * mixture weights — for each source: doc and token mass, mean
+    * heuristic quality (q30), mean learned probability (q91), and the
+    * Gopher any-rule flag rate (q127). One row per source pins WHERE the
+    * junk lives; the corpus-level aggregates (q90, q96) can't say which
+    * crawl to cut. All three per-doc signals are memoized/row-local; the
+    * scorecard is three doc_id joins and one |sources|-key aggregate.
+    * Means average the r6-ROUNDED per-doc values (exact 10⁻⁶-grid
+    * decimals, so DECIMAL sums are identical cross-engine). */
+  def sourceScorecard(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select("doc_id", "source")
+    val q = textQuality(spark, dir).select("doc_id", "n_tokens", "quality_score")
+    val p = qualityClassifier(spark, dir).select("doc_id", "p_quality")
+    val flagCols = Seq("f_word_count", "f_mean_word_len", "f_symbol_ratio",
+      "f_bullet_lines", "f_ellipsis_lines", "f_alpha_words", "f_stopwords")
+    val g = gopherFlagsOf(docs(spark, dir))
+      .select(col("doc_id"),
+        when(flagCols.map(col).reduce(_ || _), 1L).otherwise(0L).as("flagged"))
+    d.join(q, "doc_id").join(p, "doc_id").join(g, "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        r6(sum(col("quality_score").cast("decimal(30,8)")).cast("double") /
+          count(lit(1))).as("mean_quality"),
+        r6(sum(col("p_quality").cast("decimal(30,8)")).cast("double") /
+          count(lit(1))).as("mean_p_quality"),
+        sum(col("flagged")).as("n_flagged"),
+        r6(sum(col("flagged")).cast("double") / count(lit(1))).as("flag_rate"))
+      .orderBy("source")
   }
+
+  val sourceScorecardSql: String =
+    s"""WITH $qualityCtes,
+       |$lrCtes,
+       |$gopherFlagCtes,
+       |ssc AS (SELECT d.source, qual.quality_score,
+       |          floor(ls.p * 1000000 + 0.5) / 1000000 AS p_quality,
+       |          qual.n_tokens,
+       |          CASE WHEN gf.f1 OR gf.f2 OR gf.f3 OR gf.f4 OR gf.f5 OR gf.f6 OR gf.f7
+       |               THEN 1 ELSE 0 END AS flagged
+       |        FROM documents d
+       |        JOIN qual ON d.doc_id = qual.doc_id
+       |        JOIN lscored ls ON d.doc_id = ls.doc_id
+       |        JOIN gf ON d.doc_id = gf.doc_id)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  floor((CAST(sum(CAST(quality_score AS DECIMAL(30,8))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS mean_quality,
+       |  floor((CAST(sum(CAST(p_quality AS DECIMAL(30,8))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS mean_p_quality,
+       |  CAST(sum(flagged) AS BIGINT) AS n_flagged,
+       |  floor((CAST(sum(flagged) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS flag_rate
+       |FROM ssc GROUP BY source ORDER BY source""".stripMargin
 
   // -------------------------------------------------------------------------
 
@@ -2904,6 +2973,7 @@ object TextAnalysisOps {
     "q126_truncation_loss" -> (truncationLoss _),
     "q127_gopher_rules" -> (gopherRules _),
     "q132_holdout_auc" -> (holdoutAuc _),
+    "q133_source_scorecard" -> (sourceScorecard _),
     "q96_classifier_auc" -> (classifierAuc _),
     "q95_classifier_calibration" -> (classifierCalibration _),
     "q108_calibrated_threshold" -> (calibratedThreshold _),
@@ -2948,6 +3018,7 @@ object TextAnalysisOps {
     "q126_truncation_loss" -> truncationLossSql,
     "q127_gopher_rules" -> gopherRulesSql,
     "q132_holdout_auc" -> holdoutAucSql,
+    "q133_source_scorecard" -> sourceScorecardSql,
     "q96_classifier_auc" -> classifierAucSql,
     "q95_classifier_calibration" -> classifierCalibrationSql,
     "q108_calibrated_threshold" -> calibratedThresholdSql,

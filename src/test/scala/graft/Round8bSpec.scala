@@ -227,6 +227,33 @@ class Round8bSpec extends SparkSpec {
         * 1e6 + 0.5) / 1e6)) < 1e-12)
   }
 
+  test("q133 scorecard recounts from the per-doc signal frames") {
+    import graft.operators.TextAnalysisOps
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+    val src = d.select("doc_id", "source").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    val qual = TextAnalysisOps.textQuality(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Double]("quality_score"))).toMap
+    val flagCols = Seq("f_word_count", "f_mean_word_len", "f_symbol_ratio",
+      "f_bullet_lines", "f_ellipsis_lines", "f_alpha_words", "f_stopwords")
+    val flagged = TextAnalysisOps.gopherFlagsOf(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        flagCols.exists(r.getAs[Boolean](_))).toMap
+    val rows = TextAnalysisOps.sourceScorecard(spark, dir).collect()
+    assert(rows.map(_.getAs[String]("source")).toSet == src.values.toSet)
+    rows.foreach { r =>
+      val s = r.getAs[String]("source")
+      val members = src.collect { case (id, `s`) => id }.toSeq
+      assert(r.getAs[Long]("n_docs") == members.size)
+      assert(r.getAs[Long]("n_tokens") == members.map(qual(_)._1).sum)
+      assert(r.getAs[Long]("n_flagged") == members.count(flagged))
+      val mq = math.floor(members.map(m => BigDecimal(qual(m)._2)).sum.toDouble /
+        members.size * 1e6 + 0.5) / 1e6
+      assert(r.getAs[Double]("mean_quality") == mq, s"mean_quality $s")
+    }
+  }
+
   test("q131 dormant high-balance segments match a sequential recount") {
     val custs = spark.read.parquet(s"$dir/customer.parquet").collect()
       .map(r => (r.getAs[Long]("c_custkey"), r.getAs[String]("c_mktsegment"),
