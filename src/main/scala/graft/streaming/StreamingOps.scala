@@ -474,6 +474,22 @@ object StreamingOps {
       .select(col("doc_id"), p.as("p_quality"), pred.as("pred_label"))
   }
 
+  /** Streaming Gopher-rule gate: the q127 heuristics as an ingest filter.
+    * Every flag is row-local column arithmetic over the SAME
+    * [[graft.operators.TextAnalysisOps.gopherFlagsOf]] derivation the
+    * batch ablation uses (batch and stream can't drift), so the gate is
+    * stateless — no watermark, no shuffle, pure codegen projection per
+    * micro-batch. Emits the per-rule flags plus the keep verdict
+    * (kept = no rule fired); a production ingest filters on `kept` and
+    * ships the flag columns to the q127 monitoring sink. */
+  def gopherGate(docs: DataFrame): DataFrame = {
+    import graft.operators.TextAnalysisOps
+    val flagCols = Seq("f_word_count", "f_mean_word_len", "f_symbol_ratio",
+      "f_bullet_lines", "f_ellipsis_lines", "f_alpha_words", "f_stopwords")
+    TextAnalysisOps.gopherFlagsOf(docs)
+      .withColumn("kept", !flagCols.map(col).reduce(_ || _))
+  }
+
   /** Gap-based sessions via the native session_window (30-minute gap).
     * Boundary semantics differ slightly from the batch formulation
     * (EventsOps.userSessions): session_window splits at gaps >= 30 min on

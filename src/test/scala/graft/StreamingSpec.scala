@@ -270,6 +270,38 @@ class StreamingSpec extends SparkSpec {
       "stream-scored documents diverged from the batch frozen-model scores")
   }
 
+  test("streaming Gopher gate flags equal the batch ablation's per-doc flags") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    import graft.operators.TextAnalysisOps
+
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val (first, second) = docs.splitAt(docs.size / 2)
+
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamingOps.gopherGate(stream.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gopher_gate_out").start()
+    try {
+      stream.addData(first); q.processAllAvailable()
+      stream.addData(second); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("gopher_gate_out")
+    val flagCols = Seq("f_word_count", "f_mean_word_len", "f_symbol_ratio",
+      "f_bullet_lines", "f_ellipsis_lines", "f_alpha_words", "f_stopwords")
+    val batch = TextAnalysisOps.gopherFlagsOf(
+        spark.read.parquet(s"$dir/documents.parquet"))
+      .withColumn("kept", !flagCols.map(col).reduce(_ || _))
+    assert(streamed.count() == docs.size.toLong)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stream-gated flags diverged from the batch q127 derivation")
+    // The gate actually gates: both verdicts occur on this corpus.
+    val kept = spark.table("gopher_gate_out").filter(col("kept")).count()
+    assert(kept > 0 && kept < docs.size, s"degenerate gate: kept=$kept")
+  }
+
   test("streaming embedding gate: buckets match batch; one survivor per bucket") {
     implicit val sqlCtx = spark.sqlContext
     val dir = "/root/testdata/sf0.001"
