@@ -2910,6 +2910,133 @@ object TextAnalysisOps {
        |  floor((n_flagged::DOUBLE / n_docs) * 1000000 + 0.5) / 1000000 AS flag_rate
        |FROM gu ORDER BY rule""".stripMargin
 
+  // ---- q134: Heaps'-law vocabulary growth ----------------------------------
+
+  /** q134: the vocabulary-growth diagnostic that pairs with q87's Zipf
+    * slope — cumulative vocabulary V and token mass T at ten corpus
+    * prefixes (doc_id deciles, the ingest order), plus the fitted Heaps
+    * exponent β of ln V on ln T. Healthy natural text sits near
+    * β ≈ 0.4–0.6; β falling toward 0 across ingest batches means the
+    * crawl stopped discovering language (template flood); β near 1 means
+    * vocabulary explosion (OCR noise, ID spam). V(prefix) needs no
+    * per-prefix distinct: a type is in V(k) iff its FIRST occurrence
+    * doc precedes threshold t_k, so one type-scale min(doc_id)
+    * aggregate answers all ten prefixes.
+    *
+    * The fitted axis is word TRIGRAM types (q57's granularity): this
+    * corpus's 31-word synthetic unigram vocabulary saturates inside the
+    * first decile — the honest β = 0 degenerate reading — while
+    * trigram types keep being discovered across the whole corpus
+    * (2.4k → 16k at sf0.01), so the exponent is informative. The
+    * unigram column stays in the output as the saturation evidence.
+    *
+    * Scale shape: one (type, min doc_id) aggregate each for unigrams
+    * and trigrams (type-scale output), one row-local doc-length
+    * projection; the decile assignment is a 10× explode carrying only
+    * (long, int) pairs into a 10-key map-side-combined aggregate — no
+    * non-equi join anywhere; the fit runs q87's DECIMAL moment
+    * machinery over exactly 10 points. */
+  def heapsLaw(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = docs(spark, dir)
+    val nDocs = d.agg(count(lit(1)).as("n"))
+    val th = (1 to 10).toDF("k").crossJoin(broadcast(nDocs))
+      .select(col("k"),
+        floor((col("n") * col("k")).cast("double") / 10.0).cast("long").as("t"))
+    val ks = explode(lit((1 to 10).toArray)).as("k")
+    val firstSeen = d
+      .select(col("doc_id"), explode(TextOps.tokenize(col("text"))).as("term"))
+      .groupBy("term").agg(min("doc_id").as("first_seen"))
+    val vocabCum = firstSeen.select(col("first_seen"), ks)
+      .join(broadcast(th), "k")
+      .filter(col("first_seen") < col("t"))
+      .groupBy("k", "t").agg(count(lit(1)).as("vocab_cum"))
+    val triFirstSeen = d
+      .select(col("doc_id"), TextOps.tokenize(col("text")).as("tt"))
+      .filter(size(col("tt")) >= 3)
+      .select(col("doc_id"), col("tt"),
+        explode(sequence(lit(1), size(col("tt")) - 2)).as("i"))
+      .select(col("doc_id"), concat_ws(" ",
+        element_at(col("tt"), col("i")),
+        element_at(col("tt"), col("i") + 1),
+        element_at(col("tt"), col("i") + 2)).as("g"))
+      .groupBy("g").agg(min("doc_id").as("first_seen"))
+    val triCum = triFirstSeen.select(col("first_seen"), ks)
+      .join(broadcast(th), "k")
+      .filter(col("first_seen") < col("t"))
+      .groupBy("k").agg(count(lit(1)).as("trigram_cum"))
+    val tokCum = d
+      .select(col("doc_id"), size(TextOps.tokenize(col("text"))).cast("long").as("dl"))
+      .select(col("doc_id"), col("dl"), ks)
+      .join(broadcast(th), "k")
+      .filter(col("doc_id") < col("t"))
+      .groupBy("k").agg(sum(col("dl")).as("tokens_cum"))
+    val pts = vocabCum.join(triCum, "k").join(tokCum, "k")
+      .select(col("k").cast("long").as("decile"), col("t").as("threshold"),
+        col("tokens_cum"), col("vocab_cum"), col("trigram_cum"),
+        log(col("tokens_cum").cast("double")).as("x"),
+        log(col("trigram_cum").cast("double")).as("y"))
+    val m = pts.agg(count(lit(1)).as("n"), dsum(col("x")).as("sx"),
+      dsum(col("y")).as("sy"), dsum(col("x") * col("y")).as("sxy"),
+      dsum(col("x") * col("x")).as("sxx"), dsum(col("y") * col("y")).as("syy"))
+    val dxx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dyy = col("n") * col("syy") - col("sy") * col("sy")
+    val dxy = col("n") * col("sxy") - col("sx") * col("sy")
+    val fit = m.select(
+      r6(when(dxx === 0.0, 0.0).otherwise(dxy / dxx)).as("beta"),
+      r6(when(dxx === 0.0 || dyy === 0.0, 0.0)
+        .otherwise(dxy * dxy / (dxx * dyy))).as("r2"))
+    pts.select("decile", "threshold", "tokens_cum", "vocab_cum", "trigram_cum")
+      .crossJoin(broadcast(fit))
+      .orderBy("decile")
+  }
+
+  val heapsLawSql: String =
+    s"""WITH hn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |hth AS (SELECT k, CAST(floor((n * k)::DOUBLE / 10.0) AS BIGINT) AS t
+       |        FROM (SELECT unnest(range(1, 11)) AS k), hn),
+       |hfs AS (SELECT term, min(doc_id) AS first_seen
+       |        FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '$TokRe')) AS term
+       |              FROM documents)
+       |        GROUP BY term),
+       |hv AS (SELECT k, t, CAST(count(*) AS BIGINT) AS vocab_cum
+       |       FROM hth JOIN hfs ON first_seen < t GROUP BY k, t),
+       |htfs AS (SELECT g, min(doc_id) AS first_seen
+       |         FROM (SELECT doc_id, array_to_string(t[i : i + 2], ' ') AS g
+       |               FROM (SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+       |                     FROM (SELECT doc_id, regexp_extract_all(lower(text), '$TokRe') AS t
+       |                           FROM documents)
+       |                     WHERE len(t) >= 3))
+       |         GROUP BY g),
+       |htri AS (SELECT k, CAST(count(*) AS BIGINT) AS trigram_cum
+       |         FROM hth JOIN htfs ON first_seen < t GROUP BY k),
+       |hdl AS (SELECT doc_id, len(regexp_extract_all(lower(text), '$TokRe')) AS dl
+       |        FROM documents),
+       |ht AS (SELECT k, CAST(sum(dl) AS BIGINT) AS tokens_cum
+       |       FROM hth JOIN hdl ON doc_id < t GROUP BY k),
+       |hp AS (SELECT CAST(k AS BIGINT) AS decile, t AS threshold, tokens_cum, vocab_cum,
+       |         trigram_cum,
+       |         ln(tokens_cum::DOUBLE) AS x, ln(trigram_cum::DOUBLE) AS y
+       |       FROM hv JOIN htri USING (k) JOIN ht USING (k)),
+       |hm AS (SELECT count(*) AS n,
+       |         CAST(sum(CAST(x AS DECIMAL(30,8))) AS DOUBLE) AS sx,
+       |         CAST(sum(CAST(y AS DECIMAL(30,8))) AS DOUBLE) AS sy,
+       |         CAST(sum(CAST(x * y AS DECIMAL(30,8))) AS DOUBLE) AS sxy,
+       |         CAST(sum(CAST(x * x AS DECIMAL(30,8))) AS DOUBLE) AS sxx,
+       |         CAST(sum(CAST(y * y AS DECIMAL(30,8))) AS DOUBLE) AS syy
+       |       FROM hp),
+       |hfit AS (SELECT
+       |    floor((CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+       |                ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END) * 1000000 + 0.5)
+       |      / 1000000 AS beta,
+       |    floor((CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0.0
+       |                ELSE (n * sxy - sx * sy) * (n * sxy - sx * sy) /
+       |                  ((n * sxx - sx * sx) * (n * syy - sy * sy)) END) * 1000000 + 0.5)
+       |      / 1000000 AS r2
+       |  FROM hm)
+       |SELECT decile, threshold, tokens_cum, vocab_cum, trigram_cum, beta, r2
+       |FROM hp, hfit ORDER BY decile""".stripMargin
+
   // ---- q133: per-source quality scorecard ----------------------------------
 
   /** q133: the per-source health table a curator reads next to q88's
@@ -2974,6 +3101,7 @@ object TextAnalysisOps {
     "q127_gopher_rules" -> (gopherRules _),
     "q132_holdout_auc" -> (holdoutAuc _),
     "q133_source_scorecard" -> (sourceScorecard _),
+    "q134_heaps_law" -> (heapsLaw _),
     "q96_classifier_auc" -> (classifierAuc _),
     "q95_classifier_calibration" -> (classifierCalibration _),
     "q108_calibrated_threshold" -> (calibratedThreshold _),
@@ -3019,6 +3147,7 @@ object TextAnalysisOps {
     "q127_gopher_rules" -> gopherRulesSql,
     "q132_holdout_auc" -> holdoutAucSql,
     "q133_source_scorecard" -> sourceScorecardSql,
+    "q134_heaps_law" -> heapsLawSql,
     "q96_classifier_auc" -> classifierAucSql,
     "q95_classifier_calibration" -> classifierCalibrationSql,
     "q108_calibrated_threshold" -> calibratedThresholdSql,

@@ -254,6 +254,55 @@ class Round8bSpec extends SparkSpec {
     }
   }
 
+  test("q134 Heaps curve recounts sequentially; fit recomputes from the points") {
+    import graft.operators.TextAnalysisOps
+    val rows = TextAnalysisOps.heapsLaw(spark, dir).collect().sortBy(_.getAs[Long]("decile"))
+    assert(rows.length == 10)
+
+    // Sequential recount: trigram first-occurrence scan in doc order.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text"))).sortBy(_._1)
+    val n = docs.length.toLong
+    val firstSeen = scala.collection.mutable.Map.empty[(String, String, String), Long]
+    val uniFirst = scala.collection.mutable.Map.empty[String, Long]
+    var tokAt = Map.empty[Long, Long]; var cum = 0L
+    docs.foreach { case (id, text) =>
+      val ws = tok(text)
+      cum += ws.size
+      tokAt += id -> cum
+      ws.foreach(w => if (!uniFirst.contains(w)) uniFirst(w) = id)
+      ws.sliding(3).filter(_.size == 3).foreach { t =>
+        val k = (t(0), t(1), t(2))
+        if (!firstSeen.contains(k)) firstSeen(k) = id
+      }
+    }
+    rows.foreach { r =>
+      val t = math.floor(n.toDouble * r.getAs[Long]("decile") / 10.0).toLong
+      assert(r.getAs[Long]("threshold") == t)
+      assert(r.getAs[Long]("vocab_cum") == uniFirst.values.count(_ < t).toLong)
+      assert(r.getAs[Long]("trigram_cum") == firstSeen.values.count(_ < t).toLong,
+        s"trigram_cum at decile ${r.getAs[Long]("decile")}")
+      assert(r.getAs[Long]("tokens_cum") ==
+        docs.filter(_._1 < t).map(d => tok(d._2).size.toLong).sum)
+    }
+
+    // The fit recomputes from the ten (ln T, ln V3) points.
+    val xs = rows.map(r => math.log(r.getAs[Long]("tokens_cum").toDouble))
+    val ys = rows.map(r => math.log(r.getAs[Long]("trigram_cum").toDouble))
+    val m = 10.0
+    def d8(v: Double) = BigDecimal(v).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    val (sx, sy) = (xs.map(d8).sum.toDouble, ys.map(d8).sum.toDouble)
+    val sxy = xs.zip(ys).map { case (a, b) => d8(a * b) }.sum.toDouble
+    val sxx = xs.map(a => d8(a * a)).sum.toDouble
+    val beta = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    assert(math.abs(rows.head.getAs[Double]("beta") - beta) < 2e-6,
+      s"beta ${rows.head.getAs[Double]("beta")} != recomputed $beta")
+    assert(rows.head.getAs[Double]("beta") > 0.5 &&
+      rows.head.getAs[Double]("beta") < 1.0, "Heaps exponent in the plausible band")
+    assert(rows.head.getAs[Double]("r2") > 0.9, "near-power-law growth expected")
+  }
+
   test("q131 dormant high-balance segments match a sequential recount") {
     val custs = spark.read.parquet(s"$dir/customer.parquet").collect()
       .map(r => (r.getAs[Long]("c_custkey"), r.getAs[String]("c_mktsegment"),
