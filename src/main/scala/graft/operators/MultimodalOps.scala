@@ -347,7 +347,79 @@ object MultimodalOps {
 
   // -------------------------------------------------------------------------
 
+  // ---- q135: strided audio-frame energy (windowed feature extraction) -----
+
+  /** Frame length / hop (bytes) for q135's 50%-overlap framing. */
+  val FrameLen = 16
+  val FrameHop = 8
+
+  /** RMS "activity" threshold — between the space-heavy (~90) and
+    * letter-dense (~105+) frame regimes of ASCII text, so both verdicts
+    * occur on the stand-in payload. */
+  val ActiveRms = 100.0
+
+  /** q135: the audio-modality shape the image tier (q80) doesn't cover —
+    * WINDOWED per-frame feature extraction over an opaque byte payload:
+    * 16-byte frames at 8-byte hop (50% overlap, the spectrogram
+    * framing), per-frame RMS energy, per-document frame stats + an
+    * active-frame count (the voice-activity-detection primitive). The
+    * payload is the documents table's utf-8 bytes standing in for PCM
+    * samples (same stub contract as q71): byte k of the payload is
+    * ascii(char k) on this ASCII corpus, so the whole framing unrolls
+    * into exact integer scalar expressions — ord/ascii agree across
+    * engines, the sum of 16 squares is exact, and sqrt of identical
+    * integers is identical IEEE doubles.
+    *
+    * Scale shape: frame explosion is explode(sequence) + 16 unrolled
+    * scalar terms (whole-stage codegen, the q34 blockwise idiom — no
+    * per-byte HOF), carrying (doc_id, frame ss) longs into one map-side
+    * combined groupBy; per-frame RMS doubles are bit-identical
+    * cross-engine so the DECIMAL mean is order-free. */
+  def audioFrameEnergy(spark: SparkSession, dir: String): DataFrame = {
+    val len = length(col("text"))
+    val nFrames = when(len >= FrameLen,
+      floor((len - FrameLen).cast("double") / FrameHop).cast("long") + 1L)
+      .otherwise(0L)
+    val framed = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), nFrames.as("nf"))
+      .filter(col("nf") > 0)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), col("nf") - 1L)).as("j"))
+    val ss = (0 until FrameLen).map { k =>
+      val a = ascii(col("text").substr(col("j") * FrameHop + 1 + k, lit(1)))
+      (a * a).cast("long")
+    }.reduce(_ + _)
+    val rms = sqrt(ss.cast("double") / FrameLen)
+    framed
+      .select(col("doc_id"), rms.as("rms"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_frames"),
+        r6(dsum(col("rms")) / count(lit(1))).as("mean_rms"),
+        r6(max(col("rms"))).as("max_rms"),
+        sum(when(col("rms") > ActiveRms, 1L).otherwise(0L)).as("n_active"))
+      .orderBy("doc_id")
+  }
+
+  val audioFrameEnergySql: String = {
+    val ssTerms = (0 until FrameLen)
+      .map(k => s"ord(substring(text, CAST(j * $FrameHop + ${1 + k} AS INTEGER), 1)) ^ 2")
+      .mkString(" + ")
+    s"""WITH af AS (SELECT doc_id, text,
+       |              CAST(floor((length(text) - $FrameLen)::DOUBLE / $FrameHop) AS BIGINT) + 1 AS nf
+       |            FROM documents WHERE length(text) >= $FrameLen),
+       |afr AS (SELECT doc_id, sqrt(CAST($ssTerms AS DOUBLE) / $FrameLen) AS rms
+       |        FROM (SELECT doc_id, text, unnest(range(0, nf)) AS j FROM af))
+       |SELECT doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_frames,
+       |  floor((CAST(sum(CAST(rms AS DECIMAL(30,8))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS mean_rms,
+       |  floor((max(rms)) * 1000000 + 0.5) / 1000000 AS max_rms,
+       |  CAST(sum(CASE WHEN rms > $ActiveRms THEN 1 ELSE 0 END) AS BIGINT) AS n_active
+       |FROM afr GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_audio_frame_energy" -> (audioFrameEnergy _),
     "q70_media_meta" -> (mediaMeta _),
     "q71_media_features" -> (mediaFeatures _),
     "q72_frame_sample" -> (frameSample _),
@@ -356,6 +428,7 @@ object MultimodalOps {
     "q114_image_keep_best" -> (imageKeepBest _))
 
   val oracles: Map[String, String] = Map(
+    "q135_audio_frame_energy" -> audioFrameEnergySql,
     "q70_media_meta" -> mediaMetaSql,
     "q71_media_features" -> mediaFeaturesSql,
     "q72_frame_sample" -> frameSampleSql,

@@ -303,6 +303,39 @@ class Round8bSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("r2") > 0.9, "near-power-law growth expected")
   }
 
+  test("q135 frame energies recount sequentially; framing covers the payload") {
+    import graft.operators.MultimodalOps
+    val rows = MultimodalOps.audioFrameEnergy(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    docs.foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8").map(_ & 0xff)
+      val nf = if (bytes.length < MultimodalOps.FrameLen) 0
+        else (bytes.length - MultimodalOps.FrameLen) / MultimodalOps.FrameHop + 1
+      if (nf == 0) assert(!rows.contains(id))
+      else {
+        val r = rows(id)
+        assert(r.getAs[Long]("n_frames") == nf.toLong, s"doc $id n_frames")
+        val rms = (0 until nf).map { j =>
+          val ss = (0 until MultimodalOps.FrameLen)
+            .map(k => bytes(j * MultimodalOps.FrameHop + k)).map(b => b.toLong * b).sum
+          math.sqrt(ss.toDouble / MultimodalOps.FrameLen)
+        }
+        assert(r.getAs[Long]("n_active") ==
+          rms.count(_ > MultimodalOps.ActiveRms).toLong, s"doc $id n_active")
+        val meanExp = math.floor(rms.map(v => BigDecimal(v).setScale(8,
+          BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / nf * 1e6 + 0.5) / 1e6
+        assert(r.getAs[Double]("mean_rms") == meanExp, s"doc $id mean_rms")
+      }
+    }
+    // Both activity verdicts occur on the corpus (threshold discriminates).
+    val active = rows.values.map(_.getAs[Long]("n_active")).sum
+    val frames = rows.values.map(_.getAs[Long]("n_frames")).sum
+    assert(active > 0 && active < frames)
+  }
+
   test("q131 dormant high-balance segments match a sequential recount") {
     val custs = spark.read.parquet(s"$dir/customer.parquet").collect()
       .map(r => (r.getAs[Long]("c_custkey"), r.getAs[String]("c_mktsegment"),
