@@ -657,11 +657,60 @@ object RelationalOps {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ---- q136: trailing-window revenue (RANGE frame) -------------------------
+
+  /** Trailing window width in days (inclusive of the current day). */
+  val TrailingDays = 30
+
+  /** q136: per order, the customer's rolling order total over the
+    * TRAILING 30 DAYS — the one window MODE the suite didn't yet
+    * exercise: a RANGE frame (value-based bounds over the time axis),
+    * unlike q05's ROWS running frame. The distinction is semantic, not
+    * cosmetic: two same-day orders are in each other's frame regardless
+    * of tie order, so the result is deterministic without a tie-break —
+    * exactly what a rows-frame over a non-unique key cannot give.
+    * Computed on integer epoch days (timestamp→day arithmetic identical
+    * cross-engine, UTC session) with DECIMAL window sums.
+    *
+    * Scale shape: one shuffle partitioned by o_custkey; frames slide
+    * within each customer's (small) order history, so no partition's
+    * window state exceeds its own key's rows — the canonical bounded
+    * per-entity rolling aggregate. */
+  def trailingRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val day = floor(unix_timestamp(col("o_orderdate")).cast("double") / 86400.0)
+      .cast("long")
+    val w = Window.partitionBy("o_custkey").orderBy("order_day")
+      .rangeBetween(-(TrailingDays - 1).toLong, 0L)
+    t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), day.as("order_day"),
+        col("o_totalprice"))
+      .withColumn("trailing_rev",
+        r6(sum(col("o_totalprice").cast("decimal(30,8)")).over(w).cast("double")))
+      .withColumn("n_orders_win", count(lit(1)).over(w))
+      .select("o_orderkey", "o_custkey", "order_day", "trailing_rev",
+        "n_orders_win")
+      .orderBy("o_orderkey")
+  }
+
+  val trailingRevenueSql: String =
+    s"""WITH od AS (SELECT o_orderkey, o_custkey,
+       |              CAST(floor(epoch(o_orderdate) / 86400.0) AS BIGINT) AS order_day,
+       |              o_totalprice
+       |            FROM orders)
+       |SELECT o_orderkey, o_custkey, order_day,
+       |  floor((CAST(sum(CAST(o_totalprice AS DECIMAL(30,8))) OVER w AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS trailing_rev,
+       |  CAST(count(*) OVER w AS BIGINT) AS n_orders_win
+       |FROM od
+       |WINDOW w AS (PARTITION BY o_custkey ORDER BY order_day
+       |             RANGE BETWEEN ${TrailingDays - 1} PRECEDING AND CURRENT ROW)
+       |ORDER BY o_orderkey""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q130_lone_failure_suppliers" -> (loneFailureSuppliers _),
     "q131_dormant_high_balance" -> (dormantHighBalance _),
+    "q136_trailing_revenue" -> (trailingRevenue _),
     "q13_cube_summary" -> (cubeSummary _),
     "q16_grouping_sets" -> (groupingSetsSummary _),
     "q14_price_quantiles" -> (priceQuantiles _),
@@ -685,6 +734,7 @@ object RelationalOps {
   val oracles: Map[String, String] = Map(
     "q130_lone_failure_suppliers" -> loneFailureSuppliersSql,
     "q131_dormant_high_balance" -> dormantHighBalanceSql,
+    "q136_trailing_revenue" -> trailingRevenueSql,
     "q13_cube_summary" -> cubeSummarySql,
     "q16_grouping_sets" -> groupingSetsSummarySql,
     "q14_price_quantiles" -> priceQuantilesSql,

@@ -336,6 +336,38 @@ class Round8bSpec extends SparkSpec {
     assert(active > 0 && active < frames)
   }
 
+  test("q136 trailing range-frame revenue recounts; same-day orders share frames") {
+    import graft.operators.RelationalOps
+    val rows = RelationalOps.trailingRevenue(spark, dir).collect()
+    val orders = rows.map(r => (r.getAs[Long]("o_orderkey"),
+      r.getAs[Long]("o_custkey"), r.getAs[Long]("order_day")))
+    val byCust = orders.groupBy(_._2)
+    val price = spark.read.parquet(s"$dir/orders.parquet")
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => r.getAs[Long]("o_orderkey") -> r.getAs[Double]("o_totalprice")).toMap
+    rows.foreach { r =>
+      val (ck, day) = (r.getAs[Long]("o_custkey"), r.getAs[Long]("order_day"))
+      val inWin = byCust(ck).filter(o =>
+        o._3 <= day && o._3 > day - RelationalOps.TrailingDays)
+      assert(r.getAs[Long]("n_orders_win") == inWin.length.toLong,
+        s"order ${r.getAs[Long]("o_orderkey")} window count")
+      val exp = math.floor(inWin.map(o => BigDecimal(price(o._1))).sum.toDouble
+        * 1e6 + 0.5) / 1e6
+      assert(r.getAs[Double]("trailing_rev") == exp,
+        s"order ${r.getAs[Long]("o_orderkey")} trailing sum")
+    }
+    // RANGE semantics: any same-day pair of one customer's orders report
+    // identical window aggregates (no tie-break dependence).
+    val sameDay = orders.groupBy(o => (o._2, o._3)).values.filter(_.length > 1)
+    assert(sameDay.nonEmpty, "testdata should contain same-day order pairs")
+    val byKey = rows.map(r => r.getAs[Long]("o_orderkey") ->
+      (r.getAs[Double]("trailing_rev"), r.getAs[Long]("n_orders_win"))).toMap
+    sameDay.foreach { grp =>
+      val vals = grp.map(o => byKey(o._1)).distinct
+      assert(vals.size == 1, s"same-day orders diverged: $grp -> $vals")
+    }
+  }
+
   test("q131 dormant high-balance segments match a sequential recount") {
     val custs = spark.read.parquet(s"$dir/customer.parquet").collect()
       .map(r => (r.getAs[Long]("c_custkey"), r.getAs[String]("c_mktsegment"),
