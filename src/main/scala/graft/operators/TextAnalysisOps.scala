@@ -3037,6 +3037,81 @@ object TextAnalysisOps {
        |SELECT decile, threshold, tokens_cum, vocab_cum, trigram_cum, beta, r2
        |FROM hp, hfit ORDER BY decile""".stripMargin
 
+  // ---- q137: PMI collocations (statistical phrase mining) ------------------
+
+  /** Minimum bigram count and result size for q137. */
+  val PmiMinCount = 5L
+  val PmiTopK = 20
+
+  /** q137: pointwise-mutual-information collocations — the statistical
+    * phrase-mining pass that decides which adjacent word pairs behave
+    * as units (the input to phrase-aware tokenization and to n-gram
+    * feature vocabularies): PMI = ln(p(ab) / (p(a)·p(b))) with MLE
+    * probabilities (bigram count over total bigrams; unigram counts
+    * over total tokens), a count floor to kill noise pairs, top-K by
+    * PMI. Every probability is a ratio of exact integer counts, so the
+    * single ln sees bit-identical operands in both engines and the
+    * ranking cannot drift.
+    *
+    * Scale shape: one bigram-explode aggregate and one unigram
+    * aggregate (both map-side-combined, type-scale outputs), two
+    * broadcast joins of the (tiny) scalar totals, and a TopK rank over
+    * the count-floored pair frame — the same vocabulary-scale window
+    * standing as q87's rank (two-stage at a 10⁸-pair vocabulary). */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    val toks = docs(spark, dir)
+      .select(col("doc_id"), TextOps.tokenize(col("text")).as("t"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val nTok = uni.agg(sum(col("c")).as("n_tok"))
+    val bg = toks.filter(size(col("t")) >= 2)
+      .select(explode(sequence(lit(1), size(col("t")) - 1)).as("i"), col("t"))
+      .select(element_at(col("t"), col("i")).as("w1"),
+        element_at(col("t"), col("i") + 1).as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+    val nBg = bg.agg(sum(col("c_ab")).as("n_bg"))
+    val scored = bg.filter(col("c_ab") >= PmiMinCount)
+      .join(uni.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBg))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        log((col("c_ab").cast("double") / col("n_bg").cast("double")) /
+          ((col("c1").cast("double") / col("n_tok").cast("double")) *
+            (col("c2").cast("double") / col("n_tok").cast("double")))).as("pmi"))
+    scored
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(PmiTopK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)).cast("long"))
+      .select(col("rank"), col("w1"), col("w2"), col("c_ab"), r6(col("pmi")).as("pmi"))
+      .orderBy("rank")
+  }
+
+  val pmiCollocationsSql: String =
+    s"""WITH ptk AS (SELECT regexp_extract_all(lower(text), '$TokRe') AS t FROM documents),
+       |puni AS (SELECT w, count(*) AS c
+       |         FROM (SELECT unnest(t) AS w FROM ptk) GROUP BY w),
+       |pnt AS (SELECT sum(c) AS n_tok FROM puni),
+       |pbg AS (SELECT w1, w2, count(*) AS c_ab FROM (
+       |          SELECT t[i] AS w1, t[i + 1] AS w2
+       |          FROM (SELECT t, unnest(range(1, len(t))) AS i FROM ptk
+       |                WHERE len(t) >= 2))
+       |        GROUP BY w1, w2),
+       |pnb AS (SELECT sum(c_ab) AS n_bg FROM pbg),
+       |psc AS (SELECT w1, w2, c_ab,
+       |          ln((c_ab::DOUBLE / n_bg) /
+       |             ((u1.c::DOUBLE / n_tok) * (u2.c::DOUBLE / n_tok))) AS pmi
+       |        FROM pbg
+       |        JOIN puni u1 ON pbg.w1 = u1.w
+       |        JOIN puni u2 ON pbg.w2 = u2.w, pnt, pnb
+       |        WHERE c_ab >= $PmiMinCount)
+       |SELECT CAST(row_number() OVER (ORDER BY pmi DESC, w1 ASC, w2 ASC) AS BIGINT) AS rank,
+       |  w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+       |  floor((pmi) * 1000000 + 0.5) / 1000000 AS pmi
+       |FROM psc
+       |ORDER BY pmi DESC, w1 ASC, w2 ASC
+       |LIMIT $PmiTopK""".stripMargin
+
   // ---- q133: per-source quality scorecard ----------------------------------
 
   /** q133: the per-source health table a curator reads next to q88's
@@ -3102,6 +3177,7 @@ object TextAnalysisOps {
     "q132_holdout_auc" -> (holdoutAuc _),
     "q133_source_scorecard" -> (sourceScorecard _),
     "q134_heaps_law" -> (heapsLaw _),
+    "q137_pmi_collocations" -> (pmiCollocations _),
     "q96_classifier_auc" -> (classifierAuc _),
     "q95_classifier_calibration" -> (classifierCalibration _),
     "q108_calibrated_threshold" -> (calibratedThreshold _),
@@ -3148,6 +3224,7 @@ object TextAnalysisOps {
     "q132_holdout_auc" -> holdoutAucSql,
     "q133_source_scorecard" -> sourceScorecardSql,
     "q134_heaps_law" -> heapsLawSql,
+    "q137_pmi_collocations" -> pmiCollocationsSql,
     "q96_classifier_auc" -> classifierAucSql,
     "q95_classifier_calibration" -> classifierCalibrationSql,
     "q108_calibrated_threshold" -> calibratedThresholdSql,

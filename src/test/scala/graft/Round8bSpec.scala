@@ -368,6 +368,36 @@ class Round8bSpec extends SparkSpec {
     }
   }
 
+  test("q137 PMI collocations recount from raw token streams") {
+    import graft.operators.TextAnalysisOps
+    val texts = spark.read.parquet(s"$dir/documents.parquet")
+      .select("text").collect().map(r => tok(r.getString(0)))
+    val uni = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    val bg = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    texts.foreach { ws =>
+      ws.foreach(w => uni(w) += 1)
+      ws.sliding(2).filter(_.size == 2).foreach(p => bg((p(0), p(1))) += 1)
+    }
+    val nTok = uni.values.sum.toDouble
+    val nBg = bg.values.sum.toDouble
+    val expected = bg.toSeq
+      .filter(_._2 >= TextAnalysisOps.PmiMinCount)
+      .map { case ((a, b), c) =>
+        val pmi = math.log((c / nBg) / ((uni(a) / nTok) * (uni(b) / nTok)))
+        (a, b, c, pmi)
+      }
+      .sortBy { case (a, b, _, p) => (-p, a, b) }
+      .take(TextAnalysisOps.PmiTopK)
+      .map { case (a, b, c, p) =>
+        (a, b, c, math.floor(p * 1e6 + 0.5) / 1e6)
+      }
+    val got = TextAnalysisOps.pmiCollocations(spark, dir).collect()
+      .sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("c_ab"), r.getAs[Double]("pmi"))).toSeq
+    assert(got == expected, s"got ${got.take(3)}... expected ${expected.take(3)}...")
+  }
+
   test("q131 dormant high-balance segments match a sequential recount") {
     val custs = spark.read.parquet(s"$dir/customer.parquet").collect()
       .map(r => (r.getAs[Long]("c_custkey"), r.getAs[String]("c_mktsegment"),
