@@ -34,7 +34,12 @@ object ExplainAudit {
       "q17_small_quantity_revenue", "q18_large_orders", "q19_disjunctive_revenue",
       "q119_semantic_decontam", "q120_mixture_weights",
       "q121_ql_topk", "q122_lang_confusion",
-      "q123_hour_seasonality", "q124_user_burstiness", "q125_known_item_eval")
+      "q123_hour_seasonality", "q124_user_burstiness", "q125_known_item_eval",
+      "q126_truncation_loss", "q127_gopher_rules", "q128_dim_truncation_recall",
+      "q129_cluster_relevant_eval", "q130_lone_failure_suppliers",
+      "q131_dormant_high_balance", "q132_holdout_auc", "q133_source_scorecard",
+      "q134_heaps_law", "q135_audio_frame_energy", "q136_trailing_revenue",
+      "q137_pmi_collocations")
 
     targets.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
