@@ -144,15 +144,21 @@ object DedupOps {
     shingleCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir",
       explodedShingles(docs(spark, dir)).distinct().cache())
 
+  /** (doc_id, j, m) minhash signature components — the one derivation
+    * behind the band build AND q138's estimation audit. */
+  private[graft] def minhashComponents(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = shingleSets(spark, dir).select(col("doc_id"),
+      shingleHash(col("s")).as("h"))
+    hashed
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0L), lit(NumHashes - 1L))).as("j"))
+      .groupBy("doc_id", "j")
+      .agg(min(pmod(permA(col("j")) + permB(col("j")) * col("h"), lit(MinHashP))).as("m"))
+  }
+
   def minhashBands(spark: SparkSession, dir: String): DataFrame = {
     val bands = bandCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
-      val hashed = shingleSets(spark, dir).select(col("doc_id"),
-        shingleHash(col("s")).as("h"))
-      val mh = hashed
-        .select(col("doc_id"), col("h"),
-          explode(sequence(lit(0L), lit(NumHashes - 1L))).as("j"))
-        .groupBy("doc_id", "j")
-        .agg(min(pmod(permA(col("j")) + permB(col("j")) * col("h"), lit(MinHashP))).as("m"))
+      val mh = minhashComponents(spark, dir)
       val sigs = mh.groupBy("doc_id")
         .agg(transform(array_sort(collect_list(struct(col("j"), col("m")))),
           s => s.getField("m")).as("sigs"))
@@ -1124,7 +1130,67 @@ object DedupOps {
 
   // -------------------------------------------------------------------------
 
+  // ---- q138: MinHash estimation calibration --------------------------------
+
+  /** q138: how good is the 16-permutation MinHash estimate, measured on
+    * this corpus — per exact-Jaccard decile over the LSH candidate
+    * pairs: pair count, mean signature-match estimate (matches/16), mean
+    * exact shingle Jaccard, and the mean absolute estimation error. The
+    * audit that justifies (or indicts) the signature budget before
+    * anyone trusts q42's candidate tier at 100 TB: if the error
+    * concentrates just under the dedup threshold, NumHashes is too
+    * small. "Measure, don't guess" applied to the engine's own sketch.
+    *
+    * Scale shape: estimates ride the memoized signature components
+    * (16 rows/doc) through a (pair × 16) equi-join on (doc_id, j) —
+    * candidate-volume bounded, like every pair operator here; exact
+    * Jaccard reuses q42's verified frame; the decile aggregate is ≤ 11
+    * keys. Estimates are exact multiples of 1/16 and exact Jaccards are
+    * r6 decimals, so the DECIMAL means are order-free cross-engine. */
+  def minhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val mh = minhashComponents(spark, dir)
+    val pairs = minhashDupPairs(spark, dir)
+    val est = pairs.select("doc_a", "doc_b")
+      .join(mh.select(col("doc_id").as("doc_a"), col("j"), col("m").as("ma")), "doc_a")
+      .join(mh.select(col("doc_id").as("doc_b"), col("j"), col("m").as("mb")),
+        Seq("doc_b", "j"))
+      .groupBy("doc_a", "doc_b")
+      .agg((sum(when(col("ma") === col("mb"), 1L).otherwise(0L)).cast("double") /
+        NumHashes).as("est"))
+    pairs.join(est, Seq("doc_a", "doc_b"))
+      .select(floor(col("jaccard") * 10).cast("long").as("bucket"),
+        col("est"), col("jaccard"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        r6(dsum(col("est")) / count(lit(1))).as("mean_est"),
+        r6(dsum(col("jaccard")) / count(lit(1))).as("mean_exact"),
+        r6(dsum(abs(col("est") - col("jaccard"))) / count(lit(1))).as("mean_abs_err"))
+      .orderBy("bucket")
+  }
+
+  val minhashCalibrationSql: String =
+    s"""WITH $shinglesCte,
+       |$minhashCtes,
+       |$lshPairsCte,
+       |$jaccardCtes,
+       |mest AS (SELECT p.doc_a, p.doc_b,
+       |           sum(CASE WHEN x.m = y.m THEN 1 ELSE 0 END)::DOUBLE / $NumHashes AS est
+       |         FROM pairs p
+       |         JOIN mh x ON x.doc_id = p.doc_a
+       |         JOIN mh y ON y.doc_id = p.doc_b AND y.j = x.j
+       |         GROUP BY p.doc_a, p.doc_b),
+       |mcal AS (SELECT CAST(floor(jaccard * 10) AS BIGINT) AS bucket, est, jaccard
+       |         FROM jac JOIN mest USING (doc_a, doc_b))
+       |SELECT bucket,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  floor((CAST(sum(CAST(est AS DECIMAL(30,8))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS mean_est,
+       |  floor((CAST(sum(CAST(jaccard AS DECIMAL(30,8))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS mean_exact,
+       |  floor((CAST(sum(CAST(abs(est - jaccard) AS DECIMAL(30,8))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS mean_abs_err
+       |FROM mcal GROUP BY bucket ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_minhash_calibration" -> (minhashCalibration _),
     "q106_fuzzy_join" -> (fuzzyJoin _),
     "q84_repeated_spans" -> (repeatedSpans _),
     "q85_incremental_dedup" -> (incrementalDedup _),
@@ -1145,6 +1211,7 @@ object DedupOps {
     "q45_decontamination" -> (decontamination _))
 
   val oracles: Map[String, String] = Map(
+    "q138_minhash_calibration" -> minhashCalibrationSql,
     "q106_fuzzy_join" -> fuzzyJoinSql,
     "q84_repeated_spans" -> repeatedSpansSql,
     "q85_incremental_dedup" -> incrementalDedupSql,

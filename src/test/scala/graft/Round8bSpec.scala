@@ -418,4 +418,47 @@ class Round8bSpec extends SparkSpec {
     assert(got == expected, s"got $got expected $expected")
     assert(got.nonEmpty, "q131 should produce rows at sf0.001")
   }
+
+  test("q138 calibration recounts from signature components and exact Jaccards") {
+    import graft.operators.DedupOps
+    val comp = DedupOps.minhashComponents(spark, dir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (d, rs) =>
+        d -> rs.map(r => r.getAs[Long]("j") -> r.getAs[Long]("m")).toMap
+      }
+    val pairs = DedupOps.minhashDupPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard")))
+    assert(pairs.nonEmpty, "q138 needs candidate pairs at sf0.001")
+    val per = pairs.map { case (a, b, j) =>
+      val est = (0L until DedupOps.NumHashes.toLong)
+        .count(k => comp(a)(k) == comp(b)(k)).toDouble / DedupOps.NumHashes
+      (math.floor(j * 10).toLong, est, j)
+    }
+    def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = per.groupBy(_._1).map { case (bucket, xs) =>
+      bucket -> (xs.length.toLong,
+        r6d(xs.map(x => BigDecimal(x._2)).sum.toDouble / xs.length),
+        r6d(xs.map(x => BigDecimal(x._3)).sum.toDouble / xs.length),
+        r6d(xs.map(x => (BigDecimal(x._2) - BigDecimal(x._3)).abs).sum.toDouble / xs.length))
+    }
+    val got = DedupOps.minhashCalibration(spark, dir).collect()
+      .map(r => r.getAs[Long]("bucket") -> (r.getAs[Long]("n_pairs"),
+        r.getAs[Double]("mean_est"), r.getAs[Double]("mean_exact"),
+        r.getAs[Double]("mean_abs_err"))).toMap
+    assert(got == expected, s"got $got expected $expected")
+    // Structural pins: each decile's exact mean lies inside its decile, and
+    // LSH selection bias shows up as overestimation in the LOW deciles (a
+    // pair only becomes a candidate by matching a whole band, which
+    // conditions est upward — measured MAE 0.61 in the 0.0x decile at
+    // sf0.001). That bias IS the audit's finding; the query exists to
+    // measure it, not to hide it. High deciles merely quantize to 1/16.
+    got.foreach { case (bucket, (_, meanEst, meanExact, mae)) =>
+      assert(meanExact >= bucket / 10.0 - 1e-9 && meanExact < (bucket + 1) / 10.0)
+      if (bucket <= 4)
+        assert(meanEst >= meanExact - 1e-9,
+          s"bucket $bucket: est $meanEst under exact $meanExact")
+      assert(mae >= 0.0 && mae <= 1.0)
+    }
+  }
 }
