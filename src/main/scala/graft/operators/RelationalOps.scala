@@ -705,9 +705,101 @@ object RelationalOps {
        |             RANGE BETWEEN ${TrailingDays - 1} PRECEDING AND CURRENT ROW)
        |ORDER BY o_orderkey""".stripMargin
 
+  // ---- q139: customer order-count distribution (Q13 outer-join shape) -----
+
+  /** q139 (the TPC-H Q13 shape): how many customers placed 0, 1, 2, …
+    * orders — the outer-join count distribution. The defining feature is
+    * the LEFT OUTER join: customers with no orders must appear with
+    * count 0, which an inner join silently drops (Q13's whole point; the
+    * classic bug this query exists to catch). The reference Q13 excludes
+    * a comment pattern; this schema carries no comment, so excluding the
+    * urgent priority class stands in as the selective order-side filter
+    * that must be applied BEFORE the outer join (a post-join filter on
+    * the null-extended side would turn the outer join inner).
+    *
+    * Scale shape: two-level aggregation — the custkey count shuffles on
+    * c_custkey (co-partitioned with the join exchange, one shuffle
+    * total under AQE), then the distribution aggregate lands on the
+    * tiny c_count domain (≤ max orders/customer keys, map-side
+    * combined). `count(o_orderkey)` counts non-null matches only, which
+    * is exactly the null-extension semantics the distribution needs. */
+  def customerOrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val ords = t(spark, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey", "o_orderkey")
+    t(spark, dir, "customer").select("c_custkey")
+      .join(ords, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val customerOrderDistributionSql: String =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |      FROM customer LEFT OUTER JOIN (
+      |        SELECT o_custkey, o_orderkey FROM orders
+      |        WHERE o_orderpriority <> '1-URGENT') o
+      |      ON c_custkey = o_custkey
+      |      GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  // ---- q140: top supplier by period revenue (Q15 view + argmax shape) -----
+
+  /** Revenue quarter for q140 ([start, end) on l_shipdate). */
+  val TopSupplierStart = "1996-01-01"
+  val TopSupplierEnd   = "1996-04-01"
+
+  /** q140 (the TPC-H Q15 shape): the supplier(s) with the maximum
+    * quarterly revenue — an aggregate view, a global max over it, and an
+    * equality join-back so TIES all surface (the argmax-with-ties
+    * pattern; a `LIMIT 1` silently drops co-leaders and is
+    * nondeterministic under ties). The max and the join-back equality
+    * both run on the DECIMAL-exact revenue sums — comparing doubles for
+    * equality across engines would be fragile; exact decimals make the
+    * tie predicate well-defined. Only the final output rounds.
+    *
+    * Scale shape: the revenue view shuffles lineitem once on l_suppkey
+    * (map-side combined); the 1-row max is broadcast back; the supplier
+    * enrichment is a broadcast dim join. Nothing else moves. */
+  def topSupplierRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val rev = t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(TopSupplierStart).cast("timestamp") &&
+        col("l_shipdate") < lit(TopSupplierEnd).cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(30,8)")).as("total_rev"))
+    val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+    rev.join(broadcast(mx), col("total_rev") === col("max_rev"))
+      .join(broadcast(t(spark, dir, "supplier")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        r6(col("total_rev").cast("double")).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val topSupplierRevenueSql: String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey,
+       |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS total_rev
+       |  FROM lineitem
+       |  WHERE l_shipdate >= TIMESTAMP '$TopSupplierStart'
+       |    AND l_shipdate < TIMESTAMP '$TopSupplierEnd'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name,
+       |  floor((CAST(total_rev AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS total_revenue
+       |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+       |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_customer_order_distribution" -> (customerOrderDistribution _),
+    "q140_top_supplier_revenue" -> (topSupplierRevenue _),
     "q130_lone_failure_suppliers" -> (loneFailureSuppliers _),
     "q131_dormant_high_balance" -> (dormantHighBalance _),
     "q136_trailing_revenue" -> (trailingRevenue _),
@@ -732,6 +824,8 @@ object RelationalOps {
     "q19_disjunctive_revenue" -> (disjunctiveRevenue _))
 
   val oracles: Map[String, String] = Map(
+    "q139_customer_order_distribution" -> customerOrderDistributionSql,
+    "q140_top_supplier_revenue" -> topSupplierRevenueSql,
     "q130_lone_failure_suppliers" -> loneFailureSuppliersSql,
     "q131_dormant_high_balance" -> dormantHighBalanceSql,
     "q136_trailing_revenue" -> trailingRevenueSql,

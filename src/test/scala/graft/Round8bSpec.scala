@@ -419,6 +419,43 @@ class Round8bSpec extends SparkSpec {
     assert(got.nonEmpty, "q131 should produce rows at sf0.001")
   }
 
+  test("q139 order-count distribution recounts; zero-order customers survive the outer join") {
+    val custs = spark.read.parquet(s"$dir/customer.parquet")
+      .select("c_custkey").collect().map(_.getAs[Long]("c_custkey"))
+    val perCust = spark.read.parquet(s"$dir/orders.parquet")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey").collect().map(_.getAs[Long]("o_custkey"))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val counts = custs.map(c => perCust.getOrElse(c, 0L))
+    val expected = counts.groupBy(identity)
+      .map { case (c, xs) => c -> xs.length.toLong }
+    val got = RelationalOps.customerOrderDistribution(spark, dir).collect()
+      .map(r => r.getAs[Long]("c_count") -> r.getAs[Long]("custdist")).toMap
+    assert(got == expected, s"got $got expected $expected")
+    // The outer join's reason to exist: the zero bucket is populated and
+    // the distribution accounts for every customer.
+    assert(got.getOrElse(0L, 0L) == custs.length - perCust.size.toLong)
+    assert(got.values.sum == custs.length)
+  }
+
+  test("q140 top-supplier revenue recounts; join-back keeps every tie") {
+    val rev = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit(RelationalOps.TopSupplierStart).cast("timestamp") &&
+        col("l_shipdate") < lit(RelationalOps.TopSupplierEnd).cast("timestamp"))
+      .select("l_suppkey", "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getAs[Long]("l_suppkey"),
+        BigDecimal(r.getAs[Double]("l_extendedprice") * (1 - r.getAs[Double]("l_discount")))
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP)))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
+    val maxRev = rev.values.max
+    val winners = rev.filter(_._2 == maxRev).keys.toSet
+    val got = RelationalOps.topSupplierRevenue(spark, dir).collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Double]("total_revenue")).toMap
+    assert(got.keySet == winners, s"got ${got.keySet} expected $winners")
+    val r6max = math.floor(maxRev.toDouble * 1e6 + 0.5) / 1e6
+    got.values.foreach(v => assert(v == r6max))
+  }
+
   test("q138 calibration recounts from signature components and exact Jaccards") {
     import graft.operators.DedupOps
     val comp = DedupOps.minhashComponents(spark, dir).collect()
