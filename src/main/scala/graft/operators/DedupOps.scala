@@ -1189,8 +1189,96 @@ object DedupOps {
        |  floor((CAST(sum(CAST(abs(est - jaccard) AS DECIMAL(30,8))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS mean_abs_err
        |FROM mcal GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ---- q141: signature-budget sweep ---------------------------------------
+
+  /** Signature budgets swept by q141 — prefixes of the full 16-hash
+    * signature, so the sweep prices SHRINKING the budget without
+    * recomputing anything. */
+  val SweepBudgets: Seq[Long] = Seq(4L, 8L, 16L)
+
+  /** q141: what would a smaller signature cost — for each budget
+    * H ∈ {4, 8, 16}, the estimate uses only the FIRST H signature
+    * components, and the sweep reports the mean absolute estimation
+    * error plus the operational number a dedup pipeline actually cares
+    * about: the THRESHOLD FLIP RATE, the fraction of candidate pairs
+    * where thresholding the H-hash estimate at JaccardThreshold
+    * disagrees with thresholding the exact Jaccard. q138 measures how
+    * good the current budget is; this is the tuning curve that says
+    * whether 16 is the right number (at 100 TB, signature width is a
+    * direct multiplier on the dedup tier's shuffle volume, so the flip
+    * rate per budget is the cost/accuracy trade stated in one table).
+    *
+    * Scale shape: identical to q138 — one (pair × 16) equi-join on the
+    * memoized components with all three budget counters accumulated in
+    * ONE pair-keyed aggregate (conditional sums on j < H), then a 3×
+    * explode on the pair frame and a 3-key aggregate. The threshold
+    * test is pure integer arithmetic (10·m ≥ 3·H ⟺ m/H ≥ 0.3), so both
+    * engines decide flips identically — no float comparison sits on the
+    * decision boundary. */
+  def signatureBudgetSweep(spark: SparkSession, dir: String): DataFrame = {
+    val mh = minhashComponents(spark, dir)
+    val pairs = minhashDupPairs(spark, dir)
+    val counters = SweepBudgets.map(h =>
+      sum(when(col("j") < h && col("ma") === col("mb"), 1L).otherwise(0L))
+        .as(s"m$h"))
+    val per = pairs.select("doc_a", "doc_b")
+      .join(mh.select(col("doc_id").as("doc_a"), col("j"), col("m").as("ma")), "doc_a")
+      .join(mh.select(col("doc_id").as("doc_b"), col("j"), col("m").as("mb")),
+        Seq("doc_b", "j"))
+      .groupBy("doc_a", "doc_b")
+      .agg(counters.head, counters.tail: _*)
+    val long = pairs.join(per, Seq("doc_a", "doc_b"))
+      .select(col("jaccard"), explode(array(SweepBudgets.map(h =>
+        struct(lit(h).as("n_hashes"), col(s"m$h").as("matches"))): _*)).as("x"))
+      .select(col("x.n_hashes").as("n_hashes"), col("x.matches").as("matches"),
+        col("jaccard"))
+    long
+      .withColumn("flip",
+        (col("matches") * 10L >= col("n_hashes") * 3L) =!=
+          (col("jaccard") >= JaccardThreshold))
+      .groupBy("n_hashes")
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        r6(dsum(abs(col("matches").cast("double") / col("n_hashes") -
+          col("jaccard"))) / count(lit(1))).as("mean_abs_err"),
+        sum(when(col("flip"), 1L).otherwise(0L)).as("n_flips"),
+        r6(sum(when(col("flip"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("flip_rate"))
+      .orderBy("n_hashes")
+  }
+
+  val signatureBudgetSweepSql: String =
+    s"""WITH $shinglesCte,
+       |$minhashCtes,
+       |$lshPairsCte,
+       |$jaccardCtes,
+       |mm AS (SELECT p.doc_a, p.doc_b,
+       |         sum(CASE WHEN x.j < 4 AND x.m = y.m THEN 1 ELSE 0 END) AS m4,
+       |         sum(CASE WHEN x.j < 8 AND x.m = y.m THEN 1 ELSE 0 END) AS m8,
+       |         sum(CASE WHEN x.m = y.m THEN 1 ELSE 0 END) AS m16
+       |       FROM pairs p
+       |       JOIN mh x ON x.doc_id = p.doc_a
+       |       JOIN mh y ON y.doc_id = p.doc_b AND y.j = x.j
+       |       GROUP BY p.doc_a, p.doc_b),
+       |lg AS (SELECT hh.n_hashes,
+       |         CASE hh.n_hashes WHEN 4 THEN m4 WHEN 8 THEN m8 ELSE m16 END AS matches,
+       |         jaccard
+       |       FROM jac JOIN mm USING (doc_a, doc_b),
+       |            (SELECT unnest([4, 8, 16]) AS n_hashes) hh),
+       |fl AS (SELECT n_hashes, matches, jaccard,
+       |         CASE WHEN (matches * 10 >= n_hashes * 3) <>
+       |                   (jaccard >= $JaccardThreshold) THEN 1 ELSE 0 END AS flip
+       |       FROM lg)
+       |SELECT CAST(n_hashes AS BIGINT) AS n_hashes,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  floor((CAST(sum(CAST(abs(matches::DOUBLE / n_hashes - jaccard) AS DECIMAL(30,8))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS mean_abs_err,
+       |  CAST(sum(flip) AS BIGINT) AS n_flips,
+       |  floor((CAST(sum(flip) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS flip_rate
+       |FROM fl GROUP BY n_hashes ORDER BY n_hashes""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q138_minhash_calibration" -> (minhashCalibration _),
+    "q141_signature_budget_sweep" -> (signatureBudgetSweep _),
     "q106_fuzzy_join" -> (fuzzyJoin _),
     "q84_repeated_spans" -> (repeatedSpans _),
     "q85_incremental_dedup" -> (incrementalDedup _),
@@ -1212,6 +1300,7 @@ object DedupOps {
 
   val oracles: Map[String, String] = Map(
     "q138_minhash_calibration" -> minhashCalibrationSql,
+    "q141_signature_budget_sweep" -> signatureBudgetSweepSql,
     "q106_fuzzy_join" -> fuzzyJoinSql,
     "q84_repeated_spans" -> repeatedSpansSql,
     "q85_incremental_dedup" -> incrementalDedupSql,

@@ -456,6 +456,37 @@ class Round8bSpec extends SparkSpec {
     got.values.foreach(v => assert(v == r6max))
   }
 
+  test("q141 budget sweep recounts; thresholding is integer-exact per budget") {
+    import graft.operators.DedupOps
+    val comp = DedupOps.minhashComponents(spark, dir).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .map { case (d, rs) =>
+        d -> rs.map(r => r.getAs[Long]("j") -> r.getAs[Long]("m")).toMap
+      }
+    val pairs = DedupOps.minhashDupPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard")))
+    def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = DedupOps.SweepBudgets.map { h =>
+      val per = pairs.map { case (a, b, j) =>
+        val m = (0L until h).count(k => comp(a)(k) == comp(b)(k)).toLong
+        val flip = (m * 10 >= h * 3) != (j >= DedupOps.JaccardThreshold)
+        (math.abs(m.toDouble / h - j), flip)
+      }
+      h -> (pairs.length.toLong,
+        r6d(per.map(x => BigDecimal(x._1).setScale(8, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / per.length),
+        per.count(_._2).toLong,
+        r6d(per.count(_._2).toDouble / per.length))
+    }.toMap
+    val got = DedupOps.signatureBudgetSweep(spark, dir).collect()
+      .map(r => r.getAs[Long]("n_hashes") -> (r.getAs[Long]("n_pairs"),
+        r.getAs[Double]("mean_abs_err"), r.getAs[Long]("n_flips"),
+        r.getAs[Double]("flip_rate"))).toMap
+    assert(got == expected, s"got $got expected $expected")
+    // Every budget scores the same candidate population.
+    assert(got.values.map(_._1).toSet.size == 1)
+  }
+
   test("q138 calibration recounts from signature components and exact Jaccards") {
     import graft.operators.DedupOps
     val comp = DedupOps.minhashComponents(spark, dir).collect()
