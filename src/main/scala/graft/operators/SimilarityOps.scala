@@ -2015,9 +2015,71 @@ object SimilarityOps {
        |WHERE drk.rank <= $TopK
        |GROUP BY dim ORDER BY dim""".stripMargin
 
+  // ---- q142: assignment drift (index staleness audit) ---------------------
+
+  /** q142: is the coarse quantizer going stale — per-cluster occupancy
+    * of two corpus halves (even vs odd vec_id, standing in for "the
+    * batch the index was trained on" vs "what arrived since") under the
+    * SHARED k-means model, plus the total-variation distance between
+    * the two occupancy distributions. q58's cohesion audit says whether
+    * clusters are tight; this says whether NEW data still lands where
+    * the old data did — the occupancy-drift signal a serving deployment
+    * alerts on to schedule retraining (a drifted mixture concentrates
+    * fresh vectors into few cells, and probe pruning loses its
+    * selectivity exactly there). TVD = ½·Σ|share_base − share_fresh|
+    * is the scalar threshold; the per-cluster rows say WHERE the drift
+    * concentrates.
+    *
+    * Scale shape: rides the memoized assignment frame — one K-key
+    * aggregate with both halves' counters as conditional sums (no second
+    * pass, no join between halves), then K-row arithmetic with the 1-row
+    * totals and TVD broadcast back. Shares are ratios of identical
+    * integers, so doubles agree cross-engine; the ≤K-term TVD sum
+    * accumulates in DECIMAL so row order can't perturb the reported
+    * scalar. */
+  def assignmentDrift(spark: SparkSession, dir: String): DataFrame = {
+    val (_, asg) = kmeansModel(spark, dir)
+    val occ = asg.groupBy("cluster").agg(
+      sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_base"),
+      sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_fresh"))
+    val tot = occ.agg(sum(col("n_base")).as("tb"), sum(col("n_fresh")).as("tf"))
+    val shares = occ.crossJoin(broadcast(tot))
+      .select(col("cluster"), col("n_base"), col("n_fresh"),
+        (col("n_base").cast("double") / col("tb")).as("sb"),
+        (col("n_fresh").cast("double") / col("tf")).as("sf"))
+      .withColumn("ad", abs(col("sb") - col("sf")))
+    val tvd = shares.agg((dsum(col("ad")) / 2d).as("tvd0"))
+    shares.crossJoin(broadcast(tvd))
+      .select(col("cluster"), col("n_base"), col("n_fresh"),
+        r6(col("sb")).as("share_base"), r6(col("sf")).as("share_fresh"),
+        r6(col("ad")).as("abs_share_diff"), r6(col("tvd0")).as("tvd"))
+      .orderBy("cluster")
+  }
+
+  val assignmentDriftSql: String =
+    s"""WITH $kmeansCtes,
+       |occ AS (SELECT cluster,
+       |          sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS n_base,
+       |          sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS n_fresh
+       |        FROM kasg GROUP BY cluster),
+       |tot AS (SELECT sum(n_base) AS tb, sum(n_fresh) AS tf FROM occ),
+       |shr AS (SELECT cluster, n_base, n_fresh,
+       |          n_base::DOUBLE / tb AS sb, n_fresh::DOUBLE / tf AS sf,
+       |          abs(n_base::DOUBLE / tb - n_fresh::DOUBLE / tf) AS ad
+       |        FROM occ, tot),
+       |tvd AS (SELECT CAST(sum(CAST(ad AS DECIMAL(30,8))) AS DOUBLE) / 2 AS tvd0 FROM shr)
+       |SELECT cluster, CAST(n_base AS BIGINT) AS n_base,
+       |  CAST(n_fresh AS BIGINT) AS n_fresh,
+       |  floor(sb * 1000000 + 0.5) / 1000000 AS share_base,
+       |  floor(sf * 1000000 + 0.5) / 1000000 AS share_fresh,
+       |  floor(ad * 1000000 + 0.5) / 1000000 AS abs_share_diff,
+       |  floor(tvd0 * 1000000 + 0.5) / 1000000 AS tvd
+       |FROM shr, tvd ORDER BY cluster""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_assignment_drift" -> (assignmentDrift _),
     "q128_dim_truncation_recall" -> (dimTruncationRecall _),
     "q97_pca_top_component" -> (pcaTopComponent _),
     "q86_semantic_dedup" -> (semanticDedup _),
@@ -2038,6 +2100,7 @@ object SimilarityOps {
     "q119_semantic_decontam" -> (semanticDecontam _))
 
   val oracles: Map[String, String] = Map(
+    "q142_assignment_drift" -> assignmentDriftSql,
     "q128_dim_truncation_recall" -> dimTruncationRecallSql,
     "q97_pca_top_component" -> pcaTopComponentSql,
     "q86_semantic_dedup" -> semanticDedupSql,

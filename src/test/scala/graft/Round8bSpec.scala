@@ -456,6 +456,36 @@ class Round8bSpec extends SparkSpec {
     got.values.foreach(v => assert(v == r6max))
   }
 
+  test("q142 assignment drift recounts from the shared model; TVD is the half-L1") {
+    val asg = SimilarityOps.kmeansModel(spark, dir)._2.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster")))
+    val base = asg.filter(_._1 % 2 == 0).groupBy(_._2).map { case (c, v) => c -> v.length.toLong }
+    val fresh = asg.filter(_._1 % 2 == 1).groupBy(_._2).map { case (c, v) => c -> v.length.toLong }
+    val tb = base.values.sum.toDouble
+    val tf = fresh.values.sum.toDouble
+    def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val clusters = asg.map(_._2).distinct.sorted
+    val diffs = clusters.map { c =>
+      c -> math.abs(base.getOrElse(c, 0L) / tb - fresh.getOrElse(c, 0L) / tf)
+    }.toMap
+    val tvd = r6d(diffs.values.map(d =>
+      BigDecimal(d).setScale(8, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / 2)
+    val got = SimilarityOps.assignmentDrift(spark, dir).collect()
+    assert(got.map(_.getAs[Long]("cluster")).toSeq == clusters.toSeq)
+    got.foreach { r =>
+      val c = r.getAs[Long]("cluster")
+      assert(r.getAs[Long]("n_base") == base.getOrElse(c, 0L))
+      assert(r.getAs[Long]("n_fresh") == fresh.getOrElse(c, 0L))
+      assert(r.getAs[Double]("share_base") == r6d(base.getOrElse(c, 0L) / tb))
+      assert(r.getAs[Double]("share_fresh") == r6d(fresh.getOrElse(c, 0L) / tf))
+      assert(r.getAs[Double]("abs_share_diff") == r6d(diffs(c)))
+      assert(r.getAs[Double]("tvd") == tvd, "TVD is one scalar, repeated per row")
+    }
+    // Both halves are full distributions: shares each sum to 1 within rounding.
+    assert(math.abs(got.map(_.getAs[Double]("share_base")).sum - 1.0) < 1e-4)
+    assert(math.abs(got.map(_.getAs[Double]("share_fresh")).sum - 1.0) < 1e-4)
+  }
+
   test("q141 budget sweep recounts; thresholding is integer-exact per budget") {
     import graft.operators.DedupOps
     val comp = DedupOps.minhashComponents(spark, dir).collect()
