@@ -723,7 +723,11 @@ object DedupOps {
     * a per-doc partial aggregate. An 8-token window is far more
     * selective than a 3-shingle, so candidate volume is strictly below
     * q45's; 13-token windows are more selective still. */
-  private def verbatimAt(spark: SparkSession, dir: String, n: Int): DataFrame = {
+  /** The (doc_id, w, bench_id) hit frame behind q83/q107/q143: every
+    * (corpus doc, n-token window, benchmark doc) verbatim coincidence.
+    * Grouping by doc_id gives the training-side verdict (q83/q107);
+    * grouping by bench_id gives the benchmark-side report (q143). */
+  private def verbatimHitsAt(spark: SparkSession, dir: String, n: Int): DataFrame = {
     val eligible = docs(spark, dir)
       .filter(size(TextOps.tokenize(col("text"))) >= n)
     val ws = explodedShingles(eligible, n)
@@ -732,11 +736,14 @@ object DedupOps {
       .select(col("w"), col("doc_id").as("bench_id"))
     ws.filter(pmod(col("doc_id"), lit(DecontamMod)) =!= 0)
       .join(broadcast(bench), "w")
+  }
+
+  private def verbatimAt(spark: SparkSession, dir: String, n: Int): DataFrame =
+    verbatimHitsAt(spark, dir, n)
       .groupBy("doc_id")
       .agg(countDistinct("w").as("n_windows"),
         countDistinct("bench_id").as("n_bench_docs"))
       .orderBy("doc_id")
-  }
 
   /** q83: the declared operating point (n = VerbatimWindow). */
   def verbatimDecontamination(spark: SparkSession, dir: String): DataFrame =
@@ -793,6 +800,38 @@ object DedupOps {
        |  WHERE wd$n.doc_id % $DecontamMod <> 0
        |  GROUP BY wd$n.doc_id)""".stripMargin
 
+  // ---- q143: benchmark-side contamination report --------------------------
+
+  /** q143: the q83/q107 test read from the BENCHMARK's side — for each
+    * window length n and each benchmark item, how many corpus documents
+    * quote it verbatim and how many of its distinct n-windows leak. q83
+    * answers "which training docs do I drop"; this answers the question
+    * an eval owner asks FIRST: "which of my eval items are burned, and
+    * how badly" — an item quoted by thousands of docs is memorized
+    * boilerplate and belongs out of the benchmark, independent of any
+    * training-side filtering. Same broadcast-join shape as q83 (the hit
+    * frame is shared code), re-aggregated on the eval-set-sized
+    * bench_id key — output is benchmark-scale, never corpus-scale. */
+  def benchContamination(spark: SparkSession, dir: String): DataFrame =
+    VerbatimWindows.map { n =>
+      verbatimHitsAt(spark, dir, n)
+        .groupBy("bench_id")
+        .agg(countDistinct("doc_id").as("n_contaminating_docs"),
+          countDistinct("w").as("n_leaked_windows"))
+        .select(lit(n.toLong).as("n"), col("bench_id"),
+          col("n_contaminating_docs"), col("n_leaked_windows"))
+    }.reduce(_.unionByName(_)).orderBy("n", "bench_id")
+
+  /** Benchmark-side aggregation of the verbatimCtes($n) hit join, ending
+    * in bout$n(n, bench_id, n_contaminating_docs, n_leaked_windows). */
+  private def benchContamCtes(n: Int): String =
+    s"""bout$n AS (SELECT CAST($n AS BIGINT) AS n, bench_id,
+       |    count(DISTINCT wd$n.doc_id) AS n_contaminating_docs,
+       |    count(DISTINCT wd$n.w) AS n_leaked_windows
+       |  FROM wd$n JOIN bench$n ON wd$n.w = bench$n.w
+       |  WHERE wd$n.doc_id % $DecontamMod <> 0
+       |  GROUP BY bench_id)""".stripMargin
+
   private val wtkCte: String =
     s"""wtk AS (SELECT doc_id, regexp_extract_all(lower(text), '$TokRe') AS t
        |        FROM documents)""".stripMargin
@@ -808,6 +847,12 @@ object DedupOps {
        |${VerbatimWindows.map(verbatimCtes).mkString(",\n")}
        |${VerbatimWindows.map(n => s"SELECT * FROM out$n").mkString("\nUNION ALL\n")}
        |ORDER BY n, doc_id""".stripMargin
+
+  val benchContaminationSql: String =
+    s"""WITH $wtkCte,
+       |${VerbatimWindows.map(n => s"${verbatimCtes(n)},\n${benchContamCtes(n)}").mkString(",\n")}
+       |${VerbatimWindows.map(n => s"SELECT * FROM bout$n").mkString("\nUNION ALL\n")}
+       |ORDER BY n, bench_id""".stripMargin
 
   // ---- q48: SimHash near-dup pairs (Hamming-LSH banding) ------------------
 
@@ -1278,6 +1323,7 @@ object DedupOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q138_minhash_calibration" -> (minhashCalibration _),
+    "q143_bench_contamination" -> (benchContamination _),
     "q141_signature_budget_sweep" -> (signatureBudgetSweep _),
     "q106_fuzzy_join" -> (fuzzyJoin _),
     "q84_repeated_spans" -> (repeatedSpans _),
@@ -1301,6 +1347,7 @@ object DedupOps {
   val oracles: Map[String, String] = Map(
     "q138_minhash_calibration" -> minhashCalibrationSql,
     "q141_signature_budget_sweep" -> signatureBudgetSweepSql,
+    "q143_bench_contamination" -> benchContaminationSql,
     "q106_fuzzy_join" -> fuzzyJoinSql,
     "q84_repeated_spans" -> repeatedSpansSql,
     "q85_incremental_dedup" -> incrementalDedupSql,

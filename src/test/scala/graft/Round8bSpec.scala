@@ -456,6 +456,32 @@ class Round8bSpec extends SparkSpec {
     got.values.foreach(v => assert(v == r6max))
   }
 
+  test("q143 bench-side contamination report counts quoting docs and leaked windows") {
+    import spark.implicits._
+    import graft.operators.DedupOps
+    val out = java.nio.file.Files.createTempDirectory("graft_benchcontam").toString
+    val alpha = (0 until 20).map(i => s"alpha$i")
+    val bench = alpha.mkString(" ")
+    val quote13 = ((0 until 30).map(i => s"uniq$i") ++ alpha.slice(3, 16) ++
+      (0 until 20).map(i => s"tail$i")).mkString(" ")
+    val quote8 = ((0 until 30).map(i => s"mid$i") ++ alpha.slice(5, 13) ++
+      (0 until 20).map(i => s"end$i")).mkString(" ")
+    val clean = (0 until 40).map(i => s"clean$i").mkString(" ")
+    Seq((97L, bench), (1L, quote13), (2L, quote8), (3L, clean))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val rows = DedupOps.benchContamination(spark, out).collect()
+      .map(r => (r.getAs[Long]("n"), r.getAs[Long]("bench_id")) ->
+        (r.getAs[Long]("n_contaminating_docs"), r.getAs[Long]("n_leaked_windows"))).toMap
+    // n=8: docs 1 and 2 both quote item 97. Doc 1 leaks the 6 8-windows of
+    // its 13-token quote (starts 3..8); doc 2's single window (start 5) is
+    // among them, so the distinct leaked-window union stays 6.
+    assert(rows((8L, 97L)) == (2L, 6L), s"got ${rows.get((8L, 97L))}")
+    // n=13: only doc 1 survives, leaking exactly its one 13-window.
+    assert(rows((13L, 97L)) == (1L, 1L), s"got ${rows.get((13L, 97L))}")
+    assert(rows.keySet == Set((8L, 97L), (13L, 97L)))
+  }
+
   test("q142 assignment drift recounts from the shared model; TVD is the half-L1") {
     val asg = SimilarityOps.kmeansModel(spark, dir)._2.collect()
       .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster")))
