@@ -1167,6 +1167,48 @@ object TextAnalysisOps {
        |  floor((coalesce(ssum / n_bigrams, 0.0)) * 1000000 + 0.5) / 1000000 AS mean_kn_surprisal
        |FROM documents d LEFT JOIN kper USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  // ---- q144: per-source LM surprisal scorecard ----------------------------
+
+  /** q144: the CCNet signal read per SOURCE — each source's document
+    * count, bigram mass, and mean per-doc KN surprisal under the corpus
+    * LM. q102 scores documents (the per-doc perplexity filter); this
+    * rolls the same scores up to the slice a mixture decision is made
+    * at: a source whose text the corpus LM finds systematically
+    * surprising is out-of-distribution (boilerplate, non-prose,
+    * misidentified language) and its q120 weight deserves a second
+    * look. Completes the per-source panel: q88 duplication, q112
+    * unigram KL, q133 quality/flag rates, and now the LM view.
+    *
+    * Means average the r6-rounded per-doc values (the q133 discipline —
+    * both engines sum identical rounded terms in DECIMAL, so the
+    * |sources|-row table is order-free). Scale shape: one doc_id join
+    * onto the q102 frame, then a |sources|-key map-side-combined
+    * aggregate — zero-bigram docs enter at surprisal 0 exactly as q102
+    * emits them. */
+  def sourceKnSurprisal(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir).select("doc_id", "source")
+      .join(knSurprisal(spark, dir), Seq("doc_id"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bigrams")).as("n_bigrams"),
+        r6(dsum(col("mean_kn_surprisal")) / count(lit(1)))
+          .as("mean_doc_surprisal"))
+      .orderBy("source")
+
+  val sourceKnSurprisalSql: String =
+    s"""WITH $knCtes,
+       |kper AS (SELECT doc_id, count(*) AS n_bigrams,
+       |           CAST(sum(CAST(-ln(pkn) AS DECIMAL(30,8))) AS DOUBLE) AS ssum
+       |         FROM bi JOIN klm USING (w1, w2) GROUP BY doc_id),
+       |kdoc AS (SELECT d.doc_id, d.source, coalesce(n_bigrams, 0) AS n_bigrams,
+       |           floor((coalesce(ssum / n_bigrams, 0.0)) * 1000000 + 0.5) / 1000000 AS m
+       |         FROM documents d LEFT JOIN kper USING (doc_id))
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+       |  floor((CAST(sum(CAST(m AS DECIMAL(30,8))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS mean_doc_surprisal
+       |FROM kdoc GROUP BY source ORDER BY source""".stripMargin
+
   // ---- q78: token-budget corpus curation (quality-greedy budget fill) -----
 
   /** Integer micro-score bucket key (ADVICE r6): qkey = floor(q·10⁶ + 0.5)
@@ -3210,6 +3252,7 @@ object TextAnalysisOps {
     "q99_weighted_sample" -> (weightedSample _),
     "q101_kn_bigram_lm" -> (knBigramLm _),
     "q102_kn_surprisal" -> (knSurprisal _),
+    "q144_source_surprisal" -> (sourceKnSurprisal _),
     "q103_clean_text" -> (cleanText _),
     "q30_text_quality" -> (textQuality _),
     "q31_token_counts" -> (tokenCounts _),
@@ -3257,6 +3300,7 @@ object TextAnalysisOps {
     "q99_weighted_sample" -> weightedSampleSql,
     "q101_kn_bigram_lm" -> knBigramLmSql,
     "q102_kn_surprisal" -> knSurprisalSql,
+    "q144_source_surprisal" -> sourceKnSurprisalSql,
     "q103_clean_text" -> cleanTextSql,
     "q30_text_quality" -> textQualitySql,
     "q31_token_counts" -> tokenCountsSql,

@@ -456,6 +456,28 @@ class Round8bSpec extends SparkSpec {
     got.values.foreach(v => assert(v == r6max))
   }
 
+  test("q144 source surprisal re-totals against the per-doc q102 frame") {
+    val per = TextAnalysisOps.knSurprisal(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("mean_kn_surprisal"))).toMap
+    val srcOf = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source")).toMap
+    def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = per.toSeq.groupBy { case (d, _) => srcOf(d) }
+      .map { case (s, xs) =>
+        s -> (xs.length.toLong, xs.map(_._2._1).sum,
+          r6d(xs.map(x => BigDecimal(x._2._2).setScale(8, BigDecimal.RoundingMode.HALF_UP))
+            .sum.toDouble / xs.length))
+      }
+    val got = TextAnalysisOps.sourceKnSurprisal(spark, dir).collect()
+      .map(r => r.getAs[String]("source") -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_bigrams"), r.getAs[Double]("mean_doc_surprisal"))).toMap
+    assert(got == expected, s"got $got expected $expected")
+    // Every document lands in exactly one source row.
+    assert(got.values.map(_._1).sum == per.size)
+  }
+
   test("q143 bench-side contamination report counts quoting docs and leaked windows") {
     import spark.implicits._
     import graft.operators.DedupOps
