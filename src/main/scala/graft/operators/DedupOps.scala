@@ -448,6 +448,35 @@ object DedupOps {
       .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
       .orderBy("doc_id")
 
+  // ---- q145: duplicate-cluster size spectrum ------------------------------
+
+  /** q145: how duplication mass distributes — for each cluster size,
+    * how many clusters have that size, how many documents they hold,
+    * and the document share; plus the corpus duplication factor
+    * (docs per cluster) as the headline scalar. The standard
+    * corpus-report histogram: a corpus where the dup mass sits in two
+    * mega-clusters (template spam) needs different treatment than one
+    * with a long tail of pairs (mirrors), and the keep-best policy's
+    * savings are exactly n_docs − n_clusters. Size 1 rows are the
+    * unduplicated mass, kept in the table so shares sum to 1.
+    *
+    * Scale shape: two-level aggregation over the memoized labels —
+    * label-keyed count (co-partitioned with the propagation joins that
+    * built it), then a tiny size-keyed aggregate; totals broadcast back
+    * onto the ≤|distinct sizes| rows. Nothing beyond q49's own work. */
+  def clusterSizeSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    val sizes = dupLabels(spark, dir)
+      .groupBy("label").agg(count(lit(1)).as("cluster_size"))
+    val spec = sizes.groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+    val tot = spec.agg(sum(col("n_docs")).as("td"), sum(col("n_clusters")).as("tc"))
+    spec.crossJoin(broadcast(tot))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        r6(col("n_docs").cast("double") / col("td")).as("doc_share"),
+        r6(col("td").cast("double") / col("tc")).as("dup_factor"))
+      .orderBy("cluster_size")
+  }
+
   private def clusterRoundSql(i: Int): String =
     s"""n$i AS (SELECT src, min(label) AS nlabel
        |        FROM e JOIN l${i - 1} ON e.dst = l${i - 1}.doc_id GROUP BY src),
@@ -472,6 +501,21 @@ object DedupOps {
        |SELECT doc_id, label AS cluster_id,
        |  CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS cluster_size
        |FROM l$ClusterIterations ORDER BY doc_id""".stripMargin
+
+  val clusterSizeSpectrumSql: String =
+    s"""WITH $dupLabelCtes,
+       |csz AS (SELECT label, count(*) AS cluster_size
+       |        FROM l$ClusterIterations GROUP BY label),
+       |spec AS (SELECT cluster_size, count(*) AS n_clusters,
+       |           cluster_size * count(*) AS n_docs
+       |         FROM csz GROUP BY cluster_size),
+       |ctot AS (SELECT sum(n_docs) AS td, sum(n_clusters) AS tc FROM spec)
+       |SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       |  CAST(n_clusters AS BIGINT) AS n_clusters,
+       |  CAST(n_docs AS BIGINT) AS n_docs,
+       |  floor((n_docs::DOUBLE / td) * 1000000 + 0.5) / 1000000 AS doc_share,
+       |  floor((td::DOUBLE / tc) * 1000000 + 0.5) / 1000000 AS dup_factor
+       |FROM spec, ctot ORDER BY cluster_size""".stripMargin
 
   // ---- q75: dedup policy — keep the best-quality doc per cluster ----------
 
@@ -1324,6 +1368,7 @@ object DedupOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q138_minhash_calibration" -> (minhashCalibration _),
     "q143_bench_contamination" -> (benchContamination _),
+    "q145_cluster_size_spectrum" -> (clusterSizeSpectrum _),
     "q141_signature_budget_sweep" -> (signatureBudgetSweep _),
     "q106_fuzzy_join" -> (fuzzyJoin _),
     "q84_repeated_spans" -> (repeatedSpans _),
@@ -1348,6 +1393,7 @@ object DedupOps {
     "q138_minhash_calibration" -> minhashCalibrationSql,
     "q141_signature_budget_sweep" -> signatureBudgetSweepSql,
     "q143_bench_contamination" -> benchContaminationSql,
+    "q145_cluster_size_spectrum" -> clusterSizeSpectrumSql,
     "q106_fuzzy_join" -> fuzzyJoinSql,
     "q84_repeated_spans" -> repeatedSpansSql,
     "q85_incremental_dedup" -> incrementalDedupSql,

@@ -456,6 +456,29 @@ class Round8bSpec extends SparkSpec {
     got.values.foreach(v => assert(v == r6max))
   }
 
+  test("q145 cluster-size spectrum recounts from q49; shares sum to 1") {
+    import graft.operators.DedupOps
+    val clusters = DedupOps.dupClusters(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id")))
+    val sizes = clusters.groupBy(_._2).map { case (_, v) => v.length.toLong }.toSeq
+    val expected = sizes.groupBy(identity).map { case (sz, xs) =>
+      sz -> (xs.length.toLong, sz * xs.length)
+    }
+    val td = clusters.length.toDouble
+    val tc = sizes.length.toDouble
+    def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = DedupOps.clusterSizeSpectrum(spark, dir).collect()
+    assert(got.map(r => r.getAs[Long]("cluster_size") ->
+      (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"))).toMap == expected)
+    got.foreach { r =>
+      assert(r.getAs[Double]("doc_share") == r6d(r.getAs[Long]("n_docs") / td))
+      assert(r.getAs[Double]("dup_factor") == r6d(td / tc))
+    }
+    // The spectrum is a full partition of the corpus.
+    assert(got.map(_.getAs[Long]("n_docs")).sum == clusters.length)
+    assert(math.abs(got.map(_.getAs[Double]("doc_share")).sum - 1.0) < 1e-4)
+  }
+
   test("q144 source surprisal re-totals against the per-doc q102 frame") {
     val per = TextAnalysisOps.knSurprisal(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") ->
