@@ -429,9 +429,15 @@ class Round8bSpec extends SparkSpec {
     val counts = custs.map(c => perCust.getOrElse(c, 0L))
     val expected = counts.groupBy(identity)
       .map { case (c, xs) => c -> xs.length.toLong }
-    val got = RelationalOps.customerOrderDistribution(spark, dir).collect()
+    val q = RelationalOps.customerOrderDistribution(spark, dir)
+    val got = q.collect()
       .map(r => r.getAs[Long]("c_count") -> r.getAs[Long]("custdist")).toMap
     assert(got == expected, s"got $got expected $expected")
+    // Plan audit: the outer join survives into the physical plan (no
+    // inner-join rewrite) and nothing degenerates to a nested loop.
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftOuter"), "expected the LEFT OUTER join in the plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
     // The outer join's reason to exist: the zero bucket is populated and
     // the distribution accounts for every customer.
     assert(got.getOrElse(0L, 0L) == custs.length - perCust.size.toLong)
@@ -449,11 +455,17 @@ class Round8bSpec extends SparkSpec {
       .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).sum }
     val maxRev = rev.values.max
     val winners = rev.filter(_._2 == maxRev).keys.toSet
-    val got = RelationalOps.topSupplierRevenue(spark, dir).collect()
+    val q = RelationalOps.topSupplierRevenue(spark, dir)
+    val got = q.collect()
       .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[Double]("total_revenue")).toMap
     assert(got.keySet == winners, s"got ${got.keySet} expected $winners")
     val r6max = math.floor(maxRev.toDouble * 1e6 + 0.5) / 1e6
     got.values.foreach(v => assert(v == r6max))
+    // Plan audit: both the 1-row max and the supplier dim come back as
+    // broadcasts — lineitem shuffles once for the revenue view, then
+    // nothing else exchanges.
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast join-backs")
   }
 
   test("q145 cluster-size spectrum recounts from q49; shares sum to 1") {
