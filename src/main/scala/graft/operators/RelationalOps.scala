@@ -795,11 +795,62 @@ object RelationalOps {
        |WHERE total_rev = (SELECT max(total_rev) FROM rev)
        |ORDER BY s_suppkey""".stripMargin
 
+  // ---- q146: monthly promo revenue share (Q14 conditional-ratio shape) ----
+
+  /** q146 (the TPC-H Q14 shape, widened to a year of months): per ship
+    * month, what fraction of revenue came from PROMO-type parts — the
+    * conditional-aggregate ratio. Both the conditional numerator and
+    * the total denominator accumulate in ONE aggregate pass (a CASE
+    * inside the sum, not a self-join or a second scan — the rewrite
+    * Q14 exists to teach), in exact DECIMAL so the ratio's operands are
+    * order-free; only the final percentage divides as double.
+    *
+    * Scale shape: part is a broadcast dimension (key + type only —
+    * column pruning keeps the build side minimal); lineitem streams
+    * through the join into a 12-key map-side-combined aggregate. One
+    * shuffle of 12 partial rows per task. */
+  def promoRevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = (col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast("decimal(30,8)")
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(t(spark, dir, "part").select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(
+        r6(sum(when(col("p_type") === "PROMO", rev)
+          .otherwise(lit(0).cast("decimal(30,8)"))).cast("double")).as("promo_rev"),
+        r6(sum(rev).cast("double")).as("total_rev"),
+        r6(sum(when(col("p_type") === "PROMO", rev)
+          .otherwise(lit(0).cast("decimal(30,8)"))).cast("double") * 100 /
+          sum(rev).cast("double")).as("promo_share_pct"))
+      .orderBy("ship_month")
+  }
+
+  val promoRevenueShareSql: String =
+    """WITH pr AS (
+      |  SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+      |    sum(CASE WHEN p_type = 'PROMO'
+      |        THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))
+      |        ELSE CAST(0 AS DECIMAL(30,8)) END) AS pd,
+      |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS td
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY 1)
+      |SELECT ship_month,
+      |  floor((CAST(pd AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS promo_rev,
+      |  floor((CAST(td AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS total_rev,
+      |  floor((CAST(pd AS DOUBLE) * 100 / CAST(td AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS promo_share_pct
+      |FROM pr ORDER BY ship_month""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q139_customer_order_distribution" -> (customerOrderDistribution _),
     "q140_top_supplier_revenue" -> (topSupplierRevenue _),
+    "q146_promo_revenue_share" -> (promoRevenueShare _),
     "q130_lone_failure_suppliers" -> (loneFailureSuppliers _),
     "q131_dormant_high_balance" -> (dormantHighBalance _),
     "q136_trailing_revenue" -> (trailingRevenue _),
@@ -826,6 +877,7 @@ object RelationalOps {
   val oracles: Map[String, String] = Map(
     "q139_customer_order_distribution" -> customerOrderDistributionSql,
     "q140_top_supplier_revenue" -> topSupplierRevenueSql,
+    "q146_promo_revenue_share" -> promoRevenueShareSql,
     "q130_lone_failure_suppliers" -> loneFailureSuppliersSql,
     "q131_dormant_high_balance" -> dormantHighBalanceSql,
     "q136_trailing_revenue" -> trailingRevenueSql,

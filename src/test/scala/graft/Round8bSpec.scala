@@ -468,6 +468,32 @@ class Round8bSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "expected broadcast join-backs")
   }
 
+  test("q146 promo share recounts; numerator and denominator from one pass") {
+    val ptype = spark.read.parquet(s"$dir/part.parquet")
+      .select("p_partkey", "p_type").collect()
+      .map(r => r.getAs[Long]("p_partkey") -> r.getAs[String]("p_type")).toMap
+    val rows = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(date_format(col("l_shipdate"), "yyyy-MM").as("m"),
+        col("l_partkey"), col("l_extendedprice"), col("l_discount")).collect()
+      .map(r => (r.getAs[String]("m"), ptype(r.getAs[Long]("l_partkey")),
+        BigDecimal(r.getAs[Double]("l_extendedprice") * (1 - r.getAs[Double]("l_discount")))
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP)))
+    def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = rows.groupBy(_._1).map { case (m, xs) =>
+      val pd = xs.filter(_._2 == "PROMO").map(_._3).sum
+      val td = xs.map(_._3).sum
+      m -> (r6d(pd.toDouble), r6d(td.toDouble),
+        r6d(pd.toDouble * 100 / td.toDouble))
+    }
+    val got = RelationalOps.promoRevenueShare(spark, dir).collect()
+      .map(r => r.getAs[String]("ship_month") -> (r.getAs[Double]("promo_rev"),
+        r.getAs[Double]("total_rev"), r.getAs[Double]("promo_share_pct"))).toMap
+    assert(got == expected, s"got $got expected $expected")
+    assert(got.size == 12, "a full year of months at sf0.001")
+  }
+
   test("q145 cluster-size spectrum recounts from q49; shares sum to 1") {
     import graft.operators.DedupOps
     val clusters = DedupOps.dupClusters(spark, dir).collect()
