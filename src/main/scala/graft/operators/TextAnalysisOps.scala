@@ -715,6 +715,68 @@ object TextAnalysisOps {
        |SELECT doc_id, chunk_id, chunk_tokens, off + local_bin AS bin_id
        |FROM lb JOIN os USING (shard) ORDER BY doc_id, chunk_id""".stripMargin
 
+  // ---- q147: packing-efficiency audit -------------------------------------
+
+  /** q147: how well the q47 packer fills its bins — per fill-decile
+    * bucket (bucket = min(⌊fill·10/PackBudget⌋, 10), with 10 holding
+    * the ≥100% bins a straddling chunk overflows into), the bin count,
+    * bin share, and mean fill; plus the corpus utilization scalar
+    * Σfill / (n_bins·PackBudget). The number a training job actually
+    * pays for: every percentage point of under-fill is padding tokens
+    * through the forward pass, and a fat overflow bucket means the
+    * chunker's chunk size fights the packer's budget. Buckets are pure
+    * integer arithmetic on token counts, so both engines bucket
+    * identically.
+    *
+    * Scale shape: one bin_id-keyed count over q47's own output (bin_id
+    * is q47's partition-friendly key), then an ≤11-key aggregate;
+    * totals broadcast back. Nothing beyond the packing run itself. */
+  def packingEfficiency(spark: SparkSession, dir: String): DataFrame = {
+    val fills = sequencePacking(spark, dir)
+      .groupBy("bin_id").agg(sum(col("chunk_tokens")).as("fill"))
+    val buckets = fills
+      .withColumn("bucket",
+        least(expr(s"(fill * 10) DIV $PackBudget"), lit(10L)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_bins"), sum(col("fill")).as("bucket_tokens"))
+    val tot = buckets.agg(sum(col("n_bins")).as("tb"),
+      sum(col("bucket_tokens")).as("tt"))
+    buckets.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_bins"),
+        r6(col("n_bins").cast("double") / col("tb")).as("bin_share"),
+        r6(col("bucket_tokens").cast("double") / col("n_bins")).as("mean_fill"),
+        r6(col("tt").cast("double") / (col("tb") * PackBudget))
+          .as("utilization"))
+      .orderBy("bucket")
+  }
+
+  val packingEfficiencySql: String =
+    s"""WITH $chunkCtes,
+       |sh AS (SELECT doc_id, chunk_id, chunk_tokens,
+       |         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |           % $PackShards AS shard
+       |       FROM ch),
+       |cm AS (SELECT doc_id, chunk_id, chunk_tokens, shard,
+       |         CAST(sum(chunk_tokens) OVER (PARTITION BY shard
+       |           ORDER BY doc_id, chunk_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |       FROM sh),
+       |lb AS (SELECT *, CAST((cum - chunk_tokens) // $PackBudget AS BIGINT) AS local_bin
+       |       FROM cm),
+       |nb AS (SELECT shard, max(local_bin) + 1 AS nbins FROM lb GROUP BY shard),
+       |os AS (SELECT a.shard, CAST(coalesce(sum(b.nbins), 0) AS BIGINT) AS off
+       |       FROM nb a LEFT JOIN nb b ON b.shard < a.shard GROUP BY a.shard),
+       |fills AS (SELECT off + local_bin AS bin_id, sum(chunk_tokens) AS fill
+       |          FROM lb JOIN os USING (shard) GROUP BY 1),
+       |bk AS (SELECT least((fill * 10) // $PackBudget, 10) AS bucket,
+       |         count(*) AS n_bins, sum(fill) AS bucket_tokens
+       |       FROM fills GROUP BY 1),
+       |bt AS (SELECT sum(n_bins) AS tb, sum(bucket_tokens) AS tt FROM bk)
+       |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_bins AS BIGINT) AS n_bins,
+       |  floor((n_bins::DOUBLE / tb) * 1000000 + 0.5) / 1000000 AS bin_share,
+       |  floor((bucket_tokens::DOUBLE / n_bins) * 1000000 + 0.5) / 1000000 AS mean_fill,
+       |  floor((tt::DOUBLE / (tb * $PackBudget)) * 1000000 + 0.5) / 1000000 AS utilization
+       |FROM bk, bt ORDER BY bucket""".stripMargin
+
   // ---- q46: language-mixture resampling (sqrt-scaled domain balancing) ----
 
   /** Deterministic domain-mixture resampling over the skewed `lang`
@@ -3253,6 +3315,7 @@ object TextAnalysisOps {
     "q101_kn_bigram_lm" -> (knBigramLm _),
     "q102_kn_surprisal" -> (knSurprisal _),
     "q144_source_surprisal" -> (sourceKnSurprisal _),
+    "q147_packing_efficiency" -> (packingEfficiency _),
     "q103_clean_text" -> (cleanText _),
     "q30_text_quality" -> (textQuality _),
     "q31_token_counts" -> (tokenCounts _),
@@ -3301,6 +3364,7 @@ object TextAnalysisOps {
     "q101_kn_bigram_lm" -> knBigramLmSql,
     "q102_kn_surprisal" -> knSurprisalSql,
     "q144_source_surprisal" -> sourceKnSurprisalSql,
+    "q147_packing_efficiency" -> packingEfficiencySql,
     "q103_clean_text" -> cleanTextSql,
     "q30_text_quality" -> textQualitySql,
     "q31_token_counts" -> tokenCountsSql,

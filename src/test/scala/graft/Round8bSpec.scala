@@ -468,6 +468,29 @@ class Round8bSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "expected broadcast join-backs")
   }
 
+  test("q147 packing efficiency recounts from the q47 bin assignment") {
+    val bins = TextAnalysisOps.sequencePacking(spark, dir).collect()
+      .map(r => (r.getAs[Long]("bin_id"), r.getAs[Long]("chunk_tokens")))
+      .groupBy(_._1).map { case (b, xs) => b -> xs.map(_._2).sum }
+    val B = TextAnalysisOps.PackBudget
+    def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val byBucket = bins.values.groupBy(f => math.min(f * 10 / B, 10L))
+    val tb = bins.size.toDouble
+    val tt = bins.values.sum.toDouble
+    val util = r6d(tt / (tb * B))
+    val got = TextAnalysisOps.packingEfficiency(spark, dir).collect()
+    assert(got.map(_.getAs[Long]("bucket")).toSet == byBucket.keySet)
+    got.foreach { r =>
+      val fills = byBucket(r.getAs[Long]("bucket"))
+      assert(r.getAs[Long]("n_bins") == fills.size)
+      assert(r.getAs[Double]("bin_share") == r6d(fills.size / tb))
+      assert(r.getAs[Double]("mean_fill") == r6d(fills.sum.toDouble / fills.size))
+      assert(r.getAs[Double]("utilization") == util)
+    }
+    // Every bin lands in exactly one bucket; the audit conserves tokens.
+    assert(got.map(_.getAs[Long]("n_bins")).sum == bins.size)
+  }
+
   test("q146 promo share recounts; numerator and denominator from one pass") {
     val ptype = spark.read.parquet(s"$dir/part.parquet")
       .select("p_partkey", "p_type").collect()
