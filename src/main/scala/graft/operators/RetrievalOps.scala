@@ -794,9 +794,152 @@ object RetrievalOps {
        |SELECT doc_id, rank, floor((rrf) * 1000000 + 0.5) / 1000000 AS rrf
        |FROM rk WHERE rank <= $TopK ORDER BY rank""".stripMargin
 
+  // ---- q148: ranker comparison on the known-item panel --------------------
+
+  /** q148: BM25 vs Dirichlet query-likelihood, head to head on the q125
+    * known-item panel — per query the source document's rank under each
+    * ranker, so the table reads directly as "which ranking family wins
+    * on this corpus" before anyone commits a serving stack to one. BM25
+    * ranks exactly as q125 (strictly-better pairs over the posting-join
+    * candidates; docs sharing no query term score 0 and can never
+    * outrank the source, whose score is positive). QL has no such
+    * shortcut — a no-match document still scores via its length prior,
+    * and on short-doc corpora it CAN outrank a long source — so the QL
+    * rank decomposes scalably: score(d) relative to the per-query
+    * constant is corr(d) − qlen·ln(dl(d)+μ), with corr = 0 for no-match
+    * docs, giving
+    *   rank(src) = 1 + |better among corr docs| (exact, tie → lower id)
+    *             + Σ_dl [−qlen·ln(dl+μ) > s_src]·(n(dl) − n_corr(q,dl)),
+    * i.e. no-match documents are counted through the DOC-LENGTH
+    * HISTOGRAM, never materialized per query — the corpus is scored
+    * panel × |distinct dl| instead of panel × corpus. (No-match ties
+    * with the source would need corr_src to exactly equal a float
+    * log-difference — measure zero; counted as not-better.)
+    *
+    * Scale shape: both rankers ride the memoized token index; the panel
+    * and its per-query stats broadcast; corrections are one term-keyed
+    * posting join; the histogram grid is |panel| × |distinct dl| rows of
+    * driver-free arithmetic. */
+  def rankerComparison(spark: SparkSession, dir: String): DataFrame = {
+    val ti = tokenIndex(spark, dir)
+    val sparse = knownItemSparse(spark, dir)
+    val bsrc = sparse.filter(col("doc_id") === col("query_id"))
+      .select(col("query_id"), col("s").as("s_src"))
+    val bm = sparse.join(broadcast(bsrc), "query_id")
+      .groupBy("query_id")
+      .agg((lit(1L) + sum(when(col("s") > col("s_src") ||
+        (col("s") === col("s_src") && col("doc_id") < col("query_id")), 1L)
+        .otherwise(0L))).as("bm25_rank"))
+    val qt = corpus(spark, dir)
+      .filter(pmod(col("doc_id"), lit(graft.operators.DedupOps.DecontamMod)) === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(graft.textops.TextOps.tokenize(col("text")),
+          1, KnownItemPrefix)).as("term"))
+      .groupBy("query_id", "term").agg(count(lit(1)).as("qtf"))
+    val cf = ti.docTermFreq.groupBy("term")
+      .agg(sum(col("tf").cast("long")).as("cf"))
+    val tot = ti.docLen.agg(sum(col("dl").cast("long")).as("ctot"))
+    val qstats = broadcast(qt.join(cf, "term").crossJoin(tot)
+      .select(col("query_id"), col("term"), col("qtf"),
+        (col("cf").cast("double") / col("ctot").cast("double")).as("p")))
+    val qlenF = qstats.groupBy("query_id").agg(sum(col("qtf")).as("qlen"))
+    val corr = ti.docTermFreq.join(qstats, "term")
+      .groupBy("query_id", "doc_id")
+      .agg(sum((col("qtf").cast("double") *
+          (log(col("tf").cast("double") + lit(QlMu) * col("p")) -
+            log(lit(QlMu) * col("p"))))
+        .cast("decimal(30,8)")).cast("double").as("corr"))
+    val corrD = corr.join(ti.docLen.select("doc_id", "dl"), "doc_id")
+    val qsrc = corrD.filter(col("doc_id") === col("query_id"))
+      .select(col("query_id"), col("corr").as("corr_src"), col("dl").as("dl_src"))
+    val srcQ = broadcast(qsrc.join(qlenF, "query_id"))
+    val nbc = corrD.join(srcQ, "query_id")
+      .filter(col("doc_id") =!= col("query_id"))
+      .withColumn("sd", col("corr") -
+        col("qlen").cast("double") * log(col("dl").cast("double") + QlMu))
+      .withColumn("ss", col("corr_src") -
+        col("qlen").cast("double") * log(col("dl_src").cast("double") + QlMu))
+      .groupBy("query_id")
+      .agg(sum(when(col("sd") > col("ss") ||
+        (col("sd") === col("ss") && col("doc_id") < col("query_id")), 1L)
+        .otherwise(0L)).as("n_bc"))
+    val dlHist = ti.docLen.groupBy("dl").agg(count(lit(1)).as("n_dl"))
+    val nCorrDl = corrD.groupBy("query_id", "dl").agg(count(lit(1)).as("n_corr_dl"))
+    val nbn = srcQ.crossJoin(dlHist)
+      .join(nCorrDl, Seq("query_id", "dl"), "left")
+      .filter((-col("qlen").cast("double") * log(col("dl").cast("double") + QlMu)) >
+        (col("corr_src") -
+          col("qlen").cast("double") * log(col("dl_src").cast("double") + QlMu)))
+      .groupBy("query_id")
+      .agg(sum(col("n_dl") - coalesce(col("n_corr_dl"), lit(0L))).as("n_bn"))
+    bm.join(nbc, Seq("query_id"), "left")
+      .join(nbn, Seq("query_id"), "left")
+      .select(col("query_id"), col("bm25_rank"),
+        (lit(1L) + coalesce(col("n_bc"), lit(0L)) +
+          coalesce(col("n_bn"), lit(0L))).as("ql_rank"))
+      .withColumn("bm25_rr", r6(lit(1.0) / col("bm25_rank").cast("double")))
+      .withColumn("ql_rr", r6(lit(1.0) / col("ql_rank").cast("double")))
+      .orderBy("query_id")
+  }
+
+  val rankerComparisonSql: String =
+    s"""WITH $knownItemScoreCtes,
+       |ksrc AS (SELECT query_id, s AS s_src FROM ksc WHERE doc_id = query_id),
+       |kbm AS (SELECT ksc.query_id,
+       |          CAST(1 + sum(CASE WHEN ksc.s > s_src OR
+       |                (ksc.s = s_src AND ksc.doc_id < ksc.query_id)
+       |              THEN 1 ELSE 0 END) AS BIGINT) AS bm25_rank
+       |        FROM ksc JOIN ksrc USING (query_id) GROUP BY ksc.query_id),
+       |kq2 AS (SELECT query_id, term, CAST(count(*) AS BIGINT) AS qtf FROM (
+       |          SELECT doc_id AS query_id, unnest(t[1:$KnownItemPrefix]) AS term
+       |          FROM (SELECT doc_id, regexp_extract_all(lower(text), '$TokRe') AS t
+       |                FROM documents
+       |                WHERE doc_id % ${graft.operators.DedupOps.DecontamMod} = 0))
+       |        GROUP BY 1, 2),
+       |kcf AS (SELECT term, CAST(count(*) AS BIGINT) AS cf FROM tok GROUP BY term),
+       |ktot AS (SELECT CAST(count(*) AS BIGINT) AS ctot FROM tok),
+       |kqs AS (SELECT query_id, term, qtf, cf::DOUBLE / ctot AS p
+       |        FROM kq2 JOIN kcf USING (term), ktot),
+       |kqlen AS (SELECT query_id, CAST(sum(qtf) AS BIGINT) AS qlen
+       |          FROM kqs GROUP BY query_id),
+       |kcorr AS (SELECT query_id, tf.doc_id,
+       |    CAST(sum(CAST(qtf::DOUBLE *
+       |      (ln(tf.tf::DOUBLE + $QlMu * p) - ln($QlMu * p)) AS DECIMAL(30,8)))
+       |      AS DOUBLE) AS corr
+       |  FROM tf JOIN kqs USING (term) GROUP BY 1, 2),
+       |kcd AS (SELECT query_id, kcorr.doc_id, corr, dl.dl
+       |        FROM kcorr JOIN dl ON kcorr.doc_id = dl.doc_id),
+       |kqsrc AS (SELECT query_id, corr AS corr_src, dl AS dl_src
+       |          FROM kcd WHERE doc_id = query_id),
+       |kbc AS (SELECT kcd.query_id,
+       |    sum(CASE WHEN (corr - qlen * ln(kcd.dl::DOUBLE + $QlMu)) >
+       |               (corr_src - qlen * ln(dl_src::DOUBLE + $QlMu))
+       |          OR ((corr - qlen * ln(kcd.dl::DOUBLE + $QlMu)) =
+       |               (corr_src - qlen * ln(dl_src::DOUBLE + $QlMu))
+       |              AND kcd.doc_id < kcd.query_id)
+       |        THEN 1 ELSE 0 END) AS n_bc
+       |  FROM kcd JOIN kqsrc USING (query_id) JOIN kqlen USING (query_id)
+       |  WHERE kcd.doc_id <> kcd.query_id GROUP BY 1),
+       |khist AS (SELECT dl, count(*) AS n_dl FROM dl GROUP BY dl),
+       |kcdl AS (SELECT query_id, dl, count(*) AS n_corr_dl FROM kcd GROUP BY 1, 2),
+       |kgrid AS (SELECT s.query_id, corr_src, dl_src, qlen, h.dl, h.n_dl
+       |          FROM kqsrc s JOIN kqlen USING (query_id) CROSS JOIN khist h),
+       |kbn AS (SELECT query_id, sum(n_dl - coalesce(n_corr_dl, 0)) AS n_bn
+       |        FROM kgrid LEFT JOIN kcdl USING (query_id, dl)
+       |        WHERE (-qlen * ln(kgrid.dl::DOUBLE + $QlMu)) >
+       |              (corr_src - qlen * ln(dl_src::DOUBLE + $QlMu))
+       |        GROUP BY 1)
+       |SELECT b.query_id, bm25_rank,
+       |  CAST(1 + coalesce(n_bc, 0) + coalesce(n_bn, 0) AS BIGINT) AS ql_rank,
+       |  floor((1.0 / bm25_rank) * 1000000 + 0.5) / 1000000 AS bm25_rr,
+       |  floor((1.0 / (1 + coalesce(n_bc, 0) + coalesce(n_bn, 0))) * 1000000 + 0.5) / 1000000 AS ql_rr
+       |FROM kbm b LEFT JOIN kbc USING (query_id) LEFT JOIN kbn USING (query_id)
+       |ORDER BY b.query_id""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q148_ranker_comparison" -> (rankerComparison _),
     "q54_prf_expansion" -> (prfExpansion _),
     "q28_hashed_embeddings" -> (hashedEmbeddings _),
     "q29_rrf_fusion" -> (rrfFusion _),
@@ -815,6 +958,7 @@ object RetrievalOps {
   val oracles: Map[String, String] = Map(
     "q121_ql_topk" -> qlSql(Bm25Query),
     "q125_known_item_eval" -> knownItemEvalSql,
+    "q148_ranker_comparison" -> rankerComparisonSql,
     "q129_cluster_relevant_eval" -> clusterRelevantEvalSql,
     "q54_prf_expansion" -> prfSql(Bm25Query),
     "q28_hashed_embeddings" -> hashedEmbeddingsSql,

@@ -468,6 +468,54 @@ class Round8bSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "expected broadcast join-backs")
   }
 
+  test("q148 QL ranks match a dense all-docs recount; BM25 side ties to q125") {
+    import graft.operators.{DedupOps, RetrievalOps}
+    val mu = RetrievalOps.QlMu
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> tok(r.getAs[String]("text")))
+    val tf = toks.map { case (d, ts) =>
+      d -> ts.groupBy(identity).map { case (t, v) => t -> v.length.toLong }
+    }.toMap
+    val dl = toks.map { case (d, ts) => d -> ts.length.toLong }.toMap
+    val cf = toks.flatMap(_._2).groupBy(identity)
+      .map { case (t, v) => t -> v.length.toLong }
+    val ctot = cf.values.sum.toDouble
+    val got = RetrievalOps.rankerComparison(spark, dir).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("bm25_rank"), r.getAs[Long]("ql_rank"))).toMap
+    assert(got.nonEmpty)
+    // Dense recount: score EVERY doc per query the textbook way and count
+    // strictly-better docs (corr-doc ties break on lower id, exactly the
+    // declared policy; no-match ties never fire on real data).
+    got.keys.foreach { q =>
+      val qterms = toks.find(_._1 == q).get._2.take(RetrievalOps.KnownItemPrefix)
+        .groupBy(identity).map { case (t, v) => t -> v.length.toLong }
+        .filter { case (t, _) => cf.contains(t) }
+      val qlen = qterms.values.sum.toDouble
+      def corrOf(d: Long): BigDecimal = qterms.map { case (t, qtf) =>
+        val p = cf(t) / ctot
+        val tfd = tf(d).getOrElse(t, 0L)
+        if (tfd == 0L) BigDecimal(0)
+        else BigDecimal(qtf * (math.log(tfd + mu * p) - math.log(mu * p)))
+          .setScale(8, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      def score(d: Long): Double =
+        corrOf(d).toDouble - qlen * math.log(dl(d) + mu)
+      val sSrc = score(q)
+      val better = toks.map(_._1).count { d =>
+        d != q && (score(d) > sSrc ||
+          (score(d) == sSrc && corrOf(d) != BigDecimal(0) && d < q))
+      }
+      assert(got(q)._2 == 1L + better,
+        s"query $q: decomposed rank ${got(q)._2} vs dense ${1L + better}")
+    }
+    // The BM25 column IS q125's rank, row for row.
+    val q125 = RetrievalOps.knownItemEval(spark, dir).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("src_rank")).toMap
+    assert(got.view.mapValues(_._1).toMap == q125)
+  }
+
   test("q147 packing efficiency recounts from the q47 bin assignment") {
     val bins = TextAnalysisOps.sequencePacking(spark, dir).collect()
       .map(r => (r.getAs[Long]("bin_id"), r.getAs[Long]("chunk_tokens")))
