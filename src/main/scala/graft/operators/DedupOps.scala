@@ -448,6 +448,54 @@ object DedupOps {
       .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
       .orderBy("doc_id")
 
+  // ---- q149: dedup-threshold sensitivity curve ----------------------------
+
+  /** Jaccard thresholds the q149 sensitivity curve sweeps — brackets
+    * the declared JaccardThreshold = 0.30 operating point. */
+  val ThresholdSweep: Seq[Double] = Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
+
+  /** q149: what each candidate Jaccard threshold would do — per
+    * threshold, the surviving verified-pair count and the number of
+    * distinct documents touched by at least one such pair (the
+    * upper bound on what a dedup pass at that threshold can delete).
+    * The tuning table behind the declared 0.30 operating point: q141
+    * prices the SIGNATURE budget at a fixed threshold, this prices the
+    * THRESHOLD itself on exact Jaccards. A cliff between two rows means
+    * the corpus has a near-dup tier right at that similarity — exactly
+    * where the threshold should not sit.
+    *
+    * Scale shape: one |sweep|× explode over the already-verified pair
+    * frame (candidate volume, never corpus²), then a |sweep|-key
+    * count + distinct-doc count; thresholds compare against exact
+    * r6-rounded Jaccards identically in both engines. */
+  def thresholdSensitivity(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashDupPairs(spark, dir)
+    pairs
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        explode(array(ThresholdSweep.map(lit): _*)).as("threshold"))
+      .filter(col("jaccard") >= col("threshold"))
+      .select(col("threshold"), col("doc_a"), col("doc_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .groupBy("threshold")
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct("doc").as("n_flagged_docs"))
+      .orderBy("threshold")
+  }
+
+  val thresholdSensitivitySql: String =
+    s"""WITH $shinglesCte,
+       |$minhashCtes,
+       |$lshPairsCte,
+       |$jaccardCtes,
+       |thr AS (SELECT CAST(unnest([${ThresholdSweep.mkString(", ")}]) AS DOUBLE) AS threshold),
+       |surv AS (SELECT threshold, doc_a, doc_b FROM jac, thr
+       |         WHERE jaccard >= threshold),
+       |sd AS (SELECT threshold, doc_a, doc_b, unnest([doc_a, doc_b]) AS doc
+       |       FROM surv)
+       |SELECT threshold, CAST(count(*) // 2 AS BIGINT) AS n_pairs,
+       |  CAST(count(DISTINCT doc) AS BIGINT) AS n_flagged_docs
+       |FROM sd GROUP BY threshold ORDER BY threshold""".stripMargin
+
   // ---- q145: duplicate-cluster size spectrum ------------------------------
 
   /** q145: how duplication mass distributes — for each cluster size,
@@ -603,6 +651,65 @@ object DedupOps {
        |SELECT doc_id, cluster_id, bucket,
        |  CASE WHEN bucket < $TrainBuckets THEN 'train' ELSE 'holdout' END AS split
        |FROM b ORDER BY doc_id""".stripMargin
+
+  // ---- q150: split–source balance audit -----------------------------------
+
+  /** q150: is the holdout representative — per source, the train and
+    * holdout document counts, the source's corpus share vs its share of
+    * the HOLDOUT, and the per-source holdout fraction. q76's
+    * cluster-atomic bucketing guarantees leakage-safety, not balance: a
+    * source whose docs cluster heavily can land lopsided in one split,
+    * and then every holdout number (q132's AUC above all) measures that
+    * source's quirks instead of generalization. The audit that must be
+    * green before anyone reads q132's generalization gap.
+    *
+    * Scale shape: one doc_id join of the memoized split assignment onto
+    * the documents scan, a |sources|-key conditional-sum aggregate, and
+    * 1-row totals broadcast back. Shares are integer ratios; zero-size
+    * holdouts guard to 0 identically in both engines. */
+  def splitBalance(spark: SparkSession, dir: String): DataFrame = {
+    val per = docs(spark, dir).select("doc_id", "source")
+      .join(leakageSafeSplits(spark, dir).select("doc_id", "split"), "doc_id")
+      .groupBy("source")
+      .agg(sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "holdout", 1L).otherwise(0L)).as("n_holdout"))
+    val tot = per.agg(sum(col("n_train")).as("tt"), sum(col("n_holdout")).as("th"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("cs", (col("n_train") + col("n_holdout")).cast("double") /
+        (col("tt") + col("th")))
+      .withColumn("hs", when(col("th") === 0, lit(0.0))
+        .otherwise(col("n_holdout").cast("double") / col("th")))
+      .select(col("source"), col("n_train"), col("n_holdout"),
+        r6(col("cs")).as("corpus_share"), r6(col("hs")).as("holdout_share"),
+        r6(col("n_holdout").cast("double") /
+          (col("n_train") + col("n_holdout"))).as("holdout_frac"),
+        r6(abs(col("cs") - col("hs"))).as("abs_share_diff"))
+      .orderBy("source")
+  }
+
+  val splitBalanceSql: String =
+    s"""WITH $dupLabelCtes,
+       |slab AS (SELECT doc_id,
+       |           CASE WHEN CAST(('0x' || substring(md5(CAST(label AS VARCHAR)), 1, 15)) AS BIGINT)
+       |                  % $SplitBuckets < $TrainBuckets
+       |                THEN 'train' ELSE 'holdout' END AS split
+       |         FROM l$ClusterIterations),
+       |sper AS (SELECT source,
+       |           sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+       |           sum(CASE WHEN split = 'holdout' THEN 1 ELSE 0 END) AS n_holdout
+       |         FROM documents d JOIN slab USING (doc_id) GROUP BY source),
+       |stot AS (SELECT sum(n_train) AS tt, sum(n_holdout) AS th FROM sper),
+       |sfin AS (SELECT source, n_train, n_holdout,
+       |           (n_train + n_holdout)::DOUBLE / (tt + th) AS cs,
+       |           CASE WHEN th = 0 THEN 0.0 ELSE n_holdout::DOUBLE / th END AS hs
+       |         FROM sper, stot)
+       |SELECT source, CAST(n_train AS BIGINT) AS n_train,
+       |  CAST(n_holdout AS BIGINT) AS n_holdout,
+       |  floor(cs * 1000000 + 0.5) / 1000000 AS corpus_share,
+       |  floor(hs * 1000000 + 0.5) / 1000000 AS holdout_share,
+       |  floor((n_holdout::DOUBLE / (n_train + n_holdout)) * 1000000 + 0.5) / 1000000 AS holdout_frac,
+       |  floor(abs(cs - hs) * 1000000 + 0.5) / 1000000 AS abs_share_diff
+       |FROM sfin ORDER BY source""".stripMargin
 
   // ---- q82: end-to-end curation pipeline (keep-best → splits → budget) ----
 
@@ -1369,6 +1476,8 @@ object DedupOps {
     "q138_minhash_calibration" -> (minhashCalibration _),
     "q143_bench_contamination" -> (benchContamination _),
     "q145_cluster_size_spectrum" -> (clusterSizeSpectrum _),
+    "q149_threshold_sensitivity" -> (thresholdSensitivity _),
+    "q150_split_balance" -> (splitBalance _),
     "q141_signature_budget_sweep" -> (signatureBudgetSweep _),
     "q106_fuzzy_join" -> (fuzzyJoin _),
     "q84_repeated_spans" -> (repeatedSpans _),
@@ -1394,6 +1503,8 @@ object DedupOps {
     "q141_signature_budget_sweep" -> signatureBudgetSweepSql,
     "q143_bench_contamination" -> benchContaminationSql,
     "q145_cluster_size_spectrum" -> clusterSizeSpectrumSql,
+    "q149_threshold_sensitivity" -> thresholdSensitivitySql,
+    "q150_split_balance" -> splitBalanceSql,
     "q106_fuzzy_join" -> fuzzyJoinSql,
     "q84_repeated_spans" -> repeatedSpansSql,
     "q85_incremental_dedup" -> incrementalDedupSql,

@@ -468,6 +468,60 @@ class Round8bSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "expected broadcast join-backs")
   }
 
+  test("q149 threshold curve recounts from verified pairs and is antitone") {
+    import graft.operators.DedupOps
+    val pairs = DedupOps.minhashDupPairs(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard")))
+    val expected = DedupOps.ThresholdSweep.flatMap { t =>
+      val surv = pairs.filter(_._3 >= t)
+      if (surv.isEmpty) None
+      else Some(t -> (surv.length.toLong,
+        surv.flatMap(p => Seq(p._1, p._2)).distinct.length.toLong))
+    }.toMap
+    val got = DedupOps.thresholdSensitivity(spark, dir).collect()
+      .map(r => r.getAs[Double]("threshold") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_flagged_docs"))).toMap
+    assert(got == expected, s"got $got expected $expected")
+    // Raising the threshold can only shrink the survivor set.
+    val sorted = got.toSeq.sortBy(_._1).map(_._2)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) =>
+      a._1 >= b._1 && a._2 >= b._2
+    })
+  }
+
+  test("q150 split balance recounts from q76; totals partition the corpus") {
+    import graft.operators.DedupOps
+    val splits = DedupOps.leakageSafeSplits(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val srcOf = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("source"))
+    def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val per = srcOf.groupBy(_._2).map { case (s, xs) =>
+      s -> (xs.count(x => splits(x._1) == "train").toLong,
+        xs.count(x => splits(x._1) == "holdout").toLong)
+    }
+    val tt = per.values.map(_._1).sum.toDouble
+    val th = per.values.map(_._2).sum.toDouble
+    val got = DedupOps.splitBalance(spark, dir).collect()
+    assert(got.map(_.getAs[String]("source")).toSet == per.keySet)
+    got.foreach { r =>
+      val (nt, nh) = per(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_train") == nt)
+      assert(r.getAs[Long]("n_holdout") == nh)
+      val cs = (nt + nh) / (tt + th)
+      val hs = if (th == 0) 0.0 else nh / th
+      assert(r.getAs[Double]("corpus_share") == r6d(cs))
+      assert(r.getAs[Double]("holdout_share") == r6d(hs))
+      assert(r.getAs[Double]("holdout_frac") == r6d(nh.toDouble / (nt + nh)))
+      assert(r.getAs[Double]("abs_share_diff") == r6d(math.abs(cs - hs)))
+    }
+    // The audit partitions the corpus exactly.
+    assert(got.map(r => r.getAs[Long]("n_train") + r.getAs[Long]("n_holdout")).sum
+      == srcOf.length)
+  }
+
   test("q148 QL ranks match a dense all-docs recount; BM25 side ties to q125") {
     import graft.operators.{DedupOps, RetrievalOps}
     val mu = RetrievalOps.QlMu
