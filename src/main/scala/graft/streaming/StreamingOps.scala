@@ -490,6 +490,76 @@ object StreamingOps {
       .withColumn("kept", !flagCols.map(col).reduce(_ || _))
   }
 
+  /** Streaming cluster-occupancy drift monitor — the live twin of the
+    * q142 staleness audit. Each arriving vector is assigned to its
+    * nearest FROZEN centroid (the persisted index's coarse quantizer,
+    * read once driver-side and inlined as literals — the qualityGate
+    * pattern, so assignment is a stateless row-local projection: K
+    * zip_with/aggregate squared-L2 distances and a struct-min argmin
+    * with ties to the lowest cluster id, serving-tier double
+    * arithmetic like the ANN gates). Occupancy aggregates per
+    * hour-window (watermarked, append mode), and the foreachBatch
+    * normalization — the mixtureMonitor pattern — emits per (window,
+    * cluster) the count, share, baseline share, delta, and the
+    * window's total-variation distance against the baseline occupancy:
+    *   TVD = ½·(Σ_present |share − base| + (1 − Σ_present base)),
+    * the second term charging clusters the window never hit (their
+    * whole baseline mass is missing — a window that collapses into two
+    * hot cells maximally drifts, which is exactly the probe-pruning
+    * failure q142's scaladoc warns about). Alert on tvd to schedule
+    * retraining/compaction.
+    *
+    * At scale: streaming state is |open windows|·K rows; the
+    * foreachBatch job touches only closed windows; centroids and
+    * baseline are release artifacts. */
+  def clusterDriftMonitor(
+      vecs: DataFrame, tsCol: String, delay: String,
+      centroids: DataFrame, baseline: DataFrame, outDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val cents = centroids
+      .select(col("cluster").cast("long"), col("pos").cast("int"),
+        col("c").cast("double"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)) }
+      .toSeq.sortBy(_._1)
+    val dists = array(cents.map { case (cid, cv) =>
+      struct(
+        aggregate(
+          zip_with(col("embedding"), array(cv.map(lit).toIndexedSeq: _*),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (acc, x) => acc + x).as("dist"),
+        lit(cid).as("cluster"))
+    }: _*)
+    vecs
+      .select(col(tsCol), array_min(dists).getField("cluster").as("cluster"))
+      .withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), "1 hour"), col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .select(col("window.start").as("win_start"), col("cluster"), col("n_vecs"))
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val tot = batch.groupBy("win_start").agg(sum("n_vecs").as("win_total"))
+          val shares = batch.join(tot, "win_start")
+            .join(broadcast(baseline), Seq("cluster"), "left")
+            .withColumn("share",
+              col("n_vecs").cast("double") / col("win_total").cast("double"))
+            .withColumn("base", coalesce(col("base_share"), lit(0.0)))
+            .withColumn("share_delta", col("share") - col("base"))
+          val tvd = shares.groupBy("win_start")
+            .agg(((sum(abs(col("share_delta"))) +
+              (lit(1.0) - sum(col("base")))) / 2).as("tvd"))
+          shares.join(tvd, "win_start")
+            .select(col("win_start"), col("cluster"), col("n_vecs"),
+              col("share"), col("base").as("base_share"),
+              col("share_delta"), col("tvd"))
+            .write.mode("append").parquet(outDir)
+        }
+      }
+  }
+
   /** Gap-based sessions via the native session_window (30-minute gap).
     * Boundary semantics differ slightly from the batch formulation
     * (EventsOps.userSessions): session_window splits at gaps >= 30 min on

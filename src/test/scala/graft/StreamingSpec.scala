@@ -12,6 +12,8 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
 
 case class DocIngest(doc_id: Long, ts: Timestamp, text: String)
 
+case class VecIngest(vec_id: Long, ts: Timestamp, embedding: Array[Float])
+
 /** The streaming operators must reproduce their batch twins when fed the
   * bounded sf0.001 events table through a memory stream.
   */
@@ -725,5 +727,76 @@ class StreamingSpec extends SparkSpec {
     assert(total == events.size) // every event lands in exactly one session
     assert(sessions.count() > 0 &&
       sessions.count() <= events.map(_.user_id).distinct.size * 200L)
+  }
+
+  test("cluster drift monitor: assignments, shares, and TVD recount vs the frozen quantizer") {
+    import graft.operators.SimilarityOps
+    val dir = "/root/testdata/sf0.001"
+    val (cent, asg) = SimilarityOps.kmeansModel(spark, dir)
+    val asgRows = asg.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster")))
+    val baseline = asgRows.groupBy(_._2)
+      .map { case (c, v) => (c, v.length.toDouble / asgRows.length) }
+      .toSeq.toDF("cluster", "base_share")
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    val base = 1700000000L
+    val feed = embs.take(60).zipWithIndex.map { case ((id, e), i) =>
+      VecIngest(id, new Timestamp((base + (if (i < 40) 10L else 3620L)) * 1000L), e)
+    }
+    val outDir = java.nio.file.Files.createTempDirectory("graft_clusterdrift").toString
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[VecIngest]
+    val q = StreamingOps.clusterDriftMonitor(
+        stream.toDF(), "ts", "0 seconds", cent, baseline, outDir)
+      .start()
+    try {
+      stream.addData(feed)
+      q.processAllAvailable()
+      stream.addData(Seq(VecIngest(-1L,
+        new Timestamp((base + 9000L) * 1000L), embs.head._2)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // Driver recount with the same double arithmetic the gate inlines.
+    val centArr = cent.collect()
+      .map(r => (r.getAs[Long]("cluster"), r.getAs[Int]("pos"), r.getAs[Double]("c")))
+      .groupBy(_._1)
+      .map { case (k, rs) => k -> rs.sortBy(_._2).map(_._3) }
+      .toSeq.sortBy(_._1)
+    def assign(e: Array[Float]): Long = centArr.map { case (cid, cv) =>
+      var d = 0.0
+      var i = 0
+      while (i < cv.length) { val t = e(i).toDouble - cv(i); d += t * t; i += 1 }
+      (d, cid)
+    }.min._2
+    val baseMap = asgRows.groupBy(_._2)
+      .map { case (c, v) => c -> v.length.toDouble / asgRows.length }
+    val res = spark.read.parquet(outDir).collect()
+    val wins = res.groupBy(_.getAs[Timestamp]("win_start"))
+    assert(wins.size == 2, s"expected 2 closed hour windows, got ${wins.size}")
+    val byHour = feed.groupBy(f => f.ts.getTime / 3600000L)
+    wins.foreach { case (ws, rows) =>
+      val inWin = byHour(ws.getTime / 3600000L)
+      val expOcc = inWin.map(f => assign(f.embedding)).groupBy(identity)
+        .map { case (c, v) => c -> v.length.toLong }
+      val gotOcc = rows.map(r => r.getAs[Long]("cluster") -> r.getAs[Long]("n_vecs")).toMap
+      assert(gotOcc == expOcc, s"window $ws: $gotOcc vs $expOcc")
+      val n = inWin.length.toDouble
+      val presentBase = expOcc.keys.toSeq.map(c => baseMap.getOrElse(c, 0.0)).sum
+      val l1 = expOcc.map { case (c, k) =>
+        math.abs(k / n - baseMap.getOrElse(c, 0.0)) }.sum
+      val expTvd = (l1 + (1.0 - presentBase)) / 2
+      rows.foreach { r =>
+        val c = r.getAs[Long]("cluster")
+        assert(math.abs(r.getAs[Double]("share") - expOcc(c) / n) < 1e-12)
+        assert(math.abs(r.getAs[Double]("base_share") - baseMap.getOrElse(c, 0.0)) < 1e-12)
+        assert(math.abs(r.getAs[Double]("tvd") - expTvd) < 1e-9,
+          s"window $ws: got tvd ${r.getAs[Double]("tvd")} vs exp $expTvd " +
+            s"(l1 $l1, presentBase $presentBase, n $n, occ $expOcc)")
+      }
+    }
   }
 }
