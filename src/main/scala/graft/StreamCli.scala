@@ -20,7 +20,12 @@ import graft.streaming.StreamingOps
   * `serve` (3rd arg = indexDir) streams the first 8 embeddings as query
   * requests through the batch-of-queries ANN serving tier
   * (annIvfServeMany per micro-batch) and prints each query's top
-  * answers — the online half of the index lifecycle.
+  * answers — the online half of the index lifecycle; `drift` (3rd arg =
+  * indexDir) streams embeddings through the cluster-occupancy drift
+  * monitor against the index's frozen centroids and its own occupancy
+  * as baseline — replaying the training corpus prints TVD ≈ 0, the
+  * null result that proves the inlined-literal assignment reproduces
+  * the persisted index's partition sizes exactly.
   */
 object StreamEvents {
   def main(args: Array[String]): Unit = {
@@ -105,6 +110,46 @@ object StreamEvents {
         .map(r => s"${r.get(0)}:${r.getLong(1)}").mkString(",")
       println(s"[stream] ingest before=$before after=${after.count()} " +
         s"gate_passed=${appended.count()} sizes=$sizes")
+      spark.stop(); return
+    }
+
+    if (mode == "drift") {
+      // Live occupancy drift against the persisted index's frozen
+      // quantizer: baseline = the index's own per-cluster occupancy (the
+      // release artifact), stream = id-shifted embeddings as the "what
+      // arrived since" feed, one per second of synthetic event time, a
+      // far-future sentinel closing the last hour window.
+      val idx = if (args.length > 2) args(2) else "target/graft_ivf_index"
+      val cent = spark.read.parquet(s"$idx/centroids")
+      val occ = spark.read.parquet(s"$idx/vectors").groupBy("cluster").count()
+      val tot = occ.agg(sum("count")).collect()(0).getLong(0).toDouble
+      val baseline = occ.select(col("cluster"),
+        (col("count").cast("double") / tot).as("base_share"))
+      val outDir = java.nio.file.Files.createTempDirectory("graft_drift_out").toString
+      val sentDir = java.nio.file.Files.createTempDirectory("graft_drift_sentinel").toString
+      // The sentinel carries a zero vector (its far-future window never
+      // closes, so it never reaches the output) purely to advance the
+      // watermark past every real hour window.
+      spark.range(1).selectExpr("CAST(-1 AS BIGINT) AS vec_id",
+        "transform(sequence(1, 64), x -> CAST(0.0 AS FLOAT)) AS embedding",
+        "CAST(0 AS INT) AS label")
+        .write.mode("overwrite").parquet(sentDir)
+      val real = spark.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
+        .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+      val sentinel = spark.readStream
+        .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT").parquet(sentDir)
+      val vecs = real.union(sentinel)
+        .withColumn("ts", timestamp_seconds(
+          when(col("vec_id") < 0, lit(2000000000L))
+            .otherwise(lit(1700000000L) + col("vec_id"))))
+      val q = StreamingOps.clusterDriftMonitor(
+        vecs, "ts", "0 seconds", cent, baseline, outDir).start()
+      q.processAllAvailable(); q.stop()
+      val res = spark.read.parquet(outDir)
+      println(s"[stream] drift windows=${res.select("win_start").distinct().count()} " +
+        s"rows=${res.count()}")
+      res.orderBy("win_start", "cluster").show(24, truncate = false)
       spark.stop(); return
     }
 
