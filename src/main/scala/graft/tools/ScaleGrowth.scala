@@ -23,7 +23,13 @@ object ScaleGrowth {
     // shuffle + B-row broadcasts), known-item eval (panel grows WITH the
     // corpus — expect alpha near the superlinear panel x candidates
     // bound), QL ranking (one posting join, like BM25).
-    "q115_dsir_weights", "q125_known_item_eval", "q121_ql_topk")
+    "q115_dsir_weights", "q125_known_item_eval", "q121_ql_topk",
+    // second-wave round-8 additions: the ranker comparison's dl-histogram
+    // decomposition should keep q148 at candidate volume even as panel
+    // AND corpus grow together; q138 rides the pair x signature join
+    // (candidate-volume bound); q145 is metadata-scale past q49's labels.
+    "q148_ranker_comparison", "q138_minhash_calibration",
+    "q145_cluster_size_spectrum")
   val Dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
   def main(args: Array[String]): Unit = {
