@@ -614,9 +614,105 @@ object EventsOps {
       |              ELSE (sd / mean_gap - 1.0) / (sd / mean_gap + 1.0) END) * 1000000 + 0.5) / 1000000 AS burstiness
       |FROM bs ORDER BY user_id""".stripMargin
 
+  // ---- q151: stationary event mix (damped power iteration) ----------------
+
+  /** Power-iteration count and the damping split for q151. Teleport and
+    * damping are SEPARATE declared constants that sum to 1: deriving
+    * one from the other in Scala (1 − 0.85 = 0.15000000000000002)
+    * would not equal the oracle's parsed 0.15 literal. */
+  val PowerIters = 12
+  val PowerDamping = 0.85
+  val PowerTeleport = 0.15
+
+  /** q151: where does user attention settle — the stationary
+    * distribution of the event-type Markov chain (the PageRank
+    * construction on q68's transition matrix): π ← teleport/K +
+    * damping·πᵀP, iterated a FIXED PowerIters times from uniform, with
+    * the per-type last-step residual |π_t − π_{t−1}| reported so the
+    * table carries its own convergence evidence instead of claiming a
+    * limit (the q51/q97 fixed-iteration discipline; residual bound
+    * spec-pinned). The steady-state mix is the number a capacity plan
+    * or an anomaly baseline wants — "what fraction of events is
+    * `error` once transients wash out" — and differs from the raw
+    * event-type histogram exactly where behavior is sticky.
+    *
+    * State space = from-types; edges into types that never emit are
+    * dropped and rows renormalized (their mass re-enters via teleport —
+    * the standard dangling-node treatment). Per-step sums accumulate in
+    * DECIMAL so both engines iterate bit-identically.
+    *
+    * Scale shape: the chain is |event types|² — METADATA scale — and
+    * everything after the one corpus-shuffling lead/groupBy pass (shared
+    * with q68's shape) is K-row arithmetic; the 12 iterations cost 12
+    * tiny joins, corpus-size-independent like q97's matrix frame. */
+  def stationaryEventMix(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val counts = events(spark, dir)
+      .withColumn("to_type", lead("event_type", 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val states = counts.select(col("from_type").as("state")).distinct()
+    val pmat = counts
+      .join(states.select(col("state").as("to_type")), "to_type")
+      .withColumn("p", col("n").cast("double") /
+        sum("n").over(Window.partitionBy("from_type")))
+      .select("from_type", "to_type", "p")
+    val kf = states.agg(count(lit(1)).as("k"))
+    var pi = states.crossJoin(broadcast(kf))
+      .select(col("state"), (lit(1.0) / col("k")).as("pi"))
+    var prev = pi
+    for (_ <- 1 to PowerIters) {
+      prev = pi
+      val incoming = pi.join(pmat, col("state") === col("from_type"))
+        .groupBy(col("to_type").as("in_state"))
+        .agg(dsum(col("pi") * col("p")).as("m"))
+      pi = states.crossJoin(broadcast(kf))
+        .join(incoming, col("state") === col("in_state"), "left")
+        .select(col("state"),
+          (lit(PowerTeleport) / col("k") +
+            lit(PowerDamping) * coalesce(col("m"), lit(0.0))).as("pi"))
+    }
+    pi.join(prev.select(col("state"), col("pi").as("pi_prev")), "state")
+      .select(col("state"), r6(col("pi")).as("pi"),
+        r6(abs(col("pi") - col("pi_prev"))).as("residual"))
+      .orderBy("state")
+  }
+
+  val stationaryEventMixSql: String = {
+    def step(t: Int): String =
+      s"""inc$t AS MATERIALIZED (SELECT to_type AS state,
+         |    CAST(sum(CAST(pi * p AS DECIMAL(30,8))) AS DOUBLE) AS m
+         |  FROM pp${t - 1} JOIN ppm ON pp${t - 1}.state = ppm.from_type GROUP BY 1),
+         |pp$t AS MATERIALIZED (SELECT sk.state,
+         |    CAST($PowerTeleport AS DOUBLE) / k + CAST($PowerDamping AS DOUBLE) * coalesce(m, 0.0) AS pi
+         |  FROM (SELECT state, k FROM pst, pkk) sk
+         |  LEFT JOIN inc$t USING (state))""".stripMargin
+    s"""WITH ps AS (
+       |  SELECT user_id, event_type,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+       |      AS to_type
+       |  FROM events),
+       |pt AS (SELECT event_type AS from_type, to_type, count(*) AS n
+       |       FROM ps WHERE to_type IS NOT NULL GROUP BY 1, 2),
+       |pst AS (SELECT DISTINCT from_type AS state FROM pt),
+       |pkk AS (SELECT count(*) AS k FROM pst),
+       |ppm AS (SELECT from_type, to_type,
+       |          n::DOUBLE / sum(n) OVER (PARTITION BY from_type) AS p
+       |        FROM pt JOIN pst ON pt.to_type = pst.state),
+       |pp0 AS (SELECT state, CAST(1 AS DOUBLE) / k AS pi FROM pst, pkk),
+       |${(1 to PowerIters).map(step).mkString(",\n")}
+       |SELECT pp$PowerIters.state,
+       |  floor(pp$PowerIters.pi * 1000000 + 0.5) / 1000000 AS pi,
+       |  floor(abs(pp$PowerIters.pi - pp${PowerIters - 1}.pi) * 1000000 + 0.5) / 1000000 AS residual
+       |FROM pp$PowerIters JOIN pp${PowerIters - 1} USING (state)
+       |ORDER BY state""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q151_stationary_event_mix" -> (stationaryEventMix _),
     "q123_hour_seasonality" -> (hourSeasonality _),
     "q124_user_burstiness" -> (userBurstiness _),
     "q69_event_anomalies" -> (eventAnomalies _),
@@ -637,6 +733,7 @@ object EventsOps {
     "q69_event_anomalies" -> eventAnomaliesSql,
     "q67_retention_cohorts" -> retentionCohortsSql,
     "q68_event_transitions" -> eventTransitionsSql,
+    "q151_stationary_event_mix" -> stationaryEventMixSql,
     "q66_funnel" -> funnelSql,
     "q65_purchase_attribution" -> purchaseAttributionSql,
     "q59_interval_join" -> intervalJoinSql,

@@ -398,6 +398,45 @@ class Round8bSpec extends SparkSpec {
     assert(got == expected, s"got ${got.take(3)}... expected ${expected.take(3)}...")
   }
 
+  test("q151 stationary mix recounts via a driver power iteration; mass conserves") {
+    import graft.operators.EventsOps
+    val trans = EventsOps.eventTransitions(spark, dir).collect()
+      .map(r => ((r.getAs[String]("from_type"), r.getAs[String]("to_type")),
+        r.getAs[Long]("n")))
+    val states = trans.map(_._1._1).distinct.sorted
+    val k = states.length
+    val rowSum = trans.filter(t => states.contains(t._1._2))
+      .groupBy(_._1._1).map { case (f, xs) => f -> xs.map(_._2).sum }
+    val p = trans.filter(t => states.contains(t._1._2))
+      .map { case ((f, t), n) => (f, t) -> n.toDouble / rowSum(f) }.toMap
+    var pi = states.map(_ -> 1.0 / k).toMap
+    var prev = pi
+    for (_ <- 1 to EventsOps.PowerIters) {
+      prev = pi
+      pi = states.map { s =>
+        val m = states.toSeq.map { f =>
+          p.get((f, s)).map(pf =>
+            BigDecimal(pi(f) * pf).setScale(8, BigDecimal.RoundingMode.HALF_UP))
+            .getOrElse(BigDecimal(0))
+        }.sum.toDouble
+        s -> (EventsOps.PowerTeleport / k + EventsOps.PowerDamping * m)
+      }.toMap
+    }
+    def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = EventsOps.stationaryEventMix(spark, dir).collect()
+      .map(r => r.getAs[String]("state") ->
+        (r.getAs[Double]("pi"), r.getAs[Double]("residual"))).toMap
+    assert(got.keySet == states.toSet)
+    states.foreach { s =>
+      assert(got(s)._1 == r6d(pi(s)), s"$s: got ${got(s)._1} exp ${r6d(pi(s))}")
+      assert(got(s)._2 == r6d(math.abs(pi(s) - prev(s))))
+    }
+    // Probability mass conserves (teleport + damped flow sum to 1) and the
+    // fixed iteration count has converged to the reporting precision.
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-4)
+    got.values.foreach { case (_, res) => assert(res <= 1e-4) }
+  }
+
   test("q131 dormant high-balance segments match a sequential recount") {
     val custs = spark.read.parquet(s"$dir/customer.parquet").collect()
       .map(r => (r.getAs[Long]("c_custkey"), r.getAs[String]("c_mktsegment"),
