@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: media payloads ride as opaque BINARY columns
@@ -375,7 +376,8 @@ object MultimodalOps {
     * per-byte HOF), carrying (doc_id, frame ss) longs into one map-side
     * combined groupBy; per-frame RMS doubles are bit-identical
     * cross-engine so the DECIMAL mean is order-free. */
-  def audioFrameEnergy(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared (doc_id, j, rms) frame stream behind q135 and q152. */
+  private def frameRms(spark: SparkSession, dir: String): DataFrame = {
     val len = length(col("text"))
     val nFrames = when(len >= FrameLen,
       floor((len - FrameLen).cast("double") / FrameHop).cast("long") + 1L)
@@ -390,8 +392,12 @@ object MultimodalOps {
       (a * a).cast("long")
     }.reduce(_ + _)
     val rms = sqrt(ss.cast("double") / FrameLen)
-    framed
-      .select(col("doc_id"), rms.as("rms"))
+    framed.select(col("doc_id"), col("j"), rms.as("rms"))
+  }
+
+  def audioFrameEnergy(spark: SparkSession, dir: String): DataFrame =
+    frameRms(spark, dir)
+      .select(col("doc_id"), col("rms"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_frames"),
@@ -399,27 +405,89 @@ object MultimodalOps {
         r6(max(col("rms"))).as("max_rms"),
         sum(when(col("rms") > ActiveRms, 1L).otherwise(0L)).as("n_active"))
       .orderBy("doc_id")
-  }
 
-  val audioFrameEnergySql: String = {
+  /** Shared q135/q152 oracle block ending in afr(doc_id, j, rms). */
+  private val frameRmsCtes: String = {
     val ssTerms = (0 until FrameLen)
       .map(k => s"ord(substring(text, CAST(j * $FrameHop + ${1 + k} AS INTEGER), 1)) ^ 2")
       .mkString(" + ")
-    s"""WITH af AS (SELECT doc_id, text,
-       |              CAST(floor((length(text) - $FrameLen)::DOUBLE / $FrameHop) AS BIGINT) + 1 AS nf
-       |            FROM documents WHERE length(text) >= $FrameLen),
-       |afr AS (SELECT doc_id, sqrt(CAST($ssTerms AS DOUBLE) / $FrameLen) AS rms
-       |        FROM (SELECT doc_id, text, unnest(range(0, nf)) AS j FROM af))
+    s"""af AS (SELECT doc_id, text,
+       |         CAST(floor((length(text) - $FrameLen)::DOUBLE / $FrameHop) AS BIGINT) + 1 AS nf
+       |       FROM documents WHERE length(text) >= $FrameLen),
+       |afr AS (SELECT doc_id, j, sqrt(CAST($ssTerms AS DOUBLE) / $FrameLen) AS rms
+       |        FROM (SELECT doc_id, text, unnest(range(0, nf)) AS j FROM af))""".stripMargin
+  }
+
+  val audioFrameEnergySql: String =
+    s"""WITH $frameRmsCtes
        |SELECT doc_id,
        |  CAST(count(*) AS BIGINT) AS n_frames,
        |  floor((CAST(sum(CAST(rms AS DECIMAL(30,8))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS mean_rms,
        |  floor((max(rms)) * 1000000 + 0.5) / 1000000 AS max_rms,
        |  CAST(sum(CASE WHEN rms > $ActiveRms THEN 1 ELSE 0 END) AS BIGINT) AS n_active
        |FROM afr GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---- q152: activity segments (VAD runs over the frame stream) -----------
+
+  /** q152: the voice-activity-detector OUTPUT shape — maximal runs of
+    * consecutive active frames (rms > ActiveRms) per document, found
+    * with the gaps-and-islands idiom (j − row_number over active
+    * frames is constant exactly within a run): per doc the segment
+    * count, longest segment, total active frames, and active fraction.
+    * q135 counts active frames; this is what a pipeline actually cuts
+    * on — segment boundaries — and the run structure (many short
+    * bursts vs few long stretches) is what distinguishes speech-like
+    * payloads from noise at the same activity rate.
+    *
+    * Scale shape: one doc_id-partitioned window over the ACTIVE subset
+    * of the frame stream (strictly smaller than q135's aggregate
+    * input), then two doc-keyed aggregates; zero-activity docs rejoin
+    * via the population frame with zeros so the report covers every
+    * framed document. */
+  def audioActivitySegments(spark: SparkSession, dir: String): DataFrame = {
+    val fr = frameRms(spark, dir)
+    val w = Window.partitionBy("doc_id").orderBy("j")
+    val segs = fr.filter(col("rms") > ActiveRms)
+      .withColumn("grp", col("j") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(count(lit(1)).as("seg_frames"))
+    val per = segs.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segments"),
+        max(col("seg_frames")).as("max_seg_frames"),
+        sum(col("seg_frames")).as("n_active"))
+    fr.groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_frames"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("max_seg_frames"), lit(0L)).as("max_seg_frames"),
+        coalesce(col("n_active"), lit(0L)).as("n_active"),
+        r6(coalesce(col("n_active"), lit(0L)).cast("double") / col("n_frames"))
+          .as("active_frac"))
+      .orderBy("doc_id")
   }
+
+  val audioActivitySegmentsSql: String =
+    s"""WITH $frameRmsCtes,
+       |vact AS (SELECT doc_id, j,
+       |           j - row_number() OVER (PARTITION BY doc_id ORDER BY j) AS grp
+       |         FROM afr WHERE rms > $ActiveRms),
+       |vseg AS (SELECT doc_id, grp, count(*) AS seg_frames
+       |         FROM vact GROUP BY 1, 2),
+       |vper AS (SELECT doc_id, count(*) AS n_segments,
+       |           max(seg_frames) AS max_seg_frames, sum(seg_frames) AS n_active
+       |         FROM vseg GROUP BY 1),
+       |vpop AS (SELECT doc_id, count(*) AS n_frames FROM afr GROUP BY 1)
+       |SELECT vpop.doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+       |  CAST(coalesce(n_segments, 0) AS BIGINT) AS n_segments,
+       |  CAST(coalesce(max_seg_frames, 0) AS BIGINT) AS max_seg_frames,
+       |  CAST(coalesce(n_active, 0) AS BIGINT) AS n_active,
+       |  floor((coalesce(n_active, 0)::DOUBLE / n_frames) * 1000000 + 0.5) / 1000000 AS active_frac
+       |FROM vpop LEFT JOIN vper ON vpop.doc_id = vper.doc_id
+       |ORDER BY vpop.doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_audio_frame_energy" -> (audioFrameEnergy _),
+    "q152_activity_segments" -> (audioActivitySegments _),
     "q70_media_meta" -> (mediaMeta _),
     "q71_media_features" -> (mediaFeatures _),
     "q72_frame_sample" -> (frameSample _),
@@ -429,6 +497,7 @@ object MultimodalOps {
 
   val oracles: Map[String, String] = Map(
     "q135_audio_frame_energy" -> audioFrameEnergySql,
+    "q152_activity_segments" -> audioActivitySegmentsSql,
     "q70_media_meta" -> mediaMetaSql,
     "q71_media_features" -> mediaFeaturesSql,
     "q72_frame_sample" -> frameSampleSql,

@@ -398,6 +398,49 @@ class Round8bSpec extends SparkSpec {
     assert(got == expected, s"got ${got.take(3)}... expected ${expected.take(3)}...")
   }
 
+  test("q152 activity segments recount; runs merge exactly the consecutive frames") {
+    import graft.operators.MultimodalOps
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = docs.flatMap { case (d, text) =>
+      val L = MultimodalOps.FrameLen
+      val H = MultimodalOps.FrameHop
+      if (text.length < L) None
+      else {
+        val nf = (text.length - L) / H + 1
+        val active = (0 until nf).map { j =>
+          val ss = (0 until L).map { k =>
+            val c = text.charAt(j * H + k).toInt.toLong; c * c
+          }.sum
+          math.sqrt(ss.toDouble / L) > MultimodalOps.ActiveRms
+        }
+        // maximal runs of consecutive `true`
+        val runs = active.foldLeft(List.empty[Int]) {
+          case (acc, true) if acc.nonEmpty && acc.head > 0 => (acc.head + 1) :: acc.tail
+          case (acc, true) => 1 :: acc
+          case (acc, false) => 0 :: acc
+        }.filter(_ > 0)
+        Some(d -> (nf.toLong, runs.length.toLong,
+          if (runs.isEmpty) 0L else runs.max.toLong, runs.sum.toLong))
+      }
+    }.toMap
+    val got = MultimodalOps.audioActivitySegments(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_frames"),
+        r.getAs[Long]("n_segments"), r.getAs[Long]("max_seg_frames"),
+        r.getAs[Long]("n_active"))).toMap
+    assert(got == expected, "segment structure diverges from the sequential recount")
+    // active_frac and the q135 active count agree on the same frame stream.
+    val q135 = MultimodalOps.audioFrameEnergy(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_active")).toMap
+    got.foreach { case (d, (_, _, _, na)) => assert(q135(d) == na) }
+    MultimodalOps.audioActivitySegments(spark, dir).collect().foreach { r =>
+      assert(r.getAs[Double]("active_frac") ==
+        r6d(r.getAs[Long]("n_active").toDouble / r.getAs[Long]("n_frames")))
+    }
+  }
+
   test("q151 stationary mix recounts via a driver power iteration; mass conserves") {
     import graft.operators.EventsOps
     val trans = EventsOps.eventTransitions(spark, dir).collect()
