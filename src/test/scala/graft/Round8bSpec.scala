@@ -650,6 +650,13 @@ class Round8bSpec extends SparkSpec {
     val q125 = RetrievalOps.knownItemEval(spark, dir).collect()
       .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("src_rank")).toMap
     assert(got.view.mapValues(_._1).toMap == q125)
+    // Plan audit: the scalable decomposition never degenerates into a
+    // corpus-sized nested loop or cartesian product — the only cross join
+    // is the panel-stats × dl-histogram grid (both metadata-scale).
+    val plan = RetrievalOps.rankerComparison(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "panel scoring must not plan a cartesian product")
   }
 
   test("q147 packing efficiency recounts from the q47 bin assignment") {
