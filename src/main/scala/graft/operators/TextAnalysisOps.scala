@@ -1271,6 +1271,70 @@ object TextAnalysisOps {
        |  floor((CAST(sum(CAST(m AS DECIMAL(30,8))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS mean_doc_surprisal
        |FROM kdoc GROUP BY source ORDER BY source""".stripMargin
 
+  // ---- q153: signal-agreement audit (quality × surprisal Pearson) ---------
+
+  /** q153: do the two quality signals agree — the exact Pearson
+    * correlation between the heuristic quality score (q30) and the KN
+    * LM surprisal (q102), per document. A curation stack composes
+    * filters built on both; if they strongly agree, one is redundant,
+    * and if they strongly DISAGREE the composed filter is incoherent —
+    * either way the number must be measured before q113 stacks its
+    * gates. "Measure, don't guess" applied to the engine's own
+    * signals, like q138 for the sketch tier.
+    *
+    * Determinism: both inputs are the r6-rounded per-doc values the
+    * declared queries emit; the five moments accumulate in DECIMAL
+    * (order-free), and r derives from those moments with the SAME
+    * double expression shape in both engines — the q69 z-score trick.
+    * Zero variance guards to 0 rather than NaN.
+    *
+    * Scale shape: one doc_id join of two memoized per-doc frames, one
+    * map-side-combined 5-moment aggregate, 1-row output. */
+  def signalAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val q = textQuality(spark, dir).select(col("doc_id"), col("quality_score").as("x"))
+    val s = knSurprisal(spark, dir).select(col("doc_id"), col("mean_kn_surprisal").as("y"))
+    val m = q.join(s, "doc_id").agg(
+      count(lit(1)).as("n_docs"),
+      dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+      dsum(col("x") * col("y")).as("sxy"),
+      dsum(col("x") * col("x")).as("sxx"),
+      dsum(col("y") * col("y")).as("syy"))
+    val vx = col("n_docs") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n_docs") * col("syy") - col("sy") * col("sy")
+    m.select(col("n_docs"),
+      r6(col("sx") / col("n_docs")).as("mean_quality"),
+      r6(col("sy") / col("n_docs")).as("mean_surprisal"),
+      r6(when(vx <= 0 || vy <= 0, 0.0)
+        .otherwise((col("n_docs") * col("sxy") - col("sx") * col("sy")) /
+          sqrt(vx * vy))).as("pearson_r"))
+  }
+
+  val signalAgreementSql: String =
+    s"""WITH $qualityCtes,
+       |$knCtes,
+       |kper AS (SELECT doc_id, count(*) AS n_bigrams,
+       |           CAST(sum(CAST(-ln(pkn) AS DECIMAL(30,8))) AS DOUBLE) AS ssum
+       |         FROM bi JOIN klm USING (w1, w2) GROUP BY doc_id),
+       |sxy AS (SELECT qual.doc_id, quality_score AS x,
+       |          floor((coalesce(ssum / n_bigrams, 0.0)) * 1000000 + 0.5) / 1000000 AS y
+       |        FROM qual LEFT JOIN kper ON qual.doc_id = kper.doc_id),
+       |mom AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |          CAST(sum(CAST(x AS DECIMAL(30,8))) AS DOUBLE) AS sx,
+       |          CAST(sum(CAST(y AS DECIMAL(30,8))) AS DOUBLE) AS sy,
+       |          CAST(sum(CAST(x * y AS DECIMAL(30,8))) AS DOUBLE) AS sxy,
+       |          CAST(sum(CAST(x * x AS DECIMAL(30,8))) AS DOUBLE) AS sxx,
+       |          CAST(sum(CAST(y * y AS DECIMAL(30,8))) AS DOUBLE) AS syy
+       |        FROM sxy)
+       |SELECT n_docs,
+       |  floor((sx / n_docs) * 1000000 + 0.5) / 1000000 AS mean_quality,
+       |  floor((sy / n_docs) * 1000000 + 0.5) / 1000000 AS mean_surprisal,
+       |  floor((CASE WHEN n_docs * sxx - sx * sx <= 0 OR n_docs * syy - sy * sy <= 0
+       |              THEN 0.0
+       |              ELSE (n_docs * sxy - sx * sy) /
+       |                sqrt((n_docs * sxx - sx * sx) * (n_docs * syy - sy * sy))
+       |         END) * 1000000 + 0.5) / 1000000 AS pearson_r
+       |FROM mom""".stripMargin
+
   // ---- q78: token-budget corpus curation (quality-greedy budget fill) -----
 
   /** Integer micro-score bucket key (ADVICE r6): qkey = floor(q·10⁶ + 0.5)
@@ -3316,6 +3380,7 @@ object TextAnalysisOps {
     "q102_kn_surprisal" -> (knSurprisal _),
     "q144_source_surprisal" -> (sourceKnSurprisal _),
     "q147_packing_efficiency" -> (packingEfficiency _),
+    "q153_signal_agreement" -> (signalAgreement _),
     "q103_clean_text" -> (cleanText _),
     "q30_text_quality" -> (textQuality _),
     "q31_token_counts" -> (tokenCounts _),
@@ -3365,6 +3430,7 @@ object TextAnalysisOps {
     "q102_kn_surprisal" -> knSurprisalSql,
     "q144_source_surprisal" -> sourceKnSurprisalSql,
     "q147_packing_efficiency" -> packingEfficiencySql,
+    "q153_signal_agreement" -> signalAgreementSql,
     "q103_clean_text" -> cleanTextSql,
     "q30_text_quality" -> textQualitySql,
     "q31_token_counts" -> tokenCountsSql,

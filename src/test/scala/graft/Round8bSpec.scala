@@ -398,6 +398,34 @@ class Round8bSpec extends SparkSpec {
     assert(got == expected, s"got ${got.take(3)}... expected ${expected.take(3)}...")
   }
 
+  test("q153 signal agreement recounts from the per-doc q30/q102 frames") {
+    val xs = TextAnalysisOps.textQuality(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
+    val ys = TextAnalysisOps.knSurprisal(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("mean_kn_surprisal")).toMap
+    def d8(x: Double): BigDecimal =
+      BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)
+    val n = xs.size
+    val pairs = xs.keys.toSeq.map(d => (xs(d), ys(d)))
+    val sx = pairs.map(p => d8(p._1)).sum.toDouble
+    val sy = pairs.map(p => d8(p._2)).sum.toDouble
+    val sxy = pairs.map(p => d8(p._1 * p._2)).sum.toDouble
+    val sxx = pairs.map(p => d8(p._1 * p._1)).sum.toDouble
+    val syy = pairs.map(p => d8(p._2 * p._2)).sum.toDouble
+    def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    val expR = if (vx <= 0 || vy <= 0) 0.0
+      else (n * sxy - sx * sy) / math.sqrt(vx * vy)
+    val row = TextAnalysisOps.signalAgreement(spark, dir).collect()(0)
+    assert(row.getAs[Long]("n_docs") == n)
+    assert(row.getAs[Double]("mean_quality") == r6d(sx / n))
+    assert(row.getAs[Double]("mean_surprisal") == r6d(sy / n))
+    assert(row.getAs[Double]("pearson_r") == r6d(expR))
+    // A correlation is only a correlation.
+    assert(math.abs(row.getAs[Double]("pearson_r")) <= 1.0)
+  }
+
   test("q152 activity segments recount; runs merge exactly the consecutive frames") {
     import graft.operators.MultimodalOps
     val docs = spark.read.parquet(s"$dir/documents.parquet")
