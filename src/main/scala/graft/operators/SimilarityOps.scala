@@ -2076,9 +2076,71 @@ object SimilarityOps {
        |  floor(tvd0 * 1000000 + 0.5) / 1000000 AS tvd
        |FROM shr, tvd ORDER BY cluster""".stripMargin
 
+  // ---- q154: embedding health audit ---------------------------------------
+
+  /** q154: validate the vector inputs before ANY tier trusts them — one
+    * row: vector count, distinct dimensionality count (must be 1 for
+    * every downstream join/quantizer to be well-defined), the declared
+    * dimension (max), zero-norm count (cosine is undefined on them —
+    * they silently score 0 through the guarded normalizer), duplicate
+    * vec_id count (breaks top-k identity joins), and the norm
+    * min/mean/max. Every ANN query in this file assumes these
+    * invariants; this is the gate that MEASURES them, first thing
+    * after ingest — the embedding twin of the q90 corpus card.
+    *
+    * Determinism: norm² accumulates per-vector in DECIMAL over exact
+    * float→double squares, sqrt of identical doubles is identical;
+    * the mean norm averages r6-rounded per-vector norms (q133
+    * discipline). Scale shape: one row-local pass + one map-side
+    * 1-key aggregate; the dup check is a vec_id count-distinct pair. */
+  def embeddingHealth(spark: SparkSession, dir: String): DataFrame = {
+    val per = embLong(spark, dir)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("dim"),
+        sum((col("v") * col("v")).cast("decimal(38,18)")).as("ss"))
+      .select(col("vec_id"), col("dim"),
+        r6(sqrt(col("ss").cast("double"))).as("norm"))
+    val ids = emb(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct("vec_id").as("n_ids"))
+    per.agg(
+      count(lit(1)).as("n_vecs"),
+      countDistinct("dim").as("n_dims_distinct"),
+      max(col("dim")).as("dim"),
+      sum(when(col("norm") === 0.0, 1L).otherwise(0L)).as("n_zero_norm"),
+      r6(min(col("norm"))).as("min_norm"),
+      r6(dsum(col("norm")) / count(lit(1))).as("mean_norm"),
+      r6(max(col("norm"))).as("max_norm"))
+      .crossJoin(broadcast(ids))
+      .select(col("n_vecs"), col("n_dims_distinct"), col("dim"),
+        col("n_zero_norm"), (col("n_rows") - col("n_ids")).as("n_dup_ids"),
+        col("min_norm"), col("mean_norm"), col("max_norm"))
+  }
+
+  val embeddingHealthSql: String =
+    s"""WITH hx AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+       |              (unnest(embedding))::DOUBLE AS v
+       |            FROM embeddings),
+       |hper AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS dim,
+       |           floor(sqrt(CAST(sum(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS norm
+       |         FROM hx GROUP BY vec_id),
+       |hids AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |           CAST(count(DISTINCT vec_id) AS BIGINT) AS n_ids
+       |         FROM embeddings)
+       |SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(count(DISTINCT dim) AS BIGINT) AS n_dims_distinct,
+       |  CAST(max(dim) AS BIGINT) AS dim,
+       |  CAST(sum(CASE WHEN norm = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm,
+       |  CAST(n_rows - n_ids AS BIGINT) AS n_dup_ids,
+       |  floor(min(norm) * 1000000 + 0.5) / 1000000 AS min_norm,
+       |  floor((CAST(sum(CAST(norm AS DECIMAL(30,8))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS mean_norm,
+       |  floor(max(norm) * 1000000 + 0.5) / 1000000 AS max_norm
+       |FROM hper, hids GROUP BY n_rows, n_ids""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q154_embedding_health" -> (embeddingHealth _),
     "q142_assignment_drift" -> (assignmentDrift _),
     "q128_dim_truncation_recall" -> (dimTruncationRecall _),
     "q97_pca_top_component" -> (pcaTopComponent _),
@@ -2101,6 +2163,7 @@ object SimilarityOps {
 
   val oracles: Map[String, String] = Map(
     "q142_assignment_drift" -> assignmentDriftSql,
+    "q154_embedding_health" -> embeddingHealthSql,
     "q128_dim_truncation_recall" -> dimTruncationRecallSql,
     "q97_pca_top_component" -> pcaTopComponentSql,
     "q86_semantic_dedup" -> semanticDedupSql,

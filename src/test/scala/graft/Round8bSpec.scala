@@ -398,6 +398,35 @@ class Round8bSpec extends SparkSpec {
     assert(got == expected, s"got ${got.take(3)}... expected ${expected.take(3)}...")
   }
 
+  test("q154 embedding health recounts; testdata satisfies every ANN invariant") {
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val norms = embs.map { case (_, e) =>
+      r6d(math.sqrt(e.map(v => BigDecimal(v.toDouble * v.toDouble))
+        .sum.toDouble))
+    }
+    val row = SimilarityOps.embeddingHealth(spark, dir).collect()(0)
+    assert(row.getAs[Long]("n_vecs") == embs.length)
+    assert(row.getAs[Long]("n_dims_distinct") == embs.map(_._2.length).distinct.length)
+    assert(row.getAs[Long]("dim") == embs.map(_._2.length).max)
+    assert(row.getAs[Long]("n_zero_norm") == norms.count(_ == 0.0))
+    assert(row.getAs[Long]("n_dup_ids") ==
+      embs.length - embs.map(_._1).distinct.length)
+    assert(row.getAs[Double]("min_norm") == norms.min)
+    assert(row.getAs[Double]("max_norm") == norms.max)
+    assert(row.getAs[Double]("mean_norm") == r6d(norms.map(n =>
+      BigDecimal(n).setScale(8, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble / norms.length))
+    // The invariants every ANN tier in SimilarityOps assumes hold on
+    // the driver-generated testdata: one dimensionality, no zero
+    // vectors, unique ids.
+    assert(row.getAs[Long]("n_dims_distinct") == 1L)
+    assert(row.getAs[Long]("n_zero_norm") == 0L)
+    assert(row.getAs[Long]("n_dup_ids") == 0L)
+  }
+
   test("q153 signal agreement recounts from the per-doc q30/q102 frames") {
     val xs = TextAnalysisOps.textQuality(spark, dir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
