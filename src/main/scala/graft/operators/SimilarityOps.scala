@@ -2076,6 +2076,47 @@ object SimilarityOps {
        |  floor(tvd0 * 1000000 + 0.5) / 1000000 AS tvd
        |FROM shr, tvd ORDER BY cluster""".stripMargin
 
+  // ---- q155: per-cluster quantization error audit --------------------------
+
+  /** q155: WHERE does the 64-bit code hurt — per coarse cluster, the
+    * count, mean, and max of each vector's total PQ reconstruction
+    * error (Σ over the 16 subspaces of the residual's squared distance
+    * to its chosen code). q98 reports the error per (vector, subspace);
+    * this rolls it up to the unit the serving tier prunes by, closing
+    * the geometry panel: q58 says which cells are loose, q142 which
+    * cells drift, and this says which cells the ADC scan misranks in —
+    * the cell-targeted signal for re-training codebooks or routing a
+    * cell to the exact re-rank tier (q111) by default.
+    *
+    * Scale shape: both inputs are memoized model frames; one vec-keyed
+    * sum of exact DECIMAL distances, one doc-keyed join onto the coarse
+    * assignment, one K-key aggregate. Means average the r6-rounded
+    * per-vector totals (q133 discipline). */
+  def clusterQuantizationError(spark: SparkSession, dir: String): DataFrame = {
+    val (_, pasg) = pqModel(spark, dir)
+    val (_, kasg) = kmeansModel(spark, dir)
+    val vtot = pasg.groupBy("vec_id")
+      .agg(r6(sum(col("dist")).cast("double")).as("verr"))
+    vtot.join(kasg, "vec_id")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"),
+        r6(dsum(col("verr")) / count(lit(1))).as("mean_sq_err"),
+        r6(max(col("verr"))).as("max_sq_err"))
+      .orderBy("cluster")
+  }
+
+  lazy val clusterQuantizationErrorSql: String =
+    s"""WITH $kmeansCtes,
+       |$pqCtes,
+       |qvt AS (SELECT vec_id,
+       |          floor(CAST(sum(dist) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS verr
+       |        FROM qaf GROUP BY vec_id)
+       |SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  floor((CAST(sum(CAST(verr AS DECIMAL(30,8))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS mean_sq_err,
+       |  floor(max(verr) * 1000000 + 0.5) / 1000000 AS max_sq_err
+       |FROM qvt JOIN kasg USING (vec_id)
+       |GROUP BY cluster ORDER BY cluster""".stripMargin
+
   // ---- q154: embedding health audit ---------------------------------------
 
   /** q154: validate the vector inputs before ANY tier trusts them — one
@@ -2141,6 +2182,7 @@ object SimilarityOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q154_embedding_health" -> (embeddingHealth _),
+    "q155_cluster_quant_error" -> (clusterQuantizationError _),
     "q142_assignment_drift" -> (assignmentDrift _),
     "q128_dim_truncation_recall" -> (dimTruncationRecall _),
     "q97_pca_top_component" -> (pcaTopComponent _),
@@ -2164,6 +2206,7 @@ object SimilarityOps {
   val oracles: Map[String, String] = Map(
     "q142_assignment_drift" -> assignmentDriftSql,
     "q154_embedding_health" -> embeddingHealthSql,
+    "q155_cluster_quant_error" -> clusterQuantizationErrorSql,
     "q128_dim_truncation_recall" -> dimTruncationRecallSql,
     "q97_pca_top_component" -> pcaTopComponentSql,
     "q86_semantic_dedup" -> semanticDedupSql,

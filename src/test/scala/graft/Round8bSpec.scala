@@ -398,6 +398,31 @@ class Round8bSpec extends SparkSpec {
     assert(got == expected, s"got ${got.take(3)}... expected ${expected.take(3)}...")
   }
 
+  test("q155 per-cluster quantization error recounts from the model frames") {
+    val perVec = SimilarityOps.pqModel(spark, dir)._2.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[java.math.BigDecimal]("dist")))
+      .groupBy(_._1)
+      .map { case (v, xs) =>
+        v -> (math.floor(xs.map(x => BigDecimal(x._2)).sum.toDouble * 1e6 + 0.5) / 1e6)
+      }
+    val kasg = SimilarityOps.kmeansModel(spark, dir)._2.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = perVec.toSeq.groupBy { case (v, _) => kasg(v) }
+      .map { case (c, xs) =>
+        c -> (xs.length.toLong,
+          r6d(xs.map(x => BigDecimal(x._2).setScale(8, BigDecimal.RoundingMode.HALF_UP))
+            .sum.toDouble / xs.length),
+          r6d(xs.map(_._2).max))
+      }
+    val got = SimilarityOps.clusterQuantizationError(spark, dir).collect()
+      .map(r => r.getAs[Long]("cluster") -> (r.getAs[Long]("n_vecs"),
+        r.getAs[Double]("mean_sq_err"), r.getAs[Double]("max_sq_err"))).toMap
+    assert(got == expected, s"got $got expected $expected")
+    // The audit covers every encoded vector exactly once.
+    assert(got.values.map(_._1).sum == perVec.size)
+  }
+
   test("q154 embedding health recounts; testdata satisfies every ANN invariant") {
     val embs = spark.read.parquet(s"$dir/embeddings.parquet")
       .select("vec_id", "embedding").collect()
