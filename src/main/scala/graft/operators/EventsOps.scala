@@ -679,7 +679,8 @@ object EventsOps {
       .orderBy("state")
   }
 
-  val stationaryEventMixSql: String = {
+  /** Shared q151/q156 oracle chain ending in pp[PowerIters](state, pi). */
+  private val stationaryCtes: String = {
     def step(t: Int): String =
       s"""inc$t AS MATERIALIZED (SELECT to_type AS state,
          |    CAST(sum(CAST(pi * p AS DECIMAL(30,8))) AS DOUBLE) AS m
@@ -688,7 +689,7 @@ object EventsOps {
          |    CAST($PowerTeleport AS DOUBLE) / k + CAST($PowerDamping AS DOUBLE) * coalesce(m, 0.0) AS pi
          |  FROM (SELECT state, k FROM pst, pkk) sk
          |  LEFT JOIN inc$t USING (state))""".stripMargin
-    s"""WITH ps AS (
+    s"""ps AS (
        |  SELECT user_id, event_type,
        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
        |      AS to_type
@@ -701,18 +702,68 @@ object EventsOps {
        |          n::DOUBLE / sum(n) OVER (PARTITION BY from_type) AS p
        |        FROM pt JOIN pst ON pt.to_type = pst.state),
        |pp0 AS (SELECT state, CAST(1 AS DOUBLE) / k AS pi FROM pst, pkk),
-       |${(1 to PowerIters).map(step).mkString(",\n")}
+       |${(1 to PowerIters).map(step).mkString(",\n")}""".stripMargin
+  }
+
+  val stationaryEventMixSql: String =
+    s"""WITH $stationaryCtes
        |SELECT pp$PowerIters.state,
        |  floor(pp$PowerIters.pi * 1000000 + 0.5) / 1000000 AS pi,
        |  floor(abs(pp$PowerIters.pi - pp${PowerIters - 1}.pi) * 1000000 + 0.5) / 1000000 AS residual
        |FROM pp$PowerIters JOIN pp${PowerIters - 1} USING (state)
        |ORDER BY state""".stripMargin
+
+  // ---- q156: empirical vs stationary mix (stickiness report) --------------
+
+  /** q156: where behavior is sticky — per event type, the EMPIRICAL
+    * share of raw events next to the q151 STATIONARY share and their
+    * delta. The two agree on a memoryless stream; a type whose
+    * stationary share exceeds its empirical share is one users funnel
+    * INTO (the chain keeps returning there), and the reverse marks
+    * transient entry points. This is the actionable reading of q151: a
+    * capacity plan provisions for π, an anomaly baseline for the
+    * empirical mix, and the delta column says when those two diverge
+    * enough to matter.
+    *
+    * Scale shape: q151's fixed-iteration frame joined with one
+    * event_type-keyed count (map-side combined) — the K-row comparison
+    * costs one more corpus aggregate than q151 itself. */
+  def mixStickiness(spark: SparkSession, dir: String): DataFrame = {
+    val emp = events(spark, dir).groupBy(col("event_type").as("state"))
+      .agg(count(lit(1)).as("n_events"))
+    val tot = emp.agg(sum(col("n_events")).as("te"))
+    val pi = stationaryEventMix(spark, dir).select("state", "pi")
+    emp.crossJoin(broadcast(tot))
+      .withColumn("emp_share", col("n_events").cast("double") / col("te"))
+      .join(pi, Seq("state"), "left")
+      .select(col("state"), col("n_events"),
+        r6(col("emp_share")).as("emp_share"),
+        coalesce(col("pi"), lit(0.0)).as("stationary_pi"),
+        r6(coalesce(col("pi"), lit(0.0)) - r6(col("emp_share"))).as("pi_minus_emp"))
+      .orderBy("state")
   }
+
+  val mixStickinessSql: String =
+    s"""WITH $stationaryCtes,
+       |semp AS (SELECT event_type AS state, CAST(count(*) AS BIGINT) AS n_events
+       |         FROM events GROUP BY 1),
+       |ste AS (SELECT sum(n_events) AS te FROM semp),
+       |spi AS (SELECT state, floor(pi * 1000000 + 0.5) / 1000000 AS pi
+       |        FROM pp$PowerIters)
+       |SELECT state, n_events,
+       |  floor((n_events::DOUBLE / te) * 1000000 + 0.5) / 1000000 AS emp_share,
+       |  coalesce(pi, 0.0) AS stationary_pi,
+       |  floor((coalesce(pi, 0.0) -
+       |    floor((n_events::DOUBLE / te) * 1000000 + 0.5) / 1000000) * 1000000 + 0.5) / 1000000 AS pi_minus_emp
+       |FROM (SELECT semp.state, n_events, te FROM semp, ste) se
+       |LEFT JOIN spi USING (state)
+       |ORDER BY state""".stripMargin
 
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q151_stationary_event_mix" -> (stationaryEventMix _),
+    "q156_mix_stickiness" -> (mixStickiness _),
     "q123_hour_seasonality" -> (hourSeasonality _),
     "q124_user_burstiness" -> (userBurstiness _),
     "q69_event_anomalies" -> (eventAnomalies _),
@@ -734,6 +785,7 @@ object EventsOps {
     "q67_retention_cohorts" -> retentionCohortsSql,
     "q68_event_transitions" -> eventTransitionsSql,
     "q151_stationary_event_mix" -> stationaryEventMixSql,
+    "q156_mix_stickiness" -> mixStickinessSql,
     "q66_funnel" -> funnelSql,
     "q65_purchase_attribution" -> purchaseAttributionSql,
     "q59_interval_join" -> intervalJoinSql,

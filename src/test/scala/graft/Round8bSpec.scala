@@ -523,6 +523,29 @@ class Round8bSpec extends SparkSpec {
     }
   }
 
+  test("q156 stickiness ties the empirical histogram to q151's stationary mix") {
+    import graft.operators.EventsOps
+    val emp = spark.read.parquet(s"$dir/events.parquet")
+      .groupBy("event_type").count().collect()
+      .map(r => r.getAs[String]("event_type") -> r.getAs[Long]("count")).toMap
+    val te = emp.values.sum.toDouble
+    val pi = EventsOps.stationaryEventMix(spark, dir).collect()
+      .map(r => r.getAs[String]("state") -> r.getAs[Double]("pi")).toMap
+    def r6d(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = EventsOps.mixStickiness(spark, dir).collect()
+    assert(got.map(_.getAs[String]("state")).toSet == emp.keySet)
+    got.foreach { r =>
+      val s = r.getAs[String]("state")
+      assert(r.getAs[Long]("n_events") == emp(s))
+      assert(r.getAs[Double]("emp_share") == r6d(emp(s) / te))
+      assert(r.getAs[Double]("stationary_pi") == pi.getOrElse(s, 0.0))
+      assert(r.getAs[Double]("pi_minus_emp") ==
+        r6d(pi.getOrElse(s, 0.0) - r6d(emp(s) / te)))
+    }
+    // Both columns are full distributions over the same states.
+    assert(math.abs(got.map(_.getAs[Double]("emp_share")).sum - 1.0) < 1e-4)
+  }
+
   test("q151 stationary mix recounts via a driver power iteration; mass conserves") {
     import graft.operators.EventsOps
     val trans = EventsOps.eventTransitions(spark, dir).collect()
