@@ -839,6 +839,96 @@ object DedupOps {
     s"""AND doc_id % $DecontamMod <> 0
        |          AND doc_id NOT IN (SELECT doc_id FROM out$VerbatimWindow)""".stripMargin)
 
+  // ---- q157: curation funnel attrition table -------------------------------
+
+  /** q157: the release report every curated-corpus paper prints — the
+    * attrition funnel. Per stage of the q113 gated release, the
+    * surviving document and token mass plus fractions of raw:
+    *   0 raw → 1 keep_best (near-dup collapse, subsumes exact dups)
+    *   → 2 bench_excluded (the 1/97 eval slice out)
+    *   → 3 decontaminated (q83 verbatim-flagged docs out)
+    *   → 4 train_split (the cluster-atomic q76 train side)
+    *   → 5 budget_kept (the q78 quality-greedy token budget).
+    * q113 ships the artifact; this is the one-page accounting of WHERE
+    * the mass went — a funnel that loses 40% at one stage is a
+    * misconfigured gate, and the stage framing makes that visible
+    * before release. Stages derive from the SAME memoized frames and
+    * shared SQL blocks as q113, so report and artifact cannot drift.
+    *
+    * Scale shape: six 1-row aggregates over frames the pipeline already
+    * builds; the raw totals broadcast back onto 6 rows. Monotone
+    * non-increasing by construction (spec-pinned). */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val raw = TextAnalysisOps.textQuality(spark, dir).select("doc_id", "n_tokens")
+    val winners = clusterWinners(spark, dir).select("doc_id", "n_tokens")
+    val bench = winners.filter(pmod(col("doc_id"), lit(DecontamMod)) =!= 0)
+    val decon = bench.join(
+      broadcast(verbatimDecontamination(spark, dir).select("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val rel = releasePipeline(spark, dir)
+    val train = rel.filter(col("split") === "train").select("doc_id", "n_tokens")
+    val kept = rel.filter(col("split") === "train" && col("kept"))
+      .select("doc_id", "n_tokens")
+    def stage(id: Long, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n_tokens")), lit(0L)).as("n_tokens"))
+        .select(lit(id).as("stage_id"), lit(name).as("stage"),
+          col("n_docs"), col("n_tokens"))
+    val stages = Seq(
+      stage(0L, "raw", raw), stage(1L, "keep_best", winners),
+      stage(2L, "bench_excluded", bench), stage(3L, "decontaminated", decon),
+      stage(4L, "train_split", train), stage(5L, "budget_kept", kept))
+      .reduce(_.unionByName(_))
+    val base = raw.agg(count(lit(1)).as("d0"),
+      coalesce(sum(col("n_tokens")), lit(0L)).as("t0"))
+    stages.crossJoin(broadcast(base))
+      .select(col("stage_id"), col("stage"), col("n_docs"), col("n_tokens"),
+        r6(col("n_docs").cast("double") / col("d0")).as("docs_frac"),
+        r6(col("n_tokens").cast("double") / col("t0")).as("tokens_frac"))
+      .orderBy("stage_id")
+  }
+
+  lazy val curationFunnelSql: String =
+    s"""WITH $dupLabelCtes,
+       |${TextAnalysisOps.qualityCtes},
+       |$wtkCte,
+       |${verbatimCtes(VerbatimWindow)},
+       |lab AS (SELECT doc_id, label AS cluster_id FROM l$ClusterIterations),
+       |cj AS (SELECT cluster_id, doc_id, quality_score, n_tokens,
+       |         CAST(floor(quality_score * 1000000 + 0.5) AS BIGINT) AS qkey
+       |       FROM lab JOIN qual USING (doc_id)),
+       |win AS (SELECT cluster_id, doc_id, quality_score, n_tokens, qkey FROM (
+       |          SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |            ORDER BY qkey DESC, doc_id) AS rk FROM cj) WHERE rk = 1),
+       |fwb AS (SELECT * FROM win WHERE doc_id % $DecontamMod <> 0),
+       |fwd AS (SELECT * FROM fwb
+       |        WHERE doc_id NOT IN (SELECT doc_id FROM out$VerbatimWindow)),
+       |fsp AS (SELECT *,
+       |          CASE WHEN CAST(('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT)
+       |                    % $SplitBuckets < $TrainBuckets
+       |               THEN 'train' ELSE 'holdout' END AS split
+       |        FROM fwd),
+       |ftr AS (SELECT *, CAST(sum(n_tokens) OVER (ORDER BY qkey DESC, doc_id
+       |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+       |          CAST(sum(n_tokens) OVER () // 2 AS BIGINT) AS budget
+       |        FROM fsp WHERE split = 'train'),
+       |fsx AS (
+       |  SELECT 0 AS stage_id, 'raw' AS stage, count(*) AS n_docs,
+       |    coalesce(sum(n_tokens), 0) AS n_tokens FROM qual
+       |  UNION ALL SELECT 1, 'keep_best', count(*), coalesce(sum(n_tokens), 0) FROM win
+       |  UNION ALL SELECT 2, 'bench_excluded', count(*), coalesce(sum(n_tokens), 0) FROM fwb
+       |  UNION ALL SELECT 3, 'decontaminated', count(*), coalesce(sum(n_tokens), 0) FROM fwd
+       |  UNION ALL SELECT 4, 'train_split', count(*), coalesce(sum(n_tokens), 0)
+       |    FROM fsp WHERE split = 'train'
+       |  UNION ALL SELECT 5, 'budget_kept', count(*), coalesce(sum(n_tokens), 0)
+       |    FROM ftr WHERE cum_tokens <= budget),
+       |fb AS (SELECT count(*) AS d0, coalesce(sum(n_tokens), 0) AS t0 FROM qual)
+       |SELECT CAST(stage_id AS BIGINT) AS stage_id, stage,
+       |  CAST(n_docs AS BIGINT) AS n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  floor((n_docs::DOUBLE / d0) * 1000000 + 0.5) / 1000000 AS docs_frac,
+       |  floor((n_tokens::DOUBLE / t0) * 1000000 + 0.5) / 1000000 AS tokens_frac
+       |FROM fsx, fb ORDER BY stage_id""".stripMargin
+
   // ---- q83: verbatim-window decontamination (contiguous containment) ------
 
   /** Contiguous-window size in tokens — the Dolma/CCNet-style
@@ -1478,6 +1568,7 @@ object DedupOps {
     "q145_cluster_size_spectrum" -> (clusterSizeSpectrum _),
     "q149_threshold_sensitivity" -> (thresholdSensitivity _),
     "q150_split_balance" -> (splitBalance _),
+    "q157_curation_funnel" -> (curationFunnel _),
     "q141_signature_budget_sweep" -> (signatureBudgetSweep _),
     "q106_fuzzy_join" -> (fuzzyJoin _),
     "q84_repeated_spans" -> (repeatedSpans _),
@@ -1505,6 +1596,7 @@ object DedupOps {
     "q145_cluster_size_spectrum" -> clusterSizeSpectrumSql,
     "q149_threshold_sensitivity" -> thresholdSensitivitySql,
     "q150_split_balance" -> splitBalanceSql,
+    "q157_curation_funnel" -> curationFunnelSql,
     "q106_fuzzy_join" -> fuzzyJoinSql,
     "q84_repeated_spans" -> repeatedSpansSql,
     "q85_incremental_dedup" -> incrementalDedupSql,

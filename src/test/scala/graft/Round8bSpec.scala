@@ -523,6 +523,36 @@ class Round8bSpec extends SparkSpec {
     }
   }
 
+  test("q157 funnel is monotone and ties stage by stage to q113's artifact") {
+    import graft.operators.DedupOps
+    val rows = DedupOps.curationFunnel(spark, dir).collect()
+      .sortBy(_.getAs[Long]("stage_id"))
+    assert(rows.map(_.getAs[String]("stage")).toSeq == Seq("raw", "keep_best",
+      "bench_excluded", "decontaminated", "train_split", "budget_kept"))
+    val docs = rows.map(_.getAs[Long]("n_docs"))
+    val toks = rows.map(_.getAs[Long]("n_tokens"))
+    assert(docs.zip(docs.tail).forall { case (a, b) => a >= b }, "docs not monotone")
+    assert(toks.zip(toks.tail).forall { case (a, b) => a >= b }, "tokens not monotone")
+    // Stage 0 is the corpus; stage 4/5 recount from the q113 artifact.
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
+    assert(docs(0) == nDocs)
+    val rel = DedupOps.releasePipeline(spark, dir).collect()
+      .map(r => (r.getAs[String]("split"), r.getAs[Boolean]("kept"),
+        r.getAs[Long]("n_tokens")))
+    val train = rel.filter(_._1 == "train")
+    assert(docs(4) == train.length && toks(4) == train.map(_._3).sum)
+    val kept = train.filter(_._2)
+    assert(docs(5) == kept.length && toks(5) == kept.map(_._3).sum)
+    // The budget stage honors the declared half-token budget.
+    assert(toks(5) <= toks(4) / 2,
+      s"kept ${toks(5)} exceeds the half budget of ${toks(4) / 2}")
+    // Fractions are fractions of raw.
+    rows.foreach { r =>
+      val f = math.floor(r.getAs[Long]("n_docs").toDouble / docs(0) * 1e6 + 0.5) / 1e6
+      assert(r.getAs[Double]("docs_frac") == f)
+    }
+  }
+
   test("q156 stickiness ties the empirical histogram to q151's stationary mix") {
     import graft.operators.EventsOps
     val emp = spark.read.parquet(s"$dir/events.parquet")
