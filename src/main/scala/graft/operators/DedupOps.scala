@@ -416,30 +416,41 @@ object DedupOps {
     * ClusterIterations hops) and the cluster's size. */
   private val labelCache = Memo.frame()
 
-  /** Propagated min-label frame (doc_id, label) — the cluster
-    * representative each doc reaches within ClusterIterations hops.
-    * Shared by q49 (cluster sizes), q75 (keep-best policy), and q76
-    * (leakage-safe splits); memoized + cached per (appId, dir) like every
-    * other shared build (kmeansModel, minhashBands, shingleSets) so the
-    * three consumers run the ClusterIterations propagation rounds once. */
-  private[operators] def dupLabels(spark: SparkSession, dir: String): DataFrame =
+  /** Bounded min-label frame (doc_id, label) — the cluster representative
+    * each doc reaches within ClusterIterations hops: q49's DECLARED
+    * semantics (the oracle unrolls the identical rounds). Policy
+    * consumers (q75 keep-best, q76 splits, q145 spectrum, q150 balance,
+    * the release pipeline) moved to [[dupLabelsFixpoint]] in round 9 —
+    * converged labels, no diameter bound — leaving this frame as the
+    * bounded diagnostic; memoized + cached per (appId, dir) like every
+    * other shared build. */
+  private[graft] def dupLabels(spark: SparkSession, dir: String): DataFrame =
     labelCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
       // Candidate pairs only — the exact-Jaccard verification q42 layers on
       // top never changes the pair set (no threshold), so clustering over
       // the raw candidates skips the most expensive join in the pipeline.
       val pairs = lshCandidatePairs(spark, dir)
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      var labels = docs(spark, dir).select(col("doc_id"), col("doc_id").as("label"))
-      for (_ <- 1 to ClusterIterations) {
-        val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
-          .groupBy("src").agg(min("label").as("nlabel"))
-        labels = labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
-          .select(col("doc_id"),
-            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-      }
-      labels.cache()
+      propagateRounds(docs(spark, dir).select("doc_id"),
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst")),
+        ClusterIterations).cache()
     })
+
+  /** One bounded run of min-label propagation: `rounds` iterations of the
+    * shared round body (the q49 declared semantics when rounds =
+    * ClusterIterations; the spec's foil for the fixpoint path). */
+  private[graft] def propagateRounds(nodes: DataFrame, pairs: DataFrame, rounds: Int): DataFrame = {
+    val edges = pairs.select(col("src"), col("dst"))
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
+    for (_ <- 1 to rounds) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy("src").agg(min("label").as("nlabel"))
+      labels = labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+    }
+    labels
+  }
 
   def dupClusters(spark: SparkSession, dir: String): DataFrame =
     dupLabels(spark, dir)
@@ -447,6 +458,115 @@ object DedupOps {
         count(lit(1)).over(Window.partitionBy("label")))
       .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
       .orderBy("doc_id")
+
+  // ---- q159: fixpoint connected components (production path) --------------
+
+  /** Safety bound on fixpoint rounds — far above any plausible component
+    * diameter (min-label propagation converges in diameter rounds; LSH
+    * near-dup clusters are near-cliques, and even a pure chain of 50
+    * drifting mirrors converges in 49). Hitting it is a data bug worth a
+    * loud failure, not silent truncation. */
+  final val FixpointMaxRounds = 50
+
+  private val fixLabelCache = Memo.frame()
+
+  /** PRODUCTION cluster labels (VERDICT r8 #2): the same min-label
+    * propagation round as [[dupLabels]], looped to FIXPOINT — the loop
+    * exits when a round changes zero labels, so a chain-shaped cluster of
+    * ANY diameter (mirrors with drifting headers) collapses to one
+    * component, where the fixed 3-hop unroll would tear a diameter-≥4
+    * chain in two (Round9Spec plants exactly that chain and pins the
+    * difference). Downstream policy operators — keep-best (q75), splits
+    * (q76), the release pipeline, the spectrum/balance audits — consume
+    * THESE labels: a torn chain there means retained duplicates and
+    * train/holdout leakage across the torn halves. q49 keeps the bounded
+    * 3-hop frame as its DECLARED oracle semantics (the unrolled CTE);
+    * q159 oracle-gates this path with a recursive-CTE closure. */
+  private[graft] def dupLabelsFixpoint(spark: SparkSession, dir: String): DataFrame =
+    fixLabelCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
+      val pairs = lshCandidatePairs(spark, dir)
+      fixpointLabels(docs(spark, dir).select("doc_id"),
+        pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))).cache()
+    })
+
+  /** The fixpoint loop, graph-agnostic so the diameter spec can plant a
+    * chain: nodes (doc_id), undirected edges given in one direction.
+    * Per round: one hash join edges⋈labels + a min aggregate (identical
+    * to a dupLabels round), then a changed-label count — the convergence
+    * test — on the doc_id-keyed join of consecutive label frames. Each
+    * round's labels are RELIABLY checkpointed (same rationale as the PCA
+    * squarings, SimilarityOps: Catalyst re-walks trees, so an unchecked
+    * loop doubles the plan per round; blocks on executors alone would
+    * make a late round unrecoverable under executor loss). Labels only
+    * decrease, so `label < prev` counts every change. At 100 TB the
+    * round count is the component diameter — near-cliques converge in
+    * 2–3 rounds; large-star/small-star would cut worst-case chains to
+    * O(log n) rounds, but the worst case here is bounded by how many
+    * drifting mirrors LSH can chain, and each round is two shuffles on
+    * the same key. */
+  private[graft] def fixpointLabels(nodes: DataFrame, pairs: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${sc.applicationId}")
+    val edges = pairs.select(col("src"), col("dst"))
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .cache()
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
+      .checkpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < FixpointMaxRounds) {
+      val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy("src").agg(min("label").as("nlabel"))
+      val next = labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .checkpoint(true)
+      changed = next
+        .join(labels.select(col("doc_id"), col("label").as("prev")), "doc_id")
+        .filter(col("label") < col("prev")).count()
+      labels = next
+      rounds += 1
+    }
+    require(changed == 0,
+      s"fixpointLabels: no convergence within $FixpointMaxRounds rounds")
+    edges.unpersist()
+    labels
+  }
+
+  /** q159: the fixpoint clusters, oracle-gated — same output shape as q49
+    * but with converged labels. The DuckDB oracle is a RECURSIVE
+    * transitive closure (reach accumulates every node reachable from each
+    * doc; min over the reach set IS the component minimum — exactly what
+    * min-label propagation converges to), so the oracle is
+    * hop-count-free: it cannot agree with a torn cluster by accident.
+    * Closure cost is Σ|component|² rows — fine for LSH near-dup clusters
+    * (q145 spectrum tops out at small sizes); the ENGINE never runs a
+    * closure, only diameter-many propagation rounds. */
+  def dupClustersFixpoint(spark: SparkSession, dir: String): DataFrame =
+    dupLabelsFixpoint(spark, dir)
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("label")))
+      .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
+      .orderBy("doc_id")
+
+  val dupClustersFixpointSql: String =
+    s"""WITH RECURSIVE $shinglesCte,
+       |$minhashCtes,
+       |$lshPairsCte,
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(doc_id, r) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT reach.doc_id, e.dst FROM reach JOIN e ON reach.r = e.src
+       |),
+       |fixl AS (SELECT doc_id, min(r) AS label FROM reach GROUP BY doc_id)
+       |SELECT doc_id, label AS cluster_id,
+       |  CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS cluster_size
+       |FROM fixl ORDER BY doc_id""".stripMargin
 
   // ---- q149: dedup-threshold sensitivity curve ----------------------------
 
@@ -513,7 +633,7 @@ object DedupOps {
     * built it), then a tiny size-keyed aggregate; totals broadcast back
     * onto the ≤|distinct sizes| rows. Nothing beyond q49's own work. */
   def clusterSizeSpectrum(spark: SparkSession, dir: String): DataFrame = {
-    val sizes = dupLabels(spark, dir)
+    val sizes = dupLabelsFixpoint(spark, dir)
       .groupBy("label").agg(count(lit(1)).as("cluster_size"))
     val spec = sizes.groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
       .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
@@ -581,7 +701,7 @@ object DedupOps {
     * cluster_id partitioning (one shuffle). */
   private def clusterWinners(spark: SparkSession, dir: String): DataFrame =
     winnersCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
-      val labeled = dupLabels(spark, dir)
+      val labeled = dupLabelsFixpoint(spark, dir)
         .select(col("doc_id"), col("label").as("cluster_id"))
         .join(TextAnalysisOps.textQuality(spark, dir)
           .select("doc_id", "quality_score", "n_tokens"), "doc_id")
@@ -634,7 +754,7 @@ object DedupOps {
     * md5 bucketing (reproducible in any engine), TrainBuckets/SplitBuckets
     * to train. Row-local after the label join — no extra shuffle. */
   def leakageSafeSplits(spark: SparkSession, dir: String): DataFrame =
-    dupLabels(spark, dir)
+    dupLabelsFixpoint(spark, dir)
       .select(col("doc_id"), col("label").as("cluster_id"))
       .withColumn("bucket", TextAnalysisOps.shardOf(col("cluster_id"), SplitBuckets))
       .withColumn("split",
@@ -1576,6 +1696,7 @@ object DedupOps {
     "q88_source_overlap" -> (sourceOverlap _),
     "q48_simhash_neardups" -> (simhashNearDups _),
     "q49_dup_clusters" -> (dupClusters _),
+    "q159_dup_clusters_fixpoint" -> (dupClustersFixpoint _),
     "q75_dedup_keep_best" -> (dedupKeepBest _),
     "q76_leakage_safe_splits" -> (leakageSafeSplits _),
     "q82_curation_pipeline" -> (curationPipeline _),
@@ -1603,6 +1724,7 @@ object DedupOps {
     "q88_source_overlap" -> sourceOverlapSql,
     "q48_simhash_neardups" -> simhashNearDupsSql,
     "q49_dup_clusters" -> dupClustersSql,
+    "q159_dup_clusters_fixpoint" -> dupClustersFixpointSql,
     "q75_dedup_keep_best" -> dedupKeepBestSql,
     "q76_leakage_safe_splits" -> leakageSafeSplitsSql,
     "q82_curation_pipeline" -> curationPipelineSql,

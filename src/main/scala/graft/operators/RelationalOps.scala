@@ -657,6 +657,79 @@ object RelationalOps {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ---- q158: excess-stock suppliers (Q20 decorrelated-subquery shape) -----
+
+  /** q158 (the TPC-H Q20 shape, adapted — this schema carries no
+    * partsupp, so the "inventory" relation is DERIVED from lineitem):
+    * suppliers in ExcessNation holding excess stock of 'small…' parts.
+    * Per (l_suppkey, l_partkey) pair, `avail` = quantity shipped in the
+    * 1995 stock-in year and `demand` = quantity shipped since 1998; a
+    * pair is excess when avail > 2·demand — Q20's correlated
+    * half-of-sum-of-lineitem predicate with the fraction on the other
+    * side (integer-exact DECIMAL comparison, no 0.5 double anywhere).
+    *
+    * The plan is the DECORRELATED Q20: the nested
+    * `ps_availqty > 0.5 * (SELECT sum(l_quantity) WHERE l_partkey = …
+    * AND l_suppkey = …)` subquery becomes ONE pair-keyed conditional
+    * aggregate producing avail and demand side by side — a single
+    * lineitem shuffle on (suppkey, partkey), no correlated re-execution
+    * (ExplainAudit: one Exchange feeds one HashAggregate; the plan
+    * contains a single lineitem scan). The part-name restriction is
+    * Q20's semi-join, planned broadcast (2 000-row dimension); supplier
+    * ⋈ nation are broadcast enrichments; the final per-supplier rollup
+    * is |suppliers|-keyed. */
+  val ExcessNationKey = 3
+
+  def excessStockSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val flow = li
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(
+        sum(when(year(col("l_shipdate")) === 1995, col("l_quantity"))
+          .otherwise(lit(0.0)).cast("decimal(30,8)")).as("avail"),
+        sum(when(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"),
+          col("l_quantity")).otherwise(lit(0.0)).cast("decimal(30,8)")).as("demand"))
+    val excess = flow
+      .filter(col("avail") > 0 && col("avail") > lit(2) * col("demand"))
+    val withPart = excess.join(
+      broadcast(t(spark, dir, "part")
+        .filter(col("p_name").like("small%")).select("p_partkey")),
+      col("l_partkey") === col("p_partkey"))
+    withPart
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("n_excess_parts"),
+        sum(col("avail")).cast("double").as("excess_qty"))
+      .join(broadcast(t(spark, dir, "supplier")
+          .join(t(spark, dir, "nation"),
+            col("s_nationkey") === col("n_nationkey") &&
+              col("n_nationkey") === ExcessNationKey)),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("n_excess_parts"), col("excess_qty"))
+      .orderBy("s_name")
+  }
+
+  val excessStockSuppliersSql: String =
+    s"""WITH flow AS (
+       |  SELECT l_suppkey, l_partkey,
+       |    sum(CASE WHEN year(l_shipdate) = 1995 THEN CAST(l_quantity AS DECIMAL(30,8))
+       |             ELSE CAST(0 AS DECIMAL(30,8)) END) AS avail,
+       |    sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01' THEN CAST(l_quantity AS DECIMAL(30,8))
+       |             ELSE CAST(0 AS DECIMAL(30,8)) END) AS demand
+       |  FROM lineitem GROUP BY 1, 2),
+       |excess AS (
+       |  SELECT l_suppkey, l_partkey, avail FROM flow
+       |  WHERE avail > 0 AND avail > 2 * demand),
+       |npx AS (
+       |  SELECT l_suppkey, count(*) AS n_excess_parts,
+       |    CAST(sum(avail) AS DOUBLE) AS excess_qty
+       |  FROM excess e JOIN part ON p_partkey = e.l_partkey AND p_name LIKE 'small%'
+       |  GROUP BY 1)
+       |SELECT s_name, CAST(n_excess_parts AS BIGINT) AS n_excess_parts, excess_qty
+       |FROM supplier
+       |JOIN nation ON s_nationkey = n_nationkey AND n_nationkey = $ExcessNationKey
+       |JOIN npx ON s_suppkey = l_suppkey
+       |ORDER BY s_name""".stripMargin
+
   // ---- q136: trailing-window revenue (RANGE frame) -------------------------
 
   /** Trailing window width in days (inclusive of the current day). */
@@ -853,6 +926,7 @@ object RelationalOps {
     "q146_promo_revenue_share" -> (promoRevenueShare _),
     "q130_lone_failure_suppliers" -> (loneFailureSuppliers _),
     "q131_dormant_high_balance" -> (dormantHighBalance _),
+    "q158_excess_stock_suppliers" -> (excessStockSuppliers _),
     "q136_trailing_revenue" -> (trailingRevenue _),
     "q13_cube_summary" -> (cubeSummary _),
     "q16_grouping_sets" -> (groupingSetsSummary _),
@@ -880,6 +954,7 @@ object RelationalOps {
     "q146_promo_revenue_share" -> promoRevenueShareSql,
     "q130_lone_failure_suppliers" -> loneFailureSuppliersSql,
     "q131_dormant_high_balance" -> dormantHighBalanceSql,
+    "q158_excess_stock_suppliers" -> excessStockSuppliersSql,
     "q136_trailing_revenue" -> trailingRevenueSql,
     "q13_cube_summary" -> cubeSummarySql,
     "q16_grouping_sets" -> groupingSetsSummarySql,

@@ -339,7 +339,7 @@ object RetrievalOps {
     import spark.implicits._
     val gains = NdcgGains.toDF("rank_pos", "g_str")
       .select(col("rank_pos"), col("g_str").cast("decimal(20,18)").as("g"))
-    val labels = graft.operators.DedupOps.dupLabels(spark, dir)
+    val labels = graft.operators.DedupOps.dupLabelsFixpoint(spark, dir)
     val rel = labels
       .filter(pmod(col("doc_id"), lit(graft.operators.DedupOps.DecontamMod)) === 0)
       .select(col("doc_id").as("query_id"), col("label"))

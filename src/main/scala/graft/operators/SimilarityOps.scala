@@ -513,7 +513,7 @@ object SimilarityOps {
 
   /** Rotate a (<idCol>, pos, v) long frame: u_i = Σ_j R[i][j]·v_j,
     * DECIMAL-accumulated. */
-  private def rotateLongBy(spark: SparkSession, ex: DataFrame, idCol: String): DataFrame =
+  private[graft] def rotateLongBy(spark: SparkSession, ex: DataFrame, idCol: String): DataFrame =
     ex.join(broadcast(rotTable(spark)), ex("pos") === col("j"))
       .groupBy(col(idCol), col("i"))
       .agg(sum((col("v") * col("r")).cast("decimal(38,18)")).cast("double").as("u"))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -347,7 +347,8 @@ object StreamingOps {
     * configured writer; callers `.start()` it. */
   def indexIngest(
       vecs: DataFrame, tsCol: String, delay: String,
-      anchors: Seq[(Int, Array[Float])], indexDir: String)
+      anchors: Seq[(Int, Array[Float])], indexDir: String,
+      autoCompactAt: Int = CompactFilesPerCluster)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs
       .withColumn("bucket", lshBucket(col("embedding"), anchors))
@@ -358,7 +359,51 @@ object StreamingOps {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ingestBatch(batch, batchId, indexDir)
+        maybeCompact(batch.sparkSession, indexDir, autoCompactAt)
+        ()
       }
+
+  /** Files-per-cluster bound before ingest triggers compaction (VERDICT
+    * r8 #6): each ingested micro-batch adds one file per touched cluster
+    * (under its own ingest_batch partition), so serve-task count and
+    * parquet footer overhead grow with APPEND HISTORY until someone
+    * remembers to run CompactVectorIndex. With the trigger, nobody has
+    * to remember: ingest pays the debt down automatically once any
+    * cluster partition exceeds the bound, and the steady state is
+    * files-per-cluster ≤ bound regardless of how long the stream runs. */
+  val CompactFilesPerCluster = 8
+
+  /** Post-batch compaction check: list the vectors table's cluster
+    * partitions (driver-side metadata walk — K directory entries plus
+    * their data files, the same scale as a metastore listing; never a
+    * data read) and trigger [[graft.operators.SimilarityOps
+    * .compactVectors]] when any cluster holds more than `threshold`
+    * data files. The compaction rewrite is atomic (sibling directory +
+    * rename swap), rows are untouched, and the batch that triggered it
+    * has already committed its own partitions — so a replay after a
+    * crash mid-compaction sees either layout, both serving identical
+    * answers (Round9Spec pins served-equality across the swap).
+    * Returns whether compaction ran. `threshold <= 0` disables. */
+  def maybeCompact(spark: SparkSession, indexDir: String, threshold: Int): Boolean = {
+    if (threshold <= 0) return false
+    val vecPath = new org.apache.hadoop.fs.Path(s"$indexDir/vectors")
+    val fs = vecPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(vecPath)) return false
+    val maxFiles = fs.listStatus(vecPath).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster="))
+      .map { c =>
+        val it = fs.listFiles(c.getPath, true)
+        var n = 0
+        while (it.hasNext) {
+          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        }
+        n
+      }.foldLeft(0)(math.max)
+    if (maxFiles > threshold) {
+      graft.operators.SimilarityOps.compactVectors(spark, indexDir)
+      true
+    } else false
+  }
 
   /** One micro-batch of index ingest, EXACTLY-ONCE: the batch's
     * artifacts land under their clusters' `ingest_batch=<batchId>`
