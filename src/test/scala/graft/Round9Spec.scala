@@ -65,6 +65,78 @@ class Round9Spec extends SparkSpec {
     assert(bad == 0)
   }
 
+  // ---- streaming ingest auto-compaction (VERDICT r8 #6) -------------------
+
+  def maxFilesPerCluster(out: String): Int = {
+    val vecPath = new org.apache.hadoop.fs.Path(s"$out/vectors")
+    val fs = vecPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(vecPath).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cluster="))
+      .map { c =>
+        val it = fs.listFiles(c.getPath, true)
+        var n = 0
+        while (it.hasNext) {
+          if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+        }
+        n
+      }.foldLeft(0)(math.max)
+  }
+
+  test("ingest auto-compaction bounds files-per-cluster; serving unchanged across the swap") {
+    import graft.operators.SimilarityOps
+    import graft.streaming.StreamingOps
+    val out = java.nio.file.Files.createTempDirectory("graft_autocompact").toString
+    val (cent, _) = SimilarityOps.kmeansModel(spark, sf)
+    SimilarityOps.indexArtifacts(spark, sf)
+      .write.mode("overwrite").partitionBy("cluster", "ingest_batch").parquet(s"$out/vectors")
+    cent.write.mode("overwrite").parquet(s"$out/centroids")
+    SimilarityOps.pqModel(spark, sf)._1
+      .write.mode("overwrite").parquet(s"$out/pq_centroids")
+    val base = spark.read.parquet(s"$out/vectors").count()
+
+    // Six ingested batches through the exact foreachBatch body (append +
+    // post-batch compaction check) with a low bound so the trigger fires
+    // mid-loop. Each batch lands 20 vectors spread over the clusters, so
+    // untriggered appends grow every cluster's file count by ~1.
+    val threshold = 3
+    var compactions = 0
+    val batches = 6
+    (0 until batches).foreach { b =>
+      val batch = spark.read.parquet(s"$sf/embeddings.parquet")
+        .filter(col("vec_id") < 20)
+        .select((col("vec_id") + 7000000L + b * 1000L).as("vec_id"), col("embedding"))
+      StreamingOps.ingestBatch(batch, b.toLong, out)
+      if (StreamingOps.maybeCompact(spark, out, threshold)) compactions += 1
+    }
+    assert(compactions >= 1, "auto-compaction never triggered")
+    // The steady-state invariant: after every post-batch check, no
+    // cluster holds more than `threshold` files, no matter how long the
+    // stream has run.
+    assert(maxFilesPerCluster(out) <= threshold,
+      s"files-per-cluster ${maxFilesPerCluster(out)} > bound $threshold")
+    // No rows lost or duplicated across however many swaps happened.
+    assert(spark.read.parquet(s"$out/vectors").count() == base + batches * 20)
+    assert(spark.read.parquet(s"$out/vectors")
+      .groupBy("vec_id").count().filter(col("count") > 1).isEmpty)
+
+    // Served answers are IDENTICAL across a forced swap: append one more
+    // (uncompacted) batch so files > 1 somewhere, collect the float-tier
+    // answer, compact (rows untouched, layout rewritten), collect again.
+    StreamingOps.ingestBatch(
+      spark.read.parquet(s"$sf/embeddings.parquet")
+        .filter(col("vec_id") < 20)
+        .select((col("vec_id") + 7900000L).as("vec_id"), col("embedding")),
+      batches.toLong, out)
+    val qv = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") === SimilarityOps.QueryVecId)
+      .select("embedding").collect()(0).getSeq[Float](0).toArray
+    val servedBefore = SimilarityOps.annIvfServe(spark, out, qv).collect().toSeq
+    assert(StreamingOps.maybeCompact(spark, out, 1), "forced compaction did not run")
+    assert(maxFilesPerCluster(out) == 1)
+    val servedAfter = SimilarityOps.annIvfServe(spark, out, qv).collect().toSeq
+    assert(servedBefore == servedAfter, "served answer changed across the compaction swap")
+  }
+
   // ---- OPQ rotation decision (measured, not promoted) ---------------------
 
   test("OPQ rotation is orthonormal: R^T R = I to 1e-12") {
@@ -106,6 +178,34 @@ class Round9Spec extends SparkSpec {
     val before = cosOf(vecs)
     val after = cosOf(SimilarityOps.rotateLongBy(spark, vecs, "vec_id"))
     assert(math.abs(before - after) < 1e-9, s"cos moved: $before vs $after")
+  }
+
+  // ---- memo lifecycle under memory pressure (VERDICT r8 stretch #8) -------
+
+  test("Memos.release prevents eviction churn under a constrained budget (forked JVM)") {
+    // The budget must be fixed at context creation (spark.testing.memory),
+    // so the experiment runs in its own JVM — graft.tools.MemoPressure
+    // require()s both halves: churn OBSERVED with two corpora cached
+    // (budget binding, run not vacuous), churn ZERO after release.
+    val java = System.getProperty("java.home") + "/bin/java"
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(java) ++ addOpens ++ Seq("-Xmx2g",
+      "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"), "graft.tools.MemoPressure")
+    val out = new StringBuilder
+    val logger = scala.sys.process.ProcessLogger(
+      l => out.synchronized { out.append(l).append('\n') }, _ => ())
+    val exit = scala.sys.process.Process(cmd).!(logger)
+    assert(exit == 0, s"MemoPressure exited $exit:\n$out")
+    assert(out.toString.contains("\"memo_pressure\":\"ok\""), out.toString)
   }
 
   // ---- ASCII-whitespace parity contract (COVERAGE.md §2.2) ----------------
