@@ -389,6 +389,55 @@ object EventsOps {
       |FROM d JOIN c ON d.user_id = c.user_id
       |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin
 
+  // ---- q161: per-user activity streaks (gaps-and-islands on days) ---------
+
+  /** q161: per user, consecutive-day activity runs — total active days,
+    * number of streaks, and the longest streak. The canonical
+    * gaps-and-islands: over each user's DISTINCT active epoch-days in
+    * order, day − row_number is constant exactly within a consecutive
+    * run, so grouping on that difference materializes the islands
+    * without any self-join. Day arithmetic stays on epoch-day longs
+    * (post-epoch data: truncation == floor, q67's convention), and every
+    * output is a count — pure integers end to end, nothing near a
+    * rounding boundary.
+    *
+    * Scale shape: one (user, day) distinct (the only wide op, keyed on
+    * the high-cardinality user column), one row_number window bounded by
+    * each user's own day count, then user-keyed aggregates — the same
+    * cost envelope as q67's retention scan. The engagement-streak report
+    * every activity dashboard ships. */
+  def userStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = events(spark, dir)
+      .select(col("user_id"), expr("CAST(ts AS LONG) DIV 86400").as("day"))
+      .distinct()
+    val islands = days
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy("day")))
+      .withColumn("island", col("day") - col("rn"))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy("user_id")
+      .agg(sum("len").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max("len").as("longest_streak"))
+      .orderBy("user_id")
+  }
+
+  val userStreaksSql: String =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+      |  FROM events),
+      |g AS (SELECT user_id, day,
+      |        day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS island
+      |      FROM d),
+      |isl AS (SELECT user_id, island, count(*) AS len
+      |        FROM g GROUP BY 1, 2)
+      |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+      |  CAST(count(*) AS BIGINT) AS n_streaks,
+      |  CAST(max(len) AS BIGINT) AS longest_streak
+      |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---- q68: event-type transition matrix ----------------------------------
 
   /** First-order Markov transition matrix over per-user event streams:
@@ -768,6 +817,7 @@ object EventsOps {
     "q124_user_burstiness" -> (userBurstiness _),
     "q69_event_anomalies" -> (eventAnomalies _),
     "q67_retention_cohorts" -> (retentionCohorts _),
+    "q161_user_streaks" -> (userStreaks _),
     "q68_event_transitions" -> (eventTransitions _),
     "q66_funnel" -> (funnel _),
     "q65_purchase_attribution" -> (purchaseAttribution _),
@@ -783,6 +833,7 @@ object EventsOps {
     "q124_user_burstiness" -> userBurstinessSql,
     "q69_event_anomalies" -> eventAnomaliesSql,
     "q67_retention_cohorts" -> retentionCohortsSql,
+    "q161_user_streaks" -> userStreaksSql,
     "q68_event_transitions" -> eventTransitionsSql,
     "q151_stationary_event_mix" -> stationaryEventMixSql,
     "q156_mix_stickiness" -> mixStickinessSql,

@@ -657,6 +657,212 @@ object RelationalOps {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  // ---- q162: bilateral trade volume (Q7 two-nation join shape) ------------
+
+  /** Trading-partner nation keys for q162 — Q7's :nation1/:nation2. */
+  val TradeNationA = 1
+  val TradeNationB = 2
+
+  /** q162 (the TPC-H Q7 shape): shipped revenue between supplier-nation
+    * and customer-nation in BOTH directions, by ship year. The
+    * structurally interesting bit is the symmetric two-nation predicate
+    * — (s, c) ∈ {(A, B), (B, A)} — evaluated AFTER both enrichment
+    * joins, which Catalyst cannot push into either dimension alone, so
+    * the filter sits exactly where a 100 TB plan wants it: on the
+    * already-joined stream, with both nation keys broadcast-attached.
+    * One lineitem⋈orders shuffle on orderkey; customer, supplier, and
+    * the two nation-name lookups all broadcast; the final aggregate is
+    * ≤ 2·|years| keys. */
+  def nationTradeVolume(spark: SparkSession, dir: String): DataFrame = {
+    val supp = t(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey"))
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val natS = t(spark, dir, "nation")
+      .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+    val natC = t(spark, dir, "nation")
+      .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .filter(
+        (col("s_nationkey") === TradeNationA && col("c_nationkey") === TradeNationB) ||
+          (col("s_nationkey") === TradeNationB && col("c_nationkey") === TradeNationA))
+      .join(broadcast(natS), col("s_nationkey") === col("sn_key"))
+      .join(broadcast(natC), col("c_nationkey") === col("cn_key"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(r6(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val nationTradeVolumeSql: String =
+    s"""SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       |  floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS revenue
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ns ON s_nationkey = ns.n_nationkey
+       |JOIN nation nc ON c_nationkey = nc.n_nationkey
+       |WHERE (s_nationkey = $TradeNationA AND c_nationkey = $TradeNationB)
+       |   OR (s_nationkey = $TradeNationB AND c_nationkey = $TradeNationA)
+       |GROUP BY 1, 2, 3
+       |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  // ---- q163: local-supplier volume (Q5 same-nation join shape) ------------
+
+  /** q163 (the TPC-H Q5 shape): revenue by nation within one region,
+    * counting only lineitems where the supplier and the ordering
+    * customer share a nation — the same-nation equi-constraint
+    * c_nationkey = s_nationkey that turns two independent dimension
+    * joins into a correlated pair. Region restriction prunes the
+    * broadcast dimensions before the fact scan touches them. One
+    * orderkey shuffle, everything else broadcast; output ≤ |nations in
+    * region| rows, revenue-ranked (r6'd DECIMAL sums — identical
+    * doubles cross-engine, so the ordering is deterministic with the
+    * name tiebreak). */
+  val LocalVolumeRegion = "ASIA"
+
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val regionNations = t(spark, dir, "nation")
+      .join(broadcast(t(spark, dir, "region")
+        .filter(col("r_name") === LocalVolumeRegion)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"))
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(regionNations), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(r6(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("revenue").desc, col("n_name").asc)
+  }
+
+  val localSupplierVolumeSql: String =
+    s"""SELECT n_name,
+       |  floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS revenue,
+       |  count(*) AS n_lines
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey AND r_name = '$LocalVolumeRegion'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name ASC""".stripMargin
+
+  // ---- q164: returned-item top customers (Q10 shape) ----------------------
+
+  /** q164 (the TPC-H Q10 shape): the customers who returned the most
+    * revenue in a half-year window — the complaint-triage list. Fact
+    * side filtered on l_returnflag = 'R' and the order-date window
+    * BEFORE the joins (predicate pushdown does the scan pruning), then
+    * customer + nation enrichment and a custkey-grained aggregate,
+    * top-20 by returned revenue (DECIMAL-summed, r6'd; custkey
+    * tiebreak). The aggregate key is the high-cardinality customer key
+    * — no hot partition — and the top-k plans as
+    * TakeOrderedAndProject, never a global sort. */
+  def returnedRevenueCustomers(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .join(t(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-07-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(r6(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("returned_rev"),
+        count(lit(1)).as("n_returned_lines"))
+      .orderBy(col("returned_rev").desc, col("c_custkey").asc)
+      .limit(20)
+
+  val returnedRevenueCustomersSql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS returned_rev,
+      |  count(*) AS n_returned_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE l_returnflag = 'R'
+      |  AND o_orderdate >= TIMESTAMP '1998-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-07-01'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY returned_rev DESC, c_custkey ASC
+      |LIMIT 20""".stripMargin
+
+  // ---- q165: nation market share (Q8 conditional-share shape) -------------
+
+  /** q165 (the TPC-H Q8 shape): one nation's share of a region's
+    * customer revenue, by ship year — the conditional-sum-over-sum
+    * pattern (sum(CASE WHEN supplier is ours)/sum(total)) computed in
+    * ONE aggregate pass instead of Q8's nested subquery: both the
+    * numerator and denominator are per-year DECIMAL sums over the same
+    * joined stream, so decorrelation is just conditional aggregation.
+    * Region restriction on the CUSTOMER side, share nation on the
+    * SUPPLIER side. ≤ |years| output rows; the share divides two exact
+    * r6-able doubles. */
+  val MarketShareNation = 1
+
+  def nationMarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val regionCust = t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")
+        .filter(col("r_name") === LocalVolumeRegion)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(regionCust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("l_shipdate")).cast("long").as("o_year"))
+      .agg(
+        r6(dsum(when(col("s_nationkey") === MarketShareNation, rev)
+          .otherwise(lit(0.0)))).as("nation_rev"),
+        r6(dsum(rev)).as("total_rev"),
+        r6(dsum(when(col("s_nationkey") === MarketShareNation, rev)
+          .otherwise(lit(0.0))) / dsum(rev)).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  val nationMarketShareSql: String =
+    s"""SELECT CAST(year(l_shipdate) AS BIGINT) AS o_year,
+       |  floor((CAST(sum(CASE WHEN s_nationkey = $MarketShareNation
+       |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))
+       |      ELSE CAST(0 AS DECIMAL(30,8)) END) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS nation_rev,
+       |  floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS total_rev,
+       |  floor((CAST(sum(CASE WHEN s_nationkey = $MarketShareNation
+       |      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))
+       |      ELSE CAST(0 AS DECIMAL(30,8)) END) AS DOUBLE) /
+       |    CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(30,8))) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS mkt_share
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |JOIN region ON n_regionkey = r_regionkey AND r_name = '$LocalVolumeRegion'
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |GROUP BY 1 ORDER BY o_year""".stripMargin
+
   // ---- q158: excess-stock suppliers (Q20 decorrelated-subquery shape) -----
 
   /** q158 (the TPC-H Q20 shape, adapted — this schema carries no
@@ -927,6 +1133,10 @@ object RelationalOps {
     "q130_lone_failure_suppliers" -> (loneFailureSuppliers _),
     "q131_dormant_high_balance" -> (dormantHighBalance _),
     "q158_excess_stock_suppliers" -> (excessStockSuppliers _),
+    "q162_nation_trade_volume" -> (nationTradeVolume _),
+    "q163_local_supplier_volume" -> (localSupplierVolume _),
+    "q164_returned_revenue_customers" -> (returnedRevenueCustomers _),
+    "q165_nation_market_share" -> (nationMarketShare _),
     "q136_trailing_revenue" -> (trailingRevenue _),
     "q13_cube_summary" -> (cubeSummary _),
     "q16_grouping_sets" -> (groupingSetsSummary _),
@@ -955,6 +1165,10 @@ object RelationalOps {
     "q130_lone_failure_suppliers" -> loneFailureSuppliersSql,
     "q131_dormant_high_balance" -> dormantHighBalanceSql,
     "q158_excess_stock_suppliers" -> excessStockSuppliersSql,
+    "q162_nation_trade_volume" -> nationTradeVolumeSql,
+    "q163_local_supplier_volume" -> localSupplierVolumeSql,
+    "q164_returned_revenue_customers" -> returnedRevenueCustomersSql,
+    "q165_nation_market_share" -> nationMarketShareSql,
     "q136_trailing_revenue" -> trailingRevenueSql,
     "q13_cube_summary" -> cubeSummarySql,
     "q16_grouping_sets" -> groupingSetsSummarySql,

@@ -269,6 +269,74 @@ object SimilarityOps {
        |SELECT vec_id, rank, floor((cos) * 1000000 + 0.5) / 1000000 AS cos FROM rk
        |WHERE rank <= $TopK ORDER BY rank""".stripMargin
 
+  // ---- q160: batched IVF serving panel (the annIvfServeMany plan) ---------
+
+  /** q160: the BATCH-of-queries IVF serving plan, oracle-gated — q51's
+    * probe + scoring for every query in the NPanel panel, answered by
+    * ONE distributed plan (the per-micro-batch shape annIvfServeMany
+    * runs against the persisted index; IvfServingSpec pins per-query
+    * equality with the single-query tier, this gates the arithmetic
+    * cross-engine). Coarse scoring is panel × broadcast centroids (K·|Q|
+    * rows), per-query probe selection a rank window over those rows, the
+    * scan joins vectors to the broadcast probe set on the partition
+    * column, and per-query top-k is one (qid)-partitioned window.
+    * Nothing scales with corpus size except the probed-cluster scan;
+    * nothing touches the driver.
+    *
+    * nprobe = NProbe, so each query's rows are EXACTLY its q51 answer
+    * (same DECIMAL probe arithmetic, same codegen'd cosine, same
+    * ordering) — q160 restricted to qid = 0 must equal q51, which the
+    * oracle construction makes structural. */
+  def annIvfPanel(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val (cent, kasg) = kmeansModel(spark, dir)
+    val panel = e.filter(col("vec_id") < NPanel)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val qx = embLong(spark, dir).filter(col("vec_id") < NPanel)
+      .select(col("vec_id").as("qid"), col("pos"), col("v").as("qv"))
+    val probes = qx.join(broadcast(cent), "pos")
+      .groupBy("qid", "cluster")
+      .agg(sum(((col("qv") - col("c")) * (col("qv") - col("c")))
+        .cast("decimal(38,18)")).as("dist"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist").asc, col("cluster").asc)))
+      .filter(col("crank") <= NProbe)
+      .select("qid", "cluster")
+    e.join(kasg, "vec_id")
+      .join(broadcast(probes), "cluster")
+      .join(broadcast(panel), "qid")
+      .select(col("qid"), col("vec_id"),
+        cosineSim(col("embedding"), col("qe")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc))
+        .cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id"), col("rank"), r6(col("cos")).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  val annIvfPanelSql: String =
+    s"""WITH $kmeansCtes,
+       |apq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |        WHERE vec_id < $NPanel),
+       |apx AS (SELECT vec_id AS qid, pos, v AS qv FROM kex WHERE vec_id < $NPanel),
+       |apd AS (SELECT qid, cluster,
+       |          sum(CAST((qv - c) * (qv - c) AS DECIMAL(38,18))) AS dist
+       |        FROM apx JOIN kcent USING (pos) GROUP BY 1, 2),
+       |apr AS (SELECT qid, cluster FROM (
+       |          SELECT qid, cluster, row_number() OVER (PARTITION BY qid
+       |            ORDER BY dist ASC, cluster ASC) AS crank
+       |          FROM apd) WHERE crank <= $NProbe),
+       |aps AS (SELECT apq.qid, e.vec_id, ${sqlCos("e.embedding", "qe")} AS cos
+       |        FROM embeddings e JOIN kasg USING (vec_id)
+       |        JOIN apr ON kasg.cluster = apr.cluster
+       |        JOIN apq ON apr.qid = apq.qid),
+       |aprk AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid
+       |           ORDER BY cos DESC, vec_id ASC) AS rank FROM aps)
+       |SELECT qid, vec_id, CAST(rank AS BIGINT) AS rank,
+       |  floor((cos) * 1000000 + 0.5) / 1000000 AS cos
+       |FROM aprk WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+
   // ---- q77: IVF probe over int8-reconstructed vectors ---------------------
 
   /** The memory-compressed ANN serving tier: probe the learned IVF
@@ -721,8 +789,11 @@ object SimilarityOps {
 
   // ---- q110: multi-query IVF-PQ recall panel ------------------------------
 
-  /** Panel size for q110 — the first NPanel vec_ids serve as queries. */
-  val NPanel = 20
+  /** Panel size for q110/q160 — the first NPanel vec_ids serve as
+    * queries. final literal: constant-folded at use sites (q160's SQL
+    * val initializes BEFORE this definition site — object-init-cycle-
+    * proof). */
+  final val NPanel = 20
 
   /** q110: the q105 curve averaged over a NPanel-query panel — the
     * statistically meaningful operating measurement. A single query's
@@ -2190,6 +2261,7 @@ object SimilarityOps {
     "q58_centroid_stats" -> (centroidStats _),
     "q50_ann_bruteforce" -> (annBruteForce _),
     "q51_ann_ivf" -> (annIvf _),
+    "q160_ann_ivf_panel" -> (annIvfPanel _),
     "q52_ann_lsh" -> (annLsh _),
     "q53_embedding_quantization" -> (embeddingQuantization _),
     "q77_ann_ivf_int8" -> (annIvfInt8 _),
@@ -2214,6 +2286,7 @@ object SimilarityOps {
     "q58_centroid_stats" -> centroidStatsSql,
     "q50_ann_bruteforce" -> annBruteForceSql,
     "q51_ann_ivf" -> annIvfSql,
+    "q160_ann_ivf_panel" -> annIvfPanelSql,
     "q52_ann_lsh" -> annLshSql,
     "q53_embedding_quantization" -> embeddingQuantizationSql,
     "q79_ivf_recall_curve" -> ivfRecallCurveSql,

@@ -39,7 +39,11 @@ object ExplainAudit {
       "q129_cluster_relevant_eval", "q130_lone_failure_suppliers",
       "q131_dormant_high_balance", "q132_holdout_auc", "q133_source_scorecard",
       "q134_heaps_law", "q135_audio_frame_energy", "q136_trailing_revenue",
-      "q137_pmi_collocations")
+      "q137_pmi_collocations",
+      "q158_excess_stock_suppliers", "q159_dup_clusters_fixpoint",
+      "q160_ann_ivf_panel", "q161_user_streaks", "q162_nation_trade_volume",
+      "q163_local_supplier_volume", "q164_returned_revenue_customers",
+      "q165_nation_market_share")
 
     targets.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)

@@ -29,7 +29,12 @@ object ScaleGrowth {
     // AND corpus grow together; q138 rides the pair x signature join
     // (candidate-volume bound); q145 is metadata-scale past q49's labels.
     "q148_ranker_comparison", "q138_minhash_calibration",
-    "q145_cluster_size_spectrum")
+    "q145_cluster_size_spectrum",
+    // round-9 additions: the fixpoint propagation (rounds = component
+    // diameter — expect α near the bounded q49 path's, since testdata
+    // converges in ≤ 3 rounds) and the batched serving panel (panel
+    // fixed, corpus grows: α tracks the probed-cluster scan).
+    "q159_dup_clusters_fixpoint", "q160_ann_ivf_panel")
   val Dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
   def main(args: Array[String]): Unit = {
