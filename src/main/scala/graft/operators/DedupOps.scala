@@ -568,6 +568,77 @@ object DedupOps {
        |  CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS cluster_size
        |FROM fixl ORDER BY doc_id""".stripMargin
 
+  // ---- q166: propagation convergence profile ------------------------------
+
+  /** Rounds the q166 profile unrolls — chosen past any diameter the
+    * corpus plausibly holds, so the trailing zeros PROVE convergence
+    * rather than assume it. final literal: constant-folded at use sites
+    * (object-init-cycle-proof). */
+  final val ConvergenceProfileRounds = 6
+
+  /** q166: per propagation round, how many labels changed — the
+    * convergence profile of the connected-components loop. The first
+    * zero row IS the measured component-diameter bound of the corpus:
+    * on this testdata rounds 4–6 are zero, which is the oracle-gated
+    * fact behind q75/q76's 3-hop-unrolled oracles staying exact for the
+    * fixpoint labels they now consume (Round9Spec pins the same fact as
+    * frame equality; this pins it cross-engine, every round). The audit
+    * a 100 TB dedup run reads before trusting any bounded-hop shortcut.
+    *
+    * Scale shape: the same per-round join + min-aggregate as the
+    * fixpoint loop, plus one doc_id-keyed join per round for the changed
+    * count; each round's labels reliably checkpointed (tree doubling —
+    * the PCA rationale). Output is ConvergenceProfileRounds rows. */
+  def propagationConvergence(spark: SparkSession, dir: String): DataFrame = {
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${sc.applicationId}")
+    val pairs = lshCandidatePairs(spark, dir)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = docs(spark, dir)
+      .select(col("doc_id"), col("doc_id").as("label")).checkpoint(true)
+    val parts = (1 to ConvergenceProfileRounds).map { i =>
+      val neighborMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy("src").agg(min("label").as("nlabel"))
+      val next = labels.join(neighborMin, labels("doc_id") === neighborMin("src"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .checkpoint(true)
+      val changed = next
+        .join(labels.select(col("doc_id"), col("label").as("prev")), "doc_id")
+        .filter(col("label") < col("prev"))
+        .agg(count(lit(1)).as("n_changed"))
+        .select(lit(i.toLong).as("round"), col("n_changed"))
+      labels = next
+      changed
+    }
+    parts.reduce(_.union(_)).orderBy("round")
+  }
+
+  private def convRoundSql(i: Int): String =
+    s"""cn$i AS MATERIALIZED (SELECT src, min(label) AS nlabel
+       |        FROM e JOIN cl${i - 1} ON e.dst = cl${i - 1}.doc_id GROUP BY src),
+       |cl$i AS MATERIALIZED (SELECT cl${i - 1}.doc_id,
+       |          least(cl${i - 1}.label, coalesce(cn$i.nlabel, cl${i - 1}.label)) AS label
+       |        FROM cl${i - 1} LEFT JOIN cn$i ON cl${i - 1}.doc_id = cn$i.src)""".stripMargin
+
+  val propagationConvergenceSql: String =
+    s"""WITH $shinglesCte,
+       |$minhashCtes,
+       |$lshPairsCte,
+       |e AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |      UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |cl0 AS MATERIALIZED (SELECT doc_id, doc_id AS label FROM documents),
+       |${(1 to ConvergenceProfileRounds).map(convRoundSql).mkString(",\n")}
+       |SELECT * FROM (
+       |${(1 to ConvergenceProfileRounds).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS round, CAST((SELECT count(*) FROM cl$i a " +
+          s"JOIN cl${i - 1} b ON a.doc_id = b.doc_id WHERE a.label < b.label) AS BIGINT) AS n_changed")
+        .mkString("\nUNION ALL\n")}
+       |) ORDER BY round""".stripMargin
+
   // ---- q149: dedup-threshold sensitivity curve ----------------------------
 
   /** Jaccard thresholds the q149 sensitivity curve sweeps — brackets
@@ -1697,6 +1768,7 @@ object DedupOps {
     "q48_simhash_neardups" -> (simhashNearDups _),
     "q49_dup_clusters" -> (dupClusters _),
     "q159_dup_clusters_fixpoint" -> (dupClustersFixpoint _),
+    "q166_propagation_convergence" -> (propagationConvergence _),
     "q75_dedup_keep_best" -> (dedupKeepBest _),
     "q76_leakage_safe_splits" -> (leakageSafeSplits _),
     "q82_curation_pipeline" -> (curationPipeline _),
@@ -1725,6 +1797,7 @@ object DedupOps {
     "q48_simhash_neardups" -> simhashNearDupsSql,
     "q49_dup_clusters" -> dupClustersSql,
     "q159_dup_clusters_fixpoint" -> dupClustersFixpointSql,
+    "q166_propagation_convergence" -> propagationConvergenceSql,
     "q75_dedup_keep_best" -> dedupKeepBestSql,
     "q76_leakage_safe_splits" -> leakageSafeSplitsSql,
     "q82_curation_pipeline" -> curationPipelineSql,

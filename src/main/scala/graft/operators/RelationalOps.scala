@@ -936,6 +936,36 @@ object RelationalOps {
        |JOIN npx ON s_suppkey = l_suppkey
        |ORDER BY s_name""".stripMargin
 
+  // ---- q167: order-priority census (Q4 EXISTS shape) -----------------------
+
+  /** q167 (the TPC-H Q4 shape): per order priority, how many orders in a
+    * quarter had at least one returned line — the canonical
+    * EXISTS-correlated-subquery census, declared as a left-semi join so
+    * the engine never materializes the match multiplicity (one probe
+    * hit short-circuits the order, exactly what EXISTS means). Both
+    * sides pre-filtered before the orderkey shuffle; output is
+    * |priorities| rows of pure counts. */
+  def orderPriorityCensus(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-04-01").cast("timestamp"))
+      .join(t(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+          .select(col("l_orderkey")),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+
+  val orderPriorityCensusSql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-04-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   // ---- q136: trailing-window revenue (RANGE frame) -------------------------
 
   /** Trailing window width in days (inclusive of the current day). */
@@ -1137,6 +1167,7 @@ object RelationalOps {
     "q163_local_supplier_volume" -> (localSupplierVolume _),
     "q164_returned_revenue_customers" -> (returnedRevenueCustomers _),
     "q165_nation_market_share" -> (nationMarketShare _),
+    "q167_order_priority_census" -> (orderPriorityCensus _),
     "q136_trailing_revenue" -> (trailingRevenue _),
     "q13_cube_summary" -> (cubeSummary _),
     "q16_grouping_sets" -> (groupingSetsSummary _),
@@ -1169,6 +1200,7 @@ object RelationalOps {
     "q163_local_supplier_volume" -> localSupplierVolumeSql,
     "q164_returned_revenue_customers" -> returnedRevenueCustomersSql,
     "q165_nation_market_share" -> nationMarketShareSql,
+    "q167_order_priority_census" -> orderPriorityCensusSql,
     "q136_trailing_revenue" -> trailingRevenueSql,
     "q13_cube_summary" -> cubeSummarySql,
     "q16_grouping_sets" -> groupingSetsSummarySql,
