@@ -337,6 +337,81 @@ object SimilarityOps {
        |  floor((cos) * 1000000 + 0.5) / 1000000 AS cos
        |FROM aprk WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
 
+  // ---- q168: per-cluster topic terms (lift over the learned cells) --------
+
+  /** Terms reported per cluster and the global-df floor below which a
+    * term is too rare to characterize anything. final literals:
+    * constant-folded at use sites (object-init-cycle-proof). */
+  final val TopicTerms = 5
+  final val MinTopicDf = 10
+
+  /** q168: what each learned quantizer cell is ABOUT — per cluster, the
+    * TopicTerms terms with the highest lift
+    * P(term | cluster) / P(term) = (n_ct·N) / (N_c·n_t), the
+    * corpus-exploration report that turns the opaque IVF cells into a
+    * human-readable topic sketch (and the fastest smoke test that the
+    * embedding geometry tracks content at all: lift ≫ 1 terms
+    * concentrated in one cell mean the cells carve real topics).
+    * vec_id ↔ doc_id share the id space (one embedding per document),
+    * so the assignment joins straight onto the token stream.
+    *
+    * Determinism: every count is an exact long and the lift is ONE
+    * correctly-rounded division of two exact < 2⁵³ integer products —
+    * identical doubles cross-engine, so the (lift DESC, term ASC)
+    * ranking cannot diverge; r6 only at output.
+    *
+    * Scale shape: one (cluster, term)-keyed aggregate over the token
+    * explode (map-side combined), then term- and cluster-marginal
+    * aggregates DERIVED from that frame (no second corpus pass), a
+    * broadcast 1-row total, and a top-k window over ≤ |terms ≥ df
+    * floor| rows per cluster. */
+  def clusterTopicTerms(spark: SparkSession, dir: String): DataFrame = {
+    val (_, asg) = kmeansModel(spark, dir)
+    val tok = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        explode(graft.textops.TextOps.tokenize(col("text"))).as("term"))
+    val ct = tok
+      .join(asg.select(col("vec_id").as("doc_id"), col("cluster")), "doc_id")
+      .groupBy("cluster", "term").agg(count(lit(1)).as("n_ct"))
+    val termTot = ct.groupBy("term").agg(sum("n_ct").as("n_t"))
+    val clusTot = ct.groupBy("cluster").agg(sum("n_ct").as("n_c"))
+    val tot = clusTot.agg(sum("n_c").as("n"))
+    ct.join(termTot, "term")
+      .filter(col("n_t") >= MinTopicDf)
+      .join(clusTot, "cluster")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift", (col("n_ct") * col("n")).cast("double") /
+        (col("n_c") * col("n_t")).cast("double"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("cluster").orderBy(col("lift").desc, col("term").asc))
+        .cast("long"))
+      .filter(col("rank") <= TopicTerms)
+      .select(col("cluster").cast("long").as("cluster"), col("rank"),
+        col("term"), col("n_ct"), r6(col("lift")).as("lift"))
+      .orderBy("cluster", "rank")
+  }
+
+  val clusterTopicTermsSql: String =
+    s"""WITH $kmeansCtes,
+       |ttk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text),
+       |          '${graft.textops.TextOps.TokenRegex}')) AS term FROM documents),
+       |tct AS (SELECT cluster, term, CAST(count(*) AS BIGINT) AS n_ct
+       |        FROM ttk JOIN kasg ON ttk.doc_id = kasg.vec_id GROUP BY 1, 2),
+       |ttt AS (SELECT term, CAST(sum(n_ct) AS BIGINT) AS n_t FROM tct GROUP BY 1),
+       |tcl AS (SELECT cluster, CAST(sum(n_ct) AS BIGINT) AS n_c FROM tct GROUP BY 1),
+       |ttot AS (SELECT CAST(sum(n_c) AS BIGINT) AS n FROM tcl),
+       |tlift AS (SELECT cluster, term, n_ct,
+       |            ((n_ct * n)::DOUBLE) / ((n_c * n_t)::DOUBLE) AS lift
+       |          FROM tct JOIN ttt USING (term) JOIN tcl USING (cluster), ttot
+       |          WHERE n_t >= $MinTopicDf),
+       |trk AS (SELECT cluster, term, n_ct, lift,
+       |          row_number() OVER (PARTITION BY cluster
+       |            ORDER BY lift DESC, term ASC) AS rank
+       |        FROM tlift)
+       |SELECT CAST(cluster AS BIGINT) AS cluster, CAST(rank AS BIGINT) AS rank,
+       |  term, n_ct, floor(lift * 1000000 + 0.5) / 1000000 AS lift
+       |FROM trk WHERE rank <= $TopicTerms ORDER BY cluster, rank""".stripMargin
+
   // ---- q77: IVF probe over int8-reconstructed vectors ---------------------
 
   /** The memory-compressed ANN serving tier: probe the learned IVF
@@ -2262,6 +2337,7 @@ object SimilarityOps {
     "q50_ann_bruteforce" -> (annBruteForce _),
     "q51_ann_ivf" -> (annIvf _),
     "q160_ann_ivf_panel" -> (annIvfPanel _),
+    "q168_cluster_topic_terms" -> (clusterTopicTerms _),
     "q52_ann_lsh" -> (annLsh _),
     "q53_embedding_quantization" -> (embeddingQuantization _),
     "q77_ann_ivf_int8" -> (annIvfInt8 _),
@@ -2287,6 +2363,7 @@ object SimilarityOps {
     "q50_ann_bruteforce" -> annBruteForceSql,
     "q51_ann_ivf" -> annIvfSql,
     "q160_ann_ivf_panel" -> annIvfPanelSql,
+    "q168_cluster_topic_terms" -> clusterTopicTermsSql,
     "q52_ann_lsh" -> annLshSql,
     "q53_embedding_quantization" -> embeddingQuantizationSql,
     "q79_ivf_recall_curve" -> ivfRecallCurveSql,

@@ -43,7 +43,8 @@ object ExplainAudit {
       "q158_excess_stock_suppliers", "q159_dup_clusters_fixpoint",
       "q160_ann_ivf_panel", "q161_user_streaks", "q162_nation_trade_volume",
       "q163_local_supplier_volume", "q164_returned_revenue_customers",
-      "q165_nation_market_share")
+      "q165_nation_market_share", "q166_propagation_convergence",
+      "q167_order_priority_census", "q168_cluster_topic_terms")
 
     targets.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)

@@ -167,6 +167,28 @@ class Round9bSpec extends SparkSpec {
     assert(n.toLong == out.head.getAs[Long]("order_count"))
   }
 
+  test("q168: one (cluster, term) lift recounted from raw tokens") {
+    val out = SimilarityOps.clusterTopicTerms(spark, sf).collect()
+    assert(out.nonEmpty)
+    val r = out.head
+    val asg = SimilarityOps.kmeansModel(spark, sf)._2.collect()
+      .map(x => x.getAs[Long]("vec_id") -> x.getAs[Long]("cluster")).toMap
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        explode(graft.textops.TextOps.tokenize(col("text"))).as("term"))
+      .collect().map(x => (x.getLong(0), x.getString(1)))
+    val n = toks.length.toLong
+    val nC = toks.count(t => asg(t._1) == r.getAs[Long]("cluster")).toLong
+    val nT = toks.count(_._2 == r.getString(2)).toLong
+    val nCT = toks.count(t =>
+      asg(t._1) == r.getAs[Long]("cluster") && t._2 == r.getString(2)).toLong
+    assert(nCT == r.getAs[Long]("n_ct"))
+    val lift = math.floor((nCT * n).toDouble / (nC * nT).toDouble * 1e6 + 0.5) / 1e6
+    assert(lift == r.getAs[Double]("lift"))
+    // The reported rank-1 term really is the argmax for its cluster.
+    assert(r.getAs[Long]("rank") == 1L)
+  }
+
   test("q160 restricted to qid 0 equals q51") {
     val panel = SimilarityOps.annIvfPanel(spark, sf)
       .filter(col("qid") === 0L).select("vec_id", "rank", "cos")
