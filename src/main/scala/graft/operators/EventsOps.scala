@@ -438,6 +438,73 @@ object EventsOps {
       |  CAST(max(len) AS BIGINT) AS longest_streak
       |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  // ---- q169: active-user ratios (DAU / WAU / MAU stickiness) --------------
+
+  /** Trailing window widths in days. final literals: constant-folded at
+    * use sites (object-init-cycle-proof). */
+  final val WauDays = 7
+  final val MauDays = 28
+
+  /** q169: per observed day, DAU plus trailing-window WAU (7 d) and MAU
+    * (28 d) with the DAU/WAU, DAU/MAU, WAU/MAU stickiness ratios — the
+    * growth-analytics engagement table. The trailing distinct-user
+    * windows can't ride a window function (count DISTINCT over a RANGE
+    * frame isn't supported anywhere), and a day × user-day range join is
+    * a nested-loop at scale — so each (user, day) activity row EXPLODES
+    * into the WauDays (resp. MauDays) cover days it supports, turning
+    * the trailing window into an equi-keyed distinct count: user active
+    * on day x supports cover days x..x+w−1, so the count at day d is
+    * exactly the users active in (d−w, d]. Constant-factor row growth
+    * (7× / 28× of the DISTINCT (user, day) frame — already the compact
+    * day grain, not raw events), all equi-shuffles.
+    *
+    * Output keeps only days that themselves appear in the data (the
+    * explode manufactures cover days past the stream's end; early days
+    * carry partial windows — the standard convention). Ratios divide
+    * exact longs. */
+  def activeUserRatios(spark: SparkSession, dir: String): DataFrame = {
+    val days = events(spark, dir)
+      .select(col("user_id"), expr("CAST(ts AS LONG) DIV 86400").as("day"))
+      .distinct()
+    def trailing(w: Int, name: String): DataFrame = days
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + (w - 1))).as("cover_day"))
+      .groupBy("cover_day").agg(countDistinct("user_id").as(name))
+    val dau = days.groupBy(col("day").as("cover_day"))
+      .agg(countDistinct("user_id").as("dau"))
+    dau
+      .join(trailing(WauDays, "wau"), "cover_day")
+      .join(trailing(MauDays, "mau"), "cover_day")
+      .select(col("cover_day").as("day"), col("dau"), col("wau"), col("mau"),
+        r6(col("dau").cast("double") / col("wau")).as("dau_wau"),
+        r6(col("dau").cast("double") / col("mau")).as("dau_mau"),
+        r6(col("wau").cast("double") / col("mau")).as("wau_mau"))
+      .orderBy("day")
+  }
+
+  val activeUserRatiosSql: String =
+    s"""WITH ad AS (
+       |  SELECT DISTINCT user_id,
+       |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+       |  FROM events),
+       |adau AS (SELECT day AS cover_day, count(DISTINCT user_id) AS dau
+       |         FROM ad GROUP BY 1),
+       |awau AS (SELECT cover_day, count(DISTINCT user_id) AS wau
+       |         FROM (SELECT user_id,
+       |                 unnest(generate_series(day, day + ${WauDays - 1})) AS cover_day
+       |               FROM ad) GROUP BY 1),
+       |amau AS (SELECT cover_day, count(DISTINCT user_id) AS mau
+       |         FROM (SELECT user_id,
+       |                 unnest(generate_series(day, day + ${MauDays - 1})) AS cover_day
+       |               FROM ad) GROUP BY 1)
+       |SELECT cover_day AS day, CAST(dau AS BIGINT) AS dau,
+       |  CAST(wau AS BIGINT) AS wau, CAST(mau AS BIGINT) AS mau,
+       |  floor((dau::DOUBLE / wau) * 1000000 + 0.5) / 1000000 AS dau_wau,
+       |  floor((dau::DOUBLE / mau) * 1000000 + 0.5) / 1000000 AS dau_mau,
+       |  floor((wau::DOUBLE / mau) * 1000000 + 0.5) / 1000000 AS wau_mau
+       |FROM adau JOIN awau USING (cover_day) JOIN amau USING (cover_day)
+       |ORDER BY day""".stripMargin
+
   // ---- q68: event-type transition matrix ----------------------------------
 
   /** First-order Markov transition matrix over per-user event streams:
@@ -818,6 +885,7 @@ object EventsOps {
     "q69_event_anomalies" -> (eventAnomalies _),
     "q67_retention_cohorts" -> (retentionCohorts _),
     "q161_user_streaks" -> (userStreaks _),
+    "q169_active_user_ratios" -> (activeUserRatios _),
     "q68_event_transitions" -> (eventTransitions _),
     "q66_funnel" -> (funnel _),
     "q65_purchase_attribution" -> (purchaseAttribution _),
@@ -834,6 +902,7 @@ object EventsOps {
     "q69_event_anomalies" -> eventAnomaliesSql,
     "q67_retention_cohorts" -> retentionCohortsSql,
     "q161_user_streaks" -> userStreaksSql,
+    "q169_active_user_ratios" -> activeUserRatiosSql,
     "q68_event_transitions" -> eventTransitionsSql,
     "q151_stationary_event_mix" -> stationaryEventMixSql,
     "q156_mix_stickiness" -> mixStickinessSql,

@@ -167,6 +167,55 @@ class Round9bSpec extends SparkSpec {
     assert(n.toLong == out.head.getAs[Long]("order_count"))
   }
 
+  test("fixpoint labels equal union-find components on seeded random graphs") {
+    // Deterministic random graphs (including long chains and forests far
+    // past diameter 3): the distributed fixpoint must agree with a
+    // driver-side union-find on every node.
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { _ =>
+      val n = 30
+      val edges = (1 to 25)
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val ra = find(a.toInt); val rb = find(b.toInt)
+        if (ra != rb) parent(ra) = rb
+      }
+      val expect = (0 until n).map { i =>
+        i.toLong -> (0 until n).filter(j => find(j) == find(i)).min.toLong
+      }.toMap
+      val nodes = (0 until n).map(_.toLong).toDF("doc_id")
+      val pairs = edges.toDF("src", "dst")
+      val fix = DedupOps.fixpointLabels(nodes, pairs)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fix == expect)
+    }
+  }
+
+  test("q169: one day's DAU/WAU/MAU recounted from raw user-days") {
+    val out = EventsOps.activeUserRatios(spark, sf).collect()
+    assert(out.nonEmpty)
+    val userDays = EventsOps.events(spark, sf)
+      .select(col("user_id"), expr("CAST(ts AS LONG) DIV 86400").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    // A mid-stream day with full windows behind it.
+    val r = out(out.length / 2)
+    val d = r.getAs[Long]("day")
+    def active(w: Int) =
+      userDays.filter(ud => ud._2 <= d && ud._2 > d - w).map(_._1).distinct.length.toLong
+    assert(active(1) == r.getAs[Long]("dau"))
+    assert(active(EventsOps.WauDays) == r.getAs[Long]("wau"))
+    assert(active(EventsOps.MauDays) == r.getAs[Long]("mau"))
+    // Windows nest: dau <= wau <= mau on every row.
+    out.foreach { x =>
+      assert(x.getAs[Long]("dau") <= x.getAs[Long]("wau"))
+      assert(x.getAs[Long]("wau") <= x.getAs[Long]("mau"))
+    }
+  }
+
   test("q168: one (cluster, term) lift recounted from raw tokens") {
     val out = SimilarityOps.clusterTopicTerms(spark, sf).collect()
     assert(out.nonEmpty)
