@@ -568,6 +568,71 @@ object DedupOps {
        |  CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS cluster_size
        |FROM fixl ORDER BY doc_id""".stripMargin
 
+  // ---- q172: shingle document-frequency spectrum (blocking-cap audit) -----
+
+  /** q172: the df histogram of the shingle space, bucketed around the
+    * declared MaxBlockDf blocking bound — per bucket the shingle-type
+    * count, the (doc, shingle) occurrence mass, the PAIR mass
+    * Σ df·(df−1)/2 (the all-pairs work a join keyed on those shingles
+    * would generate), and each bucket's share of total pair mass. The
+    * audit of the engine's single most load-bearing scale constant: the
+    * `> MaxBlockDf` row is exactly the candidate-generation work the
+    * df cap DROPS (boilerplate shingles that would quadratically
+    * dominate the q43 join), and its pair share quantifies what the cap
+    * buys. All counters exact integers; shares one exact division.
+    *
+    * Scale shape: one shingle-keyed count over the memoized distinct
+    * (doc, shingle) frame, then a 5-key bucket aggregate with the 1-row
+    * total broadcast back — metadata past the df aggregate. */
+  def shingleDfSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    val df = shingleSets(spark, dir).groupBy("s").agg(count(lit(1)).as("df"))
+    val bucketed = df.select(
+      when(col("df") === 1, 0L).when(col("df") === 2, 1L)
+        .when(col("df") <= 10, 2L).when(col("df") <= MaxBlockDf, 3L)
+        .otherwise(4L).as("bin_order"),
+      when(col("df") === 1, "1").when(col("df") === 2, "2")
+        .when(col("df") <= 10, "3-10").when(col("df") <= MaxBlockDf, s"11-$MaxBlockDf")
+        .otherwise(s">$MaxBlockDf").as("df_bin"),
+      col("df"))
+    val spec = bucketed.groupBy("bin_order", "df_bin")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("df")).as("occurrence_mass"),
+        // Integer DIV: `/` on long columns is double division in Spark.
+        sum(expr("df * (df - 1) DIV 2")).as("pair_mass"))
+    val tot = spec.agg(sum("pair_mass").as("total_pairs"))
+    spec.crossJoin(broadcast(tot))
+      .select(col("bin_order"), col("df_bin"), col("n_shingles"),
+        col("occurrence_mass"), col("pair_mass"),
+        r6(when(col("total_pairs") === 0, 0.0)
+          .otherwise(col("pair_mass").cast("double") / col("total_pairs")))
+          .as("pair_share"))
+      .orderBy("bin_order")
+  }
+
+  val shingleDfSpectrumSql: String =
+    s"""WITH $shinglesCte,
+       |sds AS (SELECT DISTINCT doc_id, unnest(shingles) AS s FROM sh),
+       |sdf AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sds GROUP BY s),
+       |sbk AS (SELECT CASE WHEN df = 1 THEN 0 WHEN df = 2 THEN 1
+       |                    WHEN df <= 10 THEN 2 WHEN df <= $MaxBlockDf THEN 3
+       |                    ELSE 4 END AS bin_order,
+       |          CASE WHEN df = 1 THEN '1' WHEN df = 2 THEN '2'
+       |               WHEN df <= 10 THEN '3-10' WHEN df <= $MaxBlockDf THEN '11-$MaxBlockDf'
+       |               ELSE '>$MaxBlockDf' END AS df_bin,
+       |          df
+       |        FROM sdf),
+       |sspec AS (SELECT bin_order, df_bin, CAST(count(*) AS BIGINT) AS n_shingles,
+       |            CAST(sum(df) AS BIGINT) AS occurrence_mass,
+       |            CAST(sum(df * (df - 1) // 2) AS BIGINT) AS pair_mass
+       |          FROM sbk GROUP BY 1, 2),
+       |stot AS (SELECT CAST(sum(pair_mass) AS BIGINT) AS total_pairs FROM sspec)
+       |SELECT CAST(bin_order AS BIGINT) AS bin_order, df_bin, n_shingles,
+       |  occurrence_mass, pair_mass,
+       |  CASE WHEN total_pairs = 0 THEN 0.0
+       |       ELSE floor((pair_mass::DOUBLE / total_pairs) * 1000000 + 0.5) / 1000000
+       |  END AS pair_share
+       |FROM sspec, stot ORDER BY bin_order""".stripMargin
+
   // ---- q166: propagation convergence profile ------------------------------
 
   /** Rounds the q166 profile unrolls — chosen past any diameter the
@@ -1769,6 +1834,7 @@ object DedupOps {
     "q49_dup_clusters" -> (dupClusters _),
     "q159_dup_clusters_fixpoint" -> (dupClustersFixpoint _),
     "q166_propagation_convergence" -> (propagationConvergence _),
+    "q172_shingle_df_spectrum" -> (shingleDfSpectrum _),
     "q75_dedup_keep_best" -> (dedupKeepBest _),
     "q76_leakage_safe_splits" -> (leakageSafeSplits _),
     "q82_curation_pipeline" -> (curationPipeline _),
@@ -1798,6 +1864,7 @@ object DedupOps {
     "q49_dup_clusters" -> dupClustersSql,
     "q159_dup_clusters_fixpoint" -> dupClustersFixpointSql,
     "q166_propagation_convergence" -> propagationConvergenceSql,
+    "q172_shingle_df_spectrum" -> shingleDfSpectrumSql,
     "q75_dedup_keep_best" -> dedupKeepBestSql,
     "q76_leakage_safe_splits" -> leakageSafeSplitsSql,
     "q82_curation_pipeline" -> curationPipelineSql,

@@ -936,6 +936,59 @@ object RelationalOps {
        |JOIN npx ON s_suppkey = l_suppkey
        |ORDER BY s_name""".stripMargin
 
+  // ---- q174: part-supplier breadth (Q16 NOT-IN + countDistinct shape) ------
+
+  /** Suppliers with more than this many returned lines are excluded —
+    * Q16's complaint-supplier NOT IN list, derived from the data (the
+    * per-supplier 'R' count is SF-invariant at ≈ 200 in this generator,
+    * so the bar splits the population at every SF). final literal:
+    * constant-folded at use sites (object-init-cycle-proof). */
+  final val ExcessReturnsBar = 210
+
+  /** q174 (the TPC-H Q16 shape): how many DISTINCT acceptable suppliers
+    * can provide each (brand, type, size) part group — supplier-breadth
+    * per part family, the sourcing-risk table. The two classic pieces:
+    * the NOT IN correlated exclusion (here: suppliers over the returns
+    * bar), declared as a LEFT ANTI join so the engine never materializes
+    * match multiplicity, and the countDistinct over the derived
+    * (supplier, part) supplies relation (schema has no partsupp — the
+    * distinct pair projection of lineitem IS the supplies relation, the
+    * q158 derivation). Exclusion list is |suppliers|-scale (broadcast
+    * for the anti probe); the distinct pair frame shuffles once on the
+    * pair key; the final aggregate keys on the part-attribute triple. */
+  def partSupplierBreadth(spark: SparkSession, dir: String): DataFrame = {
+    val excluded = t(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .groupBy(col("l_suppkey").as("x_suppkey"))
+      .agg(count(lit(1)).as("n_r"))
+      .filter(col("n_r") > ExcessReturnsBar)
+      .select("x_suppkey")
+    t(spark, dir, "lineitem")
+      .select("l_suppkey", "l_partkey").distinct()
+      .join(broadcast(excluded), col("l_suppkey") === col("x_suppkey"), "left_anti")
+      .join(broadcast(t(spark, dir, "part")
+        .select("p_partkey", "p_brand", "p_type", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .select(col("p_brand"), col("p_type"), col("p_size").cast("long").as("p_size"),
+        col("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand").asc,
+        col("p_type").asc, col("p_size").asc)
+  }
+
+  val partSupplierBreadthSql: String =
+    s"""WITH px AS (SELECT l_suppkey FROM lineitem
+       |            WHERE l_returnflag = 'R'
+       |            GROUP BY 1 HAVING count(*) > $ExcessReturnsBar),
+       |sup AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem)
+       |SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+       |FROM sup JOIN part ON l_partkey = p_partkey
+       |WHERE l_suppkey NOT IN (SELECT l_suppkey FROM px)
+       |GROUP BY p_brand, p_type, p_size
+       |ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC""".stripMargin
+
   // ---- q167: order-priority census (Q4 EXISTS shape) -----------------------
 
   /** q167 (the TPC-H Q4 shape): per order priority, how many orders in a
@@ -1168,6 +1221,7 @@ object RelationalOps {
     "q164_returned_revenue_customers" -> (returnedRevenueCustomers _),
     "q165_nation_market_share" -> (nationMarketShare _),
     "q167_order_priority_census" -> (orderPriorityCensus _),
+    "q174_part_supplier_breadth" -> (partSupplierBreadth _),
     "q136_trailing_revenue" -> (trailingRevenue _),
     "q13_cube_summary" -> (cubeSummary _),
     "q16_grouping_sets" -> (groupingSetsSummary _),
@@ -1201,6 +1255,7 @@ object RelationalOps {
     "q164_returned_revenue_customers" -> returnedRevenueCustomersSql,
     "q165_nation_market_share" -> nationMarketShareSql,
     "q167_order_priority_census" -> orderPriorityCensusSql,
+    "q174_part_supplier_breadth" -> partSupplierBreadthSql,
     "q136_trailing_revenue" -> trailingRevenueSql,
     "q13_cube_summary" -> cubeSummarySql,
     "q16_grouping_sets" -> groupingSetsSummarySql,

