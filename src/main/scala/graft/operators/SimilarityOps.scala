@@ -337,6 +337,70 @@ object SimilarityOps {
        |  floor((cos) * 1000000 + 0.5) / 1000000 AS cos
        |FROM aprk WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
 
+  // ---- q176: embedding-norm vs quality-score agreement ---------------------
+
+  /** q176: exact Pearson between each document's embedding L2 NORM and
+    * its q30 heuristic quality score — the cross-TIER twin of q153's
+    * quality-vs-surprisal audit. Embedding norms frequently encode
+    * length/frequency artifacts rather than semantics; a strong
+    * correlation here warns that norm-sensitive geometry choices
+    * (un-normalized dot products, norm-weighted sampling) would
+    * double-count the quality heuristic, while ≈ 0 says the vector tier
+    * carries independent signal. Norm is the row-local fold both
+    * engines already compute identically inside the cosine (q24's
+    * proven pairing); moments accumulate in DECIMAL over the r6'd
+    * per-doc values so the five sums are order-free.
+    *
+    * Scale shape: one doc_id join of two row-local frames, five
+    * DECIMAL-accumulated moments, 1-row output. */
+  def normQualityAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val x = TextAnalysisOps.textQuality(spark, dir)
+      .select(col("doc_id"), col("quality_score").as("x"))
+    val y = emb(spark, dir).select(col("vec_id").as("doc_id"),
+      r6(sqrt(expr(
+        "aggregate(embedding, CAST(0.0 AS DOUBLE), (acc, v) -> acc + CAST(v AS DOUBLE) * CAST(v AS DOUBLE))")))
+        .as("y"))
+    val m = x.join(y, "doc_id").agg(
+      count(lit(1)).as("n_docs"),
+      dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+      dsum(col("x") * col("y")).as("sxy"),
+      dsum(col("x") * col("x")).as("sxx"),
+      dsum(col("y") * col("y")).as("syy"))
+    val vx = col("n_docs") * col("sxx") - col("sx") * col("sx")
+    val vy = col("n_docs") * col("syy") - col("sy") * col("sy")
+    m.select(col("n_docs"),
+      r6(col("sx") / col("n_docs")).as("mean_quality"),
+      r6(col("sy") / col("n_docs")).as("mean_norm"),
+      r6(when(vx <= 0 || vy <= 0, 0.0)
+        .otherwise((col("n_docs") * col("sxy") - col("sx") * col("sy")) /
+          sqrt(vx * vy))).as("pearson_r"))
+  }
+
+  lazy val normQualityAgreementSql: String =
+    s"""WITH ${TextAnalysisOps.qualityCtes},
+       |nrm AS (SELECT vec_id AS doc_id,
+       |          floor((sqrt(list_sum([(embedding[i])::DOUBLE * (embedding[i])::DOUBLE
+       |            FOR i IN range(1, len(embedding) + 1)]))) * 1000000 + 0.5) / 1000000 AS y
+       |        FROM embeddings),
+       |nqxy AS (SELECT quality_score AS x, y
+       |         FROM qual JOIN nrm ON qual.doc_id = nrm.doc_id),
+       |nqm AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |          CAST(sum(CAST(x AS DECIMAL(30,8))) AS DOUBLE) AS sx,
+       |          CAST(sum(CAST(y AS DECIMAL(30,8))) AS DOUBLE) AS sy,
+       |          CAST(sum(CAST(x * y AS DECIMAL(30,8))) AS DOUBLE) AS sxy,
+       |          CAST(sum(CAST(x * x AS DECIMAL(30,8))) AS DOUBLE) AS sxx,
+       |          CAST(sum(CAST(y * y AS DECIMAL(30,8))) AS DOUBLE) AS syy
+       |        FROM nqxy)
+       |SELECT n_docs,
+       |  floor((sx / n_docs) * 1000000 + 0.5) / 1000000 AS mean_quality,
+       |  floor((sy / n_docs) * 1000000 + 0.5) / 1000000 AS mean_norm,
+       |  floor((CASE WHEN n_docs * sxx - sx * sx <= 0 OR n_docs * syy - sy * sy <= 0
+       |              THEN 0.0
+       |              ELSE (n_docs * sxy - sx * sy) /
+       |                sqrt((n_docs * sxx - sx * sx) * (n_docs * syy - sy * sy))
+       |         END) * 1000000 + 0.5) / 1000000 AS pearson_r
+       |FROM nqm""".stripMargin
+
   // ---- q173: PQ codebook occupancy audit ----------------------------------
 
   /** q173: per PQ subspace, how the PqK codewords are actually USED —
@@ -2386,6 +2450,7 @@ object SimilarityOps {
     "q160_ann_ivf_panel" -> (annIvfPanel _),
     "q168_cluster_topic_terms" -> (clusterTopicTerms _),
     "q173_pq_code_occupancy" -> (pqCodeOccupancy _),
+    "q176_norm_quality_agreement" -> (normQualityAgreement _),
     "q52_ann_lsh" -> (annLsh _),
     "q53_embedding_quantization" -> (embeddingQuantization _),
     "q77_ann_ivf_int8" -> (annIvfInt8 _),
@@ -2413,6 +2478,7 @@ object SimilarityOps {
     "q160_ann_ivf_panel" -> annIvfPanelSql,
     "q168_cluster_topic_terms" -> clusterTopicTermsSql,
     "q173_pq_code_occupancy" -> pqCodeOccupancySql,
+    "q176_norm_quality_agreement" -> normQualityAgreementSql,
     "q52_ann_lsh" -> annLshSql,
     "q53_embedding_quantization" -> embeddingQuantizationSql,
     "q79_ivf_recall_curve" -> ivfRecallCurveSql,

@@ -1335,6 +1335,48 @@ object TextAnalysisOps {
        |         END) * 1000000 + 0.5) / 1000000 AS pearson_r
        |FROM mom""".stripMargin
 
+  // ---- q175: per-source token-count quantiles ------------------------------
+
+  /** q175: per source the exact interpolated quartiles of per-document
+    * token counts, plus min/max and the doc count — the length-profile
+    * panel row that sits next to q133's quality scorecard when setting
+    * q126's max_seq_len or q120's mixture weights per source (a source
+    * whose p75 is 4× another's packs very differently). Spark
+    * `percentile` and DuckDB `quantile_cont` share the same linear
+    * interpolation on exact integer inputs (the proven q14 pairing), so
+    * the quartiles agree to the r6 grain.
+    *
+    * Scale shape: one row-local token count, one |sources|-key exact
+    * percentile (per-GROUP gather — fine for bounded groups; the global
+    * variant is q14/q15's sketch twin). */
+  def sourceTokenQuantiles(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"),
+        size(graft.textops.TextOps.tokenize(col("text"))).cast("double").as("nt"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("percentile(nt, array(0.25D, 0.5D, 0.75D))").as("q"),
+        min(col("nt")).cast("long").as("min_tokens"),
+        max(col("nt")).cast("long").as("max_tokens"))
+      .select(col("source"), col("n_docs"),
+        r6(element_at(col("q"), 1)).as("p25"),
+        r6(element_at(col("q"), 2)).as("p50"),
+        r6(element_at(col("q"), 3)).as("p75"),
+        col("min_tokens"), col("max_tokens"))
+      .orderBy("source")
+
+  val sourceTokenQuantilesSql: String =
+    s"""WITH stq AS (SELECT source,
+       |               CAST(len(regexp_extract_all(lower(text), '$TokRe')) AS DOUBLE) AS nt
+       |             FROM documents)
+       |SELECT source, count(*) AS n_docs,
+       |  floor((quantile_cont(nt, 0.25)) * 1000000 + 0.5) / 1000000 AS p25,
+       |  floor((quantile_cont(nt, 0.5)) * 1000000 + 0.5) / 1000000 AS p50,
+       |  floor((quantile_cont(nt, 0.75)) * 1000000 + 0.5) / 1000000 AS p75,
+       |  CAST(min(nt) AS BIGINT) AS min_tokens,
+       |  CAST(max(nt) AS BIGINT) AS max_tokens
+       |FROM stq GROUP BY source ORDER BY source""".stripMargin
+
   // ---- q78: token-budget corpus curation (quality-greedy budget fill) -----
 
   /** Integer micro-score bucket key (ADVICE r6): qkey = floor(q·10⁶ + 0.5)
@@ -3383,6 +3425,7 @@ object TextAnalysisOps {
     "q153_signal_agreement" -> (signalAgreement _),
     "q103_clean_text" -> (cleanText _),
     "q30_text_quality" -> (textQuality _),
+    "q175_source_token_quantiles" -> (sourceTokenQuantiles _),
     "q31_token_counts" -> (tokenCounts _),
     "q32_lang_stats" -> (langStats _),
     "q33_langid" -> (langId _),
@@ -3433,6 +3476,7 @@ object TextAnalysisOps {
     "q153_signal_agreement" -> signalAgreementSql,
     "q103_clean_text" -> cleanTextSql,
     "q30_text_quality" -> textQualitySql,
+    "q175_source_token_quantiles" -> sourceTokenQuantilesSql,
     "q31_token_counts" -> tokenCountsSql,
     "q32_lang_stats" -> langStatsSql,
     "q33_langid" -> langIdSql,

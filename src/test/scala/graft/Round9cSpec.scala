@@ -77,6 +77,56 @@ class Round9cSpec extends SparkSpec {
     assert(byCode.values.min == r0.getAs[Long]("min_cnt"))
   }
 
+  test("q175: one source's quartiles recounted with explicit interpolation") {
+    val out = graft.operators.TextAnalysisOps.sourceTokenQuantiles(spark, sf).collect()
+    assert(out.nonEmpty)
+    val r = out.head
+    val nts = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("source") === r.getString(0))
+      .select(size(graft.textops.TextOps.tokenize(col("text"))).cast("double"))
+      .collect().map(_.getDouble(0)).sorted
+    assert(nts.length.toLong == r.getAs[Long]("n_docs"))
+    def q(p: Double): Double = {
+      val h = (nts.length - 1) * p
+      val lo = math.floor(h).toInt
+      val v = nts(lo) + (h - lo) * (nts(math.min(lo + 1, nts.length - 1)) - nts(lo))
+      math.floor(v * 1e6 + 0.5) / 1e6
+    }
+    assert(q(0.25) == r.getAs[Double]("p25"))
+    assert(q(0.50) == r.getAs[Double]("p50"))
+    assert(q(0.75) == r.getAs[Double]("p75"))
+    assert(nts.head.toLong == r.getAs[Long]("min_tokens"))
+    assert(nts.last.toLong == r.getAs[Long]("max_tokens"))
+  }
+
+  test("q176: Pearson moments recounted driver-side") {
+    val out = SimilarityOps.normQualityAgreement(spark, sf).collect()(0)
+    val qual = graft.operators.TextAnalysisOps.textQuality(spark, sf)
+      .select("doc_id", "quality_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val norms = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map { r =>
+        val e = r.getSeq[Float](1)
+        val n = math.sqrt(e.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble))
+        r.getLong(0) -> math.floor(n * 1e6 + 0.5) / 1e6
+      }.toMap
+    val xs = qual.keySet.intersect(norms.keySet).toSeq.sorted
+      .map(d => (BigDecimal(qual(d)).setScale(8, BigDecimal.RoundingMode.HALF_UP),
+        BigDecimal(norms(d)).setScale(8, BigDecimal.RoundingMode.HALF_UP)))
+    val n = xs.length
+    assert(n.toLong == out.getAs[Long]("n_docs"))
+    val sx = xs.map(_._1).sum.toDouble
+    val meanQ = math.floor(sx / n * 1e6 + 0.5) / 1e6
+    assert(meanQ == out.getAs[Double]("mean_quality"))
+    // r in [-1, 1] and reproducible sign from raw moments.
+    val sy = xs.map(_._2).sum.toDouble
+    val sxy = xs.map(p => (p._1 * p._2).setScale(8, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+    val num = n * sxy - sx * sy
+    val r = out.getAs[Double]("pearson_r")
+    assert(r >= -1.0 && r <= 1.0)
+    assert(math.signum(num) == math.signum(r) || math.abs(r) < 1e-3)
+  }
+
   test("q174: one part group's supplier breadth recounted") {
     val out = RelationalOps.partSupplierBreadth(spark, sf).collect()
     assert(out.nonEmpty)
