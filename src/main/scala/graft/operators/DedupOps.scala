@@ -552,8 +552,11 @@ object DedupOps {
       .select(col("doc_id"), col("label").as("cluster_id"), col("cluster_size"))
       .orderBy("doc_id")
 
-  val dupClustersFixpointSql: String =
-    s"""WITH RECURSIVE $shinglesCte,
+  /** Shared recursive-closure CTE chain ending in fixl(doc_id, label) —
+    * the hop-count-free oracle derivation of the FIXPOINT labels, reused
+    * by every oracle that consumes the production clusters (q159, q177). */
+  private[operators] val fixLabelCtes: String =
+    s"""$shinglesCte,
        |$minhashCtes,
        |$lshPairsCte,
        |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
@@ -563,10 +566,82 @@ object DedupOps {
        |  UNION
        |  SELECT reach.doc_id, e.dst FROM reach JOIN e ON reach.r = e.src
        |),
-       |fixl AS (SELECT doc_id, min(r) AS label FROM reach GROUP BY doc_id)
+       |fixl AS (SELECT doc_id, min(r) AS label FROM reach GROUP BY doc_id)""".stripMargin
+
+  val dupClustersFixpointSql: String =
+    s"""WITH RECURSIVE $fixLabelCtes
        |SELECT doc_id, label AS cluster_id,
        |  CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS cluster_size
        |FROM fixl ORDER BY doc_id""".stripMargin
+
+  // ---- q177: duplication propensity by length decile ----------------------
+
+  /** q177: does duplication concentrate in short or long documents? Per
+    * token-count decile (rank-derived — `floor((rk−1)·10/N)`, no ntile,
+    * so the bucket boundary is pure integer arithmetic in both engines):
+    * the doc count, how many docs sit in a near-dup cluster of size ≥ 2,
+    * the dup rate, and the decile's mean token count. The cross-family
+    * audit that shapes dedup POLICY: template spam concentrating in one
+    * length band means the keep-best tier can be gated by length before
+    * paying the pair join for the whole corpus. Consumes the PRODUCTION
+    * fixpoint labels (oracle: the recursive closure — hop-count-free).
+    *
+    * Scale shape: the corpus-wide rank DECOMPOSES through the
+    * token-count histogram (the q96/q148 idiom) — the only global window
+    * runs over the ≤ |distinct lengths| histogram rows (prefix count),
+    * each doc's rank is that prefix plus a row_number PARTITIONED by its
+    * own length (bounded groups) — so no corpus-grain global sort
+    * anywhere; then one label join and a 10-key aggregate. */
+  def dupLengthDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val lens = docs(spark, dir).select(col("doc_id"),
+      size(graft.textops.TextOps.tokenize(col("text"))).cast("long").as("n_tokens"))
+    val nF = lens.agg(count(lit(1)).as("n"))
+    val cum = lens.groupBy("n_tokens").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_before", coalesce(sum("cnt").over(
+        Window.orderBy("n_tokens")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("n_tokens", "cum_before")
+    val sizes = dupLabelsFixpoint(spark, dir)
+      .groupBy("label").agg(count(lit(1)).as("csize"))
+    val flagged = dupLabelsFixpoint(spark, dir)
+      .join(sizes, "label")
+      .select(col("doc_id"), (col("csize") >= 2).cast("long").as("is_dup"))
+    lens
+      .withColumn("rin", row_number().over(
+        Window.partitionBy("n_tokens").orderBy("doc_id")))
+      .join(cum, "n_tokens")
+      .withColumn("rk", col("cum_before") + col("rin"))
+      .crossJoin(broadcast(nF))
+      .withColumn("decile", expr("(rk - 1) * 10 DIV n"))
+      .join(flagged, "doc_id")
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("is_dup")).as("n_dup_docs"),
+        r6(sum(col("is_dup")).cast("double") / count(lit(1))).as("dup_rate"),
+        r6(davg(col("n_tokens"))).as("mean_tokens"))
+      .orderBy("decile")
+  }
+
+  lazy val dupLengthDecilesSql: String =
+    s"""WITH RECURSIVE $fixLabelCtes,
+       |dlt AS (SELECT doc_id,
+       |          CAST(len(regexp_extract_all(lower(text), '$TokRe')) AS BIGINT) AS n_tokens
+       |        FROM documents),
+       |dln AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dlt),
+       |dlsz AS (SELECT label, count(*) AS csize FROM fixl GROUP BY label),
+       |dlf AS (SELECT fixl.doc_id,
+       |          CASE WHEN csize >= 2 THEN 1 ELSE 0 END AS is_dup
+       |        FROM fixl JOIN dlsz USING (label)),
+       |dlr AS (SELECT doc_id, n_tokens,
+       |          row_number() OVER (ORDER BY n_tokens ASC, doc_id ASC) AS rk
+       |        FROM dlt)
+       |SELECT CAST((rk - 1) * 10 // n AS BIGINT) AS decile,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+       |  floor((sum(is_dup)::DOUBLE / count(*)) * 1000000 + 0.5) / 1000000 AS dup_rate,
+       |  floor((CAST(sum(CAST(n_tokens AS DECIMAL(30,8))) AS DOUBLE) / count(*)) * 1000000 + 0.5) / 1000000 AS mean_tokens
+       |FROM dlr JOIN dlf USING (doc_id), dln
+       |GROUP BY decile, n ORDER BY decile""".stripMargin
 
   // ---- q172: shingle document-frequency spectrum (blocking-cap audit) -----
 
@@ -1835,6 +1910,7 @@ object DedupOps {
     "q159_dup_clusters_fixpoint" -> (dupClustersFixpoint _),
     "q166_propagation_convergence" -> (propagationConvergence _),
     "q172_shingle_df_spectrum" -> (shingleDfSpectrum _),
+    "q177_dup_length_deciles" -> (dupLengthDeciles _),
     "q75_dedup_keep_best" -> (dedupKeepBest _),
     "q76_leakage_safe_splits" -> (leakageSafeSplits _),
     "q82_curation_pipeline" -> (curationPipeline _),
@@ -1865,6 +1941,7 @@ object DedupOps {
     "q159_dup_clusters_fixpoint" -> dupClustersFixpointSql,
     "q166_propagation_convergence" -> propagationConvergenceSql,
     "q172_shingle_df_spectrum" -> shingleDfSpectrumSql,
+    "q177_dup_length_deciles" -> dupLengthDecilesSql,
     "q75_dedup_keep_best" -> dedupKeepBestSql,
     "q76_leakage_safe_splits" -> leakageSafeSplitsSql,
     "q82_curation_pipeline" -> curationPipelineSql,

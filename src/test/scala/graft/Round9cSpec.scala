@@ -127,6 +127,29 @@ class Round9cSpec extends SparkSpec {
     assert(math.signum(num) == math.signum(r) || math.abs(r) < 1e-3)
   }
 
+  test("q177: deciles partition the corpus; one decile's dup count recounted") {
+    val out = DedupOps.dupLengthDeciles(spark, sf).collect()
+    assert(out.length == 10)
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == nDocs)
+    // Driver-side recount of decile 0 via the plain global-sort rank the
+    // histogram decomposition must reproduce.
+    val lens = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        size(graft.textops.TextOps.tokenize(col("text"))).cast("long").as("nt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (d, nt) => (nt, d) }
+    val dupDocs = DedupOps.dupClustersFixpoint(spark, sf)
+      .filter(col("cluster_size") >= 2).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val dec0 = lens.zipWithIndex
+      .filter { case (_, i) => i.toLong * 10 / nDocs == 0 }.map(_._1)
+    val r0 = out.find(_.getAs[Long]("decile") == 0L).get
+    assert(dec0.length.toLong == r0.getAs[Long]("n_docs"))
+    assert(dec0.count(p => dupDocs.contains(p._1)).toLong ==
+      r0.getAs[Long]("n_dup_docs"))
+  }
+
   test("q174: one part group's supplier breadth recounted") {
     val out = RelationalOps.partSupplierBreadth(spark, sf).collect()
     assert(out.nonEmpty)
