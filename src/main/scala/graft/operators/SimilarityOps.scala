@@ -337,6 +337,128 @@ object SimilarityOps {
        |  floor((cos) * 1000000 + 0.5) / 1000000 AS cos
        |FROM aprk WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
 
+  // ---- q178: clustering quality vs ground truth (purity + Rand) -----------
+
+  /** q178: the learned coarse quantizer evaluated against the
+    * generator's ground-truth `label` column — cluster PURITY
+    * (Σ_k max_label n_{k,label} / N) and the exact RAND INDEX from the
+    * contingency table (RI = (P + 2a − r − c) / P with P = C(N,2),
+    * a = Σ_ij C(n_ij,2), r = Σ_i C(n_i·,2), c = Σ_j C(n_·j,2)) — the
+    * external-validity eval that says whether the IVF geometry tracks
+    * the real structure (q58's cohesion is internal; this is the
+    * supervised check a corpus with any labeled slice should run before
+    * trusting cluster-keyed policies like q116's balanced sampling).
+    * Every count is an exact long, pair counts are exact integer
+    * C(n,2)s, and the two ratios are single divisions — nothing can
+    * drift cross-engine.
+    *
+    * Scale shape: one vec-keyed join, a (cluster, label) contingency
+    * aggregate (≤ K·|labels| keys), then metadata arithmetic. */
+  def clusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val (_, kasg) = kmeansModel(spark, dir)
+    val truth = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label").cast("long").as("true_label"))
+    // No per-call cache: cont is K·|labels| keys over the memoized
+    // assignment — recomputing it per downstream aggregate is cheaper
+    // than leaking an unmanaged cached frame per invocation.
+    val cont = kasg.join(truth, "vec_id")
+      .groupBy("cluster", "true_label").agg(count(lit(1)).as("nij"))
+    val n = cont.agg(sum("nij").as("n"))
+    val a = cont.agg(sum(expr("nij * (nij - 1) DIV 2")).as("a"))
+    val r = cont.groupBy("cluster").agg(sum("nij").as("ni"))
+      .agg(sum(expr("ni * (ni - 1) DIV 2")).as("r"), count(lit(1)).as("n_clusters"))
+    val c = cont.groupBy("true_label").agg(sum("nij").as("nj"))
+      .agg(sum(expr("nj * (nj - 1) DIV 2")).as("c"), count(lit(1)).as("n_labels"))
+    val pur = cont.groupBy("cluster").agg(max("nij").as("mx"))
+      .agg(sum("mx").as("majority"))
+    n.crossJoin(broadcast(a)).crossJoin(broadcast(r)).crossJoin(broadcast(c))
+      .crossJoin(broadcast(pur))
+      .select(col("n").as("n_vectors"), col("n_clusters"), col("n_labels"),
+        col("majority"),
+        r6(col("majority").cast("double") / col("n")).as("purity"),
+        col("a").as("agree_pairs"),
+        r6((expr("n * (n - 1) DIV 2") + lit(2) * col("a") - col("r") - col("c"))
+          .cast("double") / expr("n * (n - 1) DIV 2")).as("rand_index"))
+  }
+
+  lazy val clusterPuritySql: String =
+    s"""WITH $kmeansCtes,
+       |cpt AS (SELECT kasg.cluster, CAST(e.label AS BIGINT) AS true_label,
+       |          CAST(count(*) AS BIGINT) AS nij
+       |        FROM kasg JOIN embeddings e ON kasg.vec_id = e.vec_id
+       |        GROUP BY 1, 2),
+       |cpn AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM cpt),
+       |cpa AS (SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS a FROM cpt),
+       |cpr AS (SELECT CAST(sum(ni * (ni - 1) // 2) AS BIGINT) AS r,
+       |          CAST(count(*) AS BIGINT) AS n_clusters
+       |        FROM (SELECT cluster, sum(nij) AS ni FROM cpt GROUP BY 1)),
+       |cpc AS (SELECT CAST(sum(nj * (nj - 1) // 2) AS BIGINT) AS c,
+       |          CAST(count(*) AS BIGINT) AS n_labels
+       |        FROM (SELECT true_label, sum(nij) AS nj FROM cpt GROUP BY 1)),
+       |cpp AS (SELECT CAST(sum(mx) AS BIGINT) AS majority
+       |        FROM (SELECT cluster, max(nij) AS mx FROM cpt GROUP BY 1))
+       |SELECT n AS n_vectors, n_clusters, n_labels, majority,
+       |  floor((majority::DOUBLE / n) * 1000000 + 0.5) / 1000000 AS purity,
+       |  a AS agree_pairs,
+       |  floor(((n * (n - 1) // 2 + 2 * a - r - c)::DOUBLE / (n * (n - 1) // 2)) * 1000000 + 0.5) / 1000000 AS rand_index
+       |FROM cpn, cpa, cpr, cpc, cpp""".stripMargin
+
+  // ---- q179: label-neighbor consistency of the exact top-k ----------------
+
+  /** q179: for each panel query, the fraction of its exact-cosine top-k
+    * neighbors sharing the query's ground-truth label — the
+    * retrieval-side twin of q178: purity says the QUANTIZER tracks the
+    * labels, this says the raw GEOMETRY does (if same-label fractions
+    * are low, no amount of index tuning makes nearest-neighbor search
+    * semantically useful on these vectors, and the recall curves
+    * q79/q105/q110 are measuring fidelity to an unhelpful target).
+    * Exact integer counts per query; one division each.
+    *
+    * Scale shape: q110's exact-panel machinery (broadcast panel ×
+    * corpus, per-qid rank window) plus one broadcast label join —
+    * offline eval over a query sample, like every recall panel. */
+  def labelNeighborConsistency(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val truth = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label").cast("long").as("nb_label"))
+    val panel = e.filter(col("vec_id") < NPanel)
+      .select(col("vec_id").as("qid"), col("embedding").as("q_embedding"))
+    val qlab = truth.filter(col("vec_id") < NPanel)
+      .select(col("vec_id").as("qid"), col("nb_label").as("q_label"))
+    e.crossJoin(broadcast(panel))
+      .select(col("qid"), col("vec_id"),
+        cosineSim(col("embedding"), col("q_embedding")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rank") <= TopK)
+      .join(truth, "vec_id")
+      .join(broadcast(qlab), "qid")
+      .groupBy("qid", "q_label")
+      .agg(sum(when(col("nb_label") === col("q_label"), 1L).otherwise(0L))
+        .as("n_same_label"))
+      .select(col("qid"), col("q_label"), col("n_same_label"),
+        r6(col("n_same_label").cast("double") / TopK).as("same_label_frac"))
+      .orderBy("qid")
+  }
+
+  lazy val labelNeighborConsistencySql: String =
+    s"""WITH lnq AS (SELECT vec_id AS qid, embedding AS qe,
+       |               CAST(label AS BIGINT) AS q_label
+       |             FROM embeddings WHERE vec_id < $NPanel),
+       |lnsc AS (SELECT qid, q_label, e.vec_id, CAST(e.label AS BIGINT) AS nb_label,
+       |           ${sqlCos("e.embedding", "qe")} AS cos
+       |         FROM embeddings e, lnq),
+       |lnrk AS (SELECT qid, q_label, vec_id, nb_label,
+       |           row_number() OVER (PARTITION BY qid
+       |             ORDER BY cos DESC, vec_id ASC) AS rank
+       |         FROM lnsc)
+       |SELECT qid, q_label,
+       |  CAST(sum(CASE WHEN nb_label = q_label THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_same_label,
+       |  floor((sum(CASE WHEN nb_label = q_label THEN 1 ELSE 0 END)::DOUBLE / $TopK) * 1000000 + 0.5) / 1000000 AS same_label_frac
+       |FROM lnrk WHERE rank <= $TopK
+       |GROUP BY qid, q_label ORDER BY qid""".stripMargin
+
   // ---- q176: embedding-norm vs quality-score agreement ---------------------
 
   /** q176: exact Pearson between each document's embedding L2 NORM and
@@ -2451,6 +2573,8 @@ object SimilarityOps {
     "q168_cluster_topic_terms" -> (clusterTopicTerms _),
     "q173_pq_code_occupancy" -> (pqCodeOccupancy _),
     "q176_norm_quality_agreement" -> (normQualityAgreement _),
+    "q178_cluster_purity" -> (clusterPurity _),
+    "q179_label_neighbor_consistency" -> (labelNeighborConsistency _),
     "q52_ann_lsh" -> (annLsh _),
     "q53_embedding_quantization" -> (embeddingQuantization _),
     "q77_ann_ivf_int8" -> (annIvfInt8 _),
@@ -2479,6 +2603,8 @@ object SimilarityOps {
     "q168_cluster_topic_terms" -> clusterTopicTermsSql,
     "q173_pq_code_occupancy" -> pqCodeOccupancySql,
     "q176_norm_quality_agreement" -> normQualityAgreementSql,
+    "q178_cluster_purity" -> clusterPuritySql,
+    "q179_label_neighbor_consistency" -> labelNeighborConsistencySql,
     "q52_ann_lsh" -> annLshSql,
     "q53_embedding_quantization" -> embeddingQuantizationSql,
     "q79_ivf_recall_curve" -> ivfRecallCurveSql,

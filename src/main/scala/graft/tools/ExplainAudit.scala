@@ -44,7 +44,13 @@ object ExplainAudit {
       "q160_ann_ivf_panel", "q161_user_streaks", "q162_nation_trade_volume",
       "q163_local_supplier_volume", "q164_returned_revenue_customers",
       "q165_nation_market_share", "q166_propagation_convergence",
-      "q167_order_priority_census", "q168_cluster_topic_terms")
+      "q167_order_priority_census", "q168_cluster_topic_terms",
+      "q169_active_user_ratios", "q170_fusion_agreement",
+      "q171_gram_coverage_curve", "q172_shingle_df_spectrum",
+      "q173_pq_code_occupancy", "q174_part_supplier_breadth",
+      "q175_source_token_quantiles", "q176_norm_quality_agreement",
+      "q177_dup_length_deciles", "q178_cluster_purity",
+      "q179_label_neighbor_consistency")
 
     targets.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)

@@ -150,6 +150,49 @@ class Round9cSpec extends SparkSpec {
       r0.getAs[Long]("n_dup_docs"))
   }
 
+  test("q178: purity and Rand index recounted from the raw contingency") {
+    val out = SimilarityOps.clusterPurity(spark, sf).collect()(0)
+    val asg = SimilarityOps.kmeansModel(spark, sf)._2.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster")).toMap
+    val truth = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cont = truth.keys.toSeq.groupBy(v => (asg(v), truth(v)))
+      .view.mapValues(_.size.toLong).toMap
+    val n = truth.size.toLong
+    def c2(x: Long) = x * (x - 1) / 2
+    val a = cont.values.map(c2).sum
+    val r = cont.groupBy(_._1._1).values.map(m => c2(m.values.sum)).sum
+    val c = cont.groupBy(_._1._2).values.map(m => c2(m.values.sum)).sum
+    val majority = cont.groupBy(_._1._1).values.map(_.values.max).sum
+    assert(n == out.getAs[Long]("n_vectors"))
+    assert(majority == out.getAs[Long]("majority"))
+    assert(a == out.getAs[Long]("agree_pairs"))
+    val purity = math.floor(majority.toDouble / n * 1e6 + 0.5) / 1e6
+    assert(purity == out.getAs[Double]("purity"))
+    val ri = math.floor((c2(n) + 2 * a - r - c).toDouble / c2(n) * 1e6 + 0.5) / 1e6
+    assert(ri == out.getAs[Double]("rand_index"))
+  }
+
+  test("q179: one query's same-label count recounted against brute force") {
+    val out = SimilarityOps.labelNeighborConsistency(spark, sf).collect()
+    assert(out.length == SimilarityOps.NPanel)
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray,
+        r.getAs[Number](2).longValue))
+    val (qid, qv, qlab) = vecs.find(_._1 == 0L).get
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map(p => p._1 * p._2).sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+    }
+    val top = vecs.map(v => (v._1, cos(v._2, qv), v._3))
+      .sortBy { case (id, cv, _) => (-cv, id) }.take(SimilarityOps.TopK)
+    val r0 = out.find(_.getAs[Long]("qid") == qid).get
+    assert(qlab == r0.getAs[Long]("q_label"))
+    assert(top.count(_._3 == qlab).toLong == r0.getAs[Long]("n_same_label"))
+  }
+
   test("q174: one part group's supplier breadth recounted") {
     val out = RelationalOps.partSupplierBreadth(spark, sf).collect()
     assert(out.nonEmpty)
