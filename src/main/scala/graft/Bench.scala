@@ -111,7 +111,11 @@ object Bench {
     if (sorted.isEmpty) -1.0
     else sorted(((math.ceil(p / 100.0 * sorted.size).toInt - 1) max 0) min (sorted.size - 1))
 
-  private def f3(x: Double): String = f"$x%.3f"
+  /** Root-locale 3-decimal formatting (ADVICE r9): the locale-sensitive
+    * f-interpolator emits comma decimals under e.g. a de_DE default
+    * locale, which would make every JSON artifact line invalid. */
+  private def f3(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
 
   /** Serve-path latency phase (VERDICT r8 #3): the analytics bench times
     * the 150+ declared queries, but the four persisted-index ANN serving
@@ -236,8 +240,13 @@ object Bench {
     val canaryEnd = (1 to CanaryPasses).map(_ => canary(spark)).min
     // Serve-path latency phase runs OUTSIDE the canary bracket: its index
     // build is a one-off write job, not analytics steady state.
+    // NonFatal only (ADVICE r9): an OOM/StackOverflow must kill the run
+    // loudly, not publish a normal-looking artifact with a serve_error.
     val serve = try serveBench(spark, sfDir) catch {
-      case e: Throwable => Map("serve_error" -> ("\"" + e.getClass.getSimpleName + "\""))
+      case scala.util.control.NonFatal(e) =>
+        val msg = (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
+          .replace("\\", "\\\\").replace("\"", "\\\"").take(200)
+        Map("serve_error" -> ("\"" + msg + "\""))
     }
     val results = ordered.map { case (name, _) => name -> minOf(passes(name)) }
     val suspect = suspectsOf(passes.toSeq)

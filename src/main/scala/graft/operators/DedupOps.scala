@@ -506,10 +506,7 @@ object DedupOps {
     * the same key. */
   private[graft] def fixpointLabels(nodes: DataFrame, pairs: DataFrame): DataFrame = {
     val spark = nodes.sparkSession
-    val sc = spark.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(
-        s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${sc.applicationId}")
+    Ckpt.ensure(spark)
     val edges = pairs.select(col("src"), col("dst"))
       .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
       .cache()
@@ -534,6 +531,81 @@ object DedupOps {
       s"fixpointLabels: no convergence within $FixpointMaxRounds rounds")
     edges.unpersist()
     labels
+  }
+
+  /** Large-star/small-star connected components (VERDICT r9 #5) — the
+    * O(log n)-round production alternative to [[fixpointLabels]] for
+    * CHAIN-PATHOLOGICAL graphs: min-label propagation pays one round per
+    * hop of component diameter (a mirror chain of length L costs L
+    * rounds × 2 shuffles), while the alternating star algorithm
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) restructures the edge set itself so components collapse
+    * toward their minimum in O(log n) alternating rounds regardless of
+    * diameter. Same contract as fixpointLabels: nodes (doc_id),
+    * undirected edges in one direction, output (doc_id, label) with
+    * label = the component's minimum doc_id — Round10Spec pins label
+    * equality on random graphs and plants a 32-node chain that must
+    * converge in ≤ 6 alternating rounds (vs 31 propagation rounds).
+    *
+    * Per alternating round, on canonical edges u > v:
+    *   - large-star: every center's STRICTLY LARGER neighbors reconnect
+    *     to m = min(N(u) ∪ {u}) — long tails fold in half;
+    *   - small-star: every center's smaller-or-equal neighbors (exactly
+    *     the canonical edge list) and the center itself reconnect to the
+    *     center's minimum neighbor — local stars flatten.
+    * Both are one groupBy(center) min + one join per phase — the same
+    * two-shuffle round cost as a propagation round, but O(log n) rounds.
+    * Edges are distinct-deduped and reliably checkpointed per round
+    * (Catalyst re-walks trees; an unchecked loop doubles the plan).
+    * Convergence = the canonical edge set reaches a fixpoint (two
+    * exceptAll counts — both directions); the converged graph is a star
+    * per component, so labels read directly off the edges (min taken
+    * defensively; roots label themselves). */
+  private[graft] def starLabels(nodes: DataFrame, pairs: DataFrame): DataFrame =
+    starLabelsWithRounds(nodes, pairs)._1
+
+  /** [[starLabels]] plus the alternating-round count (spec observability:
+    * Round10Spec pins the ≤ 6-round bound on the 32-chain). */
+  private[graft] def starLabelsWithRounds(
+      nodes: DataFrame, pairs: DataFrame): (DataFrame, Int) = {
+    val spark = nodes.sparkSession
+    Ckpt.ensure(spark)
+    def canon(df: DataFrame): DataFrame = df
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    var edges = canon(pairs.select(col("src").as("u"), col("dst").as("v")))
+      .checkpoint(true)
+    var rounds = 0
+    var changed = 1L
+    while (changed > 0 && rounds < FixpointMaxRounds) {
+      // Large-star over the SYMMETRIC adjacency: center a, neighbor b.
+      val sym = edges.select(col("u").as("a"), col("v").as("b"))
+        .union(edges.select(col("v").as("a"), col("u").as("b")))
+      val mins = sym.groupBy("a").agg(min(col("b")).as("mn"))
+        .select(col("a"), least(col("mn"), col("a")).as("m"))
+      val large = canon(sym.join(mins, "a")
+        .filter(col("b") > col("a"))
+        .select(col("b").as("u"), col("m").as("v")))
+      // Small-star over the canonical (u > v) list: center u, its
+      // smaller neighbors v, their min m; v→m and u→m.
+      val smins = large.groupBy("u").agg(min(col("v")).as("m"))
+      val withM = large.join(smins, "u")
+      val next = canon(
+        withM.select(col("v").as("u"), col("m").as("v"))
+          .union(withM.select(col("u"), col("m").as("v"))))
+        .checkpoint(true)
+      changed = next.exceptAll(edges).count() + edges.exceptAll(next).count()
+      edges = next
+      rounds += 1
+    }
+    require(changed == 0,
+      s"starLabels: no convergence within $FixpointMaxRounds rounds")
+    val labels = nodes.select(col("doc_id"))
+      .join(edges.groupBy(col("u").as("doc_id")).agg(min(col("v")).as("lbl")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("label"))
+    (labels, rounds)
   }
 
   /** q159: the fixpoint clusters, oracle-gated — same output shape as q49
@@ -730,10 +802,7 @@ object DedupOps {
     * count; each round's labels reliably checkpointed (tree doubling —
     * the PCA rationale). Output is ConvergenceProfileRounds rows. */
   def propagationConvergence(spark: SparkSession, dir: String): DataFrame = {
-    val sc = spark.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(
-        s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${sc.applicationId}")
+    Ckpt.ensure(spark)
     val pairs = lshCandidatePairs(spark, dir)
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -864,8 +933,14 @@ object DedupOps {
        |        FROM l${i - 1} LEFT JOIN n$i ON l${i - 1}.doc_id = n$i.src)""".stripMargin
 
   /** Shared label-propagation CTE chain ending in
-    * l[ClusterIterations](doc_id, label) — one unrolled derivation behind
-    * the q49/q75/q76 oracles so they can't drift. */
+    * l[ClusterIterations](doc_id, label) — the unrolled derivation behind
+    * the q49 oracle, whose DECLARED semantics are the bounded 3-hop frame.
+    * Every oracle whose ENGINE side consumes the fixpoint labels
+    * (q75/q76/q145/q150/q82/q113/q157/q129) uses [[fixLabelCtes]]'s
+    * recursive closure instead (ADVICE r9): the unrolled chain only
+    * matched them because this corpus converges within 3 rounds, and a
+    * diameter-4 corpus would have made those oracles silently diverge
+    * from production semantics. */
   private[operators] val dupLabelCtes: String =
     s"""$shinglesCte,
        |$minhashCtes,
@@ -882,9 +957,9 @@ object DedupOps {
        |FROM l$ClusterIterations ORDER BY doc_id""".stripMargin
 
   val clusterSizeSpectrumSql: String =
-    s"""WITH $dupLabelCtes,
+    s"""WITH RECURSIVE $fixLabelCtes,
        |csz AS (SELECT label, count(*) AS cluster_size
-       |        FROM l$ClusterIterations GROUP BY label),
+       |        FROM fixl GROUP BY label),
        |spec AS (SELECT cluster_size, count(*) AS n_clusters,
        |           cluster_size * count(*) AS n_docs
        |         FROM csz GROUP BY cluster_size),
@@ -938,9 +1013,9 @@ object DedupOps {
       .orderBy("cluster_id")
 
   val dedupKeepBestSql: String =
-    s"""WITH $dupLabelCtes,
+    s"""WITH RECURSIVE $fixLabelCtes,
        |${TextAnalysisOps.qualityCtes},
-       |lab AS (SELECT doc_id, label AS cluster_id FROM l$ClusterIterations),
+       |lab AS (SELECT doc_id, label AS cluster_id FROM fixl),
        |j AS (SELECT cluster_id, doc_id, quality_score
        |      FROM lab JOIN qual USING (doc_id)),
        |r AS (SELECT cluster_id, doc_id, quality_score,
@@ -973,8 +1048,8 @@ object DedupOps {
       .orderBy("doc_id")
 
   val leakageSafeSplitsSql: String =
-    s"""WITH $dupLabelCtes,
-       |lab AS (SELECT doc_id, label AS cluster_id FROM l$ClusterIterations),
+    s"""WITH RECURSIVE $fixLabelCtes,
+       |lab AS (SELECT doc_id, label AS cluster_id FROM fixl),
        |b AS (SELECT doc_id, cluster_id,
        |        CAST(('0x' || substring(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT)
        |          % $SplitBuckets AS bucket
@@ -1019,12 +1094,12 @@ object DedupOps {
   }
 
   val splitBalanceSql: String =
-    s"""WITH $dupLabelCtes,
+    s"""WITH RECURSIVE $fixLabelCtes,
        |slab AS (SELECT doc_id,
        |           CASE WHEN CAST(('0x' || substring(md5(CAST(label AS VARCHAR)), 1, 15)) AS BIGINT)
        |                  % $SplitBuckets < $TrainBuckets
        |                THEN 'train' ELSE 'holdout' END AS split
-       |         FROM l$ClusterIterations),
+       |         FROM fixl),
        |sper AS (SELECT source,
        |           sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
        |           sum(CASE WHEN split = 'holdout' THEN 1 ELSE 0 END) AS n_holdout
@@ -1132,9 +1207,9 @@ object DedupOps {
     * chain, with optional extra CTE blocks and a filter applied to the
     * keep-best winners (q113's exclusion gates). */
   private def pipelineSqlFrom(extraCtes: String, winFilter: String): String =
-    s"""WITH $dupLabelCtes,
+    s"""WITH RECURSIVE $fixLabelCtes,
        |${TextAnalysisOps.qualityCtes},$extraCtes
-       |lab AS (SELECT doc_id, label AS cluster_id FROM l$ClusterIterations),
+       |lab AS (SELECT doc_id, label AS cluster_id FROM fixl),
        |cj AS (SELECT cluster_id, doc_id, quality_score, n_tokens,
        |         CAST(floor(quality_score * 1000000 + 0.5) AS BIGINT) AS qkey
        |       FROM lab JOIN qual USING (doc_id)),
@@ -1220,11 +1295,11 @@ object DedupOps {
   }
 
   lazy val curationFunnelSql: String =
-    s"""WITH $dupLabelCtes,
+    s"""WITH RECURSIVE $fixLabelCtes,
        |${TextAnalysisOps.qualityCtes},
        |$wtkCte,
        |${verbatimCtes(VerbatimWindow)},
-       |lab AS (SELECT doc_id, label AS cluster_id FROM l$ClusterIterations),
+       |lab AS (SELECT doc_id, label AS cluster_id FROM fixl),
        |cj AS (SELECT cluster_id, doc_id, quality_score, n_tokens,
        |         CAST(floor(quality_score * 1000000 + 0.5) AS BIGINT) AS qkey
        |       FROM lab JOIN qual USING (doc_id)),

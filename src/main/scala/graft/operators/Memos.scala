@@ -58,6 +58,38 @@ final class Memo[V](unpersist: V => Unit) {
   }
 }
 
+/** Shared reliable-checkpoint-dir setup (ADVICE r9): the fixpoint /
+  * convergence-profile / PCA loops all checkpoint under
+  * `$tmpdir/graft-ckpt-<appId>` when no dir is configured, but nothing
+  * ever deleted that directory — a long-lived session accumulated
+  * checkpoint data on disk indefinitely. `ensure` sets the dir (same
+  * path as before) and registers ONE JVM shutdown hook that removes it
+  * recursively — only when WE chose the directory: a deployment that
+  * configured its own (HDFS) checkpoint dir owns that dir's lifecycle
+  * and is left alone. */
+object Ckpt {
+  private val hooked = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  def ensure(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val sc = spark.sparkContext
+    if (sc.getCheckpointDir.isEmpty) {
+      val dir =
+        s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${sc.applicationId}"
+      sc.setCheckpointDir(dir)
+      if (hooked.compareAndSet(false, true))
+        Runtime.getRuntime.addShutdownHook(
+          new Thread(() => deleteRec(new java.io.File(dir))))
+    }
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRec)
+    f.delete()
+    ()
+  }
+}
+
 object Memo {
   /** Memo of one cached DataFrame. */
   def frame(): Memo[DataFrame] = new Memo[DataFrame](_.unpersist(true))

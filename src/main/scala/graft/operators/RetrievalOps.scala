@@ -383,14 +383,14 @@ object RetrievalOps {
   val clusterRelevantEvalSql: String = {
     val gainRows = NdcgGains.map { case (r, g) =>
       s"(CAST($r AS BIGINT), CAST('$g' AS DECIMAL(20,18)))" }.mkString(", ")
-    s"""WITH ${graft.operators.DedupOps.dupLabelCtes},
+    s"""WITH RECURSIVE ${graft.operators.DedupOps.fixLabelCtes},
        |$knownItemScoreCtes,
        |gains(rank_pos, g) AS (VALUES $gainRows),
        |crq AS (SELECT doc_id AS query_id, label
-       |        FROM l${graft.operators.DedupOps.ClusterIterations}
+       |        FROM fixl
        |        WHERE doc_id % ${graft.operators.DedupOps.DecontamMod} = 0),
        |crel AS (SELECT query_id, lr.doc_id AS rel_id
-       |         FROM crq JOIN l${graft.operators.DedupOps.ClusterIterations} lr
+       |         FROM crq JOIN fixl lr
        |         USING (label)),
        |crs AS (SELECT c.query_id, c.rel_id, ksc.s AS s_rel
        |        FROM crel c JOIN ksc

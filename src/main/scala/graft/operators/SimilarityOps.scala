@@ -1907,10 +1907,7 @@ object SimilarityOps {
     // unrecoverable and fails the job; the frame is 4096 rows, so the
     // durable write costs nothing. A deployment points the checkpoint dir
     // at HDFS; local runs fall back to the JVM temp dir.
-    val sc = spark.sparkContext
-    if (sc.getCheckpointDir.isEmpty)
-      sc.setCheckpointDir(
-        s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${sc.applicationId}")
+    Ckpt.ensure(spark)
     var m = cov
     for (_ <- 1 to PcaSquarings) {
       val mm = m.select(col("i"), col("j").as("k"), col("c").as("a"))

@@ -69,20 +69,37 @@ object MemoPressure {
     def runAll(dir: String): Unit =
       TouchQueries.foreach(q => graft.SparkEntry.queries(q)(spark, dir).count())
 
+    // Phase-boundary counter read (ADVICE r9): the async listener bus can
+    // deliver a phase's BlockUpdated events after the next phase starts,
+    // which would charge them to the wrong window (release's own unpersist
+    // removals also match isRDD && !useMemory and must land in the phase-3
+    // window, not phase 4's). waitUntilEmpty is private[spark], so drain
+    // by stabilization: poll until the counter holds still.
+    def settled(): Int = {
+      var prev = drops.get(); var stable = 0; var spins = 0
+      while (stable < 4 && spins < 200) {
+        Thread.sleep(50)
+        val cur = drops.get()
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        spins += 1
+      }
+      prev
+    }
+
     runAll(dirB) // phase 1: resident working set
-    val d1 = drops.get()
+    val d1 = settled()
     runAll(dirA) // phase 2: second corpus on top — the budget must bind
     // Re-touch B so the LRU ping-pong is exercised both ways.
     runAll(dirB)
-    val d2 = drops.get()
+    val d2 = settled()
     require(d2 - d1 > 0,
       s"budget not binding: no eviction churn with both corpora cached " +
         s"(budget ${budgetMb}m too large for this testdata) — vacuous run")
 
     graft.operators.Memos.release(dirA) // phase 3: done with corpus A
-    val d3 = drops.get() // release's own unpersists end here
+    val d3 = settled() // release's own unpersists end here, fully delivered
     runAll(dirB) // phase 4: must be churn-free now
-    val d4 = drops.get()
+    val d4 = settled()
     require(d4 - d3 == 0,
       s"release did not prevent churn: ${d4 - d3} blocks still evicted " +
         s"after Memos.release(dirA)")
