@@ -2554,6 +2554,502 @@ object SimilarityOps {
        |  floor(max(norm) * 1000000 + 0.5) / 1000000 AS max_norm
        |FROM hper, hids GROUP BY n_rows, n_ids""".stripMargin
 
+  // ---- q184-q186: adaptive serving-tier router (VERDICT r9 #1) ------------
+  //
+  // The reference's defining concept — per-query strategy routing with
+  // bandit feedback (/root/reference/src/beyond_vector_search/router.py:
+  // 72-117 heuristics+argmax, :141-163 weight update) — extended to the
+  // four ANN serving tiers this engine already measures: float (q51),
+  // int8 (q77), pq (q104), pq_rerank (q111). Same architecture as the
+  // text-arm port (Router.scala): pure column arithmetic end-to-end, a
+  // commutative delta fold, and every stage oracle-expressible.
+
+  /** The four serving tiers in the fixed tie-break order (ascending name —
+    * the Router.updateDeltas convention). */
+  val Tiers: Seq[String] = Seq("float", "int8", "pq", "pq_rerank")
+
+  /** Per-tier utility penalty = TierLambda × relative serve cost, in exact
+    * integer ten-thousandths so every utility comparison is BIGINT
+    * arithmetic (no float drift can flip an argmax cross-engine).
+    *
+    * Relative costs come from the measured serve-phase p50s in
+    * BENCH_FULL.json (float 565 ms, int8 556, pq 930, pq_rerank 1356 —
+    * the round-9 artifact), normalized to the float tier and rounded to
+    * 1.00 / 0.98 / 1.65 / 2.40; TierLambda = 0.15 recall-per-cost. */
+  val TierPenE4: Map[String, Long] = Map(
+    "float" -> 1500L, "int8" -> 1470L, "pq" -> 2475L, "pq_rerank" -> 3600L)
+
+  /** Bandit step in ten-thousandths: the winning tier gets +300 (+0.03),
+    * each of the three losers −100 (−0.01) — zero-sum like the reference's
+    * +lr / −lr/2 text update (router.py:152-156), scaled so one panel pass
+    * (≤ 20·0.03 = 0.6) can shift boundary decisions without swamping the
+    * O(1) heuristics. */
+  val TierLrWinE4 = 300L
+  val TierLrLoseE4 = -100L
+
+  /** Query-side routing features over the NPanel panel, every one
+    * r6-rounded so the heuristic doubles built from them are bit-identical
+    * cross-engine:
+    *   - q_norm:   L2 norm (DECIMAL-accumulated squares);
+    *   - peak:     max|v| / norm — peaky vectors concentrate energy in few
+    *               coordinates, the regime where int8's per-vector scale
+    *               wastes resolution on the small ones;
+    *   - margin:   1 − d1/d2 over the two nearest coarse centroids — the
+    *               classic easy-query signal (big margin ⇒ the probe is
+    *               confident ⇒ compressed tiers suffice);
+    *   - coverage: fraction of the corpus inside the NProbe probed cells —
+    *               predicted candidate-scan mass, i.e. what the exact
+    *               re-rank tier would have to touch.
+    *
+    * Scale shape: one panel-filtered exploded pass (norm/peak), one
+    * panel×K broadcast centroid distance agg (margin + probe ranks), one
+    * K-row cluster-size agg (coverage). Nothing scales with the corpus
+    * except the cluster-size count, which is a map-side agg on the
+    * memoized assignment. */
+  private[graft] def tierFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val (kcent, kasg) = kmeansModel(spark, dir)
+    val ex = embLong(spark, dir).filter(col("vec_id") < NPanel)
+    val nf = ex.groupBy(col("vec_id").as("qid"))
+      .agg(sum((col("v") * col("v")).cast("decimal(38,18)")).as("ss"),
+        max(abs(col("v"))).as("amax"))
+      .select(col("qid"),
+        r6(sqrt(col("ss").cast("double"))).as("q_norm"),
+        when(col("ss") === 0, 0.0)
+          .otherwise(r6(col("amax") / sqrt(col("ss").cast("double")))).as("peak"))
+    val qdist = ex.select(col("vec_id").as("qid"), col("pos"), col("v").as("qv"))
+      .join(broadcast(kcent), "pos")
+      .groupBy("qid", "cluster")
+      .agg(sum(((col("qv") - col("c")) * (col("qv") - col("c")))
+        .cast("decimal(38,18)")).as("dist"))
+    val crank = qdist.withColumn("crank", row_number().over(
+      Window.partitionBy("qid").orderBy(col("dist").asc, col("cluster").asc)))
+    val mg = crank.filter(col("crank") <= 2)
+      .groupBy("qid")
+      .agg(min(when(col("crank") === 1, col("dist"))).as("d1"),
+        min(when(col("crank") === 2, col("dist"))).as("d2"))
+      .select(col("qid"),
+        when(col("d2") === 0, 0.0)
+          .otherwise(r6(lit(1.0) -
+            col("d1").cast("double") / col("d2").cast("double"))).as("margin"))
+    val csz = kasg.groupBy("cluster").agg(count(lit(1)).as("csz"))
+    val ntot = emb(spark, dir).agg(count(lit(1)).as("ntot"))
+    val cov = crank.filter(col("crank") <= NProbe)
+      .join(broadcast(csz), "cluster")
+      .groupBy("qid").agg(sum("csz").as("ncov"))
+      .crossJoin(broadcast(ntot))
+      .select(col("qid"),
+        r6(col("ncov").cast("double") / col("ntot")).as("coverage"))
+    nf.join(mg, "qid").join(cov, "qid")
+  }
+
+  /** Heuristic + weight utilities per tier (router.py:72-92's shape, tier
+    * semantics): float wants hard queries (small margin), int8 the same
+    * minus a peakiness distortion penalty (crossing float at peak ≈ 0.318,
+    * inside the observed 0.24–0.53 corpus range), pq easy queries with
+    * mass to prune (beats float above margin ≈ 0.10 at typical coverage),
+    * rerank the HARDEST queries — its steep 3.5·(1−margin) slope clears
+    * float/int8 only below margin ≈ 0.01, where the probe margin says the
+    * coarse quantizer is guessing and an exact re-read pays for itself.
+    * Boundaries sit mid-range of the measured panel features at sf0.01
+    * AND sf0.1, so the zero-state census is genuinely 4-way (see
+    * SCALE.md) and the bandit fold has real mass to move.
+    * Parenthesization is pinned — the SQL twin mirrors the exact
+    * expression tree so the doubles agree bitwise. */
+  private[graft] def tierUtilities(feats: DataFrame, w: Map[String, Column]): DataFrame = {
+    val m = col("margin"); val p = col("peak"); val cv = col("coverage")
+    feats
+      .withColumn("u_float",
+        ((lit(0.3) + lit(0.5) * (lit(1.0) - m)) + w("float")) - lit(0.15))
+      .withColumn("u_int8",
+        (((lit(0.44) + lit(0.5) * (lit(1.0) - m)) - lit(0.45) * p) + w("int8")) - lit(0.147))
+      .withColumn("u_pq",
+        (((lit(0.4875) + lit(3.0) * m) + lit(0.3) * cv) + w("pq")) - lit(0.2475))
+      .withColumn("u_pq_rerank",
+        (((lit(-2.55) + lit(3.5) * (lit(1.0) - m)) + lit(0.45) * cv) + w("pq_rerank")) - lit(0.36))
+  }
+
+  /** Arm argmax over the four u_* columns, ties to the ascending tier
+    * name (float < int8 < pq < pq_rerank). */
+  private[graft] def tierChoice: Column =
+    when(col("u_float") >= col("u_int8") && col("u_float") >= col("u_pq") &&
+      col("u_float") >= col("u_pq_rerank"), "float")
+      .when(col("u_int8") >= col("u_pq") && col("u_int8") >= col("u_pq_rerank"), "int8")
+      .when(col("u_pq") >= col("u_pq_rerank"), "pq")
+      .otherwise("pq_rerank")
+
+  private val zeroW: Map[String, Column] = Tiers.map(_ -> lit(0.0)).toMap
+
+  /** q184: the routing-decision table — per panel query, the four
+    * features, the four frozen-state utilities, and the chosen serving
+    * tier. Pure column arithmetic over the feature frame (the q27
+    * pattern), so the whole decision is oracle-gated. */
+  def tierRoute(spark: SparkSession, dir: String): DataFrame =
+    tierUtilities(tierFeatures(spark, dir), zeroW)
+      .select(col("qid"), col("q_norm"), col("peak"), col("margin"), col("coverage"),
+        r6(col("u_float")).as("u_float"), r6(col("u_int8")).as("u_int8"),
+        r6(col("u_pq")).as("u_pq"), r6(col("u_pq_rerank")).as("u_pq_rerank"),
+        tierChoice.as("tier"))
+      .orderBy("qid")
+
+  /** q185: the feedback signal — per (panel query, tier), the MEASURED
+    * recall@TopK at nprobe = NProbe, the cost-adjusted utility in exact
+    * ten-thousandths, and the per-query winner flag. Recall machinery per
+    * tier:
+    *   - float:     the q79 identity per qid — an exact-top-k member is
+    *                recalled iff its cluster ranks ≤ NProbe (exact-cosine
+    *                ranking within candidates can't displace it);
+    *   - int8:      candidates ranked by int8-reconstructed cosine (q77's
+    *                arithmetic with a qid column threaded through);
+    *   - pq:        candidates ranked by residual ADC (q110's machinery at
+    *                the fixed serving depth);
+    *   - pq_rerank: ADC's RerankK shortlist re-ranked by exact cosine
+    *                (q111 per qid).
+    * Everything reuses the memoized kmeans/pq models; the only
+    * corpus-sized work is the one panel×corpus exact-cosine pass (the
+    * ground truth, shared by all four tiers) and the probed-cell candidate
+    * scans — at 100 TB this runs over a query/corpus sample exactly like
+    * q110. Utilities are BIGINT (n_hits·200 − pen_e4): no float compare
+    * decides a winner. */
+  def tierRecallPanel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (kcent, kasg) = kmeansModel(spark, dir)
+    val (pcent, pasg) = pqModel(spark, dir)
+    val e = emb(spark, dir)
+    val panel = e.filter(col("vec_id") < NPanel)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val pcs = e.crossJoin(broadcast(panel))
+      .select(col("qid"), col("vec_id"), cosineSim(col("embedding"), col("qe")).as("cos"))
+    val exact = pcs.withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rank") <= TopK)
+      .select("qid", "vec_id")
+    val qx = embLong(spark, dir).filter(col("vec_id") < NPanel)
+      .select(col("vec_id").as("qid"), col("pos"), col("v").as("qv"))
+    val probes = qx.join(broadcast(kcent), "pos")
+      .groupBy("qid", "cluster")
+      .agg(sum(((col("qv") - col("c")) * (col("qv") - col("c")))
+        .cast("decimal(38,18)")).as("dist"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist").asc, col("cluster").asc)))
+      .filter(col("crank") <= NProbe)
+      .select("qid", "cluster")
+
+    // float: covered exact-top-k members are hits (q79 identity, per qid).
+    val hFloat = exact.join(kasg, "vec_id")
+      .join(broadcast(probes), Seq("qid", "cluster"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+
+    // int8: probed candidates ranked by reconstructed cosine, per qid.
+    val ex = embLong(spark, dir)
+    val amax = ex.groupBy("vec_id").agg(max(abs(col("v"))).as("amax"))
+    val rec = ex.join(amax, "vec_id")
+      .withColumn("scale", when(col("amax") === 0.0, 1.0).otherwise(col("amax") / 127.0))
+      .select(col("vec_id"), col("pos"),
+        (floor(col("v") / col("scale") + 0.5) * col("scale")).as("r"))
+    val qrec = rec.filter(col("vec_id") < NPanel)
+      .select(col("vec_id").as("qid"), col("pos"), col("r").as("qr"))
+    val qq = qrec.groupBy("qid")
+      .agg(sum((col("qr") * col("qr")).cast("decimal(38,18)")).as("qq"))
+    val cand = kasg.join(broadcast(probes), "cluster").select("qid", "vec_id")
+    val i8 = cand.join(rec, "vec_id")
+      .join(broadcast(qrec), Seq("qid", "pos"))
+      .groupBy("qid", "vec_id")
+      .agg(sum((col("r") * col("qr")).cast("decimal(38,18)")).as("dot"),
+        sum((col("r") * col("r")).cast("decimal(38,18)")).as("nn"))
+      .join(broadcast(qq), "qid")
+      .select(col("qid"), col("vec_id"),
+        when(col("nn") === 0 || col("qq") === 0, 0.0)
+          .otherwise(col("dot").cast("double") /
+            (sqrt(col("nn").cast("double")) * sqrt(col("qq").cast("double"))))
+          .as("qcos"))
+    val hInt8 = i8.withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("qcos").desc, col("vec_id").asc)))
+      .filter(col("rank") <= TopK)
+      .join(exact, Seq("qid", "vec_id"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+
+    // pq: probed candidates ranked by residual ADC (q110 at depth NProbe).
+    val dtab = kcent.join(broadcast(qx), "pos")
+      .join(broadcast(probes), Seq("qid", "cluster"))
+      .select(col("qid"), col("cluster"), col("pos"), (col("qv") - col("c")).as("qr"))
+      .join(pcent.select(col("sub"), col("code"), col("pos"), col("c").as("pc")), "pos")
+      .groupBy("qid", "cluster", "sub", "code")
+      .agg(sum(((col("qr") - col("pc")) * (col("qr") - col("pc")))
+        .cast("decimal(38,18)")).as("d"))
+    val adc = kasg.join(broadcast(probes), "cluster")
+      .join(pasg.select("vec_id", "sub", "code"), "vec_id")
+      .join(broadcast(dtab), Seq("qid", "cluster", "sub", "code"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("d")).as("adist"))
+      .withColumn("prank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adist").asc, col("vec_id").asc)))
+    val hPq = adc.filter(col("prank") <= TopK)
+      .join(exact, Seq("qid", "vec_id"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+
+    // pq_rerank: the RerankK shortlist re-ranked by exact cosine (q111).
+    val hRerank = adc.filter(col("prank") <= RerankK)
+      .select("qid", "vec_id")
+      .join(pcs, Seq("qid", "vec_id"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rank") <= TopK)
+      .join(exact, Seq("qid", "vec_id"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+
+    val pens = TierPenE4.toSeq.sortBy(_._1).toDF("tier", "pen_e4")
+    val scaffold = panel.select("qid").crossJoin(broadcast(pens))
+    val counts =
+      hFloat.withColumn("tier", lit("float"))
+        .unionByName(hInt8.withColumn("tier", lit("int8")))
+        .unionByName(hPq.withColumn("tier", lit("pq")))
+        .unionByName(hRerank.withColumn("tier", lit("pq_rerank")))
+    scaffold.join(counts, Seq("qid", "tier"), "left")
+      .select(col("qid"), col("tier"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) * lit(200L) - col("pen_e4")).as("util_e4"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("qid").orderBy(col("util_e4").desc, col("tier").asc)))
+      .select(col("qid"), col("tier"), col("n_hits"),
+        r6(col("n_hits").cast("double") / TopK).as("recall"),
+        (col("util_e4").cast("double") / 10000.0).as("utility"),
+        when(col("rn") === 1, 1L).otherwise(0L).cast("long").as("is_winner"))
+      .orderBy("qid", "tier")
+  }
+
+  /** q186: the bandit fold and its effect — per tier, the aggregated
+    * weight delta from the q185 winners (+0.03 win / −0.01 lose, summed in
+    * exact ten-thousandths — the A12 commutative-fold contract) and the
+    * panel's routing census under the zero state vs the updated state.
+    * n_routed_w1 moving relative to n_routed_w0 IS the reference's
+    * update_from_scores loop (router.py:141-163) acting on the vector
+    * tiers: measured recall/cost feedback reshapes where queries go. */
+  def tierFeedback(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val fb = tierRecallPanel(spark, dir)
+    val deltas = fb.groupBy("tier")
+      .agg(sum(when(col("is_winner") === 1, lit(TierLrWinE4))
+        .otherwise(lit(TierLrLoseE4))).as("delta_e4"))
+    val w1 = deltas.agg(
+      sum(when(col("tier") === "float", col("delta_e4")).otherwise(0L)).as("dwf"),
+      sum(when(col("tier") === "int8", col("delta_e4")).otherwise(0L)).as("dwi"),
+      sum(when(col("tier") === "pq", col("delta_e4")).otherwise(0L)).as("dwp"),
+      sum(when(col("tier") === "pq_rerank", col("delta_e4")).otherwise(0L)).as("dwr"))
+    val feats = tierFeatures(spark, dir)
+    val dec0 = tierUtilities(feats, zeroW)
+      .select(col("qid"), tierChoice.as("tier"))
+      .groupBy("tier").agg(count(lit(1)).as("n0"))
+    val dec1 = tierUtilities(feats.crossJoin(broadcast(w1)), Map(
+        "float" -> col("dwf").cast("double") / lit(10000.0),
+        "int8" -> col("dwi").cast("double") / lit(10000.0),
+        "pq" -> col("dwp").cast("double") / lit(10000.0),
+        "pq_rerank" -> col("dwr").cast("double") / lit(10000.0)))
+      .select(col("qid"), tierChoice.as("tier"))
+      .groupBy("tier").agg(count(lit(1)).as("n1"))
+    deltas
+      .join(dec0, Seq("tier"), "left")
+      .join(dec1, Seq("tier"), "left")
+      .select(col("tier"),
+        (col("delta_e4").cast("double") / 10000.0).as("d_weight"),
+        coalesce(col("n0"), lit(0L)).as("n_routed_w0"),
+        coalesce(col("n1"), lit(0L)).as("n_routed_w1"))
+      .orderBy("tier")
+  }
+
+  /** Shared oracle CTE block: r6-rounded routing features per panel query
+    * (requires kmeansCtes bound before it; ends in tft + the probe set
+    * trp + the cluster-rank frame tcr). */
+  private lazy val tierFeatureCtes: String =
+    s"""tfa AS (SELECT vec_id AS qid,
+       |          sqrt(CAST(sum(CAST(v * v AS DECIMAL(38,18))) AS DOUBLE)) AS nrm,
+       |          max(abs(v)) AS amax
+       |        FROM kex WHERE vec_id < $NPanel GROUP BY 1),
+       |tfn AS (SELECT qid, floor(nrm * 1000000 + 0.5) / 1000000 AS q_norm,
+       |          CASE WHEN nrm = 0 THEN 0.0
+       |               ELSE floor((amax / nrm) * 1000000 + 0.5) / 1000000 END AS peak
+       |        FROM tfa),
+       |tqd AS (SELECT qid, cluster,
+       |          sum(CAST((qv - c) * (qv - c) AS DECIMAL(38,18))) AS dist
+       |        FROM (SELECT vec_id AS qid, pos, v AS qv FROM kex
+       |              WHERE vec_id < $NPanel) x
+       |        JOIN kcent USING (pos) GROUP BY 1, 2),
+       |tcr AS (SELECT qid, cluster, dist, row_number() OVER (PARTITION BY qid
+       |          ORDER BY dist ASC, cluster ASC) AS crank FROM tqd),
+       |trp AS (SELECT qid, cluster FROM tcr WHERE crank <= $NProbe),
+       |tmg AS (SELECT qid,
+       |          min(CASE WHEN crank = 1 THEN dist END) AS d1,
+       |          min(CASE WHEN crank = 2 THEN dist END) AS d2
+       |        FROM tcr WHERE crank <= 2 GROUP BY 1),
+       |tmr AS (SELECT qid, CASE WHEN d2 = 0 THEN 0.0
+       |          ELSE floor((1.0 - CAST(d1 AS DOUBLE) / CAST(d2 AS DOUBLE)) * 1000000 + 0.5) / 1000000
+       |          END AS margin FROM tmg),
+       |tsz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csz FROM kasg GROUP BY 1),
+       |tnt AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM embeddings),
+       |tcv AS (SELECT qid,
+       |          floor((CAST(sum(csz) AS DOUBLE) / ntot) * 1000000 + 0.5) / 1000000 AS coverage
+       |        FROM trp JOIN tsz USING (cluster), tnt GROUP BY qid, ntot),
+       |tft AS (SELECT tfn.qid, q_norm, peak, margin, coverage
+       |        FROM tfn JOIN tmr USING (qid) JOIN tcv USING (qid))""".stripMargin
+
+  /** Utility expression twins (same parenthesization as tierUtilities). */
+  private def tierUtilSql(w: Map[String, String]): Map[String, String] = Map(
+    "float" -> s"((0.3 + 0.5 * (1.0 - margin)) + ${w("float")}) - 0.15",
+    "int8" -> s"(((0.44 + 0.5 * (1.0 - margin)) - 0.45 * peak) + ${w("int8")}) - 0.147",
+    "pq" -> s"(((0.4875 + 3.0 * margin) + 0.3 * coverage) + ${w("pq")}) - 0.2475",
+    "pq_rerank" -> s"(((-2.55 + 3.5 * (1.0 - margin)) + 0.45 * coverage) + ${w("pq_rerank")}) - 0.36")
+
+  private val zeroWSql: Map[String, String] = Tiers.map(_ -> "0.0").toMap
+
+  private def tierChoiceSql(u: String => String): String =
+    s"""CASE WHEN ${u("float")} >= ${u("int8")} AND ${u("float")} >= ${u("pq")}
+       |       AND ${u("float")} >= ${u("pq_rerank")} THEN 'float'
+       |     WHEN ${u("int8")} >= ${u("pq")} AND ${u("int8")} >= ${u("pq_rerank")} THEN 'int8'
+       |     WHEN ${u("pq")} >= ${u("pq_rerank")} THEN 'pq'
+       |     ELSE 'pq_rerank' END""".stripMargin
+
+  lazy val tierRouteSql: String = {
+    val u = tierUtilSql(zeroWSql)
+    s"""WITH $kmeansCtes,
+       |$tierFeatureCtes,
+       |tdu AS (SELECT qid, q_norm, peak, margin, coverage,
+       |          ${u("float")} AS u_float, ${u("int8")} AS u_int8,
+       |          ${u("pq")} AS u_pq, ${u("pq_rerank")} AS u_pq_rerank
+       |        FROM tft)
+       |SELECT qid, q_norm, peak, margin, coverage,
+       |  floor(u_float * 1000000 + 0.5) / 1000000 AS u_float,
+       |  floor(u_int8 * 1000000 + 0.5) / 1000000 AS u_int8,
+       |  floor(u_pq * 1000000 + 0.5) / 1000000 AS u_pq,
+       |  floor(u_pq_rerank * 1000000 + 0.5) / 1000000 AS u_pq_rerank,
+       |  ${tierChoiceSql(t => s"u_$t")} AS tier
+       |FROM tdu ORDER BY qid""".stripMargin
+  }
+
+  /** Shared oracle CTE block for the per-(qid, tier) recall panel —
+    * requires kmeansCtes, pqCtes, and tierFeatureCtes before it; ends in
+    * twn(qid, tier, n_hits, util_e4, rn). */
+  private lazy val tierRecallCtes: String =
+    s"""trq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |        WHERE vec_id < $NPanel),
+       |trs AS (SELECT qid, e.vec_id, ${sqlCos("e.embedding", "qe")} AS cos
+       |        FROM embeddings e, trq),
+       |trx AS (SELECT qid, vec_id FROM (
+       |          SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |            ORDER BY cos DESC, vec_id ASC) AS rank FROM trs)
+       |        WHERE rank <= $TopK),
+       |thf AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_hits
+       |        FROM trx JOIN kasg USING (vec_id) JOIN trp USING (qid, cluster)
+       |        GROUP BY 1),
+       |tmx AS (SELECT vec_id, max(abs(v)) AS amax FROM kex GROUP BY 1),
+       |tre AS (SELECT kex.vec_id, pos,
+       |          floor(v / (CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END) + 0.5)
+       |            * (CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END) AS r
+       |        FROM kex JOIN tmx ON kex.vec_id = tmx.vec_id),
+       |tqr AS (SELECT vec_id AS qid, pos, r AS qr FROM tre WHERE vec_id < $NPanel),
+       |tqq AS (SELECT qid, sum(CAST(qr * qr AS DECIMAL(38,18))) AS qq
+       |        FROM tqr GROUP BY 1),
+       |tcd AS (SELECT qid, vec_id FROM kasg JOIN trp USING (cluster)),
+       |ti8 AS (SELECT tcd.qid, tcd.vec_id,
+       |          sum(CAST(r * qr AS DECIMAL(38,18))) AS dot,
+       |          sum(CAST(r * r AS DECIMAL(38,18))) AS nn
+       |        FROM tcd JOIN tre ON tcd.vec_id = tre.vec_id
+       |        JOIN tqr ON tqr.qid = tcd.qid AND tqr.pos = tre.pos
+       |        GROUP BY 1, 2),
+       |ti8s AS (SELECT ti8.qid, vec_id,
+       |           CASE WHEN nn = 0 OR qq = 0 THEN 0.0
+       |                ELSE CAST(dot AS DOUBLE) /
+       |                  (sqrt(CAST(nn AS DOUBLE)) * sqrt(CAST(qq AS DOUBLE))) END AS qcos
+       |         FROM ti8 JOIN tqq ON ti8.qid = tqq.qid),
+       |thi AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_hits FROM (
+       |          SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |            ORDER BY qcos DESC, vec_id ASC) AS rank FROM ti8s) i
+       |        JOIN trx USING (qid, vec_id) WHERE rank <= $TopK GROUP BY 1),
+       |tdt AS (SELECT x.qid, kcent.cluster, qc.sub, qc.code,
+       |          sum(CAST((qv - kcent.c - qc.c) * (qv - kcent.c - qc.c) AS DECIMAL(38,18))) AS d
+       |        FROM kcent
+       |        JOIN trp ON kcent.cluster = trp.cluster
+       |        JOIN (SELECT vec_id AS qid, pos, v AS qv FROM kex
+       |              WHERE vec_id < $NPanel) x
+       |          ON x.qid = trp.qid AND x.pos = kcent.pos
+       |        JOIN qc$PqIters qc ON qc.pos = kcent.pos
+       |        GROUP BY 1, 2, 3, 4),
+       |tpc AS (SELECT tcd.qid, tcd.vec_id, sum(d) AS adist
+       |        FROM tcd JOIN kasg ON tcd.vec_id = kasg.vec_id
+       |        JOIN qaf ON qaf.vec_id = tcd.vec_id
+       |        JOIN tdt ON tdt.qid = tcd.qid AND tdt.cluster = kasg.cluster
+       |          AND tdt.sub = qaf.sub AND tdt.code = qaf.code
+       |        GROUP BY 1, 2),
+       |tpr AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |          ORDER BY adist ASC, vec_id ASC) AS prank FROM tpc),
+       |thp AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_hits
+       |        FROM tpr JOIN trx USING (qid, vec_id)
+       |        WHERE prank <= $TopK GROUP BY 1),
+       |trr AS (SELECT tpr.qid, tpr.vec_id, cos
+       |        FROM tpr JOIN trs ON trs.qid = tpr.qid AND trs.vec_id = tpr.vec_id
+       |        WHERE prank <= $RerankK),
+       |thr AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_hits FROM (
+       |          SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |            ORDER BY cos DESC, vec_id ASC) AS rank FROM trr) s
+       |        JOIN trx USING (qid, vec_id) WHERE rank <= $TopK GROUP BY 1),
+       |ttp AS (SELECT * FROM (VALUES
+       |          ('float', CAST(${TierPenE4("float")} AS BIGINT)),
+       |          ('int8', ${TierPenE4("int8")}), ('pq', ${TierPenE4("pq")}),
+       |          ('pq_rerank', ${TierPenE4("pq_rerank")})) AS t(tier, pen_e4)),
+       |tun AS (SELECT qid, 'float' AS tier, n_hits FROM thf
+       |        UNION ALL SELECT qid, 'int8', n_hits FROM thi
+       |        UNION ALL SELECT qid, 'pq', n_hits FROM thp
+       |        UNION ALL SELECT qid, 'pq_rerank', n_hits FROM thr),
+       |tal AS (SELECT q.qid, ttp.tier, ttp.pen_e4
+       |        FROM (SELECT vec_id AS qid FROM embeddings WHERE vec_id < $NPanel) q, ttp),
+       |tjf AS (SELECT tal.qid, tal.tier, coalesce(n_hits, 0) AS n_hits,
+       |          coalesce(n_hits, 0) * 200 - tal.pen_e4 AS util_e4
+       |        FROM tal LEFT JOIN tun ON tal.qid = tun.qid AND tal.tier = tun.tier),
+       |twn AS (SELECT qid, tier, n_hits, util_e4,
+       |          row_number() OVER (PARTITION BY qid
+       |            ORDER BY util_e4 DESC, tier ASC) AS rn FROM tjf)""".stripMargin
+
+  lazy val tierRecallPanelSql: String =
+    s"""WITH $kmeansCtes,
+       |$pqCtes,
+       |$tierFeatureCtes,
+       |$tierRecallCtes
+       |SELECT qid, tier, CAST(n_hits AS BIGINT) AS n_hits,
+       |  floor((n_hits::DOUBLE / $TopK) * 1000000 + 0.5) / 1000000 AS recall,
+       |  CAST(util_e4 AS DOUBLE) / 10000.0 AS utility,
+       |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_winner
+       |FROM twn ORDER BY qid, tier""".stripMargin
+
+  lazy val tierFeedbackSql: String = {
+    val u0 = tierUtilSql(zeroWSql)
+    val u1 = tierUtilSql(Map(
+      "float" -> "(CAST(dwf AS DOUBLE) / 10000.0)",
+      "int8" -> "(CAST(dwi AS DOUBLE) / 10000.0)",
+      "pq" -> "(CAST(dwp AS DOUBLE) / 10000.0)",
+      "pq_rerank" -> "(CAST(dwr AS DOUBLE) / 10000.0)"))
+    s"""WITH $kmeansCtes,
+       |$pqCtes,
+       |$tierFeatureCtes,
+       |$tierRecallCtes,
+       |tdl AS (SELECT tier,
+       |          CAST(sum(CASE WHEN rn = 1 THEN $TierLrWinE4 ELSE $TierLrLoseE4 END) AS BIGINT)
+       |            AS delta_e4
+       |        FROM twn GROUP BY 1),
+       |twv AS (SELECT
+       |          sum(CASE WHEN tier = 'float' THEN delta_e4 ELSE 0 END) AS dwf,
+       |          sum(CASE WHEN tier = 'int8' THEN delta_e4 ELSE 0 END) AS dwi,
+       |          sum(CASE WHEN tier = 'pq' THEN delta_e4 ELSE 0 END) AS dwp,
+       |          sum(CASE WHEN tier = 'pq_rerank' THEN delta_e4 ELSE 0 END) AS dwr
+       |        FROM tdl),
+       |td0 AS (SELECT qid, ${tierChoiceSql(t => s"(${u0(t)})")} AS tier FROM tft),
+       |tc0 AS (SELECT tier, CAST(count(*) AS BIGINT) AS n0 FROM td0 GROUP BY 1),
+       |td1 AS (SELECT qid, ${tierChoiceSql(t => s"(${u1(t)})")} AS tier FROM tft, twv),
+       |tc1 AS (SELECT tier, CAST(count(*) AS BIGINT) AS n1 FROM td1 GROUP BY 1)
+       |SELECT tdl.tier, CAST(delta_e4 AS DOUBLE) / 10000.0 AS d_weight,
+       |  coalesce(n0, 0) AS n_routed_w0, coalesce(n1, 0) AS n_routed_w1
+       |FROM tdl LEFT JOIN tc0 ON tdl.tier = tc0.tier
+       |LEFT JOIN tc1 ON tdl.tier = tc1.tier
+       |ORDER BY tdl.tier""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2583,7 +3079,10 @@ object SimilarityOps {
     "q110_pq_recall_panel" -> (pqRecallPanel _),
     "q111_ann_ivfpq_rerank" -> (annIvfPqRerank _),
     "q116_cluster_balanced_sample" -> (clusterBalancedSample _),
-    "q119_semantic_decontam" -> (semanticDecontam _))
+    "q119_semantic_decontam" -> (semanticDecontam _),
+    "q184_tier_route" -> (tierRoute _),
+    "q185_tier_recall_panel" -> (tierRecallPanel _),
+    "q186_tier_feedback" -> (tierFeedback _))
 
   val oracles: Map[String, String] = Map(
     "q142_assignment_drift" -> assignmentDriftSql,
@@ -2612,5 +3111,8 @@ object SimilarityOps {
     "q110_pq_recall_panel" -> pqRecallPanelSql,
     "q111_ann_ivfpq_rerank" -> annIvfPqRerankSql,
     "q116_cluster_balanced_sample" -> clusterBalancedSampleSql,
-    "q119_semantic_decontam" -> semanticDecontamSql)
+    "q119_semantic_decontam" -> semanticDecontamSql,
+    "q184_tier_route" -> tierRouteSql,
+    "q185_tier_recall_panel" -> tierRecallPanelSql,
+    "q186_tier_feedback" -> tierFeedbackSql)
 }
