@@ -242,10 +242,22 @@ object Bench {
     // build is a one-off write job, not analytics steady state.
     // NonFatal only (ADVICE r9): an OOM/StackOverflow must kill the run
     // loudly, not publish a normal-looking artifact with a serve_error.
+    // Truncate the RAW message first, then escape (ADVICE r10: truncating
+    // after escaping could cut an escape pair in half), and escape every
+    // control char — Spark exception messages routinely carry newlines.
     val serve = try serveBench(spark, sfDir) catch {
       case scala.util.control.NonFatal(e) =>
-        val msg = (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
-          .replace("\\", "\\\\").replace("\"", "\\\"").take(200)
+        val raw = (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage))
+          .take(200)
+        val msg = raw.flatMap {
+          case '"'  => "\\\""
+          case '\\' => "\\\\"
+          case '\n' => "\\n"
+          case '\r' => "\\r"
+          case '\t' => "\\t"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        }
         Map("serve_error" -> ("\"" + msg + "\""))
     }
     val results = ordered.map { case (name, _) => name -> minOf(passes(name)) }

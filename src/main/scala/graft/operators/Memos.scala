@@ -69,6 +69,11 @@ final class Memo[V](unpersist: V => Unit) {
   * and is left alone. */
 object Ckpt {
   private val hooked = new java.util.concurrent.atomic.AtomicBoolean(false)
+  // Every dir WE created, across every SparkSession this JVM runs
+  // (ADVICE r10: capturing one dir per hook leaked the dirs of later
+  // sessions — sequential test suites get fresh applicationIds). One
+  // hook deletes the whole set.
+  private val created = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   def ensure(spark: org.apache.spark.sql.SparkSession): Unit = {
     val sc = spark.sparkContext
@@ -76,9 +81,10 @@ object Ckpt {
       val dir =
         s"${System.getProperty("java.io.tmpdir")}/graft-ckpt-${sc.applicationId}"
       sc.setCheckpointDir(dir)
+      created.add(dir)
       if (hooked.compareAndSet(false, true))
         Runtime.getRuntime.addShutdownHook(
-          new Thread(() => deleteRec(new java.io.File(dir))))
+          new Thread(() => created.forEach(d => deleteRec(new java.io.File(d)))))
     }
   }
 

@@ -388,19 +388,21 @@ object RelationalOps {
     * table — the standard rewrite every optimizer applies, declared here
     * directly so the plan is one agg + one join instead of a per-row
     * subquery. The brand filter reaches the part scan (PushedFilters)
-    * and makes the dimension side broadcast-size; the per-part average
+    * and prunes the dimension side (AQE broadcasts it when it fits); the per-part average
     * divides a DECIMAL sum by an exact count, and the 0.2· threshold
     * compares doubles derived identically in both engines. */
   def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
     val brandParts = t(spark, dir, "part")
       .filter(col("p_brand") === "Brand#12").select("p_partkey")
-    val partAvg = li.join(broadcast(brandParts),
+    // brandParts (~1 brand of many) and partAvg (keyed by those parts)
+    // both scale with SF — no forced hints; AQE broadcasts when they fit.
+    val partAvg = li.join(brandParts,
         col("l_partkey") === col("p_partkey"))
       .groupBy("l_partkey")
       .agg((sum(col("l_quantity").cast("decimal(30,8)")).cast("double") /
         count(lit(1))).as("avg_qty"))
-    li.join(broadcast(partAvg), "l_partkey")
+    li.join(partAvg, "l_partkey")
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg(
         count(lit(1)).as("n_small"),
@@ -468,12 +470,12 @@ object RelationalOps {
 
   /** q19 (the TPC-H Q19 shape): revenue under an OR of brand/size/
     * quantity conjunctions — the classic disjunctive join predicate.
-    * Declared as one broadcast join with the OR evaluated post-join:
+    * Declared as one join (AQE broadcast) with the OR evaluated post-join:
     * the common conjunct derivable from the disjunction (p_brand IN the
     * three brands) is applied ON THE DIMENSION SCAN explicitly, which
     * is the pushdown an optimizer must infer from CNF — stated in the
-    * plan it is guaranteed, and the part side stays broadcast-size. One
-    * DECIMAL revenue aggregate; no shuffle beyond the broadcast. */
+    * plan it is guaranteed, and AQE broadcasts the part side while it
+    * fits. One DECIMAL revenue aggregate. */
   def disjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
     val p = t(spark, dir, "part")
       .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#3"))
@@ -486,7 +488,8 @@ object RelationalOps {
       (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) &&
         col("l_quantity").between(20, 30))
     t(spark, dir, "lineitem")
-      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      // part scales with SF — no forced hint; AQE broadcasts when it fits.
+      .join(p, col("l_partkey") === col("p_partkey"))
       .filter(cond)
       .agg(count(lit(1)).as("n_items"),
         r6(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
@@ -574,7 +577,8 @@ object RelationalOps {
     * Scale shape: all three lineitem sides shuffle on l_orderkey — one
     * co-partitioned exchange feeds both the semi and the anti probe, the
     * canonical Q21 plan (bucketing lineitem by orderkey would eliminate
-    * even that). The supplier/nation enrichment stays broadcast. Counts
+    * even that). Nation stays hinted; supplier scales with SF so AQE
+    * decides its join. Counts
     * rank DESC with an s_name tie-break. */
   def loneFailureSuppliers(spark: SparkSession, dir: String): DataFrame = {
     val li = t(spark, dir, "lineitem")
@@ -595,7 +599,9 @@ object RelationalOps {
         col("l_orderkey") === col("o3_orderkey") &&
           col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
     lone
-      .join(broadcast(t(spark, dir, "supplier")),
+      // supplier scales with SF (no hint — AQE broadcasts when it fits);
+      // nation is schema-bounded (≤ 25 rows), hint stays.
+      .join(t(spark, dir, "supplier"),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t(spark, dir, "nation")),
         col("s_nationkey") === col("n_nationkey"))
@@ -893,8 +899,9 @@ object RelationalOps {
     * lineitem shuffle on (suppkey, partkey), no correlated re-execution
     * (ExplainAudit: one Exchange feeds one HashAggregate; the plan
     * contains a single lineitem scan). The part-name restriction is
-    * Q20's semi-join, planned broadcast (2 000-row dimension); supplier
-    * ⋈ nation are broadcast enrichments; the final per-supplier rollup
+    * Q20's semi-join; part and the one-nation supplier ⋈ nation frame
+    * scale with SF so neither carries a hint (AQE broadcasts them when
+    * they fit); the final per-supplier rollup
     * is |suppliers|-keyed. */
   val ExcessNationKey = 3
 
@@ -909,18 +916,21 @@ object RelationalOps {
           col("l_quantity")).otherwise(lit(0.0)).cast("decimal(30,8)")).as("demand"))
     val excess = flow
       .filter(col("avail") > 0 && col("avail") > lit(2) * col("demand"))
+    // part ('small%', ~1/8 of parts) and the one-nation supplier frame
+    // both scale with SF — no forced hints; AQE broadcasts them whenever
+    // the filtered side actually fits (Round11Spec executed-plan audit).
     val withPart = excess.join(
-      broadcast(t(spark, dir, "part")
-        .filter(col("p_name").like("small%")).select("p_partkey")),
+      t(spark, dir, "part")
+        .filter(col("p_name").like("small%")).select("p_partkey"),
       col("l_partkey") === col("p_partkey"))
     withPart
       .groupBy("l_suppkey")
       .agg(count(lit(1)).as("n_excess_parts"),
         sum(col("avail")).cast("double").as("excess_qty"))
-      .join(broadcast(t(spark, dir, "supplier")
+      .join(t(spark, dir, "supplier")
           .join(t(spark, dir, "nation"),
             col("s_nationkey") === col("n_nationkey") &&
-              col("n_nationkey") === ExcessNationKey)),
+              col("n_nationkey") === ExcessNationKey),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_name"), col("n_excess_parts"), col("excess_qty"))
       .orderBy("s_name")
@@ -965,7 +975,7 @@ object RelationalOps {
     * match multiplicity, and the countDistinct over the derived
     * (supplier, part) supplies relation (schema has no partsupp — the
     * distinct pair projection of lineitem IS the supplies relation, the
-    * q158 derivation). Exclusion list is |suppliers|-scale (broadcast
+    * q158 derivation). Exclusion list is |suppliers|-scale (AQE-broadcast
     * for the anti probe); the distinct pair frame shuffles once on the
     * pair key; the final aggregate keys on the part-attribute triple. */
   def partSupplierBreadth(spark: SparkSession, dir: String): DataFrame = {
@@ -977,9 +987,11 @@ object RelationalOps {
       .select("x_suppkey")
     t(spark, dir, "lineitem")
       .select("l_suppkey", "l_partkey").distinct()
-      .join(broadcast(excluded), col("l_suppkey") === col("x_suppkey"), "left_anti")
-      .join(broadcast(t(spark, dir, "part")
-        .select("p_partkey", "p_brand", "p_type", "p_size")),
+      // excluded (supplier-scale) and part both scale with SF — no forced
+      // hints; AQE broadcasts either side at runtime when it fits.
+      .join(excluded, col("l_suppkey") === col("x_suppkey"), "left_anti")
+      .join(t(spark, dir, "part")
+        .select("p_partkey", "p_brand", "p_type", "p_size"),
         col("l_partkey") === col("p_partkey"))
       .groupBy("p_brand", "p_type", "p_size")
       .agg(countDistinct("l_suppkey").as("supplier_cnt"))
@@ -1054,9 +1066,10 @@ object RelationalOps {
     * region-restricted lineitem, (2) a partkey-keyed min over THAT
     * (map-side combinable re-key of the same frame — no second corpus
     * scan), (3) an equi-join of the two on (partkey, cost) — no
-    * correlated re-execution. Region restriction prunes via a broadcast
-    * supplier⋈nation⋈region dim BEFORE the fact aggregate; part
-    * restriction is a broadcast semi-style inner join onto the
+    * correlated re-execution. Region restriction prunes via the
+    * supplier⋈nation⋈region dim BEFORE the fact aggregate (AQE
+    * broadcasts it when it fits — supplier scales with SF, so no forced
+    * hint); part restriction is a semi-style inner join onto the
     * |parts|-scale result. Output ≤ |qualifying parts| rows (+ exact
     * cost ties), top-100 by account balance with full unique
     * tie-breaks. */
@@ -1066,8 +1079,11 @@ object RelationalOps {
       .join(t(spark, dir, "region").filter(col("r_name") === MinCostRegion),
         col("n_regionkey") === col("r_regionkey"))
       .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    // regionSupp derives from supplier (~1/5 of all suppliers) — it scales
+    // with SF, so no forced hints on it or on the filtered part frame
+    // below; AQE broadcasts them when they fit (Round11Spec plan audit).
     val pairCost = t(spark, dir, "lineitem")
-      .join(broadcast(regionSupp.select("s_suppkey")),
+      .join(regionSupp.select("s_suppkey"),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy("l_partkey", "l_suppkey")
       .agg(min(floor(col("l_extendedprice") / col("l_quantity") * lit(1e6)
@@ -1078,12 +1094,12 @@ object RelationalOps {
       .join(minPerPart.withColumnRenamed("l_partkey", "mp_partkey"),
         col("l_partkey") === col("mp_partkey") &&
           col("cost_micros") === col("min_cost"))
-      .join(broadcast(t(spark, dir, "part")
+      .join(t(spark, dir, "part")
         .filter(col("p_type") === MinCostPartType &&
           col("p_size") <= MinCostMaxSize)
-        .select("p_partkey", "p_name")),
+        .select("p_partkey", "p_name"),
         col("l_partkey") === col("p_partkey"))
-      .join(broadcast(regionSupp), col("l_suppkey") === col("s_suppkey"))
+      .join(regionSupp, col("l_suppkey") === col("s_suppkey"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
         col("p_partkey"), col("p_name"),
         r6(col("cost_micros").cast("double") / lit(1e6)).as("unit_cost"))
@@ -1126,21 +1142,24 @@ object RelationalOps {
     * revenue − cost for every line touching a '%gear%' part, aggregated
     * by the SUPPLIER's nation and the order year. The classic 5-way
     * star join: fact shuffles once on orderkey (for the order date);
-    * part (LIKE-filtered, ~16% of 2 000 rows) and supplier⋈nation are
-    * broadcast enrichments; the aggregate keys on ≤ |nations|·|years|.
+    * part (LIKE-filtered, ~16%) and supplier scale with SF so they carry
+    * no hint (AQE broadcasts them while they fit); nation keeps its
+    * hint; the aggregate keys on ≤ |nations|·|years|.
     * Profit terms accumulate per-term in DECIMAL (dsum) so the
     * subtraction is exact before the single r6. */
   def nationProfit(spark: SparkSession, dir: String): DataFrame = {
     val profit = col("l_extendedprice") * (lit(1) - col("l_discount")) -
       lit(0.6) * col("p_retailprice") * col("l_quantity")
+    // part (LIKE-filtered, ~16%) and supplier scale with SF — no forced
+    // hints (AQE decides); nation (≤ 25 rows) keeps its hint.
     t(spark, dir, "lineitem")
-      .join(broadcast(t(spark, dir, "part")
+      .join(t(spark, dir, "part")
         .filter(col("p_name").like(s"%$ProfitPartToken%"))
-        .select("p_partkey", "p_retailprice")),
+        .select("p_partkey", "p_retailprice"),
         col("l_partkey") === col("p_partkey"))
       .join(t(spark, dir, "orders").select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t(spark, dir, "supplier").select("s_suppkey", "s_nationkey")),
+      .join(t(spark, dir, "supplier").select("s_suppkey", "s_nationkey"),
         col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(t(spark, dir, "nation")),
         col("s_nationkey") === col("n_nationkey"))
@@ -1179,11 +1198,16 @@ object RelationalOps {
     * per-part value. The classic HAVING-over-global-scalar,
     * DECORRELATED: the inner `(SELECT sum(…) * fraction)` subquery
     * becomes a 1-row aggregate OVER THE PER-PART FRAME (never a second
-    * fact scan), broadcast back onto the ≤|parts| rows; the bar test
-    * compares DECIMAL·|parts| against mult·DECIMAL-total — exact
-    * integer-scaled arithmetic, no double boundary anywhere near the
-    * cut. One fact shuffle on partkey after the broadcast supplier
-    * filter. */
+    * fact scan), broadcast back onto the ≤|parts| rows.
+    *
+    * Bar arithmetic (ADVICE r10): extendedprice is exact cents, so every
+    * per-part value is carried as a BIGINT cent count and the bar test is
+    * the integer-division identity  value·n > mult·total  ⇔
+    * value > (mult·total) DIV n  — pure BIGINT end to end (mult·total ≈
+    * 2·10¹⁵ cents at 100 TB, far inside the BIGINT range), with no
+    * DECIMAL×BIGINT precision-38 overflow and no engine-specific decimal
+    * promotion anywhere near the cut. One fact shuffle on partkey after
+    * the supplier filter. */
   def importantStock(spark: SparkSession, dir: String): DataFrame = {
     val regionSupp = t(spark, dir, "supplier")
       .join(t(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
@@ -1194,34 +1218,37 @@ object RelationalOps {
     val perPart = t(spark, dir, "lineitem")
       .join(regionSupp, col("l_suppkey") === col("s_suppkey"))
       .groupBy("l_partkey")
-      .agg(sum(col("l_extendedprice").cast("decimal(30,8)")).as("value_dec"))
-    val total = perPart.agg(sum(col("value_dec")).as("total_dec"),
+      .agg(sum(floor(col("l_extendedprice") * lit(100) + lit(0.5))
+        .cast("long")).as("value_c"))
+    val total = perPart.agg(sum(col("value_c")).as("total_c"),
       count(lit(1)).as("n_parts"))
     perPart.crossJoin(broadcast(total))
-      .filter(col("value_dec") * col("n_parts") >
-        lit(StockShareMult) * col("total_dec"))
+      .filter(col("value_c") >
+        expr(s"($StockShareMult * total_c) DIV n_parts"))
       .select(col("l_partkey").as("p_partkey"),
-        r6(col("value_dec").cast("double")).as("stock_value"),
-        r6(col("value_dec").cast("double") * col("n_parts").cast("double") /
-          col("total_dec").cast("double")).as("mean_mult"))
+        r6(col("value_c").cast("double") / lit(100.0)).as("stock_value"),
+        r6(col("value_c").cast("double") * col("n_parts").cast("double") /
+          col("total_c").cast("double")).as("mean_mult"))
       .orderBy(col("stock_value").desc, col("p_partkey").asc)
   }
 
   val importantStockSql: String =
     s"""WITH sv AS (
        |  SELECT l_partkey,
-       |    sum(CAST(l_extendedprice AS DECIMAL(30,8))) AS value_dec
+       |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+       |      AS value_c
        |  FROM lineitem
        |  JOIN supplier ON l_suppkey = s_suppkey
        |  JOIN nation ON s_nationkey = n_nationkey
        |  JOIN region ON n_regionkey = r_regionkey AND r_name = '$MinCostRegion'
        |  GROUP BY 1),
-       |svt AS (SELECT sum(value_dec) AS total_dec, count(*) AS n_parts FROM sv)
+       |svt AS (SELECT CAST(sum(value_c) AS BIGINT) AS total_c,
+       |          CAST(count(*) AS BIGINT) AS n_parts FROM sv)
        |SELECT l_partkey AS p_partkey,
-       |  floor(CAST(value_dec AS DOUBLE) * 1000000 + 0.5) / 1000000 AS stock_value,
-       |  floor((CAST(value_dec AS DOUBLE) * n_parts / CAST(total_dec AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS mean_mult
+       |  floor((CAST(value_c AS DOUBLE) / 100.0) * 1000000 + 0.5) / 1000000 AS stock_value,
+       |  floor((CAST(value_c AS DOUBLE) * CAST(n_parts AS DOUBLE) / CAST(total_c AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS mean_mult
        |FROM sv, svt
-       |WHERE value_dec * n_parts > $StockShareMult * total_dec
+       |WHERE value_c > ($StockShareMult * total_c) // n_parts
        |ORDER BY stock_value DESC, p_partkey ASC""".stripMargin
 
   // ---- q183: priority shipping census (Q12 two-level conditional shape) ----
@@ -1378,8 +1405,9 @@ object RelationalOps {
       .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
         .cast("decimal(30,8)")).as("total_rev"))
     val mx = rev.agg(max(col("total_rev")).as("max_rev"))
+    // mx is a 1-row scalar (hint stays); supplier scales with SF (no hint).
     rev.join(broadcast(mx), col("total_rev") === col("max_rev"))
-      .join(broadcast(t(spark, dir, "supplier")),
+      .join(t(spark, dir, "supplier"),
         col("l_suppkey") === col("s_suppkey"))
       .select(col("s_suppkey"), col("s_name"),
         r6(col("total_rev").cast("double")).as("total_revenue"))
@@ -1420,7 +1448,8 @@ object RelationalOps {
     t(spark, dir, "lineitem")
       .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
-      .join(broadcast(t(spark, dir, "part").select("p_partkey", "p_type")),
+      // part scales with SF — no forced hint; AQE broadcasts when it fits.
+      .join(t(spark, dir, "part").select("p_partkey", "p_type"),
         col("l_partkey") === col("p_partkey"))
       .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
       .agg(
