@@ -202,14 +202,15 @@ object AppendVectorIndex {
     val offset = if (args.length > 2) args(2).toLong else 1000000L
     val spark = Cli.session()
 
-    val before = spark.read.parquet(s"$idx/vectors").count()
+    val vdir = graft.operators.SimilarityOps.vectorsPath(spark, idx)
+    val before = spark.read.parquet(vdir).count()
     val delta = spark.read.parquet(s"$dir/embeddings.parquet")
       .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
     graft.operators.SimilarityOps.appendArtifacts(spark, idx, delta)
       .withColumn("ingest_batch", lit(-1L)) // offline append joins the base tier
-      .write.mode("append").partitionBy("cluster", "ingest_batch").parquet(s"$idx/vectors")
+      .write.mode("append").partitionBy("cluster", "ingest_batch").parquet(vdir)
 
-    val after = spark.read.parquet(s"$idx/vectors")
+    val after = spark.read.parquet(vdir)
     val sizes = after.groupBy("cluster").count().orderBy("cluster").collect()
     println(s"[vappend] idx=$idx before=$before after=${after.count()} " +
       s"sizes=${sizes.map(r => s"${r.get(0)}:${r.getLong(1)}").mkString(",")}")
@@ -222,15 +223,21 @@ object AppendVectorIndex {
   * (incremental appends add a file per append per cluster; serve-time
   * task count and footer overhead grow with append history until
   * compaction pays it down). Rows are untouched; the rewrite lands in a
-  * sibling directory and swaps in atomically.
+  * NEW generation directory and the index's 1-line MANIFEST flips to it
+  * in one atomic rename — the previous generation is kept until the next
+  * full compaction, so concurrent reads can never 404 mid-swap. The
+  * streaming ingest path uses the cheaper partition-level
+  * SimilarityOps.compactHotClusters instead (hot clusters only).
   */
 object CompactVectorIndex {
   def main(args: Array[String]): Unit = {
     val idx = if (args.nonEmpty) args(0) else "target/graft_ivf_index"
     val spark = Cli.session()
-    val rowsBefore = spark.read.parquet(s"$idx/vectors").count()
+    val rowsBefore = spark.read
+      .parquet(graft.operators.SimilarityOps.vectorsPath(spark, idx)).count()
     val (fb, fa) = graft.operators.SimilarityOps.compactVectors(spark, idx)
-    val rowsAfter = spark.read.parquet(s"$idx/vectors").count()
+    val rowsAfter = spark.read
+      .parquet(graft.operators.SimilarityOps.vectorsPath(spark, idx)).count()
     println(s"[vcompact] idx=$idx files_before=$fb files_after=$fa " +
       s"rows_before=$rowsBefore rows_after=$rowsAfter")
     spark.stop()

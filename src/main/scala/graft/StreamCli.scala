@@ -93,7 +93,8 @@ object StreamEvents {
         .select("vec_id", "embedding").collect()
         .map(r => (r.getLong(0).toInt, r.getSeq[Float](1).toArray))
         .sortBy(_._1).toSeq
-      val before = spark.read.parquet(s"$idx/vectors").count()
+      val vdir = SimilarityOps.vectorsPath(spark, idx)
+      val before = spark.read.parquet(vdir).count()
       // Id-shifted embeddings standing in for new arrivals, one per
       // second of synthetic event time.
       val vecs = spark.readStream
@@ -104,7 +105,7 @@ object StreamEvents {
       val q = StreamingOps.indexIngest(vecs, "ts", "0 seconds", anchors, idx)
         .start()
       q.processAllAvailable(); q.stop()
-      val after = spark.read.parquet(s"$idx/vectors")
+      val after = spark.read.parquet(vdir)
       val appended = after.filter(col("vec_id") >= 3000000L)
       val sizes = after.groupBy("cluster").count().orderBy("cluster").collect()
         .map(r => s"${r.get(0)}:${r.getLong(1)}").mkString(",")
@@ -121,7 +122,9 @@ object StreamEvents {
       // far-future sentinel closing the last hour window.
       val idx = if (args.length > 2) args(2) else "target/graft_ivf_index"
       val cent = spark.read.parquet(s"$idx/centroids")
-      val occ = spark.read.parquet(s"$idx/vectors").groupBy("cluster").count()
+      val occ = spark.read
+        .parquet(graft.operators.SimilarityOps.vectorsPath(spark, idx))
+        .groupBy("cluster").count()
       val tot = occ.agg(sum("count")).collect()(0).getLong(0).toDouble
       val baseline = occ.select(col("cluster"),
         (col("count").cast("double") / tot).as("base_share"))

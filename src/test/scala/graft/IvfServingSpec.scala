@@ -171,11 +171,15 @@ class IvfServingSpec extends SparkSpec {
 
     val (fb, fa) = SimilarityOps.compactVectors(spark, out)
     assert(fa < fb, s"compaction did not reduce file count ($fb -> $fa)")
-    val clusters = spark.read.parquet(s"$out/vectors")
+    // Full-table compaction flips the MANIFEST to a new generation dir;
+    // read the ACTIVE table through the same resolution serving uses.
+    val active = SimilarityOps.vectorsPath(spark, out)
+    assert(active.endsWith("vectors_g1"), s"expected generation flip, got $active")
+    val clusters = spark.read.parquet(active)
       .select("cluster").distinct().count()
     assert(fa == clusters, s"expected one file per cluster partition, got $fa for $clusters")
 
-    val rowsAfter = spark.read.parquet(s"$out/vectors")
+    val rowsAfter = spark.read.parquet(active)
       .orderBy("vec_id").collect().map(_.toString).toSeq
     assert(rowsAfter == rowsBefore, "compaction must not change a single row")
     val servedAfter = SimilarityOps.annIvfServe(spark, out, queryVec)
