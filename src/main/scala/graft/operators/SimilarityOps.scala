@@ -2758,8 +2758,17 @@ object SimilarityOps {
     * panel×K broadcast centroid distance agg (margin + probe ranks), one
     * K-row cluster-size agg (coverage). Nothing scales with the corpus
     * except the cluster-size count, which is a map-side agg on the
-    * memoized assignment. */
-  private[graft] def tierFeatures(spark: SparkSession, dir: String): DataFrame = {
+    * memoized assignment.
+    *
+    * Memoized per (appId, dir) like kmeansModel (VERDICT r10 #2a):
+    * q184, q186, and q187 all consume this frame. */
+  private val tierCache = Memo.frame()
+
+  private[graft] def tierFeatures(spark: SparkSession, dir: String): DataFrame =
+    tierCache.getOrElseUpdate(s"feats:${spark.sparkContext.applicationId}:$dir",
+      computeTierFeatures(spark, dir).cache())
+
+  private def computeTierFeatures(spark: SparkSession, dir: String): DataFrame = {
     val (kcent, kasg) = kmeansModel(spark, dir)
     val ex = embLong(spark, dir).filter(col("vec_id") < NPanel)
     val nf = ex.groupBy(col("vec_id").as("qid"))
@@ -2862,8 +2871,17 @@ object SimilarityOps {
     * ground truth, shared by all four tiers) and the probed-cell candidate
     * scans — at 100 TB this runs over a query/corpus sample exactly like
     * q110. Utilities are BIGINT (n_hits·200 − pen_e4): no float compare
-    * decides a winner. */
-  def tierRecallPanel(spark: SparkSession, dir: String): DataFrame = {
+    * decides a winner.
+    *
+    * Memoized per (appId, dir) — the engine's most expensive frame
+    * (VERDICT r10 finding #2): q185, the q186 fold, and the q187 pass-2
+    * route all ride ONE panel evaluation instead of re-running the
+    * panel×corpus ground-truth pass each. */
+  def tierRecallPanel(spark: SparkSession, dir: String): DataFrame =
+    tierCache.getOrElseUpdate(s"panel:${spark.sparkContext.applicationId}:$dir",
+      computeTierRecallPanel(spark, dir).cache())
+
+  private def computeTierRecallPanel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val (kcent, kasg) = kmeansModel(spark, dir)
     val (pcent, pasg) = pqModel(spark, dir)
@@ -3007,6 +3025,80 @@ object SimilarityOps {
         coalesce(col("n0"), lit(0L)).as("n_routed_w0"),
         coalesce(col("n1"), lit(0L)).as("n_routed_w1"))
       .orderBy("tier")
+  }
+
+  // ---- q187: pass-2 routing under PERSISTED tier state (VERDICT r10 #2b) --
+
+  /** The q185 fold as exact e4 integers, collected driver-side — 4 rows,
+    * the same driver-scale read as the text router's applyDeltas
+    * (Router.scala). Rides the memoized recall panel. */
+  private[graft] def tierFoldE4(spark: SparkSession, dir: String): Map[String, Long] =
+    tierRecallPanel(spark, dir).groupBy("tier")
+      .agg(sum(when(col("is_winner") === 1, lit(TierLrWinE4))
+        .otherwise(lit(TierLrLoseE4))).as("delta_e4"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Persist the learned tier weights — the vector-tier twin of the text
+    * router's R5 state round-trip (Router.scala:129 / telemetry
+    * `router_state:v1`; the reference's cross-invocation bandit state,
+    * router.py:50 via telemetry.py:86-92): one keyed row, EXACT e4
+    * integers (the store can never drift the weights by a ulp), overwrite
+    * upsert like ParquetTelemetryStore.saveRouterState. */
+  def saveTierState(spark: SparkSession, stateDir: String, wE4: Map[String, Long]): Unit = {
+    import spark.implicits._
+    Seq((wE4("float"), wE4("int8"), wE4("pq"), wE4("pq_rerank")))
+      .toDF("w_float_e4", "w_int8_e4", "w_pq_e4", "w_pq_rerank_e4")
+      .withColumn("key", lit("tier_state:v1"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/tier_state")
+  }
+
+  /** Load persisted tier weights; zeros when no state exists (the
+    * reference's default-state contract, router.py:41-48). */
+  def loadTierState(spark: SparkSession, stateDir: String): Map[String, Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/tier_state")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Tiers.map(_ -> 0L).toMap
+    else {
+      val r = spark.read.parquet(p.toString)
+        .select("w_float_e4", "w_int8_e4", "w_pq_e4", "w_pq_rerank_e4")
+        .collect()(0)
+      Map("float" -> r.getLong(0), "int8" -> r.getLong(1),
+        "pq" -> r.getLong(2), "pq_rerank" -> r.getLong(3))
+    }
+  }
+
+  /** Where q187 keeps its state, keyed by corpus dir (per-SF isolation,
+    * writable from the repo root the driver runs in). */
+  private def tierStateDir(dir: String): String =
+    s"target/graft_tier_state_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+
+  /** q187: the pass-1 → pass-2 behavioral arc on the vector tiers (the
+    * reference's defining demo — BASELINE.md rows 1-2: feedback persists,
+    * the NEXT invocation routes differently). Pass 1 is q184's zero-state
+    * decision; this query computes the q185/q186 fold, SAVES it through
+    * the tier state store, RELOADS it, and routes the panel under the
+    * loaded weights — so the full save→load→use round trip is inside the
+    * oracle gate: the DuckDB twin computes the same weights inline, and
+    * any corruption in the persistence path shows up as a hash mismatch.
+    * The query stays a pure function of the corpus (the correctness gate
+    * demands run-to-run determinism), always applying exactly one fold to
+    * the zero state; cross-invocation ACCUMULATION semantics — load,
+    * add, save, repeat — are pinned by Round11Spec's multi-pass
+    * convergence test instead. */
+  def tierRoutePass2(spark: SparkSession, dir: String): DataFrame = {
+    val fold = tierFoldE4(spark, dir)
+    saveTierState(spark, tierStateDir(dir), fold)
+    val loaded = loadTierState(spark, tierStateDir(dir))
+    val feats = tierFeatures(spark, dir)
+    val r0 = tierUtilities(feats, zeroW)
+      .select(col("qid"), tierChoice.as("tier_w0"))
+    val r1 = tierUtilities(feats, loaded.map { case (t, v) =>
+        t -> lit(v.toDouble / 10000.0) })
+      .select(col("qid").as("qid1"), tierChoice.as("tier_w1"))
+    r0.join(r1, col("qid") === col("qid1"))
+      .select(col("qid"), col("tier_w0"), col("tier_w1"),
+        (col("tier_w0") =!= col("tier_w1")).cast("long").as("rerouted"))
+      .orderBy("qid")
   }
 
   /** Shared oracle CTE block: r6-rounded routing features per panel query
@@ -3203,6 +3295,39 @@ object SimilarityOps {
        |ORDER BY tdl.tier""".stripMargin
   }
 
+  /** q187's twin computes the learned weights INLINE (DuckDB cannot see
+    * the parquet state store) — which is the point: the Spark side routes
+    * under weights that went through save→load, so any persistence
+    * corruption hash-mismatches here. */
+  lazy val tierRoutePass2Sql: String = {
+    val u0 = tierUtilSql(zeroWSql)
+    val u1 = tierUtilSql(Map(
+      "float" -> "(CAST(dwf AS DOUBLE) / 10000.0)",
+      "int8" -> "(CAST(dwi AS DOUBLE) / 10000.0)",
+      "pq" -> "(CAST(dwp AS DOUBLE) / 10000.0)",
+      "pq_rerank" -> "(CAST(dwr AS DOUBLE) / 10000.0)"))
+    s"""WITH $kmeansCtes,
+       |$pqCtes,
+       |$tierFeatureCtes,
+       |$tierRecallCtes,
+       |tdl AS (SELECT tier,
+       |          CAST(sum(CASE WHEN rn = 1 THEN $TierLrWinE4 ELSE $TierLrLoseE4 END) AS BIGINT)
+       |            AS delta_e4
+       |        FROM twn GROUP BY 1),
+       |twv AS (SELECT
+       |          sum(CASE WHEN tier = 'float' THEN delta_e4 ELSE 0 END) AS dwf,
+       |          sum(CASE WHEN tier = 'int8' THEN delta_e4 ELSE 0 END) AS dwi,
+       |          sum(CASE WHEN tier = 'pq' THEN delta_e4 ELSE 0 END) AS dwp,
+       |          sum(CASE WHEN tier = 'pq_rerank' THEN delta_e4 ELSE 0 END) AS dwr
+       |        FROM tdl),
+       |td0 AS (SELECT qid, ${tierChoiceSql(t => s"(${u0(t)})")} AS tier_w0 FROM tft),
+       |td1 AS (SELECT qid, ${tierChoiceSql(t => s"(${u1(t)})")} AS tier_w1 FROM tft, twv)
+       |SELECT td0.qid, tier_w0, tier_w1,
+       |  CAST(CASE WHEN tier_w0 <> tier_w1 THEN 1 ELSE 0 END AS BIGINT) AS rerouted
+       |FROM td0 JOIN td1 ON td0.qid = td1.qid
+       |ORDER BY td0.qid""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -3235,7 +3360,8 @@ object SimilarityOps {
     "q119_semantic_decontam" -> (semanticDecontam _),
     "q184_tier_route" -> (tierRoute _),
     "q185_tier_recall_panel" -> (tierRecallPanel _),
-    "q186_tier_feedback" -> (tierFeedback _))
+    "q186_tier_feedback" -> (tierFeedback _),
+    "q187_tier_route_pass2" -> (tierRoutePass2 _))
 
   val oracles: Map[String, String] = Map(
     "q142_assignment_drift" -> assignmentDriftSql,
@@ -3267,5 +3393,6 @@ object SimilarityOps {
     "q119_semantic_decontam" -> semanticDecontamSql,
     "q184_tier_route" -> tierRouteSql,
     "q185_tier_recall_panel" -> tierRecallPanelSql,
-    "q186_tier_feedback" -> tierFeedbackSql)
+    "q186_tier_feedback" -> tierFeedbackSql,
+    "q187_tier_route_pass2" -> tierRoutePass2Sql)
 }

@@ -215,6 +215,73 @@ class Round11Spec extends SparkSpec {
     assert(hits.isEmpty, s"forced broadcast on SF-scaling relation: $hits")
   }
 
+  // ---- tier-router state persistence (VERDICT r10 #2b) --------------------
+
+  test("tier state round-trips exactly: save→load identity; missing state " +
+    "loads as zeros") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tier_state").toString
+    assert(SimilarityOps.loadTierState(spark, dir) ==
+      Map("float" -> 0L, "int8" -> 0L, "pq" -> 0L, "pq_rerank" -> 0L))
+    val w = Map("float" -> 1700L, "int8" -> -300L, "pq" -> -900L, "pq_rerank" -> -500L)
+    SimilarityOps.saveTierState(spark, dir, w)
+    assert(SimilarityOps.loadTierState(spark, dir) == w, "round-trip drift")
+    // Overwrite upsert: a second save replaces, never appends.
+    val w2 = Map("float" -> 0L, "int8" -> 4000L, "pq" -> -2000L, "pq_rerank" -> -2000L)
+    SimilarityOps.saveTierState(spark, dir, w2)
+    assert(SimilarityOps.loadTierState(spark, dir) == w2)
+  }
+
+  test("q187 routes pass-2 under the PERSISTED fold: tier_w1 equals routing " +
+    "under the directly-computed fold") {
+    val out = SparkEntry.queries("q187_tier_route_pass2")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    // Independent path: compute the fold WITHOUT the store and route.
+    val fold = SimilarityOps.tierFoldE4(spark, sf)
+    assert(fold.values.sum == 0L, "zero-sum fold (A12 contract)")
+    val feats = SimilarityOps.tierFeatures(spark, sf)
+    val direct = SimilarityOps.tierUtilities(feats, fold.map { case (t, v) =>
+        t -> lit(v.toDouble / 10000.0) })
+      .select(col("qid"), SimilarityOps.tierChoice.as("tier"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == direct.keySet)
+    out.foreach { case (qid, (_, w1)) =>
+      assert(w1 == direct(qid), s"qid=$qid: persisted-state route $w1 != direct ${direct(qid)}")
+    }
+  }
+
+  test("multi-pass bandit accumulation through the store converges: the " +
+    "routing census stops flipping") {
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_tier_conv").toString
+    val fold = SimilarityOps.tierFoldE4(spark, sf)
+    val feats = SimilarityOps.tierFeatures(spark, sf)
+    def censusUnder(wE4: Map[String, Long]): Map[String, Long] =
+      SimilarityOps.tierUtilities(feats, wE4.map { case (t, v) =>
+          t -> lit(v.toDouble / 10000.0) })
+        .select(SimilarityOps.tierChoice.as("tier"))
+        .groupBy("tier").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // The reference's cross-invocation loop: load, apply this pass's
+    // fold, save — K passes, each through the persisted store.
+    val censuses = (1 to 10).map { _ =>
+      val w = SimilarityOps.loadTierState(spark, stateDir)
+      val w1 = w.map { case (t, v) => t -> (v + fold(t)) }
+      SimilarityOps.saveTierState(spark, stateDir, w1)
+      censusUnder(SimilarityOps.loadTierState(spark, stateDir))
+    }
+    // Deltas are data-dependent, not state-dependent (A12), so weights
+    // grow linearly and decisions must eventually saturate.
+    assert(censuses.sliding(2).exists(p => p.head == p.last),
+      s"census never stabilized: $censuses")
+    assert(censuses.takeRight(2).toSet.size == 1,
+      s"census still flipping at pass 10: ${censuses.takeRight(3)}")
+    // Once saturated, every query routes to the unique max-delta tier
+    // (when unique): the bandit's asymptotic argmax.
+    val maxDelta = fold.maxBy(t => (t._2, t._1))
+    if (fold.values.count(_ == maxDelta._2) == 1)
+      assert(censuses.last == Map(maxDelta._1 -> 20L),
+        s"saturated census ${censuses.last} != all-${maxDelta._1}")
+  }
+
   test("q182 bar is exact: reported parts are exactly those with " +
     "value_cents * n_parts > mult * total_cents") {
     val out = graft.operators.RelationalOps.importantStock(spark, sf)
