@@ -47,6 +47,7 @@ import org.apache.spark.sql.functions._
 object Bench {
   val TimedPasses = 2
   val ExtraPasses = 2
+  val ServePasses = 2 // timed passes per (tier, query) in the serve phase
   val RetimeRatio = 3.0   // min > 3x median-of-mins => re-time
   val SuspectSpread = 3.0 // max/min across passes > 3x => suspect
 
@@ -123,10 +124,12 @@ object Bench {
     * spec-equal yet never TIMED. This phase builds the index artifact for
     * the bench SF (the build cost is reported, not hidden: at 100 TB it
     * is the offline job), then answers the q110 20-query panel one
-    * request at a time per tier, reporting p50/p99 ms per tier, plus the
+    * request at a time per tier — ServePasses timed passes per (tier,
+    * query), min-based p50/p99 plus a per-tier spread field — plus the
     * batched 20-query plan (annIvfServeMany — one distributed job for
-    * the whole panel, the per-micro-batch serving shape) and the real
-    * Structured Streaming annServe micro-batch wall time. Single-request
+    * the whole panel, the per-micro-batch serving shape), a 1/4/8-way
+    * concurrency curve on the float tier, and the real Structured
+    * Streaming annServe micro-batch wall time. Single-request
     * latency on local[32] stands in for a dedicated serving runtime's
     * floor: it measures plan/probe/scan overhead per request, which is
     * the quantity SCALE.md's serving section reasons about. */
@@ -154,25 +157,58 @@ object Bench {
       "int8" -> (qv => SimilarityOps.annIvfInt8Serve(spark, idx, qv)),
       "pq" -> (qv => SimilarityOps.annPqServe(spark, idx, qv)),
       "pq_rerank" -> (qv => SimilarityOps.annPqRerankServe(spark, idx, qv)))
+    // Min-of-N per (tier, query) (VERDICT r9 #3 / r10 #3): a single timed
+    // pass can be polluted by transient host load (q185's 3x pass spread
+    // proved it); the reported p50/p99 are over per-query MINS of
+    // ServePasses passes, and each tier carries a spread field — the max
+    // over queries of (2nd-fastest / fastest) — so the artifact says how
+    // well its own floors were corroborated.
     tiers.foreach { case (name, fn) =>
       fn(panel.head._2).collect() // per-tier codegen/plan warmup
-      val ms = panel.map { case (_, qv) =>
-        val t0 = System.nanoTime()
-        fn(qv).collect()
-        (System.nanoTime() - t0) / 1e6
-      }.toVector.sorted
-      out(s"${name}_p50_ms") = f3(pct(ms, 50))
-      out(s"${name}_p99_ms") = f3(pct(ms, 99))
+      val perQuery = panel.map { case (_, qv) =>
+        Vector.fill(ServePasses) {
+          val t0 = System.nanoTime()
+          fn(qv).collect()
+          (System.nanoTime() - t0) / 1e6
+        }.sorted
+      }
+      val mins = perQuery.map(_.head).toVector.sorted
+      out(s"${name}_p50_ms") = f3(pct(mins, 50))
+      out(s"${name}_p99_ms") = f3(pct(mins, 99))
+      out(s"${name}_spread") = f3(perQuery.map(ts => ts(1) / ts.head).max)
     }
     // Batched panel: one distributed plan answering all 20 requests — the
     // per-micro-batch serving shape. Amortizes probe + scan across the
     // batch; per-request cost is batch_ms / 20.
     import spark.implicits._
     val qdf = panel.toSeq.toDF("query_id", "embedding")
-    SimilarityOps.annIvfServeMany(spark, idx, qdf).collect()
-    val tb = System.nanoTime()
-    SimilarityOps.annIvfServeMany(spark, idx, qdf).collect()
-    out("batch20_ms") = f3((System.nanoTime() - tb) / 1e6)
+    SimilarityOps.annIvfServeMany(spark, idx, qdf).collect() // warmup
+    out("batch20_ms") = f3(Vector.fill(ServePasses) {
+      val tb = System.nanoTime()
+      SimilarityOps.annIvfServeMany(spark, idx, qdf).collect()
+      (System.nanoTime() - tb) / 1e6
+    }.min)
+    // Concurrency inflation (VERDICT r9 #8): the float tier under 1/4/8
+    // concurrent requesters against ONE session. Spark runs concurrent
+    // actions on a shared FIFO scheduler, so queueing — invisible to the
+    // single-request numbers above — shows up here as p99 inflation; the
+    // curve says where this Spark-native serving shape saturates.
+    Seq(1, 4, 8).foreach { conc =>
+      val lat = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+      val reqs = panel.take(4)
+      val workers = (0 until conc).map { _ =>
+        new Thread(() => reqs.foreach { case (_, qv) =>
+          val t0 = System.nanoTime()
+          SimilarityOps.annIvfServe(spark, idx, qv).collect()
+          lat.add((System.nanoTime() - t0) / 1e6)
+        })
+      }
+      workers.foreach(_.start()); workers.foreach(_.join())
+      val sortedLat = lat.toArray(Array.empty[java.lang.Double])
+        .map(_.doubleValue).toVector.sorted
+      out(s"conc${conc}_p50_ms") = f3(pct(sortedLat, 50))
+      out(s"conc${conc}_p99_ms") = f3(pct(sortedLat, 99))
+    }
     // Real streaming micro-batch: MemoryStream → annServe foreachBatch,
     // one 20-query batch, wall time includes the streaming machinery.
     implicit val ctx: SQLContext = spark.sqlContext

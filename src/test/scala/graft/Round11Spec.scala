@@ -215,6 +215,71 @@ class Round11Spec extends SparkSpec {
     assert(hits.isEmpty, s"forced broadcast on SF-scaling relation: $hits")
   }
 
+  // ---- incremental clustering under streaming ingest (VERDICT r10 #5) -----
+
+  test("streamed component maintenance == full fixpoint recompute on the " +
+    "union; replay is idempotent; per-batch relabeling is bounded") {
+    val labelsDir = java.nio.file.Files.createTempDirectory("graft_inc_cc").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val n = 3
+    (0 until n).foreach { b =>
+      graft.streaming.StreamingOps.mergeBatchComponents(
+        docs.filter(pmod(col("doc_id"), lit(n)) === b), b.toLong, labelsDir)
+    }
+    val inc = graft.streaming.StreamingOps.currentLabels(spark, labelsDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = graft.operators.DedupOps.dupLabelsFixpoint(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full,
+      s"incremental labels diverge from full recompute: ${
+        inc.toSet.diff(full.toSet).take(5)} vs ${full.toSet.diff(inc.toSet).take(5)}")
+
+    // Replay the LAST batch (the exactly-once contract: same id, same
+    // data): state must be unchanged.
+    graft.streaming.StreamingOps.mergeBatchComponents(
+      docs.filter(pmod(col("doc_id"), lit(n)) === (n - 1)), (n - 1).toLong, labelsDir)
+    val replayed = graft.streaming.StreamingOps.currentLabels(spark, labelsDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(replayed == full, "replayed batch changed the persisted labels")
+
+    // Bounded re-propagation: a batch with NO band matches into the
+    // retained corpus relabels only itself (its epoch partition holds
+    // exactly the batch docs — no old component was touched).
+    val loner = spark.range(1).select(lit(900001L).as("doc_id"),
+      lit("zzqx glorp wibble frotz yoyodyne quux flibber").as("text"))
+    graft.streaming.StreamingOps.mergeBatchComponents(loner, 7L, labelsDir)
+    val epoch7 = spark.read.parquet(s"$labelsDir/labels")
+      .filter(col("epoch") === 7L).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(epoch7 == Set(900001L),
+      s"unmatched batch must relabel only itself, wrote $epoch7")
+  }
+
+  test("componentMaintenance streaming twin produces the same labels as " +
+    "the batch path") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val labelsDir = java.nio.file.Files.createTempDirectory("graft_inc_cc_s").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingOps.componentMaintenance(
+      stream.toDF().toDF("doc_id", "text"), labelsDir)
+      .option("checkpointLocation", s"$labelsDir/ckpt").start()
+    try {
+      val (h1, h2) = docs.splitAt(docs.length / 2)
+      stream.addData(h1.toSeq); q.processAllAvailable()
+      stream.addData(h2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val inc = graft.streaming.StreamingOps.currentLabels(spark, labelsDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = graft.operators.DedupOps.dupLabelsFixpoint(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc == full, "streaming twin diverged from full recompute")
+  }
+
   // ---- tier-router state persistence (VERDICT r10 #2b) --------------------
 
   test("tier state round-trips exactly: save→load identity; missing state " +
