@@ -215,6 +215,47 @@ class Round11Spec extends SparkSpec {
     assert(hits.isEmpty, s"forced broadcast on SF-scaling relation: $hits")
   }
 
+  // ---- panel recall IS served recall (VERDICT r10 #6) ---------------------
+
+  test("q185's measured per-tier recall equals the persisted-index SERVE " +
+    "path's recall, per (qid, tier)") {
+    import graft.functions.CosineSimilarity.cosineSim
+    val out = buildIndex()
+    val panelHits = SimilarityOps.tierRecallPanel(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qids = (0L until 5L) // a slice of the NPanel panel keeps this fast
+    val servers: Seq[(String, Array[Float] => Seq[Long])] = Seq(
+      "float" -> (qv => SimilarityOps
+        .annIvfServe(spark, out, qv, nprobe = SimilarityOps.NProbe)
+        .collect().map(_.getLong(0)).toSeq),
+      "int8" -> (qv => SimilarityOps
+        .annIvfInt8Serve(spark, out, qv, nprobe = SimilarityOps.NProbe)
+        .collect().map(_.getLong(0)).toSeq),
+      "pq" -> (qv => SimilarityOps
+        .annPqServe(spark, out, qv, nprobe = SimilarityOps.NProbe)
+        .collect().map(_.getLong(0)).toSeq),
+      "pq_rerank" -> (qv => SimilarityOps
+        .annPqRerankServe(spark, out, qv, nprobe = SimilarityOps.NProbe)
+        .collect().map(_.getLong(0)).toSeq))
+    qids.foreach { qid =>
+      val qv = e.filter(col("vec_id") === qid)
+        .select("embedding").collect()(0).getSeq[Float](0).toArray
+      // Exact ground truth by the ENGINE's own cosine + tie-break.
+      val exact = e.select(col("vec_id"),
+          cosineSim(col("embedding"), typedLit(qv)).as("cos"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+        .limit(SimilarityOps.TopK)
+        .collect().map(_.getLong(0)).toSet
+      servers.foreach { case (tier, serve) =>
+        val served = serve(qv).toSet
+        val hits = served.intersect(exact).size.toLong
+        assert(hits == panelHits((qid, tier)),
+          s"qid=$qid tier=$tier: served recall $hits != panel ${panelHits((qid, tier))}")
+      }
+    }
+  }
+
   // ---- incremental clustering under streaming ingest (VERDICT r10 #5) -----
 
   test("streamed component maintenance == full fixpoint recompute on the " +
