@@ -2764,9 +2764,19 @@ object SimilarityOps {
     * q184, q186, and q187 all consume this frame. */
   private val tierCache = Memo.frame()
 
+  /** Memoized tier frames are materialized with an EAGER localCheckpoint
+    * rather than cache(): their logical plans retain the whole
+    * kmeans/PQ training lineage, and Catalyst re-analyzes that tree on
+    * every consuming action — measured 2.4 s/action on the cached panel
+    * vs 0.03 s checkpointed (the fixpointLabels rationale). The frames
+    * are panel-sized (20–80 rows), so the checkpoint blocks are trivial;
+    * they are freed by the ContextCleaner once Memos.release drops the
+    * entry. (Local checkpoint trades executor-loss recovery for lineage
+    * truncation — at cluster scale the reliable-checkpoint dir (Ckpt)
+    * makes the same trade safely.) */
   private[graft] def tierFeatures(spark: SparkSession, dir: String): DataFrame =
     tierCache.getOrElseUpdate(s"feats:${spark.sparkContext.applicationId}:$dir",
-      computeTierFeatures(spark, dir).cache())
+      computeTierFeatures(spark, dir).localCheckpoint(true))
 
   private def computeTierFeatures(spark: SparkSession, dir: String): DataFrame = {
     val (kcent, kasg) = kmeansModel(spark, dir)
@@ -2879,7 +2889,7 @@ object SimilarityOps {
     * panel×corpus ground-truth pass each. */
   def tierRecallPanel(spark: SparkSession, dir: String): DataFrame =
     tierCache.getOrElseUpdate(s"panel:${spark.sparkContext.applicationId}:$dir",
-      computeTierRecallPanel(spark, dir).cache())
+      computeTierRecallPanel(spark, dir).localCheckpoint(true))
 
   private def computeTierRecallPanel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
