@@ -2061,18 +2061,27 @@ object SimilarityOps {
     // durable write costs nothing. A deployment points the checkpoint dir
     // at HDFS; local runs fall back to the JVM temp dir.
     Ckpt.ensure(spark)
-    var m = cov
-    for (_ <- 1 to PcaSquarings) {
-      val mm = m.select(col("i"), col("j").as("k"), col("c").as("a"))
-        .join(m.select(col("i").as("k"), col("j"), col("c").as("b")), "k")
-        .groupBy("i", "j")
-        .agg(dsum18(col("a") * col("b")).as("c"))
-      val sF = mm.agg(max(abs(col("c"))).as("s"))
-      m = mm.crossJoin(broadcast(sF))
-        .select(col("i"), col("j"),
-          when(col("s") === 0.0, 0.0).otherwise(col("c") / col("s")).as("c"))
-        .checkpoint(true)
-    }
+    // The squared matrix is a pure function of the corpus and each of
+    // its 6 rounds pays a reliable-checkpoint round trip (~3 s warm per
+    // q97 call when recomputed) — memoized per (appId, dir) like cov
+    // itself; the final frame is already checkpoint-truncated, so
+    // downstream planning stays O(1).
+    val m = covCache.getOrElseUpdate(
+      s"pow:${spark.sparkContext.applicationId}:$dir", {
+        var acc = cov
+        for (_ <- 1 to PcaSquarings) {
+          val mm = acc.select(col("i"), col("j").as("k"), col("c").as("a"))
+            .join(acc.select(col("i").as("k"), col("j"), col("c").as("b")), "k")
+            .groupBy("i", "j")
+            .agg(dsum18(col("a") * col("b")).as("c"))
+          val sF = mm.agg(max(abs(col("c"))).as("s"))
+          acc = mm.crossJoin(broadcast(sF))
+            .select(col("i"), col("j"),
+              when(col("s") === 0.0, 0.0).otherwise(col("c") / col("s")).as("c"))
+            .checkpoint(true)
+        }
+        acc
+      })
 
     val dims = mu.agg(count(lit(1)).as("d"))
     val v0 = mu.crossJoin(broadcast(dims))
