@@ -1289,6 +1289,52 @@ object RelationalOps {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---- q188: forecast revenue change (Q6 predicate-only aggregate) ---------
+
+  /** Q6-shape predicate constants — `final val` literals so the oracle
+    * SQL interpolates the real values (object-init order). */
+  final val ForecastYearStart = "1997-01-01"
+  final val ForecastYearEnd = "1998-01-01"
+  final val ForecastDiscLo = 0.05
+  final val ForecastDiscHi = 0.07
+  final val ForecastQtyCap = 24
+
+  /** q188 (the TPC-H Q6 shape): the predicate-only scan-aggregate — the
+    * only classic shape with NO join at all. Revenue that would vanish
+    * if mid-band discounts on small-quantity lines were eliminated:
+    * sum(l_extendedprice · l_discount) over one ship year, a discount
+    * band, and a quantity cap, collapsing to a single row.
+    *
+    * Scale shape: this is the pure-scan throughput probe — every
+    * predicate (timestamp range, double band, quantity cap) is
+    * parquet-pushable, so at 100 TB the query is bounded by I/O after
+    * row-group pruning, with a map-side partial aggregate and a 1-row
+    * exchange; there is no shuffle of data, only of partial sums. The
+    * discount band compares stored doubles against the same double
+    * literals in both engines (identical IEEE values), so boundary
+    * inclusion is deterministic cross-engine; the revenue sum is
+    * DECIMAL(30,8) per-term then r6'd per the house convention. */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(ForecastYearStart).cast("timestamp") &&
+        col("l_shipdate") < lit(ForecastYearEnd).cast("timestamp") &&
+        col("l_discount") >= ForecastDiscLo &&
+        col("l_discount") <= ForecastDiscHi &&
+        col("l_quantity") < ForecastQtyCap)
+      .agg(r6(dsum(col("l_extendedprice") * col("l_discount")))
+        .as("forecast_rev"),
+        count(lit(1)).as("n_lines"))
+
+  val forecastRevenueSql: String =
+    s"""SELECT
+       |  floor((CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(30,8))) AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS forecast_rev,
+       |  count(*) AS n_lines
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '$ForecastYearStart'
+       |  AND l_shipdate < TIMESTAMP '$ForecastYearEnd'
+       |  AND l_discount >= $ForecastDiscLo AND l_discount <= $ForecastDiscHi
+       |  AND l_quantity < $ForecastQtyCap""".stripMargin
+
   // ---- q136: trailing-window revenue (RANGE frame) -------------------------
 
   /** Trailing window width in days (inclusive of the current day). */
@@ -1498,6 +1544,7 @@ object RelationalOps {
     "q181_nation_profit" -> (nationProfit _),
     "q182_important_stock" -> (importantStock _),
     "q183_priority_shipping" -> (priorityShipping _),
+    "q188_forecast_revenue" -> (forecastRevenue _),
     "q136_trailing_revenue" -> (trailingRevenue _),
     "q13_cube_summary" -> (cubeSummary _),
     "q16_grouping_sets" -> (groupingSetsSummary _),
@@ -1536,6 +1583,7 @@ object RelationalOps {
     "q181_nation_profit" -> nationProfitSql,
     "q182_important_stock" -> importantStockSql,
     "q183_priority_shipping" -> priorityShippingSql,
+    "q188_forecast_revenue" -> forecastRevenueSql,
     "q136_trailing_revenue" -> trailingRevenueSql,
     "q13_cube_summary" -> cubeSummarySql,
     "q16_grouping_sets" -> groupingSetsSummarySql,

@@ -417,4 +417,28 @@ class Round11Spec extends SparkSpec {
     assert(out == expected, s"bar mismatch: got ${out.size}, want ${expected.size}")
     assert(expected.nonEmpty, "planted bar should select a non-empty upper tail")
   }
+
+  test("q188 Q6-shape recount: forecast revenue equals a driver-side " +
+    "BigDecimal fold over the filtered scan") {
+    import graft.operators.RelationalOps
+    val row = RelationalOps.forecastRevenue(spark, sf).collect()(0)
+    val (rev, n) = (row.getDouble(0), row.getLong(1))
+    val lo = java.time.LocalDate.parse(RelationalOps.ForecastYearStart).atStartOfDay()
+    val hi = java.time.LocalDate.parse(RelationalOps.ForecastYearEnd).atStartOfDay()
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_shipdate", "l_discount", "l_quantity", "l_extendedprice")
+      .collect().filter { r =>
+        val ts = r.getAs[java.time.LocalDateTime](0)
+        !ts.isBefore(lo) && ts.isBefore(hi) &&
+          r.getDouble(1) >= RelationalOps.ForecastDiscLo &&
+          r.getDouble(1) <= RelationalOps.ForecastDiscHi &&
+          r.getDouble(2) < RelationalOps.ForecastQtyCap
+      }
+    val sum = rows.map(r => BigDecimal(r.getDouble(3) * r.getDouble(1))
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP)).sum
+    val expected = math.floor(sum.toDouble * 1e6 + 0.5) / 1e6
+    assert(n == rows.length.toLong, s"n_lines $n != ${rows.length}")
+    assert(n > 0, "Q6 predicates should select a non-empty band at sf0.001")
+    assert(rev == expected, s"forecast_rev $rev != $expected")
+  }
 }
