@@ -1335,6 +1335,135 @@ object RelationalOps {
        |  AND l_discount >= $ForecastDiscLo AND l_discount <= $ForecastDiscHi
        |  AND l_quantity < $ForecastQtyCap""".stripMargin
 
+  // ---- q189: dormant rich customers (Q22 scalar-bar + anti-join shape) -----
+
+  /** Customers with no order on/after this date count as dormant. */
+  final val DormantCutoff = "1999-01-01"
+
+  /** q189 (the TPC-H Q22 shape — the EXACT-ARITHMETIC twin of q131):
+    * positive-balance customers whose balance beats the positive-balance
+    * MEAN and who placed no order since [[DormantCutoff]] — the
+    * sales-outreach list. q131 already carries the Q22 plan shape
+    * (scalar bar + anti join + rollup); what this variant changes is
+    * the two places q131's answer depends on DOUBLE arithmetic near a
+    * boundary: the bar compare becomes the integer cross-multiplication
+    * below (the q182 idiom ADVICE r10 mandated), and dormancy is a
+    * DATE-WINDOW anti-join (no order since the cutoff) instead of the
+    * open-status proxy, grouped by nation instead of segment.
+    *
+    * Bar arithmetic: acctbal is exact cents, so the mean test is the
+    * integer cross-multiplication  bal_c · n_pos > total_c  — pure
+    * BIGINT (cents ≈ 10⁶ × n ≈ 10⁹ at 100 TB sits at 10¹⁵, inside
+    * BIGINT), no DOUBLE mean and no DIV sign pitfalls (acctbal can be
+    * negative; the multiply form needs no floor-division semantics).
+    * Scale shape: the date filter pushes to the orders scan BEFORE the
+    * anti-join's custkey shuffle; the bar is a broadcast scalar; nation
+    * is the only broadcast dimension; output ≤ |nations| rows. */
+  def dormantRichCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val balC = floor(col("c_acctbal") * lit(100) + lit(0.5)).cast("long")
+    val cust = t(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"), balC.as("bal_c"))
+    val bar = cust.filter(col("bal_c") > 0L)
+      .agg(sum(col("bal_c")).as("total_c"), count(lit(1)).as("n_pos"))
+    val recent = t(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(DormantCutoff).cast("timestamp"))
+      .select("o_custkey")
+    cust.crossJoin(broadcast(bar))
+      .filter(col("bal_c") * col("n_pos") > col("total_c"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(broadcast(t(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_cust"),
+        r6((sum(col("bal_c")).cast("double") / lit(100.0))).as("total_bal"))
+      .orderBy("n_name")
+  }
+
+  val dormantRichCustomersSql: String =
+    s"""WITH cust AS (
+       |  SELECT c_custkey, c_nationkey,
+       |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_c
+       |  FROM customer),
+       |bar AS (SELECT CAST(sum(bal_c) AS BIGINT) AS total_c,
+       |          CAST(count(*) AS BIGINT) AS n_pos
+       |        FROM cust WHERE bal_c > 0),
+       |dormant AS (
+       |  SELECT c_custkey, c_nationkey, bal_c FROM cust, bar
+       |  WHERE bal_c * n_pos > total_c
+       |    AND NOT EXISTS (SELECT 1 FROM orders o
+       |                    WHERE o.o_custkey = cust.c_custkey
+       |                      AND o.o_orderdate >= TIMESTAMP '$DormantCutoff'))
+       |SELECT n_name, CAST(count(*) AS BIGINT) AS n_cust,
+       |  floor((CAST(sum(bal_c) AS DOUBLE) / 100.0) * 1000000 + 0.5) / 1000000 AS total_bal
+       |FROM dormant JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY n_name
+       |ORDER BY n_name""".stripMargin
+
+  // ---- q190: sole-blame suppliers (Q21 double-correlation shape) -----------
+
+  /** q190 (the TPC-H Q21 shape — the SINGLE-SCAN physical alternative
+    * to q130, semantically identical): for each supplier, in how many
+    * FAILED multi-supplier orders was it the ONLY supplier with a
+    * returned line. q130 declares classic Q21's double correlation as a
+    * left-semi plus a left-anti SELF-JOIN — three scans of the fact
+    * table shuffled on l_orderkey. This variant decorrelates into two
+    * STACKED AGGREGATES over ONE fact pass: the (orderkey, suppkey)
+    * grain computes has_ret, the orderkey grain counts suppliers and
+    * failing suppliers, and `has_ret ∧ n_supp ≥ 2 ∧ n_ret = 1`
+    * replaces both correlated probes with integer tests. At 100 TB
+    * that is 3× less lineitem I/O for the same answer — the same
+    * fixpoint-vs-star duality the CC family keeps: both plans live,
+    * Round11Spec pins them equal per supplier.
+    *
+    * Scale shape: one orderkey-grain shuffle; the order-frame join-back
+    * is co-partitioned on the same key (no second exchange under AQE);
+    * supplier enrichment joins AFTER the heavy reduction and carries no
+    * forced hint (supplier scales with SF — the house convention); all
+    * counts integer-exact, so the numwait ordering is deterministic
+    * with the name tiebreak. */
+  def soleBlameSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    val pairGrain = t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders")
+        .filter(col("o_orderstatus") === "F").select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "l_suppkey")
+      .agg(max(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+        .as("has_ret"),
+        // classic Q21 counts every waiting LINE, not every order — carry
+        // the R-row multiplicity so numwait matches q130 exactly
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+          .as("r_lines"))
+    val orderGrain = pairGrain.groupBy(col("l_orderkey").as("ok"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("has_ret")).as("n_ret"))
+    pairGrain
+      .join(orderGrain, col("l_orderkey") === col("ok"))
+      .filter(col("has_ret") === 1L && col("n_supp") >= 2L &&
+        col("n_ret") === 1L)
+      .join(t(spark, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(sum(col("r_lines")).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+  }
+
+  val soleBlameSuppliersSql: String =
+    """WITH f AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_ret,
+      |    sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS r_lines
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F'
+      |  GROUP BY 1, 2),
+      |g AS (SELECT l_orderkey, count(*) AS n_supp, sum(has_ret) AS n_ret
+      |      FROM f GROUP BY 1)
+      |SELECT s_name, CAST(sum(r_lines) AS BIGINT) AS numwait
+      |FROM f
+      |JOIN g USING (l_orderkey)
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE has_ret = 1 AND n_supp >= 2 AND n_ret = 1
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name ASC""".stripMargin
+
   // ---- q136: trailing-window revenue (RANGE frame) -------------------------
 
   /** Trailing window width in days (inclusive of the current day). */
@@ -1545,6 +1674,8 @@ object RelationalOps {
     "q182_important_stock" -> (importantStock _),
     "q183_priority_shipping" -> (priorityShipping _),
     "q188_forecast_revenue" -> (forecastRevenue _),
+    "q189_dormant_rich_customers" -> (dormantRichCustomers _),
+    "q190_sole_blame_suppliers" -> (soleBlameSuppliers _),
     "q136_trailing_revenue" -> (trailingRevenue _),
     "q13_cube_summary" -> (cubeSummary _),
     "q16_grouping_sets" -> (groupingSetsSummary _),
@@ -1584,6 +1715,8 @@ object RelationalOps {
     "q182_important_stock" -> importantStockSql,
     "q183_priority_shipping" -> priorityShippingSql,
     "q188_forecast_revenue" -> forecastRevenueSql,
+    "q189_dormant_rich_customers" -> dormantRichCustomersSql,
+    "q190_sole_blame_suppliers" -> soleBlameSuppliersSql,
     "q136_trailing_revenue" -> trailingRevenueSql,
     "q13_cube_summary" -> cubeSummarySql,
     "q16_grouping_sets" -> groupingSetsSummarySql,

@@ -441,4 +441,79 @@ class Round11Spec extends SparkSpec {
     assert(n > 0, "Q6 predicates should select a non-empty band at sf0.001")
     assert(rev == expected, s"forecast_rev $rev != $expected")
   }
+
+  test("q189 Q22-shape recount: dormant-rich census equals a BigInt " +
+    "driver-side recompute of the bar, the anti-join, and the nation sums") {
+    import graft.operators.RelationalOps
+    val out = RelationalOps.dormantRichCustomers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey", "c_nationkey", "c_acctbal").collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        BigInt(math.floor(r.getDouble(2) * 100 + 0.5).toLong)))
+    val pos = cust.map(_._3).filter(_ > 0)
+    val (total, nPos) = (pos.sum, BigInt(pos.length))
+    val cutoff = java.time.LocalDate.parse(RelationalOps.DormantCutoff).atStartOfDay()
+    val recent = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_custkey", "o_orderdate").collect()
+      .filter(r => !r.getAs[java.time.LocalDateTime](1).isBefore(cutoff))
+      .map(_.getLong(0)).toSet
+    val nations = spark.read.parquet(s"$sf/nation.parquet")
+      .select("n_nationkey", "n_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val expected = cust
+      .filter { case (ck, _, bal) => bal * nPos > total && !recent(ck) }
+      .groupBy(c => nations(c._2)).map { case (n, cs) => n -> cs.length.toLong }
+    assert(out == expected, s"census mismatch: $out vs $expected")
+    assert(expected.values.sum > 0, "dormant-rich set should be non-empty")
+  }
+
+  test("q190 Q21-shape recount: sole-blame counts equal a driver-side " +
+    "two-level fold over the failed-order lineitems") {
+    import graft.operators.RelationalOps
+    val out = RelationalOps.soleBlameSuppliers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val failed = spark.read.parquet(s"$sf/orders.parquet")
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    // value = count of R lines for the (order, supplier) pair (0 = present
+    // but never flagged — still counts toward n_supp)
+    val pair = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_suppkey", "l_returnflag").collect()
+      .foreach { r =>
+        if (failed(r.getLong(0))) {
+          val k = (r.getLong(0), r.getLong(1))
+          pair(k) = pair.getOrElse(k, 0L) +
+            (if (r.getString(2) == "R") 1L else 0L)
+        }
+      }
+    val byOrder = pair.groupBy(_._1._1)
+    val names = spark.read.parquet(s"$sf/supplier.parquet")
+      .select("s_suppkey", "s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = byOrder.toSeq.flatMap { case (_, sups) =>
+      val ret = sups.filter(_._2 > 0L)
+      if (sups.size >= 2 && ret.size == 1)
+        ret.map { case ((_, sk), rl) => (sk, rl) }
+      else Nil
+    }.groupBy(p => names(p._1))
+      .map { case (n, xs) => n -> xs.map(_._2).sum }
+    assert(out == expected, s"blame mismatch: ${out.size} vs ${expected.size}")
+    assert(expected.values.sum > 0, "blame set should be non-empty at sf0.001")
+  }
+
+  test("q190 single-scan Q21 == q130 semi+anti self-join Q21 per supplier " +
+    "(the fixpoint-vs-star duality for the blame query)") {
+    import graft.operators.RelationalOps
+    val singleScan = RelationalOps.soleBlameSuppliers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // q130 groups by (s_name, n_name); s_name is unique per supplier so
+    // the maps are 1:1 comparable after dropping the nation column.
+    val selfJoin = RelationalOps.loneFailureSuppliers(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toMap
+    assert(singleScan == selfJoin,
+      s"plans disagree: single-scan $singleScan vs self-join $selfJoin")
+    assert(singleScan.nonEmpty, "blame query should be non-empty at sf0.001")
+  }
 }
