@@ -516,4 +516,30 @@ class Round11Spec extends SparkSpec {
       s"plans disagree: single-scan $singleScan vs self-join $selfJoin")
     assert(singleScan.nonEmpty, "blame query should be non-empty at sf0.001")
   }
+
+  test("q188/q189/q190 executed plans keep the house scale properties: " +
+    "pushed scan predicates, no forced fact-side broadcast, AQE BHJ") {
+    def finalPlan(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, sf)
+      df.queryExecution.toRdd.count()
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+    }
+    // q188: the predicate-only scan — every filter must reach parquet.
+    val p188 = finalPlan("q188_forecast_revenue")
+    assert(p188.contains("PushedFilters: ["), "q188: no pushed filters")
+    assert("PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p188).nonEmpty,
+      "q188: ship-date bound not pushed to the lineitem scan")
+    // q189/q190: one orderkey/custkey shuffle family; supplier/orders sides
+    // carry no forced hint yet still broadcast-plan at test scale.
+    Seq("q189_dormant_rich_customers", "q190_sole_blame_suppliers").foreach {
+      name =>
+        val p = finalPlan(name)
+        assert(p.contains("BroadcastHashJoin"),
+          s"$name: expected at least one AQE BroadcastHashJoin at test scale")
+        assert(!p.contains("BroadcastNestedLoopJoin") ||
+          name == "q189_dormant_rich_customers",
+          s"$name: unexpected BroadcastNestedLoopJoin")
+    }
+  }
 }
