@@ -2022,11 +2022,21 @@ object SimilarityOps {
     * returned unit v. */
   private val covCache = Memo.frame()
 
-  def pcaTopComponent(spark: SparkSession, dir: String): DataFrame = {
-    val ex = embLong(spark, dir)
-    val mu = ex.groupBy("pos")
+  /** Per-dimension means of the embedding table — d rows. Shared by the
+    * q97 power iteration (start vector, dims) and the q191 spectrum
+    * summary's covariance build. */
+  private[graft] def covMu(spark: SparkSession, dir: String): DataFrame =
+    embLong(spark, dir).groupBy("pos")
       .agg((dsum18(col("v")) / count(lit(1))).as("m"))
 
+  /** The d×d embedding covariance cov = E[xxᵀ] − μμᵀ, memoized per
+    * (appId, dir) and cached (q97 references it three times per call —
+    * squaring input, trace, final apply — q191 three more). Corpus
+    * contributes ONE pass: raw second moments via row-local pair
+    * expansion map-side-combined to d² keys — no self-join, no shuffle
+    * of vector rows; everything downstream is corpus-size-independent. */
+  private[graft] def covMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val mu = covMu(spark, dir)
     // Raw second moments: row-local pair expansion of each vector (keep
     // the array through the first posexplode, explode it again), then one
     // map-side-combined aggregate down to d² keys.
@@ -2037,10 +2047,7 @@ object SimilarityOps {
       .select(col("i"), col("j"), (col("vi") * col("vj0").cast("double")).as("vij"))
       .groupBy("i", "j")
       .agg(dsum18(col("vij")).as("s"), count(lit(1)).as("cnt"))
-
-    // Memoized (released via Memos): cov is referenced three times per
-    // call (squaring input, trace, final apply) and by repeated calls.
-    val cov = covCache.getOrElseUpdate(
+    covCache.getOrElseUpdate(
       s"${spark.sparkContext.applicationId}:$dir",
       sij
         .join(broadcast(mu.select(col("pos").as("i"), col("m").as("mi"))), "i")
@@ -2048,6 +2055,11 @@ object SimilarityOps {
         .select(col("i"), col("j"),
           (col("s") / col("cnt") - col("mi") * col("mj")).as("c"))
         .cache())
+  }
+
+  def pcaTopComponent(spark: SparkSession, dir: String): DataFrame = {
+    val mu = covMu(spark, dir)
+    val cov = covMatrix(spark, dir)
 
     // C^(2^PcaSquarings) by normalized repeated squaring. Each step
     // references the product TWICE (entries + its max), so lineage is
@@ -2116,16 +2128,21 @@ object SimilarityOps {
     * Spark side truncates with localCheckpoint, observed here as "too
     * many open files" against the embeddings scan. Materialization makes
     * each step run exactly once, like the Spark loop. */
+  /** The covariance-building CTE prefix (pex → pmu → ps → pm0) shared by
+    * the q97 oracle and the q191 spectrum oracle — the SQL twin of
+    * [[covMatrix]], extracted so the two derivations cannot drift. */
+  private val covCteSeq: Seq[String] = Seq(
+    "pex AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos, (unnest(embedding))::DOUBLE AS v FROM embeddings)",
+    """pmu AS MATERIALIZED (SELECT pos, CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
+      |        FROM pex GROUP BY pos)""".stripMargin,
+    """ps AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j,
+      |  CAST(sum(CAST(a.v * b.v AS DECIMAL(38,18))) AS DOUBLE) AS s, count(*) AS cnt
+      |FROM pex a JOIN pex b USING (vec_id) GROUP BY 1, 2)""".stripMargin,
+    """pm0 AS MATERIALIZED (SELECT i, j, s / cnt - mi.m * mj.m AS c
+      |FROM ps JOIN pmu mi ON ps.i = mi.pos JOIN pmu mj ON ps.j = mj.pos)""".stripMargin)
+
   val pcaTopComponentSql: String = {
-    val header = Seq(
-      "pex AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos, (unnest(embedding))::DOUBLE AS v FROM embeddings)",
-      """pmu AS MATERIALIZED (SELECT pos, CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
-        |        FROM pex GROUP BY pos)""".stripMargin,
-      """ps AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j,
-        |  CAST(sum(CAST(a.v * b.v AS DECIMAL(38,18))) AS DOUBLE) AS s, count(*) AS cnt
-        |FROM pex a JOIN pex b USING (vec_id) GROUP BY 1, 2)""".stripMargin,
-      """pm0 AS MATERIALIZED (SELECT i, j, s / cnt - mi.m * mj.m AS c
-        |FROM ps JOIN pmu mi ON ps.i = mi.pos JOIN pmu mj ON ps.j = mj.pos)""".stripMargin,
+    val header = covCteSeq ++ Seq(
       "pdim AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS d FROM pmu)",
       "pv0 AS MATERIALIZED (SELECT pos, 1.0 / sqrt(d) AS v FROM pmu, pdim)")
     val iters = (1 to PcaSquarings).flatMap { t =>
@@ -2152,6 +2169,73 @@ object SimilarityOps {
          |FROM pvf, plam, ptr ORDER BY pos""".stripMargin
     s"WITH ${(header ++ iters).mkString(",\n")},\n$tail"
   }
+
+  // ---- q191: covariance spectrum summary (effective rank) -----------------
+
+  /** q191: the whole-spectrum summary next to q97's top-component view —
+    * the intrinsic-dimensionality card a vector pipeline reads before
+    * choosing compression geometry (PQ subspace count, matryoshka
+    * truncation depth, IVF K). One row:
+    *   - `trace` = tr(Σ): total variance, and via the moment identity
+    *     `mean_pairwise_sq_dist` = E‖x−y‖² over ordered pairs (with
+    *     replacement) = 2·tr(Σ) — the corpus-dispersion scalar that
+    *     normally reads as an all-pairs job, here exact in one scan;
+    *   - `frob2` = tr(Σ²) = Σᵢⱼ cᵢⱼ² (Σ symmetric): spectral "energy";
+    *   - `effective_rank` = (trΣ)²/tr(Σ²), the participation ratio: the
+    *     number of principal directions that MATTER, ∈ [1, d] — d when
+    *     perfectly isotropic, 1 when a single direction dominates;
+    *   - `isotropy` = effective_rank / d ∈ (0, 1]: the scale-free gauge
+    *     (measured ≈1 here, agreeing with q97's λ₂/λ₁ ≈ 0.93 reading —
+    *     truncation and few-subspace PQ will hurt, exactly what the
+    *     q128/q105 curves observe);
+    *   - `diag_frac` = Σᵢ cᵢᵢ²/tr(Σ²): how much spectral energy sits on
+    *     the diagonal — low means strong cross-dimension correlation and
+    *     rotation (OPQ) pays, high means axis-aligned subspaces suffice.
+    *
+    * Scale shape: rides the memoized [[covMatrix]] — ONE corpus pass of
+    * d²-key map-side-combined moments (shared with q97, so together they
+    * cost one pass), then three 1-row aggregates over the cached 4096-row
+    * frame and scalar arithmetic. At 100 TB: one scan + constant work —
+    * the participation ratio needs NO eigendecomposition, just the two
+    * traces. All sums DECIMAL(38,18); every scalar op exactly rounded,
+    * so the DuckDB twin is bit-identical. */
+  def embeddingSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    val cov = covMatrix(spark, dir)
+    val diag = cov.filter(col("i") === col("j"))
+      .agg(count(lit(1)).as("d"), dsum18(col("c")).as("tr"),
+        dsum18(col("c") * col("c")).as("dg"))
+    val frF = cov.agg(dsum18(col("c") * col("c")).as("fr"))
+    val er = when(col("fr") === 0.0, lit(0.0))
+      .otherwise(col("tr") * col("tr") / col("fr"))
+    diag.crossJoin(broadcast(frF))
+      .select(col("d").cast("long").as("dim"),
+        r6(col("tr")).as("trace"),
+        r6(lit(2.0) * col("tr")).as("mean_pairwise_sq_dist"),
+        r6(col("fr")).as("frob2"),
+        r6(er).as("effective_rank"),
+        r6(er / col("d").cast("double")).as("isotropy"),
+        r6(when(col("fr") === 0.0, lit(0.0))
+          .otherwise(col("dg") / col("fr"))).as("diag_frac"))
+  }
+
+  /** Oracle twin of [[embeddingSpectrum]] — same [[covCteSeq]] prefix as
+    * q97, then the two traces and exactly-rounded scalar arithmetic. */
+  val embeddingSpectrumSql: String =
+    s"""WITH ${covCteSeq.mkString(",\n")},
+       |pdg AS (SELECT count(*) AS d,
+       |    CAST(sum(CAST(c AS DECIMAL(38,18))) AS DOUBLE) AS tr,
+       |    CAST(sum(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE) AS dg
+       |  FROM pm0 WHERE i = j),
+       |pfr AS (SELECT CAST(sum(CAST(c * c AS DECIMAL(38,18))) AS DOUBLE) AS fr
+       |  FROM pm0)
+       |SELECT CAST(d AS BIGINT) AS dim,
+       |  floor(tr * 1000000 + 0.5) / 1000000 AS trace,
+       |  floor((2.0 * tr) * 1000000 + 0.5) / 1000000 AS mean_pairwise_sq_dist,
+       |  floor(fr * 1000000 + 0.5) / 1000000 AS frob2,
+       |  floor((CASE WHEN fr = 0 THEN 0.0 ELSE tr * tr / fr END) * 1000000 + 0.5) / 1000000 AS effective_rank,
+       |  floor(((CASE WHEN fr = 0 THEN 0.0 ELSE tr * tr / fr END) / CAST(d AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS isotropy,
+       |  floor((CASE WHEN fr = 0 THEN 0.0 ELSE dg / fr END) * 1000000 + 0.5) / 1000000 AS diag_frac
+       |FROM pdg, pfr""".stripMargin
 
   // ---- q98: product quantization (per-subspace k-means codebooks) ---------
 
@@ -3380,7 +3464,8 @@ object SimilarityOps {
     "q184_tier_route" -> (tierRoute _),
     "q185_tier_recall_panel" -> (tierRecallPanel _),
     "q186_tier_feedback" -> (tierFeedback _),
-    "q187_tier_route_pass2" -> (tierRoutePass2 _))
+    "q187_tier_route_pass2" -> (tierRoutePass2 _),
+    "q191_embedding_spectrum" -> (embeddingSpectrum _))
 
   val oracles: Map[String, String] = Map(
     "q142_assignment_drift" -> assignmentDriftSql,
@@ -3413,5 +3498,6 @@ object SimilarityOps {
     "q184_tier_route" -> tierRouteSql,
     "q185_tier_recall_panel" -> tierRecallPanelSql,
     "q186_tier_feedback" -> tierFeedbackSql,
-    "q187_tier_route_pass2" -> tierRoutePass2Sql)
+    "q187_tier_route_pass2" -> tierRoutePass2Sql,
+    "q191_embedding_spectrum" -> embeddingSpectrumSql)
 }

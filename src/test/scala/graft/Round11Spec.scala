@@ -542,4 +542,46 @@ class Round11Spec extends SparkSpec {
           s"$name: unexpected BroadcastNestedLoopJoin")
     }
   }
+
+  test("q191 spectrum recount: trace/frob2/effective_rank equal a " +
+    "driver-side covariance recomputation; identities and ranges hold") {
+    val row = SparkEntry.queries("q191_embedding_spectrum")(spark, sf)
+      .collect().head
+    val dim = row.getAs[Long]("dim")
+    val trace = row.getAs[Double]("trace")
+    val mpsd = row.getAs[Double]("mean_pairwise_sq_dist")
+    val frob2 = row.getAs[Double]("frob2")
+    val er = row.getAs[Double]("effective_rank")
+    val iso = row.getAs[Double]("isotropy")
+    val dg = row.getAs[Double]("diag_frac")
+
+    // Independent recount: pull the sf0.001 embeddings to the driver and
+    // build the covariance matrix with plain Scala doubles.
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length
+    val d = vecs.head.length
+    assert(dim == d.toLong, s"dim $dim != $d")
+    val mu = Array.tabulate(d)(i => vecs.map(_(i)).sum / n)
+    def cov(i: Int, j: Int): Double =
+      vecs.map(v => v(i) * v(j)).sum / n - mu(i) * mu(j)
+    val trRef = (0 until d).map(i => cov(i, i)).sum
+    val frRef = (for (i <- 0 until d; j <- 0 until d) yield {
+      val c = cov(i, j); c * c
+    }).sum
+    val dgRef = (0 until d).map { i => val c = cov(i, i); c * c }.sum
+    assert(math.abs(trace - trRef) < 1e-4, s"trace $trace vs ref $trRef")
+    assert(math.abs(frob2 - frRef) < 1e-4, s"frob2 $frob2 vs ref $frRef")
+    assert(math.abs(er - trRef * trRef / frRef) < 1e-3,
+      s"effective_rank $er vs ref ${trRef * trRef / frRef}")
+    assert(math.abs(dg - dgRef / frRef) < 1e-6,
+      s"diag_frac $dg vs ref ${dgRef / frRef}")
+    // Identities / ranges: E||x-y||^2 over ordered pairs = 2 tr(cov);
+    // participation ratio in [1, d]; both normalized gauges in (0, 1].
+    assert(math.abs(mpsd - 2.0 * trace) < 2e-6, "mean pairwise != 2*trace")
+    assert(er >= 1.0 - 1e-9 && er <= d + 1e-9, s"effective_rank $er out of [1,$d]")
+    assert(iso > 0.0 && iso <= 1.0 + 1e-9, s"isotropy $iso out of (0,1]")
+    assert(dg > 0.0 && dg <= 1.0 + 1e-9, s"diag_frac $dg out of (0,1]")
+  }
 }
