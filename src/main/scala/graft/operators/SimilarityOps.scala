@@ -2128,13 +2128,19 @@ object SimilarityOps {
     * Spark side truncates with localCheckpoint, observed here as "too
     * many open files" against the embeddings scan. Materialization makes
     * each step run exactly once, like the Spark loop. */
+  /** Long-form + per-dimension-mean CTE prefix (pex → pmu) — the SQL
+    * twin of [[embLong]] + [[covMu]], shared by the covariance chain
+    * (q97/q191) and the centered-binary-code build (q192/q193) so the
+    * thresholds cannot drift between consumers. */
+  private val pexMuCtes: Seq[String] = Seq(
+    "pex AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos, (unnest(embedding))::DOUBLE AS v FROM embeddings)",
+    """pmu AS MATERIALIZED (SELECT pos, CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
+      |        FROM pex GROUP BY pos)""".stripMargin)
+
   /** The covariance-building CTE prefix (pex → pmu → ps → pm0) shared by
     * the q97 oracle and the q191 spectrum oracle — the SQL twin of
     * [[covMatrix]], extracted so the two derivations cannot drift. */
-  private val covCteSeq: Seq[String] = Seq(
-    "pex AS MATERIALIZED (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos, (unnest(embedding))::DOUBLE AS v FROM embeddings)",
-    """pmu AS MATERIALIZED (SELECT pos, CAST(sum(CAST(v AS DECIMAL(38,18))) AS DOUBLE) / count(*) AS m
-      |        FROM pex GROUP BY pos)""".stripMargin,
+  private val covCteSeq: Seq[String] = pexMuCtes ++ Seq(
     """ps AS MATERIALIZED (SELECT a.pos AS i, b.pos AS j,
       |  CAST(sum(CAST(a.v * b.v AS DECIMAL(38,18))) AS DOUBLE) AS s, count(*) AS cnt
       |FROM pex a JOIN pex b USING (vec_id) GROUP BY 1, 2)""".stripMargin,
@@ -2236,6 +2242,185 @@ object SimilarityOps {
        |  floor(((CASE WHEN fr = 0 THEN 0.0 ELSE tr * tr / fr END) / CAST(d AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS isotropy,
        |  floor((CASE WHEN fr = 0 THEN 0.0 ELSE dg / fr END) * 1000000 + 0.5) / 1000000 AS diag_frac
        |FROM pdg, pfr""".stripMargin
+
+  // ---- q192/q193: centered binary (1-bit/dim) quantization tier -----------
+
+  private val bqCache = Memo.frame()
+
+  /** Centered binary (sign) codes: bit p is set iff the vector's p-th
+    * coordinate exceeds the corpus's per-dimension mean μₚ ([[covMu]] —
+    * centering balances the bits, the standard binary-quantization
+    * recipe; raw sign would waste bits on any mean-offset dimension).
+    * The 64 dims pack into TWO BIGINT halves (`lo` = dims 0–31, `hi` =
+    * 32–63) rather than one: each half is a sum of distinct powers
+    * ≤ 2³¹, so the pack is overflow-free exact integer arithmetic in
+    * both engines with no sign-bit/two's-complement edge to reason
+    * about. 16 bytes of index state per vector — 16× smaller than the
+    * float tier, 4× smaller than int8, same 64-bit budget as the PQ
+    * codes but with row-local encode (no codebook training) and a
+    * pure-integer distance.
+    *
+    * One embLong pass map-side-combined to one row per vector, memoized
+    * + cached per (appId, dir) like every model frame. At 100 TB the
+    * codes column is materialized next to `codes`/`scale` in the
+    * persisted index (BuildVectorIndex's layout) and the encode rides
+    * the same one-pass build. */
+  private[graft] def bqCodes(spark: SparkSession, dir: String): DataFrame =
+    bqCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
+      val mu = covMu(spark, dir)
+      embLong(spark, dir)
+        .join(broadcast(mu), "pos")
+        .select(col("vec_id"), col("pos"),
+          when(col("v") > col("m"),
+            expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"))
+            .otherwise(lit(0L)).as("contrib"))
+        .groupBy("vec_id")
+        .agg(sum(when(col("pos") < 32, col("contrib")).otherwise(0L)).as("lo"),
+          sum(when(col("pos") >= 32, col("contrib")).otherwise(0L)).as("hi"))
+        .cache()
+    })
+
+  /** Per-(panel query, corpus vector) Hamming distances over the binary
+    * codes — xor + popcount on the two BIGINT halves, whole-stage-codegen
+    * integer ops against 16 bytes/vector of scanned state. */
+  private def bqHamming(spark: SparkSession, dir: String): DataFrame = {
+    val codes = bqCodes(spark, dir)
+    val qcodes = codes.filter(col("vec_id") < NPanel)
+      .select(col("vec_id").as("qid"), col("lo").as("qlo"), col("hi").as("qhi"))
+    codes.crossJoin(broadcast(qcodes))
+      .select(col("qid"), col("vec_id"),
+        (expr("bit_count(lo ^ qlo)") + expr("bit_count(hi ^ qhi)"))
+          .cast("long").as("ham"))
+  }
+
+  /** Exact-cosine top-TopK per panel query — the shared ground truth of
+    * the q192/q193 recall measurements (the q110 pattern with a hit
+    * marker column). */
+  private def panelExactHits(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val panel = e.filter(col("vec_id") < NPanel)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    e.crossJoin(broadcast(panel))
+      .select(col("qid"), col("vec_id"), cosineSim(col("embedding"), col("qe")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id"), lit(1).as("hit"))
+  }
+
+  /** q192: recall@TopK of the raw Hamming ranking vs exact cosine, per
+    * panel query + the panel mean — the operating point of the CHEAPEST
+    * serving tier. Where int8 drops bits per dimension at float-like
+    * arithmetic and PQ learns codebooks, this is the no-training extreme
+    * of the compression family: 1 bit/dim, integer-only distance — the
+    * modern "binary embedding" first-stage filter. Read next to q128
+    * (fewer dims at full precision) and q105 (fewer bits via codebooks)
+    * at equal byte budgets.
+    *
+    * Scale shape: ranking is a per-qid window over the codes scan —
+    * panel-bounded diagnostic like q110/q128, sample-run at 100 TB; the
+    * serving twin is a strictly-better-count aggregate if a sample
+    * outgrows a window partition. Hamming ties (integer distances in
+    * [0, 64] over a large corpus tie constantly) break on vec_id, so
+    * ranks are deterministic cross-engine by construction — no float
+    * compare anywhere in the candidate ranking. */
+  def binaryQuantRecall(spark: SparkSession, dir: String): DataFrame = {
+    val top = bqHamming(spark, dir)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ham").asc, col("vec_id").asc)))
+      .filter(col("rank") <= TopK)
+    val perQ = top.join(broadcast(panelExactHits(spark, dir)),
+        Seq("qid", "vec_id"), "left")
+      .groupBy("qid").agg(count(col("hit")).as("n_hits"))
+    val tot = perQ.agg(sum(col("n_hits")).as("sh"))
+    perQ.crossJoin(broadcast(tot))
+      .select(col("qid"), col("n_hits"),
+        r6(col("n_hits").cast("double") / TopK).as("recall_at_50"),
+        r6(col("sh").cast("double") / (TopK.toDouble * NPanel)).as("mean_recall"))
+      .orderBy("qid")
+  }
+
+  /** q193: the binary tier as a FIRST-STAGE filter — Hamming shortlist of
+    * RerankK, exact-cosine re-rank of the shortlist, recall@TopK vs
+    * exact (the q111 refine recipe applied to q192's codes, per panel
+    * query). This is the production shape for binary codes: the integer
+    * scan reads 16 bytes/vector, then float vectors are fetched for only
+    * RerankK rows per query — at 100 TB the full-precision read is
+    * shortlist-bounded exactly like annPqRerankServe, and the measured
+    * gap between q192 and q193 prices what the re-rank stage buys at
+    * 25× shortlist-to-k overfetch. */
+  def binaryRerankRecall(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val panel = e.filter(col("vec_id") < NPanel)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val short = bqHamming(spark, dir)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ham").asc, col("vec_id").asc)))
+      .filter(col("rank") <= RerankK)
+      .select("qid", "vec_id")
+    val rer = short.join(e, "vec_id").join(broadcast(panel), "qid")
+      .select(col("qid"), col("vec_id"), cosineSim(col("embedding"), col("qe")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rank") <= TopK)
+    val perQ = rer.join(broadcast(panelExactHits(spark, dir)),
+        Seq("qid", "vec_id"), "left")
+      .groupBy("qid").agg(count(col("hit")).as("n_hits"))
+    val tot = perQ.agg(sum(col("n_hits")).as("sh"))
+    perQ.crossJoin(broadcast(tot))
+      .select(col("qid"), col("n_hits"),
+        r6(col("n_hits").cast("double") / TopK).as("recall_at_50"),
+        r6(col("sh").cast("double") / (TopK.toDouble * NPanel)).as("mean_recall"))
+      .orderBy("qid")
+  }
+
+  /** Shared q192/q193 oracle CTE chain: [[pexMuCtes]] thresholds, the
+    * two-half pack, per-qid Hamming, and the exact-cosine ground truth. */
+  private val bqCtes: String =
+    s"""${pexMuCtes.mkString(",\n")},
+       |bqc AS MATERIALIZED (SELECT vec_id,
+       |    CAST(sum(CASE WHEN v > m AND pos < 32 THEN CAST(1 AS BIGINT) << CAST(pos AS INT) ELSE 0 END) AS BIGINT) AS lo,
+       |    CAST(sum(CASE WHEN v > m AND pos >= 32 THEN CAST(1 AS BIGINT) << CAST(pos - 32 AS INT) ELSE 0 END) AS BIGINT) AS hi
+       |  FROM pex JOIN pmu USING (pos) GROUP BY vec_id),
+       |bqq AS (SELECT vec_id AS qid, lo AS qlo, hi AS qhi FROM bqc WHERE vec_id < $NPanel),
+       |bhm AS MATERIALIZED (SELECT qid, bqc.vec_id,
+       |    bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)) AS ham
+       |  FROM bqc, bqq),
+       |brk AS MATERIALIZED (SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY ham ASC, vec_id ASC) AS rank
+       |  FROM bhm),
+       |bpnl AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < $NPanel),
+       |bsc AS MATERIALIZED (SELECT qid, e.vec_id, ${sqlCos("e.embedding", "qe")} AS cos
+       |  FROM embeddings e, bpnl),
+       |bex AS MATERIALIZED (SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS rank
+       |    FROM bsc) WHERE rank <= $TopK)""".stripMargin
+
+  val binaryQuantRecallSql: String =
+    s"""WITH $bqCtes,
+       |bh AS (SELECT b.qid, count(x.vec_id) AS n_hits
+       |  FROM brk b LEFT JOIN bex x ON b.qid = x.qid AND b.vec_id = x.vec_id
+       |  WHERE b.rank <= $TopK GROUP BY 1),
+       |bt AS (SELECT sum(n_hits) AS sh FROM bh)
+       |SELECT qid, CAST(n_hits AS BIGINT) AS n_hits,
+       |  floor((n_hits::DOUBLE / $TopK) * 1000000 + 0.5) / 1000000 AS recall_at_50,
+       |  floor((sh::DOUBLE / (${TopK}.0 * $NPanel)) * 1000000 + 0.5) / 1000000 AS mean_recall
+       |FROM bh, bt ORDER BY qid""".stripMargin
+
+  val binaryRerankRecallSql: String =
+    s"""WITH $bqCtes,
+       |bsl AS (SELECT qid, vec_id FROM brk WHERE rank <= $RerankK),
+       |brr AS (SELECT bsl.qid, bsl.vec_id,
+       |    row_number() OVER (PARTITION BY bsl.qid ORDER BY cos DESC, bsl.vec_id ASC) AS rank
+       |  FROM bsl JOIN bsc ON bsl.qid = bsc.qid AND bsl.vec_id = bsc.vec_id),
+       |bh AS (SELECT b.qid, count(x.vec_id) AS n_hits
+       |  FROM brr b LEFT JOIN bex x ON b.qid = x.qid AND b.vec_id = x.vec_id
+       |  WHERE b.rank <= $TopK GROUP BY 1),
+       |bt AS (SELECT sum(n_hits) AS sh FROM bh)
+       |SELECT qid, CAST(n_hits AS BIGINT) AS n_hits,
+       |  floor((n_hits::DOUBLE / $TopK) * 1000000 + 0.5) / 1000000 AS recall_at_50,
+       |  floor((sh::DOUBLE / (${TopK}.0 * $NPanel)) * 1000000 + 0.5) / 1000000 AS mean_recall
+       |FROM bh, bt ORDER BY qid""".stripMargin
 
   // ---- q98: product quantization (per-subspace k-means codebooks) ---------
 
@@ -3465,7 +3650,9 @@ object SimilarityOps {
     "q185_tier_recall_panel" -> (tierRecallPanel _),
     "q186_tier_feedback" -> (tierFeedback _),
     "q187_tier_route_pass2" -> (tierRoutePass2 _),
-    "q191_embedding_spectrum" -> (embeddingSpectrum _))
+    "q191_embedding_spectrum" -> (embeddingSpectrum _),
+    "q192_binary_quant_recall" -> (binaryQuantRecall _),
+    "q193_binary_rerank_recall" -> (binaryRerankRecall _))
 
   val oracles: Map[String, String] = Map(
     "q142_assignment_drift" -> assignmentDriftSql,
@@ -3499,5 +3686,7 @@ object SimilarityOps {
     "q185_tier_recall_panel" -> tierRecallPanelSql,
     "q186_tier_feedback" -> tierFeedbackSql,
     "q187_tier_route_pass2" -> tierRoutePass2Sql,
-    "q191_embedding_spectrum" -> embeddingSpectrumSql)
+    "q191_embedding_spectrum" -> embeddingSpectrumSql,
+    "q192_binary_quant_recall" -> binaryQuantRecallSql,
+    "q193_binary_rerank_recall" -> binaryRerankRecallSql)
 }

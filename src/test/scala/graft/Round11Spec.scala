@@ -584,4 +584,45 @@ class Round11Spec extends SparkSpec {
     assert(iso > 0.0 && iso <= 1.0 + 1e-9, s"isotropy $iso out of (0,1]")
     assert(dg > 0.0 && dg <= 1.0 + 1e-9, s"diag_frac $dg out of (0,1]")
   }
+
+  test("q192/q193 binary tier: codes recount bit-for-bit against a " +
+    "driver-side pack; rerank recall dominates raw Hamming recall per query") {
+    // Driver-side recount of the centered binary codes from raw floats.
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray)
+      .toMap
+    val d = vecs.head._2.length
+    val n = vecs.size
+    val mu = Array.tabulate(d)(p => vecs.valuesIterator.map(_(p)).sum / n)
+    def pack(v: Array[Double], from: Int): Long =
+      (from until math.min(from + 32, d)).foldLeft(0L) { (acc, p) =>
+        if (v(p) > mu(p)) acc | (1L << (p - from)) else acc
+      }
+    val codes = SimilarityOps.bqCodes(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("lo"), r.getAs[Long]("hi"))).toMap
+    assert(codes.size == n)
+    codes.foreach { case (id, (lo, hi)) =>
+      assert(lo == pack(vecs(id), 0), s"vec $id lo mismatch")
+      assert(hi == pack(vecs(id), 32), s"vec $id hi mismatch")
+    }
+
+    // Monotonicity: the Hamming top-TopK is a subset of the RerankK
+    // shortlist, and an exact-top-k member inside the shortlist can be
+    // displaced only by higher-cosine vectors (at most TopK-1 exist
+    // globally), so per query rerank hits >= raw hits. The spec pins the
+    // engine actually delivers the provable dominance.
+    val raw = SparkEntry.queries("q192_binary_quant_recall")(spark, sf)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("n_hits")).toMap
+    val rr = SparkEntry.queries("q193_binary_rerank_recall")(spark, sf)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("n_hits")).toMap
+    assert(raw.keySet == rr.keySet && raw.size == SimilarityOps.NPanel)
+    raw.foreach { case (qid, h) =>
+      assert(rr(qid) >= h, s"qid $qid: rerank ${rr(qid)} < raw $h")
+      // The query's own vector: Hamming 0 and cosine 1 -> always a hit.
+      assert(h >= 1L, s"qid $qid: own vector not recalled")
+    }
+  }
 }
