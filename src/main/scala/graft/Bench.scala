@@ -138,13 +138,7 @@ object Bench {
     val out = scala.collection.mutable.LinkedHashMap[String, String]()
     val idx = s"target/graft_bench_index_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
     val b0 = System.nanoTime()
-    val (cent, _) = SimilarityOps.kmeansModel(spark, sfDir)
-    SimilarityOps.indexArtifacts(spark, sfDir)
-      .write.mode("overwrite").partitionBy("cluster", "ingest_batch")
-      .parquet(s"$idx/vectors")
-    cent.write.mode("overwrite").parquet(s"$idx/centroids")
-    SimilarityOps.pqModel(spark, sfDir)._1
-      .write.mode("overwrite").parquet(s"$idx/pq_centroids")
+    SimilarityOps.writeIndex(spark, sfDir, idx)
     out("index_build_sec") = f3((System.nanoTime() - b0) / 1e9)
 
     val panel = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -156,7 +150,8 @@ object Bench {
       "float" -> (qv => SimilarityOps.annIvfServe(spark, idx, qv)),
       "int8" -> (qv => SimilarityOps.annIvfInt8Serve(spark, idx, qv)),
       "pq" -> (qv => SimilarityOps.annPqServe(spark, idx, qv)),
-      "pq_rerank" -> (qv => SimilarityOps.annPqRerankServe(spark, idx, qv)))
+      "pq_rerank" -> (qv => SimilarityOps.annPqRerankServe(spark, idx, qv)),
+      "binary" -> (qv => SimilarityOps.annBinaryServe(spark, idx, qv)))
     // Min-of-N per (tier, query) (VERDICT r9 #3 / r10 #3): a single timed
     // pass can be polluted by transient host load (q185's 3x pass spread
     // proved it); the reported p50/p99 are over per-query MINS of

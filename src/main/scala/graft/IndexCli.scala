@@ -39,8 +39,11 @@ object BuildIndex {
   * every vector to int8 codes + scale, and write the complete serving
   * artifact set (SimilarityOps.indexArtifacts):
   *
-  *   `<out>/vectors`    (vec_id, embedding, codes, scale) partitionBy(cluster)
-  *   `<out>/centroids`  (cluster, pos, c) long-form
+  *   `<out>/vectors`       (vec_id, embedding, codes, scale, pq_codes,
+  *                          bq_lo, bq_hi) partitionBy(cluster, ingest_batch)
+  *   `<out>/centroids`     (cluster, pos, c) long-form
+  *   `<out>/pq_centroids`  residual PQ codebooks
+  *   `<out>/bq_mu`         binary tier's centering mean (pos, m)
   *
   * then reload and prove the probe read path: filtering on probed clusters
   * must plan as file-level partition pruning (the 100 TB serving shape —
@@ -53,13 +56,7 @@ object BuildVectorIndex {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val out = if (args.length > 1) args(1) else "target/graft_ivf_index"
     val spark = Cli.session()
-    val (cent, _) = graft.operators.SimilarityOps.kmeansModel(spark, dir)
-
-    graft.operators.SimilarityOps.indexArtifacts(spark, dir)
-      .write.mode("overwrite").partitionBy("cluster", "ingest_batch").parquet(s"$out/vectors")
-    cent.write.mode("overwrite").parquet(s"$out/centroids")
-    graft.operators.SimilarityOps.pqModel(spark, dir)._1
-      .write.mode("overwrite").parquet(s"$out/pq_centroids")
+    graft.operators.SimilarityOps.writeIndex(spark, dir, out)
 
     val reread = spark.read.parquet(s"$out/vectors")
     val sizes = reread.groupBy("cluster").count().orderBy("cluster").collect()

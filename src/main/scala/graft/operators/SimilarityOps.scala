@@ -1091,6 +1091,59 @@ object SimilarityOps {
       .orderBy("rank")
   }
 
+  /** Binary-tier serving (r12 — VERDICT r11 #3): the q192/q193 centered
+    * sign codes served from the PERSISTED index. The probe is the same
+    * literal-cluster partition pruning as every other tier; the first
+    * stage reads 16 bytes/vector (`bq_lo`/`bq_hi` — the narrowest scan
+    * any tier has) and ranks by pure-integer Hamming distance
+    * (xor + popcount, ties on vec_id — no float compare anywhere); the
+    * RerankK shortlist then re-ranks on exact cosine from a second
+    * partition-pruned, shortlist-semi-joined scan, exactly like
+    * [[annPqRerankServe]]. The query's own code is derived driver-side
+    * against the persisted `bq_mu` centering mean (a 64-row read — every
+    * serving system encodes the incoming query), with the same
+    * double-promoted `v > m` comparison as the build-side encode, so a
+    * query that IS an indexed vector gets its indexed code bit-for-bit.
+    * At 100 TB this is the cheapest candidate generator in the family:
+    * 16× less payload than float, 4× less than int8, no codebook and no
+    * ADC table — the measured q192/q193 recall curve prices what that
+    * costs. */
+  def annBinaryServe(
+      spark: SparkSession, indexDir: String, queryVec: Array[Float],
+      nprobe: Int = NProbeServe): DataFrame = {
+    val probed = servedProbe(spark, indexDir, queryVec, nprobe)
+    val mu = spark.read.parquet(s"$indexDir/bq_mu").collect()
+      .map(r => r.getAs[Number]("pos").intValue() ->
+        r.getAs[Number]("m").doubleValue()).toMap
+    var qlo = 0L
+    var qhi = 0L
+    queryVec.indices.foreach { p =>
+      if (queryVec(p).toDouble > mu(p)) {
+        if (p < 32) qlo |= 1L << p else qhi |= 1L << (p % 32)
+      }
+    }
+    val shortlist = vectorsDf(spark, indexDir)
+      .filter(col("cluster").isin(probed: _*))
+      .select(col("vec_id"),
+        (expr(s"bit_count(bq_lo ^ CAST($qlo AS BIGINT))") +
+          expr(s"bit_count(bq_hi ^ CAST($qhi AS BIGINT))")).as("ham"))
+      .orderBy(col("ham").asc, col("vec_id").asc)
+      .limit(RerankK)
+      .select("vec_id")
+    vectorsDf(spark, indexDir)
+      .filter(col("cluster").isin(probed: _*))
+      .join(broadcast(shortlist), "vec_id")
+      .select(col("vec_id"),
+        cosineSim(col("embedding"), typedlit(queryVec)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+      .limit(TopK)
+      .select(col("vec_id"),
+        row_number().over(Window.orderBy(col("cos").desc, col("vec_id").asc))
+          .cast("long").as("rank"),
+        r6(col("cos")).as("cos"))
+      .orderBy("rank")
+  }
+
   // ---- q110: multi-query IVF-PQ recall panel ------------------------------
 
   /** Panel size for q110/q160 — the first NPanel vec_ids serve as
@@ -1231,6 +1284,11 @@ object SimilarityOps {
     emb(spark, dir).select("vec_id", "embedding")
       .join(int8Codes(embLong(spark, dir)), "vec_id")
       .join(pqCodeColumn(pqModel(spark, dir)._2), "vec_id")
+      // Binary tier (r12 — the q192/q193 codes, persisted): 16 bytes of
+      // centered sign bits per vector, the 1-bit/dim first-stage filter.
+      .join(bqCodes(spark, dir)
+        .select(col("vec_id"), col("lo").as("bq_lo"), col("hi").as("bq_hi")),
+        "vec_id")
       .join(asg, "vec_id")
       // Second-level partition key: −1 marks the offline base build;
       // streaming ingest writes each micro-batch under its own
@@ -1287,7 +1345,26 @@ object SimilarityOps {
     delta.select("vec_id", "embedding")
       .join(int8Codes(ex), "vec_id")
       .join(pqCodeColumn(pqAssign(withSub(rex), pqCent)), "vec_id")
+      // Binary codes centered against the PERSISTED mean — like every
+      // other appended artifact: persisted model, zero corpus passes.
+      .join(bqEncode(ex, spark.read.parquet(s"$indexDir/bq_mu"))
+        .select(col("vec_id"), col("lo").as("bq_lo"), col("hi").as("bq_hi")),
+        "vec_id")
       .join(asg, "vec_id")
+  }
+
+  /** Write the COMPLETE serving artifact set for a corpus — the one
+    * offline-build entry point ([[graft.BuildVectorIndex]], Bench, and
+    * every spec go through it, so no index can miss an artifact):
+    * `vectors` partitioned (cluster, ingest_batch), coarse `centroids`,
+    * residual `pq_centroids`, and the binary tier's centering mean
+    * `bq_mu`. */
+  def writeIndex(spark: SparkSession, dir: String, out: String): Unit = {
+    indexArtifacts(spark, dir).write.mode("overwrite")
+      .partitionBy("cluster", "ingest_batch").parquet(s"$out/vectors")
+    kmeansModel(spark, dir)._1.write.mode("overwrite").parquet(s"$out/centroids")
+    pqModel(spark, dir)._1.write.mode("overwrite").parquet(s"$out/pq_centroids")
+    covMu(spark, dir).write.mode("overwrite").parquet(s"$out/bq_mu")
   }
 
   // ---- Index layout resolution: 1-line MANIFEST + generations (r11) -------
@@ -1308,9 +1385,18 @@ object SimilarityOps {
     if (!fs.exists(mf)) "vectors"
     else {
       val in = fs.open(mf)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .next().trim
-      finally in.close()
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val name = content.linesIterator.map(_.trim).find(_.nonEmpty)
+        .getOrElse(throw new IllegalStateException(
+          s"empty/blank index MANIFEST at $mf — a zero-byte manifest " +
+            "means external tooling copied the index non-atomically; " +
+            "restore the manifest or delete it to fall back to `vectors`"))
+      val resolved = new org.apache.hadoop.fs.Path(s"$indexDir/$name")
+      if (!fs.exists(resolved)) throw new IllegalStateException(
+        s"index MANIFEST at $mf names missing directory $resolved")
+      name
     }
   }
 
@@ -1327,7 +1413,8 @@ object SimilarityOps {
   private[graft] val VectorsSchema: org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.StructType.fromDDL(
       "vec_id BIGINT, embedding ARRAY<FLOAT>, codes ARRAY<TINYINT>, " +
-        "scale DOUBLE, pq_codes ARRAY<BIGINT>, cluster INT, ingest_batch INT")
+        "scale DOUBLE, pq_codes ARRAY<BIGINT>, bq_lo BIGINT, bq_hi BIGINT, " +
+        "cluster INT, ingest_batch INT")
 
   /** Every SERVE/read of the vectors table goes through here: manifest
     * resolution, the pinned schema (no inference job), plus
@@ -1395,15 +1482,54 @@ object SimilarityOps {
     * committed at (2). (A read that plans between (2) and (3) can see a
     * hot cluster's batch rows twice for the metadata-op duration of (3);
     * single-maintenance-writer is assumed, as in any compacting store.)
+    *
+    * CRASH-ATOMIC (ADVICE r11): the fold and the retirement are two
+    * separate commits, so a crash between them would otherwise leave a
+    * batch's rows present BOTH in `ingest_batch=-1` and in its batch
+    * directory — and the next fold would bake the duplicates into the
+    * base forever. Three guards close it:
+    *   (a) the consolidated read dedups by vec_id PREFERRING the
+    *       `ingest_batch=-1` copy (ascending ingest_batch — the base
+    *       sorts first), so re-folding an already-folded row is
+    *       idempotent no matter how the crash interleaved;
+    *   (b) after the fold commits, the superseded batch directories are
+    *       recorded in an atomically-renamed `.retired_batches` marker
+    *       BEFORE deletion — the marker is only ever written after its
+    *       rows are safely in the base;
+    *   (c) every compaction starts with [[recoverRetiredBatches]]: a
+    *       surviving marker proves its directories were folded, so the
+    *       sweep deletes them (closing the serve-visible duplicate
+    *       window at the next maintenance trigger) and clears the
+    *       marker. A crash BEFORE the marker leaves duplicates that (a)
+    *       folds away at the next trigger.
     * Returns the compacted cluster ids (empty = nothing over bound). */
   def compactHotClusters(
       spark: SparkSession, indexDir: String, threshold: Int): Seq[Long] = {
+    recoverRetiredBatches(spark, indexDir)
     val hot = clusterFileCounts(spark, indexDir)
       .collect { case (c, n) if n > threshold => c }.toSeq.sorted
     if (hot.isEmpty) return Nil
-    val vdir = vectorsPath(spark, indexDir)
-    val consolidated = spark.read.parquet(vdir)
+    val activeName = activeVectorsName(spark, indexDir)
+    val vdir = s"$indexDir/$activeName"
+    val fs = idxFs(spark, indexDir)
+    // Superseded directories listed BEFORE the fold (single maintenance
+    // writer: nothing lands between this listing and the fold commit).
+    val superseded = hot.flatMap { c =>
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$vdir/cluster=$c")).iterator
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("ingest_batch=")
+          && s.getPath.getName != "ingest_batch=-1")
+        .map(b => s"$activeName/cluster=$c/${b.getPath.getName}")
+    }
+    // Pinned schema (no footer-inference job over the table at plan
+    // time) + ignoreMissingFiles, exactly like every serve read; the
+    // vec_id window keeps the base copy when a crashed prior fold left
+    // a row in both tiers (guard (a) above).
+    val consolidated = spark.read.schema(VectorsSchema)
+      .option("ignoreMissingFiles", "true").parquet(vdir)
       .filter(col("cluster").isin(hot: _*))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ingest_batch").asc)))
+      .filter(col("rn") === 1).drop("rn")
       .withColumn("ingest_batch", lit(-1L))
       .repartition(col("cluster"))
       .localCheckpoint(true)
@@ -1414,25 +1540,54 @@ object SimilarityOps {
       .partitionBy("cluster", "ingest_batch")
       .parquet(vdir)
     consolidated.unpersist(true)
-    // Retire the now-superseded batch partitions of the hot clusters:
-    // rename out (metadata op) then delete, so no reader ever sees a
-    // half-deleted directory.
+    writeRetiredMarker(spark, indexDir, superseded)
+    recoverRetiredBatches(spark, indexDir)
+    hot
+  }
+
+  /** Atomically record the batch directories a just-committed fold
+    * superseded (tmp write + FileContext rename — the MANIFEST recipe).
+    * Paths are `indexDir`-relative and include the generation name, so a
+    * marker surviving a full-compaction swap never deletes live data. */
+  private[graft] def writeRetiredMarker(
+      spark: SparkSession, indexDir: String, relPaths: Seq[String]): Unit = {
     val fs = idxFs(spark, indexDir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.retired_batches.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((relPaths.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri,
+      spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, new org.apache.hadoop.fs.Path(s"$indexDir/.retired_batches"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Crash-recovery sweep: a `.retired_batches` marker is only ever
+    * written AFTER its directories' rows were committed to the
+    * `ingest_batch=-1` base, so whatever it lists is safe — and
+    * necessary — to delete (rows would otherwise serve twice). Each
+    * directory is renamed out (metadata op) then deleted, so no reader
+    * sees a half-deleted directory; the marker clears last, making the
+    * sweep itself re-runnable after any crash point. */
+  private[graft] def recoverRetiredBatches(spark: SparkSession, indexDir: String): Unit = {
+    val fs = idxFs(spark, indexDir)
+    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/.retired_batches")
+    if (!fs.exists(marker)) return
+    val in = fs.open(marker)
+    val listed =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .map(_.trim).filter(_.nonEmpty).toList
+      finally in.close()
     val trash = new org.apache.hadoop.fs.Path(s"$indexDir/.vectors_trash")
     fs.delete(trash, true)
     fs.mkdirs(trash)
-    hot.foreach { c =>
-      val cdir = new org.apache.hadoop.fs.Path(s"$vdir/cluster=$c")
-      fs.listStatus(cdir).iterator
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("ingest_batch=")
-          && s.getPath.getName != "ingest_batch=-1")
-        .foreach { b =>
-          fs.rename(b.getPath, new org.apache.hadoop.fs.Path(trash,
-            s"cluster=$c.${b.getPath.getName}"))
-        }
+    listed.zipWithIndex.foreach { case (rel, i) =>
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/$rel")
+      if (fs.exists(p))
+        fs.rename(p, new org.apache.hadoop.fs.Path(trash, s"r$i"))
     }
     fs.delete(trash, true)
-    hot
+    fs.delete(marker, false)
   }
 
   /** FULL-table compaction — the offline CLI path (CompactVectorIndex):
@@ -2267,18 +2422,23 @@ object SimilarityOps {
     * the same one-pass build. */
   private[graft] def bqCodes(spark: SparkSession, dir: String): DataFrame =
     bqCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
-      val mu = covMu(spark, dir)
-      embLong(spark, dir)
-        .join(broadcast(mu), "pos")
-        .select(col("vec_id"), col("pos"),
-          when(col("v") > col("m"),
-            expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"))
-            .otherwise(lit(0L)).as("contrib"))
-        .groupBy("vec_id")
-        .agg(sum(when(col("pos") < 32, col("contrib")).otherwise(0L)).as("lo"),
-          sum(when(col("pos") >= 32, col("contrib")).otherwise(0L)).as("hi"))
-        .cache()
+      bqEncode(embLong(spark, dir), covMu(spark, dir)).cache()
     })
+
+  /** The sign-code pack for any long-form (vec_id, pos, v) frame against
+    * a (pos, m) centering mean — shared by the in-session memo, the
+    * offline index build, and the incremental append (which centers
+    * against the PERSISTED `bq_mu`, so appended codes are bit-identical
+    * to build-time codes). */
+  private def bqEncode(ex: DataFrame, mu: DataFrame): DataFrame =
+    ex.join(broadcast(mu), "pos")
+      .select(col("vec_id"), col("pos"),
+        when(col("v") > col("m"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"))
+          .otherwise(lit(0L)).as("contrib"))
+      .groupBy("vec_id")
+      .agg(sum(when(col("pos") < 32, col("contrib")).otherwise(0L)).as("lo"),
+        sum(when(col("pos") >= 32, col("contrib")).otherwise(0L)).as("hi"))
 
   /** Per-(panel query, corpus vector) Hamming distances over the binary
     * codes — xor + popcount on the two BIGINT halves, whole-stage-codegen
@@ -2335,7 +2495,7 @@ object SimilarityOps {
     val tot = perQ.agg(sum(col("n_hits")).as("sh"))
     perQ.crossJoin(broadcast(tot))
       .select(col("qid"), col("n_hits"),
-        r6(col("n_hits").cast("double") / TopK).as("recall_at_50"),
+        r6(col("n_hits").cast("double") / TopK).as(s"recall_at_$TopK"),
         r6(col("sh").cast("double") / (TopK.toDouble * NPanel)).as("mean_recall"))
       .orderBy("qid")
   }
@@ -2369,7 +2529,7 @@ object SimilarityOps {
     val tot = perQ.agg(sum(col("n_hits")).as("sh"))
     perQ.crossJoin(broadcast(tot))
       .select(col("qid"), col("n_hits"),
-        r6(col("n_hits").cast("double") / TopK).as("recall_at_50"),
+        r6(col("n_hits").cast("double") / TopK).as(s"recall_at_$TopK"),
         r6(col("sh").cast("double") / (TopK.toDouble * NPanel)).as("mean_recall"))
       .orderBy("qid")
   }
@@ -2403,7 +2563,7 @@ object SimilarityOps {
        |  WHERE b.rank <= $TopK GROUP BY 1),
        |bt AS (SELECT sum(n_hits) AS sh FROM bh)
        |SELECT qid, CAST(n_hits AS BIGINT) AS n_hits,
-       |  floor((n_hits::DOUBLE / $TopK) * 1000000 + 0.5) / 1000000 AS recall_at_50,
+       |  floor((n_hits::DOUBLE / $TopK) * 1000000 + 0.5) / 1000000 AS recall_at_$TopK,
        |  floor((sh::DOUBLE / (${TopK}.0 * $NPanel)) * 1000000 + 0.5) / 1000000 AS mean_recall
        |FROM bh, bt ORDER BY qid""".stripMargin
 
@@ -2418,7 +2578,7 @@ object SimilarityOps {
        |  WHERE b.rank <= $TopK GROUP BY 1),
        |bt AS (SELECT sum(n_hits) AS sh FROM bh)
        |SELECT qid, CAST(n_hits AS BIGINT) AS n_hits,
-       |  floor((n_hits::DOUBLE / $TopK) * 1000000 + 0.5) / 1000000 AS recall_at_50,
+       |  floor((n_hits::DOUBLE / $TopK) * 1000000 + 0.5) / 1000000 AS recall_at_$TopK,
        |  floor((sh::DOUBLE / (${TopK}.0 * $NPanel)) * 1000000 + 0.5) / 1000000 AS mean_recall
        |FROM bh, bt ORDER BY qid""".stripMargin
 
@@ -2798,7 +2958,7 @@ object SimilarityOps {
       .groupBy("dim")
       .agg(count(col("hit")).as("n_hits"))
       .select(col("dim").cast("long").as("dim"), col("n_hits"),
-        r6(col("n_hits").cast("double") / TopK).as("recall_at_50"))
+        r6(col("n_hits").cast("double") / TopK).as(s"recall_at_$TopK"))
       .orderBy("dim")
   }
 
@@ -2817,7 +2977,7 @@ object SimilarityOps {
        |          row_number() OVER (PARTITION BY dim ORDER BY cos_d DESC, vec_id ASC) AS rank
        |        FROM dsc)
        |SELECT CAST(dim AS BIGINT) AS dim, CAST(count(fex.vec_id) AS BIGINT) AS n_hits,
-       |  floor((count(fex.vec_id)::DOUBLE / $TopK) * 1000000 + 0.5) / 1000000 AS recall_at_50
+       |  floor((count(fex.vec_id)::DOUBLE / $TopK) * 1000000 + 0.5) / 1000000 AS recall_at_$TopK
        |FROM drk LEFT JOIN fex ON drk.vec_id = fex.vec_id
        |WHERE drk.rank <= $TopK
        |GROUP BY dim ORDER BY dim""".stripMargin
@@ -3334,7 +3494,10 @@ object SimilarityOps {
     * upsert like ParquetTelemetryStore.saveRouterState. */
   def saveTierState(spark: SparkSession, stateDir: String, wE4: Map[String, Long]): Unit = {
     import spark.implicits._
-    Seq((wE4("float"), wE4("int8"), wE4("pq"), wE4("pq_rerank")))
+    // getOrElse: a fold over a panel where some tier never appears (ADVICE
+    // r11) must persist that tier's weight as 0, not throw.
+    Seq((wE4.getOrElse("float", 0L), wE4.getOrElse("int8", 0L),
+        wE4.getOrElse("pq", 0L), wE4.getOrElse("pq_rerank", 0L)))
       .toDF("w_float_e4", "w_int8_e4", "w_pq_e4", "w_pq_rerank_e4")
       .withColumn("key", lit("tier_state:v1"))
       .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/tier_state")
@@ -3355,10 +3518,16 @@ object SimilarityOps {
     }
   }
 
-  /** Where q187 keeps its state, keyed by corpus dir (per-SF isolation,
-    * writable from the repo root the driver runs in). */
-  private def tierStateDir(dir: String): String =
-    s"target/graft_tier_state_${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+  /** Where q187 keeps its state, keyed by corpus dir AND application id
+    * (ADVICE r11: two concurrent sessions querying the same corpus must
+    * not race each other's overwrite-then-reload; per-SF isolation,
+    * writable from the repo root the driver runs in). q187's state is
+    * deliberately ephemeral — always one fold applied to zero — so
+    * appId-scoping costs nothing; REAL cross-invocation accumulation
+    * goes through an explicit caller-owned stateDir ([[graft.TierPass]]). */
+  private def tierStateDir(spark: SparkSession, dir: String): String =
+    s"target/graft_tier_state_${spark.sparkContext.applicationId}_" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_")
 
   /** q187: the pass-1 → pass-2 behavioral arc on the vector tiers (the
     * reference's defining demo — BASELINE.md rows 1-2: feedback persists,
@@ -3375,8 +3544,8 @@ object SimilarityOps {
     * convergence test instead. */
   def tierRoutePass2(spark: SparkSession, dir: String): DataFrame = {
     val fold = tierFoldE4(spark, dir)
-    saveTierState(spark, tierStateDir(dir), fold)
-    val loaded = loadTierState(spark, tierStateDir(dir))
+    saveTierState(spark, tierStateDir(spark, dir), fold)
+    val loaded = loadTierState(spark, tierStateDir(spark, dir))
     val feats = tierFeatures(spark, dir)
     val r0 = tierUtilities(feats, zeroW)
       .select(col("qid"), tierChoice.as("tier_w0"))

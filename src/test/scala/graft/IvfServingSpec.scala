@@ -23,12 +23,7 @@ class IvfServingSpec extends SparkSpec {
 
   private lazy val indexDir: String = {
     val out = java.nio.file.Files.createTempDirectory("graft_ivf_serve").toString
-    val (cent, _) = SimilarityOps.kmeansModel(spark, dir)
-    SimilarityOps.indexArtifacts(spark, dir)
-      .write.mode("overwrite").partitionBy("cluster", "ingest_batch").parquet(s"$out/vectors")
-    cent.write.mode("overwrite").parquet(s"$out/centroids")
-    SimilarityOps.pqModel(spark, dir)._1
-      .write.mode("overwrite").parquet(s"$out/pq_centroids")
+    SimilarityOps.writeIndex(spark, dir, out)
     out
   }
 
@@ -86,7 +81,8 @@ class IvfServingSpec extends SparkSpec {
         SimilarityOps.annIvfServe(spark, indexDir, queryVec),
         SimilarityOps.annIvfInt8Serve(spark, indexDir, queryVec),
         SimilarityOps.annPqServe(spark, indexDir, queryVec),
-        SimilarityOps.annPqRerankServe(spark, indexDir, queryVec))) {
+        SimilarityOps.annPqRerankServe(spark, indexDir, queryVec),
+        SimilarityOps.annBinaryServe(spark, indexDir, queryVec))) {
       // Cluster predicate INSIDE the PartitionFilters bracket (a whole
       // FileScan renders on one line whose attribute list also says
       // `cluster`, so a plain substring test could pass with
@@ -106,16 +102,66 @@ class IvfServingSpec extends SparkSpec {
     }
   }
 
+  test("served binary tier: driver recount of the Hamming shortlist + float re-rank") {
+    val served = SimilarityOps.annBinaryServe(spark, indexDir, queryVec).collect()
+
+    // Independent recount from the persisted artifacts alone: re-derive
+    // the query's sign code from bq_mu, the Hamming shortlist from the
+    // persisted bq_lo/bq_hi, and the exact-cosine re-rank with the same
+    // sequential double fold CosineSimilarity generates — bit-identical
+    // arithmetic, so vec_id ORDER must match, not just the set.
+    val mu = spark.read.parquet(s"$indexDir/bq_mu").collect()
+      .map(r => r.getAs[Number]("pos").intValue() ->
+        r.getAs[Number]("m").doubleValue()).toMap
+    var qlo = 0L; var qhi = 0L
+    queryVec.indices.foreach { p =>
+      if (queryVec(p).toDouble > mu(p)) {
+        if (p < 32) qlo |= 1L << p else qhi |= 1L << (p % 32)
+      }
+    }
+    val probed = SimilarityOps
+      .servedProbe(spark, indexDir, queryVec, SimilarityOps.NProbeServe).toSet
+    val rows = spark.read.parquet(s"$indexDir/vectors")
+      .select("vec_id", "embedding", "bq_lo", "bq_hi", "cluster").collect()
+      .filter(r => probed.contains(r.getAs[Number]("cluster").longValue()))
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray,
+        r.getAs[Long]("bq_lo"), r.getAs[Long]("bq_hi")))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; nx += x * x; ny += y * y; i += 1
+      }
+      if (nx == 0.0 || ny == 0.0) 0.0 else dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val expect = rows
+      .map { case (id, e, lo, hi) =>
+        (id, java.lang.Long.bitCount(lo ^ qlo) + java.lang.Long.bitCount(hi ^ qhi), e) }
+      .sortBy { case (id, ham, _) => (ham, id) }
+      .take(SimilarityOps.RerankK)
+      .map { case (id, _, e) => (id, cos(e, queryVec)) }
+      .sortBy { case (id, c) => (-c, id) }
+      .take(SimilarityOps.TopK)
+    assert(served.length == expect.length && served.nonEmpty)
+    served.zip(expect).zipWithIndex.foreach { case ((row, (eid, ecos)), i) =>
+      assert(row.getAs[Long]("vec_id") == eid,
+        s"rank ${i + 1}: served ${row.getAs[Long]("vec_id")} vs recount $eid")
+      assert(row.getAs[Long]("rank") == i + 1)
+      assert(row.getAs[Double]("cos") == math.floor(ecos * 1e6 + 0.5) / 1e6)
+    }
+    // A query that IS an indexed vector gets its indexed code bit for
+    // bit, so its own id must re-rank to #1 at cosine 1.0.
+    assert(served.head.getAs[Long]("vec_id") == SimilarityOps.QueryVecId)
+    assert(served.head.getAs[Double]("cos") == 1.0)
+  }
+
   test("incremental append: delta vectors land in their centroid's partition, no retrain") {
     // Fresh index copy so the shared indexDir stays pristine for the
     // equality tests.
     val out = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
-    val (cent, _) = SimilarityOps.kmeansModel(spark, dir)
-    SimilarityOps.indexArtifacts(spark, dir)
-      .write.mode("overwrite").partitionBy("cluster", "ingest_batch").parquet(s"$out/vectors")
-    cent.write.mode("overwrite").parquet(s"$out/centroids")
-    SimilarityOps.pqModel(spark, dir)._1
-      .write.mode("overwrite").parquet(s"$out/pq_centroids")
+    SimilarityOps.writeIndex(spark, dir, out)
     val before = spark.read.parquet(s"$out/vectors").count()
 
     // The same embeddings, id-shifted, standing in for new arrivals.
@@ -150,12 +196,7 @@ class IvfServingSpec extends SparkSpec {
   test("compaction: fewer files, identical rows, identical served answers") {
     // Fresh index, then three appends to fragment the partitions.
     val out = java.nio.file.Files.createTempDirectory("graft_ivf_compact").toString
-    val (cent, _) = SimilarityOps.kmeansModel(spark, dir)
-    SimilarityOps.indexArtifacts(spark, dir)
-      .write.mode("overwrite").partitionBy("cluster", "ingest_batch").parquet(s"$out/vectors")
-    cent.write.mode("overwrite").parquet(s"$out/centroids")
-    SimilarityOps.pqModel(spark, dir)._1
-      .write.mode("overwrite").parquet(s"$out/pq_centroids")
+    SimilarityOps.writeIndex(spark, dir, out)
     (1 to 3).foreach { i =>
       val delta = spark.read.parquet(s"$dir/embeddings.parquet")
         .filter(col("vec_id") < 50)

@@ -21,13 +21,7 @@ class Round11Spec extends SparkSpec {
   /** Fresh IVF index built from sf0.001 (the Round9Spec recipe). */
   private def buildIndex(): String = {
     val out = java.nio.file.Files.createTempDirectory("graft_r11_idx").toString
-    val (cent, _) = SimilarityOps.kmeansModel(spark, sf)
-    SimilarityOps.indexArtifacts(spark, sf)
-      .write.mode("overwrite").partitionBy("cluster", "ingest_batch")
-      .parquet(s"$out/vectors")
-    cent.write.mode("overwrite").parquet(s"$out/centroids")
-    SimilarityOps.pqModel(spark, sf)._1
-      .write.mode("overwrite").parquet(s"$out/pq_centroids")
+    SimilarityOps.writeIndex(spark, sf, out)
     out
   }
 

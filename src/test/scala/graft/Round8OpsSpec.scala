@@ -42,21 +42,27 @@ class Round8OpsSpec extends SparkSpec {
 
   test("Memos.release(dir) returns storage to baseline; re-derivation reproduces the frames") {
     import graft.operators.{DedupOps, Memos}
-    // Clean slate for this dir (earlier suites/tests may have memoized it),
-    // then measure the session's storage baseline.
+    // Clean slate for this dir (earlier suites/tests may have memoized it).
+    // Baseline is the SET of persisted RDD ids, not the raw count: other
+    // suites' localCheckpoint blocks are swept ASYNCHRONOUSLY by the
+    // ContextCleaner, so a raw-count equality races with the sweep (the
+    // r11 flake). Tracking the ids THIS test adds is sweep-immune — the
+    // cleaner can't touch them while the Memos registry holds a reference.
     Memos.release(dir)
-    val base = spark.sparkContext.getPersistentRDDs.size
+    val baseIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
 
     val before = DedupOps.minhashDupPairs(spark, dir).collect()
       .map(_.toString).sorted.toSeq
     SimilarityOps.annIvf(spark, dir).count() // k-means model memo
-    assert(spark.sparkContext.getPersistentRDDs.size > base,
-      "memoized frames should be persisted after use")
+    val added =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet -- baseIds
+    assert(added.nonEmpty, "memoized frames should be persisted after use")
 
     val evicted = Memos.release(dir)
     assert(evicted > 0, "release evicted nothing")
-    assert(spark.sparkContext.getPersistentRDDs.size == base,
-      s"storage not back to baseline: ${spark.sparkContext.getPersistentRDDs.size} vs $base")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.toSet & added
+    assert(leaked.isEmpty,
+      s"release left this test's frames persisted: RDD ids $leaked")
 
     // Releasing loses nothing but cache: the same frames re-derive.
     val after = DedupOps.minhashDupPairs(spark, dir).collect()

@@ -86,12 +86,7 @@ class Round9Spec extends SparkSpec {
     import graft.operators.SimilarityOps
     import graft.streaming.StreamingOps
     val out = java.nio.file.Files.createTempDirectory("graft_autocompact").toString
-    val (cent, _) = SimilarityOps.kmeansModel(spark, sf)
-    SimilarityOps.indexArtifacts(spark, sf)
-      .write.mode("overwrite").partitionBy("cluster", "ingest_batch").parquet(s"$out/vectors")
-    cent.write.mode("overwrite").parquet(s"$out/centroids")
-    SimilarityOps.pqModel(spark, sf)._1
-      .write.mode("overwrite").parquet(s"$out/pq_centroids")
+    SimilarityOps.writeIndex(spark, sf, out)
     val base = spark.read.parquet(s"$out/vectors").count()
 
     // Six ingested batches through the exact foreachBatch body (append +

@@ -426,10 +426,7 @@ class StreamingSpec extends SparkSpec {
 
     // Persisted index (same artifact set the ingest test builds).
     val out = java.nio.file.Files.createTempDirectory("graft_serve_idx").toString
-    val (cent, _) = SimilarityOps.kmeansModel(spark, dir)
-    SimilarityOps.indexArtifacts(spark, dir)
-      .write.mode("overwrite").partitionBy("cluster", "ingest_batch").parquet(s"$out/vectors")
-    cent.write.mode("overwrite").parquet(s"$out/centroids")
+    SimilarityOps.writeIndex(spark, dir, out)
 
     val qids = Seq(5L, 17L, 42L)
     val embOf = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -474,12 +471,8 @@ class StreamingSpec extends SparkSpec {
 
     // Fresh persisted index (the BuildVectorIndex artifact set).
     val out = java.nio.file.Files.createTempDirectory("graft_ingest_idx").toString
-    val (cent, kasgF) = SimilarityOps.kmeansModel(spark, dir)
-    SimilarityOps.indexArtifacts(spark, dir)
-      .write.mode("overwrite").partitionBy("cluster", "ingest_batch").parquet(s"$out/vectors")
-    cent.write.mode("overwrite").parquet(s"$out/centroids")
-    SimilarityOps.pqModel(spark, dir)._1
-      .write.mode("overwrite").parquet(s"$out/pq_centroids")
+    val (_, kasgF) = SimilarityOps.kmeansModel(spark, dir)
+    SimilarityOps.writeIndex(spark, dir, out)
     val before = spark.read.parquet(s"$out/vectors").count()
 
     val e = spark.read.parquet(s"$dir/embeddings.parquet")
@@ -549,12 +542,7 @@ class StreamingSpec extends SparkSpec {
     import graft.operators.SimilarityOps
 
     val out = java.nio.file.Files.createTempDirectory("graft_ingest_once").toString
-    val (cent, _) = SimilarityOps.kmeansModel(spark, dir)
-    SimilarityOps.indexArtifacts(spark, dir)
-      .write.mode("overwrite").partitionBy("cluster", "ingest_batch").parquet(s"$out/vectors")
-    cent.write.mode("overwrite").parquet(s"$out/centroids")
-    SimilarityOps.pqModel(spark, dir)._1
-      .write.mode("overwrite").parquet(s"$out/pq_centroids")
+    SimilarityOps.writeIndex(spark, dir, out)
     val base = spark.read.parquet(s"$out/vectors").count()
 
     val batch = spark.read.parquet(s"$dir/embeddings.parquet")
