@@ -2534,14 +2534,20 @@ object SimilarityOps {
       .orderBy("qid")
   }
 
-  /** Shared q192/q193 oracle CTE chain: [[pexMuCtes]] thresholds, the
-    * two-half pack, per-qid Hamming, and the exact-cosine ground truth. */
-  private val bqCtes: String =
+  /** The sign-code pack CTE prefix (pex → pmu → bqc) — shared by the
+    * q192/q193 oracles and the tier-router oracle's binary arm, extracted
+    * so the two derivations cannot drift. */
+  private lazy val bqPackCtes: String =
     s"""${pexMuCtes.mkString(",\n")},
        |bqc AS MATERIALIZED (SELECT vec_id,
        |    CAST(sum(CASE WHEN v > m AND pos < 32 THEN CAST(1 AS BIGINT) << CAST(pos AS INT) ELSE 0 END) AS BIGINT) AS lo,
        |    CAST(sum(CASE WHEN v > m AND pos >= 32 THEN CAST(1 AS BIGINT) << CAST(pos - 32 AS INT) ELSE 0 END) AS BIGINT) AS hi
-       |  FROM pex JOIN pmu USING (pos) GROUP BY vec_id),
+       |  FROM pex JOIN pmu USING (pos) GROUP BY vec_id)""".stripMargin
+
+  /** Shared q192/q193 oracle CTE chain: [[bqPackCtes]], per-qid Hamming,
+    * and the exact-cosine ground truth. */
+  private val bqCtes: String =
+    s"""$bqPackCtes,
        |bqq AS (SELECT vec_id AS qid, lo AS qlo, hi AS qhi FROM bqc WHERE vec_id < $NPanel),
        |bhm AS MATERIALIZED (SELECT qid, bqc.vec_id,
        |    bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)) AS ham
@@ -3155,9 +3161,10 @@ object SimilarityOps {
   // text-arm port (Router.scala): pure column arithmetic end-to-end, a
   // commutative delta fold, and every stage oracle-expressible.
 
-  /** The four serving tiers in the fixed tie-break order (ascending name —
-    * the Router.updateDeltas convention). */
-  val Tiers: Seq[String] = Seq("float", "int8", "pq", "pq_rerank")
+  /** The five serving tiers in the fixed tie-break order (ascending name —
+    * the Router.updateDeltas convention). `binary` is the round-12 arm:
+    * the q192/q193 sign-code tier served by [[annBinaryServe]]. */
+  val Tiers: Seq[String] = Seq("binary", "float", "int8", "pq", "pq_rerank")
 
   /** Per-tier utility penalty = TierLambda × relative serve cost, in exact
     * integer ten-thousandths so every utility comparison is BIGINT
@@ -3166,17 +3173,26 @@ object SimilarityOps {
     * Relative costs come from the measured serve-phase p50s in
     * BENCH_FULL.json (float 565 ms, int8 556, pq 930, pq_rerank 1356 —
     * the round-9 artifact), normalized to the float tier and rounded to
-    * 1.00 / 0.98 / 1.65 / 2.40; TierLambda = 0.15 recall-per-cost. */
+    * 1.00 / 0.98 / 1.65 / 2.40; TierLambda = 0.15 recall-per-cost.
+    * binary pinned the same way when its arm arrived (r12): measured
+    * annBinaryServe p50 405 ms vs float 241 at sf0.1 → 1.70 → 2550.
+    * (Single-node p50 is plan-overhead-heavy and so UNDERSTATES binary's
+    * scale advantage — its first stage reads 16 bytes/vector, 16× less
+    * than float — but the convention is to price what was measured, not
+    * what the scan-byte model promises.) */
   val TierPenE4: Map[String, Long] = Map(
-    "float" -> 1500L, "int8" -> 1470L, "pq" -> 2475L, "pq_rerank" -> 3600L)
+    "binary" -> 2550L, "float" -> 1500L, "int8" -> 1470L,
+    "pq" -> 2475L, "pq_rerank" -> 3600L)
 
   /** Bandit step in ten-thousandths: the winning tier gets +300 (+0.03),
-    * each of the three losers −100 (−0.01) — zero-sum like the reference's
+    * each of the four losers −75 (−0.0075) — zero-sum like the reference's
     * +lr / −lr/2 text update (router.py:152-156), scaled so one panel pass
     * (≤ 20·0.03 = 0.6) can shift boundary decisions without swamping the
-    * O(1) heuristics. */
+    * O(1) heuristics. (−100 with the four original arms; re-split exactly
+    * when the binary arm arrived so the A12 conservation contract holds:
+    * 300 − 4·75 = 0 in exact e4 integers.) */
   val TierLrWinE4 = 300L
-  val TierLrLoseE4 = -100L
+  val TierLrLoseE4 = -75L
 
   /** Query-side routing features over the NPanel panel, every one
     * r6-rounded so the heuristic doubles built from them are bit-identical
@@ -3260,14 +3276,23 @@ object SimilarityOps {
     * rerank the HARDEST queries — its steep 3.5·(1−margin) slope clears
     * float/int8 only below margin ≈ 0.01, where the probe margin says the
     * coarse quantizer is guessing and an exact re-read pays for itself.
+    * binary (r12) shares pq's easy-query slope (3·margin — compressed
+    * candidates suffice when the probe is confident) but pays a steep
+    * 0.9·peak distortion penalty: sign codes carry no magnitudes at all,
+    * so a peaky vector's energy concentration is exactly what they lose —
+    * it beats pq only below peak ≈ 0.295 (pq's own base/penalty gap of
+    * 0.24 equals binary's 0.5055 − 0.9·peak there), splitting the
+    * easy-query region by code fidelity just as peak splits float/int8.
     * Boundaries sit mid-range of the measured panel features at sf0.01
-    * AND sf0.1, so the zero-state census is genuinely 4-way (see
+    * AND sf0.1, so the zero-state census is genuinely 5-way (see
     * SCALE.md) and the bandit fold has real mass to move.
     * Parenthesization is pinned — the SQL twin mirrors the exact
     * expression tree so the doubles agree bitwise. */
   private[graft] def tierUtilities(feats: DataFrame, w: Map[String, Column]): DataFrame = {
     val m = col("margin"); val p = col("peak"); val cv = col("coverage")
     feats
+      .withColumn("u_binary",
+        ((((lit(0.7605) + lit(3.0) * m) - lit(0.9) * p) + lit(0.3) * cv) + w("binary")) - lit(0.255))
       .withColumn("u_float",
         ((lit(0.3) + lit(0.5) * (lit(1.0) - m)) + w("float")) - lit(0.15))
       .withColumn("u_int8",
@@ -3278,11 +3303,13 @@ object SimilarityOps {
         (((lit(-2.55) + lit(3.5) * (lit(1.0) - m)) + lit(0.45) * cv) + w("pq_rerank")) - lit(0.36))
   }
 
-  /** Arm argmax over the four u_* columns, ties to the ascending tier
-    * name (float < int8 < pq < pq_rerank). */
+  /** Arm argmax over the five u_* columns, ties to the ascending tier
+    * name (binary < float < int8 < pq < pq_rerank). */
   private[graft] def tierChoice: Column =
-    when(col("u_float") >= col("u_int8") && col("u_float") >= col("u_pq") &&
-      col("u_float") >= col("u_pq_rerank"), "float")
+    when(col("u_binary") >= col("u_float") && col("u_binary") >= col("u_int8") &&
+      col("u_binary") >= col("u_pq") && col("u_binary") >= col("u_pq_rerank"), "binary")
+      .when(col("u_float") >= col("u_int8") && col("u_float") >= col("u_pq") &&
+        col("u_float") >= col("u_pq_rerank"), "float")
       .when(col("u_int8") >= col("u_pq") && col("u_int8") >= col("u_pq_rerank"), "int8")
       .when(col("u_pq") >= col("u_pq_rerank"), "pq")
       .otherwise("pq_rerank")
@@ -3296,6 +3323,7 @@ object SimilarityOps {
   def tierRoute(spark: SparkSession, dir: String): DataFrame =
     tierUtilities(tierFeatures(spark, dir), zeroW)
       .select(col("qid"), col("q_norm"), col("peak"), col("margin"), col("coverage"),
+        r6(col("u_binary")).as("u_binary"),
         r6(col("u_float")).as("u_float"), r6(col("u_int8")).as("u_int8"),
         r6(col("u_pq")).as("u_pq"), r6(col("u_pq_rerank")).as("u_pq_rerank"),
         tierChoice.as("tier"))
@@ -3313,7 +3341,10 @@ object SimilarityOps {
     *   - pq:        candidates ranked by residual ADC (q110's machinery at
     *                the fixed serving depth);
     *   - pq_rerank: ADC's RerankK shortlist re-ranked by exact cosine
-    *                (q111 per qid).
+    *                (q111 per qid);
+    *   - binary:    Hamming-ranked sign-code shortlist re-ranked by exact
+    *                cosine (q193 per qid at depth NProbe — annBinaryServe
+    *                arithmetic).
     * Everything reuses the memoized kmeans/pq models; the only
     * corpus-sized work is the one panel×corpus exact-cosine pass (the
     * ground truth, shared by all four tiers) and the probed-cell candidate
@@ -3416,6 +3447,29 @@ object SimilarityOps {
       .join(exact, Seq("qid", "vec_id"))
       .groupBy("qid").agg(count(lit(1)).as("n_hits"))
 
+    // binary (r12): probed candidates ranked by pure-integer Hamming over
+    // the q192 sign codes, RerankK shortlist re-ranked by exact cosine —
+    // annBinaryServe's arithmetic at depth NProbe (ties on vec_id at both
+    // stages, so no float compare decides candidacy).
+    val bq = bqCodes(spark, dir)
+    val qbq = bq.filter(col("vec_id") < NPanel)
+      .select(col("vec_id").as("qid"), col("lo").as("qlo"), col("hi").as("qhi"))
+    val hBinary = cand.join(bq, "vec_id")
+      .join(broadcast(qbq), "qid")
+      .select(col("qid"), col("vec_id"),
+        (expr("bit_count(lo ^ qlo)") + expr("bit_count(hi ^ qhi)"))
+          .cast("long").as("ham"))
+      .withColumn("brank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ham").asc, col("vec_id").asc)))
+      .filter(col("brank") <= RerankK)
+      .select("qid", "vec_id")
+      .join(pcs, Seq("qid", "vec_id"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rank") <= TopK)
+      .join(exact, Seq("qid", "vec_id"))
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+
     val pens = TierPenE4.toSeq.sortBy(_._1).toDF("tier", "pen_e4")
     val scaffold = panel.select("qid").crossJoin(broadcast(pens))
     val counts =
@@ -3423,6 +3477,7 @@ object SimilarityOps {
         .unionByName(hInt8.withColumn("tier", lit("int8")))
         .unionByName(hPq.withColumn("tier", lit("pq")))
         .unionByName(hRerank.withColumn("tier", lit("pq_rerank")))
+        .unionByName(hBinary.withColumn("tier", lit("binary")))
     scaffold.join(counts, Seq("qid", "tier"), "left")
       .select(col("qid"), col("tier"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"),
@@ -3450,6 +3505,7 @@ object SimilarityOps {
       .agg(sum(when(col("is_winner") === 1, lit(TierLrWinE4))
         .otherwise(lit(TierLrLoseE4))).as("delta_e4"))
     val w1 = deltas.agg(
+      sum(when(col("tier") === "binary", col("delta_e4")).otherwise(0L)).as("dwb"),
       sum(when(col("tier") === "float", col("delta_e4")).otherwise(0L)).as("dwf"),
       sum(when(col("tier") === "int8", col("delta_e4")).otherwise(0L)).as("dwi"),
       sum(when(col("tier") === "pq", col("delta_e4")).otherwise(0L)).as("dwp"),
@@ -3459,6 +3515,7 @@ object SimilarityOps {
       .select(col("qid"), tierChoice.as("tier"))
       .groupBy("tier").agg(count(lit(1)).as("n0"))
     val dec1 = tierUtilities(feats.crossJoin(broadcast(w1)), Map(
+        "binary" -> col("dwb").cast("double") / lit(10000.0),
         "float" -> col("dwf").cast("double") / lit(10000.0),
         "int8" -> col("dwi").cast("double") / lit(10000.0),
         "pq" -> col("dwp").cast("double") / lit(10000.0),
@@ -3496,10 +3553,11 @@ object SimilarityOps {
     import spark.implicits._
     // getOrElse: a fold over a panel where some tier never appears (ADVICE
     // r11) must persist that tier's weight as 0, not throw.
-    Seq((wE4.getOrElse("float", 0L), wE4.getOrElse("int8", 0L),
-        wE4.getOrElse("pq", 0L), wE4.getOrElse("pq_rerank", 0L)))
-      .toDF("w_float_e4", "w_int8_e4", "w_pq_e4", "w_pq_rerank_e4")
-      .withColumn("key", lit("tier_state:v1"))
+    Seq((wE4.getOrElse("binary", 0L), wE4.getOrElse("float", 0L),
+        wE4.getOrElse("int8", 0L), wE4.getOrElse("pq", 0L),
+        wE4.getOrElse("pq_rerank", 0L)))
+      .toDF("w_binary_e4", "w_float_e4", "w_int8_e4", "w_pq_e4", "w_pq_rerank_e4")
+      .withColumn("key", lit("tier_state:v2"))
       .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/tier_state")
   }
 
@@ -3510,11 +3568,18 @@ object SimilarityOps {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Tiers.map(_ -> 0L).toMap
     else {
-      val r = spark.read.parquet(p.toString)
-        .select("w_float_e4", "w_int8_e4", "w_pq_e4", "w_pq_rerank_e4")
+      val df = spark.read.parquet(p.toString)
+      // v1 rows (pre-binary) load with the new arm at 0 — state written
+      // by an older engine stays usable, the reference's default-state
+      // contract applied per arm.
+      val withB =
+        if (df.columns.contains("w_binary_e4")) df
+        else df.withColumn("w_binary_e4", lit(0L))
+      val r = withB
+        .select("w_binary_e4", "w_float_e4", "w_int8_e4", "w_pq_e4", "w_pq_rerank_e4")
         .collect()(0)
-      Map("float" -> r.getLong(0), "int8" -> r.getLong(1),
-        "pq" -> r.getLong(2), "pq_rerank" -> r.getLong(3))
+      Map("binary" -> r.getLong(0), "float" -> r.getLong(1), "int8" -> r.getLong(2),
+        "pq" -> r.getLong(3), "pq_rerank" -> r.getLong(4))
     }
   }
 
@@ -3595,6 +3660,7 @@ object SimilarityOps {
 
   /** Utility expression twins (same parenthesization as tierUtilities). */
   private def tierUtilSql(w: Map[String, String]): Map[String, String] = Map(
+    "binary" -> s"((((0.7605 + 3.0 * margin) - 0.9 * peak) + 0.3 * coverage) + ${w("binary")}) - 0.255",
     "float" -> s"((0.3 + 0.5 * (1.0 - margin)) + ${w("float")}) - 0.15",
     "int8" -> s"(((0.44 + 0.5 * (1.0 - margin)) - 0.45 * peak) + ${w("int8")}) - 0.147",
     "pq" -> s"(((0.4875 + 3.0 * margin) + 0.3 * coverage) + ${w("pq")}) - 0.2475",
@@ -3603,7 +3669,9 @@ object SimilarityOps {
   private val zeroWSql: Map[String, String] = Tiers.map(_ -> "0.0").toMap
 
   private def tierChoiceSql(u: String => String): String =
-    s"""CASE WHEN ${u("float")} >= ${u("int8")} AND ${u("float")} >= ${u("pq")}
+    s"""CASE WHEN ${u("binary")} >= ${u("float")} AND ${u("binary")} >= ${u("int8")}
+       |       AND ${u("binary")} >= ${u("pq")} AND ${u("binary")} >= ${u("pq_rerank")} THEN 'binary'
+       |     WHEN ${u("float")} >= ${u("int8")} AND ${u("float")} >= ${u("pq")}
        |       AND ${u("float")} >= ${u("pq_rerank")} THEN 'float'
        |     WHEN ${u("int8")} >= ${u("pq")} AND ${u("int8")} >= ${u("pq_rerank")} THEN 'int8'
        |     WHEN ${u("pq")} >= ${u("pq_rerank")} THEN 'pq'
@@ -3614,10 +3682,12 @@ object SimilarityOps {
     s"""WITH $kmeansCtes,
        |$tierFeatureCtes,
        |tdu AS (SELECT qid, q_norm, peak, margin, coverage,
+       |          ${u("binary")} AS u_binary,
        |          ${u("float")} AS u_float, ${u("int8")} AS u_int8,
        |          ${u("pq")} AS u_pq, ${u("pq_rerank")} AS u_pq_rerank
        |        FROM tft)
        |SELECT qid, q_norm, peak, margin, coverage,
+       |  floor(u_binary * 1000000 + 0.5) / 1000000 AS u_binary,
        |  floor(u_float * 1000000 + 0.5) / 1000000 AS u_float,
        |  floor(u_int8 * 1000000 + 0.5) / 1000000 AS u_int8,
        |  floor(u_pq * 1000000 + 0.5) / 1000000 AS u_pq,
@@ -3692,14 +3762,32 @@ object SimilarityOps {
        |          SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
        |            ORDER BY cos DESC, vec_id ASC) AS rank FROM trr) s
        |        JOIN trx USING (qid, vec_id) WHERE rank <= $TopK GROUP BY 1),
+       |$bqPackCtes,
+       |tbq AS (SELECT vec_id AS qid, lo AS qlo, hi AS qhi FROM bqc
+       |        WHERE vec_id < $NPanel),
+       |tbh AS (SELECT tcd.qid, tcd.vec_id,
+       |          bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)) AS ham
+       |        FROM tcd JOIN bqc ON tcd.vec_id = bqc.vec_id
+       |        JOIN tbq ON tbq.qid = tcd.qid),
+       |tbr AS (SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |          ORDER BY ham ASC, vec_id ASC) AS brank FROM tbh),
+       |tbs AS (SELECT tbr.qid, tbr.vec_id, cos
+       |        FROM tbr JOIN trs ON trs.qid = tbr.qid AND trs.vec_id = tbr.vec_id
+       |        WHERE brank <= $RerankK),
+       |thb AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_hits FROM (
+       |          SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |            ORDER BY cos DESC, vec_id ASC) AS rank FROM tbs) s
+       |        JOIN trx USING (qid, vec_id) WHERE rank <= $TopK GROUP BY 1),
        |ttp AS (SELECT * FROM (VALUES
-       |          ('float', CAST(${TierPenE4("float")} AS BIGINT)),
+       |          ('binary', CAST(${TierPenE4("binary")} AS BIGINT)),
+       |          ('float', ${TierPenE4("float")}),
        |          ('int8', ${TierPenE4("int8")}), ('pq', ${TierPenE4("pq")}),
        |          ('pq_rerank', ${TierPenE4("pq_rerank")})) AS t(tier, pen_e4)),
        |tun AS (SELECT qid, 'float' AS tier, n_hits FROM thf
        |        UNION ALL SELECT qid, 'int8', n_hits FROM thi
        |        UNION ALL SELECT qid, 'pq', n_hits FROM thp
-       |        UNION ALL SELECT qid, 'pq_rerank', n_hits FROM thr),
+       |        UNION ALL SELECT qid, 'pq_rerank', n_hits FROM thr
+       |        UNION ALL SELECT qid, 'binary', n_hits FROM thb),
        |tal AS (SELECT q.qid, ttp.tier, ttp.pen_e4
        |        FROM (SELECT vec_id AS qid FROM embeddings WHERE vec_id < $NPanel) q, ttp),
        |tjf AS (SELECT tal.qid, tal.tier, coalesce(n_hits, 0) AS n_hits,
@@ -3723,6 +3811,7 @@ object SimilarityOps {
   lazy val tierFeedbackSql: String = {
     val u0 = tierUtilSql(zeroWSql)
     val u1 = tierUtilSql(Map(
+      "binary" -> "(CAST(dwb AS DOUBLE) / 10000.0)",
       "float" -> "(CAST(dwf AS DOUBLE) / 10000.0)",
       "int8" -> "(CAST(dwi AS DOUBLE) / 10000.0)",
       "pq" -> "(CAST(dwp AS DOUBLE) / 10000.0)",
@@ -3736,6 +3825,7 @@ object SimilarityOps {
        |            AS delta_e4
        |        FROM twn GROUP BY 1),
        |twv AS (SELECT
+       |          sum(CASE WHEN tier = 'binary' THEN delta_e4 ELSE 0 END) AS dwb,
        |          sum(CASE WHEN tier = 'float' THEN delta_e4 ELSE 0 END) AS dwf,
        |          sum(CASE WHEN tier = 'int8' THEN delta_e4 ELSE 0 END) AS dwi,
        |          sum(CASE WHEN tier = 'pq' THEN delta_e4 ELSE 0 END) AS dwp,
@@ -3759,6 +3849,7 @@ object SimilarityOps {
   lazy val tierRoutePass2Sql: String = {
     val u0 = tierUtilSql(zeroWSql)
     val u1 = tierUtilSql(Map(
+      "binary" -> "(CAST(dwb AS DOUBLE) / 10000.0)",
       "float" -> "(CAST(dwf AS DOUBLE) / 10000.0)",
       "int8" -> "(CAST(dwi AS DOUBLE) / 10000.0)",
       "pq" -> "(CAST(dwp AS DOUBLE) / 10000.0)",
@@ -3772,6 +3863,7 @@ object SimilarityOps {
        |            AS delta_e4
        |        FROM twn GROUP BY 1),
        |twv AS (SELECT
+       |          sum(CASE WHEN tier = 'binary' THEN delta_e4 ELSE 0 END) AS dwb,
        |          sum(CASE WHEN tier = 'float' THEN delta_e4 ELSE 0 END) AS dwf,
        |          sum(CASE WHEN tier = 'int8' THEN delta_e4 ELSE 0 END) AS dwi,
        |          sum(CASE WHEN tier = 'pq' THEN delta_e4 ELSE 0 END) AS dwp,

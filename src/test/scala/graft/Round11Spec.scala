@@ -321,12 +321,15 @@ class Round11Spec extends SparkSpec {
     "loads as zeros") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tier_state").toString
     assert(SimilarityOps.loadTierState(spark, dir) ==
-      Map("float" -> 0L, "int8" -> 0L, "pq" -> 0L, "pq_rerank" -> 0L))
-    val w = Map("float" -> 1700L, "int8" -> -300L, "pq" -> -900L, "pq_rerank" -> -500L)
+      Map("binary" -> 0L, "float" -> 0L, "int8" -> 0L, "pq" -> 0L,
+        "pq_rerank" -> 0L))
+    val w = Map("binary" -> 600L, "float" -> 1100L, "int8" -> -300L,
+      "pq" -> -900L, "pq_rerank" -> -500L)
     SimilarityOps.saveTierState(spark, dir, w)
     assert(SimilarityOps.loadTierState(spark, dir) == w, "round-trip drift")
     // Overwrite upsert: a second save replaces, never appends.
-    val w2 = Map("float" -> 0L, "int8" -> 4000L, "pq" -> -2000L, "pq_rerank" -> -2000L)
+    val w2 = Map("binary" -> 0L, "float" -> 0L, "int8" -> 4000L,
+      "pq" -> -2000L, "pq_rerank" -> -2000L)
     SimilarityOps.saveTierState(spark, dir, w2)
     assert(SimilarityOps.loadTierState(spark, dir) == w2)
   }
