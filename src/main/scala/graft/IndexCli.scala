@@ -270,10 +270,39 @@ object ServeVectorIndex {
       .map(r => s"${r.getAs[Long]("vec_id")}:${r.getAs[Double]("qcos")}")
     val topPq = SimilarityOps.annPqServe(spark, idx, qv).limit(5).collect()
       .map(r => s"${r.getAs[Long]("vec_id")}:${r.getAs[Double]("adist")}")
+    val topBin = SimilarityOps.annBinaryServe(spark, idx, qv).limit(5).collect()
+      .map(r => s"${r.getAs[Long]("vec_id")}:${r.getAs[Double]("cos")}")
     println(s"[vserve] idx=$idx nprobe=${SimilarityOps.NProbeServe} " +
       s"probe_partition_pruned=$pruned " +
       s"float_top5=${top.mkString(",")} int8_top5=${top8.mkString(",")} " +
-      s"pq_top5=${topPq.mkString(",")}")
+      s"pq_top5=${topPq.mkString(",")} binary_top5=${topBin.mkString(",")}")
+    spark.stop()
+  }
+}
+
+/** `sbt "runMain graft.TierPass <sfDir> [stateDir]"` — one pass of the
+  * vector-tier bandit THROUGH the persisted state store
+  * (SimilarityOps.tierPass): load the current weights, run the q185
+  * recall panel, fold, ADD the fold to the loaded weights, save, and
+  * print the panel's routing census under the pre- and post-pass
+  * weights. Run it twice against the same stateDir and the second
+  * invocation starts from the first's weights and routes differently —
+  * the reference's evaluate.py pass-1 → pass-2 arc (BASELINE.md rows
+  * 1-2) on the serving tiers. q187 remains the oracle-gated
+  * deterministic twin (always exactly one fold applied to zero); THIS
+  * is the accumulating production loop.
+  */
+object TierPass {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val stateDir = if (args.length > 1) args(1) else "target/graft_tier_pass"
+    val spark = Cli.session()
+    val (w0, w1, c0, c1) =
+      graft.operators.SimilarityOps.tierPass(spark, dir, stateDir)
+    def fmt(m: Map[String, Long]): String =
+      m.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(",")
+    println(s"[tierpass] state_dir=$stateDir w_before=${fmt(w0)} " +
+      s"w_after=${fmt(w1)} census_before=${fmt(c0)} census_after=${fmt(c1)}")
     spark.stop()
   }
 }

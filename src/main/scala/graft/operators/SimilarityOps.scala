@@ -3594,6 +3594,31 @@ object SimilarityOps {
     s"target/graft_tier_state_${spark.sparkContext.applicationId}_" +
       dir.replaceAll("[^A-Za-z0-9.]", "_")
 
+  /** One cross-invocation bandit pass over the vector tiers — the
+    * reference's `evaluate.py` pass loop (run it, weights persist, the
+    * NEXT invocation routes differently — BASELINE.md rows 1-2) applied
+    * to the serving tiers, through a CALLER-OWNED state dir: load the
+    * current weights, run the recall panel, fold, ADD the fold to the
+    * loaded weights (the A12 accumulation contract, exact e4 integers),
+    * save, and report the panel's routing census under the pre- and
+    * post-pass weights. [[graft.TierPass]] is the CLI wrapper; q187 stays
+    * the deterministic one-fold oracle query. Returns
+    * (w_before, w_after, census_before, census_after). */
+  def tierPass(spark: SparkSession, dir: String, stateDir: String)
+      : (Map[String, Long], Map[String, Long], Map[String, Long], Map[String, Long]) = {
+    val w0 = loadTierState(spark, stateDir)
+    val fold = tierFoldE4(spark, dir)
+    val w1 = w0.map { case (t, v) => t -> (v + fold.getOrElse(t, 0L)) }
+    saveTierState(spark, stateDir, w1)
+    val feats = tierFeatures(spark, dir)
+    def census(w: Map[String, Long]): Map[String, Long] =
+      tierUtilities(feats, w.map { case (t, v) => t -> lit(v.toDouble / 10000.0) })
+        .select(tierChoice.as("tier"))
+        .groupBy("tier").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (w0, w1, census(w0), census(w1))
+  }
+
   /** q187: the pass-1 → pass-2 behavioral arc on the vector tiers (the
     * reference's defining demo — BASELINE.md rows 1-2: feedback persists,
     * the NEXT invocation routes differently). Pass 1 is q184's zero-state

@@ -193,6 +193,35 @@ class Round12Spec extends SparkSpec {
     assert(after.count() == total + 30)
   }
 
+  test("tierPass accumulates through the caller-owned store: pass 2 starts " +
+    "from pass 1's weights and the census drifts (the evaluate.py arc)") {
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_tier_pass").toString
+    val (w0a, w1a, c0a, _) = SimilarityOps.tierPass(spark, sf, stateDir)
+    assert(w0a.values.forall(_ == 0L), "pass 1 must start from zero state")
+    assert(w1a.values.sum == 0L, "fold is zero-sum (A12)")
+    assert(w1a.values.exists(_ != 0L), "fold must move some weight")
+    assert(c0a.values.sum == 20L)
+
+    // Pass 2: the loaded state IS pass 1's saved state; weights double.
+    val (w0b, w1b, c0b, _) = SimilarityOps.tierPass(spark, sf, stateDir)
+    assert(w0b == w1a, "pass 2 must load pass 1's persisted weights")
+    assert(w1b == w1a.map { case (t, v) => t -> v * 2 },
+      "same corpus, same fold: pass 2 accumulates, never resets")
+    // Pass 2's pre-pass census is routed UNDER PERSISTED FEEDBACK — the
+    // behavioral arc: it differs from the zero-state census unless the
+    // fold was too small to cross any boundary, in which case keep
+    // folding until it does (Round11Spec pins eventual saturation).
+    var census = c0b
+    var w = w1b
+    var passes = 2
+    while (census == c0a && passes < 12) {
+      val (_, wn, _, cn) = SimilarityOps.tierPass(spark, sf, stateDir)
+      w = wn; census = cn; passes += 1
+    }
+    assert(census != c0a,
+      s"routing census never moved after $passes accumulating passes")
+  }
+
   test("blank MANIFEST fails with a named path; a MANIFEST naming a " +
     "missing directory fails with the resolved path") {
     val out = java.nio.file.Files.createTempDirectory("graft_mf").toString
