@@ -76,6 +76,17 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
   val CanaryPasses = 3
+  /** Queries between mid-run canary samples (VERDICT r11 #4): the r11
+    * artifact was polluted by load the start/end-only bracket couldn't
+    * see — a 27% phantom regression that cost the verdict a full re-run
+    * to adjudicate. One canary pass every CanaryEvery queries (~10
+    * samples × ~0.08 s per full run) gives the artifact a load SERIES:
+    * each query is normalized by its own segment's bracketing samples
+    * (`total_segnorm_sec`), and segments over LoadedRatio × idle are
+    * counted in `canary_loaded_segments` so a reader can see WHICH part
+    * of the run was loaded without re-running anything. */
+  val CanaryEvery = 20
+  val LoadedRatio = 2.0
   /** The canary's steady-state cost on THIS container, idle. Round 8's
     * 0.11 (measured in rounds 5–7) proved stale — r7/r8 canaries ran
     * 0.065–0.088 s, inflating `total_canary_norm` by up to 1.44× — so the
@@ -183,26 +194,35 @@ object Bench {
       SimilarityOps.annIvfServeMany(spark, idx, qdf).collect()
       (System.nanoTime() - tb) / 1e6
     }.min)
-    // Concurrency inflation (VERDICT r9 #8): the float tier under 1/4/8
-    // concurrent requesters against ONE session. Spark runs concurrent
-    // actions on a shared FIFO scheduler, so queueing — invisible to the
+    // Concurrency inflation (VERDICT r9 #8, widened r12 per VERDICT r11
+    // #8): the float tier AND the compressed re-rank tier — the one a
+    // deployment actually pushes concurrency on — under 1/4/8 concurrent
+    // requesters against ONE session. Spark runs concurrent actions on a
+    // shared FIFO scheduler, so queueing — invisible to the
     // single-request numbers above — shows up here as p99 inflation; the
-    // curve says where this Spark-native serving shape saturates.
-    Seq(1, 4, 8).foreach { conc =>
-      val lat = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
-      val reqs = panel.take(4)
-      val workers = (0 until conc).map { _ =>
-        new Thread(() => reqs.foreach { case (_, qv) =>
-          val t0 = System.nanoTime()
-          SimilarityOps.annIvfServe(spark, idx, qv).collect()
-          lat.add((System.nanoTime() - t0) / 1e6)
-        })
+    // curve says where this Spark-native serving shape saturates. Float
+    // keeps its unprefixed conc* keys so round-over-round artifacts stay
+    // comparable; the re-rank curve lands under pq_rerank_conc*.
+    val concTiers: Seq[(String, Array[Float] => DataFrame)] = Seq(
+      "" -> (qv => SimilarityOps.annIvfServe(spark, idx, qv)),
+      "pq_rerank_" -> (qv => SimilarityOps.annPqRerankServe(spark, idx, qv)))
+    concTiers.foreach { case (prefix, serveFn) =>
+      Seq(1, 4, 8).foreach { conc =>
+        val lat = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+        val reqs = panel.take(4)
+        val workers = (0 until conc).map { _ =>
+          new Thread(() => reqs.foreach { case (_, qv) =>
+            val t0 = System.nanoTime()
+            serveFn(qv).collect()
+            lat.add((System.nanoTime() - t0) / 1e6)
+          })
+        }
+        workers.foreach(_.start()); workers.foreach(_.join())
+        val sortedLat = lat.toArray(Array.empty[java.lang.Double])
+          .map(_.doubleValue).toVector.sorted
+        out(s"${prefix}conc${conc}_p50_ms") = f3(pct(sortedLat, 50))
+        out(s"${prefix}conc${conc}_p99_ms") = f3(pct(sortedLat, 99))
       }
-      workers.foreach(_.start()); workers.foreach(_.join())
-      val sortedLat = lat.toArray(Array.empty[java.lang.Double])
-        .map(_.doubleValue).toVector.sorted
-      out(s"conc${conc}_p50_ms") = f3(pct(sortedLat, 50))
-      out(s"conc${conc}_p99_ms") = f3(pct(sortedLat, 99))
     }
     // Real streaming micro-batch: MemoryStream → annServe foreachBatch,
     // one 20-query batch, wall time includes the streaming machinery.
@@ -256,8 +276,23 @@ object Bench {
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
     val passes = scala.collection.mutable.LinkedHashMap[String, Vector[Double]]()
-    ordered.foreach { case (name, fn) =>
+    // Mid-run load series: one canary pass every CanaryEvery queries.
+    // segOf(q) = index of the sample taken BEFORE q's timed passes; the
+    // sample after is segOf(q)+1 (the end canary closes the last segment).
+    val canarySeries = scala.collection.mutable.ArrayBuffer[Double](canaryStart)
+    val segOf = scala.collection.mutable.LinkedHashMap[String, Int]()
+    ordered.zipWithIndex.foreach { case ((name, fn), i) =>
+      segOf(name) = canarySeries.size - 1
       passes(name) = (1 to TimedPasses).map(_ => timeOnce(fn)).toVector
+      // min-of-CanaryPasses like the start/end brackets: a single sample
+      // right after a query burst reads the run's OWN async tail (GC,
+      // ContextCleaner) as host load — measured 0.22-0.27 single-pass vs
+      // 0.08 min-of-3 on an idle host — and per-segment normalization
+      // would overcorrect by 3x. The min over three back-to-back passes
+      // lets the self-inflicted tail drain; sustained EXTERNAL load
+      // inflates all three.
+      if ((i + 1) % CanaryEvery == 0 && i + 1 < ordered.size)
+        canarySeries += (1 to CanaryPasses).map(_ => canary(spark)).min
     }
     // Re-time at the end of the run (a different load window): mins
     // implausibly above the cohort, and mins no second pass confirmed.
@@ -296,6 +331,20 @@ object Bench {
     val total = results.map(_._2).sum
     val canaryMean = (canaryStart + canaryEnd) / 2.0
     val totalNorm = if (canaryMean > 0) total * IdleCanarySec / canaryMean else total
+    // Per-segment load normalization: each query's min scaled by the
+    // idle-to-measured ratio of its OWN segment's bracketing samples —
+    // the load correction the start/end bracket can't do. (Re-timed
+    // queries keep their original segment: an approximation, but the
+    // re-time window has its own end-canary bracket anyway.)
+    canarySeries += canaryEnd
+    def segFactor(seg: Int): Double = {
+      val c = (canarySeries(seg) + canarySeries(seg + 1)) / 2.0
+      if (c > 0) IdleCanarySec / c else 1.0
+    }
+    val totalSegNorm = results.map { case (name, v) =>
+      if (v < 0) 0.0 else v * segFactor(segOf(name))
+    }.sum
+    val loadedSegments = canarySeries.count(_ > LoadedRatio * IdleCanarySec)
 
     val qsJson = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
@@ -311,8 +360,9 @@ object Bench {
     val qmsJson = results.map { case (_, v) =>
       if (v < 0) "-1" else math.round(v * 1000).toString
     }.mkString("[", ",", "]")
+    val canarySeriesJson = canarySeries.map(f3).mkString("[", ",", "]")
     val summary =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_raw_sec":${f3(total)},"total_canary_norm":${f3(totalNorm)},"canary_start_sec":${f3(canaryStart)},"canary_end_sec":${f3(canaryEnd)},"warmup_sec":${f3(warmup)},"n_queries":${results.size},"suspect":$suspectJson,"serve":$serveJson,"queries_ms_sorted_by_name":$qmsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_raw_sec":${f3(total)},"total_canary_norm":${f3(totalNorm)},"total_segnorm_sec":${f3(totalSegNorm)},"canary_start_sec":${f3(canaryStart)},"canary_end_sec":${f3(canaryEnd)},"canary_series":$canarySeriesJson,"canary_loaded_segments":$loadedSegments,"warmup_sec":${f3(warmup)},"n_queries":${results.size},"suspect":$suspectJson,"serve":$serveJson,"queries_ms_sorted_by_name":$qmsJson,"sf":"$sfDir"}"""
     // Bulkiest first; summary LAST so the driver's tail capture keeps it.
     println(s"""{"detail":"passes","passes":$passesJson}""")
     println(s"""{"detail":"queries","queries":$qsJson}""")
