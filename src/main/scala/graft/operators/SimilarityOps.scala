@@ -2588,6 +2588,139 @@ object SimilarityOps {
        |  floor((sh::DOUBLE / (${TopK}.0 * $NPanel)) * 1000000 + 0.5) / 1000000 AS mean_recall
        |FROM bh, bt ORDER BY qid""".stripMargin
 
+  // ---- q194-q196: binary-tier operating-point + health audits (r12) -------
+
+  /** Re-rank shortlist depths for the q194 curve: RerankK (200, the
+    * declared q193/annBinaryServe operating point) plus the half/quarter/
+    * eighth points below it — the overfetch knob a deployment actually
+    * tunes, priced the way q79/q105 price nprobe. */
+  val BinaryDepths: Seq[Int] = Seq(25, 50, 100, 200)
+
+  /** q194: the binary tier's recall-vs-overfetch operating curve — panel
+    * mean recall@TopK after exact-cosine re-rank of the Hamming shortlist
+    * at depth H ∈ BinaryDepths. q193 measures the declared H = RerankK
+    * point; this unrolls the whole knob so the 4× overfetch is a CHOSEN
+    * operating point with its alternatives priced (at depth TopK the
+    * re-rank can only reorder — the raw-q192 floor; by RerankK it has
+    * recovered everything the codes can see). Monotone in H by
+    * construction: a deeper shortlist is a superset and exact re-rank
+    * keeps every true hit it already had.
+    *
+    * Scale shape: the Hamming ranking is ONE window over the 16-byte
+    * codes scan shared across depths (rank ≤ max depth, then a ≤
+    * broadcast-join against the 4 depth literals); the float read-back is
+    * shortlist-bounded (≤ NPanel·RerankK rows) exactly like q193. */
+  def binaryDepthCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir)
+    val panel = e.filter(col("vec_id") < NPanel)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val depths = BinaryDepths.toDF("depth")
+    val short = bqHamming(spark, dir)
+      .withColumn("brank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ham").asc, col("vec_id").asc)))
+      .filter(col("brank") <= BinaryDepths.max)
+    val rer = short.join(broadcast(depths), col("brank") <= col("depth"))
+      .join(e, "vec_id").join(broadcast(panel), "qid")
+      .select(col("qid"), col("depth"), col("vec_id"),
+        cosineSim(col("embedding"), col("qe")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid", "depth").orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("rank") <= TopK)
+    rer.join(broadcast(panelExactHits(spark, dir)), Seq("qid", "vec_id"), "left")
+      .groupBy("depth")
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("depth").cast("long").as("depth"), col("n_hits"),
+        r6(col("n_hits").cast("double") / (TopK.toDouble * NPanel)).as("mean_recall"))
+      .orderBy("depth")
+  }
+
+  val binaryDepthCurveSql: String =
+    s"""WITH $bqCtes,
+       |ddp AS (SELECT * FROM (VALUES (25), (50), (100), (200)) AS t(depth)),
+       |dcd AS (SELECT qid, vec_id, depth FROM brk JOIN ddp ON brk.rank <= ddp.depth),
+       |drr AS (SELECT dcd.qid, dcd.depth, dcd.vec_id,
+       |    row_number() OVER (PARTITION BY dcd.qid, dcd.depth
+       |      ORDER BY cos DESC, dcd.vec_id ASC) AS rank
+       |  FROM dcd JOIN bsc ON dcd.qid = bsc.qid AND dcd.vec_id = bsc.vec_id)
+       |SELECT CAST(depth AS BIGINT) AS depth,
+       |  CAST(count(x.vec_id) AS BIGINT) AS n_hits,
+       |  floor((count(x.vec_id)::DOUBLE / (${TopK}.0 * $NPanel)) * 1000000 + 0.5) / 1000000 AS mean_recall
+       |FROM drr LEFT JOIN bex x ON drr.qid = x.qid AND drr.vec_id = x.vec_id
+       |WHERE drr.rank <= $TopK
+       |GROUP BY depth ORDER BY depth""".stripMargin
+
+  /** q195: per-dimension bit balance of the sign codes — the health gate
+    * behind the q192 centering claim. A bit is informative only when it
+    * splits the corpus near 50/50: centering at the per-dimension mean is
+    * exactly the recipe for that, and this audit MEASURES it (set
+    * fraction and |frac − 0.5| bias per dimension). A skewed dimension —
+    * mean dragged by outliers so most vectors sit one side of it — wastes
+    * one of the 64 bits, the binary twin of q173's dead-codeword audit.
+    * One embLong pass against the broadcast covMu frame, 64-row output;
+    * at 100 TB this is a map-side conditional count. */
+  def binaryBitBalance(spark: SparkSession, dir: String): DataFrame = {
+    val n = emb(spark, dir).agg(count(lit(1)).as("ntot"))
+    embLong(spark, dir)
+      .join(broadcast(covMu(spark, dir)), "pos")
+      .groupBy("pos")
+      .agg(sum(when(col("v") > col("m"), 1L).otherwise(0L)).as("n_set"))
+      .crossJoin(broadcast(n))
+      .select(col("pos").cast("long").as("pos"), col("n_set"),
+        r6(col("n_set").cast("double") / col("ntot")).as("set_frac"),
+        r6(abs(col("n_set").cast("double") / col("ntot") - lit(0.5))).as("bias"))
+      .orderBy("pos")
+  }
+
+  val binaryBitBalanceSql: String =
+    s"""WITH ${pexMuCtes.mkString(",\n")},
+       |bnt AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM embeddings),
+       |bst AS (SELECT pos, CAST(sum(CASE WHEN v > m THEN 1 ELSE 0 END) AS BIGINT) AS n_set
+       |        FROM pex JOIN pmu USING (pos) GROUP BY pos)
+       |SELECT CAST(pos AS BIGINT) AS pos, n_set,
+       |  floor((n_set::DOUBLE / ntot) * 1000000 + 0.5) / 1000000 AS set_frac,
+       |  floor(abs(n_set::DOUBLE / ntot - 0.5) * 1000000 + 0.5) / 1000000 AS bias
+       |FROM bst, bnt ORDER BY pos""".stripMargin
+
+  /** q196: Hamming separation — per panel query, the mean Hamming
+    * distance of its exact-cosine top-TopK neighbors vs the whole-corpus
+    * mean, and the gap between them. This is the number that says WHY
+    * q192/q193 recall sits where it does: the shortlist can only find
+    * neighbors the integer distance actually pulls below the background
+    * (separation ≈ 0 would mean the 64 sign bits carry no neighborhood
+    * signal and no overfetch rescues them; the near-isotropic testdata
+    * measures a small-but-real gap, consistent with q191's isotropy ≈ 1
+    * reading). All sums are exact integers over the shared Hamming
+    * frame; the means divide once per qid and round (q133 discipline). */
+  def binarySeparation(spark: SparkSession, dir: String): DataFrame = {
+    val ham = bqHamming(spark, dir)
+    val nb = ham
+      .join(broadcast(panelExactHits(spark, dir).select("qid", "vec_id")),
+        Seq("qid", "vec_id"))
+      .groupBy("qid").agg(sum("ham").as("nbs"), count(lit(1)).as("nbn"))
+    val all = ham.groupBy("qid").agg(sum("ham").as("cps"), count(lit(1)).as("cpn"))
+    nb.join(all, "qid")
+      .select(col("qid"),
+        r6(col("nbs").cast("double") / col("nbn")).as("mean_ham_neighbors"),
+        r6(col("cps").cast("double") / col("cpn")).as("mean_ham_corpus"),
+        r6(col("cps").cast("double") / col("cpn") -
+          col("nbs").cast("double") / col("nbn")).as("separation"))
+      .orderBy("qid")
+  }
+
+  val binarySeparationSql: String =
+    s"""WITH $bqCtes,
+       |snb AS (SELECT bhm.qid, sum(ham) AS nbs, count(*) AS nbn
+       |        FROM bhm JOIN bex ON bhm.qid = bex.qid AND bhm.vec_id = bex.vec_id
+       |        GROUP BY 1),
+       |sal AS (SELECT qid, sum(ham) AS cps, count(*) AS cpn FROM bhm GROUP BY 1)
+       |SELECT snb.qid,
+       |  floor((nbs::DOUBLE / nbn) * 1000000 + 0.5) / 1000000 AS mean_ham_neighbors,
+       |  floor((cps::DOUBLE / cpn) * 1000000 + 0.5) / 1000000 AS mean_ham_corpus,
+       |  floor((cps::DOUBLE / cpn - nbs::DOUBLE / nbn) * 1000000 + 0.5) / 1000000 AS separation
+       |FROM snb JOIN sal ON snb.qid = sal.qid
+       |ORDER BY snb.qid""".stripMargin
+
   // ---- q98: product quantization (per-subspace k-means codebooks) ---------
 
   /** PQ geometry: 64-dim embeddings split into PqM = 16 contiguous
@@ -3938,7 +4071,10 @@ object SimilarityOps {
     "q187_tier_route_pass2" -> (tierRoutePass2 _),
     "q191_embedding_spectrum" -> (embeddingSpectrum _),
     "q192_binary_quant_recall" -> (binaryQuantRecall _),
-    "q193_binary_rerank_recall" -> (binaryRerankRecall _))
+    "q193_binary_rerank_recall" -> (binaryRerankRecall _),
+    "q194_binary_depth_curve" -> (binaryDepthCurve _),
+    "q195_binary_bit_balance" -> (binaryBitBalance _),
+    "q196_binary_separation" -> (binarySeparation _))
 
   val oracles: Map[String, String] = Map(
     "q142_assignment_drift" -> assignmentDriftSql,
@@ -3974,5 +4110,8 @@ object SimilarityOps {
     "q187_tier_route_pass2" -> tierRoutePass2Sql,
     "q191_embedding_spectrum" -> embeddingSpectrumSql,
     "q192_binary_quant_recall" -> binaryQuantRecallSql,
-    "q193_binary_rerank_recall" -> binaryRerankRecallSql)
+    "q193_binary_rerank_recall" -> binaryRerankRecallSql,
+    "q194_binary_depth_curve" -> binaryDepthCurveSql,
+    "q195_binary_bit_balance" -> binaryBitBalanceSql,
+    "q196_binary_separation" -> binarySeparationSql)
 }

@@ -164,6 +164,56 @@ class Round12Spec extends SparkSpec {
       s"epoch history not bounded: ${epochsOf(s"$dir/labels")}")
   }
 
+  // ---- q194-q196: binary-tier operating curve + health audits -------------
+
+  test("q194 depth curve is monotone and its RerankK point equals q193's " +
+    "panel mean; q195 bit bias is small; q196 separation is positive") {
+    val curve = SimilarityOps.binaryDepthCurve(spark, sf).collect()
+      .map(r => r.getAs[Long]("depth") -> r.getAs[Double]("mean_recall")).toMap
+    assert(curve.keySet == SimilarityOps.BinaryDepths.map(_.toLong).toSet)
+    // Deeper shortlist = superset + exact re-rank: recall can only grow.
+    val sorted = curve.toSeq.sortBy(_._1).map(_._2)
+    assert(sorted.zip(sorted.tail).forall { case (a, b) => a <= b },
+      s"depth curve not monotone: $sorted")
+    // The declared operating point IS q193: same machinery, same depth.
+    val q193mean = SimilarityOps.binaryRerankRecall(spark, sf)
+      .select("mean_recall").head().getDouble(0)
+    assert(curve(SimilarityOps.RerankK.toLong) == q193mean,
+      s"depth-${SimilarityOps.RerankK} row ${curve(SimilarityOps.RerankK.toLong)} " +
+        s"!= q193 mean $q193mean")
+
+    // q195: centering at the per-dimension mean balances every bit; the
+    // set counts recount from a driver-side pass over the embeddings.
+    val bb = SimilarityOps.binaryBitBalance(spark, sf).collect()
+    assert(bb.length == 64)
+    assert(bb.forall(_.getAs[Double]("bias") <= 0.10),
+      "a centered sign bit should sit near 50/50 on this corpus")
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .collect().map(_.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    // Threshold from the ENGINE's covMu frame (the q192 pack recount
+    // already pins the mean derivation); this test recounts the COUNTS.
+    val mu = SimilarityOps.covMu(spark, sf).collect()
+      .map(r => r.getAs[Number]("pos").intValue() ->
+        r.getAs[Number]("m").doubleValue()).toMap
+    val nset = Array.tabulate(64) { p => embs.count(e => e(p).toDouble > mu(p)).toLong }
+    bb.foreach { r =>
+      val p = r.getAs[Long]("pos").toInt
+      assert(r.getAs[Long]("n_set") == nset(p),
+        s"pos $p: n_set ${r.getAs[Long]("n_set")} != recount ${nset(p)}")
+    }
+
+    // q196: neighbors must sit measurably below the corpus background in
+    // Hamming space for ANY shortlist to work — per query.
+    val sep = SimilarityOps.binarySeparation(spark, sf).collect()
+    assert(sep.length == SimilarityOps.NPanel)
+    sep.foreach { r =>
+      assert(r.getAs[Double]("separation") > 0.0,
+        s"qid ${r.getAs[Long]("qid")}: no Hamming separation")
+      assert(r.getAs[Double]("mean_ham_neighbors") <
+        r.getAs[Double]("mean_ham_corpus"))
+    }
+  }
+
   // ---- compaction crash guards (ADVICE r11) --------------------------------
 
   test("compaction fold dedups by vec_id preferring the base tier: a " +
