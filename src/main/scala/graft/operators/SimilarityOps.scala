@@ -1144,6 +1144,67 @@ object SimilarityOps {
       .orderBy("rank")
   }
 
+  /** Batched binary serving: [[annBinaryServe]] for a whole request
+    * frame in ONE distributed plan (the per-micro-batch shape, exactly
+    * like [[annIvfServeMany]]). Query codes derive from the persisted
+    * `bq_mu` as a distributed |Q|×d job — no driver fold, so a
+    * micro-batch of thousands of requests never serializes through the
+    * driver; probes and codes are broadcast panel-sized frames; the
+    * Hamming stage reads 16 bytes/vector of the probed partitions and the
+    * float read-back is shortlist-semi-joined. q197 gates the arithmetic
+    * cross-engine; Round12Spec pins per-query equality with the
+    * single-query tier. */
+  def annBinaryServeMany(
+      spark: SparkSession, indexDir: String, queries: DataFrame,
+      nprobe: Int = NProbeServe): DataFrame = {
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val mu = spark.read.parquet(s"$indexDir/bq_mu")
+    val qx = queries
+      .select(col("query_id"), posexplode(col("embedding")).as(Seq("pos", "v0")))
+      .select(col("query_id"), col("pos"), col("v0").cast("double").as("v"))
+    val qcodes = qx.join(broadcast(mu), "pos")
+      .select(col("query_id"), col("pos"),
+        when(col("v") > col("m"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))"))
+          .otherwise(lit(0L)).as("contrib"))
+      .groupBy("query_id")
+      .agg(sum(when(col("pos") < 32, col("contrib")).otherwise(0L)).as("qlo"),
+        sum(when(col("pos") >= 32, col("contrib")).otherwise(0L)).as("qhi"))
+    val probes = qx.join(broadcast(cent), "pos")
+      .groupBy("query_id", "cluster")
+      .agg(sum(((col("v") - col("c")) * (col("v") - col("c")))
+        .cast("decimal(38,18)")).as("dist"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist").asc, col("cluster").asc)))
+      .filter(col("crank") <= nprobe)
+      .select("query_id", "cluster")
+    val shortlist = vectorsDf(spark, indexDir)
+      .select(col("vec_id"), col("cluster"), col("bq_lo"), col("bq_hi"))
+      .join(broadcast(probes), "cluster")
+      .join(broadcast(qcodes), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        (expr("bit_count(bq_lo ^ qlo)") + expr("bit_count(bq_hi ^ qhi)"))
+          .cast("long").as("ham"))
+      .withColumn("brank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("ham").asc, col("vec_id").asc)))
+      .filter(col("brank") <= RerankK)
+      .select("query_id", "vec_id")
+    vectorsDf(spark, indexDir)
+      .select(col("vec_id"), col("cluster"), col("embedding"))
+      .join(broadcast(probes), "cluster")
+      .join(broadcast(shortlist), Seq("query_id", "vec_id"))
+      .join(broadcast(queries.select(col("query_id"),
+        col("embedding").as("q_embedding"))), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        cosineSim(col("embedding"), col("q_embedding")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc))
+        .cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id"), col("rank"), r6(col("cos")).as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
   // ---- q110: multi-query IVF-PQ recall panel ------------------------------
 
   /** Panel size for q110/q160 — the first NPanel vec_ids serve as
@@ -2721,6 +2782,89 @@ object SimilarityOps {
        |FROM snb JOIN sal ON snb.qid = sal.qid
        |ORDER BY snb.qid""".stripMargin
 
+  /** q197: the BATCH-of-queries binary serving plan, oracle-gated — the
+    * q160 discipline applied to the binary tier: per-query coarse probes
+    * (NProbe, the q51 DECIMAL arithmetic), Hamming candidate ranking over
+    * the probed cells' sign codes, RerankK shortlist, exact-cosine
+    * re-rank, per-query top-k — ONE distributed plan for the whole
+    * NPanel panel, the shape [[annBinaryServeMany]] runs against the
+    * persisted index (Round12Spec pins per-query equality with the
+    * single-query [[annBinaryServe]]; this query gates the arithmetic
+    * cross-engine). Restricted to one qid it is annBinaryServe at
+    * nprobe = NProbe by construction. */
+  def binaryServePanel(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val (cent, kasg) = kmeansModel(spark, dir)
+    val panel = e.filter(col("vec_id") < NPanel)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val qx = embLong(spark, dir).filter(col("vec_id") < NPanel)
+      .select(col("vec_id").as("qid"), col("pos"), col("v").as("qv"))
+    val probes = qx.join(broadcast(cent), "pos")
+      .groupBy("qid", "cluster")
+      .agg(sum(((col("qv") - col("c")) * (col("qv") - col("c")))
+        .cast("decimal(38,18)")).as("dist"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist").asc, col("cluster").asc)))
+      .filter(col("crank") <= NProbe)
+      .select("qid", "cluster")
+    val bq = bqCodes(spark, dir)
+    val qbq = bq.filter(col("vec_id") < NPanel)
+      .select(col("vec_id").as("qid"), col("lo").as("qlo"), col("hi").as("qhi"))
+    val short = kasg.join(broadcast(probes), "cluster")
+      .select("qid", "vec_id")
+      .join(bq, "vec_id")
+      .join(broadcast(qbq), "qid")
+      .select(col("qid"), col("vec_id"),
+        (expr("bit_count(lo ^ qlo)") + expr("bit_count(hi ^ qhi)"))
+          .cast("long").as("ham"))
+      .withColumn("brank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ham").asc, col("vec_id").asc)))
+      .filter(col("brank") <= RerankK)
+      .select("qid", "vec_id")
+    short.join(e, "vec_id").join(broadcast(panel), "qid")
+      .select(col("qid"), col("vec_id"),
+        cosineSim(col("embedding"), col("qe")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc))
+        .cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id"), col("rank"), r6(col("cos")).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  val binaryServePanelSql: String =
+    s"""WITH $kmeansCtes,
+       |$bqPackCtes,
+       |bpq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+       |        WHERE vec_id < $NPanel),
+       |bpx AS (SELECT vec_id AS qid, pos, v AS qv FROM kex WHERE vec_id < $NPanel),
+       |bpd AS (SELECT qid, cluster,
+       |          sum(CAST((qv - c) * (qv - c) AS DECIMAL(38,18))) AS dist
+       |        FROM bpx JOIN kcent USING (pos) GROUP BY 1, 2),
+       |bpr AS (SELECT qid, cluster FROM (
+       |          SELECT qid, cluster, row_number() OVER (PARTITION BY qid
+       |            ORDER BY dist ASC, cluster ASC) AS crank
+       |          FROM bpd) WHERE crank <= $NProbe),
+       |bpqc AS (SELECT vec_id AS qid, lo AS qlo, hi AS qhi FROM bqc
+       |         WHERE vec_id < $NPanel),
+       |bph AS (SELECT bpr.qid, kasg.vec_id,
+       |          bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)) AS ham
+       |        FROM kasg JOIN bpr ON kasg.cluster = bpr.cluster
+       |        JOIN bqc ON kasg.vec_id = bqc.vec_id
+       |        JOIN bpqc ON bpqc.qid = bpr.qid),
+       |bpb AS (SELECT qid, vec_id FROM (
+       |          SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+       |            ORDER BY ham ASC, vec_id ASC) AS brank FROM bph)
+       |        WHERE brank <= $RerankK),
+       |bpsc AS (SELECT bpb.qid, bpb.vec_id, ${sqlCos("e.embedding", "qe")} AS cos
+       |         FROM bpb JOIN embeddings e ON bpb.vec_id = e.vec_id
+       |         JOIN bpq ON bpq.qid = bpb.qid),
+       |bprk AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid
+       |           ORDER BY cos DESC, vec_id ASC) AS rank FROM bpsc)
+       |SELECT qid, vec_id, CAST(rank AS BIGINT) AS rank,
+       |  floor((cos) * 1000000 + 0.5) / 1000000 AS cos
+       |FROM bprk WHERE rank <= $TopK ORDER BY qid, rank""".stripMargin
+
   // ---- q98: product quantization (per-subspace k-means codebooks) ---------
 
   /** PQ geometry: 64-dim embeddings split into PqM = 16 contiguous
@@ -4074,7 +4218,8 @@ object SimilarityOps {
     "q193_binary_rerank_recall" -> (binaryRerankRecall _),
     "q194_binary_depth_curve" -> (binaryDepthCurve _),
     "q195_binary_bit_balance" -> (binaryBitBalance _),
-    "q196_binary_separation" -> (binarySeparation _))
+    "q196_binary_separation" -> (binarySeparation _),
+    "q197_binary_serve_panel" -> (binaryServePanel _))
 
   val oracles: Map[String, String] = Map(
     "q142_assignment_drift" -> assignmentDriftSql,
@@ -4113,5 +4258,6 @@ object SimilarityOps {
     "q193_binary_rerank_recall" -> binaryRerankRecallSql,
     "q194_binary_depth_curve" -> binaryDepthCurveSql,
     "q195_binary_bit_balance" -> binaryBitBalanceSql,
-    "q196_binary_separation" -> binarySeparationSql)
+    "q196_binary_separation" -> binarySeparationSql,
+    "q197_binary_serve_panel" -> binaryServePanelSql)
 }

@@ -639,20 +639,33 @@ object StreamingOps {
     * annIvfServe). `foreachBatch` rather than a stream-static join
     * because per-query top-k needs a rank window, which append-mode
     * streaming can't express — and each request batch is a complete,
-    * self-contained serving job anyway. */
+    * self-contained serving job anyway. `tier` selects the serving
+    * arithmetic per stream — "float" (annIvfServeMany) or "binary"
+    * (annBinaryServeMany, the 16-byte Hamming first stage + shortlist
+    * re-rank) — so a deployment can run one request stream per cost
+    * tier against the same persisted index. */
   def annServe(
       queries: DataFrame, indexDir: String, outDir: String,
-      nprobe: Int = graft.operators.SimilarityOps.NProbeServe)
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      nprobe: Int = graft.operators.SimilarityOps.NProbeServe,
+      tier: String = "float")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(tier == "float" || tier == "binary", s"unknown serve tier: $tier")
     queries.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          graft.operators.SimilarityOps
-            .annIvfServeMany(batch.sparkSession, indexDir,
-              batch.select("query_id", "embedding"), nprobe)
-            .write.mode("append").parquet(outDir)
+        if (!batch.isEmpty) {
+          val reqs = batch.select("query_id", "embedding")
+          val answered =
+            if (tier == "binary")
+              graft.operators.SimilarityOps
+                .annBinaryServeMany(batch.sparkSession, indexDir, reqs, nprobe)
+            else
+              graft.operators.SimilarityOps
+                .annIvfServeMany(batch.sparkSession, indexDir, reqs, nprobe)
+          answered.write.mode("append").parquet(outDir)
+        }
       }
+  }
 
   /** Streaming mixture-drift monitor: the live feed that tells a corpus
     * owner WHEN to re-run the batch mixture diagnostics (q112 drift,

@@ -214,6 +214,79 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("annBinaryServeMany: each query's rows equal the single-query " +
+    "binary tier from the same persisted index; streaming twin matches") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_bin_many").toString
+    SimilarityOps.writeIndex(spark, sf, out)
+    val qids = Seq(0L, 7L, 13L)
+    val embOf = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id").isin(qids: _*)).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    val reqs = qids.map(q => (q, embOf(q))).toDF("query_id", "embedding")
+    val many = SimilarityOps.annBinaryServeMany(spark, out, reqs).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    qids.foreach { q =>
+      val single = SimilarityOps.annBinaryServe(spark, out, embOf(q)).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+          r.getAs[Double]("cos"))).toSeq
+      val batched = many(q).sortBy(_.getAs[Long]("rank"))
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+          r.getAs[Double]("cos"))).toSeq
+      assert(batched == single, s"query $q: batched binary diverged")
+    }
+
+    // Streaming twin: the tier="binary" request stream answers from the
+    // same index with the same arithmetic.
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val resDir = java.nio.file.Files.createTempDirectory("graft_bin_serve").toString
+    val q = graft.streaming.StreamingOps.annServe(
+      stream.toDF().toDF("query_id", "embedding"), out, resDir, tier = "binary")
+      .option("checkpointLocation", s"$resDir/ckpt").start()
+    try {
+      stream.addData(qids.map(i => (i, embOf(i))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(resDir).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+    qids.foreach { i =>
+      val single = SimilarityOps.annBinaryServe(spark, out, embOf(i)).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"))).toSeq
+      val st = streamed(i).sortBy(_.getAs[Long]("rank"))
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"))).toSeq
+      assert(st == single, s"query $i: streamed binary serve diverged")
+    }
+  }
+
+  test("q197 restricted to one qid equals annBinaryServe at nprobe=NProbe " +
+    "from the in-session model") {
+    val panel = SimilarityOps.binaryServePanel(spark, sf).collect()
+      .groupBy(_.getAs[Long]("qid"))
+    assert(panel.keySet == (0L until SimilarityOps.NPanel).toSet)
+    panel.values.foreach(rs => assert(rs.length == SimilarityOps.TopK))
+    // Serve-path cross-check through a persisted index at the SAME probe
+    // depth: per-query equality, the q160 discipline for the binary tier.
+    val out = java.nio.file.Files.createTempDirectory("graft_bin_panel").toString
+    SimilarityOps.writeIndex(spark, sf, out)
+    val embOf = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < SimilarityOps.NPanel).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+    Seq(0L, 9L, 19L).foreach { qid =>
+      val served = SimilarityOps.annBinaryServe(spark, out, embOf(qid),
+          nprobe = SimilarityOps.NProbe).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+          r.getAs[Double]("cos"))).toSeq
+      val inPanel = panel(qid).sortBy(_.getAs[Long]("rank"))
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+          r.getAs[Double]("cos"))).toSeq
+      assert(served == inPanel, s"qid $qid: panel row != served binary tier")
+    }
+  }
+
   // ---- compaction crash guards (ADVICE r11) --------------------------------
 
   test("compaction fold dedups by vec_id preferring the base tier: a " +
