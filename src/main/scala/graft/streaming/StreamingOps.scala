@@ -457,7 +457,7 @@ object StreamingOps {
       .localCheckpoint(true)
     val retained =
       if (fs.exists(new org.apache.hadoop.fs.Path(bandsPath)))
-        spark.read.parquet(bandsPath).filter(col("epoch") < batchId)
+        bandsDf(spark, labelsDir).filter(col("epoch") < batchId)
           .select("doc_id", "band_id", "band_hash")
       else newBands.limit(0)
     val existing =
@@ -490,6 +490,27 @@ object StreamingOps {
       .partitionBy("epoch").parquet(labelsPath)
     newBands.unpersist(true)
   }
+
+  /** Pinned store schemas (the vectorsDf discipline): every maintenance
+    * and read-side scan of the label/band stores plans without a
+    * footer-inference job — at 100 TB an epoch history is thousands of
+    * files, and schema inference would pay a metadata pass per read —
+    * and tolerates a concurrently-retired epoch partition
+    * (`ignoreMissingFiles`, single maintenance writer + many readers). */
+  private[graft] val BandsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, band_id BIGINT, band_hash STRING, epoch BIGINT")
+  private[graft] val LabelsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, label BIGINT, epoch BIGINT")
+
+  private def bandsDf(spark: SparkSession, labelsDir: String): DataFrame =
+    spark.read.schema(BandsSchema).option("ignoreMissingFiles", "true")
+      .parquet(s"$labelsDir/bands")
+
+  private def labelsDf(spark: SparkSession, labelsDir: String): DataFrame =
+    spark.read.schema(LabelsSchema).option("ignoreMissingFiles", "true")
+      .parquet(s"$labelsDir/labels")
 
   /** Epoch partitions per store before [[maybeFoldDown]] triggers — the
     * labels twin of StreamingOps' vector-compaction bound: steady-state
@@ -561,7 +582,7 @@ object StreamingOps {
     currentLabels(spark, labelsDir)
       .withColumn("epoch", lit(-1L))
       .write.mode("overwrite").parquet(s"$tmp/labels")
-    spark.read.parquet(s"$labelsDir/bands")
+    bandsDf(spark, labelsDir)
       .select("doc_id", "band_id", "band_hash").distinct()
       .withColumn("epoch", lit(-1L))
       .write.mode("overwrite").parquet(s"$tmp/bands")
@@ -591,7 +612,7 @@ object StreamingOps {
   def currentLabels(
       spark: SparkSession, labelsDir: String,
       beforeEpoch: Long = Long.MaxValue): DataFrame =
-    spark.read.parquet(s"$labelsDir/labels")
+    labelsDf(spark, labelsDir)
       .filter(col("epoch") < beforeEpoch)
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
         org.apache.spark.sql.expressions.Window
