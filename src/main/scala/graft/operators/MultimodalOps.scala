@@ -485,7 +485,112 @@ object MultimodalOps {
        |FROM vpop LEFT JOIN vper ON vpop.doc_id = vper.doc_id
        |ORDER BY vpop.doc_id""".stripMargin
 
+  // ---- q198/q199: fingerprint health audits (the q195/q196 twins) --------
+
+  /** q198: per-bit set fraction of the dHash fingerprints — the image
+    * twin of q195's sign-bit balance: a perceptual-hash bit is
+    * discriminative only when it splits the corpus near 50/50, and a
+    * bit stuck at 0/1 (e.g. a downsample position that never varies)
+    * silently shrinks every Hamming threshold's effective resolution.
+    * dHash's difference construction should self-balance; this audit
+    * MEASURES it over the corpus actually ingested. One pass over the
+    * memoized 8-byte fingerprints exploded to 64 bit rows, map-side
+    * conditional count — at 100 TB this is free next to the band join
+    * it guards. (The arithmetic `>>` on the possibly-negative BIGINT
+    * fingerprint is the same both engines already rely on for the q81
+    * band keys.) */
+  def dhashBitBalance(spark: SparkSession, dir: String): DataFrame = {
+    val dh = dhashFrame(spark, dir)
+    val n = dh.agg(count(lit(1)).as("ntot"))
+    dh.select(explode(sequence(lit(0), lit(DhashBits - 1))).as("bit"), col("dhash"))
+      .select(col("bit"), expr("shiftright(dhash, CAST(bit AS INT)) & 1").as("bset"))
+      .groupBy("bit").agg(sum(col("bset")).as("n_set"))
+      .crossJoin(broadcast(n))
+      .select(col("bit").cast("long").as("bit"), col("n_set"),
+        r6(col("n_set").cast("double") / col("ntot")).as("set_frac"),
+        r6(abs(col("n_set").cast("double") / col("ntot") - lit(0.5))).as("bias"))
+      .orderBy("bit")
+  }
+
+  val dhashBitBalanceSql: String =
+    s"""WITH $dhashCte,
+       |hbn AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM dh),
+       |hbb AS (SELECT b AS bit, CAST(sum((dhash >> CAST(b AS INT)) & 1) AS BIGINT) AS n_set
+       |        FROM dh, (SELECT unnest(range(0, $DhashBits)) AS b)
+       |        GROUP BY b)
+       |SELECT CAST(bit AS BIGINT) AS bit, n_set,
+       |  floor((n_set::DOUBLE / ntot) * 1000000 + 0.5) / 1000000 AS set_frac,
+       |  floor(abs(n_set::DOUBLE / ntot - 0.5) * 1000000 + 0.5) / 1000000 AS bias
+       |FROM hbb, hbn ORDER BY bit""".stripMargin
+
+  /** q199: dHash Hamming separation — mean Hamming distance within the
+    * q81 verified near-dup pairs vs the ALL-PAIRS corpus background, and
+    * the gap. The background needs no pair enumeration: over n
+    * fingerprints, Σ_pairs popcount(h_a ^ h_b) = Σ_bits n_set·(n −
+    * n_set) exactly (each bit contributes one disagreement per
+    * set/unset pair), so the O(n²) quantity folds to the q198 bit
+    * counts — integer-exact, one corpus pass, the identity that makes
+    * this audit runnable at 100 TB where a sampled background would
+    * carry noise. A healthy perceptual hash shows dup pairs far below
+    * the background mean; separation collapsing toward 0 means the
+    * threshold is admitting noise (the image twin of q196). */
+  def dhashSeparation(spark: SparkSession, dir: String): DataFrame = {
+    val dh = dhashFrame(spark, dir)
+    val bits = dh
+      .select(explode(sequence(lit(0), lit(DhashBits - 1))).as("bit"), col("dhash"))
+      .select(col("bit"), expr("shiftright(dhash, CAST(bit AS INT)) & 1").as("bset"))
+      .groupBy("bit").agg(sum(col("bset")).as("ns"))
+    val n = dh.agg(count(lit(1)).as("ntot"))
+    val bg = bits.crossJoin(broadcast(n))
+      .agg(sum(col("ns") * (col("ntot") - col("ns"))).as("bgnum"),
+        max(col("ntot")).as("ntot"))
+    val dup = DedupOps.hammingBandPairs(dhashFrame(spark, dir), "dhash")
+      .filter(col("hamming") <= DhashHammingThreshold)
+      .agg(count(lit(1)).as("n_dup_pairs"), sum(col("hamming")).as("dupsum"))
+    dup.crossJoin(broadcast(bg))
+      .select(col("ntot").as("n_images"), col("n_dup_pairs"),
+        when(col("n_dup_pairs") === 0, 0.0)
+          .otherwise(r6(col("dupsum").cast("double") / col("n_dup_pairs")))
+          .as("mean_ham_dups"),
+        r6((col("bgnum") * 2).cast("double") /
+          (col("ntot") * (col("ntot") - 1)).cast("double")).as("mean_ham_background"),
+        r6((col("bgnum") * 2).cast("double") /
+          (col("ntot") * (col("ntot") - 1)).cast("double") -
+          when(col("n_dup_pairs") === 0, 0.0)
+            .otherwise(col("dupsum").cast("double") / col("n_dup_pairs")))
+          .as("separation"))
+  }
+
+  val dhashSeparationSql: String =
+    s"""WITH $dhashCte,
+       |hsn AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM dh),
+       |hsb AS (SELECT b AS bit, CAST(sum((dhash >> CAST(b AS INT)) & 1) AS BIGINT) AS ns
+       |        FROM dh, (SELECT unnest(range(0, $DhashBits)) AS b)
+       |        GROUP BY b),
+       |hsg AS (SELECT CAST(sum(ns * (ntot - ns)) AS BIGINT) AS bgnum,
+       |          max(ntot) AS ntot
+       |        FROM hsb, hsn),
+       |hdb AS (SELECT doc_id, dhash, b,
+       |          (dhash >> (${DedupOps.SimhashBandBits} * b)) & ${(1 << DedupOps.SimhashBandBits) - 1} AS band_val
+       |        FROM dh, (SELECT unnest(range(0, ${DedupOps.SimhashNumBands})) AS b)),
+       |hcd AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |          a.dhash AS h_a, b.dhash AS h_b
+       |        FROM hdb a JOIN hdb b
+       |          ON a.b = b.b AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+       |hdp AS (SELECT CAST(count(*) AS BIGINT) AS n_dup_pairs,
+       |          CAST(coalesce(sum(CAST(bit_count(xor(h_a, h_b)) AS BIGINT)), 0) AS BIGINT) AS dupsum
+       |        FROM hcd WHERE bit_count(xor(h_a, h_b)) <= $DhashHammingThreshold)
+       |SELECT ntot AS n_images, n_dup_pairs,
+       |  CASE WHEN n_dup_pairs = 0 THEN 0.0
+       |       ELSE floor((dupsum::DOUBLE / n_dup_pairs) * 1000000 + 0.5) / 1000000 END AS mean_ham_dups,
+       |  floor(((bgnum * 2)::DOUBLE / (ntot * (ntot - 1))) * 1000000 + 0.5) / 1000000 AS mean_ham_background,
+       |  floor(((bgnum * 2)::DOUBLE / (ntot * (ntot - 1)) -
+       |         CASE WHEN n_dup_pairs = 0 THEN 0.0 ELSE dupsum::DOUBLE / n_dup_pairs END) * 1000000 + 0.5) / 1000000 AS separation
+       |FROM hdp, hsg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q198_dhash_bit_balance" -> (dhashBitBalance _),
+    "q199_dhash_separation" -> (dhashSeparation _),
     "q135_audio_frame_energy" -> (audioFrameEnergy _),
     "q152_activity_segments" -> (audioActivitySegments _),
     "q70_media_meta" -> (mediaMeta _),
@@ -496,6 +601,8 @@ object MultimodalOps {
     "q114_image_keep_best" -> (imageKeepBest _))
 
   val oracles: Map[String, String] = Map(
+    "q198_dhash_bit_balance" -> dhashBitBalanceSql,
+    "q199_dhash_separation" -> dhashSeparationSql,
     "q135_audio_frame_energy" -> audioFrameEnergySql,
     "q152_activity_segments" -> audioActivitySegmentsSql,
     "q70_media_meta" -> mediaMetaSql,

@@ -287,6 +287,39 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("q198/q199: dhash bit counts recount driver-side; the closed-form " +
+    "background equals the brute-force all-pairs mean; separation positive") {
+    import graft.operators.MultimodalOps
+    val hashes = MultimodalOps.imageDhash(spark, sf).collect()
+      .map(_.getAs[Long]("dhash"))
+    val n = hashes.length
+
+    val bb = MultimodalOps.dhashBitBalance(spark, sf).collect()
+    assert(bb.length == MultimodalOps.DhashBits)
+    bb.foreach { r =>
+      val bit = r.getAs[Long]("bit").toInt
+      val expect = hashes.count(h => ((h >> bit) & 1L) == 1L).toLong
+      assert(r.getAs[Long]("n_set") == expect, s"bit $bit recount mismatch")
+    }
+
+    // The q199 identity at test scale: Σ_pairs popcount(a^b) REALLY is
+    // Σ_bits n_set·(n−n_set) — brute-force the left side here.
+    val brute = (for {
+      i <- hashes.indices.iterator; j <- (i + 1) until n
+    } yield java.lang.Long.bitCount(hashes(i) ^ hashes(j)).toLong).sum
+    val closed = bb.map { r =>
+      val s = r.getAs[Long]("n_set"); s * (n - s)
+    }.sum
+    assert(brute == closed, s"closed form $closed != brute $brute")
+
+    val sep = MultimodalOps.dhashSeparation(spark, sf).head()
+    assert(sep.getAs[Long]("n_images") == n)
+    assert(sep.getAs[Double]("mean_ham_background") ==
+      math.floor((closed * 2).toDouble / (n.toLong * (n - 1)) * 1e6 + 0.5) / 1e6)
+    assert(sep.getAs[Double]("separation") > 0.0,
+      "near-dup pairs must sit below the all-pairs background")
+  }
+
   // ---- compaction crash guards (ADVICE r11) --------------------------------
 
   test("compaction fold dedups by vec_id preferring the base tier: a " +
