@@ -544,27 +544,29 @@ object StreamingOps {
     * `labels/epoch=<id>` grow one partition per micro-batch forever and
     * [[currentLabels]] windows over ALL of it every batch.
     *
-    * Mechanics (the compactHotClusters recipe, adapted to a
-    * last-writer-wins store):
-    *   1. a prior fold's surviving `.retired_batches` marker is swept
-    *      first (its rows are already in the base — see step 4);
-    *   2. the resolved snapshot ([[currentLabels]] over the FULL history;
-    *      bands deduped by (doc_id, band_id, band_hash)) is staged under
-    *      `.fold_tmp` — OUTSIDE the read path, so no read-overwrite
-    *      conflict and no corpus-sized localCheckpoint pinned in the
-    *      block manager: the stage spills to the filesystem, which is
-    *      what a 100 TB maintenance job wants;
-    *   3. the stage is re-read and committed to `epoch=-1` via dynamic
-    *      partition overwrite — only the base partition is replaced.
-    *      −1 sorts BELOW every real epoch, so in every crash window the
-    *      newest-epoch window resolves identically: the base holds
-    *      exactly what the live epochs resolve to, and band duplicates
-    *      are absorbed by the pair-generation `distinct()`;
-    *   4. the superseded `epoch>=0` directories are recorded in the
-    *      atomically-renamed marker, then swept (rename-out + delete) —
-    *      marker before delete, so a crash anywhere leaves either
-    *      harmless duplicates (refolded next trigger) or a marker whose
-    *      sweep is re-runnable.
+    * Two stores, two fold costs — matched to their read semantics:
+    *   - BANDS (union semantics, read-side `distinct()`): epoch data
+    *     files are RENAMED into `epoch=-1` — a pure metadata fold, zero
+    *     bytes rewritten, where a rewrite would re-copy the corpus-sized
+    *     band index every FoldThreshold batches. Renames are atomic and
+    *     a move can neither lose nor duplicate a row; a crash mid-loop
+    *     leaves the remainder for the next fold entry.
+    *   - LABELS (last-writer-wins semantics — the base must hold
+    *     RESOLVED values, so renaming is semantically wrong): a prior
+    *     fold's surviving `.retired_batches` marker is swept first, the
+    *     resolved snapshot ([[currentLabels]] over the FULL history) is
+    *     staged under `.fold_tmp` — OUTSIDE the read path, so no
+    *     read-overwrite conflict and no corpus-sized localCheckpoint
+    *     pinned in the block manager — then committed to `epoch=-1` via
+    *     dynamic partition overwrite (only the base partition is
+    *     replaced), and the superseded epochs are recorded in the
+    *     atomically-renamed marker BEFORE deletion, so a crash anywhere
+    *     leaves either harmless shadowed duplicates (−1 sorts below
+    *     every real epoch, and it holds exactly what the live epochs
+    *     resolve to) or a marker whose sweep is re-runnable. The
+    *     snapshot is one slim row per doc — the same magnitude
+    *     [[currentLabels]] already scans per batch, so the fold never
+    *     dominates steady-state cost.
     *
     * A batch REPLAYED after a fold (its epoch partition deleted, its
     * rows in the base) re-derives the same labels: its band rows are in
@@ -578,31 +580,54 @@ object StreamingOps {
     val bandEpochs = epochPartitions(spark, s"$labelsDir/bands").filter(_ >= 0L)
     if (labelEpochs.isEmpty && bandEpochs.isEmpty) return false
     val tmp = s"$labelsDir/.fold_tmp"
-
-    currentLabels(spark, labelsDir)
-      .withColumn("epoch", lit(-1L))
-      .write.mode("overwrite").parquet(s"$tmp/labels")
-    bandsDf(spark, labelsDir)
-      .select("doc_id", "band_id", "band_hash").distinct()
-      .withColumn("epoch", lit(-1L))
-      .write.mode("overwrite").parquet(s"$tmp/bands")
-
-    spark.read.parquet(s"$tmp/labels")
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("epoch").parquet(s"$labelsDir/labels")
-    spark.read.parquet(s"$tmp/bands")
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("epoch").parquet(s"$labelsDir/bands")
-
-    SimilarityOps.writeRetiredMarker(spark, labelsDir,
-      labelEpochs.map(e => s"labels/epoch=$e") ++
-        bandEpochs.map(e => s"bands/epoch=$e"))
-    SimilarityOps.recoverRetiredBatches(spark, labelsDir)
-    new org.apache.hadoop.fs.Path(tmp)
+    val fs = new org.apache.hadoop.fs.Path(labelsDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .delete(new org.apache.hadoop.fs.Path(tmp), true)
+
+    // BANDS fold is METADATA-ONLY: bands are an append-only union (the
+    // pair generation dedups by construction), so epoch files MOVE into
+    // the base partition — zero data rewritten, where a rewrite fold
+    // would re-copy the corpus-sized band index every FoldThreshold
+    // batches. Each rename is atomic and a move can never duplicate or
+    // lose a row, so a crash mid-loop just leaves the remainder for the
+    // next fold entry; the epoch prefix keeps file names unique across
+    // source epochs. (Replay-after-crash CAN leave a duplicate band row
+    // between the base and a rewritten batch epoch — the read-side
+    // `distinct()` absorbs it, documented at the call sites.)
+    val bandsBase = new org.apache.hadoop.fs.Path(s"$labelsDir/bands/epoch=-1")
+    fs.mkdirs(bandsBase)
+    bandEpochs.foreach { e =>
+      val d = new org.apache.hadoop.fs.Path(s"$labelsDir/bands/epoch=$e")
+      fs.listStatus(d).iterator
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
+          && !st.getPath.getName.startsWith("."))
+        .foreach { st =>
+          fs.rename(st.getPath,
+            new org.apache.hadoop.fs.Path(bandsBase, s"e${e}_${st.getPath.getName}"))
+        }
+      fs.delete(d, true)
+    }
+
+    // LABELS fold is a real rewrite — last-writer-wins needs the base to
+    // hold RESOLVED values (a renamed epoch file would surface stale
+    // labels under epoch=-1). The resolved snapshot is one slim row per
+    // doc, the same magnitude currentLabels already scans per batch;
+    // staged OUTSIDE the read path (no read-overwrite conflict, no
+    // corpus-sized localCheckpoint), committed via dynamic partition
+    // overwrite of the base partition only, superseded epochs retired
+    // through the crash-safe marker.
+    if (labelEpochs.nonEmpty) {
+      currentLabels(spark, labelsDir)
+        .withColumn("epoch", lit(-1L))
+        .write.mode("overwrite").parquet(s"$tmp/labels")
+      spark.read.parquet(s"$tmp/labels")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("epoch").parquet(s"$labelsDir/labels")
+      SimilarityOps.writeRetiredMarker(spark, labelsDir,
+        labelEpochs.map(e => s"labels/epoch=$e"))
+      SimilarityOps.recoverRetiredBatches(spark, labelsDir)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     true
   }
 

@@ -86,6 +86,40 @@ class Round12Spec extends SparkSpec {
     assert(epochsOf(s"$dir/bands") == Set(-1L))
   }
 
+  test("bands fold is metadata-only: the base holds the SAME data files " +
+    "(moved byte-for-byte, not rewritten)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fold_mv").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    (0 until 3).foreach { b =>
+      StreamingOps.mergeBatchComponents(
+        docs.filter(pmod(col("doc_id"), lit(3)) === b), b.toLong, dir)
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val path = new org.apache.hadoop.fs.Path(p)
+      if (!fs.exists(path)) Nil
+      else fs.listStatus(path).toSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+          && !s.getPath.getName.startsWith("."))
+    }
+    val pre = (0 until 3).flatMap { e =>
+      dataFiles(s"$dir/bands/epoch=$e")
+        .map(st => (s"e${e}_${st.getPath.getName}", st.getLen,
+          st.getModificationTime))
+    }.sorted
+    assert(pre.nonEmpty)
+    assert(StreamingOps.foldDownEpochs(spark, dir))
+    // Every pre-fold data file reappears under the base with its length
+    // AND mtime intact — a rewrite would mint new files; a rename
+    // preserves both. That is the O(metadata) band-fold contract.
+    val post = dataFiles(s"$dir/bands/epoch=-1")
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .sorted
+    assert(post == pre,
+      s"bands fold rewrote data: pre=${pre.take(3)}... post=${post.take(3)}...")
+  }
+
   test("foldown trigger discipline: below threshold is a no-op; nothing " +
     "to fold returns false") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fold_tr").toString
