@@ -188,12 +188,28 @@ object Bench {
     // batch; per-request cost is batch_ms / 20.
     import spark.implicits._
     val qdf = panel.toSeq.toDF("query_id", "embedding")
-    SimilarityOps.annIvfServeMany(spark, idx, qdf).collect() // warmup
-    out("batch20_ms") = f3(Vector.fill(ServePasses) {
-      val tb = System.nanoTime()
-      SimilarityOps.annIvfServeMany(spark, idx, qdf).collect()
-      (System.nanoTime() - tb) / 1e6
-    }.min)
+    // Every tier's batched plan (r13 — VERDICT r12 #1: the conc curve
+    // says batch is the scalable serving shape, so the artifact must
+    // price it per tier, not only for float). Float keeps its
+    // unprefixed key so round-over-round artifacts stay comparable;
+    // "routed" is routeAndServe under zero weights — the route→dispatch
+    // arc's own amortization.
+    val batched: Seq[(String, () => Unit)] = Seq(
+      "" -> (() => SimilarityOps.annIvfServeMany(spark, idx, qdf).collect()),
+      "int8_" -> (() => SimilarityOps.annInt8ServeMany(spark, idx, qdf).collect()),
+      "pq_" -> (() => SimilarityOps.annPqServeMany(spark, idx, qdf).collect()),
+      "pq_rerank_" -> (() =>
+        SimilarityOps.annPqRerankServeMany(spark, idx, qdf).collect()),
+      "binary_" -> (() => SimilarityOps.annBinaryServeMany(spark, idx, qdf).collect()),
+      "routed_" -> (() => SimilarityOps.routeAndServe(spark, idx, qdf).collect()))
+    batched.foreach { case (prefix, run) =>
+      run() // per-plan codegen warmup
+      out(s"${prefix}batch20_ms") = f3(Vector.fill(ServePasses) {
+        val tb = System.nanoTime()
+        run()
+        (System.nanoTime() - tb) / 1e6
+      }.min)
+    }
     // Concurrency inflation (VERDICT r9 #8, widened r12 per VERDICT r11
     // #8): the float tier AND the compressed re-rank tier — the one a
     // deployment actually pushes concurrency on — under 1/4/8 concurrent
@@ -344,7 +360,12 @@ object Bench {
     val totalSegNorm = results.map { case (name, v) =>
       if (v < 0) 0.0 else v * segFactor(segOf(name))
     }.sum
-    val loadedSegments = canarySeries.count(_ > LoadedRatio * IdleCanarySec)
+    // A "loaded segment" is one whose segFactor math actually saw load:
+    // the MEAN of its two bracketing samples exceeds the threshold —
+    // counting raw samples would miscount (one loaded sample touches two
+    // segments) and not line up with total_segnorm_sec.
+    val loadedSegments = canarySeries.sliding(2)
+      .count(p => (p.head + p.last) / 2.0 > LoadedRatio * IdleCanarySec)
 
     val qsJson = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")

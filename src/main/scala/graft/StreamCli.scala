@@ -157,17 +157,24 @@ object StreamEvents {
     }
 
     if (mode == "serve") {
+      // serve [indexDir] [tier] [stateDir]: tier is any of the five
+      // batched serving tiers or "auto" (route each request through the
+      // learned weights in stateDir — the run.py choose-then-run arc).
       val idx = if (args.length > 2) args(2) else "target/graft_ivf_index"
+      val tier = if (args.length > 3) args(3) else "float"
+      val stateDir = if (args.length > 4) Some(args(4)) else None
       val resDir = java.nio.file.Files.createTempDirectory("graft_serve_out").toString
       val queries = spark.readStream
         .schema("vec_id BIGINT, embedding ARRAY<FLOAT>, label INT")
         .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
         .filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding"))
-      val q = StreamingOps.annServe(queries, idx, resDir).start()
+      val q = StreamingOps.annServe(queries, idx, resDir,
+        tier = tier, stateDir = stateDir).start()
       q.processAllAvailable(); q.stop()
       val res = spark.read.parquet(resDir)
-      println(s"[stream] serve queries=${res.select("query_id").distinct().count()} " +
+      println(s"[stream] serve tier=$tier " +
+        s"queries=${res.select("query_id").distinct().count()} " +
         s"answers=${res.count()}")
       res.filter(col("rank") <= 3).orderBy("query_id", "rank").show(24, truncate = false)
       spark.stop(); return

@@ -541,8 +541,12 @@ object MultimodalOps {
       .select(col("bit"), expr("shiftright(dhash, CAST(bit AS INT)) & 1").as("bset"))
       .groupBy("bit").agg(sum(col("bset")).as("ns"))
     val n = dh.agg(count(lit(1)).as("ntot"))
+    // 128-bit-exact per-term products: ns*(ntot-ns) wraps 64-bit ints
+    // silently past ~1e9 images under non-ANSI Spark; decimal(38,0)
+    // keeps the closed-form background integer-exact at 100 TB scale.
     val bg = bits.crossJoin(broadcast(n))
-      .agg(sum(col("ns") * (col("ntot") - col("ns"))).as("bgnum"),
+      .agg(sum(col("ns").cast("decimal(38,0)") *
+          (col("ntot") - col("ns")).cast("decimal(38,0)")).as("bgnum"),
         max(col("ntot")).as("ntot"))
     val dup = DedupOps.hammingBandPairs(dhashFrame(spark, dir), "dhash")
       .filter(col("hamming") <= DhashHammingThreshold)
@@ -552,10 +556,11 @@ object MultimodalOps {
         when(col("n_dup_pairs") === 0, 0.0)
           .otherwise(r6(col("dupsum").cast("double") / col("n_dup_pairs")))
           .as("mean_ham_dups"),
-        r6((col("bgnum") * 2).cast("double") /
-          (col("ntot") * (col("ntot") - 1)).cast("double")).as("mean_ham_background"),
-        r6((col("bgnum") * 2).cast("double") /
-          (col("ntot") * (col("ntot") - 1)).cast("double") -
+        r6(col("bgnum").cast("double") * 2 /
+          (col("ntot").cast("double") * (col("ntot").cast("double") - 1)))
+          .as("mean_ham_background"),
+        r6(col("bgnum").cast("double") * 2 /
+          (col("ntot").cast("double") * (col("ntot").cast("double") - 1)) -
           when(col("n_dup_pairs") === 0, 0.0)
             .otherwise(col("dupsum").cast("double") / col("n_dup_pairs")))
           .as("separation"))
@@ -567,7 +572,7 @@ object MultimodalOps {
        |hsb AS (SELECT b AS bit, CAST(sum((dhash >> CAST(b AS INT)) & 1) AS BIGINT) AS ns
        |        FROM dh, (SELECT unnest(range(0, $DhashBits)) AS b)
        |        GROUP BY b),
-       |hsg AS (SELECT CAST(sum(ns * (ntot - ns)) AS BIGINT) AS bgnum,
+       |hsg AS (SELECT sum(CAST(ns AS HUGEINT) * CAST(ntot - ns AS HUGEINT)) AS bgnum,
        |          max(ntot) AS ntot
        |        FROM hsb, hsn),
        |hdb AS (SELECT doc_id, dhash, b,
@@ -583,8 +588,8 @@ object MultimodalOps {
        |SELECT ntot AS n_images, n_dup_pairs,
        |  CASE WHEN n_dup_pairs = 0 THEN 0.0
        |       ELSE floor((dupsum::DOUBLE / n_dup_pairs) * 1000000 + 0.5) / 1000000 END AS mean_ham_dups,
-       |  floor(((bgnum * 2)::DOUBLE / (ntot * (ntot - 1))) * 1000000 + 0.5) / 1000000 AS mean_ham_background,
-       |  floor(((bgnum * 2)::DOUBLE / (ntot * (ntot - 1)) -
+       |  floor((bgnum::DOUBLE * 2 / (ntot::DOUBLE * (ntot::DOUBLE - 1))) * 1000000 + 0.5) / 1000000 AS mean_ham_background,
+       |  floor((bgnum::DOUBLE * 2 / (ntot::DOUBLE * (ntot::DOUBLE - 1)) -
        |         CASE WHEN n_dup_pairs = 0 THEN 0.0 ELSE dupsum::DOUBLE / n_dup_pairs END) * 1000000 + 0.5) / 1000000 AS separation
        |FROM hdp, hsg""".stripMargin
 

@@ -1125,8 +1125,12 @@ object SimilarityOps {
     val shortlist = vectorsDf(spark, indexDir)
       .filter(col("cluster").isin(probed: _*))
       .select(col("vec_id"),
-        (expr(s"bit_count(bq_lo ^ CAST($qlo AS BIGINT))") +
-          expr(s"bit_count(bq_hi ^ CAST($qhi AS BIGINT))")).as("ham"))
+        when(col("bq_lo").isNull.or(col("bq_hi").isNull),
+          raise_error(lit("binary tier: bq_lo/bq_hi is NULL — the vectors " +
+            "files predate the binary sign-code columns; rebuild the index " +
+            "via writeIndex before binary serving")))
+          .otherwise(expr(s"bit_count(bq_lo ^ CAST($qlo AS BIGINT))") +
+            expr(s"bit_count(bq_hi ^ CAST($qhi AS BIGINT))")).as("ham"))
       .orderBy(col("ham").asc, col("vec_id").asc)
       .limit(RerankK)
       .select("vec_id")
@@ -1159,9 +1163,7 @@ object SimilarityOps {
       nprobe: Int = NProbeServe): DataFrame = {
     val cent = spark.read.parquet(s"$indexDir/centroids")
     val mu = spark.read.parquet(s"$indexDir/bq_mu")
-    val qx = queries
-      .select(col("query_id"), posexplode(col("embedding")).as(Seq("pos", "v0")))
-      .select(col("query_id"), col("pos"), col("v0").cast("double").as("v"))
+    val qx = qxOf(queries)
     val qcodes = qx.join(broadcast(mu), "pos")
       .select(col("query_id"), col("pos"),
         when(col("v") > col("m"),
@@ -1170,7 +1172,62 @@ object SimilarityOps {
       .groupBy("query_id")
       .agg(sum(when(col("pos") < 32, col("contrib")).otherwise(0L)).as("qlo"),
         sum(when(col("pos") >= 32, col("contrib")).otherwise(0L)).as("qhi"))
-    val probes = qx.join(broadcast(cent), "pos")
+    val probes = probesMany(cent, qx, nprobe)
+    val shortlist = vectorsDf(spark, indexDir)
+      .select(col("vec_id"), col("cluster"), col("bq_lo"), col("bq_hi"))
+      .join(broadcast(probes), "cluster")
+      .join(broadcast(qcodes), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        when(col("bq_lo").isNull.or(col("bq_hi").isNull),
+          raise_error(lit("binary tier: bq_lo/bq_hi is NULL — the vectors " +
+            "files predate the binary sign-code columns; rebuild the index " +
+            "via writeIndex before binary serving")))
+          .otherwise(expr("bit_count(bq_lo ^ qlo)") +
+            expr("bit_count(bq_hi ^ qhi)"))
+          .cast("long").as("ham"))
+      .withColumn("brank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("ham").asc, col("vec_id").asc)))
+      .filter(col("brank") <= RerankK)
+      .select("query_id", "vec_id")
+    vectorsDf(spark, indexDir)
+      .select(col("vec_id"), col("cluster"), col("embedding"))
+      .join(broadcast(probes), "cluster")
+      .join(broadcast(shortlist), Seq("query_id", "vec_id"))
+      .join(broadcast(queries.select(col("query_id"),
+        col("embedding").as("q_embedding"))), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        cosineSim(col("embedding"), col("q_embedding")).as("cos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc))
+        .cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id"), col("rank"), r6(col("cos")).as("cos"))
+      .orderBy("query_id", "rank")
+  }
+
+  // ---- Batched serving for the compressed tiers (r13 — VERDICT r12 #1) ----
+  //
+  // SCALE.md's own concurrency measurement is the rationale: 8-way
+  // single-request concurrency degrades pq_rerank 2.4x (two scheduled
+  // jobs per request compound in the FIFO queue) while the batched plan
+  // amortizes probe + scan + window across the batch to ~23 ms/query.
+  // With these, every one of the five serving tiers has a *ServeMany —
+  // the per-micro-batch serving shape — and routeAndServe can dispatch a
+  // routed request frame entirely inside one session.
+
+  /** A request frame exploded to (query_id, pos, v double) — the shared
+    * first step of every batched tier. */
+  private def qxOf(queries: DataFrame): DataFrame =
+    queries
+      .select(col("query_id"), posexplode(col("embedding")).as(Seq("pos", "v0")))
+      .select(col("query_id"), col("pos"), col("v0").cast("double").as("v"))
+
+  /** Per-query probe set (query_id, cluster): coarse scoring is queries ×
+    * broadcast(centroids) (K·d rows), probe selection one rank window
+    * partitioned by query_id over K·|Q| rows — nothing touches the corpus.
+    * Shared by every batched tier (was duplicated float/binary). */
+  private def probesMany(cent: DataFrame, qx: DataFrame, nprobe: Int): DataFrame =
+    qx.join(broadcast(cent), "pos")
       .groupBy("query_id", "cluster")
       .agg(sum(((col("v") - col("c")) * (col("v") - col("c")))
         .cast("decimal(38,18)")).as("dist"))
@@ -1178,16 +1235,128 @@ object SimilarityOps {
         Window.partitionBy("query_id").orderBy(col("dist").asc, col("cluster").asc)))
       .filter(col("crank") <= nprobe)
       .select("query_id", "cluster")
-    val shortlist = vectorsDf(spark, indexDir)
-      .select(col("vec_id"), col("cluster"), col("bq_lo"), col("bq_hi"))
+
+  /** Per-query residual ADC tables over the PROBED cells only:
+    * (query_id, cluster, sub, code, d). |Q|·nprobe·PqM·PqK rows —
+    * broadcast metadata exactly like q110's panel tables (its 51,200-row
+    * bound at NPanel·K cells is the larger shape). */
+  private def adcTablesMany(
+      cent: DataFrame, pcent: DataFrame, qx: DataFrame,
+      probes: DataFrame): DataFrame =
+    cent.join(broadcast(probes), "cluster")
+      .join(broadcast(qx.select(col("query_id"), col("pos"), col("v").as("qv"))),
+        Seq("query_id", "pos"))
+      .select(col("query_id"), col("cluster"), col("pos"),
+        (col("qv") - col("c")).as("qr"))
+      .join(pcent.select(col("sub"), col("code"), col("pos"), col("c").as("pc")), "pos")
+      .groupBy("query_id", "cluster", "sub", "code")
+      .agg(sum(((col("qr") - col("pc")) * (col("qr") - col("pc")))
+        .cast("decimal(38,18)")).as("d"))
+
+  /** Batched int8 serving: [[annIvfInt8Serve]] for a whole request frame
+    * in ONE distributed plan. Each query is quantized executor-side
+    * (per-query amax → scale → reconstructed qr — a |Q|·d job, the exact
+    * build-side floor arithmetic), the probed partitions' codes are
+    * expanded once and joined to the broadcast per-query reconstruction
+    * on (query_id, pos), and dot/nn/qq accumulate in the same
+    * DECIMAL(38,18) as the single-query tier — so per-query results are
+    * bit-identical (Round13Spec pins it). */
+  def annInt8ServeMany(
+      spark: SparkSession, indexDir: String, queries: DataFrame,
+      nprobe: Int = NProbeServe): DataFrame = {
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val qx = qxOf(queries)
+    val probes = probesMany(cent, qx, nprobe)
+    val qscale = qx.groupBy("query_id").agg(max(abs(col("v"))).as("amax"))
+      .select(col("query_id"),
+        when(col("amax") === 0.0, 1.0).otherwise(col("amax") / 127.0).as("qsc"))
+    val qrec = qx.join(broadcast(qscale), "query_id")
+      .select(col("query_id"), col("pos"),
+        (floor(col("v") / col("qsc") + 0.5) * col("qsc")).as("qr"))
+    val qq = qrec.groupBy("query_id")
+      .agg(sum((col("qr") * col("qr")).cast("decimal(38,18)")).as("qq"))
+    val comp = vectorsDf(spark, indexDir)
+      .select(col("vec_id"), col("cluster"), col("scale"), col("codes"))
       .join(broadcast(probes), "cluster")
-      .join(broadcast(qcodes), "query_id")
+      .select(col("query_id"), col("vec_id"), col("scale"),
+        posexplode(col("codes")).as(Seq("pos", "code")))
+      .select(col("query_id"), col("vec_id"), col("pos"),
+        (col("code").cast("double") * col("scale")).as("r"))
+      .join(broadcast(qrec), Seq("query_id", "pos"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum((col("r") * col("qr")).cast("decimal(38,18)")).as("dot"),
+        sum((col("r") * col("r")).cast("decimal(38,18)")).as("nn"))
+    comp.join(broadcast(qq), "query_id")
       .select(col("query_id"), col("vec_id"),
-        (expr("bit_count(bq_lo ^ qlo)") + expr("bit_count(bq_hi ^ qhi)"))
-          .cast("long").as("ham"))
-      .withColumn("brank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("ham").asc, col("vec_id").asc)))
-      .filter(col("brank") <= RerankK)
+        when(col("nn") === 0 || col("qq") === 0, 0.0)
+          .otherwise(col("dot").cast("double") /
+            (sqrt(col("nn").cast("double")) * sqrt(col("qq").cast("double"))))
+          .as("qcos"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("qcos").desc, col("vec_id").asc))
+        .cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id"), col("rank"), r6(col("qcos")).as("qcos"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The shared batched ADC candidate ranking: probed partitions' 64-bit
+    * pq_codes expanded and joined to the broadcast per-query tables, one
+    * adist sum per (query, vector), one rank window per query. `depth`
+    * is TopK for the plain PQ tier and RerankK for the re-rank
+    * shortlist. Returns (query_id, vec_id, adist, arank). */
+  private def adcRankMany(
+      spark: SparkSession, indexDir: String, probes: DataFrame,
+      dtab: DataFrame, depth: Int): DataFrame =
+    vectorsDf(spark, indexDir)
+      .select(col("vec_id"), col("cluster"), col("pq_codes"))
+      .join(broadcast(probes), "cluster")
+      .select(col("query_id"), col("vec_id"), col("cluster"),
+        posexplode(col("pq_codes")).as(Seq("sub", "code")))
+      .select(col("query_id"), col("vec_id"),
+        col("cluster").cast("long").as("cluster"),
+        col("sub").cast("long").as("sub"), col("code"))
+      .join(broadcast(dtab), Seq("query_id", "cluster", "sub", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("d")).as("adist"))
+      .withColumn("arank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adist").asc, col("vec_id").asc)))
+      .filter(col("arank") <= depth)
+
+  /** Batched PQ serving: [[annPqServe]] for a whole request frame in ONE
+    * distributed plan — per-query ADC tables as broadcast metadata, one
+    * 64-bit scan of the probed partitions, one rank window per query.
+    * Same DECIMAL(38,18) adist sums as the single-query tier. */
+  def annPqServeMany(
+      spark: SparkSession, indexDir: String, queries: DataFrame,
+      nprobe: Int = NProbeServe): DataFrame = {
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val pcent = spark.read.parquet(s"$indexDir/pq_centroids")
+    val qx = qxOf(queries)
+    val probes = probesMany(cent, qx, nprobe)
+    val dtab = adcTablesMany(cent, pcent, qx, probes)
+    adcRankMany(spark, indexDir, probes, dtab, TopK)
+      .select(col("query_id"), col("vec_id"), col("arank").cast("long").as("rank"),
+        r6(col("adist").cast("double")).as("adist"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Batched re-ranked PQ serving: [[annPqRerankServe]] for a whole
+    * request frame in ONE distributed plan — the tier SCALE.md's
+    * concurrency curve says a deployment actually pushes load on. The
+    * ADC stage ranks to RerankK per query; the float read-back is a
+    * second partition-pruned scan semi-joined to the (|Q|·RerankK)-row
+    * broadcast shortlist; exact cosine + one rank window per query.
+    * Nothing grows with corpus size except the pruned 64-bit scan. */
+  def annPqRerankServeMany(
+      spark: SparkSession, indexDir: String, queries: DataFrame,
+      nprobe: Int = NProbeServe): DataFrame = {
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val pcent = spark.read.parquet(s"$indexDir/pq_centroids")
+    val qx = qxOf(queries)
+    val probes = probesMany(cent, qx, nprobe)
+    val dtab = adcTablesMany(cent, pcent, qx, probes)
+    val shortlist = adcRankMany(spark, indexDir, probes, dtab, RerankK)
       .select("query_id", "vec_id")
     vectorsDf(spark, indexDir)
       .select(col("vec_id"), col("cluster"), col("embedding"))
@@ -1763,17 +1932,7 @@ object SimilarityOps {
       spark: SparkSession, indexDir: String, queries: DataFrame,
       nprobe: Int = NProbeServe): DataFrame = {
     val cent = spark.read.parquet(s"$indexDir/centroids")
-    val qx = queries
-      .select(col("query_id"), posexplode(col("embedding")).as(Seq("pos", "v0")))
-      .select(col("query_id"), col("pos"), col("v0").cast("double").as("v"))
-    val probes = qx.join(broadcast(cent), "pos")
-      .groupBy("query_id", "cluster")
-      .agg(sum(((col("v") - col("c")) * (col("v") - col("c")))
-        .cast("decimal(38,18)")).as("dist"))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("dist").asc, col("cluster").asc)))
-      .filter(col("crank") <= nprobe)
-      .select("query_id", "cluster")
+    val probes = probesMany(cent, qxOf(queries), nprobe)
     vectorsDf(spark, indexDir)
       .select(col("vec_id"), col("cluster"), col("embedding"))
       .join(broadcast(probes), "cluster")
@@ -3895,6 +4054,125 @@ object SimilarityOps {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     (w0, w1, census(w0), census(w1))
   }
+
+  // ---- routeAndServe: the route → dispatch arc (r13 — VERDICT r12 #2) -----
+
+  /** Per-cluster vector counts of a persisted index, memoized per
+    * (appId, resolved vectors path): K rows collected once per session —
+    * the routing feature's only corpus-sized input, and the one
+    * quantity a build could just as well persist (the memo key includes
+    * the manifest-resolved generation, so a compaction swap refreshes
+    * it). The count job reads no payload columns. */
+  private val clusterSizeCache = Memo.plain[(Map[Long, Long], Long)]()
+
+  private def indexClusterSizes(
+      spark: SparkSession, indexDir: String): (Map[Long, Long], Long) =
+    clusterSizeCache.getOrElseUpdate(
+      s"csz:${spark.sparkContext.applicationId}:${vectorsPath(spark, indexDir)}", {
+        val m = vectorsDf(spark, indexDir).groupBy("cluster")
+          .agg(count(lit(1)).as("csz"))
+          .collect().map(r => r.getAs[Number]("cluster").longValue() ->
+            r.getAs[Long]("csz")).toMap
+        (m, m.values.sum)
+      })
+
+  /** The q184 routing features for a REQUEST frame, computed from the
+    * persisted index alone: q_norm/peak are row-local over the exploded
+    * queries; margin is 1 − d1/d2 of the same broadcast-centroid coarse
+    * scoring the probe already runs; coverage divides the NProbe-deep
+    * probe set's cluster sizes (broadcast K-row frame from the memoized
+    * count) by the index total. Same r6 roundings as
+    * [[computeTierFeatures]], so a query that IS a panel vector gets its
+    * panel features. Returns (query_id, q_norm, peak, margin, coverage). */
+  private[graft] def servedTierFeatures(
+      spark: SparkSession, indexDir: String, queries: DataFrame): DataFrame = {
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val qx = qxOf(queries)
+    val nf = qx.groupBy("query_id")
+      .agg(sum((col("v") * col("v")).cast("decimal(38,18)")).as("ss"),
+        max(abs(col("v"))).as("amax"))
+      .select(col("query_id"),
+        r6(sqrt(col("ss").cast("double"))).as("q_norm"),
+        when(col("ss") === 0, 0.0)
+          .otherwise(r6(col("amax") / sqrt(col("ss").cast("double")))).as("peak"))
+    val crank = qx.join(broadcast(cent), "pos")
+      .groupBy("query_id", "cluster")
+      .agg(sum(((col("v") - col("c")) * (col("v") - col("c")))
+        .cast("decimal(38,18)")).as("dist"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("dist").asc, col("cluster").asc)))
+    val mg = crank.filter(col("crank") <= 2)
+      .groupBy("query_id")
+      .agg(min(when(col("crank") === 1, col("dist"))).as("d1"),
+        min(when(col("crank") === 2, col("dist"))).as("d2"))
+      .select(col("query_id"),
+        when(col("d2") === 0, 0.0)
+          .otherwise(r6(lit(1.0) -
+            col("d1").cast("double") / col("d2").cast("double"))).as("margin"))
+    val (sizes, ntot) = indexClusterSizes(spark, indexDir)
+    val csz = spark.createDataFrame(spark.sparkContext.parallelize(
+      sizes.toSeq.map { case (c, n) => org.apache.spark.sql.Row(c, n) }, 1),
+      org.apache.spark.sql.types.StructType.fromDDL("cluster BIGINT, csz BIGINT"))
+    val cov = crank.filter(col("crank") <= NProbe)
+      .join(broadcast(csz), "cluster")
+      .groupBy("query_id").agg(sum("csz").as("ncov"))
+      .select(col("query_id"),
+        r6(col("ncov").cast("double") / lit(ntot.toDouble)).as("coverage"))
+    nf.join(mg, "query_id").join(cov, "query_id")
+  }
+
+  /** The reference's core dispatch — choose a strategy, then RUN it
+    * (run.py:28-33 routing into the chosen retriever,
+    * router.py:94-105's utility argmax) — applied to the vector serving
+    * tiers: compute the routing features for the request frame from the
+    * persisted index, score the five arms under the given e4 weights
+    * (zero = the q184 frozen-state decision; pass weights from
+    * [[loadTierState]] for the learned ones), pick the arm per query,
+    * and dispatch each routed group to its tier's batched ServeMany —
+    * answers union to (query_id, vec_id, rank, score, tier). `score` is
+    * the tier's own ranking value (cos / qcos / −adist is NOT
+    * normalized — adist ranks ascending, so callers compare ranks, not
+    * scores, across tiers). Round13Spec pins routed answers ≡ the chosen
+    * tier's own answers per query.
+    *
+    * Scale shape: features are |Q|-sized jobs against broadcast K-row
+    * frames; the census collect is ≤ 5 rows; each present tier runs ONE
+    * batched plan over its routed slice — so a micro-batch costs
+    * max-over-tiers one pruned scan, not |Q| single-request plans. */
+  def routeAndServe(
+      spark: SparkSession, indexDir: String, queries: DataFrame,
+      wE4: Map[String, Long] = Map.empty,
+      nprobe: Int = NProbeServe): DataFrame = {
+    val w = Tiers.map(t => t -> lit(wE4.getOrElse(t, 0L).toDouble / 10000.0)).toMap
+    // Panel-sized frame consumed by the census AND every tier's slice
+    // filter — eager-checkpointed so the feature jobs run once (the
+    // tierFeatures rationale).
+    val choices = tierUtilities(servedTierFeatures(spark, indexDir, queries), w)
+      .select(col("query_id"), tierChoice.as("tier"))
+      .localCheckpoint(true)
+    val present = choices.select("tier").distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    // Thunks: only PRESENT tiers plan (each plan reads index metadata).
+    val serveManyOf: Map[String, (DataFrame => DataFrame, String)] = Map(
+      "binary" -> ((q: DataFrame) => annBinaryServeMany(spark, indexDir, q, nprobe), "cos"),
+      "float" -> ((q: DataFrame) => annIvfServeMany(spark, indexDir, q, nprobe), "cos"),
+      "int8" -> ((q: DataFrame) => annInt8ServeMany(spark, indexDir, q, nprobe), "qcos"),
+      "pq" -> ((q: DataFrame) => annPqServeMany(spark, indexDir, q, nprobe), "adist"),
+      "pq_rerank" -> ((q: DataFrame) => annPqRerankServeMany(spark, indexDir, q, nprobe), "cos"))
+    present.map { t =>
+      val (serve, scoreCol) = serveManyOf(t)
+      serve(routedSlice(queries, choices, t))
+        .withColumnRenamed(scoreCol, "score").withColumn("tier", lit(t))
+    }.reduce(_.unionByName(_)).orderBy("query_id", "rank")
+  }
+
+  /** The sub-frame of `queries` routed to `tier` (broadcast semi-join on
+    * the panel-sized choice frame). */
+  private def routedSlice(
+      queries: DataFrame, choices: DataFrame, tier: String): DataFrame =
+    queries.join(
+      broadcast(choices.filter(col("tier") === tier).select("query_id")),
+      "query_id")
 
   /** q187: the pass-1 → pass-2 behavioral arc on the vector tiers (the
     * reference's defining demo — BASELINE.md rows 1-2: feedback persists,

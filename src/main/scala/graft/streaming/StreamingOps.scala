@@ -597,14 +597,20 @@ object StreamingOps {
     fs.mkdirs(bandsBase)
     bandEpochs.foreach { e =>
       val d = new org.apache.hadoop.fs.Path(s"$labelsDir/bands/epoch=$e")
-      fs.listStatus(d).iterator
+      // HDFS rename returns FALSE (not an exception) on quota/permission/
+      // destination-exists failures; deleting the epoch dir after a failed
+      // move would permanently lose band rows that never landed in the
+      // base. Delete the source epoch only when every file moved — a
+      // partial move leaves the remainder for the next fold entry, which
+      // the crash story already assumes.
+      val allMoved = fs.listStatus(d).iterator
         .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
           && !st.getPath.getName.startsWith("."))
-        .foreach { st =>
+        .forall { st =>
           fs.rename(st.getPath,
             new org.apache.hadoop.fs.Path(bandsBase, s"e${e}_${st.getPath.getName}"))
         }
-      fs.delete(d, true)
+      if (allMoved) fs.delete(d, true)
     }
 
     // LABELS fold is a real rewrite — last-writer-wins needs the base to
@@ -686,28 +692,41 @@ object StreamingOps {
     * because per-query top-k needs a rank window, which append-mode
     * streaming can't express — and each request batch is a complete,
     * self-contained serving job anyway. `tier` selects the serving
-    * arithmetic per stream — "float" (annIvfServeMany) or "binary"
-    * (annBinaryServeMany, the 16-byte Hamming first stage + shortlist
-    * re-rank) — so a deployment can run one request stream per cost
-    * tier against the same persisted index. */
+    * arithmetic per stream — any of the five batched tiers ("float",
+    * "binary", "int8", "pq", "pq_rerank") so a deployment can run one
+    * request stream per cost tier against the same persisted index —
+    * or "auto", which routes each request through the learned tier
+    * weights (loaded from `stateDir` per micro-batch, so a TierPass
+    * landing mid-stream re-routes the NEXT batch — the reference's
+    * feedback-persists contract) and dispatches each routed group to
+    * its tier's batched plan (SimilarityOps.routeAndServe; answers gain
+    * `score`/`tier` columns). */
   def annServe(
       queries: DataFrame, indexDir: String, outDir: String,
       nprobe: Int = graft.operators.SimilarityOps.NProbeServe,
-      tier: String = "float")
+      tier: String = "float", stateDir: Option[String] = None)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    require(tier == "float" || tier == "binary", s"unknown serve tier: $tier")
+    import graft.operators.SimilarityOps
+    val known = SimilarityOps.Tiers.toSet + "auto"
+    require(known(tier), s"unknown serve tier: $tier (one of ${known.toSeq.sorted})")
     queries.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
+          val s = batch.sparkSession
           val reqs = batch.select("query_id", "embedding")
-          val answered =
-            if (tier == "binary")
-              graft.operators.SimilarityOps
-                .annBinaryServeMany(batch.sparkSession, indexDir, reqs, nprobe)
-            else
-              graft.operators.SimilarityOps
-                .annIvfServeMany(batch.sparkSession, indexDir, reqs, nprobe)
+          val answered = tier match {
+            case "auto" =>
+              val w = stateDir.map(SimilarityOps.loadTierState(s, _))
+                .getOrElse(Map.empty[String, Long])
+              SimilarityOps.routeAndServe(s, indexDir, reqs, w, nprobe)
+            case "binary" => SimilarityOps.annBinaryServeMany(s, indexDir, reqs, nprobe)
+            case "int8" => SimilarityOps.annInt8ServeMany(s, indexDir, reqs, nprobe)
+            case "pq" => SimilarityOps.annPqServeMany(s, indexDir, reqs, nprobe)
+            case "pq_rerank" =>
+              SimilarityOps.annPqRerankServeMany(s, indexDir, reqs, nprobe)
+            case _ => SimilarityOps.annIvfServeMany(s, indexDir, reqs, nprobe)
+          }
           answered.write.mode("append").parquet(outDir)
         }
       }

@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SimilarityOps
+
+/** Round-13 pins: batched serving for the remaining compressed tiers
+  * (VERDICT r12 #1 — int8/pq/pq_rerank ServeMany, per-query equality with
+  * the single-request tier), the route→dispatch arc (VERDICT r12 #2 —
+  * routeAndServe answers ≡ the chosen tier's own answers; served routing
+  * features ≡ the oracle-gated q184 panel features), and the streaming
+  * tier wiring for the new tiers.
+  */
+class Round13Spec extends SparkSpec {
+
+  val sf = "/root/testdata/sf0.001"
+  val qids = Seq(0L, 5L, 7L, 13L)
+
+  // One shared index build for the whole suite — every test reads, none
+  // mutates.
+  private lazy val idx: String = {
+    val out = java.nio.file.Files.createTempDirectory("graft_r13_idx").toString
+    SimilarityOps.writeIndex(spark, sf, out)
+    out
+  }
+
+  private lazy val embOf: Map[Long, Array[Float]] =
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < SimilarityOps.NPanel).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+
+  private def reqs(ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.map(q => (q, embOf(q))).toDF("query_id", "embedding")
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame, scoreCol: String) =
+    df.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+      r.getAs[Double](scoreCol))).toSeq
+
+  private def manyRows(df: org.apache.spark.sql.DataFrame, scoreCol: String)
+      : Map[Long, Seq[(Long, Long, Double)]] =
+    df.collect().groupBy(_.getAs[Long]("query_id")).map { case (q, rs) =>
+      q -> rs.sortBy(_.getAs[Long]("rank"))
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+          r.getAs[Double](scoreCol))).toSeq
+    }
+
+  test("annInt8ServeMany: each query's rows equal annIvfInt8Serve from " +
+    "the same persisted index") {
+    val many = manyRows(SimilarityOps.annInt8ServeMany(spark, idx, reqs(qids)), "qcos")
+    qids.foreach { q =>
+      assert(many(q) == rows(SimilarityOps.annIvfInt8Serve(spark, idx, embOf(q)), "qcos"),
+        s"query $q: batched int8 diverged")
+    }
+  }
+
+  test("annPqServeMany: each query's rows equal annPqServe") {
+    val many = manyRows(SimilarityOps.annPqServeMany(spark, idx, reqs(qids)), "adist")
+    qids.foreach { q =>
+      assert(many(q) == rows(SimilarityOps.annPqServe(spark, idx, embOf(q)), "adist"),
+        s"query $q: batched pq diverged")
+    }
+  }
+
+  test("annPqRerankServeMany: each query's rows equal annPqRerankServe") {
+    val many = manyRows(
+      SimilarityOps.annPqRerankServeMany(spark, idx, reqs(qids)), "cos")
+    qids.foreach { q =>
+      assert(many(q) == rows(SimilarityOps.annPqRerankServe(spark, idx, embOf(q)), "cos"),
+        s"query $q: batched pq_rerank diverged")
+    }
+  }
+
+  test("served routing features from the persisted index equal the " +
+    "oracle-gated q184 panel features for panel queries") {
+    val panel = reqs(embOf.keys.toSeq.sorted)
+    val served = SimilarityOps.servedTierFeatures(spark, idx, panel)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Double]("q_norm"), r.getAs[Double]("peak"),
+          r.getAs[Double]("margin"), r.getAs[Double]("coverage"))).toMap
+    val batch = SimilarityOps.tierRoute(spark, sf)
+      .collect().map(r => r.getAs[Long]("qid") ->
+        (r.getAs[Double]("q_norm"), r.getAs[Double]("peak"),
+          r.getAs[Double]("margin"), r.getAs[Double]("coverage"))).toMap
+    assert(served.keySet == batch.keySet)
+    served.foreach { case (q, f) =>
+      assert(f == batch(q), s"query $q: served features $f != panel ${batch(q)}")
+    }
+  }
+
+  test("routeAndServe: answers per query are row-identical to the chosen " +
+    "tier's own single-query serve; every query answered exactly once") {
+    val panelIds = embOf.keys.toSeq.sorted
+    val routed = SimilarityOps.routeAndServe(spark, idx, reqs(panelIds))
+      .collect().groupBy(_.getAs[Long]("query_id"))
+    assert(routed.keySet == panelIds.toSet, "a routed query went unanswered")
+    val singleOf: Map[String, Array[Float] => org.apache.spark.sql.DataFrame] = Map(
+      "float" -> (qv => SimilarityOps.annIvfServe(spark, idx, qv)),
+      "binary" -> (qv => SimilarityOps.annBinaryServe(spark, idx, qv)),
+      "int8" -> (qv => SimilarityOps.annIvfInt8Serve(spark, idx, qv)),
+      "pq" -> (qv => SimilarityOps.annPqServe(spark, idx, qv)),
+      "pq_rerank" -> (qv => SimilarityOps.annPqRerankServe(spark, idx, qv)))
+    val scoreColOf = Map("float" -> "cos", "binary" -> "cos", "int8" -> "qcos",
+      "pq" -> "adist", "pq_rerank" -> "cos")
+    val tiersSeen = scala.collection.mutable.Set[String]()
+    panelIds.foreach { q =>
+      val ans = routed(q).sortBy(_.getAs[Long]("rank"))
+      val tiers = ans.map(_.getAs[String]("tier")).distinct
+      assert(tiers.length == 1, s"query $q answered by multiple tiers: $tiers")
+      val t = tiers.head
+      tiersSeen += t
+      val got = ans.map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+        r.getAs[Double]("score"))).toSeq
+      assert(got == rows(singleOf(t)(embOf(q)), scoreColOf(t)),
+        s"query $q (tier $t): routed answers diverged from the tier's own")
+    }
+    // The zero-state panel census is genuinely multi-way (the q184
+    // contract) — routing that collapses to one arm would make this
+    // dispatch test vacuous.
+    assert(tiersSeen.size >= 2, s"panel routed to a single tier: $tiersSeen")
+  }
+
+  test("routeAndServe honors learned weights: a weight shove reroutes a " +
+    "query and its answers follow the new tier") {
+    val q = qids.head
+    val one = reqs(Seq(q))
+    // +10 e4-units on pq_rerank dwarfs every feature term — the routed
+    // tier must become pq_rerank and the answers must be ITS answers.
+    val shoved = SimilarityOps.routeAndServe(spark, idx, one,
+      Map("pq_rerank" -> 100000L)).collect()
+    assert(shoved.map(_.getAs[String]("tier")).distinct.toSeq == Seq("pq_rerank"))
+    val got = shoved.sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+        r.getAs[Double]("score"))).toSeq
+    assert(got == rows(SimilarityOps.annPqRerankServe(spark, idx, embOf(q)), "cos"))
+  }
+
+  test("streaming annServe: tier=pq_rerank and tier=auto answer from the " +
+    "same index with the batched tiers' arithmetic") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    def streamed(tier: String): Map[Long, Seq[(Long, Long)]] = {
+      val stream = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Array[Float])]
+      val resDir = java.nio.file.Files
+        .createTempDirectory(s"graft_r13_serve_$tier").toString
+      val q = graft.streaming.StreamingOps.annServe(
+        stream.toDF().toDF("query_id", "embedding"), idx, resDir, tier = tier)
+        .option("checkpointLocation", s"$resDir/ckpt").start()
+      try {
+        stream.addData(qids.map(i => (i, embOf(i))))
+        q.processAllAvailable()
+      } finally q.stop()
+      spark.read.parquet(resDir).collect()
+        .groupBy(_.getAs[Long]("query_id")).map { case (k, rs) =>
+          k -> rs.sortBy(_.getAs[Long]("rank"))
+            .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"))).toSeq
+        }
+    }
+    val viaStream = streamed("pq_rerank")
+    qids.foreach { q =>
+      val single = SimilarityOps.annPqRerankServe(spark, idx, embOf(q)).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"))).toSeq
+      assert(viaStream(q) == single, s"query $q: streamed pq_rerank diverged")
+    }
+    val auto = streamed("auto")
+    val batch = SimilarityOps.routeAndServe(spark, idx, reqs(qids)).collect()
+      .groupBy(_.getAs[Long]("query_id")).map { case (k, rs) =>
+        k -> rs.sortBy(_.getAs[Long]("rank"))
+          .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"))).toSeq
+      }
+    qids.foreach { q =>
+      assert(auto(q) == batch(q), s"query $q: streamed auto diverged from batch")
+    }
+  }
+}
