@@ -595,7 +595,17 @@ object StreamingOps {
     // `distinct()` absorbs it, documented at the call sites.)
     val bandsBase = new org.apache.hadoop.fs.Path(s"$labelsDir/bands/epoch=-1")
     fs.mkdirs(bandsBase)
-    bandEpochs.foreach { e =>
+    // A batch epoch folded ONCE and then replayed (crash between the sink
+    // ack and the checkpoint commit) re-materializes under the same epoch
+    // id with fresh file names; moving it again would plant literal
+    // duplicate band rows in the base, which every later maintenance
+    // batch re-absorbs through a corpus-scale distinct(). The ledger of
+    // ever-folded epoch ids makes the replay detectable exactly (a
+    // metadata read, no data scan), and only then does the fold pay for
+    // a deduping base rewrite.
+    val ledger = foldedEpochLedger(spark, labelsDir)
+    val replayed = bandEpochs.toSet.intersect(ledger)
+    val folded = bandEpochs.filter { e =>
       val d = new org.apache.hadoop.fs.Path(s"$labelsDir/bands/epoch=$e")
       // HDFS rename returns FALSE (not an exception) on quota/permission/
       // destination-exists failures; deleting the epoch dir after a failed
@@ -611,7 +621,14 @@ object StreamingOps {
             new org.apache.hadoop.fs.Path(bandsBase, s"e${e}_${st.getPath.getName}"))
         }
       if (allMoved) fs.delete(d, true)
+      allMoved
     }
+    // Ledger update is atomic (temp + rename-overwrite); a crash before
+    // it leaves an unrecorded fold — a later replay of that epoch then
+    // escapes dedup detection, which costs duplicate rows the read-side
+    // distinct() absorbs, never correctness.
+    writeFoldedEpochLedger(spark, labelsDir, ledger ++ folded)
+    if (replayed.nonEmpty) dedupBandsBase(spark, labelsDir)
 
     // LABELS fold is a real rewrite — last-writer-wins needs the base to
     // hold RESOLVED values (a renamed epoch file would surface stale
@@ -633,6 +650,66 @@ object StreamingOps {
         labelEpochs.map(e => s"labels/epoch=$e"))
       SimilarityOps.recoverRetiredBatches(spark, labelsDir)
     }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    true
+  }
+
+  /** Epoch ids ever folded into the bands base — one id per line in
+    * `<labelsDir>/.folded_epochs` (bounded by the number of batches ever
+    * folded; a driver-side text read, the retirement-marker scale). */
+  private def foldedEpochLedger(spark: SparkSession, labelsDir: String): Set[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$labelsDir/.folded_epochs")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      content.linesIterator.map(_.trim).filter(_.nonEmpty).map(_.toLong).toSet
+    }
+  }
+
+  /** Atomically replace the folded-epoch ledger (temp file +
+    * FileContext rename-with-OVERWRITE — the MANIFEST discipline). */
+  private def writeFoldedEpochLedger(
+      spark: SparkSession, labelsDir: String, ids: Set[Long]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(labelsDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$labelsDir/.folded_epochs.tmp")
+    val out = fs.create(tmp, true)
+    try out.write((ids.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri,
+      spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, new org.apache.hadoop.fs.Path(s"$labelsDir/.folded_epochs"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Rewrite the bands base partition with exact (doc_id, band_id,
+    * band_hash) duplicates removed — the OPTIONAL pay-down for
+    * replay-after-fold duplicates (VERDICT r12 #5). The fold itself stays
+    * metadata-only; this rewrite runs only when the ledger proves a
+    * replayed epoch was folded a second time. Staged outside the read
+    * path, committed via dynamic partition overwrite of the base
+    * partition only — the labels-fold commit discipline. Duplicates are
+    * never a correctness issue (pair generation dedups by construction);
+    * they are a cost issue, so the rewrite is deliberately rare. */
+  private[graft] def dedupBandsBase(spark: SparkSession, labelsDir: String): Boolean = {
+    val base = new org.apache.hadoop.fs.Path(s"$labelsDir/bands/epoch=-1")
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(base)) return false
+    val tmp = s"$labelsDir/.fold_tmp/bands_dedup"
+    spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, band_id BIGINT, band_hash STRING"))
+      .option("ignoreMissingFiles", "true").parquet(base.toString)
+      .distinct()
+      .write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp)
+      .withColumn("epoch", lit(-1L))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(s"$labelsDir/bands")
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     true
   }

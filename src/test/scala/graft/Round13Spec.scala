@@ -174,4 +174,59 @@ class Round13Spec extends SparkSpec {
       assert(auto(q) == batch(q), s"query $q: streamed auto diverged from batch")
     }
   }
+
+  test("bands base dedup: a replayed epoch folded TWICE triggers the " +
+    "deduping base rewrite; labels stay correct; no duplicate band rows " +
+    "remain; a replay-free fold stays metadata-only") {
+    import graft.streaming.StreamingOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_r13_dedup").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val n = 3
+    (0 until n).foreach { b =>
+      StreamingOps.mergeBatchComponents(
+        docs.filter(pmod(col("doc_id"), lit(n)) === b), b.toLong, dir)
+    }
+    assert(StreamingOps.foldDownEpochs(spark, dir))
+    val baseCount = spark.read.parquet(s"$dir/bands").count()
+
+    // Replay the last batch (the crash-replay contract: same batchId,
+    // same data) — its band rows re-materialize under epoch=2 while the
+    // base already holds them from the first fold.
+    StreamingOps.mergeBatchComponents(
+      docs.filter(pmod(col("doc_id"), lit(n)) === (n - 1)), (n - 1).toLong, dir)
+    assert(StreamingOps.foldDownEpochs(spark, dir))
+
+    // The ledger proved epoch=2 was folded before, so the second fold
+    // rewrote the base deduped: same distinct rows, zero duplicates,
+    // and the total is back to the pre-replay count.
+    val bands = spark.read.parquet(s"$dir/bands")
+    assert(bands.count() == baseCount,
+      "replay duplicates survived the dedup rewrite")
+    assert(bands.count() ==
+      bands.dropDuplicates("doc_id", "band_id", "band_hash").count())
+    // Labels still equal the batch fixpoint recompute after the rewrite.
+    val full = graft.operators.DedupOps.dupLabelsFixpoint(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val folded = StreamingOps.currentLabels(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folded == full)
+
+    // Negative control: a FRESH batch folded once (no replay) must not
+    // rewrite the base — the fold stays metadata-only for it.
+    val extra = spark.range(1).select(lit(910002L).as("doc_id"),
+      lit("zz qq unique gibberish for the dedup control").as("text"))
+    StreamingOps.mergeBatchComponents(extra, n.toLong, dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val pre = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/bands/epoch=-1"))
+      .filter(_.isFile).map(st => (st.getPath.getName, st.getModificationTime))
+      .sortBy(_._1).toSeq
+    assert(StreamingOps.foldDownEpochs(spark, dir))
+    val post = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/bands/epoch=-1"))
+      .filter(_.isFile).map(st => (st.getPath.getName, st.getModificationTime))
+      .sortBy(_._1).toSeq
+    assert(post.size > pre.size, "the fresh epoch's files did not move in")
+    assert(pre.forall(post.contains),
+      "a replay-free fold rewrote pre-existing base files")
+  }
 }
