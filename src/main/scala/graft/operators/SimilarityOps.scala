@@ -1061,9 +1061,9 @@ object SimilarityOps {
     val qx = spark.range(1)
       .select(posexplode(typedlit(queryVec.map(_.toDouble))).as(Seq("pos", "v")))
     val dtab = adcTable(
-      spark.read.parquet(s"$indexDir/centroids")
+      indexMeta(spark, indexDir, "centroids")
         .filter(col("cluster").isin(probed: _*)),
-      spark.read.parquet(s"$indexDir/pq_centroids"),
+      indexMeta(spark, indexDir, "pq_centroids"),
       qx.select(col("pos"), col("v").as("qv")))
     val shortlist = vectorsDf(spark, indexDir)
       .filter(col("cluster").isin(probed: _*))
@@ -1112,7 +1112,7 @@ object SimilarityOps {
       spark: SparkSession, indexDir: String, queryVec: Array[Float],
       nprobe: Int = NProbeServe): DataFrame = {
     val probed = servedProbe(spark, indexDir, queryVec, nprobe)
-    val mu = spark.read.parquet(s"$indexDir/bq_mu").collect()
+    val mu = indexMeta(spark, indexDir, "bq_mu").collect()
       .map(r => r.getAs[Number]("pos").intValue() ->
         r.getAs[Number]("m").doubleValue()).toMap
     var qlo = 0L
@@ -1161,8 +1161,8 @@ object SimilarityOps {
   def annBinaryServeMany(
       spark: SparkSession, indexDir: String, queries: DataFrame,
       nprobe: Int = NProbeServe): DataFrame = {
-    val cent = spark.read.parquet(s"$indexDir/centroids")
-    val mu = spark.read.parquet(s"$indexDir/bq_mu")
+    val cent = indexMeta(spark, indexDir, "centroids")
+    val mu = indexMeta(spark, indexDir, "bq_mu")
     val qx = qxOf(queries)
     val qcodes = qx.join(broadcast(mu), "pos")
       .select(col("query_id"), col("pos"),
@@ -1264,7 +1264,7 @@ object SimilarityOps {
   def annInt8ServeMany(
       spark: SparkSession, indexDir: String, queries: DataFrame,
       nprobe: Int = NProbeServe): DataFrame = {
-    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val cent = indexMeta(spark, indexDir, "centroids")
     val qx = qxOf(queries)
     val probes = probesMany(cent, qx, nprobe)
     val qscale = qx.groupBy("query_id").agg(max(abs(col("v"))).as("amax"))
@@ -1330,8 +1330,8 @@ object SimilarityOps {
   def annPqServeMany(
       spark: SparkSession, indexDir: String, queries: DataFrame,
       nprobe: Int = NProbeServe): DataFrame = {
-    val cent = spark.read.parquet(s"$indexDir/centroids")
-    val pcent = spark.read.parquet(s"$indexDir/pq_centroids")
+    val cent = indexMeta(spark, indexDir, "centroids")
+    val pcent = indexMeta(spark, indexDir, "pq_centroids")
     val qx = qxOf(queries)
     val probes = probesMany(cent, qx, nprobe)
     val dtab = adcTablesMany(cent, pcent, qx, probes)
@@ -1351,8 +1351,8 @@ object SimilarityOps {
   def annPqRerankServeMany(
       spark: SparkSession, indexDir: String, queries: DataFrame,
       nprobe: Int = NProbeServe): DataFrame = {
-    val cent = spark.read.parquet(s"$indexDir/centroids")
-    val pcent = spark.read.parquet(s"$indexDir/pq_centroids")
+    val cent = indexMeta(spark, indexDir, "centroids")
+    val pcent = indexMeta(spark, indexDir, "pq_centroids")
     val qx = qxOf(queries)
     val probes = probesMany(cent, qx, nprobe)
     val dtab = adcTablesMany(cent, pcent, qx, probes)
@@ -1560,8 +1560,8 @@ object SimilarityOps {
     * pruning covers them with no rebuild; q58's cohesion audit is the
     * signal for when accumulated drift warrants a retrain. */
   def appendArtifacts(spark: SparkSession, indexDir: String, delta: DataFrame): DataFrame = {
-    val cent = spark.read.parquet(s"$indexDir/centroids")
-    val pqCent = spark.read.parquet(s"$indexDir/pq_centroids")
+    val cent = indexMeta(spark, indexDir, "centroids")
+    val pqCent = indexMeta(spark, indexDir, "pq_centroids")
     val ex = delta
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v0")))
       .select(col("vec_id"), col("pos"), col("v0").cast("double").as("v"))
@@ -1577,7 +1577,7 @@ object SimilarityOps {
       .join(pqCodeColumn(pqAssign(withSub(rex), pqCent)), "vec_id")
       // Binary codes centered against the PERSISTED mean — like every
       // other appended artifact: persisted model, zero corpus passes.
-      .join(bqEncode(ex, spark.read.parquet(s"$indexDir/bq_mu"))
+      .join(bqEncode(ex, indexMeta(spark, indexDir, "bq_mu"))
         .select(col("vec_id"), col("lo").as("bq_lo"), col("hi").as("bq_hi")),
         "vec_id")
       .join(asg, "vec_id")
@@ -1595,6 +1595,10 @@ object SimilarityOps {
     kmeansModel(spark, dir)._1.write.mode("overwrite").parquet(s"$out/centroids")
     pqModel(spark, dir)._1.write.mode("overwrite").parquet(s"$out/pq_centroids")
     covMu(spark, dir).write.mode("overwrite").parquet(s"$out/bq_mu")
+    // An in-place rebuild must not leave this session serving the OLD
+    // artifacts through the indexMeta memo (or stale routing cluster
+    // sizes) — evict everything keyed to this index dir.
+    Memos.release(out)
   }
 
   // ---- Index layout resolution: 1-line MANIFEST + generations (r11) -------
@@ -1869,10 +1873,28 @@ object SimilarityOps {
     * ids must be LITERALS for the vectors read to plan as static
     * file-level partition pruning, and coarse-scoring K centroids is
     * driver-scale in any IVF serving system (K ≈ thousands at 100 TB). */
+  /** Small persisted index artifacts (centroids / pq_centroids / bq_mu),
+    * memoized per (name, appId, indexDir) with an eager localCheckpoint —
+    * the serve-plan-reuse lever (VERDICT r12 #6): without it EVERY
+    * single-request serve pays a parquet footer-inference job plus a
+    * fresh file scan per artifact at plan time, a fixed per-request cost
+    * that dominates the sub-second tiers. The frames are K·d / PqM·PqK·d
+    * / d rows — trivial blocks held for the session, the resident
+    * serving loop "holding the index hot". Rebuilding an index in-place
+    * ([[writeIndex]]) releases the memo, so a retrain can't serve stale
+    * centroids; append/compact never rewrite these artifacts. */
+  private val indexMetaCache = Memo.frame()
+
+  private def indexMeta(
+      spark: SparkSession, indexDir: String, name: String): DataFrame =
+    indexMetaCache.getOrElseUpdate(
+      s"$name:${spark.sparkContext.applicationId}:$indexDir",
+      spark.read.parquet(s"$indexDir/$name").localCheckpoint(true))
+
   private[graft] def servedProbe(
       spark: SparkSession, indexDir: String, queryVec: Array[Float],
       nprobe: Int = NProbe): Seq[Long] = {
-    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val cent = indexMeta(spark, indexDir, "centroids")
     val qx = spark.range(1).select(lit(0L).as("vec_id"),
       posexplode(typedlit(queryVec.map(_.toDouble))).as(Seq("pos", "v")))
     sqDist(qx, cent)
@@ -1931,7 +1953,7 @@ object SimilarityOps {
   def annIvfServeMany(
       spark: SparkSession, indexDir: String, queries: DataFrame,
       nprobe: Int = NProbeServe): DataFrame = {
-    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val cent = indexMeta(spark, indexDir, "centroids")
     val probes = probesMany(cent, qxOf(queries), nprobe)
     vectorsDf(spark, indexDir)
       .select(col("vec_id"), col("cluster"), col("embedding"))
@@ -2012,9 +2034,9 @@ object SimilarityOps {
     val qx = spark.range(1)
       .select(posexplode(typedlit(queryVec.map(_.toDouble))).as(Seq("pos", "v")))
     val dtab = adcTable(
-      spark.read.parquet(s"$indexDir/centroids")
+      indexMeta(spark, indexDir, "centroids")
         .filter(col("cluster").isin(probed: _*)),
-      spark.read.parquet(s"$indexDir/pq_centroids"),
+      indexMeta(spark, indexDir, "pq_centroids"),
       qx.select(col("pos"), col("v").as("qv")))
     vectorsDf(spark, indexDir)
       .filter(col("cluster").isin(probed: _*))
@@ -3739,16 +3761,51 @@ object SimilarityOps {
         (((lit(-2.55) + lit(3.5) * (lit(1.0) - m)) + lit(0.45) * cv) + w("pq_rerank")) - lit(0.36))
   }
 
-  /** Arm argmax over the five u_* columns, ties to the ascending tier
+  /** q200 (r13 — VERDICT r12 stretch #8): the same five-arm utilities
+    * under BATCH-measured serve-cost penalties. The single-request
+    * penalties above price the plan/schedule overhead each request pays
+    * alone; under the batched ServeMany plans that overhead amortizes
+    * across the micro-batch and the cost ORDER changes — measured
+    * batch-of-20 wall (r13 sf0.1 artifact): float 412 ms, binary 642,
+    * pq 1141, pq_rerank 1347, int8 1442. Relative to float:
+    * 1.00 / 1.56 / 2.77 / 3.27 / 3.50; × TierLambda 0.15 →
+    * 0.15 / 0.234 / 0.4155 / 0.4905 / 0.525. Two inversions vs the
+    * single-request prices: int8 goes from CHEAPEST (0.98) to most
+    * expensive (3.50 — its batched plan explodes |Q|·64 reconstruction
+    * rows per probed vector, the only tier whose scan cost multiplies
+    * by batch size), and pq_rerank drops from 2.40 to 3.27-vs-int8's-
+    * 3.50, i.e. the exact re-read is no longer the priciest arm once
+    * its two fixed jobs amortize. Same expression tree (parenthesization
+    * pinned) with only the trailing penalty literals swapped, so the SQL
+    * twin agrees bitwise. */
+  private[graft] def tierUtilitiesBatch(feats: DataFrame, w: Map[String, Column]): DataFrame = {
+    val m = col("margin"); val p = col("peak"); val cv = col("coverage")
+    feats
+      .withColumn("ub_binary",
+        ((((lit(0.7605) + lit(3.0) * m) - lit(0.9) * p) + lit(0.3) * cv) + w("binary")) - lit(0.234))
+      .withColumn("ub_float",
+        ((lit(0.3) + lit(0.5) * (lit(1.0) - m)) + w("float")) - lit(0.15))
+      .withColumn("ub_int8",
+        (((lit(0.44) + lit(0.5) * (lit(1.0) - m)) - lit(0.45) * p) + w("int8")) - lit(0.525))
+      .withColumn("ub_pq",
+        (((lit(0.4875) + lit(3.0) * m) + lit(0.3) * cv) + w("pq")) - lit(0.4155))
+      .withColumn("ub_pq_rerank",
+        (((lit(-2.55) + lit(3.5) * (lit(1.0) - m)) + lit(0.45) * cv) + w("pq_rerank")) - lit(0.4905))
+  }
+
+  /** Arm argmax over five utility columns, ties to the ascending tier
     * name (binary < float < int8 < pq < pq_rerank). */
-  private[graft] def tierChoice: Column =
-    when(col("u_binary") >= col("u_float") && col("u_binary") >= col("u_int8") &&
-      col("u_binary") >= col("u_pq") && col("u_binary") >= col("u_pq_rerank"), "binary")
-      .when(col("u_float") >= col("u_int8") && col("u_float") >= col("u_pq") &&
-        col("u_float") >= col("u_pq_rerank"), "float")
-      .when(col("u_int8") >= col("u_pq") && col("u_int8") >= col("u_pq_rerank"), "int8")
-      .when(col("u_pq") >= col("u_pq_rerank"), "pq")
+  private[graft] def tierChoiceOf(u: String => Column): Column =
+    when(u("binary") >= u("float") && u("binary") >= u("int8") &&
+      u("binary") >= u("pq") && u("binary") >= u("pq_rerank"), "binary")
+      .when(u("float") >= u("int8") && u("float") >= u("pq") &&
+        u("float") >= u("pq_rerank"), "float")
+      .when(u("int8") >= u("pq") && u("int8") >= u("pq_rerank"), "int8")
+      .when(u("pq") >= u("pq_rerank"), "pq")
       .otherwise("pq_rerank")
+
+  /** The argmax over the standard u_* columns. */
+  private[graft] def tierChoice: Column = tierChoiceOf(t => col(s"u_$t"))
 
   private val zeroW: Map[String, Column] = Tiers.map(_ -> lit(0.0)).toMap
 
@@ -3763,6 +3820,27 @@ object SimilarityOps {
         r6(col("u_float")).as("u_float"), r6(col("u_int8")).as("u_int8"),
         r6(col("u_pq")).as("u_pq"), r6(col("u_pq_rerank")).as("u_pq_rerank"),
         tierChoice.as("tier"))
+      .orderBy("qid")
+
+  /** q200: the q184 decision table under BATCH-measured cost penalties
+    * ([[tierUtilitiesBatch]]) side-by-side with the single-request
+    * choice — per panel query, both chosen tiers and whether the
+    * amortized prices flip the decision. The deployment question this
+    * answers: a request stream served through the batched micro-batch
+    * plans must NOT route with single-request prices, because two arms
+    * change cost rank under amortization (int8 cheapest → priciest,
+    * see tierUtilitiesBatch). Fully oracle-gated — the whole decision
+    * is column arithmetic over the q184 feature frame. */
+  def tierRouteBatch(spark: SparkSession, dir: String): DataFrame =
+    tierUtilitiesBatch(tierUtilities(tierFeatures(spark, dir), zeroW), zeroW)
+      .select(col("qid"), col("peak"), col("margin"), col("coverage"),
+        r6(col("ub_binary")).as("ub_binary"),
+        r6(col("ub_float")).as("ub_float"), r6(col("ub_int8")).as("ub_int8"),
+        r6(col("ub_pq")).as("ub_pq"), r6(col("ub_pq_rerank")).as("ub_pq_rerank"),
+        tierChoice.as("tier_single"),
+        tierChoiceOf(t => col(s"ub_$t")).as("tier_batch"))
+      .withColumn("switched",
+        (col("tier_single") =!= col("tier_batch")).cast("long"))
       .orderBy("qid")
 
   /** q185: the feedback signal — per (panel query, tier), the MEASURED
@@ -4067,8 +4145,12 @@ object SimilarityOps {
 
   private def indexClusterSizes(
       spark: SparkSession, indexDir: String): (Map[Long, Long], Long) =
+    // Key carries the manifest-resolved generation (compaction swap →
+    // fresh count) but ENDS with the index dir so Memos.release /
+    // writeIndex eviction reach it.
     clusterSizeCache.getOrElseUpdate(
-      s"csz:${spark.sparkContext.applicationId}:${vectorsPath(spark, indexDir)}", {
+      s"csz:${activeVectorsName(spark, indexDir)}:" +
+        s"${spark.sparkContext.applicationId}:$indexDir", {
         val m = vectorsDf(spark, indexDir).groupBy("cluster")
           .agg(count(lit(1)).as("csz"))
           .collect().map(r => r.getAs[Number]("cluster").longValue() ->
@@ -4086,7 +4168,7 @@ object SimilarityOps {
     * panel features. Returns (query_id, q_norm, peak, margin, coverage). */
   private[graft] def servedTierFeatures(
       spark: SparkSession, indexDir: String, queries: DataFrame): DataFrame = {
-    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val cent = indexMeta(spark, indexDir, "centroids")
     val qx = qxOf(queries)
     val nf = qx.groupBy("query_id")
       .agg(sum((col("v") * col("v")).cast("decimal(38,18)")).as("ss"),
@@ -4142,13 +4224,24 @@ object SimilarityOps {
   def routeAndServe(
       spark: SparkSession, indexDir: String, queries: DataFrame,
       wE4: Map[String, Long] = Map.empty,
-      nprobe: Int = NProbeServe): DataFrame = {
+      nprobe: Int = NProbeServe,
+      batchCost: Boolean = false): DataFrame = {
     val w = Tiers.map(t => t -> lit(wE4.getOrElse(t, 0L).toDouble / 10000.0)).toMap
+    val feats = servedTierFeatures(spark, indexDir, queries)
+    // batchCost routes with the amortized batch-of-20 penalties
+    // ([[tierUtilitiesBatch]] / q200) — the correct cost model when the
+    // dispatch target IS the batched plan; default stays the q184
+    // single-request prices so the zero-state route matches the
+    // oracle-gated decision table.
+    val scored =
+      if (batchCost) tierUtilitiesBatch(feats, w) else tierUtilities(feats, w)
+    val choice =
+      if (batchCost) tierChoiceOf(t => col(s"ub_$t")) else tierChoice
     // Panel-sized frame consumed by the census AND every tier's slice
     // filter — eager-checkpointed so the feature jobs run once (the
     // tierFeatures rationale).
-    val choices = tierUtilities(servedTierFeatures(spark, indexDir, queries), w)
-      .select(col("query_id"), tierChoice.as("tier"))
+    val choices = scored
+      .select(col("query_id"), choice.as("tier"))
       .localCheckpoint(true)
     val present = choices.select("tier").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
@@ -4248,6 +4341,16 @@ object SimilarityOps {
 
   private val zeroWSql: Map[String, String] = Tiers.map(_ -> "0.0").toMap
 
+  /** Batch-penalty twin of [[tierUtilSql]] — same tree, trailing
+    * penalty literals from the measured batch-of-20 relative costs (see
+    * [[tierUtilitiesBatch]]). */
+  private def tierUtilBatchSql(w: Map[String, String]): Map[String, String] = Map(
+    "binary" -> s"((((0.7605 + 3.0 * margin) - 0.9 * peak) + 0.3 * coverage) + ${w("binary")}) - 0.234",
+    "float" -> s"((0.3 + 0.5 * (1.0 - margin)) + ${w("float")}) - 0.15",
+    "int8" -> s"(((0.44 + 0.5 * (1.0 - margin)) - 0.45 * peak) + ${w("int8")}) - 0.525",
+    "pq" -> s"(((0.4875 + 3.0 * margin) + 0.3 * coverage) + ${w("pq")}) - 0.4155",
+    "pq_rerank" -> s"(((-2.55 + 3.5 * (1.0 - margin)) + 0.45 * coverage) + ${w("pq_rerank")}) - 0.4905")
+
   private def tierChoiceSql(u: String => String): String =
     s"""CASE WHEN ${u("binary")} >= ${u("float")} AND ${u("binary")} >= ${u("int8")}
        |       AND ${u("binary")} >= ${u("pq")} AND ${u("binary")} >= ${u("pq_rerank")} THEN 'binary'
@@ -4274,6 +4377,29 @@ object SimilarityOps {
        |  floor(u_pq_rerank * 1000000 + 0.5) / 1000000 AS u_pq_rerank,
        |  ${tierChoiceSql(t => s"u_$t")} AS tier
        |FROM tdu ORDER BY qid""".stripMargin
+  }
+
+  lazy val tierRouteBatchSql: String = {
+    val u = tierUtilSql(zeroWSql)
+    val ub = tierUtilBatchSql(zeroWSql)
+    s"""WITH $kmeansCtes,
+       |$tierFeatureCtes,
+       |tbu AS (SELECT qid, peak, margin, coverage,
+       |          ${ub("binary")} AS ub_binary,
+       |          ${ub("float")} AS ub_float, ${ub("int8")} AS ub_int8,
+       |          ${ub("pq")} AS ub_pq, ${ub("pq_rerank")} AS ub_pq_rerank,
+       |          ${tierChoiceSql(t => s"(${u(t)})")} AS tier_single,
+       |          ${tierChoiceSql(t => s"(${ub(t)})")} AS tier_batch
+       |        FROM tft)
+       |SELECT qid, peak, margin, coverage,
+       |  floor(ub_binary * 1000000 + 0.5) / 1000000 AS ub_binary,
+       |  floor(ub_float * 1000000 + 0.5) / 1000000 AS ub_float,
+       |  floor(ub_int8 * 1000000 + 0.5) / 1000000 AS ub_int8,
+       |  floor(ub_pq * 1000000 + 0.5) / 1000000 AS ub_pq,
+       |  floor(ub_pq_rerank * 1000000 + 0.5) / 1000000 AS ub_pq_rerank,
+       |  tier_single, tier_batch,
+       |  CAST(tier_single <> tier_batch AS BIGINT) AS switched
+       |FROM tbu ORDER BY qid""".stripMargin
   }
 
   /** Shared oracle CTE block for the per-(qid, tier) recall panel —
@@ -4488,6 +4614,7 @@ object SimilarityOps {
     "q116_cluster_balanced_sample" -> (clusterBalancedSample _),
     "q119_semantic_decontam" -> (semanticDecontam _),
     "q184_tier_route" -> (tierRoute _),
+    "q200_tier_route_batch" -> (tierRouteBatch _),
     "q185_tier_recall_panel" -> (tierRecallPanel _),
     "q186_tier_feedback" -> (tierFeedback _),
     "q187_tier_route_pass2" -> (tierRoutePass2 _),
@@ -4528,6 +4655,7 @@ object SimilarityOps {
     "q116_cluster_balanced_sample" -> clusterBalancedSampleSql,
     "q119_semantic_decontam" -> semanticDecontamSql,
     "q184_tier_route" -> tierRouteSql,
+    "q200_tier_route_batch" -> tierRouteBatchSql,
     "q185_tier_recall_panel" -> tierRecallPanelSql,
     "q186_tier_feedback" -> tierFeedbackSql,
     "q187_tier_route_pass2" -> tierRoutePass2Sql,

@@ -175,6 +175,23 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("routeAndServe at batchCost routes every query to q200's " +
+    "tier_batch choice and still serves the chosen tier's own answers") {
+    val panelIds = embOf.keys.toSeq.sorted
+    val expected = SimilarityOps.tierRouteBatch(spark, sf)
+      .collect().map(r => r.getAs[Long]("qid") ->
+        r.getAs[String]("tier_batch")).toMap
+    val routed = SimilarityOps.routeAndServe(spark, idx, reqs(panelIds),
+        batchCost = true)
+      .collect().groupBy(_.getAs[Long]("query_id"))
+    assert(routed.keySet == panelIds.toSet)
+    panelIds.foreach { q =>
+      val tiers = routed(q).map(_.getAs[String]("tier")).distinct
+      assert(tiers.toSeq == Seq(expected(q)),
+        s"query $q: batch-cost route ${tiers.toSeq} != q200's ${expected(q)}")
+    }
+  }
+
   test("bands base dedup: a replayed epoch folded TWICE triggers the " +
     "deduping base rewrite; labels stay correct; no duplicate band rows " +
     "remain; a replay-free fold stays metadata-only") {
