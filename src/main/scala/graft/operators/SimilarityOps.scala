@@ -3766,15 +3766,15 @@ object SimilarityOps {
     * penalties above price the plan/schedule overhead each request pays
     * alone; under the batched ServeMany plans that overhead amortizes
     * across the micro-batch and the cost ORDER changes — measured
-    * batch-of-20 wall (r13 sf0.1 artifact): float 412 ms, binary 642,
-    * pq 1141, pq_rerank 1347, int8 1442. Relative to float:
-    * 1.00 / 1.56 / 2.77 / 3.27 / 3.50; × TierLambda 0.15 →
-    * 0.15 / 0.234 / 0.4155 / 0.4905 / 0.525. Two inversions vs the
+    * batch-of-20 wall (r13 sf0.1 artifact, indexMeta-memoized plans):
+    * float 345 ms, binary 607, pq 900, pq_rerank 1050, int8 1432.
+    * Relative to float: 1.00 / 1.76 / 2.61 / 3.04 / 4.15; × TierLambda
+    * 0.15 → 0.15 / 0.264 / 0.3915 / 0.456 / 0.6225. Two inversions vs the
     * single-request prices: int8 goes from CHEAPEST (0.98) to most
     * expensive (3.50 — its batched plan explodes |Q|·64 reconstruction
     * rows per probed vector, the only tier whose scan cost multiplies
-    * by batch size), and pq_rerank drops from 2.40 to 3.27-vs-int8's-
-    * 3.50, i.e. the exact re-read is no longer the priciest arm once
+    * by batch size), and pq_rerank drops from 2.40 to 3.04 vs int8's
+    * 4.15, i.e. the exact re-read is no longer the priciest arm once
     * its two fixed jobs amortize. Same expression tree (parenthesization
     * pinned) with only the trailing penalty literals swapped, so the SQL
     * twin agrees bitwise. */
@@ -3782,15 +3782,15 @@ object SimilarityOps {
     val m = col("margin"); val p = col("peak"); val cv = col("coverage")
     feats
       .withColumn("ub_binary",
-        ((((lit(0.7605) + lit(3.0) * m) - lit(0.9) * p) + lit(0.3) * cv) + w("binary")) - lit(0.234))
+        ((((lit(0.7605) + lit(3.0) * m) - lit(0.9) * p) + lit(0.3) * cv) + w("binary")) - lit(0.264))
       .withColumn("ub_float",
         ((lit(0.3) + lit(0.5) * (lit(1.0) - m)) + w("float")) - lit(0.15))
       .withColumn("ub_int8",
-        (((lit(0.44) + lit(0.5) * (lit(1.0) - m)) - lit(0.45) * p) + w("int8")) - lit(0.525))
+        (((lit(0.44) + lit(0.5) * (lit(1.0) - m)) - lit(0.45) * p) + w("int8")) - lit(0.6225))
       .withColumn("ub_pq",
-        (((lit(0.4875) + lit(3.0) * m) + lit(0.3) * cv) + w("pq")) - lit(0.4155))
+        (((lit(0.4875) + lit(3.0) * m) + lit(0.3) * cv) + w("pq")) - lit(0.3915))
       .withColumn("ub_pq_rerank",
-        (((lit(-2.55) + lit(3.5) * (lit(1.0) - m)) + lit(0.45) * cv) + w("pq_rerank")) - lit(0.4905))
+        (((lit(-2.55) + lit(3.5) * (lit(1.0) - m)) + lit(0.45) * cv) + w("pq_rerank")) - lit(0.456))
   }
 
   /** Arm argmax over five utility columns, ties to the ascending tier
@@ -4252,11 +4252,25 @@ object SimilarityOps {
       "int8" -> ((q: DataFrame) => annInt8ServeMany(spark, indexDir, q, nprobe), "qcos"),
       "pq" -> ((q: DataFrame) => annPqServeMany(spark, indexDir, q, nprobe), "adist"),
       "pq_rerank" -> ((q: DataFrame) => annPqRerankServeMany(spark, indexDir, q, nprobe), "cos"))
-    present.map { t =>
-      val (serve, scoreCol) = serveManyOf(t)
-      serve(routedSlice(queries, choices, t))
-        .withColumnRenamed(scoreCol, "score").withColumn("tier", lit(t))
-    }.reduce(_.unionByName(_)).orderBy("query_id", "rank")
+    // Dispatch the present tiers CONCURRENTLY: each routed group's plan
+    // is materialized by its own action (eager localCheckpoint of a
+    // ≤ |Q|·TopK frame) on a separate thread, so the batch's wall time
+    // is max-over-tiers, not sum — concurrent actions interleave their
+    // independent stages across the scheduler (measured: the sequential
+    // union executed tier plans back-to-back, ~sum of tier batch costs).
+    // The checkpoint blocks are request-lived; the ContextCleaner
+    // reclaims them once the returned frame is dropped.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val parts = present.map { t =>
+      Future {
+        val (serve, scoreCol) = serveManyOf(t)
+        serve(routedSlice(queries, choices, t))
+          .withColumnRenamed(scoreCol, "score").withColumn("tier", lit(t))
+          .localCheckpoint(true)
+      }
+    }.map(Await.result(_, scala.concurrent.duration.Duration.Inf))
+    parts.reduce(_.unionByName(_)).orderBy("query_id", "rank")
   }
 
   /** The sub-frame of `queries` routed to `tier` (broadcast semi-join on
@@ -4345,11 +4359,11 @@ object SimilarityOps {
     * penalty literals from the measured batch-of-20 relative costs (see
     * [[tierUtilitiesBatch]]). */
   private def tierUtilBatchSql(w: Map[String, String]): Map[String, String] = Map(
-    "binary" -> s"((((0.7605 + 3.0 * margin) - 0.9 * peak) + 0.3 * coverage) + ${w("binary")}) - 0.234",
+    "binary" -> s"((((0.7605 + 3.0 * margin) - 0.9 * peak) + 0.3 * coverage) + ${w("binary")}) - 0.264",
     "float" -> s"((0.3 + 0.5 * (1.0 - margin)) + ${w("float")}) - 0.15",
-    "int8" -> s"(((0.44 + 0.5 * (1.0 - margin)) - 0.45 * peak) + ${w("int8")}) - 0.525",
-    "pq" -> s"(((0.4875 + 3.0 * margin) + 0.3 * coverage) + ${w("pq")}) - 0.4155",
-    "pq_rerank" -> s"(((-2.55 + 3.5 * (1.0 - margin)) + 0.45 * coverage) + ${w("pq_rerank")}) - 0.4905")
+    "int8" -> s"(((0.44 + 0.5 * (1.0 - margin)) - 0.45 * peak) + ${w("int8")}) - 0.6225",
+    "pq" -> s"(((0.4875 + 3.0 * margin) + 0.3 * coverage) + ${w("pq")}) - 0.3915",
+    "pq_rerank" -> s"(((-2.55 + 3.5 * (1.0 - margin)) + 0.45 * coverage) + ${w("pq_rerank")}) - 0.456")
 
   private def tierChoiceSql(u: String => String): String =
     s"""CASE WHEN ${u("binary")} >= ${u("float")} AND ${u("binary")} >= ${u("int8")}
