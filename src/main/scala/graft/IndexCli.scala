@@ -206,6 +206,7 @@ object AppendVectorIndex {
     graft.operators.SimilarityOps.appendArtifacts(spark, idx, delta)
       .withColumn("ingest_batch", lit(-1L)) // offline append joins the base tier
       .write.mode("append").partitionBy("cluster", "ingest_batch").parquet(vdir)
+    graft.operators.SimilarityOps.invalidateClusterSizes(idx)
 
     val after = spark.read.parquet(vdir)
     val sizes = after.groupBy("cluster").count().orderBy("cluster").collect()

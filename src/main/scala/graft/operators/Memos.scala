@@ -45,6 +45,18 @@ final class Memo[V](unpersist: V => Unit) {
 
   def getOrElseUpdate(key: String, v: => V): V = m.getOrElseUpdate(key, v)
 
+  /** Like getOrElseUpdate, but cold-path computation runs under this
+    * memo's lock: TrieMap's lock-free getOrElseUpdate may evaluate the
+    * by-name value on two racing threads and DROP one result without
+    * the unpersist hook — fine for idempotent pure frames, a block leak
+    * for values that materialize cached/checkpointed state. Warm reads
+    * stay lock-free. Use this for any memo reachable from concurrent
+    * actions (routeAndServe's per-tier dispatch futures). */
+  def getOrElseUpdateSync(key: String, v: => V): V = m.get(key) match {
+    case Some(x) => x
+    case None => synchronized { m.getOrElseUpdate(key, v) }
+  }
+
   private[operators] def evictDir(dir: String): Int = {
     val hit = m.keys.filter(_.endsWith(s":$dir")).toSeq
     hit.flatMap(m.remove).foreach(unpersist)

@@ -1222,17 +1222,24 @@ object SimilarityOps {
       .select(col("query_id"), posexplode(col("embedding")).as(Seq("pos", "v0")))
       .select(col("query_id"), col("pos"), col("v0").cast("double").as("v"))
 
-  /** Per-query probe set (query_id, cluster): coarse scoring is queries ×
-    * broadcast(centroids) (K·d rows), probe selection one rank window
-    * partitioned by query_id over K·|Q| rows — nothing touches the corpus.
-    * Shared by every batched tier (was duplicated float/binary). */
-  private def probesMany(cent: DataFrame, qx: DataFrame, nprobe: Int): DataFrame =
+  /** Per-(query, cluster) coarse distance + rank: coarse scoring is
+    * queries × broadcast(centroids) (K·d rows), ranking one window
+    * partitioned by query_id over K·|Q| rows — nothing touches the
+    * corpus. Shared by probe selection ([[probesMany]]) and the served
+    * routing features ([[servedTierFeatures]]' margin needs the d1/d2
+    * distances, not just the probe set). */
+  private def crankOf(cent: DataFrame, qx: DataFrame): DataFrame =
     qx.join(broadcast(cent), "pos")
       .groupBy("query_id", "cluster")
       .agg(sum(((col("v") - col("c")) * (col("v") - col("c")))
         .cast("decimal(38,18)")).as("dist"))
       .withColumn("crank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("dist").asc, col("cluster").asc)))
+
+  /** Per-query probe set (query_id, cluster) — shared by every batched
+    * tier (was duplicated float/binary). */
+  private def probesMany(cent: DataFrame, qx: DataFrame, nprobe: Int): DataFrame =
+    crankOf(cent, qx)
       .filter(col("crank") <= nprobe)
       .select("query_id", "cluster")
 
@@ -1887,7 +1894,7 @@ object SimilarityOps {
 
   private def indexMeta(
       spark: SparkSession, indexDir: String, name: String): DataFrame =
-    indexMetaCache.getOrElseUpdate(
+    indexMetaCache.getOrElseUpdateSync(
       s"$name:${spark.sparkContext.applicationId}:$indexDir",
       spark.read.parquet(s"$indexDir/$name").localCheckpoint(true))
 
@@ -3771,7 +3778,7 @@ object SimilarityOps {
     * Relative to float: 1.00 / 1.76 / 2.61 / 3.04 / 4.15; × TierLambda
     * 0.15 → 0.15 / 0.264 / 0.3915 / 0.456 / 0.6225. Two inversions vs the
     * single-request prices: int8 goes from CHEAPEST (0.98) to most
-    * expensive (3.50 — its batched plan explodes |Q|·64 reconstruction
+    * expensive (4.15 — its batched plan explodes |Q|·64 reconstruction
     * rows per probed vector, the only tier whose scan cost multiplies
     * by batch size), and pq_rerank drops from 2.40 to 3.04 vs int8's
     * 4.15, i.e. the exact re-read is no longer the priciest arm once
@@ -4143,12 +4150,21 @@ object SimilarityOps {
     * it). The count job reads no payload columns. */
   private val clusterSizeCache = Memo.plain[(Map[Long, Long], Long)]()
 
+  /** Drop the memoized routing cluster sizes for `indexDir` — called by
+    * every append path (streaming ingestBatch, offline AppendVectorIndex)
+    * so a session ingesting alongside tier=auto serving routes against
+    * the GROWN corpus, not the first request's snapshot. (writeIndex
+    * evicts via Memos.release; compaction changes the generation and
+    * thus the key.) */
+  private[graft] def invalidateClusterSizes(indexDir: String): Unit =
+    clusterSizeCache.evictDir(indexDir)
+
   private def indexClusterSizes(
       spark: SparkSession, indexDir: String): (Map[Long, Long], Long) =
     // Key carries the manifest-resolved generation (compaction swap →
     // fresh count) but ENDS with the index dir so Memos.release /
     // writeIndex eviction reach it.
-    clusterSizeCache.getOrElseUpdate(
+    clusterSizeCache.getOrElseUpdateSync(
       s"csz:${activeVectorsName(spark, indexDir)}:" +
         s"${spark.sparkContext.applicationId}:$indexDir", {
         val m = vectorsDf(spark, indexDir).groupBy("cluster")
@@ -4177,12 +4193,7 @@ object SimilarityOps {
         r6(sqrt(col("ss").cast("double"))).as("q_norm"),
         when(col("ss") === 0, 0.0)
           .otherwise(r6(col("amax") / sqrt(col("ss").cast("double")))).as("peak"))
-    val crank = qx.join(broadcast(cent), "pos")
-      .groupBy("query_id", "cluster")
-      .agg(sum(((col("v") - col("c")) * (col("v") - col("c")))
-        .cast("decimal(38,18)")).as("dist"))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("dist").asc, col("cluster").asc)))
+    val crank = crankOf(cent, qx)
     val mg = crank.filter(col("crank") <= 2)
       .groupBy("query_id")
       .agg(min(when(col("crank") === 1, col("dist"))).as("d1"),
@@ -4270,7 +4281,19 @@ object SimilarityOps {
           .localCheckpoint(true)
       }
     }.map(Await.result(_, scala.concurrent.duration.Duration.Inf))
-    parts.reduce(_.unionByName(_)).orderBy("query_id", "rank")
+    // An empty request frame routes nowhere — answer with an empty frame
+    // of the output schema instead of crashing reduce. query_id keeps
+    // the CALLER's type (the tier plans propagate it on non-empty
+    // input; a hardcoded type here would make alternating empty and
+    // non-empty batches schema-conflict in an appending sink).
+    if (parts.isEmpty) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          queries.schema("query_id").copy(name = "query_id"),
+          StructField("vec_id", LongType), StructField("rank", LongType),
+          StructField("score", DoubleType), StructField("tier", StringType))))
+    } else parts.reduce(_.unionByName(_)).orderBy("query_id", "rank")
   }
 
   /** The sub-frame of `queries` routed to `tier` (broadcast semi-join on

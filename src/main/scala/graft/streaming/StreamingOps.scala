@@ -576,6 +576,7 @@ object StreamingOps {
   def foldDownEpochs(spark: SparkSession, labelsDir: String): Boolean = {
     import graft.operators.SimilarityOps
     SimilarityOps.recoverRetiredBatches(spark, labelsDir)
+    recoverBandsDedup(spark, labelsDir)
     val labelEpochs = epochPartitions(spark, s"$labelsDir/labels").filter(_ >= 0L)
     val bandEpochs = epochPartitions(spark, s"$labelsDir/bands").filter(_ >= 0L)
     if (labelEpochs.isEmpty && bandEpochs.isEmpty) return false
@@ -699,19 +700,59 @@ object StreamingOps {
     val base = new org.apache.hadoop.fs.Path(s"$labelsDir/bands/epoch=-1")
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(base)) return false
-    val tmp = s"$labelsDir/.fold_tmp/bands_dedup"
+    // Crash story (the base is the ONLY committed copy of folded band
+    // history — unlike the labels fold, no epoch partition survives to
+    // recover from, so a read-modify-overwrite of the base in place is
+    // not acceptable):
+    //   1. stage the deduped copy OUTSIDE bands/ (no read-overwrite
+    //      conflict, invisible to partition discovery);
+    //   2. atomically create the `.bands_dedup_commit` marker — from
+    //      this instant [[recoverBandsDedup]] can always finish the
+    //      swap from the staged copy;
+    //   3. swap: delete the old base dir, rename the staged dir to
+    //      `bands/epoch=-1` (one atomic directory rename — the staged
+    //      files need no epoch column, the partition value comes from
+    //      the directory name);
+    //   4. delete the marker.
+    // A crash before 2 leaves the old base intact (orphan tmp swept by
+    // the next fold); between 2 and the completed 3, recovery redoes
+    // the swap; after 3, recovery sees the staged dir gone and just
+    // drops the marker.
+    val tmp = new org.apache.hadoop.fs.Path(s"$labelsDir/.bands_dedup_staged")
+    val marker = new org.apache.hadoop.fs.Path(s"$labelsDir/.bands_dedup_commit")
+    fs.delete(tmp, true)
     spark.read.schema(org.apache.spark.sql.types.StructType.fromDDL(
         "doc_id BIGINT, band_id BIGINT, band_hash STRING"))
       .option("ignoreMissingFiles", "true").parquet(base.toString)
       .distinct()
-      .write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp)
-      .withColumn("epoch", lit(-1L))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("epoch").parquet(s"$labelsDir/bands")
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val mtmp = new org.apache.hadoop.fs.Path(s"$labelsDir/.bands_dedup_commit.tmp")
+    val out = fs.create(mtmp, true)
+    try out.write("swap\n".getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(mtmp.toUri,
+      spark.sparkContext.hadoopConfiguration)
+      .rename(mtmp, marker, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    fs.delete(base, true)
+    fs.rename(tmp, base)
+    fs.delete(marker, false)
     true
+  }
+
+  /** Finish an interrupted [[dedupBandsBase]] swap: if the commit marker
+    * exists, the staged deduped copy (if still present) IS the base —
+    * redo the delete + rename; either way drop the marker. Idempotent;
+    * runs at every fold entry (the recoverRetiredBatches discipline). */
+  private[graft] def recoverBandsDedup(spark: SparkSession, labelsDir: String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(s"$labelsDir/.bands_dedup_commit")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) return
+    val tmp = new org.apache.hadoop.fs.Path(s"$labelsDir/.bands_dedup_staged")
+    val base = new org.apache.hadoop.fs.Path(s"$labelsDir/bands/epoch=-1")
+    if (fs.exists(tmp)) {
+      fs.delete(base, true)
+      fs.rename(tmp, base)
+    }
+    fs.delete(marker, false)
   }
 
   /** A doc's current component label = its newest-epoch row (strictly
@@ -742,7 +783,7 @@ object StreamingOps {
     * (Requires an index built with the ingest_batch layout —
     * BuildVectorIndex writes it since round 8.) */
   def ingestBatch(batch: DataFrame, batchId: Long, indexDir: String): Unit =
-    if (!batch.isEmpty)
+    if (!batch.isEmpty) {
       graft.operators.SimilarityOps
         .appendArtifacts(batch.sparkSession, indexDir, batch)
         .withColumn("ingest_batch", lit(batchId))
@@ -756,6 +797,11 @@ object StreamingOps {
         .partitionBy("cluster", "ingest_batch")
         .parquet(graft.operators.SimilarityOps
           .vectorsPath(batch.sparkSession, indexDir))
+      // The routing features' cluster-size snapshot is now stale for
+      // this index — a long-lived session ingesting alongside
+      // tier=auto serving must route against the grown corpus.
+      graft.operators.SimilarityOps.invalidateClusterSizes(indexDir)
+    }
 
   /** Streaming ANN serving: answer a stream of (query_id, embedding)
     * requests from the persisted IVF index, one distributed plan per
@@ -777,11 +823,14 @@ object StreamingOps {
     * landing mid-stream re-routes the NEXT batch — the reference's
     * feedback-persists contract) and dispatches each routed group to
     * its tier's batched plan (SimilarityOps.routeAndServe; answers gain
-    * `score`/`tier` columns). */
+    * `score`/`tier` columns). Auto routes at q200's BATCH prices by
+    * default (`batchCost` — this stream dispatches the batched plans,
+    * where int8 is the priciest arm, not the cheapest). */
   def annServe(
       queries: DataFrame, indexDir: String, outDir: String,
       nprobe: Int = graft.operators.SimilarityOps.NProbeServe,
-      tier: String = "float", stateDir: Option[String] = None)
+      tier: String = "float", stateDir: Option[String] = None,
+      batchCost: Boolean = true)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.operators.SimilarityOps
     val known = SimilarityOps.Tiers.toSet + "auto"
@@ -796,7 +845,13 @@ object StreamingOps {
             case "auto" =>
               val w = stateDir.map(SimilarityOps.loadTierState(s, _))
                 .getOrElse(Map.empty[String, Long])
-              SimilarityOps.routeAndServe(s, indexDir, reqs, w, nprobe)
+              // batchCost defaults TRUE here (unlike routeAndServe):
+              // the stream dispatches the batched micro-batch plans, so
+              // q200's amortized prices are the correct cost model —
+              // routing this stream with single-request prices would
+              // send load to int8, the priciest batched arm.
+              SimilarityOps.routeAndServe(s, indexDir, reqs, w, nprobe,
+                batchCost = batchCost)
             case "binary" => SimilarityOps.annBinaryServeMany(s, indexDir, reqs, nprobe)
             case "int8" => SimilarityOps.annInt8ServeMany(s, indexDir, reqs, nprobe)
             case "pq" => SimilarityOps.annPqServeMany(s, indexDir, reqs, nprobe)

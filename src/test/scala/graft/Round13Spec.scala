@@ -165,7 +165,11 @@ class Round13Spec extends SparkSpec {
       assert(viaStream(q) == single, s"query $q: streamed pq_rerank diverged")
     }
     val auto = streamed("auto")
-    val batch = SimilarityOps.routeAndServe(spark, idx, reqs(qids)).collect()
+    // The streaming auto tier routes at BATCH prices by default — its
+    // micro-batches dispatch the batched plans, so q200's amortized
+    // cost model is the correct one (the int8 inversion).
+    val batch = SimilarityOps.routeAndServe(spark, idx, reqs(qids),
+        batchCost = true).collect()
       .groupBy(_.getAs[Long]("query_id")).map { case (k, rs) =>
         k -> rs.sortBy(_.getAs[Long]("rank"))
           .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"))).toSeq
@@ -245,5 +249,50 @@ class Round13Spec extends SparkSpec {
     assert(post.size > pre.size, "the fresh epoch's files did not move in")
     assert(pre.forall(post.contains),
       "a replay-free fold rewrote pre-existing base files")
+  }
+
+  test("bands dedup swap is crash-recoverable: a marker with a staged " +
+    "copy redoes the swap; a marker after a completed swap is dropped " +
+    "without touching the base") {
+    import graft.streaming.StreamingOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_r13_crash").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    (0 until 2).foreach { b =>
+      StreamingOps.mergeBatchComponents(
+        docs.filter(pmod(col("doc_id"), lit(2)) === b), b.toLong, dir)
+    }
+    assert(StreamingOps.foldDownEpochs(spark, dir))
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = new org.apache.hadoop.fs.Path(s"$dir/bands/epoch=-1")
+    val rows = spark.read.parquet(s"$dir/bands").count()
+
+    // Simulate a crash between the commit marker and the swap: the
+    // staged deduped copy exists, the marker exists, the base is GONE.
+    val staged = new org.apache.hadoop.fs.Path(s"$dir/.bands_dedup_staged")
+    spark.read.parquet(base.toString)
+      .select("doc_id", "band_id", "band_hash").distinct()
+      .write.mode("overwrite").parquet(staged.toString)
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/.bands_dedup_commit")
+    val out = fs.create(marker, true); out.write("swap\n".getBytes); out.close()
+    fs.delete(base, true)
+    assert(!fs.exists(base))
+    StreamingOps.recoverBandsDedup(spark, dir)
+    assert(fs.exists(base) && !fs.exists(marker) && !fs.exists(staged))
+    assert(spark.read.parquet(s"$dir/bands").count() == rows,
+      "recovery lost or duplicated band rows")
+
+    // Simulate a crash AFTER the swap (marker present, staged copy
+    // gone): recovery must drop the marker and leave the base alone.
+    val out2 = fs.create(marker, true); out2.write("swap\n".getBytes); out2.close()
+    StreamingOps.recoverBandsDedup(spark, dir)
+    assert(fs.exists(base) && !fs.exists(marker))
+    assert(spark.read.parquet(s"$dir/bands").count() == rows)
+    // And the next fold entry runs recovery implicitly (even when there
+    // is nothing to fold) without damage.
+    val out3 = fs.create(marker, true); out3.write("swap\n".getBytes); out3.close()
+    assert(!StreamingOps.foldDownEpochs(spark, dir)) // no live epochs
+    assert(!fs.exists(marker))
+    assert(spark.read.parquet(s"$dir/bands").count() == rows)
   }
 }
