@@ -4159,7 +4159,7 @@ object SimilarityOps {
   private[graft] def invalidateClusterSizes(indexDir: String): Unit =
     clusterSizeCache.evictDir(indexDir)
 
-  private def indexClusterSizes(
+  private[graft] def indexClusterSizes(
       spark: SparkSession, indexDir: String): (Map[Long, Long], Long) =
     // Key carries the manifest-resolved generation (compaction swap →
     // fresh count) but ENDS with the index dir so Memos.release /

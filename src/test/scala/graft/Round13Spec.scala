@@ -251,6 +251,23 @@ class Round13Spec extends SparkSpec {
       "a replay-free fold rewrote pre-existing base files")
   }
 
+  test("streaming ingest refreshes the routing cluster-size snapshot: " +
+    "coverage is computed against the grown corpus, not the first " +
+    "request's memo") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_r13_csz").toString
+    SimilarityOps.writeIndex(spark, sf, out)
+    val (_, n0) = SimilarityOps.indexClusterSizes(spark, out) // warm the memo
+    // One streaming-ingest micro-batch of 5 new vectors.
+    val delta = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 5)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    graft.streaming.StreamingOps.ingestBatch(delta, 7L, out)
+    val (_, n1) = SimilarityOps.indexClusterSizes(spark, out)
+    assert(n1 == n0 + 5,
+      s"cluster-size memo stale after ingest: $n0 -> $n1 (want ${n0 + 5})")
+  }
+
   test("bands dedup swap is crash-recoverable: a marker with a staged " +
     "copy redoes the swap; a marker after a completed swap is dropped " +
     "without touching the base") {
