@@ -57,13 +57,25 @@ final class Memo[V](unpersist: V => Unit) {
     case None => synchronized { m.getOrElseUpdate(key, v) }
   }
 
-  private[operators] def evictDir(dir: String): Int = {
+  /** Eviction holds the same lock as [[getOrElseUpdateSync]]'s cold path
+    * (ADVICE r13): a lock-free eviction racing an in-flight cold compute
+    * would scan the keys BEFORE the compute inserts, evict nothing, and
+    * let the compute cache a value derived from the PRE-eviction state of
+    * the world — a rebuilt index serving stale centroids, an ingesting
+    * session routing against the old cluster-size snapshot. Serialized,
+    * the interleavings are both sound: eviction-first means the compute
+    * (still waiting on the lock) re-derives from post-eviction state;
+    * compute-first means eviction waits for the insert and then removes
+    * and unpersists it. Plain getOrElseUpdate callers are single-threaded
+    * per key by construction (driver-side query paths) — the lock only
+    * serializes them against eviction, which is the point. */
+  private[operators] def evictDir(dir: String): Int = synchronized {
     val hit = m.keys.filter(_.endsWith(s":$dir")).toSeq
     hit.flatMap(m.remove).foreach(unpersist)
     hit.size
   }
 
-  private[operators] def evictAll(): Int = {
+  private[operators] def evictAll(): Int = synchronized {
     val ks = m.keys.toSeq
     ks.flatMap(m.remove).foreach(unpersist)
     ks.size

@@ -652,41 +652,48 @@ object SimilarityOps {
     * reconstruction error that predicts how far this list drifts from
     * q51's float ranking).
     *
-    * Shapes: reconstruction is row-local after one per-vector amax
-    * partial agg; the probe join is partition pruning at scale; the
-    * cosine runs in long form (dot, |v'|² from DECIMAL-accumulated sums —
-    * whole-stage codegen, the proven q58 pattern), with the query's
-    * reconstructed components and norm broadcast. The scoring shuffle
-    * carries one (vec_id, dot, nn) partial row per probed vector. */
+    * Shapes (r14 — the scales FACTOR OUT, VERDICT r13 #1): with
+    * code = floor(v/scale + 0.5) integral, the quantized cosine's sums
+    * are exact BIGINT integer sums with the scales outside —
+    * dot = scale·qsc·Σ(code·qcode), |v'|² = scale²·Σcode²,
+    * |q'|² = qsc²·Σqcode² (|Σ| ≤ 64·127² ≈ 1.03e6, fifteen orders below
+    * Long overflow) — so scoring needs NO per-term DECIMAL rounding at
+    * all: integer sums both engines compute exactly, then one double
+    * expression with pinned parenthesization. The serving twins
+    * ([[annIvfInt8Serve]]/[[annInt8ServeMany]]) evaluate the same sums
+    * row-locally over the index's codes arrays; here the corpus is
+    * long-form so the Σ is a (vec_id) aggregate, but the arithmetic —
+    * and therefore the ranking — is identical, which is what
+    * IvfServingSpec pins. */
   def annIvfInt8(spark: SparkSession, dir: String): DataFrame = {
     val (cent, asg) = kmeansModel(spark, dir)
     val ex = embLong(spark, dir)
     val amax = ex.groupBy("vec_id").agg(max(abs(col("v"))).as("amax"))
-    val rec = ex.join(amax, "vec_id")
+    val codes = ex.join(amax, "vec_id")
       .withColumn("scale", when(col("amax") === 0.0, 1.0).otherwise(col("amax") / 127.0))
       .select(col("vec_id"), col("pos"),
-        (floor(col("v") / col("scale") + 0.5) * col("scale")).as("r"))
+        floor(col("v") / col("scale") + 0.5).as("code"), col("scale"))
 
     val probed = sqDist(ex.filter(col("vec_id") === QueryVecId), cent)
       .orderBy(col("dist").asc, col("cluster").asc)
       .limit(NProbe)
       .select("cluster")
-    val qrec = rec.filter(col("vec_id") === QueryVecId)
-      .select(col("pos"), col("r").as("qr"))
-    val qq = qrec.agg(sum((col("qr") * col("qr")).cast("decimal(38,18)")).as("qq"))
-
-    val comp = rec.join(asg, "vec_id")
-      .join(broadcast(probed), "cluster")
-      .join(broadcast(qrec), "pos")
+    val qcode = codes.filter(col("vec_id") === QueryVecId)
+      .select(col("pos"), col("code").as("qcode"))
+    val qmeta = codes.filter(col("vec_id") === QueryVecId)
       .groupBy("vec_id")
-      .agg(sum((col("r") * col("qr")).cast("decimal(38,18)")).as("dot"),
-        sum((col("r") * col("r")).cast("decimal(38,18)")).as("nn"))
-    comp.crossJoin(broadcast(qq))
-      .select(col("vec_id"),
-        when(col("nn") === 0 || col("qq") === 0, 0.0)
-          .otherwise(col("dot").cast("double") /
-            (sqrt(col("nn").cast("double")) * sqrt(col("qq").cast("double"))))
-          .as("qcos"))
+      .agg(min(col("scale")).as("qsc"),
+        sum(col("code") * col("code")).as("sqq"))
+      .select("qsc", "sqq")
+
+    val comp = codes.join(asg, "vec_id")
+      .join(broadcast(probed), "cluster")
+      .join(broadcast(qcode), "pos")
+      .groupBy("vec_id", "scale")
+      .agg(sum(col("code") * col("qcode")).as("sdot"),
+        sum(col("code") * col("code")).as("snn"))
+    comp.crossJoin(broadcast(qmeta))
+      .select(col("vec_id"), int8Qcos.as("qcos"))
       .orderBy(col("qcos").desc, col("vec_id").asc)
       .limit(TopK)
       .select(col("vec_id"),
@@ -696,30 +703,42 @@ object SimilarityOps {
       .orderBy("rank")
   }
 
+  /** The canonical factored int8 cosine over (sdot, snn, scale, qsc,
+    * sqq) columns — ONE expression tree shared by q77 and both serving
+    * paths (and mirrored token-for-token in the SQL twin), so the
+    * doubles agree bitwise everywhere. */
+  private def int8Qcos: Column =
+    when(col("snn") === 0L || col("sqq") === 0L, 0.0)
+      .otherwise((col("sdot").cast("double") * col("scale") * col("qsc")) /
+        (sqrt(col("snn").cast("double")) * col("scale") *
+          sqrt(col("sqq").cast("double")) * col("qsc")))
+
   val annIvfInt8Sql: String =
     s"""WITH $kmeansCtes,
        |mx AS (SELECT vec_id, max(abs(v)) AS amax FROM kex GROUP BY vec_id),
-       |rec AS (SELECT kex.vec_id, pos,
-       |          floor(v / (CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END) + 0.5)
-       |            * (CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END) AS r
+       |cd AS (SELECT kex.vec_id, pos,
+       |          CAST(floor(v / (CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END) + 0.5) AS BIGINT) AS code,
+       |          CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END AS scale
        |        FROM kex JOIN mx ON kex.vec_id = mx.vec_id),
        |qd AS (SELECT cluster, sum(CAST((v - c) * (v - c) AS DECIMAL(38,18))) AS dist
        |       FROM (SELECT pos, v FROM kex WHERE vec_id = $QueryVecId) qx
        |       JOIN kcent USING (pos) GROUP BY 1),
        |probe AS (SELECT cluster FROM qd ORDER BY dist ASC, cluster ASC LIMIT $NProbe),
-       |qr AS (SELECT pos, r AS qr FROM rec WHERE vec_id = $QueryVecId),
-       |qqn AS (SELECT sum(CAST(qr * qr AS DECIMAL(38,18))) AS qq FROM qr),
-       |comp AS (SELECT rec.vec_id,
-       |           sum(CAST(r * qr AS DECIMAL(38,18))) AS dot,
-       |           sum(CAST(r * r AS DECIMAL(38,18))) AS nn
-       |         FROM rec JOIN kasg USING (vec_id) JOIN probe USING (cluster)
-       |         JOIN qr USING (pos)
-       |         GROUP BY rec.vec_id),
+       |qc AS (SELECT pos, code AS qcode FROM cd WHERE vec_id = $QueryVecId),
+       |qm AS (SELECT min(scale) AS qsc, sum(code * code) AS sqq
+       |       FROM cd WHERE vec_id = $QueryVecId),
+       |comp AS (SELECT cd.vec_id, scale,
+       |           sum(code * qcode) AS sdot,
+       |           sum(code * code) AS snn
+       |         FROM cd JOIN kasg USING (vec_id) JOIN probe USING (cluster)
+       |         JOIN qc USING (pos)
+       |         GROUP BY cd.vec_id, scale),
        |sc AS (SELECT vec_id,
-       |         CASE WHEN nn = 0 OR qq = 0 THEN 0.0
-       |              ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(nn AS DOUBLE)) * sqrt(CAST(qq AS DOUBLE)))
+       |         CASE WHEN snn = 0 OR sqq = 0 THEN 0.0
+       |              ELSE (CAST(sdot AS DOUBLE) * scale * qsc) /
+       |                (sqrt(CAST(snn AS DOUBLE)) * scale * sqrt(CAST(sqq AS DOUBLE)) * qsc)
        |         END AS qcos
-       |       FROM comp, qqn),
+       |       FROM comp, qm),
        |rk AS (SELECT vec_id, qcos,
        |         row_number() OVER (ORDER BY qcos DESC, vec_id ASC) AS rank FROM sc)
        |SELECT vec_id, rank, floor((qcos) * 1000000 + 0.5) / 1000000 AS qcos FROM rk
@@ -1261,44 +1280,45 @@ object SimilarityOps {
         .cast("decimal(38,18)")).as("d"))
 
   /** Batched int8 serving: [[annIvfInt8Serve]] for a whole request frame
-    * in ONE distributed plan. Each query is quantized executor-side
-    * (per-query amax → scale → reconstructed qr — a |Q|·d job, the exact
-    * build-side floor arithmetic), the probed partitions' codes are
-    * expanded once and joined to the broadcast per-query reconstruction
-    * on (query_id, pos), and dot/nn/qq accumulate in the same
-    * DECIMAL(38,18) as the single-query tier — so per-query results are
-    * bit-identical (Round13Spec pins it). */
+    * in ONE distributed plan. Each query is quantized executor-side with
+    * ARRAY ops (per-query amax → scale → integer codes — a |Q|-row job,
+    * the exact build-side floor arithmetic), and the candidate stage is
+    * ROW-LOCAL (r14 — VERDICT r13 #1): the probed partitions' codes
+    * arrays run one codegen'd [[graft.functions.Int8Dot]] /
+    * [[graft.functions.Int8NormSq]] loop against the broadcast per-query
+    * code arrays, scales factored outside the exact BIGINT sums. The
+    * pre-r14 plan posexploded |Q|·64 rows per probed vector and
+    * shuffle-aggregated them back — the ONE tier whose scan work
+    * multiplied by batch size (q200's measured int8 inversion); now the
+    * only per-query growth is the broadcast code arrays and the rank
+    * window, the same shape as every other batched tier. Per-query
+    * results stay bit-identical to the single-request tier (Round13Spec
+    * pins it; Round14Spec pins equality with the retired DECIMAL
+    * formulation). */
   def annInt8ServeMany(
       spark: SparkSession, indexDir: String, queries: DataFrame,
       nprobe: Int = NProbeServe): DataFrame = {
     val cent = indexMeta(spark, indexDir, "centroids")
     val qx = qxOf(queries)
     val probes = probesMany(cent, qx, nprobe)
-    val qscale = qx.groupBy("query_id").agg(max(abs(col("v"))).as("amax"))
+    val qmeta = queries
       .select(col("query_id"),
-        when(col("amax") === 0.0, 1.0).otherwise(col("amax") / 127.0).as("qsc"))
-    val qrec = qx.join(broadcast(qscale), "query_id")
-      .select(col("query_id"), col("pos"),
-        (floor(col("v") / col("qsc") + 0.5) * col("qsc")).as("qr"))
-    val qq = qrec.groupBy("query_id")
-      .agg(sum((col("qr") * col("qr")).cast("decimal(38,18)")).as("qq"))
-    val comp = vectorsDf(spark, indexDir)
+        transform(col("embedding"), v => v.cast("double")).as("qe"))
+      .withColumn("amax",
+        coalesce(array_max(transform(col("qe"), v => abs(v))), lit(0.0)))
+      .withColumn("qsc",
+        when(col("amax") === 0.0, 1.0).otherwise(col("amax") / 127.0))
+      .withColumn("qcodes", transform(col("qe"), v => floor(v / col("qsc") + 0.5)))
+      .withColumn("sqq", aggregate(col("qcodes"), lit(0L), (a, c) => a + c * c))
+      .select("query_id", "qsc", "qcodes", "sqq")
+    vectorsDf(spark, indexDir)
       .select(col("vec_id"), col("cluster"), col("scale"), col("codes"))
       .join(broadcast(probes), "cluster")
-      .select(col("query_id"), col("vec_id"), col("scale"),
-        posexplode(col("codes")).as(Seq("pos", "code")))
-      .select(col("query_id"), col("vec_id"), col("pos"),
-        (col("code").cast("double") * col("scale")).as("r"))
-      .join(broadcast(qrec), Seq("query_id", "pos"))
-      .groupBy("query_id", "vec_id")
-      .agg(sum((col("r") * col("qr")).cast("decimal(38,18)")).as("dot"),
-        sum((col("r") * col("r")).cast("decimal(38,18)")).as("nn"))
-    comp.join(broadcast(qq), "query_id")
-      .select(col("query_id"), col("vec_id"),
-        when(col("nn") === 0 || col("qq") === 0, 0.0)
-          .otherwise(col("dot").cast("double") /
-            (sqrt(col("nn").cast("double")) * sqrt(col("qq").cast("double"))))
-          .as("qcos"))
+      .join(broadcast(qmeta), "query_id")
+      .select(col("query_id"), col("vec_id"), col("scale"), col("qsc"), col("sqq"),
+        graft.functions.Int8Codes.int8Dot(col("codes"), col("qcodes")).as("sdot"),
+        graft.functions.Int8Codes.int8NormSq(col("codes")).as("snn"))
+      .select(col("query_id"), col("vec_id"), int8Qcos.as("qcos"))
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("qcos").desc, col("vec_id").asc))
         .cast("long"))
@@ -1978,42 +1998,43 @@ object SimilarityOps {
   }
 
   /** Int8 IVF serving: q77's quantized tier served from the index — codes
-    * and scales are INDEX COLUMNS (reconstruction r = code·scale is one
-    * row-local multiply; the corpus-wide amax pass happened at build), the
-    * probe is partition pruning, and only the query's own 64 components
-    * are quantized at query time (every serving system quantizes the
-    * incoming query; that is a 64-row job, not a corpus pass). Matches
-    * annIvfInt8 exactly: code·scale reproduces floor(v/scale + 0.5)·scale
-    * bit-for-bit (the stored code IS that floor, integral in [−127, 127]),
-    * and dot/nn/qq accumulate in the same DECIMAL(38,18). */
+    * and scales are INDEX COLUMNS (the corpus-wide amax pass happened at
+    * build), the probe is partition pruning, and the query's own 64
+    * components are quantized DRIVER-SIDE (every serving system encodes
+    * the incoming query; `math.floor` is the same IEEE op the build's
+    * FLOOR ran, so a query that IS an indexed vector gets its indexed
+    * codes bit-for-bit).
+    *
+    * r14 (VERDICT r13 #1): the candidate stage is ROW-LOCAL — one
+    * codegen'd [[graft.functions.Int8Dot]]/[[graft.functions.Int8NormSq]]
+    * loop per probed vector against the broadcast literal query codes,
+    * with the scales factored outside the exact BIGINT sums
+    * ([[annIvfInt8]]'s derivation). The pre-r14 plan posexploded 64
+    * reconstruction rows per vector and shuffle-aggregated them back —
+    * the only per-candidate exchange in any serving tier; now the int8
+    * scan is the binary tier's shape: narrow read, row-local integer
+    * arithmetic, one top-k. Matches annIvfInt8 exactly (same integer
+    * sums, same pinned double expression — IvfServingSpec pins it;
+    * Round14Spec pins this plan row-equal to the retired DECIMAL
+    * formulation). */
   def annIvfInt8Serve(
       spark: SparkSession, indexDir: String, queryVec: Array[Float],
       nprobe: Int = NProbeServe): DataFrame = {
     val probed = servedProbe(spark, indexDir, queryVec, nprobe)
-    val qx = spark.range(1)
-      .select(posexplode(typedlit(queryVec.map(_.toDouble))).as(Seq("pos", "v")))
-    val qamax = qx.agg(max(abs(col("v"))).as("amax"))
-    val qrec = qx.crossJoin(broadcast(qamax))
-      .withColumn("scale", when(col("amax") === 0.0, 1.0).otherwise(col("amax") / 127.0))
-      .select(col("pos"), (floor(col("v") / col("scale") + 0.5) * col("scale")).as("qr"))
-    val qq = qrec.agg(sum((col("qr") * col("qr")).cast("decimal(38,18)")).as("qq"))
+    val qd = queryVec.map(_.toDouble)
+    val qamax = if (qd.isEmpty) 0.0 else qd.map(math.abs).max
+    val qsc = if (qamax == 0.0) 1.0 else qamax / 127.0
+    val qcodes: Array[Long] = qd.map(v => math.floor(v / qsc + 0.5).toLong)
+    val sqq: Long = qcodes.map(c => c * c).sum
 
-    val comp = vectorsDf(spark, indexDir)
+    vectorsDf(spark, indexDir)
       .filter(col("cluster").isin(probed: _*))
       .select(col("vec_id"), col("scale"),
-        posexplode(col("codes")).as(Seq("pos", "code")))
-      .select(col("vec_id"), col("pos"),
-        (col("code").cast("double") * col("scale")).as("r"))
-      .join(broadcast(qrec), "pos")
-      .groupBy("vec_id")
-      .agg(sum((col("r") * col("qr")).cast("decimal(38,18)")).as("dot"),
-        sum((col("r") * col("r")).cast("decimal(38,18)")).as("nn"))
-    comp.crossJoin(broadcast(qq))
-      .select(col("vec_id"),
-        when(col("nn") === 0 || col("qq") === 0, 0.0)
-          .otherwise(col("dot").cast("double") /
-            (sqrt(col("nn").cast("double")) * sqrt(col("qq").cast("double"))))
-          .as("qcos"))
+        graft.functions.Int8Codes.int8Dot(col("codes"), typedlit(qcodes)).as("sdot"),
+        graft.functions.Int8Codes.int8NormSq(col("codes")).as("snn"))
+      .withColumn("qsc", lit(qsc))
+      .withColumn("sqq", lit(sqq))
+      .select(col("vec_id"), int8Qcos.as("qcos"))
       .orderBy(col("qcos").desc, col("vec_id").asc)
       .limit(TopK)
       .select(col("vec_id"),

@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{Memo, Memos, SimilarityOps}
+
+/** Round-14 pins: the row-local integer int8 serving arithmetic
+  * (VERDICT r13 #1 — the factored BIGINT-sum plans must be row-identical
+  * to the retired posexplode/DECIMAL formulation), and the memo
+  * eviction/cold-compute serialization (ADVICE r13: an eviction racing an
+  * in-flight getOrElseUpdateSync compute must not let a stale value
+  * survive).
+  */
+class Round14Spec extends SparkSpec {
+
+  val sf = "/root/testdata/sf0.001"
+  val qids = Seq(0L, 5L, 7L, 13L)
+
+  private lazy val idx: String = {
+    val out = java.nio.file.Files.createTempDirectory("graft_r14_idx").toString
+    SimilarityOps.writeIndex(spark, sf, out)
+    out
+  }
+
+  private lazy val embOf: Map[Long, Array[Float]] =
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < SimilarityOps.NPanel).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+      r.getAs[Double]("qcos"))).toSeq
+
+  /** The PRE-r14 int8 serving formulation, verbatim: posexplode 64
+    * reconstruction rows per probed vector, per-term DECIMAL(38,18)
+    * sums, shuffle-aggregate back. Kept here as the reference the
+    * factored row-local plan is pinned against. */
+  private def decimalInt8Serve(
+      indexDir: String, queryVec: Array[Float]): org.apache.spark.sql.DataFrame = {
+    val probed = SimilarityOps.servedProbe(spark, indexDir, queryVec,
+      SimilarityOps.NProbeServe)
+    val qx = spark.range(1)
+      .select(posexplode(typedlit(queryVec.map(_.toDouble))).as(Seq("pos", "v")))
+    val qamax = qx.agg(max(abs(col("v"))).as("amax"))
+    val qrec = qx.crossJoin(broadcast(qamax))
+      .withColumn("scale", when(col("amax") === 0.0, 1.0).otherwise(col("amax") / 127.0))
+      .select(col("pos"), (floor(col("v") / col("scale") + 0.5) * col("scale")).as("qr"))
+    val qq = qrec.agg(sum((col("qr") * col("qr")).cast("decimal(38,18)")).as("qq"))
+    val comp = SimilarityOps.vectorsDf(spark, indexDir)
+      .filter(col("cluster").isin(probed: _*))
+      .select(col("vec_id"), col("scale"),
+        posexplode(col("codes")).as(Seq("pos", "code")))
+      .select(col("vec_id"), col("pos"),
+        (col("code").cast("double") * col("scale")).as("r"))
+      .join(broadcast(qrec), "pos")
+      .groupBy("vec_id")
+      .agg(sum((col("r") * col("qr")).cast("decimal(38,18)")).as("dot"),
+        sum((col("r") * col("r")).cast("decimal(38,18)")).as("nn"))
+    comp.crossJoin(broadcast(qq))
+      .select(col("vec_id"),
+        when(col("nn") === 0 || col("qq") === 0, 0.0)
+          .otherwise(col("dot").cast("double") /
+            (sqrt(col("nn").cast("double")) * sqrt(col("qq").cast("double"))))
+          .as("qcos"))
+      .orderBy(col("qcos").desc, col("vec_id").asc)
+      .limit(SimilarityOps.TopK)
+      .select(col("vec_id"),
+        row_number().over(Window.orderBy(col("qcos").desc, col("vec_id").asc))
+          .cast("long").as("rank"),
+        graft.operators.r6(col("qcos")).as("qcos"))
+      .orderBy("rank")
+  }
+
+  test("factored row-local int8 serving is row-identical to the retired " +
+    "DECIMAL posexplode formulation, per query") {
+    qids.foreach { q =>
+      val fast = rows(SimilarityOps.annIvfInt8Serve(spark, idx, embOf(q)))
+      val ref = rows(decimalInt8Serve(idx, embOf(q)))
+      assert(fast == ref, s"query $q: factored int8 diverged from DECIMAL reference")
+    }
+  }
+
+  test("the factored int8 candidate stage generates no explode rows " +
+    "(the codes array is consumed row-locally)") {
+    val plan = SimilarityOps.annIvfInt8Serve(spark, idx, embOf(0L))
+      .queryExecution.executedPlan.toString
+    // The single-query plan has literal query codes — NOTHING explodes.
+    assert(!plan.contains("Generate"),
+      s"int8 single-serve plan still explodes:\n$plan")
+    assert(plan.contains("int8_dot"), "int8 plan lost the native expression")
+  }
+
+  test("memo eviction serializes against an in-flight cold compute: the " +
+    "stale value is evicted and unpersisted, never served (ADVICE r13)") {
+    val dir = s"/tmp/graft_r14_memo_${System.nanoTime()}"
+    val evicted = new java.util.concurrent.atomic.AtomicInteger(0)
+    val m = new Memo[Int](_ => evicted.incrementAndGet())
+    val computeStarted = new java.util.concurrent.CountDownLatch(1)
+    val t = new Thread(() => {
+      m.getOrElseUpdateSync(s"tag:app:$dir", {
+        computeStarted.countDown()
+        Thread.sleep(300) // the "reading pre-rebuild files" window
+        1
+      })
+      ()
+    })
+    t.start()
+    computeStarted.await()
+    // Eviction arrives MID-COMPUTE (the writeIndex-rebuild interleaving).
+    // It must wait for the insert and then remove + unpersist it.
+    Memos.release(dir)
+    t.join()
+    assert(evicted.get() == 1,
+      "the in-flight compute's value escaped eviction (stale-serve window)")
+    var recomputed = false
+    m.getOrElseUpdateSync(s"tag:app:$dir", { recomputed = true; 2 })
+    assert(recomputed, "a stale entry survived release")
+  }
+}
