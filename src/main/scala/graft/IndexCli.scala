@@ -206,7 +206,10 @@ object AppendVectorIndex {
     graft.operators.SimilarityOps.appendArtifacts(spark, idx, delta)
       .withColumn("ingest_batch", lit(-1L)) // offline append joins the base tier
       .write.mode("append").partitionBy("cluster", "ingest_batch").parquet(vdir)
-    graft.operators.SimilarityOps.invalidateClusterSizes(idx)
+    // Offline append's artifact twin: full refresh (this CLI recounts the
+    // table for its report anyway; the refresh also heals pre-artifact
+    // indexes and evicts the memoized routing snapshot).
+    graft.operators.SimilarityOps.refreshClusterSizes(spark, idx)
 
     val after = spark.read.parquet(vdir)
     val sizes = after.groupBy("cluster").count().orderBy("cluster").collect()

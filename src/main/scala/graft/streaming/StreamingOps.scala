@@ -797,10 +797,14 @@ object StreamingOps {
         .partitionBy("cluster", "ingest_batch")
         .parquet(graft.operators.SimilarityOps
           .vectorsPath(batch.sparkSession, indexDir))
-      // The routing features' cluster-size snapshot is now stale for
-      // this index — a long-lived session ingesting alongside
-      // tier=auto serving must route against the grown corpus.
-      graft.operators.SimilarityOps.invalidateClusterSizes(indexDir)
+      // Artifact twin of the data commit (r14): REPLACE this batch's
+      // rows in the cluster_sizes artifact from its just-committed
+      // partition directories — idempotent on replay, exactly like the
+      // dynamic partition overwrite above — and drop the memoized
+      // snapshot, so a session ingesting alongside tier=auto serving
+      // routes against the grown corpus without ever recounting it.
+      graft.operators.SimilarityOps
+        .recordIngestClusterSizes(batch.sparkSession, indexDir, batchId)
     }
 
   /** Streaming ANN serving: answer a stream of (query_id, embedding)

@@ -91,6 +91,64 @@ class Round14Spec extends SparkSpec {
     assert(plan.contains("int8_dot"), "int8 plan lost the native expression")
   }
 
+  private def reqs(ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.map(q => (q, embOf(q))).toDF("query_id", "embedding")
+  }
+
+  test("cluster_sizes artifact equals a live recount after build, " +
+    "streaming ingest, ingest replay, hot compaction, and full " +
+    "compaction; the heal path serves identical routing features") {
+    import graft.streaming.StreamingOps
+    val out = java.nio.file.Files.createTempDirectory("graft_r14_csz").toString
+    SimilarityOps.writeIndex(spark, sf, out)
+    def artifact(): Map[Long, Long] =
+      spark.read.parquet(SimilarityOps.clusterSizesPath(out))
+        .groupBy("cluster").agg(sum("csz").as("n")).collect()
+        .map(r => r.getAs[Long]("cluster") -> r.getAs[Long]("n")).toMap
+    def recount(): Map[Long, Long] =
+      SimilarityOps.vectorsDf(spark, out).groupBy("cluster")
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getAs[Number]("cluster").longValue() ->
+          r.getAs[Long]("n")).toMap
+    assert(artifact() == recount(), "after build")
+
+    val delta = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 40)
+      .select((col("vec_id") + 700000L).as("vec_id"), col("embedding"))
+    StreamingOps.ingestBatch(delta, 7L, out)
+    assert(artifact() == recount(), "after ingest")
+    val once = artifact()
+    // Replay: same batchId, same data (the Structured Streaming replay
+    // contract) — the artifact must REPLACE, never double-count.
+    StreamingOps.ingestBatch(delta, 7L, out)
+    assert(artifact() == once, "replayed batch double-counted")
+    assert(artifact() == recount(), "after replay")
+
+    assert(SimilarityOps.compactHotClusters(spark, out, threshold = 1).nonEmpty,
+      "ingest should have left hot clusters for the compaction leg")
+    assert(artifact() == recount(), "after hot compaction")
+
+    SimilarityOps.compactVectors(spark, out)
+    assert(artifact() == recount(), "after full compaction")
+
+    // Heal path: with the artifact deleted (pre-r14 index / crashed
+    // swap), the routing snapshot recounts to the SAME features.
+    def feats(): Map[Long, (Double, Double, Double, Double)] =
+      SimilarityOps.servedTierFeatures(spark, out, reqs(qids)).collect()
+        .map(r => r.getAs[Long]("query_id") ->
+          (r.getAs[Double]("q_norm"), r.getAs[Double]("peak"),
+            r.getAs[Double]("margin"), r.getAs[Double]("coverage"))).toMap
+    val withArtifact = feats()
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      SimilarityOps.clusterSizesPath(out)), true)
+    SimilarityOps.invalidateClusterSizes(out)
+    assert(feats() == withArtifact,
+      "heal-path recount diverged from the artifact's features")
+  }
+
   test("memo eviction serializes against an in-flight cold compute: the " +
     "stale value is evicted and unpersisted, never served (ADVICE r13)") {
     val dir = s"/tmp/graft_r14_memo_${System.nanoTime()}"
