@@ -4440,16 +4440,31 @@ object SimilarityOps {
     // union executed tier plans back-to-back, ~sum of tier batch costs).
     // The checkpoint blocks are request-lived; the ContextCleaner
     // reclaims them once the returned frame is dropped.
+    //
+    // ADVICE r13: the dispatch runs on a DEDICATED bounded daemon pool
+    // (≤ |Tiers| threads), not scala's fixed-parallelism global pool —
+    // blocking Spark actions there can starve every other user of the
+    // default pool — and each Await is FINITE: a hung tier plan surfaces
+    // as a serve error (spark.graft.serve.timeoutSec, default 600)
+    // instead of stalling a streaming micro-batch forever.
     import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
+    val timeoutSec = spark.conf.get("spark.graft.serve.timeoutSec", "600").toLong
     val parts = present.map { t =>
-      Future {
+      t -> Future {
         val (serve, scoreCol) = serveManyOf(t)
         serve(routedSlice(queries, choices, t))
           .withColumnRenamed(scoreCol, "score").withColumn("tier", lit(t))
           .localCheckpoint(true)
+      }(tierDispatchPool)
+    }.map { case (t, f) =>
+      try Await.result(f, scala.concurrent.duration.Duration(timeoutSec, "s"))
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          throw new IllegalStateException(
+            s"routeAndServe: tier '$t' dispatch exceeded $timeoutSec s " +
+              "(spark.graft.serve.timeoutSec) — serve request aborted")
       }
-    }.map(Await.result(_, scala.concurrent.duration.Duration.Inf))
+    }
     // An empty request frame routes nowhere — answer with an empty frame
     // of the output schema instead of crashing reduce. query_id keeps
     // the CALLER's type (the tier plans propagate it on non-empty
@@ -4464,6 +4479,21 @@ object SimilarityOps {
           StructField("score", DoubleType), StructField("tier", StringType))))
     } else parts.reduce(_.unionByName(_)).orderBy("query_id", "rank")
   }
+
+  /** Dedicated bounded pool for the routed per-tier dispatch: at most
+    * one thread per tier, daemon (never blocks JVM exit), shared by
+    * every concurrent routeAndServe of the session — deliberate
+    * backpressure: simultaneous routed batches queue here instead of
+    * spawning unbounded action threads against the scheduler. */
+  private lazy val tierDispatchPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(
+        Tiers.size,
+        (r: Runnable) => {
+          val th = new Thread(r, "graft-tier-dispatch")
+          th.setDaemon(true)
+          th
+        }))
 
   /** The sub-frame of `queries` routed to `tier` (broadcast semi-join on
     * the panel-sized choice frame). */

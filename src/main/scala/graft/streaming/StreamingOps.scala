@@ -611,24 +611,31 @@ object StreamingOps {
       // HDFS rename returns FALSE (not an exception) on quota/permission/
       // destination-exists failures; deleting the epoch dir after a failed
       // move would permanently lose band rows that never landed in the
-      // base. Delete the source epoch only when every file moved — a
+      // base. Retire the source epoch only when every file moved — a
       // partial move leaves the remainder for the next fold entry, which
       // the crash story already assumes.
-      val allMoved = fs.listStatus(d).iterator
+      fs.listStatus(d).iterator
         .filter(st => st.isFile && !st.getPath.getName.startsWith("_")
           && !st.getPath.getName.startsWith("."))
         .forall { st =>
           fs.rename(st.getPath,
             new org.apache.hadoop.fs.Path(bandsBase, s"e${e}_${st.getPath.getName}"))
         }
-      if (allMoved) fs.delete(d, true)
-      allMoved
     }
-    // Ledger update is atomic (temp + rename-overwrite); a crash before
-    // it leaves an unrecorded fold — a later replay of that epoch then
-    // escapes dedup detection, which costs duplicate rows the read-side
-    // distinct() absorbs, never correctness.
+    // RECORD-AHEAD (ADVICE r13): the ledger lands — atomically, temp +
+    // rename-overwrite — BEFORE the folded epoch dirs are deleted. The
+    // old order (delete, then record) had a crash window that left a
+    // folded epoch unrecorded FOREVER: its later replay escaped dedup
+    // detection and its duplicate band rows were never paid down, since
+    // the rewrite only triggers off ledger hits. Record-ahead inverts
+    // the failure: a crash between the ledger write and the deletes
+    // leaves emptied epoch dirs that the NEXT fold re-lists as
+    // "replayed" and pays with at worst one spurious (still correct)
+    // dedup rewrite — a bounded cost instead of a permanent leak.
     writeFoldedEpochLedger(spark, labelsDir, ledger ++ folded)
+    folded.foreach { e =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$labelsDir/bands/epoch=$e"), true)
+    }
     if (replayed.nonEmpty) dedupBandsBase(spark, labelsDir)
 
     // LABELS fold is a real rewrite — last-writer-wins needs the base to
@@ -811,8 +818,9 @@ object StreamingOps {
     * requests from the persisted IVF index, one distributed plan per
     * micro-batch (SimilarityOps.annIvfServeMany — coarse-score against
     * broadcast centroids, per-query probe window, partition-pruned index
-    * scan, per-query top-k), results appended to `outDir` as
-    * (query_id, vec_id, rank, cos). The batch twin of ServeVectorIndex:
+    * scan, per-query top-k), results appended to `outDir` in the ONE
+    * answer schema (query_id, vec_id, rank, score, tier) regardless of
+    * tier. The batch twin of ServeVectorIndex:
     * same index files, same ranking arithmetic, so online answers cannot
     * drift from offline ones (StreamingSpec pins per-query equality with
     * annIvfServe). `foreachBatch` rather than a stream-static join
@@ -826,8 +834,9 @@ object StreamingOps {
     * weights (loaded from `stateDir` per micro-batch, so a TierPass
     * landing mid-stream re-routes the NEXT batch — the reference's
     * feedback-persists contract) and dispatches each routed group to
-    * its tier's batched plan (SimilarityOps.routeAndServe; answers gain
-    * `score`/`tier` columns). Auto routes at q200's BATCH prices by
+    * its tier's batched plan (SimilarityOps.routeAndServe — where
+    * `tier` records each query's routed arm, vs the fixed tier name
+    * here). Auto routes at q200's BATCH prices by
     * default (`batchCost` — this stream dispatches the batched plans,
     * where int8 is the priciest arm, not the cheapest). */
   def annServe(
@@ -845,6 +854,14 @@ object StreamingOps {
         if (!batch.isEmpty) {
           val s = batch.sparkSession
           val reqs = batch.select("query_id", "embedding")
+          // Every tier lands in ONE answer schema — (query_id, vec_id,
+          // rank, score, tier) — so an outDir is restart-safe across
+          // tier changes (ADVICE r13: the fixed tiers used to append
+          // their native score column — cos/qcos/adist — so restarting
+          // a stream with a different tier produced mixed-schema
+          // parquet downstream reads won't reconcile). `score` keeps
+          // tier-native semantics (adist ranks ascending) — compare
+          // ranks, not scores, across tiers, as in routeAndServe.
           val answered = tier match {
             case "auto" =>
               val w = stateDir.map(SimilarityOps.loadTierState(s, _))
@@ -856,12 +873,21 @@ object StreamingOps {
               // send load to int8, the priciest batched arm.
               SimilarityOps.routeAndServe(s, indexDir, reqs, w, nprobe,
                 batchCost = batchCost)
-            case "binary" => SimilarityOps.annBinaryServeMany(s, indexDir, reqs, nprobe)
-            case "int8" => SimilarityOps.annInt8ServeMany(s, indexDir, reqs, nprobe)
-            case "pq" => SimilarityOps.annPqServeMany(s, indexDir, reqs, nprobe)
+            case "binary" =>
+              SimilarityOps.annBinaryServeMany(s, indexDir, reqs, nprobe)
+                .withColumnRenamed("cos", "score").withColumn("tier", lit(tier))
+            case "int8" =>
+              SimilarityOps.annInt8ServeMany(s, indexDir, reqs, nprobe)
+                .withColumnRenamed("qcos", "score").withColumn("tier", lit(tier))
+            case "pq" =>
+              SimilarityOps.annPqServeMany(s, indexDir, reqs, nprobe)
+                .withColumnRenamed("adist", "score").withColumn("tier", lit(tier))
             case "pq_rerank" =>
               SimilarityOps.annPqRerankServeMany(s, indexDir, reqs, nprobe)
-            case _ => SimilarityOps.annIvfServeMany(s, indexDir, reqs, nprobe)
+                .withColumnRenamed("cos", "score").withColumn("tier", lit(tier))
+            case _ =>
+              SimilarityOps.annIvfServeMany(s, indexDir, reqs, nprobe)
+                .withColumnRenamed("cos", "score").withColumn("tier", lit(tier))
           }
           answered.write.mode("append").parquet(outDir)
         }

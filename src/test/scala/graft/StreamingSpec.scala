@@ -452,9 +452,12 @@ class StreamingSpec extends SparkSpec {
     val served = spark.read.parquet(resDir).collect()
       .groupBy(_.getAs[Long]("query_id"))
     assert(served.keySet == qids.toSet)
+    // One answer schema for every tier (ADVICE r13): the fixed float
+    // tier's native cos arrives as `score`, tagged with its tier.
+    assert(served.values.flatten.map(_.getAs[String]("tier")).toSet == Set("float"))
     qids.foreach { id =>
       val got = served(id)
-        .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+        .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("vec_id"), r.getAs[Double]("score")))
         .sortBy(_._1)
       val want = SimilarityOps.annIvfServe(spark, out, embOf(id).toArray).collect()
         .map(r => (r.getAs[Long]("rank"), r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
