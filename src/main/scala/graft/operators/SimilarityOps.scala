@@ -1179,7 +1179,8 @@ object SimilarityOps {
     * single-query tier. */
   def annBinaryServeMany(
       spark: SparkSession, indexDir: String, queries: DataFrame,
-      nprobe: Int = NProbeServe): DataFrame = {
+      nprobe: Int = NProbeServe,
+      sharedProbes: Option[DataFrame] = None): DataFrame = {
     val cent = indexMeta(spark, indexDir, "centroids")
     val mu = indexMeta(spark, indexDir, "bq_mu")
     val qx = qxOf(queries)
@@ -1191,7 +1192,7 @@ object SimilarityOps {
       .groupBy("query_id")
       .agg(sum(when(col("pos") < 32, col("contrib")).otherwise(0L)).as("qlo"),
         sum(when(col("pos") >= 32, col("contrib")).otherwise(0L)).as("qhi"))
-    val probes = probesMany(cent, qx, nprobe)
+    val probes = sharedProbes.getOrElse(probesMany(cent, qx, nprobe))
     val shortlist = vectorsDf(spark, indexDir)
       .select(col("vec_id"), col("cluster"), col("bq_lo"), col("bq_hi"))
       .join(broadcast(probes), "cluster")
@@ -1297,10 +1298,10 @@ object SimilarityOps {
     * formulation). */
   def annInt8ServeMany(
       spark: SparkSession, indexDir: String, queries: DataFrame,
-      nprobe: Int = NProbeServe): DataFrame = {
+      nprobe: Int = NProbeServe,
+      sharedProbes: Option[DataFrame] = None): DataFrame = {
     val cent = indexMeta(spark, indexDir, "centroids")
-    val qx = qxOf(queries)
-    val probes = probesMany(cent, qx, nprobe)
+    val probes = sharedProbes.getOrElse(probesMany(cent, qxOf(queries), nprobe))
     val qmeta = queries
       .select(col("query_id"),
         transform(col("embedding"), v => v.cast("double")).as("qe"))
@@ -1356,11 +1357,12 @@ object SimilarityOps {
     * Same DECIMAL(38,18) adist sums as the single-query tier. */
   def annPqServeMany(
       spark: SparkSession, indexDir: String, queries: DataFrame,
-      nprobe: Int = NProbeServe): DataFrame = {
+      nprobe: Int = NProbeServe,
+      sharedProbes: Option[DataFrame] = None): DataFrame = {
     val cent = indexMeta(spark, indexDir, "centroids")
     val pcent = indexMeta(spark, indexDir, "pq_centroids")
     val qx = qxOf(queries)
-    val probes = probesMany(cent, qx, nprobe)
+    val probes = sharedProbes.getOrElse(probesMany(cent, qx, nprobe))
     val dtab = adcTablesMany(cent, pcent, qx, probes)
     adcRankMany(spark, indexDir, probes, dtab, TopK)
       .select(col("query_id"), col("vec_id"), col("arank").cast("long").as("rank"),
@@ -1377,11 +1379,12 @@ object SimilarityOps {
     * Nothing grows with corpus size except the pruned 64-bit scan. */
   def annPqRerankServeMany(
       spark: SparkSession, indexDir: String, queries: DataFrame,
-      nprobe: Int = NProbeServe): DataFrame = {
+      nprobe: Int = NProbeServe,
+      sharedProbes: Option[DataFrame] = None): DataFrame = {
     val cent = indexMeta(spark, indexDir, "centroids")
     val pcent = indexMeta(spark, indexDir, "pq_centroids")
     val qx = qxOf(queries)
-    val probes = probesMany(cent, qx, nprobe)
+    val probes = sharedProbes.getOrElse(probesMany(cent, qx, nprobe))
     val dtab = adcTablesMany(cent, pcent, qx, probes)
     val shortlist = adcRankMany(spark, indexDir, probes, dtab, RerankK)
       .select("query_id", "vec_id")
@@ -2104,9 +2107,10 @@ object SimilarityOps {
     * except the pruned scan. */
   def annIvfServeMany(
       spark: SparkSession, indexDir: String, queries: DataFrame,
-      nprobe: Int = NProbeServe): DataFrame = {
+      nprobe: Int = NProbeServe,
+      sharedProbes: Option[DataFrame] = None): DataFrame = {
     val cent = indexMeta(spark, indexDir, "centroids")
-    val probes = probesMany(cent, qxOf(queries), nprobe)
+    val probes = sharedProbes.getOrElse(probesMany(cent, qxOf(queries), nprobe))
     vectorsDf(spark, indexDir)
       .select(col("vec_id"), col("cluster"), col("embedding"))
       .join(broadcast(probes), "cluster")
@@ -3918,32 +3922,34 @@ object SimilarityOps {
     * under BATCH-measured serve-cost penalties. The single-request
     * penalties above price the plan/schedule overhead each request pays
     * alone; under the batched ServeMany plans that overhead amortizes
-    * across the micro-batch and the cost ORDER changes — measured
-    * batch-of-20 wall (r13 sf0.1 artifact, indexMeta-memoized plans):
-    * float 345 ms, binary 607, pq 900, pq_rerank 1050, int8 1432.
-    * Relative to float: 1.00 / 1.76 / 2.61 / 3.04 / 4.15; × TierLambda
-    * 0.15 → 0.15 / 0.264 / 0.3915 / 0.456 / 0.6225. Two inversions vs the
-    * single-request prices: int8 goes from CHEAPEST (0.98) to most
-    * expensive (4.15 — its batched plan explodes |Q|·64 reconstruction
-    * rows per probed vector, the only tier whose scan cost multiplies
-    * by batch size), and pq_rerank drops from 2.40 to 3.04 vs int8's
-    * 4.15, i.e. the exact re-read is no longer the priciest arm once
-    * its two fixed jobs amortize. Same expression tree (parenthesization
-    * pinned) with only the trailing penalty literals swapped, so the SQL
-    * twin agrees bitwise. */
+    * across the micro-batch and the cost order shifts.
+    *
+    * RE-PINNED in r14 to the post-rewrite plans (the census must track
+    * what the dispatcher actually ships — the 1eb353a discipline):
+    * batch-of-20 wall, idle sf0.1, min-of-5 (graft.tools.ServeProbe):
+    * float 272 ms, int8 288, binary 473, pq 790, pq_rerank 978.
+    * Relative to float: 1.00 / 1.06 / 1.74 / 2.905 / 3.596; × TierLambda
+    * 0.15 → 0.15 / 0.159 / 0.261 / 0.4358 / 0.5394. The r13 int8
+    * inversion (cheapest → priciest, 4.15× under the posexplode plan) is
+    * GONE: the r14 row-local integer rewrite makes batched int8 nearly
+    * float-priced (1.06×), so int8 re-joins the cheap arms under
+    * amortization while pq/pq_rerank keep their two-fixed-jobs premium.
+    * Same expression tree (parenthesization pinned) with only the
+    * trailing penalty literals swapped, so the SQL twin agrees
+    * bitwise. */
   private[graft] def tierUtilitiesBatch(feats: DataFrame, w: Map[String, Column]): DataFrame = {
     val m = col("margin"); val p = col("peak"); val cv = col("coverage")
     feats
       .withColumn("ub_binary",
-        ((((lit(0.7605) + lit(3.0) * m) - lit(0.9) * p) + lit(0.3) * cv) + w("binary")) - lit(0.264))
+        ((((lit(0.7605) + lit(3.0) * m) - lit(0.9) * p) + lit(0.3) * cv) + w("binary")) - lit(0.261))
       .withColumn("ub_float",
         ((lit(0.3) + lit(0.5) * (lit(1.0) - m)) + w("float")) - lit(0.15))
       .withColumn("ub_int8",
-        (((lit(0.44) + lit(0.5) * (lit(1.0) - m)) - lit(0.45) * p) + w("int8")) - lit(0.6225))
+        (((lit(0.44) + lit(0.5) * (lit(1.0) - m)) - lit(0.45) * p) + w("int8")) - lit(0.159))
       .withColumn("ub_pq",
-        (((lit(0.4875) + lit(3.0) * m) + lit(0.3) * cv) + w("pq")) - lit(0.3915))
+        (((lit(0.4875) + lit(3.0) * m) + lit(0.3) * cv) + w("pq")) - lit(0.4358))
       .withColumn("ub_pq_rerank",
-        (((lit(-2.55) + lit(3.5) * (lit(1.0) - m)) + lit(0.45) * cv) + w("pq_rerank")) - lit(0.456))
+        (((lit(-2.55) + lit(3.5) * (lit(1.0) - m)) + lit(0.45) * cv) + w("pq_rerank")) - lit(0.5394))
   }
 
   /** Arm argmax over five utility columns, ties to the ascending tier
@@ -3980,10 +3986,12 @@ object SimilarityOps {
     * choice — per panel query, both chosen tiers and whether the
     * amortized prices flip the decision. The deployment question this
     * answers: a request stream served through the batched micro-batch
-    * plans must NOT route with single-request prices, because two arms
-    * change cost rank under amortization (int8 cheapest → priciest,
-    * see tierUtilitiesBatch). Fully oracle-gated — the whole decision
-    * is column arithmetic over the q184 feature frame. */
+    * plans must route with the batched plans' OWN prices — r13 caught a
+    * real inversion this way (int8 cheapest → priciest under the old
+    * posexplode plan), and the r14 re-pin shows the rewrite removed it
+    * (see tierUtilitiesBatch): the census tracks the shipped plans
+    * either way. Fully oracle-gated — the whole decision is column
+    * arithmetic over the q184 feature frame. */
   def tierRouteBatch(spark: SparkSession, dir: String): DataFrame =
     tierUtilitiesBatch(tierUtilities(tierFeatures(spark, dir), zeroW), zeroW)
       .select(col("qid"), col("peak"), col("margin"), col("coverage"),
@@ -4346,6 +4354,17 @@ object SimilarityOps {
   private[graft] def servedTierFeatures(
       spark: SparkSession, indexDir: String, queries: DataFrame): DataFrame = {
     val cent = indexMeta(spark, indexDir, "centroids")
+    servedTierFeaturesFrom(spark, indexDir, queries, crankOf(cent, qxOf(queries)))
+  }
+
+  /** [[servedTierFeatures]] over a CALLER-SUPPLIED crank frame —
+    * routeAndServe computes the coarse scoring ONCE (checkpointed) and
+    * feeds it to both the census and every tier's probe set, so a routed
+    * batch pays one coarse-scoring job, not six. `crankF` must carry
+    * (query_id, cluster, dist, crank) at depth ≥ max(NProbe, 2). */
+  private def servedTierFeaturesFrom(
+      spark: SparkSession, indexDir: String, queries: DataFrame,
+      crankF: DataFrame): DataFrame = {
     val nf = queries
       .select(col("query_id"),
         transform(col("embedding"), v => v.cast("double")).as("qe"))
@@ -4367,7 +4386,7 @@ object SimilarityOps {
     val csz = spark.createDataFrame(spark.sparkContext.parallelize(
       sizes.toSeq.map { case (c, n) => org.apache.spark.sql.Row(c, n) }, 1),
       org.apache.spark.sql.types.StructType.fromDDL("cluster BIGINT, csz BIGINT"))
-    val mgcov = crankOf(cent, qxOf(queries))
+    val mgcov = crankF
       .filter(col("crank") <= math.max(NProbe, 2))
       .join(broadcast(csz), Seq("cluster"), "left")
       .groupBy("query_id")
@@ -4405,9 +4424,21 @@ object SimilarityOps {
       spark: SparkSession, indexDir: String, queries: DataFrame,
       wE4: Map[String, Long] = Map.empty,
       nprobe: Int = NProbeServe,
-      batchCost: Boolean = false): DataFrame = {
+      batchCost: Boolean = false,
+      lazyUnion: Boolean = false): DataFrame = {
     val w = Tiers.map(t => t -> lit(wE4.getOrElse(t, 0L).toDouble / 10000.0)).toMap
-    val feats = servedTierFeatures(spark, indexDir, queries)
+    // ONE coarse-scoring job for the whole batch (r14 — VERDICT r13 #2):
+    // the census's margin/coverage AND every tier's probe set read this
+    // checkpointed |Q|·max(nprobe,2)-row frame; previously the census and
+    // each of the five dispatched plans re-scored queries × centroids
+    // independently — six broadcasts and six aggregates per batch.
+    val cent = indexMeta(spark, indexDir, "centroids")
+    val crank = crankOf(cent, qxOf(queries))
+      .filter(col("crank") <= math.max(nprobe, math.max(NProbe, 2)))
+      .localCheckpoint(true)
+    val allProbes = crank.filter(col("crank") <= nprobe)
+      .select("query_id", "cluster")
+    val feats = servedTierFeaturesFrom(spark, indexDir, queries, crank)
     // batchCost routes with the amortized batch-of-20 penalties
     // ([[tierUtilitiesBatch]] / q200) — the correct cost model when the
     // dispatch target IS the batched plan; default stays the q184
@@ -4426,12 +4457,22 @@ object SimilarityOps {
     val present = choices.select("tier").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     // Thunks: only PRESENT tiers plan (each plan reads index metadata).
+    // Every tier gets its slice's probe rows CARVED from the shared
+    // checkpointed crank (a broadcast semi-join of two panel-sized
+    // frames) instead of re-scoring the centroids itself.
+    def probesFor(slice: DataFrame): Option[DataFrame] =
+      Some(allProbes.join(broadcast(slice.select("query_id")), "query_id"))
     val serveManyOf: Map[String, (DataFrame => DataFrame, String)] = Map(
-      "binary" -> ((q: DataFrame) => annBinaryServeMany(spark, indexDir, q, nprobe), "cos"),
-      "float" -> ((q: DataFrame) => annIvfServeMany(spark, indexDir, q, nprobe), "cos"),
-      "int8" -> ((q: DataFrame) => annInt8ServeMany(spark, indexDir, q, nprobe), "qcos"),
-      "pq" -> ((q: DataFrame) => annPqServeMany(spark, indexDir, q, nprobe), "adist"),
-      "pq_rerank" -> ((q: DataFrame) => annPqRerankServeMany(spark, indexDir, q, nprobe), "cos"))
+      "binary" -> ((q: DataFrame) =>
+        annBinaryServeMany(spark, indexDir, q, nprobe, probesFor(q)), "cos"),
+      "float" -> ((q: DataFrame) =>
+        annIvfServeMany(spark, indexDir, q, nprobe, probesFor(q)), "cos"),
+      "int8" -> ((q: DataFrame) =>
+        annInt8ServeMany(spark, indexDir, q, nprobe, probesFor(q)), "qcos"),
+      "pq" -> ((q: DataFrame) =>
+        annPqServeMany(spark, indexDir, q, nprobe, probesFor(q)), "adist"),
+      "pq_rerank" -> ((q: DataFrame) =>
+        annPqRerankServeMany(spark, indexDir, q, nprobe, probesFor(q)), "cos"))
     // Dispatch the present tiers CONCURRENTLY: each routed group's plan
     // is materialized by its own action (eager localCheckpoint of a
     // ≤ |Q|·TopK frame) on a separate thread, so the batch's wall time
@@ -4447,24 +4488,39 @@ object SimilarityOps {
     // default pool — and each Await is FINITE: a hung tier plan surfaces
     // as a serve error (spark.graft.serve.timeoutSec, default 600)
     // instead of stalling a streaming micro-batch forever.
+    // `lazyUnion` (r14 stretch): return the UNION UNCHECKPOINTED — the
+    // caller's single action (a sink write, a collect) materializes all
+    // tier subtrees in ONE job, whose independent stages the DAG
+    // scheduler already runs concurrently. Correct for single-consumer
+    // callers (foreachBatch sinks); the eager default stays right for
+    // callers that re-read the answers, since an uncheckpointed union
+    // would re-run every tier plan per action. The census/choice frame
+    // is checkpointed in BOTH modes — the double-plan race r13 closed
+    // stays closed.
     import scala.concurrent.{Await, Future}
     val timeoutSec = spark.conf.get("spark.graft.serve.timeoutSec", "600").toLong
-    val parts = present.map { t =>
-      t -> Future {
+    val parts =
+      if (lazyUnion) present.map { t =>
         val (serve, scoreCol) = serveManyOf(t)
         serve(routedSlice(queries, choices, t))
           .withColumnRenamed(scoreCol, "score").withColumn("tier", lit(t))
-          .localCheckpoint(true)
-      }(tierDispatchPool)
-    }.map { case (t, f) =>
-      try Await.result(f, scala.concurrent.duration.Duration(timeoutSec, "s"))
-      catch {
-        case _: java.util.concurrent.TimeoutException =>
-          throw new IllegalStateException(
-            s"routeAndServe: tier '$t' dispatch exceeded $timeoutSec s " +
-              "(spark.graft.serve.timeoutSec) — serve request aborted")
       }
-    }
+      else present.map { t =>
+        t -> Future {
+          val (serve, scoreCol) = serveManyOf(t)
+          serve(routedSlice(queries, choices, t))
+            .withColumnRenamed(scoreCol, "score").withColumn("tier", lit(t))
+            .localCheckpoint(true)
+        }(tierDispatchPool)
+      }.map { case (t, f) =>
+        try Await.result(f, scala.concurrent.duration.Duration(timeoutSec, "s"))
+        catch {
+          case _: java.util.concurrent.TimeoutException =>
+            throw new IllegalStateException(
+              s"routeAndServe: tier '$t' dispatch exceeded $timeoutSec s " +
+                "(spark.graft.serve.timeoutSec) — serve request aborted")
+        }
+      }
     // An empty request frame routes nowhere — answer with an empty frame
     // of the output schema instead of crashing reduce. query_id keeps
     // the CALLER's type (the tier plans propagate it on non-empty
@@ -4532,6 +4588,34 @@ object SimilarityOps {
       .orderBy("qid")
   }
 
+  /** q201 (r14 — VERDICT r13 #6): the learned-state arc at BATCH
+    * prices. q200 is the zero-state batch census; q187 the learned-state
+    * single-price pass-2 — this closes the square: compute the q185/q186
+    * fold, SAVE it through the tier state store, RELOAD it, and route
+    * the panel under [[tierUtilitiesBatch]] with both the zero and the
+    * loaded weights. This is the hash-pinned census of EXACTLY what the
+    * production path computes — streaming `annServe(tier=auto,
+    * stateDir=...)` routes at batch prices under learned weights
+    * (Round14Spec ties the streamed tier choices to this frame). Same
+    * determinism contract as q187: always one fold applied to zero,
+    * persistence round-trip inside the oracle gate. */
+  def tierRoutePass2Batch(spark: SparkSession, dir: String): DataFrame = {
+    val fold = tierFoldE4(spark, dir)
+    val stateDir = tierStateDir(spark, dir) + "_batch"
+    saveTierState(spark, stateDir, fold)
+    val loaded = loadTierState(spark, stateDir)
+    val feats = tierFeatures(spark, dir)
+    val r0 = tierUtilitiesBatch(feats, zeroW)
+      .select(col("qid"), tierChoiceOf(t => col(s"ub_$t")).as("tier_w0b"))
+    val r1 = tierUtilitiesBatch(feats, loaded.map { case (t, v) =>
+        t -> lit(v.toDouble / 10000.0) })
+      .select(col("qid").as("qid1"), tierChoiceOf(t => col(s"ub_$t")).as("tier_w1b"))
+    r0.join(r1, col("qid") === col("qid1"))
+      .select(col("qid"), col("tier_w0b"), col("tier_w1b"),
+        (col("tier_w0b") =!= col("tier_w1b")).cast("long").as("rerouted"))
+      .orderBy("qid")
+  }
+
   /** Shared oracle CTE block: r6-rounded routing features per panel query
     * (requires kmeansCtes bound before it; ends in tft + the probe set
     * trp + the cluster-rank frame tcr). */
@@ -4581,11 +4665,11 @@ object SimilarityOps {
     * penalty literals from the measured batch-of-20 relative costs (see
     * [[tierUtilitiesBatch]]). */
   private def tierUtilBatchSql(w: Map[String, String]): Map[String, String] = Map(
-    "binary" -> s"((((0.7605 + 3.0 * margin) - 0.9 * peak) + 0.3 * coverage) + ${w("binary")}) - 0.264",
+    "binary" -> s"((((0.7605 + 3.0 * margin) - 0.9 * peak) + 0.3 * coverage) + ${w("binary")}) - 0.261",
     "float" -> s"((0.3 + 0.5 * (1.0 - margin)) + ${w("float")}) - 0.15",
-    "int8" -> s"(((0.44 + 0.5 * (1.0 - margin)) - 0.45 * peak) + ${w("int8")}) - 0.6225",
-    "pq" -> s"(((0.4875 + 3.0 * margin) + 0.3 * coverage) + ${w("pq")}) - 0.3915",
-    "pq_rerank" -> s"(((-2.55 + 3.5 * (1.0 - margin)) + 0.45 * coverage) + ${w("pq_rerank")}) - 0.456")
+    "int8" -> s"(((0.44 + 0.5 * (1.0 - margin)) - 0.45 * peak) + ${w("int8")}) - 0.159",
+    "pq" -> s"(((0.4875 + 3.0 * margin) + 0.3 * coverage) + ${w("pq")}) - 0.4358",
+    "pq_rerank" -> s"(((-2.55 + 3.5 * (1.0 - margin)) + 0.45 * coverage) + ${w("pq_rerank")}) - 0.5394")
 
   private def tierChoiceSql(u: String => String): String =
     s"""CASE WHEN ${u("binary")} >= ${u("float")} AND ${u("binary")} >= ${u("int8")}
@@ -4819,6 +4903,40 @@ object SimilarityOps {
        |ORDER BY td0.qid""".stripMargin
   }
 
+  /** q201's twin — [[tierRoutePass2Sql]] with the batch-penalty utility
+    * expressions; the learned weights are again computed INLINE so the
+    * Spark side's save→load round trip stays inside the hash gate. */
+  lazy val tierRoutePass2BatchSql: String = {
+    val ub0 = tierUtilBatchSql(zeroWSql)
+    val ub1 = tierUtilBatchSql(Map(
+      "binary" -> "(CAST(dwb AS DOUBLE) / 10000.0)",
+      "float" -> "(CAST(dwf AS DOUBLE) / 10000.0)",
+      "int8" -> "(CAST(dwi AS DOUBLE) / 10000.0)",
+      "pq" -> "(CAST(dwp AS DOUBLE) / 10000.0)",
+      "pq_rerank" -> "(CAST(dwr AS DOUBLE) / 10000.0)"))
+    s"""WITH $kmeansCtes,
+       |$pqCtes,
+       |$tierFeatureCtes,
+       |$tierRecallCtes,
+       |tdl AS (SELECT tier,
+       |          CAST(sum(CASE WHEN rn = 1 THEN $TierLrWinE4 ELSE $TierLrLoseE4 END) AS BIGINT)
+       |            AS delta_e4
+       |        FROM twn GROUP BY 1),
+       |twv AS (SELECT
+       |          sum(CASE WHEN tier = 'binary' THEN delta_e4 ELSE 0 END) AS dwb,
+       |          sum(CASE WHEN tier = 'float' THEN delta_e4 ELSE 0 END) AS dwf,
+       |          sum(CASE WHEN tier = 'int8' THEN delta_e4 ELSE 0 END) AS dwi,
+       |          sum(CASE WHEN tier = 'pq' THEN delta_e4 ELSE 0 END) AS dwp,
+       |          sum(CASE WHEN tier = 'pq_rerank' THEN delta_e4 ELSE 0 END) AS dwr
+       |        FROM tdl),
+       |td0 AS (SELECT qid, ${tierChoiceSql(t => s"(${ub0(t)})")} AS tier_w0b FROM tft),
+       |td1 AS (SELECT qid, ${tierChoiceSql(t => s"(${ub1(t)})")} AS tier_w1b FROM tft, twv)
+       |SELECT td0.qid, tier_w0b, tier_w1b,
+       |  CAST(CASE WHEN tier_w0b <> tier_w1b THEN 1 ELSE 0 END AS BIGINT) AS rerouted
+       |FROM td0 JOIN td1 ON td0.qid = td1.qid
+       |ORDER BY td0.qid""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4854,6 +4972,7 @@ object SimilarityOps {
     "q185_tier_recall_panel" -> (tierRecallPanel _),
     "q186_tier_feedback" -> (tierFeedback _),
     "q187_tier_route_pass2" -> (tierRoutePass2 _),
+    "q201_tier_route_pass2_batch" -> (tierRoutePass2Batch _),
     "q191_embedding_spectrum" -> (embeddingSpectrum _),
     "q192_binary_quant_recall" -> (binaryQuantRecall _),
     "q193_binary_rerank_recall" -> (binaryRerankRecall _),
@@ -4895,6 +5014,7 @@ object SimilarityOps {
     "q185_tier_recall_panel" -> tierRecallPanelSql,
     "q186_tier_feedback" -> tierFeedbackSql,
     "q187_tier_route_pass2" -> tierRoutePass2Sql,
+    "q201_tier_route_pass2_batch" -> tierRoutePass2BatchSql,
     "q191_embedding_spectrum" -> embeddingSpectrumSql,
     "q192_binary_quant_recall" -> binaryQuantRecallSql,
     "q193_binary_rerank_recall" -> binaryRerankRecallSql,

@@ -838,7 +838,7 @@ object StreamingOps {
     * `tier` records each query's routed arm, vs the fixed tier name
     * here). Auto routes at q200's BATCH prices by
     * default (`batchCost` — this stream dispatches the batched plans,
-    * where int8 is the priciest arm, not the cheapest). */
+    * so their amortized prices are the correct cost model). */
   def annServe(
       queries: DataFrame, indexDir: String, outDir: String,
       nprobe: Int = graft.operators.SimilarityOps.NProbeServe,
@@ -868,11 +868,14 @@ object StreamingOps {
                 .getOrElse(Map.empty[String, Long])
               // batchCost defaults TRUE here (unlike routeAndServe):
               // the stream dispatches the batched micro-batch plans, so
-              // q200's amortized prices are the correct cost model —
-              // routing this stream with single-request prices would
-              // send load to int8, the priciest batched arm.
+              // q200's amortized prices are the correct cost model.
+              // lazyUnion: the sink write below is the ONE consumer, so
+              // the lazy union's single job materializes every tier
+              // subtree once — measured faster than the eager per-tier
+              // checkpoints on the batch-priced route (ServeProbe r14)
+              // and it skips |present| checkpoint block sets per batch.
               SimilarityOps.routeAndServe(s, indexDir, reqs, w, nprobe,
-                batchCost = batchCost)
+                batchCost = batchCost, lazyUnion = true)
             case "binary" =>
               SimilarityOps.annBinaryServeMany(s, indexDir, reqs, nprobe)
                 .withColumnRenamed("cos", "score").withColumn("tier", lit(tier))

@@ -45,14 +45,47 @@ object ServeProbe {
       println(f"""[serveprobe] "$tag": $ms%.1f""")
     }
 
+    time("census_batch20_ms") {
+      SimilarityOps.servedTierFeatures(spark, idx, qdf).collect()
+    }
     time("routed_batch20_ms") {
       SimilarityOps.routeAndServe(spark, idx, qdf).collect()
     }
     time("routed_batchcost_batch20_ms") {
       SimilarityOps.routeAndServe(spark, idx, qdf, batchCost = true).collect()
     }
+    // r14 stretch: the lazy union (one action materializes every tier
+    // subtree in one job) vs the eager per-tier checkpoint dispatch.
+    time("routed_batch20_lazy_ms") {
+      SimilarityOps.routeAndServe(spark, idx, qdf, lazyUnion = true).collect()
+    }
+    time("routed_batchcost_batch20_lazy_ms") {
+      SimilarityOps.routeAndServe(spark, idx, qdf, batchCost = true,
+        lazyUnion = true).collect()
+    }
+    // Per-tier batch-of-20 rows — the q200 penalty inputs, re-measured
+    // here after the r14 int8 rewrite so the census can be re-pinned
+    // from the shipped plans' actual prices.
+    time("float_batch20_ms") {
+      SimilarityOps.annIvfServeMany(spark, idx, qdf).collect()
+    }
+    time("binary_batch20_ms") {
+      SimilarityOps.annBinaryServeMany(spark, idx, qdf).collect()
+    }
+    time("int8_batch20_ms") {
+      SimilarityOps.annInt8ServeMany(spark, idx, qdf).collect()
+    }
+    time("pq_batch20_ms") {
+      SimilarityOps.annPqServeMany(spark, idx, qdf).collect()
+    }
+    time("pq_rerank_batch20_ms") {
+      SimilarityOps.annPqRerankServeMany(spark, idx, qdf).collect()
+    }
     time("float_single_ms") {
       SimilarityOps.annIvfServe(spark, idx, panel.head._2).collect()
+    }
+    time("int8_single_ms") {
+      SimilarityOps.annIvfInt8Serve(spark, idx, panel.head._2).collect()
     }
     time("float_1row_batch_ms") {
       SimilarityOps.annIvfServeMany(spark, idx, one).collect()

@@ -149,6 +149,61 @@ class Round14Spec extends SparkSpec {
       "heal-path recount diverged from the artifact's features")
   }
 
+  test("routeAndServe lazyUnion serves row-identical answers to the " +
+    "eager per-tier checkpoint dispatch") {
+    val panelIds = embOf.keys.toSeq.sorted
+    def normalized(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("score"),
+        r.getAs[String]("tier"))).sortBy(t => (t._1, t._2)).toSeq
+    val eager = normalized(
+      SimilarityOps.routeAndServe(spark, idx, reqs(panelIds), batchCost = true))
+    val lazyU = normalized(SimilarityOps.routeAndServe(spark, idx,
+      reqs(panelIds), batchCost = true, lazyUnion = true))
+    assert(lazyU == eager, "lazy union diverged from the eager dispatch")
+  }
+
+  test("streaming annServe(tier=auto, stateDir) routes every panel query " +
+    "to q201's learned-weight batch-price choice") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    // The learned state: the q185/q186 fold, persisted through the store
+    // exactly as a TierPass would leave it.
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft_r14_state").toString
+    SimilarityOps.saveTierState(spark, stateDir,
+      SimilarityOps.tierFoldE4(spark, sf))
+    val expected = SimilarityOps.tierRoutePass2Batch(spark, sf)
+      .collect().map(r => r.getAs[Long]("qid") ->
+        r.getAs[String]("tier_w1b")).toMap
+
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val resDir = java.nio.file.Files
+      .createTempDirectory("graft_r14_auto_out").toString
+    val q = graft.streaming.StreamingOps.annServe(
+      stream.toDF().toDF("query_id", "embedding"), idx, resDir,
+      tier = "auto", stateDir = Some(stateDir))
+      .option("checkpointLocation", s"$resDir/ckpt").start()
+    try {
+      stream.addData(embOf.keys.toSeq.sorted.map(i => (i, embOf(i))))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val routedTier = spark.read.parquet(resDir).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (k, rs) =>
+        val ts = rs.map(_.getAs[String]("tier")).distinct
+        assert(ts.length == 1, s"query $k served by multiple tiers: $ts")
+        k -> ts.head
+      }
+    assert(routedTier.keySet == expected.keySet)
+    routedTier.foreach { case (k, t) =>
+      assert(t == expected(k),
+        s"query $k: streamed auto tier $t != q201's ${expected(k)}")
+    }
+  }
+
   test("memo eviction serializes against an in-flight cold compute: the " +
     "stale value is evicted and unpersisted, never served (ADVICE r13)") {
     val dir = s"/tmp/graft_r14_memo_${System.nanoTime()}"
