@@ -201,7 +201,11 @@ object Bench {
       "pq_rerank_" -> (() =>
         SimilarityOps.annPqRerankServeMany(spark, idx, qdf).collect()),
       "binary_" -> (() => SimilarityOps.annBinaryServeMany(spark, idx, qdf).collect()),
-      "routed_" -> (() => SimilarityOps.routeAndServe(spark, idx, qdf).collect()))
+      "routed_" -> (() => SimilarityOps.routeAndServe(spark, idx, qdf).collect()),
+      // The production streaming-auto shape (r14): batch prices + lazy
+      // single-job union — what annServe(tier=auto) dispatches.
+      "routed_batchcost_" -> (() => SimilarityOps.routeAndServe(
+        spark, idx, qdf, batchCost = true, lazyUnion = true).collect()))
     batched.foreach { case (prefix, run) =>
       run() // per-plan codegen warmup
       out(s"${prefix}batch20_ms") = f3(Vector.fill(ServePasses) {

@@ -204,6 +204,42 @@ class Round14Spec extends SparkSpec {
     }
   }
 
+  test("record-ahead fold ledger: an epoch dir surviving the crash " +
+    "window (recorded, files moved, dir not yet deleted) is re-listed " +
+    "as replayed, paid with one correct dedup rewrite, and cleaned up") {
+    import graft.streaming.StreamingOps
+    val dir = java.nio.file.Files.createTempDirectory("graft_r14_ledger").toString
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    (0 until 2).foreach { b =>
+      StreamingOps.mergeBatchComponents(
+        docs.filter(pmod(col("doc_id"), lit(2)) === b), b.toLong, dir)
+    }
+    assert(StreamingOps.foldDownEpochs(spark, dir))
+    val bands0 = spark.read.parquet(s"$dir/bands")
+      .collect().map(_.toString).sorted.toSeq
+    // The record-ahead crash window: epoch=1 is in the ledger and its
+    // files are in the base, but the dir delete never ran. Resurrect it
+    // EMPTY (every data file had moved before the ledger write).
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ep1 = new org.apache.hadoop.fs.Path(s"$dir/bands/epoch=1")
+    assert(!fs.exists(ep1), "fold should have deleted the epoch dir")
+    fs.mkdirs(ep1)
+    // Next fold: the ledger intersection flags epoch=1 as replayed — a
+    // spurious-but-correct dedup rewrite runs (nothing to remove), the
+    // empty dir's zero files "all move", and the dir is deleted.
+    assert(StreamingOps.foldDownEpochs(spark, dir))
+    assert(!fs.exists(ep1), "the resurrected epoch dir must be retired")
+    val bands1 = spark.read.parquet(s"$dir/bands")
+      .collect().map(_.toString).sorted.toSeq
+    assert(bands1 == bands0, "the spurious rewrite changed band rows")
+    val full = graft.operators.DedupOps.dupLabelsFixpoint(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val folded = StreamingOps.currentLabels(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(folded == full)
+  }
+
   test("memo eviction serializes against an in-flight cold compute: the " +
     "stale value is evicted and unpersisted, never served (ADVICE r13)") {
     val dir = s"/tmp/graft_r14_memo_${System.nanoTime()}"
