@@ -1086,13 +1086,10 @@ object SimilarityOps {
       qx.select(col("pos"), col("v").as("qv")))
     val shortlist = vectorsDf(spark, indexDir)
       .filter(col("cluster").isin(probed: _*))
-      .select(col("vec_id"), col("cluster"),
-        posexplode(col("pq_codes")).as(Seq("sub", "code")))
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
-        col("sub").cast("long").as("sub"), col("code"))
-      .join(broadcast(dtab), Seq("cluster", "sub", "code"))
-      .groupBy("vec_id")
-      .agg(sum(col("d")).as("adist"))
+        col("pq_codes"))
+      .join(broadcast(adcTableArr(dtab, Seq("cluster"))), "cluster")
+      .withColumn("adist", adcDistLocal)
       .orderBy(col("adist").asc, col("vec_id").asc)
       .limit(RerankK)
       .select("vec_id")
@@ -1328,10 +1325,37 @@ object SimilarityOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Collapse a DENSE long-form ADC table (…, sub, code, d) to one row
+    * per key with the PqM·PqK distances packed at index sub·PqK + code —
+    * the row-local serve-side lookup shape (r14: the pq twin of the int8
+    * rewrite). The interpreted collect_list/transform run over
+    * |keys|·PqM·PqK rows of broadcast metadata, never the corpus. */
+  private def adcTableArr(dtab: DataFrame, keys: Seq[String]): DataFrame =
+    dtab.groupBy(keys.map(col): _*)
+      .agg(transform(
+        array_sort(collect_list(struct(col("sub"), col("code"), col("d")))),
+        s => s.getField("d")).as("adc_tbl"))
+
+  /** Row-local ADC distance: Σ_sub adc_tbl[sub·PqK + code_sub] over the
+    * candidate's pq_codes array — one 16-term fold per probed vector in
+    * place of the retired 16× posexplode + 4-key broadcast join +
+    * shuffle re-aggregate (the only remaining per-candidate exchange
+    * after the int8 rewrite). DECIMAL-exact: per-entry d stays the
+    * (38,18) the table was built with, the fold accumulates at (37,18)
+    * (the servedTierFeatures rationale — a (38,18) accumulator trips
+    * Spark's precision-loss rule), so adist is bit-equal to the retired
+    * sum and the serve≡analytic spec pins hold unchanged. */
+  private def adcDistLocal: Column =
+    aggregate(
+      transform(col("pq_codes"), (code, sub) =>
+        element_at(col("adc_tbl"), (sub * PqK + code + lit(1)).cast("int"))),
+      lit(BigDecimal(0)).cast("decimal(37,18)"),
+      (a, d) => (a + d.cast("decimal(37,18)")).cast("decimal(37,18)"))
+
   /** The shared batched ADC candidate ranking: probed partitions' 64-bit
-    * pq_codes expanded and joined to the broadcast per-query tables, one
-    * adist sum per (query, vector), one rank window per query. `depth`
-    * is TopK for the plain PQ tier and RerankK for the re-rank
+    * pq_codes scored ROW-LOCALLY against the broadcast per-(query, cell)
+    * packed tables ([[adcDistLocal]]), one rank window per query.
+    * `depth` is TopK for the plain PQ tier and RerankK for the re-rank
     * shortlist. Returns (query_id, vec_id, adist, arank). */
   private def adcRankMany(
       spark: SparkSession, indexDir: String, probes: DataFrame,
@@ -1339,17 +1363,15 @@ object SimilarityOps {
     vectorsDf(spark, indexDir)
       .select(col("vec_id"), col("cluster"), col("pq_codes"))
       .join(broadcast(probes), "cluster")
-      .select(col("query_id"), col("vec_id"), col("cluster"),
-        posexplode(col("pq_codes")).as(Seq("sub", "code")))
       .select(col("query_id"), col("vec_id"),
-        col("cluster").cast("long").as("cluster"),
-        col("sub").cast("long").as("sub"), col("code"))
-      .join(broadcast(dtab), Seq("query_id", "cluster", "sub", "code"))
-      .groupBy("query_id", "vec_id")
-      .agg(sum(col("d")).as("adist"))
+        col("cluster").cast("long").as("cluster"), col("pq_codes"))
+      .join(broadcast(adcTableArr(dtab, Seq("query_id", "cluster"))),
+        Seq("query_id", "cluster"))
+      .withColumn("adist", adcDistLocal)
       .withColumn("arank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("adist").asc, col("vec_id").asc)))
       .filter(col("arank") <= depth)
+      .select("query_id", "vec_id", "adist", "arank")
 
   /** Batched PQ serving: [[annPqServe]] for a whole request frame in ONE
     * distributed plan — per-query ADC tables as broadcast metadata, one
@@ -2197,13 +2219,10 @@ object SimilarityOps {
       qx.select(col("pos"), col("v").as("qv")))
     vectorsDf(spark, indexDir)
       .filter(col("cluster").isin(probed: _*))
-      .select(col("vec_id"), col("cluster"),
-        posexplode(col("pq_codes")).as(Seq("sub", "code")))
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
-        col("sub").cast("long").as("sub"), col("code"))
-      .join(broadcast(dtab), Seq("cluster", "sub", "code"))
-      .groupBy("vec_id")
-      .agg(sum(col("d")).as("adist"))
+        col("pq_codes"))
+      .join(broadcast(adcTableArr(dtab, Seq("cluster"))), "cluster")
+      .withColumn("adist", adcDistLocal)
       .orderBy(col("adist").asc, col("vec_id").asc)
       .limit(TopK)
       .select(col("vec_id"),
@@ -3925,15 +3944,17 @@ object SimilarityOps {
     * across the micro-batch and the cost order shifts.
     *
     * RE-PINNED in r14 to the post-rewrite plans (the census must track
-    * what the dispatcher actually ships — the 1eb353a discipline):
-    * batch-of-20 wall, idle sf0.1, min-of-5 (graft.tools.ServeProbe):
-    * float 272 ms, int8 288, binary 473, pq 790, pq_rerank 978.
-    * Relative to float: 1.00 / 1.06 / 1.74 / 2.905 / 3.596; × TierLambda
-    * 0.15 → 0.15 / 0.159 / 0.261 / 0.4358 / 0.5394. The r13 int8
-    * inversion (cheapest → priciest, 4.15× under the posexplode plan) is
-    * GONE: the r14 row-local integer rewrite makes batched int8 nearly
-    * float-priced (1.06×), so int8 re-joins the cheap arms under
-    * amortization while pq/pq_rerank keep their two-fixed-jobs premium.
+    * what the dispatcher actually ships — the 1eb353a discipline).
+    * After BOTH row-local rewrites (int8 codes and pq ADC), one
+    * internally-consistent ServeProbe run (sf0.1, min-of-5; absolute
+    * numbers move ±25% with co-tenant host load, ratios within a run
+    * are the stable quantity): float 333 ms, int8 361, binary 601,
+    * pq 880, pq_rerank 1038. Relative to float: 1.00 / 1.083 / 1.807 /
+    * 2.643 / 3.118; × TierLambda 0.15 → 0.15 / 0.1625 / 0.271 /
+    * 0.3964 / 0.4678. The r13 int8 inversion (cheapest → priciest,
+    * 4.15× under the posexplode plan) is GONE — batched int8 is nearly
+    * float-priced — and the pq arms' premium narrowed from 2.9×/3.6×
+    * to 2.6×/3.1× once their candidate stage went row-local too.
     * Same expression tree (parenthesization pinned) with only the
     * trailing penalty literals swapped, so the SQL twin agrees
     * bitwise. */
@@ -3941,15 +3962,15 @@ object SimilarityOps {
     val m = col("margin"); val p = col("peak"); val cv = col("coverage")
     feats
       .withColumn("ub_binary",
-        ((((lit(0.7605) + lit(3.0) * m) - lit(0.9) * p) + lit(0.3) * cv) + w("binary")) - lit(0.261))
+        ((((lit(0.7605) + lit(3.0) * m) - lit(0.9) * p) + lit(0.3) * cv) + w("binary")) - lit(0.271))
       .withColumn("ub_float",
         ((lit(0.3) + lit(0.5) * (lit(1.0) - m)) + w("float")) - lit(0.15))
       .withColumn("ub_int8",
-        (((lit(0.44) + lit(0.5) * (lit(1.0) - m)) - lit(0.45) * p) + w("int8")) - lit(0.159))
+        (((lit(0.44) + lit(0.5) * (lit(1.0) - m)) - lit(0.45) * p) + w("int8")) - lit(0.1625))
       .withColumn("ub_pq",
-        (((lit(0.4875) + lit(3.0) * m) + lit(0.3) * cv) + w("pq")) - lit(0.4358))
+        (((lit(0.4875) + lit(3.0) * m) + lit(0.3) * cv) + w("pq")) - lit(0.3964))
       .withColumn("ub_pq_rerank",
-        (((lit(-2.55) + lit(3.5) * (lit(1.0) - m)) + lit(0.45) * cv) + w("pq_rerank")) - lit(0.5394))
+        (((lit(-2.55) + lit(3.5) * (lit(1.0) - m)) + lit(0.45) * cv) + w("pq_rerank")) - lit(0.4678))
   }
 
   /** Arm argmax over five utility columns, ties to the ascending tier
@@ -4665,11 +4686,11 @@ object SimilarityOps {
     * penalty literals from the measured batch-of-20 relative costs (see
     * [[tierUtilitiesBatch]]). */
   private def tierUtilBatchSql(w: Map[String, String]): Map[String, String] = Map(
-    "binary" -> s"((((0.7605 + 3.0 * margin) - 0.9 * peak) + 0.3 * coverage) + ${w("binary")}) - 0.261",
+    "binary" -> s"((((0.7605 + 3.0 * margin) - 0.9 * peak) + 0.3 * coverage) + ${w("binary")}) - 0.271",
     "float" -> s"((0.3 + 0.5 * (1.0 - margin)) + ${w("float")}) - 0.15",
-    "int8" -> s"(((0.44 + 0.5 * (1.0 - margin)) - 0.45 * peak) + ${w("int8")}) - 0.159",
-    "pq" -> s"(((0.4875 + 3.0 * margin) + 0.3 * coverage) + ${w("pq")}) - 0.4358",
-    "pq_rerank" -> s"(((-2.55 + 3.5 * (1.0 - margin)) + 0.45 * coverage) + ${w("pq_rerank")}) - 0.5394")
+    "int8" -> s"(((0.44 + 0.5 * (1.0 - margin)) - 0.45 * peak) + ${w("int8")}) - 0.1625",
+    "pq" -> s"(((0.4875 + 3.0 * margin) + 0.3 * coverage) + ${w("pq")}) - 0.3964",
+    "pq_rerank" -> s"(((-2.55 + 3.5 * (1.0 - margin)) + 0.45 * coverage) + ${w("pq_rerank")}) - 0.4678")
 
   private def tierChoiceSql(u: String => String): String =
     s"""CASE WHEN ${u("binary")} >= ${u("float")} AND ${u("binary")} >= ${u("int8")}

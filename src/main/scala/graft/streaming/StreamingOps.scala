@@ -869,13 +869,14 @@ object StreamingOps {
               // batchCost defaults TRUE here (unlike routeAndServe):
               // the stream dispatches the batched micro-batch plans, so
               // q200's amortized prices are the correct cost model.
-              // lazyUnion: the sink write below is the ONE consumer, so
-              // the lazy union's single job materializes every tier
-              // subtree once — measured faster than the eager per-tier
-              // checkpoints on the batch-priced route (ServeProbe r14)
-              // and it skips |present| checkpoint block sets per batch.
+              // Dispatch stays EAGER (concurrent per-tier actions):
+              // ServeProbe measured the lazy single-job union faster
+              // only on an idle host (1033 vs 1092 ms) and 15–25%
+              // slower under co-tenant load (1593 vs 1342; 1983 vs
+              // 1574) — concurrent actions hold scheduler slots better
+              // when contended, which is what production looks like.
               SimilarityOps.routeAndServe(s, indexDir, reqs, w, nprobe,
-                batchCost = batchCost, lazyUnion = true)
+                batchCost = batchCost)
             case "binary" =>
               SimilarityOps.annBinaryServeMany(s, indexDir, reqs, nprobe)
                 .withColumnRenamed("cos", "score").withColumn("tier", lit(tier))
