@@ -203,13 +203,18 @@ object AppendVectorIndex {
     val before = spark.read.parquet(vdir).count()
     val delta = spark.read.parquet(s"$dir/embeddings.parquet")
       .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
-    graft.operators.SimilarityOps.appendArtifacts(spark, idx, delta)
+    val art = graft.operators.SimilarityOps.appendArtifacts(spark, idx, delta)
       .withColumn("ingest_batch", lit(-1L)) // offline append joins the base tier
-      .write.mode("append").partitionBy("cluster", "ingest_batch").parquet(vdir)
-    // Offline append's artifact twin: full refresh (this CLI recounts the
-    // table for its report anyway; the refresh also heals pre-artifact
-    // indexes and evicts the memoized routing snapshot).
-    graft.operators.SimilarityOps.refreshClusterSizes(spark, idx)
+      .localCheckpoint(true) // one materialization feeds the write AND the bump
+    art.write.mode("append").partitionBy("cluster", "ingest_batch").parquet(vdir)
+    // Offline append's artifact twin: fold the DELTA's counts into the
+    // cluster_sizes base rows — delta-sized work, no corpus recount (at
+    // 100 TB the append must not re-read the table it just grew; the
+    // full-recount heal lives in compaction).
+    val deltaCounts = art.groupBy("cluster").count().collect()
+      .map(r => r.getAs[Number]("cluster").longValue() -> r.getLong(1)).toMap
+    graft.operators.SimilarityOps.bumpBaseClusterSizes(spark, idx, deltaCounts)
+    art.unpersist(true)
 
     val after = spark.read.parquet(vdir)
     val sizes = after.groupBy("cluster").count().orderBy("cluster").collect()

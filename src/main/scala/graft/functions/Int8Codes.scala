@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpectsInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.graftglue.AbstractDT
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, LongType}
 
 /** Native Catalyst expressions for the int8 serving tier's ROW-LOCAL
   * integer arithmetic (VERDICT r13 #1).
@@ -32,8 +33,13 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * Both return BIGINT, null only on null input arrays.
   */
 case class Int8Dot(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
+  // Pinned input types: getByte/getLong read RAW packed bytes — a wider
+  // element type would silently compute garbage, so reject it at
+  // analysis, not at ranking time.
+  override def inputTypes: Seq[AbstractDT] =
+    Seq(ArrayType(ByteType), ArrayType(LongType))
   override def dataType: DataType = LongType
   override def prettyName: String = "int8_dot"
 
@@ -65,8 +71,10 @@ case class Int8Dot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-case class Int8NormSq(child: Expression) extends UnaryExpression {
+case class Int8NormSq(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
 
+  override def inputTypes: Seq[AbstractDT] = Seq(ArrayType(ByteType))
   override def dataType: DataType = LongType
   override def prettyName: String = "int8_norm_sq"
 

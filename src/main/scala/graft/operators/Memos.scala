@@ -68,7 +68,16 @@ final class Memo[V](unpersist: V => Unit) {
     * compute-first means eviction waits for the insert and then removes
     * and unpersists it. Plain getOrElseUpdate callers are single-threaded
     * per key by construction (driver-side query paths) — the lock only
-    * serializes them against eviction, which is the point. */
+    * serializes them against eviction, which is the point.
+    *
+    * Accepted tradeoff: the lock is INSTANCE-wide, so evicting dir A can
+    * wait behind an in-flight Sync compute for an unrelated dir B on the
+    * same memo. A per-key lock would not close the race (eviction cannot
+    * know the key a not-yet-inserted compute is about to add for its
+    * dir). The wait is bounded by the largest Sync cold compute, and the
+    * Sync users (indexMeta, clusterSizeCache) compute metadata-scale
+    * reads — the one corpus-scale case is clusterSizeCache's transitional
+    * pre-artifact heal recount. */
   private[operators] def evictDir(dir: String): Int = synchronized {
     val hit = m.keys.filter(_.endsWith(s":$dir")).toSeq
     hit.flatMap(m.remove).foreach(unpersist)

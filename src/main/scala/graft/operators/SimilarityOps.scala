@@ -1698,10 +1698,17 @@ object SimilarityOps {
         r.getAs[Number]("ingest_batch").longValue(),
         r.getAs[Long]("csz"))).toSeq
 
-  /** Replace the artifact (stage under a dot-dir + delete + rename — a
-    * crash between the last two leaves it MISSING, which readers heal by
-    * recounting; never a torn read) and drop the memoized snapshot so
-    * the next route sees the new counts. */
+  /** Replace the artifact ATOMICALLY: the K·|batches| rows are staged as
+    * a parquet directory under a dot-path, then the single part FILE is
+    * renamed over `cluster_sizes` with FileContext Rename.OVERWRITE (the
+    * MANIFEST recipe — atomic for a FILE target on local FS and HDFS,
+    * which is why the artifact is one file, not a directory: a
+    * delete-then-rename dir swap would open an artifact-missing window
+    * on EVERY ingest micro-batch, and a concurrent tier=auto session
+    * reading in that window would silently fall back to — and memoize —
+    * the corpus-scale count this artifact exists to remove). A reader
+    * sees the old file or the new file, never neither. Ends by dropping
+    * the memoized snapshot so the next route sees the new counts. */
   private def writeClusterSizesRows(
       spark: SparkSession, indexDir: String,
       rows: Seq[(Long, Long, Long)]): Unit = {
@@ -1711,9 +1718,20 @@ object SimilarityOps {
     fs.delete(tmp, true)
     rows.toDF("cluster", "ingest_batch", "csz").coalesce(1)
       .write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).iterator
+      .map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"cluster_sizes stage at $tmp produced no parquet part file"))
     val dst = new org.apache.hadoop.fs.Path(clusterSizesPath(indexDir))
-    fs.delete(dst, true)
-    fs.rename(tmp, dst)
+    // One-time shape upgrade: an artifact written as a DIRECTORY (the
+    // short-lived pre-swap r14 format) can't be rename-overwritten by a
+    // file — clear it first; readers heal a crash here by recounting.
+    if (fs.exists(dst) && fs.getFileStatus(dst).isDirectory) fs.delete(dst, true)
+    org.apache.hadoop.fs.FileContext.getFileContext(part.toUri,
+      spark.sparkContext.hadoopConfiguration)
+      .rename(part, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    fs.delete(tmp, true)
     invalidateClusterSizes(indexDir)
   }
 
@@ -4527,19 +4545,33 @@ object SimilarityOps {
           .withColumnRenamed(scoreCol, "score").withColumn("tier", lit(t))
       }
       else present.map { t =>
-        t -> Future {
-          val (serve, scoreCol) = serveManyOf(t)
-          serve(routedSlice(queries, choices, t))
-            .withColumnRenamed(scoreCol, "score").withColumn("tier", lit(t))
-            .localCheckpoint(true)
-        }(tierDispatchPool)
-      }.map { case (t, f) =>
+        // Each dispatch runs under its own JOB GROUP so a timeout can
+        // CANCEL the hung Spark job, not just abandon it: an abandoned
+        // action would keep its pool thread forever, and five such
+        // events would exhaust the fixed pool and stall every later
+        // routed batch in the session even after the cause cleared.
+        // (The timeout covers queue time too — by design: a batch stuck
+        // BEHIND hung dispatches is just as stalled as one hung itself.)
+        val group = s"graft-route-$t-${java.util.UUID.randomUUID()}"
+        (t, group, Future {
+          spark.sparkContext.setJobGroup(group,
+            s"routeAndServe dispatch: $t", interruptOnCancel = true)
+          try {
+            val (serve, scoreCol) = serveManyOf(t)
+            serve(routedSlice(queries, choices, t))
+              .withColumnRenamed(scoreCol, "score").withColumn("tier", lit(t))
+              .localCheckpoint(true)
+          } finally spark.sparkContext.clearJobGroup()
+        }(tierDispatchPool))
+      }.map { case (t, group, f) =>
         try Await.result(f, scala.concurrent.duration.Duration(timeoutSec, "s"))
         catch {
           case _: java.util.concurrent.TimeoutException =>
+            spark.sparkContext.cancelJobGroup(group)
             throw new IllegalStateException(
               s"routeAndServe: tier '$t' dispatch exceeded $timeoutSec s " +
-                "(spark.graft.serve.timeoutSec) — serve request aborted")
+                "(spark.graft.serve.timeoutSec) — job group cancelled, " +
+                "serve request aborted")
         }
       }
     // An empty request frame routes nowhere — answer with an empty frame

@@ -820,7 +820,12 @@ object StreamingOps {
     * broadcast centroids, per-query probe window, partition-pruned index
     * scan, per-query top-k), results appended to `outDir` in the ONE
     * answer schema (query_id, vec_id, rank, score, tier) regardless of
-    * tier. The batch twin of ServeVectorIndex:
+    * tier. MIGRATION NOTE: outDirs written by a pre-r14 engine carry
+    * the fixed tiers' native score column (cos/qcos/adist) — do not
+    * resume such a stream onto its old outDir; point it at a fresh
+    * directory (appending the unified schema next to old files would
+    * create exactly the mixed-schema parquet this normalization
+    * exists to prevent). The batch twin of ServeVectorIndex:
     * same index files, same ranking arithmetic, so online answers cannot
     * drift from offline ones (StreamingSpec pins per-query equality with
     * annIvfServe). `foreachBatch` rather than a stream-static join

@@ -113,6 +113,23 @@ class Round14Spec extends SparkSpec {
           r.getAs[Long]("n")).toMap
     assert(artifact() == recount(), "after build")
 
+    // Offline append leg (the AppendVectorIndex shape): append the delta
+    // artifacts to the base tier, then fold ONLY the delta's counts into
+    // the artifact — no corpus recount.
+    val off = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 10)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    val art = SimilarityOps.appendArtifacts(spark, out, off)
+      .withColumn("ingest_batch", lit(-1L)).localCheckpoint(true)
+    art.write.mode("append").partitionBy("cluster", "ingest_batch")
+      .parquet(SimilarityOps.vectorsPath(spark, out))
+    val dc = art.groupBy("cluster").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Number]("cluster").longValue() ->
+        r.getAs[Long]("n")).toMap
+    art.unpersist(true)
+    SimilarityOps.bumpBaseClusterSizes(spark, out, dc)
+    assert(artifact() == recount(), "after offline append bump")
+
     val delta = spark.read.parquet(s"$sf/embeddings.parquet")
       .filter(col("vec_id") < 40)
       .select((col("vec_id") + 700000L).as("vec_id"), col("embedding"))
