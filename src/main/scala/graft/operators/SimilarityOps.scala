@@ -641,6 +641,60 @@ object SimilarityOps {
        |  term, n_ct, floor(lift * 1000000 + 0.5) / 1000000 AS lift
        |FROM trk WHERE rank <= $TopicTerms ORDER BY cluster, rank""".stripMargin
 
+  // ---- q202: coarse-cell load-balance card (r14) ---------------------------
+
+  /** The probe-scan LOAD-BALANCE card: one row of size-distribution
+    * stats over the learned quantizer's cells — cluster count, vector
+    * total, min/max cell size, imbalance (max/mean) and the coefficient
+    * of variation. This is the serving-latency twin of the geometry
+    * audits (q58 says whether cells are TIGHT, q142 whether new data
+    * still lands where old data did, q173 whether PQ codewords starve):
+    * a probed scan's wall time is bounded by its LARGEST cell, so
+    * imbalance is the number that says how far the per-probe latency
+    * departs from corpus/K — and when it drifts past the q58/q142
+    * retrain signals, rebalancing beats deeper probing. It is also the
+    * corpus-side mirror of the `cluster_sizes` index artifact the
+    * tier=auto coverage feature reads (Round14Spec pins that artifact to
+    * a live recount; for a fresh build both equal these kasg counts).
+    *
+    * Scale shape: one K-key count over the memoized assignment
+    * (map-side partial), then pure arithmetic on K rows. The moments are
+    * exact BIGINT sums (csz ≤ corpus, csz² fits comfortably); the three
+    * derived doubles share one pinned expression tree with the SQL twin. */
+  def clusterSizeSkew(spark: SparkSession, dir: String): DataFrame = {
+    val (_, asg) = kmeansModel(spark, dir)
+    asg.groupBy("cluster").agg(count(lit(1)).as("csz"))
+      .agg(count(lit(1)).cast("long").as("n_clusters"),
+        sum(col("csz")).cast("long").as("n_vectors"),
+        min(col("csz")).cast("long").as("min_csz"),
+        max(col("csz")).cast("long").as("max_csz"),
+        sum(col("csz") * col("csz")).cast("long").as("ss"))
+      .withColumn("mean_csz",
+        col("n_vectors").cast("double") / col("n_clusters").cast("double"))
+      .select(col("n_clusters"), col("n_vectors"), col("min_csz"), col("max_csz"),
+        r6(col("mean_csz")).as("mean_csz"),
+        r6(col("max_csz").cast("double") / col("mean_csz")).as("imbalance"),
+        r6(sqrt(col("ss").cast("double") / col("n_clusters").cast("double") -
+          col("mean_csz") * col("mean_csz")) / col("mean_csz")).as("cv"))
+  }
+
+  val clusterSizeSkewSql: String =
+    s"""WITH $kmeansCtes,
+       |zsz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csz FROM kasg GROUP BY 1),
+       |zag AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+       |          CAST(sum(csz) AS BIGINT) AS n_vectors,
+       |          CAST(min(csz) AS BIGINT) AS min_csz,
+       |          CAST(max(csz) AS BIGINT) AS max_csz,
+       |          CAST(sum(csz * csz) AS BIGINT) AS ss
+       |        FROM zsz),
+       |zmn AS (SELECT *, CAST(n_vectors AS DOUBLE) / CAST(n_clusters AS DOUBLE) AS mean_csz
+       |        FROM zag)
+       |SELECT n_clusters, n_vectors, min_csz, max_csz,
+       |  floor(mean_csz * 1000000 + 0.5) / 1000000 AS mean_csz,
+       |  floor((CAST(max_csz AS DOUBLE) / mean_csz) * 1000000 + 0.5) / 1000000 AS imbalance,
+       |  floor((sqrt(CAST(ss AS DOUBLE) / CAST(n_clusters AS DOUBLE) - mean_csz * mean_csz) / mean_csz) * 1000000 + 0.5) / 1000000 AS cv
+       |FROM zmn""".stripMargin
+
   // ---- q77: IVF probe over int8-reconstructed vectors ---------------------
 
   /** The memory-compressed ANN serving tier: probe the learned IVF
@@ -5026,6 +5080,7 @@ object SimilarityOps {
     "q186_tier_feedback" -> (tierFeedback _),
     "q187_tier_route_pass2" -> (tierRoutePass2 _),
     "q201_tier_route_pass2_batch" -> (tierRoutePass2Batch _),
+    "q202_cluster_size_skew" -> (clusterSizeSkew _),
     "q191_embedding_spectrum" -> (embeddingSpectrum _),
     "q192_binary_quant_recall" -> (binaryQuantRecall _),
     "q193_binary_rerank_recall" -> (binaryRerankRecall _),
@@ -5068,6 +5123,7 @@ object SimilarityOps {
     "q186_tier_feedback" -> tierFeedbackSql,
     "q187_tier_route_pass2" -> tierRoutePass2Sql,
     "q201_tier_route_pass2_batch" -> tierRoutePass2BatchSql,
+    "q202_cluster_size_skew" -> clusterSizeSkewSql,
     "q191_embedding_spectrum" -> embeddingSpectrumSql,
     "q192_binary_quant_recall" -> binaryQuantRecallSql,
     "q193_binary_rerank_recall" -> binaryRerankRecallSql,

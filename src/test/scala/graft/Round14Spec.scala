@@ -257,6 +257,31 @@ class Round14Spec extends SparkSpec {
     assert(folded == full)
   }
 
+  test("q202 cluster-size skew card: every stat recounts driver-side " +
+    "from the assignment, and the invariants hold") {
+    val got = SimilarityOps.queries("q202_cluster_size_skew")(spark, sf)
+      .collect()(0)
+    val counts = SimilarityOps.kmeansModel(spark, sf)._2
+      .groupBy("cluster").agg(count(lit(1)).as("n")).collect()
+      .map(_.getAs[Long]("n"))
+    val k = counts.length.toLong
+    val tot = counts.sum
+    val ss = counts.map(c => c * c).sum
+    val mean = tot.toDouble / k.toDouble
+    def r6d(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got.getAs[Long]("n_clusters") == k)
+    assert(got.getAs[Long]("n_vectors") == tot)
+    assert(got.getAs[Long]("min_csz") == counts.min)
+    assert(got.getAs[Long]("max_csz") == counts.max)
+    assert(got.getAs[Double]("mean_csz") == r6d(mean))
+    assert(got.getAs[Double]("imbalance") == r6d(counts.max.toDouble / mean))
+    assert(got.getAs[Double]("cv") ==
+      r6d(math.sqrt(ss.toDouble / k.toDouble - mean * mean) / mean))
+    // Structural invariants: imbalance ≥ 1 by construction; cv ≥ 0.
+    assert(got.getAs[Double]("imbalance") >= 1.0)
+    assert(got.getAs[Double]("cv") >= 0.0)
+  }
+
   test("memo eviction serializes against an in-flight cold compute: the " +
     "stale value is evicted and unpersisted, never served (ADVICE r13)") {
     val dir = s"/tmp/graft_r14_memo_${System.nanoTime()}"
