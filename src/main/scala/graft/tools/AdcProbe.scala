@@ -46,9 +46,17 @@ object AdcProbe {
     val rest = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(Targets.contains)
     println(s"[adcprobe] replaying ${rest.size} other queries (bench session state)")
+    // NonFatal only (ADVICE r14): swallowing InterruptedException or a
+    // fatal VM error here would mask a hung/broken replay and mis-pin
+    // the SCALE.md floors — let those kill the probe loudly. A NonFatal
+    // query failure is logged by name so a partial replay is visible.
     rest.foreach { n =>
       try graft.SparkEntry.queries(n)(spark, dir).count()
-      catch { case _: Throwable => () }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          println(s"[adcprobe] replay FAILED for $n: " +
+            s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
     }
     println(s"[adcprobe] after suite: ${storage()}")
     val warm = time("warm")

@@ -96,6 +96,19 @@ object ServeProbe {
     time("pq_rerank_1row_batch_ms") {
       SimilarityOps.annPqRerankServeMany(spark, idx, one).collect()
     }
+    // Remaining per-tier 1-row batch floors (r15): the arm-OPENING price
+    // each tier pays when a routed slice dispatches it at all — the
+    // input to q203's slice-size-aware census (open_floor/|slice| is the
+    // unamortized part the batch-of-20 penalties can't see).
+    time("binary_1row_batch_ms") {
+      SimilarityOps.annBinaryServeMany(spark, idx, one).collect()
+    }
+    time("int8_1row_batch_ms") {
+      SimilarityOps.annInt8ServeMany(spark, idx, one).collect()
+    }
+    time("pq_1row_batch_ms") {
+      SimilarityOps.annPqServeMany(spark, idx, one).collect()
+    }
     spark.stop()
   }
 }
