@@ -202,12 +202,12 @@ object Bench {
         SimilarityOps.annPqRerankServeMany(spark, idx, qdf).collect()),
       "binary_" -> (() => SimilarityOps.annBinaryServeMany(spark, idx, qdf).collect()),
       "routed_" -> (() => SimilarityOps.routeAndServe(spark, idx, qdf).collect()),
-      // The production streaming-auto shape (r14): batch prices, EAGER
-      // concurrent dispatch — exactly what annServe(tier=auto) ships
-      // (lazyUnion was measured and rejected; this row must price the
-      // shipped plan, and ServeProbe's same-named key is also eager).
+      // The production streaming-auto shape: batch prices, EAGER
+      // concurrent dispatch, slice-aware collapse (r15 — this row must
+      // price the shipped plan, and annServe(tier=auto) ships
+      // batchCost + sliceAware; lazyUnion was measured and rejected).
       "routed_batchcost_" -> (() => SimilarityOps.routeAndServe(
-        spark, idx, qdf, batchCost = true).collect()))
+        spark, idx, qdf, batchCost = true, sliceAware = true).collect()))
     batched.foreach { case (prefix, run) =>
       run() // per-plan codegen warmup
       out(s"${prefix}batch20_ms") = f3(Vector.fill(ServePasses) {

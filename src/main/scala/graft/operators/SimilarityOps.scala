@@ -1653,7 +1653,7 @@ object SimilarityOps {
 
   /** Collapse a long-form PQ assignment (vec_id, sub, code) to the
     * per-vector `pq_codes` index column (codes ordered by subspace). */
-  private def pqCodeColumn(pasg: DataFrame): DataFrame =
+  private[graft] def pqCodeColumn(pasg: DataFrame): DataFrame =
     pasg.groupBy("vec_id")
       .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
         s => s.getField("code")).as("pq_codes"))
@@ -2202,6 +2202,256 @@ object SimilarityOps {
     // for pre-artifact indexes and for any crashed earlier bump).
     refreshClusterSizes(spark, indexDir)
     (filesBefore, spark.read.parquet(s"$indexDir/$nextName").inputFiles.length)
+  }
+
+  // ---- hot-cell split: the geometry panel's actuator (r15) -----------------
+
+  /** Split oversized coarse cells IN PLACE — the first ACTUATOR for the
+    * geometry audits (VERDICT r14 #2): q58 says when cells are loose,
+    * q142 when assignments go stale, q173 when codewords starve, and
+    * q202's imbalance card says when one fat cell bounds every probe's
+    * latency ("rebalancing beats deeper probing") — this is the
+    * rebalance. Cells whose vector count exceeds `ratio` × the mean cell
+    * size (largest first, at most `maxCells` per invocation) are each
+    * split 2-way by a Lloyd run over ONLY that cell's rows; only those
+    * rows are re-encoded and rewritten — never another cell's files, and
+    * never a corpus pass. K grows by one per split; probes, ADC tables,
+    * and the router see the new geometry through the swapped artifacts.
+    *
+    * Per-cell mechanics (the compactHotClusters commit recipe):
+    *   1. one partition-PRUNED read of the cell (dedup preferring the
+    *      base copy — the crashed-fold guard (a));
+    *   2. deterministic 2-way Lloyd: seeds = the min-vec_id row and the
+    *      row farthest from it (ties to vec_id), `iters` DECIMAL-exact
+    *      update passes, then one final assign + one final mean — so the
+    *      committed sub-centroids are EXACTLY the per-pos decimal means
+    *      of their final members, which is what lets a crash heal
+    *      ([[healOrphanClusters]]) reconstruct them bit-identically;
+    *   3. re-encode ONLY the residual-dependent artifact: pq_codes are
+    *      re-derived against each row's new sub-centroid with the
+    *      PERSISTED codebooks (the appendArtifacts derivation); int8
+    *      codes/scale are per-vector and bq codes center on the global
+    *      mean — both unchanged by construction;
+    *   4. commit the cell's rows (cluster ∈ {c, newId}, batch history
+    *      folded to −1) via dynamic partition overwrite; retire the
+    *      cell's superseded batch directories through the
+    *      `.retired_batches` marker;
+    *   5. swap the centroids artifact (staged dir + rename), replace the
+    *      cell's cluster_sizes rows under the writer lock, and release
+    *      the index memos so serving re-reads the new geometry.
+    *
+    * CRASH/CONCURRENCY CONTRACT (single maintenance writer, as all
+    * maintenance): every artifact is swapped atomically, so readers
+    * never see a missing file — but the data commit (4) and the
+    * centroid swap (5) are two commits, and between them the split
+    * cell's rows are reachable only through the OLD centroid (the new
+    * sub-cell id is not yet probe-able: bounded recall dip) while its
+    * pq_codes already encode residuals vs the NEW sub-centroids
+    * (bounded ADC misranking for that one cell). The window is two
+    * metadata swaps long in a normal run; a crash inside it is healed
+    * by [[healOrphanClusters]] (run at every splitHotCells entry),
+    * which reconstructs the missing sub-centroid as the decimal per-pos
+    * mean of the orphan partition's rows — bit-identical to what step 2
+    * would have committed — and refreshes the size artifact.
+    *
+    * Returns (splitCluster, newCluster) per executed split; cells that
+    * turn out degenerate (< 2 rows, or all rows identical) are skipped.
+    * At 100 TB: one invocation costs O(Σ hot-cell rows) — the same
+    * bound as hot compaction — and the Lloyd runs are |cell|-sized
+    * distributed jobs, nothing driver-side beyond 2×d centroids. */
+  def splitHotCells(
+      spark: SparkSession, indexDir: String,
+      ratio: Double = 2.0, maxCells: Int = 4, iters: Int = 2): Seq[(Long, Long)] = {
+    recoverRetiredBatches(spark, indexDir)
+    healOrphanClusters(spark, indexDir)
+    val (sizes, ntot) = indexClusterSizes(spark, indexDir)
+    if (sizes.isEmpty) return Nil
+    val mean = ntot.toDouble / sizes.size
+    val hot = sizes.toSeq
+      .collect { case (c, n) if n > ratio * mean => (c, n) }
+      .sortBy { case (c, n) => (-n, c) }
+      .take(maxCells).map(_._1)
+    if (hot.isEmpty) return Nil
+    var nextId = sizes.keys.max + 1
+    val done = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    hot.foreach { c =>
+      if (splitOneCell(spark, indexDir, c, nextId, iters)) {
+        done += ((c, nextId)); nextId += 1
+      }
+    }
+    // One release at the end: serving re-reads centroids, sizes, and the
+    // other index metadata against the post-split geometry.
+    if (done.nonEmpty) Memos.release(indexDir)
+    done.toSeq
+  }
+
+  private def splitOneCell(
+      spark: SparkSession, indexDir: String, c: Long, nid: Long,
+      iters: Int): Boolean = {
+    val activeName = activeVectorsName(spark, indexDir)
+    val vdir = s"$indexDir/$activeName"
+    val fs = idxFs(spark, indexDir)
+    val cpath = new org.apache.hadoop.fs.Path(s"$vdir/cluster=$c")
+    if (!fs.exists(cpath)) return false
+    // Superseded batch directories listed BEFORE the fold, exactly like
+    // compactHotClusters (single maintenance writer).
+    val superseded = fs.listStatus(cpath).iterator
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("ingest_batch=")
+        && s.getPath.getName != "ingest_batch=-1")
+      .map(b => s"$activeName/cluster=$c/${b.getPath.getName}").toSeq
+    val rows = spark.read.schema(VectorsSchema)
+      .option("ignoreMissingFiles", "true").parquet(vdir)
+      .filter(col("cluster") === c)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ingest_batch").asc)))
+      .filter(col("rn") === 1).drop("rn")
+      .localCheckpoint(true)
+    try {
+      if (rows.count() < 2) return false
+      val ex = rows
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v0")))
+        .select(col("vec_id"), col("pos"), col("v0").cast("double").as("v"))
+      // Deterministic farthest-point seeding: s1 = the min-vec_id row,
+      // s2 = the row farthest from it (DECIMAL distance, ties vec_id ASC).
+      val minId = rows.agg(min(col("vec_id"))).collect()(0).getLong(0)
+      val s1 = ex.filter(col("vec_id") === minId)
+        .select(lit(0L).as("cluster"), col("pos"), col("v").as("c"))
+      val far = sqDist(ex, s1)
+        .orderBy(col("dist").desc, col("vec_id").asc).limit(1)
+        .collect()(0)
+      val farId = far.getAs[Long]("vec_id")
+      if (farId == minId ||
+        far.getAs[java.math.BigDecimal]("dist").signum() == 0) return false
+      var cent = s1.unionByName(ex.filter(col("vec_id") === farId)
+        .select(lit(1L).as("cluster"), col("pos"), col("v").as("c")))
+      for (_ <- 1 to iters) {
+        val a = assignTo(ex, cent)
+        cent = ex.join(a, "vec_id").groupBy("cluster", "pos")
+          .agg((sum(col("v").cast("decimal(38,18)")).cast("double") / count(lit(1)))
+            .as("c"))
+      }
+      // Final assign + final mean: the committed sub-centroid IS the
+      // decimal mean of its committed members (the heal-path identity).
+      val asgF = assignTo(ex, cent.localCheckpoint(true)).localCheckpoint(true)
+      val centF = ex.join(asgF, "vec_id").groupBy("cluster", "pos")
+        .agg((sum(col("v").cast("decimal(38,18)")).cast("double") / count(lit(1)))
+          .as("c"))
+        .localCheckpoint(true)
+      val subs = asgF.groupBy("cluster").agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getAs[Long]("cluster") -> r.getAs[Long]("n")).toMap
+      if (subs.getOrElse(0L, 0L) == 0L || subs.getOrElse(1L, 0L) == 0L) return false
+      val newAsg = asgF.select(col("vec_id"),
+        when(col("cluster") === 0L, lit(c)).otherwise(lit(nid)).as("cluster"))
+      val newCent = centF.select(
+        when(col("cluster") === 0L, lit(c)).otherwise(lit(nid)).as("cluster"),
+        col("pos"), col("c"))
+        .localCheckpoint(true)
+      // Residual re-encode with the PERSISTED codebooks (appendArtifacts'
+      // derivation) against the new sub-centroids.
+      val pqCent = indexMeta(spark, indexDir, "pq_centroids")
+      val rex = ex.join(newAsg, "vec_id")
+        .join(broadcast(newCent), Seq("cluster", "pos"))
+        .select(col("vec_id"), col("pos"), (col("v") - col("c")).as("v"))
+      val out = rows.drop("pq_codes", "cluster", "ingest_batch")
+        .join(pqCodeColumn(pqAssign(withSub(rex), pqCent)), "vec_id")
+        .join(newAsg, "vec_id")
+        .withColumn("ingest_batch", lit(-1L))
+        .repartition(col("cluster"))
+        .localCheckpoint(true)
+      try {
+        out.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cluster", "ingest_batch")
+          .parquet(vdir)
+        // Centroid swap: every row EXCEPT the split cell's, plus the two
+        // sub-centroids. Checkpointed BEFORE the swap (Spark refuses to
+        // overwrite a path it is reading).
+        val updated = spark.read.parquet(s"$indexDir/centroids")
+          .filter(col("cluster") =!= c)
+          .unionByName(newCent)
+          .localCheckpoint(true)
+        swapIndexArtifactDir(spark, indexDir, "centroids", updated)
+        updated.unpersist(true)
+        // Artifact twin: the cell's rows collapse to (c, −1) + (nid, −1),
+        // counted from the committed frame, under the writer lock.
+        val counts = out.groupBy("cluster").agg(count(lit(1)).as("csz"))
+          .collect().map(r => (r.getAs[Number]("cluster").longValue(), -1L,
+            r.getAs[Long]("csz"))).toSeq
+        withClusterSizesLock(spark, indexDir) {
+          readClusterSizesRows(spark, indexDir).foreach { rs =>
+            writeClusterSizesRows(spark, indexDir,
+              rs.filterNot(_._1 == c) ++ counts)
+          }
+        }
+        writeRetiredMarker(spark, indexDir, superseded)
+        recoverRetiredBatches(spark, indexDir)
+        true
+      } finally {
+        out.unpersist(true); newCent.unpersist(true)
+        centF.unpersist(true); asgF.unpersist(true)
+      }
+    } finally rows.unpersist(true)
+  }
+
+  /** Replace a small index artifact DIRECTORY (centroids) with staged
+    * content: write to `.<name>.staged`, then rename into place. The
+    * destination-missing window is two metadata ops; a crash inside it
+    * leaves `.<name>.staged` complete, and [[healOrphanClusters]] (or
+    * the next split) finishes the rename. In-flight sessions are
+    * unaffected (indexMeta memoizes an eager checkpoint). */
+  private[graft] def swapIndexArtifactDir(
+      spark: SparkSession, indexDir: String, name: String,
+      content: DataFrame): Unit = {
+    val fs = idxFs(spark, indexDir)
+    val staged = new org.apache.hadoop.fs.Path(s"$indexDir/.$name.staged")
+    fs.delete(staged, true)
+    content.write.mode("overwrite").parquet(staged.toString)
+    val dst = new org.apache.hadoop.fs.Path(s"$indexDir/$name")
+    fs.delete(dst, true)
+    if (!fs.rename(staged, dst))
+      throw new IllegalStateException(s"artifact swap rename failed: $staged -> $dst")
+  }
+
+  /** Crash heal for the split's two-commit window: (a) a complete
+    * `.centroids.staged` with no `centroids` (crash mid-swap) is renamed
+    * into place; (b) any cluster partition present in the vectors table
+    * but absent from the centroids artifact (data committed, centroid
+    * swap never ran) gets its centroid RECONSTRUCTED as the per-pos
+    * DECIMAL mean of its rows — bit-identical to the sub-centroid the
+    * split would have committed, because the split's final commit step
+    * makes each sub-centroid exactly the mean of its final members —
+    * and the size artifact is refreshed. Partition-pruned reads only. */
+  private[graft] def healOrphanClusters(spark: SparkSession, indexDir: String): Unit = {
+    val fs = idxFs(spark, indexDir)
+    val staged = new org.apache.hadoop.fs.Path(s"$indexDir/.centroids.staged")
+    val centPath = new org.apache.hadoop.fs.Path(s"$indexDir/centroids")
+    if (fs.exists(staged)) {
+      if (!fs.exists(centPath) &&
+        fs.exists(new org.apache.hadoop.fs.Path(s"$staged/_SUCCESS"))) {
+        fs.rename(staged, centPath)
+        Memos.release(indexDir)
+      } else fs.delete(staged, true)
+    }
+    val have = spark.read.parquet(centPath.toString)
+      .select("cluster").distinct()
+      .collect().map(_.getAs[Number]("cluster").longValue()).toSet
+    val present = clusterFileCounts(spark, indexDir).keySet
+    val orphans = (present -- have).toSeq.sorted
+    if (orphans.isEmpty) return
+    val means = vectorsDf(spark, indexDir)
+      .filter(col("cluster").isin(orphans: _*))
+      .select(col("cluster").cast("long").as("cluster"),
+        posexplode(col("embedding")).as(Seq("pos", "v0")))
+      .select(col("cluster"), col("pos"), col("v0").cast("double").as("v"))
+      .groupBy("cluster", "pos")
+      .agg((sum(col("v").cast("decimal(38,18)")).cast("double") / count(lit(1)))
+        .as("c"))
+    val updated = spark.read.parquet(centPath.toString)
+      .unionByName(means).localCheckpoint(true)
+    swapIndexArtifactDir(spark, indexDir, "centroids", updated)
+    updated.unpersist(true)
+    refreshClusterSizes(spark, indexDir)
+    Memos.release(indexDir)
   }
 
   /** Probe-cluster selection against the PERSISTED centroids: the same
@@ -3461,7 +3711,7 @@ object SimilarityOps {
 
   /** Subspace-tagged long form (vec_id, sub, pos, v) from a plain
     * (vec_id, pos, v) explode. */
-  private def withSub(ex: DataFrame): DataFrame =
+  private[graft] def withSub(ex: DataFrame): DataFrame =
     ex.select(col("vec_id"), expr(s"pos div $PqSubDim").as("sub"),
       col("pos"), col("v"))
 
@@ -3485,7 +3735,7 @@ object SimilarityOps {
     * exact-DECIMAL squared-L2, ties to the lowest code — shared by
     * training, the q98/q100/q104 tiers, and the incremental index
     * append (which encodes deltas against the PERSISTED codebooks). */
-  private def pqAssign(sex: DataFrame, cent: DataFrame): DataFrame =
+  private[graft] def pqAssign(sex: DataFrame, cent: DataFrame): DataFrame =
     sex.join(broadcast(cent), Seq("sub", "pos"))
       .groupBy("vec_id", "sub", "code")
       .agg(sum(((col("v") - col("c")) * (col("v") - col("c")))
@@ -4605,13 +4855,22 @@ object SimilarityOps {
     * Scale shape: features are |Q|-sized jobs against broadcast K-row
     * frames; the census collect is ≤ 5 rows; each present tier runs ONE
     * batched plan over its routed slice — so a micro-batch costs
-    * max-over-tiers one pruned scan, not |Q| single-request plans. */
+    * max-over-tiers one pruned scan, not |Q| single-request plans.
+    * `sliceAware` (r15, requires batchCost): apply [[sliceCollapse]] to
+    * the per-query choices so slices too small to repay their arm's
+    * plan-opening floor fold into the surviving arms — the q203 census,
+    * spec-pinned to this dispatch (Round15Spec). The production
+    * streaming-auto path ships batchCost + sliceAware. */
   def routeAndServe(
       spark: SparkSession, indexDir: String, queries: DataFrame,
       wE4: Map[String, Long] = Map.empty,
       nprobe: Int = NProbeServe,
       batchCost: Boolean = false,
-      lazyUnion: Boolean = false): DataFrame = {
+      lazyUnion: Boolean = false,
+      sliceAware: Boolean = false): DataFrame = {
+    require(!sliceAware || batchCost,
+      "sliceAware routing prices arm-opening floors against the BATCH " +
+        "penalties — it requires batchCost = true")
     val w = Tiers.map(t => t -> lit(wE4.getOrElse(t, 0L).toDouble / 10000.0)).toMap
     // ONE coarse-scoring job for the whole batch (r14 — VERDICT r13 #2):
     // the census's margin/coverage AND every tier's probe set read this
@@ -4636,9 +4895,18 @@ object SimilarityOps {
       if (batchCost) tierChoiceOf(t => col(s"ub_$t")) else tierChoice
     // Panel-sized frame consumed by the census AND every tier's slice
     // filter — eager-checkpointed so the feature jobs run once (the
-    // tierFeatures rationale).
-    val choices = scored
-      .select(col("query_id"), choice.as("tier"))
+    // tierFeatures rationale). sliceAware (r15 — VERDICT r14 #1): the
+    // per-query argmax is collapsed by [[sliceCollapse]] so a slice too
+    // small to repay its arm's plan floor folds into an arm that stays
+    // open — fewer, fuller plans per batch. The ub projection is
+    // checkpointed first: the collapse consumes it from three angles
+    // (unpivot, slice stats, restricted argmax), and each would
+    // otherwise re-run the census aggregates.
+    val choices = (if (sliceAware)
+        sliceCollapse(scored
+          .select(col("query_id") +: Tiers.map(t => col(s"ub_$t")): _*)
+          .localCheckpoint(true), "query_id")
+      else scored.select(col("query_id"), choice.as("tier")))
       .localCheckpoint(true)
     val present = choices.select("tier").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
@@ -4814,6 +5082,129 @@ object SimilarityOps {
       .select(col("qid"), col("tier_w0b"), col("tier_w1b"),
         (col("tier_w0b") =!= col("tier_w1b")).cast("long").as("rerouted"))
       .orderBy("qid")
+  }
+
+  /** Arm-opening floors for the slice-size-aware census (r15 — VERDICT
+    * r14 #1), in e-4 UTILITY units. The batch penalties in
+    * [[tierUtilitiesBatch]] price each arm AMORTIZED over a full
+    * micro-batch, but the dispatcher opens every present arm at its full
+    * plan floor: a 2-query pq_rerank slice pays the same ~1 s two-scan
+    * floor a 20-query slice pays, so a routed batch's wall time is
+    * ~max-over-tiers regardless of slice sizes (measured: routed
+    * batch-cost 1,245 ms vs float batch 325 in the r14 verdict's probe).
+    * The floor is what a ONE-ROW batch costs through the tier's batched
+    * plan (ServeProbe's *_1row_batch_ms — plan + probe + pruned scan,
+    * none of it amortizing), expressed in the penalties' own currency:
+    * relative to the float batch-of-20 price, × TierLambda 0.15.
+    * Median of 3 ServeProbe runs at sf0.1 (min-of-5 each; WITHIN-RUN
+    * ratios, then the median across runs — the q200 re-pin discipline,
+    * its third application; full table in SCALE.md "Slice-size-aware
+    * routing"): 1-row floors rel. float batch20 = float 0.746 /
+    * int8 0.783 / binary 1.236 / pq 2.165 / pq_rerank 2.397 — × 0.15 in
+    * e-4. The same 3 runs re-derived the batch20 penalty ratios (int8
+    * 1.060 / binary 1.674 / pq 3.021 / pq_rerank 3.216 medians): all
+    * within per-run spread of the r14 pins, so q200/q201's penalties
+    * stand unchanged and the verdict's one-run int8 1.41× reading is
+    * adjudicated pass noise (its three within-run values here: 1.28 /
+    * 0.82 / 1.06). */
+  val TierOpenE4: Map[String, Long] = Map(
+    "binary" -> 1854L, "float" -> 1119L, "int8" -> 1175L,
+    "pq" -> 3248L, "pq_rerank" -> 3596L)
+
+  /** The slice-collapse rule (r15 — VERDICT r14 #1): given per-query
+    * BATCH-cost utilities (ub_* columns keyed by `key`), decide per
+    * pass-1 arm whether its routed slice is worth the arm-opening floor,
+    * and fold sub-economic slices into arms that stay open.
+    *
+    * ONE deterministic pass, no cascade:
+    *   1. pass-1 choice per query = the q200 argmax (ub DESC, tier ASC);
+    *      u1/u2 = its best and runner-up utilities;
+    *   2. per arm, slice_n = |queries choosing it| and gain =
+    *      Σ (u1 − u2) over the slice (DECIMAL(30,8) per-term — the dsum
+    *      convention — so the sum is order-independent cross-engine):
+    *      the total utility LOST if every member fell back one rank;
+    *   3. an arm is KEPT iff gain ≥ its open floor ([[TierOpenE4]]) OR
+    *      it is the majority arm (largest slice, ties to tier name
+    *      ascending) — so at least one arm always survives;
+    *   4. final choice per query = argmax over KEPT arms only.
+    * Kept-arm members never move (their own arm wins the restricted
+    * argmax too); collapsed-arm members land on their best kept arm —
+    * which cannot itself be sub-economic, because the kept set is fixed
+    * by pass-1 membership and only GROWS in value as slices fold in.
+    *
+    * The reference's routing idea one level up (router.py:94-105 picks
+    * the best arm per query): the census picks the best DISPATCH for
+    * the batch. Scale shape: pure column arithmetic + rank windows over
+    * a |Q|·5-row frame — census work, no corpus contact.
+    * Returns (key, tier_batch, slice_n, gain, open_u, kept,
+    * tier_final). */
+  private[graft] def sliceCollapseDetail(scored: DataFrame, key: String): DataFrame = {
+    val long = Tiers.map(t =>
+        scored.select(col(key), lit(t).as("tier"), col(s"ub_$t").as("ub")))
+      .reduce(_.unionByName(_))
+    val w = Window.partitionBy(key).orderBy(col("ub").desc, col("tier").asc)
+    val ranked = long.withColumn("rn", row_number().over(w))
+    val u12 = ranked.filter(col("rn") <= 2).groupBy(key)
+      .agg(max(when(col("rn") === 1, col("tier"))).as("tier_batch"),
+        max(when(col("rn") === 1, col("ub"))).as("u1"),
+        max(when(col("rn") === 2, col("ub"))).as("u2"))
+    val slices = u12.groupBy(col("tier_batch").as("tier"))
+      .agg(count(lit(1)).cast("long").as("slice_n"),
+        dsum(col("u1") - col("u2")).as("gain"))
+    val spark = scored.sparkSession
+    val openDf = spark.createDataFrame(spark.sparkContext.parallelize(
+        TierOpenE4.toSeq.sortBy(_._1)
+          .map { case (t, e4) => org.apache.spark.sql.Row(t, e4) }, 1),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "tier STRING, open_e4 BIGINT"))
+      .select(col("tier"),
+        (col("open_e4").cast("double") / 10000.0).as("open_u"))
+    val mj = slices.withColumn("mrn",
+      row_number().over(Window.orderBy(col("slice_n").desc, col("tier").asc)))
+    val kept = mj.join(broadcast(openDf), "tier")
+      .withColumn("kept",
+        (col("gain") >= col("open_u") || col("mrn") === 1).cast("long"))
+    val fin = ranked
+      .join(broadcast(kept.filter(col("kept") === 1).select("tier")), "tier")
+      .withColumn("krn", row_number().over(w))
+      .filter(col("krn") === 1)
+      .select(col(key), col("tier").as("tier_final"))
+    u12.select(col(key), col("tier_batch"))
+      .join(broadcast(kept.select(col("tier").as("tier_batch"), col("slice_n"),
+        col("gain"), col("open_u"), col("kept"))), "tier_batch")
+      .join(fin, key)
+  }
+
+  /** [[sliceCollapseDetail]] reduced to the dispatch decision —
+    * (key, tier). What routeAndServe(sliceAware = true) routes by. */
+  private[graft] def sliceCollapse(scored: DataFrame, key: String): DataFrame =
+    sliceCollapseDetail(scored, key).select(col(key), col("tier_final").as("tier"))
+
+  /** q203 (r15 — VERDICT r14 #1): the slice-size-aware batch census —
+    * q200's zero-state batch-price decisions, then the
+    * [[sliceCollapseDetail]] economics per arm: slice size, slice gain,
+    * the arm's open floor, whether it stays open, and each query's final
+    * dispatch arm. routeAndServe(batchCost = true, sliceAware = true) —
+    * the shape streaming annServe(tier=auto) ships — is spec-pinned to
+    * `tier_final` (Round15Spec), so the census IS the dispatcher's
+    * behavior, fully oracle-gated. q200/q201 pin the per-query model
+    * unchanged; this pins the batch-level collapse on top of it. */
+  def tierRouteSlice(spark: SparkSession, dir: String): DataFrame =
+    sliceCollapseDetail(tierUtilitiesBatch(tierFeatures(spark, dir), zeroW), "qid")
+      .select(col("qid"), col("tier_batch"), col("slice_n"),
+        r6(col("gain")).as("gain"), r6(col("open_u")).as("open_u"),
+        col("kept"), col("tier_final"),
+        (col("tier_batch") =!= col("tier_final")).cast("long").as("collapsed"))
+      .orderBy("qid")
+
+  /** The slice-collapsed panel choices under arbitrary e4 weights —
+    * EXACTLY what streaming annServe(tier=auto, stateDir) routes by
+    * (batch prices + slice collapse); Round14Spec ties the streamed
+    * per-query tiers to this frame (zero weights ≡ q203's tier_final). */
+  private[graft] def tierSliceChoices(
+      spark: SparkSession, dir: String, wE4: Map[String, Long]): DataFrame = {
+    val w = Tiers.map(t => t -> lit(wE4.getOrElse(t, 0L).toDouble / 10000.0)).toMap
+    sliceCollapse(tierUtilitiesBatch(tierFeatures(spark, dir), w), "qid")
   }
 
   /** Shared oracle CTE block: r6-rounded routing features per panel query
@@ -5137,6 +5528,61 @@ object SimilarityOps {
        |ORDER BY td0.qid""".stripMargin
   }
 
+  /** q203's twin — the q200 batch utilities unpivoted, ranked, sliced,
+    * and collapsed with the same DECIMAL(30,8) per-term gain sum and the
+    * same keep rule (gain ≥ floor OR majority), so every double compare
+    * that decides an arm's fate is computed identically in both
+    * engines. */
+  lazy val tierRouteSliceSql: String = {
+    val ub = tierUtilBatchSql(zeroWSql)
+    s"""WITH $kmeansCtes,
+       |$tierFeatureCtes,
+       |sbu AS (SELECT qid, ${ub("binary")} AS ub_binary,
+       |          ${ub("float")} AS ub_float, ${ub("int8")} AS ub_int8,
+       |          ${ub("pq")} AS ub_pq, ${ub("pq_rerank")} AS ub_pq_rerank
+       |        FROM tft),
+       |slu AS (SELECT qid, 'binary' AS tier, ub_binary AS ub FROM sbu
+       |        UNION ALL SELECT qid, 'float', ub_float FROM sbu
+       |        UNION ALL SELECT qid, 'int8', ub_int8 FROM sbu
+       |        UNION ALL SELECT qid, 'pq', ub_pq FROM sbu
+       |        UNION ALL SELECT qid, 'pq_rerank', ub_pq_rerank FROM sbu),
+       |srk AS (SELECT qid, tier, ub, row_number() OVER (PARTITION BY qid
+       |          ORDER BY ub DESC, tier ASC) AS rn FROM slu),
+       |s12 AS (SELECT qid,
+       |          max(CASE WHEN rn = 1 THEN tier END) AS tier_batch,
+       |          max(CASE WHEN rn = 1 THEN ub END) AS u1,
+       |          max(CASE WHEN rn = 2 THEN ub END) AS u2
+       |        FROM srk WHERE rn <= 2 GROUP BY 1),
+       |ssl AS (SELECT tier_batch AS tier, CAST(count(*) AS BIGINT) AS slice_n,
+       |          CAST(sum(CAST(u1 - u2 AS DECIMAL(30,8))) AS DOUBLE) AS gain
+       |        FROM s12 GROUP BY 1),
+       |sop AS (SELECT * FROM (VALUES
+       |          ('binary', CAST(${TierOpenE4("binary")} AS BIGINT)),
+       |          ('float', ${TierOpenE4("float")}),
+       |          ('int8', ${TierOpenE4("int8")}), ('pq', ${TierOpenE4("pq")}),
+       |          ('pq_rerank', ${TierOpenE4("pq_rerank")})) AS t(tier, open_e4)),
+       |smj AS (SELECT tier, row_number() OVER (ORDER BY slice_n DESC, tier ASC)
+       |          AS mrn FROM ssl),
+       |skp AS (SELECT ssl.tier, slice_n, gain,
+       |          CAST(open_e4 AS DOUBLE) / 10000.0 AS open_u,
+       |          CAST((gain >= CAST(open_e4 AS DOUBLE) / 10000.0 OR mrn = 1)
+       |            AS BIGINT) AS kept
+       |        FROM ssl JOIN sop USING (tier) JOIN smj USING (tier)),
+       |sfn AS (SELECT qid, tier AS tier_final FROM (
+       |          SELECT srk.qid, srk.tier, row_number() OVER (PARTITION BY srk.qid
+       |            ORDER BY ub DESC, srk.tier ASC) AS krn
+       |          FROM srk JOIN skp ON srk.tier = skp.tier AND kept = 1)
+       |        WHERE krn = 1)
+       |SELECT s12.qid, s12.tier_batch, slice_n,
+       |  floor(gain * 1000000 + 0.5) / 1000000 AS gain,
+       |  floor(open_u * 1000000 + 0.5) / 1000000 AS open_u,
+       |  kept, tier_final,
+       |  CAST(s12.tier_batch <> tier_final AS BIGINT) AS collapsed
+       |FROM s12 JOIN skp ON s12.tier_batch = skp.tier
+       |JOIN sfn ON s12.qid = sfn.qid
+       |ORDER BY s12.qid""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -5174,6 +5620,7 @@ object SimilarityOps {
     "q187_tier_route_pass2" -> (tierRoutePass2 _),
     "q201_tier_route_pass2_batch" -> (tierRoutePass2Batch _),
     "q202_cluster_size_skew" -> (clusterSizeSkew _),
+    "q203_tier_route_slice" -> (tierRouteSlice _),
     "q191_embedding_spectrum" -> (embeddingSpectrum _),
     "q192_binary_quant_recall" -> (binaryQuantRecall _),
     "q193_binary_rerank_recall" -> (binaryRerankRecall _),
@@ -5217,6 +5664,7 @@ object SimilarityOps {
     "q187_tier_route_pass2" -> tierRoutePass2Sql,
     "q201_tier_route_pass2_batch" -> tierRoutePass2BatchSql,
     "q202_cluster_size_skew" -> clusterSizeSkewSql,
+    "q203_tier_route_slice" -> tierRouteSliceSql,
     "q191_embedding_spectrum" -> embeddingSpectrumSql,
     "q192_binary_quant_recall" -> binaryQuantRecallSql,
     "q193_binary_rerank_recall" -> binaryRerankRecallSql,

@@ -888,8 +888,12 @@ object StreamingOps {
               // slower under co-tenant load (1593 vs 1342; 1983 vs
               // 1574) — concurrent actions hold scheduler slots better
               // when contended, which is what production looks like.
+              // sliceAware rides batchCost (r15): when routing at batch
+              // prices, slices too small to repay an arm's plan floor
+              // fold into the surviving arms (the q203 census — fewer,
+              // fuller plans per micro-batch).
               SimilarityOps.routeAndServe(s, indexDir, reqs, w, nprobe,
-                batchCost = batchCost)
+                batchCost = batchCost, sliceAware = batchCost)
             case "binary" =>
               SimilarityOps.annBinaryServeMany(s, indexDir, reqs, nprobe)
                 .withColumnRenamed("cos", "score").withColumn("tier", lit(tier))

@@ -54,6 +54,12 @@ object ServeProbe {
     time("routed_batchcost_batch20_ms") {
       SimilarityOps.routeAndServe(spark, idx, qdf, batchCost = true).collect()
     }
+    // r15: the SHIPPED streaming-auto dispatch — batch prices + the q203
+    // slice collapse (sub-economic arms fold, fewer plans open).
+    time("routed_slice_batch20_ms") {
+      SimilarityOps.routeAndServe(spark, idx, qdf, batchCost = true,
+        sliceAware = true).collect()
+    }
     // r14 stretch: the lazy union (one action materializes every tier
     // subtree in one job) vs the eager per-tier checkpoint dispatch.
     time("routed_batch20_lazy_ms") {

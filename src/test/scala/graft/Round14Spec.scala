@@ -181,18 +181,32 @@ class Round14Spec extends SparkSpec {
   }
 
   test("streaming annServe(tier=auto, stateDir) routes every panel query " +
-    "to q201's learned-weight batch-price choice") {
+    "to the slice-collapse of q201's learned-weight batch-price choice " +
+    "(r15: the shipped auto path is batchCost + sliceAware)") {
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
     // The learned state: the q185/q186 fold, persisted through the store
     // exactly as a TierPass would leave it.
     val stateDir = java.nio.file.Files
       .createTempDirectory("graft_r14_state").toString
-    SimilarityOps.saveTierState(spark, stateDir,
-      SimilarityOps.tierFoldE4(spark, sf))
-    val expected = SimilarityOps.tierRoutePass2Batch(spark, sf)
+    val fold = SimilarityOps.tierFoldE4(spark, sf)
+    SimilarityOps.saveTierState(spark, stateDir, fold)
+    // r15: the production auto path collapses sub-economic slices on top
+    // of the per-query batch-price argmax, so the streamed tiers are the
+    // slice-collapse of q201's choices — and for every query whose arm
+    // the collapse KEEPS, they must still equal q201's tier_w1b.
+    val expected = SimilarityOps.tierSliceChoices(spark, sf, fold)
+      .collect().map(r => r.getAs[Long]("qid") ->
+        r.getAs[String]("tier")).toMap
+    val perQuery = SimilarityOps.tierRoutePass2Batch(spark, sf)
       .collect().map(r => r.getAs[Long]("qid") ->
         r.getAs[String]("tier_w1b")).toMap
+    val keptArms = expected.values.toSet
+    perQuery.foreach { case (q, t) =>
+      if (keptArms(t))
+        assert(expected(q) == t,
+          s"query $q: collapse moved a kept-arm member ($t -> ${expected(q)})")
+    }
 
     val stream = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Array[Float])]

@@ -150,6 +150,215 @@ class Round15Spec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.clusterSizes.lockTimeoutSec")
   }
 
+  // ---- q203 slice-size-aware routing (VERDICT r14 #1) ----------------------
+
+  private lazy val embOf: Map[Long, Array[Float]] =
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < SimilarityOps.NPanel).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
+
+  private def reqs(ids: Seq[Long]) = {
+    import spark.implicits._
+    ids.map(q => (q, embOf(q))).toDF("query_id", "embedding")
+  }
+
+  test("q203 census invariants: kept-arm members never move, the " +
+    "majority arm always survives, collapsed members land on kept arms, " +
+    "and kept <=> (gain >= floor OR majority)") {
+    val rows = SimilarityOps.queries("q203_tier_route_slice")(spark, sf).collect()
+    val byArm = rows.groupBy(_.getAs[String]("tier_batch"))
+    val majority = byArm.map { case (t, rs) => (t, rs.length) }
+      .toSeq.sortBy { case (t, n) => (-n, t) }.head._1
+    val keptArms = rows.filter(_.getAs[Long]("kept") == 1L)
+      .map(_.getAs[String]("tier_batch")).toSet
+    assert(keptArms.contains(majority), "majority arm must always be kept")
+    rows.foreach { r =>
+      val kept = r.getAs[Long]("kept") == 1L
+      val gain = r.getAs[Double]("gain"); val open = r.getAs[Double]("open_u")
+      val arm = r.getAs[String]("tier_batch")
+      assert(kept == (gain >= open || arm == majority),
+        s"arm $arm: kept=$kept disagrees with gain=$gain open=$open")
+      if (kept) {
+        assert(r.getAs[Long]("collapsed") == 0L, s"kept-arm member moved: $r")
+        assert(r.getAs[String]("tier_final") == arm)
+      } else {
+        assert(r.getAs[Long]("collapsed") == 1L)
+        assert(keptArms.contains(r.getAs[String]("tier_final")),
+          s"collapsed member landed on a closed arm: $r")
+      }
+    }
+  }
+
+  test("routeAndServe(batchCost, sliceAware) dispatches every panel query " +
+    "to q203's tier_final, and each routed group's answers equal its " +
+    "tier's own batched answers") {
+    val panelIds = embOf.keys.toSeq.sorted
+    val expected = SimilarityOps.queries("q203_tier_route_slice")(spark, sf)
+      .collect().map(r => r.getAs[Long]("qid") ->
+        r.getAs[String]("tier_final")).toMap
+    val routed = SimilarityOps.routeAndServe(spark, idx, reqs(panelIds),
+      batchCost = true, sliceAware = true).collect()
+    val routedTier = routed.groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) =>
+        val ts = rs.map(_.getAs[String]("tier")).distinct
+        assert(ts.length == 1, s"query $q served by multiple tiers")
+        q -> ts.head
+      }
+    assert(routedTier == expected,
+      s"dispatch diverged from q203:\n got $routedTier\n exp $expected")
+    // Answers per routed group ≡ that tier's own batched plan.
+    val serveManyOf: Map[String, (org.apache.spark.sql.DataFrame, String)] =
+      expected.values.toSet.map { (t: String) =>
+        val slice = reqs(expected.collect { case (q, tt) if tt == t => q }.toSeq.sorted)
+        t -> (t match {
+          case "binary" => (SimilarityOps.annBinaryServeMany(spark, idx, slice), "cos")
+          case "float" => (SimilarityOps.annIvfServeMany(spark, idx, slice), "cos")
+          case "int8" => (SimilarityOps.annInt8ServeMany(spark, idx, slice), "qcos")
+          case "pq" => (SimilarityOps.annPqServeMany(spark, idx, slice), "adist")
+          case "pq_rerank" =>
+            (SimilarityOps.annPqRerankServeMany(spark, idx, slice), "cos")
+        })
+      }.toMap
+    val got = routed.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+      r.getAs[Long]("vec_id"), r.getAs[Double]("score"))).sorted.toSeq
+    val exp = serveManyOf.values.flatMap { case (df, scoreCol) =>
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("vec_id"), r.getAs[Double](scoreCol)))
+    }.toSeq.sorted
+    assert(got == exp, "routed answers diverged from the tiers' own plans")
+  }
+
+  // ---- hot-cell split: the geometry panel's actuator (VERDICT r14 #2) ------
+
+  test("splitHotCells: rows conserved and correctly re-assigned, pq_codes " +
+    "re-encoded against the new sub-centroids, the size artifact tracks " +
+    "the split, imbalance drops, full-probe answers are unchanged, and " +
+    "the orphan heal reconstructs a lost sub-centroid bit-identically") {
+    import org.apache.spark.sql.expressions.Window
+    val out = java.nio.file.Files.createTempDirectory("graft_r15_split").toString
+    SimilarityOps.writeIndex(spark, sf, out)
+    def counts(): Map[Long, Long] =
+      SimilarityOps.vectorsDf(spark, out).groupBy("cluster")
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getAs[Number]("cluster").longValue() -> r.getAs[Long]("n")).toMap
+    def artifact(): Map[Long, Long] =
+      spark.read.parquet(SimilarityOps.clusterSizesPath(out))
+        .groupBy("cluster").agg(sum("csz").as("n")).collect()
+        .map(r => r.getAs[Long]("cluster") -> r.getAs[Long]("n")).toMap
+    val before = counts()
+    val idsBefore = SimilarityOps.vectorsDf(spark, out)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val qids = Seq(0L, 5L, 7L, 13L)
+    val kAll = before.size + 2 // nprobe covering every cell, pre and post
+    val fullBefore = qids.map(q => q ->
+      SimilarityOps.annIvfServe(spark, out, embOf(q), nprobe = kAll)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+          r.getAs[Double]("cos"))).toSeq).toMap
+    val servedBefore = qids.map(q => q ->
+      SimilarityOps.annIvfServe(spark, out, embOf(q))
+        .collect().map(_.getAs[Long]("vec_id")).toSet).toMap
+
+    val res = SimilarityOps.splitHotCells(spark, out, ratio = 1.01, maxCells = 1)
+    assert(res.length == 1, s"expected exactly one split, got $res")
+    val (c, nid) = res.head
+    assert(before.contains(c) && !before.contains(nid))
+
+    // (a) rows conserved.
+    val after = counts()
+    assert(SimilarityOps.vectorsDf(spark, out)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq == idsBefore)
+    assert(after(c) + after(nid) == before(c), "split cell lost/gained rows")
+    assert((after - c - nid) == (before - c), "other cells touched")
+    // (d) the split cell's halves are strictly smaller.
+    assert(after(c) < before(c) && after(nid) < before(c))
+    // (e) artifact == recount.
+    assert(artifact() == after, "cluster_sizes artifact diverged")
+
+    // (b) every split row sits on its NEARER sub-centroid (decimal
+    // squared-L2, ties to the lower cluster id) …
+    val cent2 = spark.read.parquet(s"$out/centroids")
+      .filter(col("cluster").isin(c, nid))
+    val ex = SimilarityOps.vectorsDf(spark, out)
+      .filter(col("cluster").isin(c, nid))
+      .select(col("vec_id"), col("cluster").cast("long").as("have"),
+        posexplode(col("embedding")).as(Seq("pos", "v0")))
+      .select(col("vec_id"), col("have"), col("pos"), col("v0").cast("double").as("v"))
+    val want = ex.join(broadcast(cent2), "pos")
+      .groupBy(col("vec_id"), col("have"), cent2("cluster").as("cand"))
+      .agg(sum(((col("v") - col("c")) * (col("v") - col("c")))
+        .cast("decimal(38,18)")).as("dist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cand").asc)))
+      .filter(col("rn") === 1)
+    assert(want.filter(col("have") =!= col("cand")).count() == 0,
+      "a split row is not on its nearer sub-centroid")
+
+    // … and (b2) each committed sub-centroid IS the per-pos decimal mean
+    // of its committed members (the heal identity).
+    val meanOf = ex.groupBy(col("have").as("cluster"), col("pos"))
+      .agg((sum(col("v").cast("decimal(38,18)")).cast("double") / count(lit(1)))
+        .as("m"))
+    val centDiff = cent2.join(meanOf, Seq("cluster", "pos"))
+      .filter(col("c") =!= col("m")).count()
+    assert(centDiff == 0, "sub-centroid != decimal mean of its members")
+
+    // (c) pq_codes equal a fresh residual encode against the NEW
+    // sub-centroids with the persisted codebooks.
+    val exPlain = ex.select("vec_id", "pos", "v")
+    val rex = ex.join(broadcast(cent2.withColumnRenamed("cluster", "have")),
+      Seq("have", "pos"))
+      .select(col("vec_id"), col("pos"), (col("v") - col("c")).as("v"))
+    val freshPq = SimilarityOps.pqCodeColumn(SimilarityOps.pqAssign(
+      SimilarityOps.withSub(rex),
+      spark.read.parquet(s"$out/pq_centroids")))
+    val pqMismatch = SimilarityOps.vectorsDf(spark, out)
+      .filter(col("cluster").isin(c, nid))
+      .select(col("vec_id"), col("pq_codes"))
+      .join(freshPq.withColumnRenamed("pq_codes", "fresh"), "vec_id")
+      .filter(col("pq_codes") =!= col("fresh")).count()
+    assert(pqMismatch == 0, "committed pq_codes != fresh residual encode")
+    assert(exPlain.count() > 0)
+
+    // (f) full-probe served answers are UNCHANGED by the split (same
+    // candidate set = the whole corpus, same arithmetic), and recall at
+    // the declared operating point does not collapse.
+    qids.foreach { q =>
+      val fullAfter = SimilarityOps.annIvfServe(spark, out, embOf(q), nprobe = kAll)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+          r.getAs[Double]("cos"))).toSeq
+      assert(fullAfter == fullBefore(q), s"query $q: full-probe answers changed")
+    }
+    val truth = fullBefore.map { case (q, rs) => q -> rs.map(_._1).toSet }
+    val recBefore = qids.map(q =>
+      (servedBefore(q) & truth(q)).size.toDouble / truth(q).size).sum / qids.size
+    val recAfter = qids.map { q =>
+      val got = SimilarityOps.annIvfServe(spark, out, embOf(q))
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      (got & truth(q)).size.toDouble / truth(q).size
+    }.sum / qids.size
+    assert(recAfter >= recBefore - 0.05,
+      s"recall collapsed after split: $recBefore -> $recAfter")
+
+    // Heal: drop nid's centroid rows (the crash window between the data
+    // commit and the centroid swap) — healOrphanClusters must
+    // reconstruct them BIT-IDENTICALLY and refresh the size artifact.
+    val full = spark.read.parquet(s"$out/centroids").localCheckpoint(true)
+    val lost = full.filter(col("cluster") === nid)
+      .collect().map(r => (r.getAs[Number]("pos").longValue(),
+        r.getAs[Double]("c"))).toMap
+    SimilarityOps.swapIndexArtifactDir(spark, out, "centroids",
+      full.filter(col("cluster") =!= nid))
+    graft.operators.Memos.release(out)
+    SimilarityOps.healOrphanClusters(spark, out)
+    val healed = spark.read.parquet(s"$out/centroids")
+      .filter(col("cluster") === nid)
+      .collect().map(r => (r.getAs[Number]("pos").longValue(),
+        r.getAs[Double]("c"))).toMap
+    assert(healed == lost, "healed sub-centroid != committed sub-centroid")
+    assert(artifact() == counts(), "heal did not refresh the size artifact")
+  }
+
   // ---- frame-memo eviction race (the tierCache Sync promotion) ------------
 
   test("frame memo: Memos.release racing an in-flight Sync cold compute " +
