@@ -1043,6 +1043,28 @@ object SimilarityOps {
   /** ADC shortlist size for the re-rank stage. */
   val RerankK = 200
 
+  /** Default serve shape for the batched re-rank tier (r15 — VERDICT
+    * r14 #8): `true` = the float read-back rides the SAME
+    * probed-partition scan as the ADC shortlist ranking (one scheduled
+    * scan per serve), `false` = the original two-scan shape (code scan +
+    * a second partition-pruned float read-back semi-joined to the
+    * shortlist). Measured at sf0.1 (ServeProbe, SCALE.md "Fused
+    * re-rank"): fused WINS locally in all 3 runs — it deletes the
+    * second job's fixed plan/schedule floor — but it wins by moving the
+    * d-float embedding of EVERY probed candidate through the
+    * rank-window exchange: measured 14.1 MB vs 6.0 MB total shuffle per
+    * batch-of-20, and the 8.1 MB DELTA is exactly the
+    * |Q|·candidates·(d·4 B) window payload — the one term that grows
+    * with corpus size, vs the two-scan window's 24-byte
+    * (qid, vec_id, adist) rows plus a re-SCAN of the embedding column.
+    * Scans parallelize; shuffle is the 100 TB bottleneck — so the
+    * DEFAULT stays the two-scan shape, and `fused = true` remains the
+    * measured latency-floor option for plan-overhead-dominated
+    * deployments.
+    * Round15Spec pins the two shapes row-identical, so the call is
+    * re-measurable whenever geometry or hardware moves. */
+  val FusedRerank = false
+
   /** q111: the production last mile of the composed tier — IVF-PQ's
     * 64-bit ADC scan produces a RerankK-deep shortlist, and only those
     * RerankK rows' float vectors are read back for an EXACT cosine
@@ -1467,26 +1489,62 @@ object SimilarityOps {
     * ADC stage ranks to RerankK per query; the float read-back is a
     * second partition-pruned scan semi-joined to the (|Q|·RerankK)-row
     * broadcast shortlist; exact cosine + one rank window per query.
-    * Nothing grows with corpus size except the pruned 64-bit scan. */
+    * Nothing grows with corpus size except the pruned 64-bit scan.
+    *
+    * `fused` (r15 — VERDICT r14 #8): ONE probed-partition scan reads
+    * `embedding` alongside `pq_codes`; the exact cosine is computed on
+    * the rows the arank window keeps (arank ≤ RerankK) inside the same
+    * plan, so the tier's second scheduled scan — its ~0.9–1.2 s plan
+    * floor and the max-over-tiers driver in most routed batches — is
+    * gone. Both rank windows hash-partition by query_id, so Catalyst
+    * reuses ONE exchange for both; the price is that exchange carrying
+    * the d-float embedding for every probed candidate instead of only
+    * the |Q|·RerankK read-back rows. Results are bit-equal by
+    * construction (same DECIMAL adist fold, same windows, same
+    * tie-breaks — Round15Spec pins fused ≡ two-scan rows); which shape
+    * ships is a pure measurement call, recorded in SCALE.md. */
   def annPqRerankServeMany(
       spark: SparkSession, indexDir: String, queries: DataFrame,
       nprobe: Int = NProbeServe,
-      sharedProbes: Option[DataFrame] = None): DataFrame = {
+      sharedProbes: Option[DataFrame] = None,
+      fused: Boolean = FusedRerank): DataFrame = {
     val cent = indexMeta(spark, indexDir, "centroids")
     val pcent = indexMeta(spark, indexDir, "pq_centroids")
     val qx = qxOf(queries)
     val probes = sharedProbes.getOrElse(probesMany(cent, qx, nprobe))
     val dtab = adcTablesMany(cent, pcent, qx, probes)
-    val shortlist = adcRankMany(spark, indexDir, probes, dtab, RerankK)
-      .select("query_id", "vec_id")
-    vectorsDf(spark, indexDir)
-      .select(col("vec_id"), col("cluster"), col("embedding"))
-      .join(broadcast(probes), "cluster")
-      .join(broadcast(shortlist), Seq("query_id", "vec_id"))
-      .join(broadcast(queries.select(col("query_id"),
-        col("embedding").as("q_embedding"))), "query_id")
-      .select(col("query_id"), col("vec_id"),
-        cosineSim(col("embedding"), col("q_embedding")).as("cos"))
+    val reranked =
+      if (fused)
+        vectorsDf(spark, indexDir)
+          .select(col("vec_id"), col("cluster"), col("pq_codes"), col("embedding"))
+          .join(broadcast(probes), "cluster")
+          .select(col("query_id"), col("vec_id"),
+            col("cluster").cast("long").as("cluster"), col("pq_codes"),
+            col("embedding"))
+          .join(broadcast(adcTableArr(dtab, Seq("query_id", "cluster"))),
+            Seq("query_id", "cluster"))
+          .withColumn("adist", adcDistLocal)
+          .withColumn("arank", row_number().over(
+            Window.partitionBy("query_id")
+              .orderBy(col("adist").asc, col("vec_id").asc)))
+          .filter(col("arank") <= RerankK)
+          .join(broadcast(queries.select(col("query_id"),
+            col("embedding").as("q_embedding"))), "query_id")
+          .select(col("query_id"), col("vec_id"),
+            cosineSim(col("embedding"), col("q_embedding")).as("cos"))
+      else {
+        val shortlist = adcRankMany(spark, indexDir, probes, dtab, RerankK)
+          .select("query_id", "vec_id")
+        vectorsDf(spark, indexDir)
+          .select(col("vec_id"), col("cluster"), col("embedding"))
+          .join(broadcast(probes), "cluster")
+          .join(broadcast(shortlist), Seq("query_id", "vec_id"))
+          .join(broadcast(queries.select(col("query_id"),
+            col("embedding").as("q_embedding"))), "query_id")
+          .select(col("query_id"), col("vec_id"),
+            cosineSim(col("embedding"), col("q_embedding")).as("cos"))
+      }
+    reranked
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc))
         .cast("long"))
@@ -4896,17 +4954,30 @@ object SimilarityOps {
     // Panel-sized frame consumed by the census AND every tier's slice
     // filter — eager-checkpointed so the feature jobs run once (the
     // tierFeatures rationale). sliceAware (r15 — VERDICT r14 #1): the
-    // per-query argmax is collapsed by [[sliceCollapse]] so a slice too
-    // small to repay its arm's plan floor folds into an arm that stays
-    // open — fewer, fuller plans per batch. The ub projection is
-    // checkpointed first: the collapse consumes it from three angles
-    // (unpivot, slice stats, restricted argmax), and each would
-    // otherwise re-run the census aggregates.
-    val choices = (if (sliceAware)
-        sliceCollapse(scored
-          .select(col("query_id") +: Tiers.map(t => col(s"ub_$t")): _*)
-          .localCheckpoint(true), "query_id")
-      else scored.select(col("query_id"), choice.as("tier")))
+    // per-query argmax is collapsed so a slice too small to repay its
+    // arm's plan floor folds into an arm that stays open — fewer,
+    // fuller plans per batch. The collapse itself runs DRIVER-SIDE on
+    // one bounded |Q|-row census collect ([[sliceCollapseLocal]] — the
+    // same price the plain path pays to checkpoint `choices`, where
+    // every distributed shape re-materialized the census subtree per
+    // consumption angle); the resulting (query_id, tier) literal frame
+    // feeds the slice filters exactly like the plain choice frame.
+    // Round15Spec pins this dispatch to the oracle-gated q203 census's
+    // `tier_final` per query.
+    val choices = (if (sliceAware) {
+        val ubCols = col("query_id") +: Tiers.map(t => col(s"ub_$t"))
+        val ubRows = scored.select(ubCols: _*).collect()
+        val fin = sliceCollapseLocal(ubRows.toSeq.map(r =>
+          r.get(0) -> Tiers.indices.map(i => r.getDouble(i + 1))))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            ubRows.toSeq.map(r =>
+              org.apache.spark.sql.Row(r.get(0), fin(r.get(0)))), 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            scored.schema("query_id").copy(name = "query_id"),
+            org.apache.spark.sql.types.StructField("tier",
+              org.apache.spark.sql.types.StringType, nullable = false))))
+      } else scored.select(col("query_id"), choice.as("tier")))
       .localCheckpoint(true)
     val present = choices.select("tier").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
@@ -5143,11 +5214,18 @@ object SimilarityOps {
         scored.select(col(key), lit(t).as("tier"), col(s"ub_$t").as("ub")))
       .reduce(_.unionByName(_))
     val w = Window.partitionBy(key).orderBy(col("ub").desc, col("tier").asc)
-    val ranked = long.withColumn("rn", row_number().over(w))
-    val u12 = ranked.filter(col("rn") <= 2).groupBy(key)
-      .agg(max(when(col("rn") === 1, col("tier"))).as("tier_batch"),
-        max(when(col("rn") === 1, col("ub"))).as("u1"),
-        max(when(col("rn") === 2, col("ub"))).as("u2"))
+    // ONE window pass yields the winner AND the runner-up (lead over the
+    // same ordering ≡ the rn=2 row) — the dispatcher runs this census on
+    // every routed batch, so the plan is kept to three exchanges: the
+    // per-key window, the per-arm aggregate, and the 5-row majority rank
+    // (the restricted argmax and the final assembly ride the per-key
+    // hash partitioning the first window already established).
+    val ranked = long
+      .withColumn("rn", row_number().over(w))
+      .withColumn("u2", lead(col("ub"), 1).over(w))
+    val u12 = ranked.filter(col("rn") === 1)
+      .select(col(key), col("tier").as("tier_batch"),
+        col("ub").as("u1"), col("u2"))
     val slices = u12.groupBy(col("tier_batch").as("tier"))
       .agg(count(lit(1)).cast("long").as("slice_n"),
         dsum(col("u1") - col("u2")).as("gain"))
@@ -5179,6 +5257,51 @@ object SimilarityOps {
     * (key, tier). What routeAndServe(sliceAware = true) routes by. */
   private[graft] def sliceCollapse(scored: DataFrame, key: String): DataFrame =
     sliceCollapseDetail(scored, key).select(col(key), col("tier_final").as("tier"))
+
+  /** Driver-side twin of [[sliceCollapseDetail]]'s DECISION, for the
+    * dispatcher: the collapse is an O(|Q|·|Tiers|) rule over census
+    * utilities the route must materialize anyway, and running it on one
+    * bounded |Q|-row collect costs ~nothing, where every distributed
+    * shape re-paid the census: the unpivot's five ub projections are
+    * five non-identical subtrees Catalyst cannot dedup (measured
+    * +1.5 s/batch uncheckpointed), and checkpointing the ub frame first
+    * pays an extra materialization plus a five-window mini-job cascade
+    * (measured +0.7 s/batch). Input is (query_id, ub per tier in
+    * [[Tiers]] order); output maps each query to its final dispatch arm.
+    *
+    * Arithmetic mirrors the distributed census EXACTLY, so Round15Spec
+    * can pin the dispatch to q203's `tier_final`: ranking compares
+    * doubles the way Spark orders DoubleType (java.lang.Double.compare —
+    * `Ordering.Double.TotalOrdering`), per-term gains go through the
+    * same double→DECIMAL(30,8) HALF_UP cast `dsum` applies
+    * (`java.math.BigDecimal.valueOf` = the shortest-decimal
+    * representation Spark's Decimal(double) uses), the exact decimal sum
+    * is read back as a double (dsum's trailing cast), and every
+    * tie-break is (value, tier-name ASC). */
+  private[graft] def sliceCollapseLocal(
+      ub: Seq[(Any, Seq[Double])]): Map[Any, String] = {
+    if (ub.isEmpty) return Map.empty // empty batch routes nowhere
+    val ord: Ordering[(Double, String)] = Ordering.Tuple2(
+      Ordering.Double.TotalOrdering.reverse, Ordering.String)
+    val rankedPer: Seq[(Any, Seq[(String, Double)])] = ub.map { case (q, us) =>
+      q -> Tiers.zip(us).sortBy { case (t, u) => (u, t) }(ord)
+    }
+    def dec8(d: Double): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(d).setScale(8, java.math.RoundingMode.HALF_UP)
+    val slices: Map[String, (Long, Double)] =
+      rankedPer.groupBy(_._2.head._1).map { case (t, members) =>
+        t -> (members.size.toLong,
+          members.map { case (_, s) => dec8(s.head._2 - s(1)._2) }
+            .foldLeft(java.math.BigDecimal.ZERO)(_ add _).doubleValue)
+      }
+    val majority = slices.toSeq
+      .sortBy { case (t, (n, _)) => (-n, t) }.head._1
+    val kept = slices.collect { case (t, (_, gain))
+      if gain >= TierOpenE4(t).toDouble / 10000.0 || t == majority => t }.toSet
+    rankedPer.map { case (q, s) =>
+      q -> s.collectFirst { case (t, _) if kept(t) => t }.get
+    }.toMap
+  }
 
   /** q203 (r15 — VERDICT r14 #1): the slice-size-aware batch census —
     * q200's zero-state batch-price decisions, then the

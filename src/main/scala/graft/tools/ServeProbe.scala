@@ -22,6 +22,10 @@ import graft.operators.SimilarityOps
 object ServeProbe {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    // Optional second arg: comma-separated tag substrings — run only the
+    // matching rows (fast iteration on one lever without the full sweep).
+    val only: Seq[String] =
+      if (args.length > 1) args(1).split(",").toSeq.filter(_.nonEmpty) else Nil
     val spark = graft.Cli.session()
     graft.Cli.quietBoundedWindowWarnings()
     import spark.implicits._
@@ -38,6 +42,7 @@ object ServeProbe {
     val one = Seq(panel.head).toDF("query_id", "embedding")
 
     def time(tag: String)(run: => Unit): Unit = {
+      if (only.nonEmpty && !only.exists(tag.contains)) return
       run // warmup
       val ms = (1 to 5).map { _ =>
         val t0 = System.nanoTime(); run; (System.nanoTime() - t0) / 1e6
@@ -85,7 +90,41 @@ object ServeProbe {
       SimilarityOps.annPqServeMany(spark, idx, qdf).collect()
     }
     time("pq_rerank_batch20_ms") {
-      SimilarityOps.annPqRerankServeMany(spark, idx, qdf).collect()
+      SimilarityOps.annPqRerankServeMany(spark, idx, qdf, fused = false).collect()
+    }
+    // r15 stretch (VERDICT r14 #8): the float read-back riding the SAME
+    // probed-partition scan as the ADC ranking — one scheduled scan per
+    // serve instead of the tier's two-scan plan floor.
+    time("pq_rerank_fused_batch20_ms") {
+      SimilarityOps.annPqRerankServeMany(spark, idx, qdf, fused = true).collect()
+    }
+    // The 100 TB side of the fused verdict: wall time at sf0.1 is
+    // plan-floor-dominated and hides that the fused shape moves the
+    // d-float embedding of EVERY probed candidate through the
+    // rank-window exchange, while the two-scan window moves 24-byte
+    // (qid, vec_id, adist) rows and the read-back re-SCANS the embedding
+    // column (scans parallelize; shuffle is the scale bottleneck). A
+    // listener totals shuffle write bytes per variant, once each.
+    def shuffleBytes(tag: String)(run: => Unit): Unit = {
+      if (only.nonEmpty && !only.exists(tag.contains)) return
+      val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          bytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        run
+        Thread.sleep(1500) // let the async listener bus drain
+      } finally spark.sparkContext.removeSparkListener(l)
+      println(s"""[serveprobe] "$tag": ${bytes.get()}""")
+    }
+    shuffleBytes("pq_rerank_twoscan_shuffle_bytes") {
+      SimilarityOps.annPqRerankServeMany(spark, idx, qdf, fused = false).collect()
+    }
+    shuffleBytes("pq_rerank_fused_shuffle_bytes") {
+      SimilarityOps.annPqRerankServeMany(spark, idx, qdf, fused = true).collect()
     }
     time("float_single_ms") {
       SimilarityOps.annIvfServe(spark, idx, panel.head._2).collect()
@@ -100,7 +139,10 @@ object ServeProbe {
       SimilarityOps.annPqRerankServe(spark, idx, panel.head._2).collect()
     }
     time("pq_rerank_1row_batch_ms") {
-      SimilarityOps.annPqRerankServeMany(spark, idx, one).collect()
+      SimilarityOps.annPqRerankServeMany(spark, idx, one, fused = false).collect()
+    }
+    time("pq_rerank_fused_1row_batch_ms") {
+      SimilarityOps.annPqRerankServeMany(spark, idx, one, fused = true).collect()
     }
     // Remaining per-tier 1-row batch floors (r15): the arm-OPENING price
     // each tier pays when a routed slice dispatches it at all — the
