@@ -250,6 +250,40 @@ object CompactVectorIndex {
   }
 }
 
+/** `sbt "runMain graft.SplitVectorIndex <indexDir> [ratio] [maxCells]"`
+  * — the geometry panel's rebalance verb (q202 says when imbalance makes
+  * the fattest cell bound every probe's latency; q204 says exactly which
+  * cells the actuator will take): split cells over ratio × mean 2-way in
+  * place via SimilarityOps.splitHotCells — only the hot cells' rows are
+  * re-encoded/rewritten, centroids and cluster_sizes swap atomically,
+  * and a crash between the two commits heals at the next entry. Single
+  * maintenance writer per index, like append/compaction. Prints the
+  * executed splits and the before/after cell count + imbalance.
+  */
+object SplitVectorIndex {
+  def main(args: Array[String]): Unit = {
+    val idx = if (args.nonEmpty) args(0) else "target/graft_ivf_index"
+    val ratio = if (args.length > 1) args(1).toDouble
+      else graft.operators.SimilarityOps.SplitRatio
+    val maxCells = if (args.length > 2) args(2).toInt
+      else graft.operators.SimilarityOps.SplitMaxCells
+    val spark = Cli.session()
+    def imb(): (Int, Double) = {
+      val (sizes, ntot) =
+        graft.operators.SimilarityOps.indexClusterSizes(spark, idx)
+      (sizes.size, sizes.values.max.toDouble / (ntot.toDouble / sizes.size))
+    }
+    val (k0, i0) = imb()
+    val done = graft.operators.SimilarityOps.splitHotCells(
+      spark, idx, ratio, maxCells)
+    val (k1, i1) = imb()
+    println(f"[vsplit] idx=$idx ratio=$ratio%.2f " +
+      s"splits=${done.map { case (a, b) => s"$a->$b" }.mkString(",")} " +
+      f"K=$k0->$k1 imbalance=$i0%.3f->$i1%.3f")
+    spark.stop()
+  }
+}
+
 /** `sbt "runMain graft.ServeVectorIndex <indexDir> [sfDir]"` — the ANN
   * serving entry point: answer a query from the PERSISTED index alone
   * (BuildVectorIndex output) — float tier and int8 tier — with the probe

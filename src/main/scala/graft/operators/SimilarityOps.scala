@@ -695,6 +695,74 @@ object SimilarityOps {
        |  floor((sqrt(CAST(ss AS DOUBLE) / CAST(n_clusters AS DOUBLE) - mean_csz * mean_csz) / mean_csz) * 1000000 + 0.5) / 1000000 AS cv
        |FROM zmn""".stripMargin
 
+  // ---- q204: hot-cell split plan (r15) -------------------------------------
+
+  /** Split selection parameters — shared by the [[splitHotCells]]
+    * actuator's defaults and the q204 census so the census IS the
+    * actuator's selection rule. */
+  final val SplitRatio = 2.0
+  final val SplitMaxCells = 4
+
+  /** q204: the split PLAN — per coarse cell, its size, its ratio to the
+    * mean cell size, whether it is over the [[SplitRatio]] threshold,
+    * its processing rank among hot cells (size DESC, cluster ASC — the
+    * exact order [[splitHotCells]] walks), and whether the next
+    * actuator invocation would split it (over threshold AND rank ≤
+    * [[SplitMaxCells]]). q202 says HOW imbalanced the geometry is; this
+    * says exactly WHAT the rebalance verb will do about it — the same
+    * census-is-the-behavior loop q203 closes for the routed dispatch,
+    * closed here for index maintenance (Round15Spec executes
+    * splitHotCells on a fresh index at a forcing ratio and pins the
+    * executed (cell, order) list to this plan's would_split rows; for a
+    * fresh build the index's cluster_sizes artifact equals these kasg
+    * counts by construction — Round14Spec's artifact == recount pin).
+    * The actuator may still SKIP a selected cell it finds degenerate
+    * (< 2 rows, or all rows identical — not knowable from counts); the
+    * census reports selection, not that execution guarantee.
+    *
+    * Scale shape: one K-key count over the memoized assignment, a
+    * 1-row mean broadcast, one K-row window — census work. The
+    * threshold compare `csz > ratio·mean` is the identical double
+    * expression in both engines (exact long→double, one IEEE product). */
+  def splitPlan(
+      spark: SparkSession, dir: String,
+      ratio: Double = SplitRatio, maxCells: Int = SplitMaxCells): DataFrame = {
+    val (_, asg) = kmeansModel(spark, dir)
+    val ssz = asg.groupBy("cluster").agg(count(lit(1)).cast("long").as("csz"))
+    val smn = ssz.agg((sum(col("csz")).cast("double") /
+      count(lit(1)).cast("double")).as("mean_csz"))
+    val wide = ssz.crossJoin(broadcast(smn))
+    val hot = wide.filter(col("csz").cast("double") > lit(ratio) * col("mean_csz"))
+      .select(col("cluster"), row_number().over(
+        Window.orderBy(col("csz").desc, col("cluster").asc))
+        .cast("long").as("hrank"))
+    wide.join(hot, Seq("cluster"), "left")
+      .select(col("cluster").cast("long").as("cluster"), col("csz"),
+        r6(col("csz").cast("double") / col("mean_csz")).as("ratio_to_mean"),
+        when(col("hrank").isNotNull, 1L).otherwise(0L).as("over_threshold"),
+        coalesce(col("hrank"), lit(0L)).as("split_rank"),
+        when(col("hrank").isNotNull && col("hrank") <= maxCells, 1L)
+          .otherwise(0L).as("would_split"))
+      .orderBy("cluster")
+  }
+
+  val splitPlanSql: String =
+    s"""WITH $kmeansCtes,
+       |ysz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csz FROM kasg GROUP BY 1),
+       |ymn AS (SELECT CAST(sum(csz) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_csz
+       |        FROM ysz),
+       |yht AS (SELECT cluster,
+       |          CAST(row_number() OVER (ORDER BY csz DESC, cluster ASC) AS BIGINT) AS hrank
+       |        FROM ysz, ymn WHERE CAST(csz AS DOUBLE) > $SplitRatio * mean_csz)
+       |SELECT CAST(y.cluster AS BIGINT) AS cluster, y.csz,
+       |  floor((CAST(y.csz AS DOUBLE) / mean_csz) * 1000000 + 0.5) / 1000000 AS ratio_to_mean,
+       |  CAST(CASE WHEN h.hrank IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS over_threshold,
+       |  CAST(coalesce(h.hrank, 0) AS BIGINT) AS split_rank,
+       |  CAST(CASE WHEN h.hrank IS NOT NULL AND h.hrank <= $SplitMaxCells
+       |       THEN 1 ELSE 0 END AS BIGINT) AS would_split
+       |FROM ysz y CROSS JOIN ymn LEFT JOIN yht h ON y.cluster = h.cluster
+       |ORDER BY cluster""".stripMargin
+
   // ---- q77: IVF probe over int8-reconstructed vectors ---------------------
 
   /** The memory-compressed ANN serving tier: probe the learned IVF
@@ -2319,7 +2387,8 @@ object SimilarityOps {
     * distributed jobs, nothing driver-side beyond 2×d centroids. */
   def splitHotCells(
       spark: SparkSession, indexDir: String,
-      ratio: Double = 2.0, maxCells: Int = 4, iters: Int = 2): Seq[(Long, Long)] = {
+      ratio: Double = SplitRatio, maxCells: Int = SplitMaxCells,
+      iters: Int = 2): Seq[(Long, Long)] = {
     recoverRetiredBatches(spark, indexDir)
     healOrphanClusters(spark, indexDir)
     val (sizes, ntot) = indexClusterSizes(spark, indexDir)
@@ -5744,6 +5813,7 @@ object SimilarityOps {
     "q201_tier_route_pass2_batch" -> (tierRoutePass2Batch _),
     "q202_cluster_size_skew" -> (clusterSizeSkew _),
     "q203_tier_route_slice" -> (tierRouteSlice _),
+    "q204_split_plan" -> ((s: SparkSession, d: String) => splitPlan(s, d)),
     "q191_embedding_spectrum" -> (embeddingSpectrum _),
     "q192_binary_quant_recall" -> (binaryQuantRecall _),
     "q193_binary_rerank_recall" -> (binaryRerankRecall _),
@@ -5788,6 +5858,7 @@ object SimilarityOps {
     "q201_tier_route_pass2_batch" -> tierRoutePass2BatchSql,
     "q202_cluster_size_skew" -> clusterSizeSkewSql,
     "q203_tier_route_slice" -> tierRouteSliceSql,
+    "q204_split_plan" -> splitPlanSql,
     "q191_embedding_spectrum" -> embeddingSpectrumSql,
     "q192_binary_quant_recall" -> binaryQuantRecallSql,
     "q193_binary_rerank_recall" -> binaryRerankRecallSql,

@@ -58,14 +58,15 @@ object SplitProbe {
       .select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
     val qdf = panel.toSeq.toDF("query_id", "embedding")
-    // A query AT the hot cell's centroid, so the hot cell is always
-    // probed — the worst-case probe the imbalance card is about.
-    val hotQ = Seq(panel.head).toDF("query_id", "e0")
-      .crossJoin(spark.read.parquet(s"$idx/centroids")
-        .filter(col("cluster") === hotCluster)
-        .groupBy().agg(transform(array_sort(collect_list(struct(col("pos"),
-          col("c")))), s => s.getField("c").cast("float")).as("embedding")))
-      .select("query_id", "embedding")
+    // A query AT the (pre-split) hot cell's centroid, so the hot cell is
+    // always probed — the worst-case probe the imbalance card is about.
+    // Materialized as a LITERAL once: the query vector must stay
+    // constant across the split (fair before/after), and a frame built
+    // over the centroids dir would pin the pre-swap file listing.
+    val hotVec: Array[Float] = spark.read.parquet(s"$idx/centroids")
+      .filter(col("cluster") === hotCluster)
+      .orderBy("pos").select("c").collect().map(_.getDouble(0).toFloat)
+    val hotQ = Seq((0L, hotVec)).toDF("query_id", "embedding")
 
     def imbalance(tag: String): Unit = {
       val (sizes, ntot) = SimilarityOps.indexClusterSizes(spark, idx)

@@ -244,6 +244,44 @@ class Round15Spec extends SparkSpec {
     }
   }
 
+  // ---- q204: the split plan IS the actuator's selection --------------------
+
+  test("q204 split plan: splitHotCells on a fresh index executes exactly " +
+    "the plan's would_split cells in split_rank order, and the census " +
+    "invariants hold at the declared parameters") {
+    // Forcing ratio so sf0.001 yields a non-empty hot set; a fresh
+    // index's cluster_sizes artifact equals the census's kasg counts by
+    // construction (Round14Spec artifact == recount), so the selection
+    // inputs are identical on both sides.
+    val ratio = 1.01
+    val maxCells = 3
+    val plan = SimilarityOps.splitPlan(spark, sf, ratio, maxCells).collect()
+    val expected = plan.filter(_.getAs[Long]("would_split") == 1L)
+      .sortBy(_.getAs[Long]("split_rank")).map(_.getAs[Long]("cluster")).toSeq
+    assert(expected.nonEmpty, "forcing ratio produced no hot cells — test is vacuous")
+    val out = java.nio.file.Files.createTempDirectory("graft_r15_plan").toString
+    SimilarityOps.writeIndex(spark, sf, out)
+    val executed = SimilarityOps.splitHotCells(spark, out,
+      ratio = ratio, maxCells = maxCells).map(_._1)
+    assert(executed == expected,
+      s"actuator split $executed but the census planned $expected")
+
+    // Declared-parameter census invariants (the oracle-gated q204 shape).
+    val dflt = SimilarityOps.queries("q204_split_plan")(spark, sf).collect()
+    assert(dflt.map(_.getAs[Long]("cluster")).toSeq.distinct.length == dflt.length)
+    dflt.foreach { r =>
+      val over = r.getAs[Long]("over_threshold")
+      val rk = r.getAs[Long]("split_rank")
+      val ws = r.getAs[Long]("would_split")
+      assert((over == 1L) == (rk >= 1L), s"rank/threshold disagree: $r")
+      assert(ws <= over, s"would_split without over_threshold: $r")
+      assert((ws == 1L) == (over == 1L && rk <= SimilarityOps.SplitMaxCells),
+        s"would_split disagrees with (over && rank <= max): $r")
+      assert((r.getAs[Double]("ratio_to_mean") > 1.0 + 1e-9) || over == 0L,
+        s"over-threshold cell at ratio_to_mean <= 1: $r")
+    }
+  }
+
   // ---- hot-cell split: the geometry panel's actuator (VERDICT r14 #2) ------
 
   test("splitHotCells: rows conserved and correctly re-assigned, pq_codes " +
