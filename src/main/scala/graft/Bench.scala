@@ -268,15 +268,36 @@ object Bench {
     implicit val ctx: SQLContext = spark.sqlContext
     val stream = org.apache.spark.sql.execution.streaming.runtime
       .MemoryStream[(Long, Array[Float])]
-    val servedDir = s"$idx/served"
+    // FRESH outDir + checkpoint per run (r15 fix): the bench index dir
+    // is deliberately reused across runs (warm build), but a SURVIVING
+    // streaming checkpoint makes the next run's MemoryStream batch 0
+    // look already-committed — the sink SKIPS it and the row times the
+    // skip (measured 5.9 ms for the auto stream: no serve ran at all).
+    // Every prior round's ~215-225 ms stream_batch20 was this artifact
+    // after the dir's first-ever run.
+    val streamRoot = java.nio.file.Files
+      .createTempDirectory("graft_bench_stream").toString
     val q = graft.streaming.StreamingOps.annServe(
-      stream.toDF().toDF("query_id", "embedding"), idx, servedDir)
-      .option("checkpointLocation", s"$idx/served_ckpt").start()
+      stream.toDF().toDF("query_id", "embedding"), idx, s"$streamRoot/served")
+      .option("checkpointLocation", s"$streamRoot/served_ckpt").start()
+    // Timing contract (r15 fix): t0 BEFORE addData — the micro-batch
+    // starts asynchronously the moment data lands, so a post-addData
+    // clock can start after the work is already done (measured: the
+    // auto row once read 5.7 ms that way). First batch carries one-time
+    // stream/plan setup; a second batch gives the warm per-micro-batch
+    // price a long-running stream actually pays, reported alongside.
+    def timeBatch(
+        s: org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Array[Float])],
+        sq: org.apache.spark.sql.streaming.StreamingQuery): Double = {
+      val t0 = System.nanoTime()
+      s.addData(panel.toSeq)
+      sq.processAllAvailable()
+      (System.nanoTime() - t0) / 1e6
+    }
     try {
-      stream.addData(panel.toSeq)
-      val ts = System.nanoTime()
-      q.processAllAvailable()
-      out("stream_batch20_ms") = f3((System.nanoTime() - ts) / 1e6)
+      out("stream_batch20_ms") = f3(timeBatch(stream, q))
+      out("stream_batch20_warm_ms") = f3(timeBatch(stream, q))
     } finally q.stop()
     // The PRODUCTION streaming shape (r15 — VERDICT r14 #6/"missing"):
     // tier=auto with a stateDir — per-micro-batch learned-weight reload,
@@ -293,13 +314,11 @@ object Bench {
       .MemoryStream[(Long, Array[Float])]
     val qa = graft.streaming.StreamingOps.annServe(
       autoStream.toDF().toDF("query_id", "embedding"), idx,
-      s"$idx/served_auto", tier = "auto", stateDir = Some(stateDir))
-      .option("checkpointLocation", s"$idx/served_auto_ckpt").start()
+      s"$streamRoot/served_auto", tier = "auto", stateDir = Some(stateDir))
+      .option("checkpointLocation", s"$streamRoot/served_auto_ckpt").start()
     try {
-      autoStream.addData(panel.toSeq)
-      val ta = System.nanoTime()
-      qa.processAllAvailable()
-      out("stream_auto_batch20_ms") = f3((System.nanoTime() - ta) / 1e6)
+      out("stream_auto_batch20_ms") = f3(timeBatch(autoStream, qa))
+      out("stream_auto_batch20_warm_ms") = f3(timeBatch(autoStream, qa))
     } finally qa.stop()
     out.toMap
   }

@@ -282,6 +282,73 @@ class Round15Spec extends SparkSpec {
     }
   }
 
+  // ---- ingest auto-split trigger (the actuator wired into maintenance) -----
+
+  test("ingest auto-split trigger: a skewed index over the imbalance " +
+    "bound is split by the sink's post-batch maintenance (K grows, " +
+    "imbalance drops, artifact == recount, rows conserved); disabled " +
+    "and under-bound triggers are no-ops") {
+    import graft.streaming.StreamingOps
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_r15_autosplit").toString
+    SimilarityOps.writeIndex(spark, sf, out)
+    // Fresh balanced build: an armed trigger at a sane bound is a no-op.
+    assert(!StreamingOps.maybeSplit(spark, out, 3.0),
+      "trigger fired on a balanced index")
+    // Deliberate skew through the exactly-once ingest path (4 batches of
+    // the hottest cell's own rows — the gate-free ingestBatch, each
+    // batch refreshing the size artifact).
+    val vp = SimilarityOps.vectorsPath(spark, out)
+    val hotC = spark.read.parquet(vp).groupBy("cluster").count()
+      .orderBy(col("count").desc, col("cluster").asc)
+      .collect()(0).getAs[Number]("cluster").longValue()
+    val hotRows = spark.read.parquet(vp).filter(col("cluster") === hotC)
+      .select("vec_id", "embedding").localCheckpoint(true)
+    (1 to 4).foreach { k =>
+      StreamingOps.ingestBatch(
+        hotRows.select((col("vec_id") + lit(1000000L * k)).as("vec_id"),
+          col("embedding")), 500L + k, out)
+    }
+    val (s0, n0) = SimilarityOps.indexClusterSizes(spark, out)
+    val imb0 = s0.values.max.toDouble / (n0.toDouble / s0.size)
+    assert(imb0 > 2.0, s"skew setup failed: imbalance $imb0")
+    assert(!StreamingOps.maybeSplit(spark, out, 0.0), "disabled trigger acted")
+    val rowsBefore = spark.read.parquet(SimilarityOps.vectorsPath(spark, out)).count()
+
+    // One streamed micro-batch with the trigger armed: the sink ingests
+    // the row, then its post-batch maintenance splits the hot cell.
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val anchors = e.filter(col("vec_id").between(1, SimilarityOps.LshAnchors))
+      .collect()
+      .map(r => (r.getLong(0).toInt,
+        r.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+      .sortBy(_._1).toSeq
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp, scala.collection.Seq[Float])]
+    val q = StreamingOps.indexIngest(
+        stream.toDF().toDF("vec_id", "ts", "embedding")
+          .withColumn("embedding", col("embedding").cast("array<float>")),
+        "ts", "1 hour", anchors, out, autoSplitImbalance = 2.0)
+      .start()
+    try {
+      stream.addData(Seq((7777777L,
+        new java.sql.Timestamp(1700000000000L), embOf(0L).toSeq)))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val (s1, n1) = SimilarityOps.indexClusterSizes(spark, out)
+    assert(s1.size > s0.size, "post-batch maintenance split no cell")
+    val imb1 = s1.values.max.toDouble / (n1.toDouble / s1.size)
+    assert(imb1 < imb0, s"imbalance did not drop: $imb0 -> $imb1")
+    val after = spark.read.parquet(SimilarityOps.vectorsPath(spark, out))
+    assert(after.count() == rowsBefore + 1, "ingested rows not conserved")
+    val recount = after.groupBy("cluster").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Number]("cluster").longValue() -> r.getAs[Long]("n")).toMap
+    assert(s1 == recount, "cluster_sizes artifact diverged from recount")
+  }
+
   // ---- hot-cell split: the geometry panel's actuator (VERDICT r14 #2) ------
 
   test("splitHotCells: rows conserved and correctly re-assigned, pq_codes " +
