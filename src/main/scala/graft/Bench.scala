@@ -319,7 +319,17 @@ object Bench {
     try {
       out("stream_auto_batch20_ms") = f3(timeBatch(autoStream, qa))
       out("stream_auto_batch20_warm_ms") = f3(timeBatch(autoStream, qa))
-    } finally qa.stop()
+    } finally {
+      qa.stop()
+      // The per-run stream root (checkpoints + served outputs) has no
+      // post-run reader — delete it so repeated bench rounds don't
+      // accumulate temp directories on a long-lived host.
+      try {
+        val p = new org.apache.hadoop.fs.Path(streamRoot)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        ()
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
     out.toMap
   }
 

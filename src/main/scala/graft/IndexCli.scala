@@ -269,9 +269,11 @@ object SplitVectorIndex {
       else graft.operators.SimilarityOps.SplitMaxCells
     val spark = Cli.session()
     def imb(): (Int, Double) = {
-      val (sizes, ntot) =
-        graft.operators.SimilarityOps.indexClusterSizes(spark, idx)
-      (sizes.size, sizes.values.max.toDouble / (ntot.toDouble / sizes.size))
+      val (sizes, _) = graft.operators.SimilarityOps.indexClusterSizes(spark, idx)
+      require(sizes.nonEmpty,
+        s"no cluster sizes under $idx — not a built vector index " +
+          "(run BuildVectorIndex first)")
+      (sizes.size, graft.operators.SimilarityOps.indexImbalance(spark, idx))
     }
     val (k0, i0) = imb()
     val done = graft.operators.SimilarityOps.splitHotCells(

@@ -4879,6 +4879,17 @@ object SimilarityOps {
   private[graft] def invalidateClusterSizes(indexDir: String): Unit =
     clusterSizeCache.evictDir(indexDir)
 
+  /** q202's imbalance (max cell size / mean cell size) read from the
+    * index's size artifact — THE shared definition for every consumer
+    * of the trigger signal (streaming maybeSplit, the SplitVectorIndex
+    * CLI, SplitProbe), so the trigger, the report, and the probe can
+    * never silently disagree. 0.0 for an empty index. */
+  private[graft] def indexImbalance(spark: SparkSession, indexDir: String): Double = {
+    val (sizes, ntot) = indexClusterSizes(spark, indexDir)
+    if (sizes.isEmpty) 0.0
+    else sizes.values.max.toDouble / (ntot.toDouble / sizes.size)
+  }
+
   private[graft] def indexClusterSizes(
       spark: SparkSession, indexDir: String): (Map[Long, Long], Long) =
     // Key carries the manifest-resolved generation (compaction swap →
@@ -5036,6 +5047,21 @@ object SimilarityOps {
     val choices = (if (sliceAware) {
         val ubCols = col("query_id") +: Tiers.map(t => col(s"ub_$t"))
         val ubRows = scored.select(ubCols: _*).collect()
+        // Fail LOUD on a null/non-finite utility (a NaN embedding
+        // poisons the census features): a garbage census must name its
+        // query, not NPE in Row.getDouble or NumberFormatException in
+        // the decimal gain cast — and the q154 health gate is the
+        // upstream fix. The distributed twin would "route" such a query
+        // by NaN-sorts-first accident, which is no better.
+        ubRows.foreach { r =>
+          Tiers.indices.foreach { i =>
+            if (r.isNullAt(i + 1) || !java.lang.Double.isFinite(r.getDouble(i + 1)))
+              throw new IllegalStateException(
+                s"routeAndServe: non-finite ${Tiers(i)} utility for query " +
+                  s"${r.get(0)} — the request embedding is unhealthy " +
+                  "(NaN/Inf); gate inputs with the q154 embedding health check")
+          }
+        }
         val fin = sliceCollapseLocal(ubRows.toSeq.map(r =>
           r.get(0) -> Tiers.indices.map(i => r.getDouble(i + 1))))
         spark.createDataFrame(

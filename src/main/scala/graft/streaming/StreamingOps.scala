@@ -359,9 +359,20 @@ object StreamingOps {
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // Split BEFORE this batch's data commit, and never on a replay
+        // (see maybeSplitForBatch): a split folds cell rows to the base
+        // with CROSS-CLUSTER re-assignment, so interleaving it between a
+        // batch's data commit and its offset commit could leave a
+        // replayed row and its folded copy in two different cluster
+        // partitions — a duplicate partition-level maintenance can never
+        // fold away. Ordered first (acting on the PREVIOUS batches'
+        // skew), the replay guard makes every crash interleaving land in
+        // an already-analyzed window: either the split is a no-op on
+        // retry, or ingestBatch's dynamic overwrite is idempotent.
+        maybeSplitForBatch(batch.sparkSession, indexDir,
+          autoSplitImbalance, batchId)
         ingestBatch(batch, batchId, indexDir)
         maybeCompact(batch.sparkSession, indexDir, autoCompactAt)
-        maybeSplit(batch.sparkSession, indexDir, autoSplitImbalance)
         ()
       }
 
@@ -418,13 +429,47 @@ object StreamingOps {
     * cell was split. */
   def maybeSplit(spark: SparkSession, indexDir: String, imbalance: Double): Boolean = {
     if (imbalance <= 0) return false
-    val (sizes, ntot) =
-      graft.operators.SimilarityOps.indexClusterSizes(spark, indexDir)
-    if (sizes.isEmpty) return false
-    val mean = ntot.toDouble / sizes.size
-    if (sizes.values.max <= imbalance * mean) return false
+    val imb = graft.operators.SimilarityOps.indexImbalance(spark, indexDir)
+    if (imb <= imbalance) return false
     graft.operators.SimilarityOps
       .splitHotCells(spark, indexDir, ratio = imbalance).nonEmpty
+  }
+
+  /** [[maybeSplit]] with the ingest sink's REPLAY GUARD: skip the split
+    * when `batchId`'s partitions already exist in the vectors table —
+    * that means a prior attempt of this batch committed data but crashed
+    * before the offset commit, and this invocation is Structured
+    * Streaming's replay. Splitting here would fold the crashed attempt's
+    * rows to the base (re-assigned across cluster ids) right before
+    * ingestBatch re-appends them — and a boundary row can land in a
+    * DIFFERENT cluster than its folded copy, a duplicate the
+    * partition-level prefer-base fold can never see in one read. Skipped
+    * on replay, the split simply runs at the next clean batch; the
+    * detection is one K-directory metadata walk, only paid when the
+    * trigger is armed. */
+  private[graft] def maybeSplitForBatch(
+      spark: SparkSession, indexDir: String, imbalance: Double,
+      batchId: Long): Boolean = {
+    if (imbalance <= 0) return false
+    if (batchPartitionsExist(spark, indexDir, batchId)) return false
+    maybeSplit(spark, indexDir, imbalance)
+  }
+
+  /** Whether any cluster partition already holds `ingest_batch=batchId`
+    * — the crashed-attempt signature the replay guard keys on. Metadata
+    * walk over K cluster directories; never a data read. */
+  private[graft] def batchPartitionsExist(
+      spark: SparkSession, indexDir: String, batchId: Long): Boolean = {
+    import graft.operators.SimilarityOps
+    val fs = new org.apache.hadoop.fs.Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vdir = new org.apache.hadoop.fs.Path(
+      SimilarityOps.vectorsPath(spark, indexDir))
+    fs.exists(vdir) && fs.listStatus(vdir).exists { c =>
+      c.isDirectory && c.getPath.getName.startsWith("cluster=") &&
+        fs.exists(new org.apache.hadoop.fs.Path(
+          c.getPath, s"ingest_batch=$batchId"))
+    }
   }
 
   // ---- streaming incremental dup components (VERDICT r9 #7 / r10 #5) ------

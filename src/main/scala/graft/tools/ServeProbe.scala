@@ -110,13 +110,25 @@ object ServeProbe {
       val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
       val l = new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
-            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-          bytes.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          // taskMetrics is null for stages that never ran a task
+          // (failed/skipped) — an NPE here would be swallowed by the
+          // listener bus and silently drop the event.
+          val m = s.stageInfo.taskMetrics
+          if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
       }
       spark.sparkContext.addSparkListener(l)
       try {
         run
-        Thread.sleep(1500) // let the async listener bus drain
+        // The listener bus is asynchronous: poll until the counter is
+        // stable across two consecutive reads (a fixed sleep races a
+        // loaded bus and undercounts), capped at 15 s.
+        var prev = -1L
+        var waited = 0
+        while (bytes.get() != prev && waited < 30) {
+          prev = bytes.get(); Thread.sleep(500); waited += 1
+        }
       } finally spark.sparkContext.removeSparkListener(l)
       println(s"""[serveprobe] "$tag": ${bytes.get()}""")
     }

@@ -39,8 +39,10 @@ object SplitProbe {
       .select("vec_id", "embedding").localCheckpoint(true)
     val maxId = spark.read.parquet(vdir).agg(max("vec_id")).collect()(0).getLong(0)
     (1 to skew).foreach { k =>
+      // (maxId+1)·k keeps the per-round id ranges disjoint (a maxId*k+1
+      // offset would collide round k's id=maxId with round k+1's id=0).
       val delta = hotRows.select(
-        (col("vec_id") + lit(maxId * k + 1)).as("vec_id"), col("embedding"))
+        (col("vec_id") + lit((maxId + 1) * k)).as("vec_id"), col("embedding"))
       val art = SimilarityOps.appendArtifacts(spark, idx, delta)
         .withColumn("ingest_batch", lit(-1L))
         .localCheckpoint(true)
@@ -69,11 +71,10 @@ object SplitProbe {
     val hotQ = Seq((0L, hotVec)).toDF("query_id", "embedding")
 
     def imbalance(tag: String): Unit = {
-      val (sizes, ntot) = SimilarityOps.indexClusterSizes(spark, idx)
-      val mean = ntot.toDouble / sizes.size
-      val mx = sizes.values.max
+      val (sizes, _) = SimilarityOps.indexClusterSizes(spark, idx)
       println(f"""[splitprobe] "${tag}_K": ${sizes.size}""")
-      println(f"""[splitprobe] "${tag}_max_over_mean": ${mx / mean}%.3f""")
+      println(f"""[splitprobe] "${tag}_max_over_mean": ${
+        SimilarityOps.indexImbalance(spark, idx)}%.3f""")
     }
     def time(tag: String)(run: => Unit): Unit = {
       run

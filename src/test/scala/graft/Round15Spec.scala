@@ -314,6 +314,15 @@ class Round15Spec extends SparkSpec {
     val imb0 = s0.values.max.toDouble / (n0.toDouble / s0.size)
     assert(imb0 > 2.0, s"skew setup failed: imbalance $imb0")
     assert(!StreamingOps.maybeSplit(spark, out, 0.0), "disabled trigger acted")
+    // Replay guard: batch 503's partitions exist (the skew ingest above
+    // committed them), so the sink treats a batch-503 invocation as a
+    // crashed-attempt replay and MUST NOT split — a split interleaved
+    // with an uncommitted batch could strand a replayed row and its
+    // folded copy in different cluster partitions.
+    assert(StreamingOps.batchPartitionsExist(spark, out, 503L))
+    assert(!StreamingOps.maybeSplitForBatch(spark, out, 2.0, 503L),
+      "split ran during a replay")
+    assert(!StreamingOps.batchPartitionsExist(spark, out, 999L))
     val rowsBefore = spark.read.parquet(SimilarityOps.vectorsPath(spark, out)).count()
 
     // One streamed micro-batch with the trigger armed: the sink ingests
