@@ -50,7 +50,10 @@ object ExplainAudit {
       "q173_pq_code_occupancy", "q174_part_supplier_breadth",
       "q175_source_token_quantiles", "q176_norm_quality_agreement",
       "q177_dup_length_deciles", "q178_cluster_purity",
-      "q179_label_neighbor_consistency")
+      "q179_label_neighbor_consistency",
+      // r14/r15 serve-economics censuses + the split plan.
+      "q200_tier_route_batch", "q201_tier_route_pass2_batch",
+      "q202_cluster_size_skew", "q203_tier_route_slice", "q204_split_plan")
 
     targets.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)
