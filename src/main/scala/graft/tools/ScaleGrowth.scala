@@ -34,7 +34,15 @@ object ScaleGrowth {
     // diameter — expect α near the bounded q49 path's, since testdata
     // converges in ≤ 3 rounds) and the batched serving panel (panel
     // fixed, corpus grows: α tracks the probed-cluster scan).
-    "q159_dup_clusters_fixpoint", "q160_ann_ivf_panel")
+    "q159_dup_clusters_fixpoint", "q160_ann_ivf_panel",
+    // round-15 additions: the serve-economics censuses. Panel-sized by
+    // design, so α ≈ 0 IS the structural claim — per-query routing cost
+    // must not grow with the corpus (features are |Q|×K arithmetic over
+    // broadcast centroids; coverage reads the size artifact; the slice
+    // collapse is census work) — and the split plan is one K-key count
+    // over the memoized assignment.
+    "q200_tier_route_batch", "q201_tier_route_pass2_batch",
+    "q202_cluster_size_skew", "q203_tier_route_slice", "q204_split_plan")
   val Dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
   def main(args: Array[String]): Unit = {
