@@ -286,6 +286,33 @@ object SplitVectorIndex {
   }
 }
 
+/** `sbt "runMain graft.RetrainVectorIndex <indexDir>"` — the terminal
+  * maintenance verb: rebuild every learned artifact (coarse centroids,
+  * residual PQ codebooks, binary centering mean, all codes) from the
+  * index's OWN live rows — base plus every appended/ingested batch —
+  * via SimilarityOps.retrainIndex. Run it when q58 cohesion / q142
+  * drift / q173 occupancy say incremental repair (append, compaction,
+  * hot-cell split) has stopped paying. K resets to the trained
+  * baseline; the cutover is staged + atomic per artifact; a crash
+  * mid-cutover heals by re-running (idempotent from live rows). Single
+  * maintenance writer per index, like append/compaction/split.
+  */
+object RetrainVectorIndex {
+  def main(args: Array[String]): Unit = {
+    val idx = if (args.nonEmpty) args(0) else "target/graft_ivf_index"
+    val spark = Cli.session()
+    val rowsBefore = spark.read
+      .parquet(graft.operators.SimilarityOps.vectorsPath(spark, idx)).count()
+    val (kb, ka) = graft.operators.SimilarityOps.retrainIndex(spark, idx)
+    val after = spark.read
+      .parquet(graft.operators.SimilarityOps.vectorsPath(spark, idx))
+    println(f"[vretrain] idx=$idx K=$kb->$ka rows_before=$rowsBefore " +
+      f"rows_after=${after.count()} imbalance=" +
+      f"${graft.operators.SimilarityOps.indexImbalance(spark, idx)}%.3f")
+    spark.stop()
+  }
+}
+
 /** `sbt "runMain graft.ServeVectorIndex <indexDir> [sfDir]"` — the ANN
   * serving entry point: answer a query from the PERSISTED index alone
   * (BuildVectorIndex output) — float tier and int8 tier — with the probe

@@ -2581,6 +2581,104 @@ object SimilarityOps {
     Memos.release(indexDir)
   }
 
+  // ---- full quantizer retrain on a live index (r15) ------------------------
+
+  /** Rebuild EVERY learned artifact of a live index from its OWN rows —
+    * the terminal maintenance verb the geometry panel escalates to when
+    * incremental repair stops paying: q58 cohesion says cells are loose,
+    * q142 drift says new data no longer lands where old data did, q173
+    * says codewords starve, and [[splitHotCells]] only subdivides — after
+    * enough appended/ingested drift the right fix is a FRESH quantizer
+    * (coarse centroids, residual PQ codebooks, binary centering mean)
+    * trained on the corpus the index actually serves (base + every
+    * appended/ingested batch), not the corpus it was built from.
+    *
+    * Mechanics:
+    *   1. heal, then dedup the live rows by vec_id preferring the base
+    *      copy (the compaction crash guard);
+    *   2. stage them as a corpus-shaped table
+    *      (`.retrain_src/embeddings.parquet`) so the ORACLE-PINNED
+    *      deterministic trainer ([[writeIndex]] → kmeansModel / pqModel /
+    *      covMu: md5-seeded init, fixed iterations, DECIMAL argmins) runs
+    *      UNCHANGED — the retrained model is bit-identical to what a
+    *      from-scratch build on this corpus would produce, so every
+    *      training spec and oracle already covers it;
+    *   3. full artifact build into `.retrain_idx` (rows re-encoded
+    *      against the new geometry);
+    *   4. cutover: swap the three model artifacts (each staged+rename
+    *      atomic), rename the staged vectors in as the next MANIFEST
+    *      generation (the compactVectors swap), GC generations older
+    *      than the one just retired, refresh cluster_sizes, release the
+    *      memos LAST (in-process readers keep a consistent old view
+    *      until then).
+    * K resets to [[KmeansK]] — splits are geometry patches; retrain
+    * replaces the geometry. Returns (kBefore, kAfter).
+    *
+    * CRASH/CONCURRENCY (single maintenance writer, like every verb
+    * here): each swap is individually atomic so readers never see a
+    * missing artifact, but the cutover is several commits — a
+    * cross-process reader racing it can briefly mix new model artifacts
+    * with old vectors (bounded misranking for the metadata-ops window),
+    * and a crash mid-cutover leaves that mix standing. The heal IS the
+    * verb: retrain is idempotent from live rows (step 1 reads whatever
+    * generation the manifest names, and the deterministic trainer
+    * produces the identical model), so re-running completes any
+    * interrupted cutover.
+    *
+    * At 100 TB: two corpus passes (train + encode) and one rewrite —
+    * the price of a rebuild anywhere; the staged source copy carries
+    * (vec_id, embedding) only, and the standard refinement of training
+    * the quantizer on a hash-sample before the full encode pass (the
+    * kmeansModel scaladoc's note) applies unchanged. */
+  def retrainIndex(spark: SparkSession, indexDir: String): (Int, Int) = {
+    recoverRetiredBatches(spark, indexDir)
+    healOrphanClusters(spark, indexDir)
+    val kBefore = indexMeta(spark, indexDir, "centroids")
+      .select("cluster").distinct().count().toInt
+    val live = vectorsDf(spark, indexDir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ingest_batch").asc)))
+      .filter(col("rn") === 1)
+      .select("vec_id", "embedding")
+    val src = s"$indexDir/.retrain_src"
+    live.write.mode("overwrite").parquet(s"$src/embeddings.parquet")
+    // A prior retrain of this index memoized models under the SAME
+    // staged path — evict before training on the new snapshot.
+    Memos.release(src)
+    val stagedIdx = s"$indexDir/.retrain_idx"
+    writeIndex(spark, src, stagedIdx)
+    // Cutover: model artifacts first, vectors generation next, memo
+    // release at the very end.
+    Seq("centroids", "pq_centroids", "bq_mu").foreach { name =>
+      swapIndexArtifactDir(spark, indexDir, name,
+        spark.read.parquet(s"$stagedIdx/$name"))
+    }
+    val activeName = activeVectorsName(spark, indexDir)
+    val gen =
+      if (activeName == "vectors") 0
+      else activeName.stripPrefix("vectors_g").toInt
+    val nextName = s"vectors_g${gen + 1}"
+    val fs = idxFs(spark, indexDir)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(s"$stagedIdx/vectors"),
+        new org.apache.hadoop.fs.Path(s"$indexDir/$nextName")))
+      throw new IllegalStateException(
+        s"retrain cutover rename failed: $stagedIdx/vectors -> $nextName")
+    writeManifest(spark, indexDir, nextName)
+    fs.listStatus(new org.apache.hadoop.fs.Path(indexDir)).iterator
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        (n == "vectors" || n.startsWith("vectors_g")) &&
+          n != activeName && n != nextName
+      }
+      .foreach(p => fs.delete(p, true))
+    refreshClusterSizes(spark, indexDir)
+    fs.delete(new org.apache.hadoop.fs.Path(src), true)
+    fs.delete(new org.apache.hadoop.fs.Path(stagedIdx), true)
+    Memos.release(indexDir)
+    (kBefore, KmeansK)
+  }
+
   /** Probe-cluster selection against the PERSISTED centroids: the same
     * DECIMAL-stable squared-L2 + (dist ASC, cluster ASC) ordering as
     * q51's in-session probe, evaluated over the K×dims centroid file. The

@@ -488,6 +488,74 @@ class Round15Spec extends SparkSpec {
     assert(artifact() == counts(), "heal did not refresh the size artifact")
   }
 
+  // ---- full quantizer retrain on a live index ------------------------------
+
+  test("retrainIndex: fresh quantizer from the index's OWN rows — K " +
+    "resets to the trained baseline, rows conserved, every committed " +
+    "artifact equals its own append-derivation against the new model, " +
+    "the size artifact matches a recount, and exact (full-probe) " +
+    "answers are unchanged") {
+    import graft.streaming.StreamingOps
+    val out = java.nio.file.Files.createTempDirectory("graft_r15_retrain").toString
+    SimilarityOps.writeIndex(spark, sf, out)
+    // Drift the index away from its build corpus: ingest offset copies
+    // (new vec_ids), then patch the geometry so K != baseline.
+    val extra = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < 30)
+      .select((col("vec_id") + 3000000L).as("vec_id"), col("embedding"))
+    StreamingOps.ingestBatch(extra, 11L, out)
+    val splits = SimilarityOps.splitHotCells(spark, out, ratio = 1.01, maxCells = 1)
+    assert(splits.nonEmpty, "setup split did not run")
+    val idsBefore = SimilarityOps.vectorsDf(spark, out)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    val qids = Seq(0L, 5L)
+    val kAll = 20 // covers every cell pre (K+1) and post (K) retrain
+    val fullBefore = qids.map(q => q ->
+      SimilarityOps.annIvfServe(spark, out, embOf(q), nprobe = kAll)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+          r.getAs[Double]("cos"))).toSeq).toMap
+
+    val (kb, ka) = SimilarityOps.retrainIndex(spark, out)
+    assert(kb == SimilarityOps.KmeansK + 1, s"pre-retrain K: $kb")
+    assert(ka == SimilarityOps.KmeansK)
+    assert(spark.read.parquet(s"$out/centroids")
+      .select("cluster").distinct().count() == SimilarityOps.KmeansK)
+
+    // Rows conserved across the generation flip.
+    val after = SimilarityOps.vectorsDf(spark, out).localCheckpoint(true)
+    assert(after.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+      == idsBefore)
+    // Size artifact == recount of the new generation.
+    val recount = after.groupBy("cluster").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Number]("cluster").longValue() -> r.getAs[Long]("n")).toMap
+    val (sizes, _) = SimilarityOps.indexClusterSizes(spark, out)
+    assert(sizes == recount, "cluster_sizes diverged from the retrained table")
+
+    // The strongest consistency pin: every committed artifact column
+    // equals the append path's derivation of the SAME rows against the
+    // NEW persisted model (same DECIMAL argmins, same quantizations) —
+    // the retrained index is indistinguishable from one that ingested
+    // its rows through the incremental path after a from-scratch build.
+    val derived = SimilarityOps.appendArtifacts(spark, out,
+        after.select("vec_id", "embedding"))
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        col("codes"), col("scale"), col("pq_codes"), col("bq_lo"), col("bq_hi"))
+    val committed = after
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
+        col("codes"), col("scale"), col("pq_codes"), col("bq_lo"), col("bq_hi"))
+    assert(committed.exceptAll(derived).isEmpty &&
+      derived.exceptAll(committed).isEmpty,
+      "committed artifacts != append-derivation against the new model")
+
+    // Exact answers are geometry-independent: full-probe top-k identical.
+    qids.foreach { q =>
+      val fullAfter = SimilarityOps.annIvfServe(spark, out, embOf(q), nprobe = kAll)
+        .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("rank"),
+          r.getAs[Double]("cos"))).toSeq
+      assert(fullAfter == fullBefore(q), s"query $q: exact answers changed")
+    }
+  }
+
   // ---- frame-memo eviction race (the tierCache Sync promotion) ------------
 
   test("frame memo: Memos.release racing an in-flight Sync cold compute " +
