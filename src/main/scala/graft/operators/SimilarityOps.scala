@@ -763,6 +763,97 @@ object SimilarityOps {
        |FROM ysz y CROSS JOIN ymn LEFT JOIN yht h ON y.cluster = h.cluster
        |ORDER BY cluster""".stripMargin
 
+  // ---- q205: maintenance advisor (the panel's policy card) -----------------
+
+  /** Advisor thresholds — declared policy constants, compared on the
+    * r6-ROUNDED signals in BOTH engines (the q69 boundary discipline).
+    * TVD ≥ 0.1 means ≥10% of the fresh half's occupancy mass has moved
+    * cells relative to the base half — probe selectivity is decaying
+    * where the new data lands; dead_frac ≥ 0.25 means a quarter of the
+    * PQ codewords are unused — the subspaces' 4 bits buy materially
+    * fewer, a retrain-with-fresh-seeds signal (q173's reading). */
+  final val RetrainTvd = 0.1
+  final val RetrainDeadFrac = 0.25
+
+  /** q205: the geometry panel's POLICY card — one row composing the
+    * pinned health signals into the maintenance verb to run next:
+    * q202's cell imbalance (max/mean), q142's occupancy-drift TVD, and
+    * q173's dead-codeword total, with `advise_split` = imbalance over
+    * [[SplitRatio]] (exactly the predicate under which q204 plans ≥ 1
+    * split — the two censuses cannot disagree, spec-pinned) and
+    * `advise_retrain` = drift or codebook decay over the declared
+    * thresholds. `advice` names the single verb by escalation order:
+    * retrain ⊃ split ⊃ none (compaction is advised from FILE counts —
+    * metadata the analytic corpus cannot see — by the ingest trigger
+    * itself). The panel said where it hurts (q58/q142/q155/q173/q202);
+    * the actuators exist ([[splitHotCells]], [[retrainIndex]]); this is
+    * the row a maintenance scheduler reads to pick one.
+    *
+    * Scale shape: three 1-row summaries off the memoized assignment
+    * frames (each a K- or PqM·PqK-key map-side aggregate), cross-joined
+    * as broadcast scalars — census work, nothing corpus-bound beyond
+    * the shared one-pass assignments every panel query already rides. */
+  def maintenancePlan(spark: SparkSession, dir: String): DataFrame = {
+    val imb = clusterSizeSkew(spark, dir).select(col("imbalance"))
+    // All q142 rows carry the identical r6'd scalar; max() collapses
+    // them deterministically in both engines.
+    val tvd = assignmentDrift(spark, dir).agg(max(col("tvd")).as("tvd"))
+    val dead = pqCodeOccupancy(spark, dir)
+      .agg(sum(col("n_dead")).cast("long").as("n_dead_total"))
+    imb.crossJoin(broadcast(tvd)).crossJoin(broadcast(dead))
+      .withColumn("dead_frac",
+        r6(col("n_dead_total").cast("double") / lit((PqM * PqK).toDouble)))
+      .withColumn("advise_split",
+        (col("imbalance") > lit(SplitRatio)).cast("long"))
+      .withColumn("advise_retrain",
+        (col("tvd") >= lit(RetrainTvd) ||
+          col("dead_frac") >= lit(RetrainDeadFrac)).cast("long"))
+      .withColumn("advice",
+        when(col("advise_retrain") === 1L, lit("retrain"))
+          .when(col("advise_split") === 1L, lit("split"))
+          .otherwise(lit("none")))
+      .select("imbalance", "tvd", "n_dead_total", "dead_frac",
+        "advise_split", "advise_retrain", "advice")
+  }
+
+  val maintenancePlanSql: String =
+    s"""WITH $kmeansCtes,
+       |$pqCtes,
+       |wsz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS csz FROM kasg GROUP BY 1),
+       |wag AS (SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+       |          CAST(sum(csz) AS BIGINT) AS n_vectors,
+       |          CAST(max(csz) AS BIGINT) AS max_csz FROM wsz),
+       |wim AS (SELECT floor((CAST(max_csz AS DOUBLE) /
+       |            (CAST(n_vectors AS DOUBLE) / CAST(n_clusters AS DOUBLE)))
+       |            * 1000000 + 0.5) / 1000000 AS imbalance FROM wag),
+       |wocc AS (SELECT cluster,
+       |           sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS n_base,
+       |           sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS n_fresh
+       |         FROM kasg GROUP BY cluster),
+       |wtot AS (SELECT sum(n_base) AS tb, sum(n_fresh) AS tf FROM wocc),
+       |wshr AS (SELECT abs(n_base::DOUBLE / tb - n_fresh::DOUBLE / tf) AS ad
+       |         FROM wocc, wtot),
+       |wtvd AS (SELECT floor((CAST(sum(CAST(ad AS DECIMAL(30,8))) AS DOUBLE) / 2)
+       |           * 1000000 + 0.5) / 1000000 AS tvd FROM wshr),
+       |wdead AS (SELECT CAST($PqM * $PqK - count(*) AS BIGINT) AS n_dead_total
+       |          FROM (SELECT DISTINCT sub, code FROM qaf))
+       |SELECT imbalance, tvd, n_dead_total,
+       |  floor((CAST(n_dead_total AS DOUBLE) / ${PqM * PqK}.0)
+       |    * 1000000 + 0.5) / 1000000 AS dead_frac,
+       |  CAST(CASE WHEN imbalance > $SplitRatio THEN 1 ELSE 0 END AS BIGINT)
+       |    AS advise_split,
+       |  CAST(CASE WHEN tvd >= $RetrainTvd
+       |         OR floor((CAST(n_dead_total AS DOUBLE) / ${PqM * PqK}.0)
+       |              * 1000000 + 0.5) / 1000000 >= $RetrainDeadFrac
+       |       THEN 1 ELSE 0 END AS BIGINT) AS advise_retrain,
+       |  CASE WHEN tvd >= $RetrainTvd
+       |         OR floor((CAST(n_dead_total AS DOUBLE) / ${PqM * PqK}.0)
+       |              * 1000000 + 0.5) / 1000000 >= $RetrainDeadFrac
+       |       THEN 'retrain'
+       |       WHEN imbalance > $SplitRatio THEN 'split'
+       |       ELSE 'none' END AS advice
+       |FROM wim, wtvd, wdead""".stripMargin
+
   // ---- q77: IVF probe over int8-reconstructed vectors ---------------------
 
   /** The memory-compressed ANN serving tier: probe the learned IVF
@@ -5938,6 +6029,7 @@ object SimilarityOps {
     "q202_cluster_size_skew" -> (clusterSizeSkew _),
     "q203_tier_route_slice" -> (tierRouteSlice _),
     "q204_split_plan" -> ((s: SparkSession, d: String) => splitPlan(s, d)),
+    "q205_maintenance_plan" -> (maintenancePlan _),
     "q191_embedding_spectrum" -> (embeddingSpectrum _),
     "q192_binary_quant_recall" -> (binaryQuantRecall _),
     "q193_binary_rerank_recall" -> (binaryRerankRecall _),
@@ -5983,6 +6075,7 @@ object SimilarityOps {
     "q202_cluster_size_skew" -> clusterSizeSkewSql,
     "q203_tier_route_slice" -> tierRouteSliceSql,
     "q204_split_plan" -> splitPlanSql,
+    "q205_maintenance_plan" -> maintenancePlanSql,
     "q191_embedding_spectrum" -> embeddingSpectrumSql,
     "q192_binary_quant_recall" -> binaryQuantRecallSql,
     "q193_binary_rerank_recall" -> binaryRerankRecallSql,

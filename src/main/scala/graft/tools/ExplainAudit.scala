@@ -53,7 +53,8 @@ object ExplainAudit {
       "q179_label_neighbor_consistency",
       // r14/r15 serve-economics censuses + the split plan.
       "q200_tier_route_batch", "q201_tier_route_pass2_batch",
-      "q202_cluster_size_skew", "q203_tier_route_slice", "q204_split_plan")
+      "q202_cluster_size_skew", "q203_tier_route_slice", "q204_split_plan",
+      "q205_maintenance_plan")
 
     targets.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)

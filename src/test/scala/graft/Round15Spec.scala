@@ -488,6 +488,35 @@ class Round15Spec extends SparkSpec {
     assert(artifact() == counts(), "heal did not refresh the size artifact")
   }
 
+  // ---- q205: the panel's policy card ---------------------------------------
+
+  test("q205 maintenance plan: flags recompute from the source censuses " +
+    "(advise_split ⟺ q204 plans a split; advise_retrain ⟺ the declared " +
+    "thresholds on q142 tvd / q173 dead fraction), and advice names the " +
+    "highest-escalation flagged verb") {
+    val r = SimilarityOps.queries("q205_maintenance_plan")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    val q204over = SimilarityOps.queries("q204_split_plan")(spark, sf)
+      .filter(col("over_threshold") === 1L).count()
+    assert((row.getAs[Long]("advise_split") == 1L) == (q204over > 0),
+      "advise_split disagrees with the q204 split plan")
+    val tvd = SimilarityOps.queries("q142_assignment_drift")(spark, sf)
+      .agg(max(col("tvd"))).collect()(0).getDouble(0)
+    val dead = SimilarityOps.queries("q173_pq_code_occupancy")(spark, sf)
+      .agg(sum(col("n_dead"))).collect()(0).getLong(0)
+    assert(row.getAs[Double]("tvd") == tvd)
+    assert(row.getAs[Long]("n_dead_total") == dead)
+    val expectRetrain = tvd >= SimilarityOps.RetrainTvd ||
+      row.getAs[Double]("dead_frac") >= SimilarityOps.RetrainDeadFrac
+    assert((row.getAs[Long]("advise_retrain") == 1L) == expectRetrain)
+    val expectAdvice =
+      if (row.getAs[Long]("advise_retrain") == 1L) "retrain"
+      else if (row.getAs[Long]("advise_split") == 1L) "split"
+      else "none"
+    assert(row.getAs[String]("advice") == expectAdvice)
+  }
+
   // ---- full quantizer retrain on a live index ------------------------------
 
   test("retrainIndex: fresh quantizer from the index's OWN rows — K " +
