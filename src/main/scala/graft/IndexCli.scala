@@ -293,17 +293,24 @@ object SplitVectorIndex {
   * via SimilarityOps.retrainIndex. Run it when q58 cohesion / q142
   * drift / q173 occupancy say incremental repair (append, compaction,
   * hot-cell split) has stopped paying. K resets to the trained
-  * baseline; the cutover is staged + atomic per artifact; a crash
-  * mid-cutover heals by re-running (idempotent from live rows). Single
-  * maintenance writer per index, like append/compaction/split.
+  * baseline; the cutover is ONE atomic manifest commit (r16) — a
+  * reader or a crash at any instant sees the complete old geometry or
+  * the complete new one — and a killed run is finished by re-running
+  * (idempotent from live rows). An optional second arg trains the
+  * quantizer on a deterministic md5 hash-sample of the live rows
+  * (e.g. 0.25) and pays the full corpus only in the encode pass —
+  * the 100 TB shape. Single maintenance writer per index, like
+  * append/compaction/split.
   */
 object RetrainVectorIndex {
   def main(args: Array[String]): Unit = {
     val idx = if (args.nonEmpty) args(0) else "target/graft_ivf_index"
+    val frac = if (args.length > 1) args(1).toDouble else 1.0
     val spark = Cli.session()
     val rowsBefore = spark.read
       .parquet(graft.operators.SimilarityOps.vectorsPath(spark, idx)).count()
-    val (kb, ka) = graft.operators.SimilarityOps.retrainIndex(spark, idx)
+    val (kb, ka) = graft.operators.SimilarityOps.retrainIndex(
+      spark, idx, trainFraction = frac)
     val after = spark.read
       .parquet(graft.operators.SimilarityOps.vectorsPath(spark, idx))
     println(f"[vretrain] idx=$idx K=$kb->$ka rows_before=$rowsBefore " +

@@ -121,7 +121,7 @@ object StreamEvents {
       // arrived since" feed, one per second of synthetic event time, a
       // far-future sentinel closing the last hour window.
       val idx = if (args.length > 2) args(2) else "target/graft_ivf_index"
-      val cent = spark.read.parquet(s"$idx/centroids")
+      val cent = graft.operators.SimilarityOps.artifactDf(spark, idx, "centroids")
       val occ = spark.read
         .parquet(graft.operators.SimilarityOps.vectorsPath(spark, idx))
         .groupBy("cluster").count()

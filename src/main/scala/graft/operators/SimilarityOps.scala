@@ -765,8 +765,16 @@ object SimilarityOps {
 
   // ---- q205: maintenance advisor (the panel's policy card) -----------------
 
-  /** Advisor thresholds — declared policy constants, compared on the
-    * r6-ROUNDED signals in BOTH engines (the q69 boundary discipline).
+  /** Advisor thresholds — declared policy constants. The retrain signals
+    * (tvd / dead_frac) are compared on the r6-ROUNDED values in BOTH
+    * engines (the q69 boundary discipline); `advise_split` is compared
+    * UNROUNDED, on the exact expression shape q204/splitHotCells use
+    * (`max_csz > ratio · mean` — one IEEE product against an exact
+    * long→double), because that predicate must agree with the actuator's
+    * selection rule, not with the reported display column: an imbalance
+    * in (2.0, 2.0000005) rounds to 2.0, and a rounded compare would say
+    * advise_split = 0 while q204 plans ≥ 1 split (ADVICE r15). Only the
+    * reported `imbalance` column is rounded.
     * TVD ≥ 0.1 means ≥10% of the fresh half's occupancy mass has moved
     * cells relative to the base half — probe selectivity is decaying
     * where the new data lands; dead_frac ≥ 0.25 means a quarter of the
@@ -778,9 +786,10 @@ object SimilarityOps {
   /** q205: the geometry panel's POLICY card — one row composing the
     * pinned health signals into the maintenance verb to run next:
     * q202's cell imbalance (max/mean), q142's occupancy-drift TVD, and
-    * q173's dead-codeword total, with `advise_split` = imbalance over
-    * [[SplitRatio]] (exactly the predicate under which q204 plans ≥ 1
-    * split — the two censuses cannot disagree, spec-pinned) and
+    * q173's dead-codeword total, with `advise_split` = the UNROUNDED
+    * `max_csz > SplitRatio · mean` compare — bit-identical to the
+    * predicate under which q204 plans ≥ 1 split, so the two censuses
+    * cannot disagree even at a rounding boundary (spec-pinned) — and
     * `advise_retrain` = drift or codebook decay over the declared
     * thresholds. `advice` names the single verb by escalation order:
     * retrain ⊃ split ⊃ none (compaction is advised from FILE counts —
@@ -794,7 +803,21 @@ object SimilarityOps {
     * as broadcast scalars — census work, nothing corpus-bound beyond
     * the shared one-pass assignments every panel query already rides. */
   def maintenancePlan(spark: SparkSession, dir: String): DataFrame = {
-    val imb = clusterSizeSkew(spark, dir).select(col("imbalance"))
+    // advise_split compares UNROUNDED, with q204's exact expression shape
+    // (max_csz > ratio · mean — not the division max/mean > ratio, which
+    // can disagree at a ULP): the reported imbalance column is the only
+    // rounded value.
+    val (_, asg) = kmeansModel(spark, dir)
+    val imb = asg.groupBy("cluster").agg(count(lit(1)).as("csz"))
+      .agg(count(lit(1)).cast("long").as("n_clusters"),
+        sum(col("csz")).cast("long").as("n_vectors"),
+        max(col("csz")).cast("long").as("max_csz"))
+      .withColumn("mean_csz",
+        col("n_vectors").cast("double") / col("n_clusters").cast("double"))
+      .select(
+        r6(col("max_csz").cast("double") / col("mean_csz")).as("imbalance"),
+        (col("max_csz").cast("double") > lit(SplitRatio) * col("mean_csz"))
+          .cast("long").as("advise_split"))
     // All q142 rows carry the identical r6'd scalar; max() collapses
     // them deterministically in both engines.
     val tvd = assignmentDrift(spark, dir).agg(max(col("tvd")).as("tvd"))
@@ -803,8 +826,6 @@ object SimilarityOps {
     imb.crossJoin(broadcast(tvd)).crossJoin(broadcast(dead))
       .withColumn("dead_frac",
         r6(col("n_dead_total").cast("double") / lit((PqM * PqK).toDouble)))
-      .withColumn("advise_split",
-        (col("imbalance") > lit(SplitRatio)).cast("long"))
       .withColumn("advise_retrain",
         (col("tvd") >= lit(RetrainTvd) ||
           col("dead_frac") >= lit(RetrainDeadFrac)).cast("long"))
@@ -825,7 +846,10 @@ object SimilarityOps {
        |          CAST(max(csz) AS BIGINT) AS max_csz FROM wsz),
        |wim AS (SELECT floor((CAST(max_csz AS DOUBLE) /
        |            (CAST(n_vectors AS DOUBLE) / CAST(n_clusters AS DOUBLE)))
-       |            * 1000000 + 0.5) / 1000000 AS imbalance FROM wag),
+       |            * 1000000 + 0.5) / 1000000 AS imbalance,
+       |          CAST(CASE WHEN CAST(max_csz AS DOUBLE) > $SplitRatio *
+       |            (CAST(n_vectors AS DOUBLE) / CAST(n_clusters AS DOUBLE))
+       |            THEN 1 ELSE 0 END AS BIGINT) AS advise_split FROM wag),
        |wocc AS (SELECT cluster,
        |           sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS n_base,
        |           sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS n_fresh
@@ -840,8 +864,7 @@ object SimilarityOps {
        |SELECT imbalance, tvd, n_dead_total,
        |  floor((CAST(n_dead_total AS DOUBLE) / ${PqM * PqK}.0)
        |    * 1000000 + 0.5) / 1000000 AS dead_frac,
-       |  CAST(CASE WHEN imbalance > $SplitRatio THEN 1 ELSE 0 END AS BIGINT)
-       |    AS advise_split,
+       |  advise_split,
        |  CAST(CASE WHEN tvd >= $RetrainTvd
        |         OR floor((CAST(n_dead_total AS DOUBLE) / ${PqM * PqK}.0)
        |              * 1000000 + 0.5) / 1000000 >= $RetrainDeadFrac
@@ -850,7 +873,7 @@ object SimilarityOps {
        |         OR floor((CAST(n_dead_total AS DOUBLE) / ${PqM * PqK}.0)
        |              * 1000000 + 0.5) / 1000000 >= $RetrainDeadFrac
        |       THEN 'retrain'
-       |       WHEN imbalance > $SplitRatio THEN 'split'
+       |       WHEN advise_split = 1 THEN 'split'
        |       ELSE 'none' END AS advice
        |FROM wim, wtvd, wdead""".stripMargin
 
@@ -1921,18 +1944,81 @@ object SimilarityOps {
       .join(asg, "vec_id")
   }
 
+  /** Deterministic md5 hash-sample predicate: keep a row iff the first
+    * 15 hex chars of md5(key) — 60 bits, exact in a long — taken mod
+    * 10,000 fall under `fracE4`. Engine-portable (DuckDB computes the
+    * identical md5/conv/mod) and stable across runs, partitionings, and
+    * cluster sizes — the sampling idiom every trainer scaladoc points
+    * at for 100 TB. */
+  private[graft] def hashSampleE4(key: Column, fracE4: Int): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(10000L)) < fracE4
+
   /** Write the COMPLETE serving artifact set for a corpus — the one
     * offline-build entry point ([[graft.BuildVectorIndex]], Bench, and
     * every spec go through it, so no index can miss an artifact):
     * `vectors` partitioned (cluster, ingest_batch), coarse `centroids`,
     * residual `pq_centroids`, and the binary tier's centering mean
-    * `bq_mu`. */
-  def writeIndex(spark: SparkSession, dir: String, out: String): Unit = {
-    indexArtifacts(spark, dir).write.mode("overwrite")
-      .partitionBy("cluster", "ingest_batch").parquet(s"$out/vectors")
-    kmeansModel(spark, dir)._1.write.mode("overwrite").parquet(s"$out/centroids")
-    pqModel(spark, dir)._1.write.mode("overwrite").parquet(s"$out/pq_centroids")
-    covMu(spark, dir).write.mode("overwrite").parquet(s"$out/bq_mu")
+    * `bq_mu`.
+    *
+    * `trainFraction < 1` (r16 — VERDICT r15 #4) trains the quantizer on
+    * a deterministic [[hashSampleE4]] md5 subset of the corpus and pays
+    * the full corpus only in the ENCODE pass (the [[appendArtifacts]]
+    * derivation against the sample-trained model — exact regardless of
+    * what the model was trained on). At 100 TB this turns the two full
+    * training passes into sample-sized ones; recall moves within noise
+    * at sf0.1 (SCALE.md "Sampled-train retrain"). The sample is staged
+    * corpus-shaped so the ORACLE-PINNED deterministic trainer runs
+    * byte-identically — same seeds rule, same DECIMAL argmins — making
+    * the sampled build a pure function of (corpus, fraction). */
+  def writeIndex(spark: SparkSession, dir: String, out: String,
+      trainFraction: Double = 1.0): Unit = {
+    // An in-place REBUILD of a generation-bearing index (one that has
+    // seen compaction/split/retrain) must not leave a manifest naming
+    // soon-stale generation dirs while the build writes the legacy
+    // paths: drop the manifest and every generation first — writeIndex
+    // is the OFFLINE build (no concurrent readers by contract);
+    // retrainIndex is the reader-safe live verb.
+    val outFs = idxFs(spark, out)
+    val mf = new org.apache.hadoop.fs.Path(s"$out/MANIFEST")
+    if (outFs.exists(mf)) {
+      outFs.delete(mf, false)
+      Seq("vectors", "centroids", "pq_centroids", "bq_mu")
+        .foreach(b => gcGenerations(spark, out, b, Set(b)))
+    }
+    if (trainFraction >= 1.0) {
+      indexArtifacts(spark, dir).write.mode("overwrite")
+        .partitionBy("cluster", "ingest_batch").parquet(s"$out/vectors")
+      kmeansModel(spark, dir)._1.write.mode("overwrite").parquet(s"$out/centroids")
+      pqModel(spark, dir)._1.write.mode("overwrite").parquet(s"$out/pq_centroids")
+      covMu(spark, dir).write.mode("overwrite").parquet(s"$out/bq_mu")
+    } else {
+      require(trainFraction > 0.0, s"trainFraction must be in (0, 1]: $trainFraction")
+      val fracE4 = math.round(trainFraction * 10000).toInt
+      val sampleDir = s"$out/.train_sample"
+      emb(spark, dir).filter(hashSampleE4(col("vec_id"), fracE4))
+        .write.mode("overwrite").parquet(s"$sampleDir/embeddings.parquet")
+      // The staged sample reuses the path a prior sampled build used —
+      // evict any model memoized under it before training.
+      Memos.release(sampleDir)
+      val nSample = spark.read.parquet(s"$sampleDir/embeddings.parquet").count()
+      require(nSample >= KmeansK,
+        s"trainFraction=$trainFraction sampled $nSample vectors — fewer than " +
+          s"K=$KmeansK; raise the fraction (tiny corpora should train full)")
+      kmeansModel(spark, sampleDir)._1.write.mode("overwrite").parquet(s"$out/centroids")
+      pqModel(spark, sampleDir)._1.write.mode("overwrite").parquet(s"$out/pq_centroids")
+      covMu(spark, sampleDir).write.mode("overwrite").parquet(s"$out/bq_mu")
+      // Full-corpus encode against the sample-trained model: the
+      // incremental append derivation, reading the artifacts just
+      // written (evict first so indexMeta can't serve a prior build's).
+      Memos.release(out)
+      appendArtifacts(spark, out, emb(spark, dir).select("vec_id", "embedding"))
+        .withColumn("ingest_batch", lit(-1L))
+        .write.mode("overwrite")
+        .partitionBy("cluster", "ingest_batch").parquet(s"$out/vectors")
+      idxFs(spark, out).delete(
+        new org.apache.hadoop.fs.Path(sampleDir), true)
+    }
     // Routing cluster sizes are an INDEX ARTIFACT (r14 — VERDICT r13 #3):
     // the build knows them, so tier=auto serving must never pay a
     // corpus-scale count at session start. Recounted from the
@@ -2142,32 +2228,70 @@ object SimilarityOps {
     new org.apache.hadoop.fs.Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The ACTIVE vectors directory name, resolved through the index's
-    * 1-line MANIFEST (VERDICT r10 #1): full-table compaction writes a new
-    * generation directory and flips the manifest in ONE atomic rename, so
-    * a read issued at any instant resolves either the old or the new
-    * generation — never a half-swapped or missing table. An index without
-    * a MANIFEST (fresh build, pre-r11 layout) is generation 0: `vectors`. */
-  private[graft] def activeVectorsName(spark: SparkSession, indexDir: String): String = {
+  /** Parsed index MANIFEST (v2, r16 — VERDICT r15 #2): the vectors
+    * generation plus the MODEL-ARTIFACT generations (centroids /
+    * pq_centroids / bq_mu). An artifact absent from the map lives at its
+    * legacy fixed path `$indexDir/<name>` (generation 0) — which is also
+    * the complete layout of a fresh build or a v1 manifest, so every
+    * pre-r16 index reads unchanged and MIGRATES the first time a
+    * maintenance verb swaps an artifact. */
+  private[graft] case class IndexLayout(
+      vectors: String, artifacts: Map[String, String])
+
+  /** Read + parse the MANIFEST. v1 = one line naming the vectors dir;
+    * v2 adds `name=dir` lines for model artifacts. One file read — the
+    * same metadata price every serve already pays to resolve the
+    * vectors generation. */
+  private[graft] def indexLayout(spark: SparkSession, indexDir: String): IndexLayout = {
     val fs = idxFs(spark, indexDir)
     val mf = new org.apache.hadoop.fs.Path(s"$indexDir/MANIFEST")
-    if (!fs.exists(mf)) "vectors"
+    if (!fs.exists(mf)) IndexLayout("vectors", Map.empty)
     else {
       val in = fs.open(mf)
       val content =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      val name = content.linesIterator.map(_.trim).find(_.nonEmpty)
-        .getOrElse(throw new IllegalStateException(
-          s"empty/blank index MANIFEST at $mf — a zero-byte manifest " +
-            "means external tooling copied the index non-atomically; " +
-            "restore the manifest or delete it to fall back to `vectors`"))
-      val resolved = new org.apache.hadoop.fs.Path(s"$indexDir/$name")
-      if (!fs.exists(resolved)) throw new IllegalStateException(
-        s"index MANIFEST at $mf names missing directory $resolved")
-      name
+      val lines = content.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+      if (lines.isEmpty) throw new IllegalStateException(
+        s"empty/blank index MANIFEST at $mf — a zero-byte manifest " +
+          "means external tooling copied the index non-atomically; " +
+          "restore the manifest or delete it to fall back to `vectors`")
+      val arts = lines.tail.map { l =>
+        val i = l.indexOf('=')
+        if (i <= 0) throw new IllegalStateException(
+          s"malformed index MANIFEST line '$l' at $mf — expected `name=dir`")
+        l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+      IndexLayout(lines.head, arts)
     }
   }
+
+  /** The ACTIVE vectors directory name, resolved through the index's
+    * MANIFEST (VERDICT r10 #1): full-table compaction writes a new
+    * generation directory and flips the manifest in ONE atomic rename, so
+    * a read issued at any instant resolves either the old or the new
+    * generation — never a half-swapped or missing table. An index without
+    * a MANIFEST (fresh build, pre-r11 layout) is generation 0: `vectors`. */
+  private[graft] def activeVectorsName(spark: SparkSession, indexDir: String): String = {
+    val name = indexLayout(spark, indexDir).vectors
+    val resolved = new org.apache.hadoop.fs.Path(s"$indexDir/$name")
+    if (!idxFs(spark, indexDir).exists(resolved)) throw new IllegalStateException(
+      s"index MANIFEST at $indexDir/MANIFEST names missing directory $resolved")
+    name
+  }
+
+  /** The directory name a model artifact currently lives under —
+    * manifest-named generation, else the legacy fixed path. */
+  private[graft] def artifactName(
+      spark: SparkSession, indexDir: String, name: String): String =
+    indexLayout(spark, indexDir).artifacts.getOrElse(name, name)
+
+  /** Manifest-resolved read of a model artifact — the one entry point
+    * for cross-process artifact reads (specs and probes included), so a
+    * generation swap is invisible to every reader. */
+  private[graft] def artifactDf(
+      spark: SparkSession, indexDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$indexDir/${artifactName(spark, indexDir, name)}")
 
   /** Resolved path of the active vectors table. */
   private[graft] def vectorsPath(spark: SparkSession, indexDir: String): String =
@@ -2195,17 +2319,70 @@ object SimilarityOps {
     spark.read.schema(VectorsSchema).option("ignoreMissingFiles", "true")
       .parquet(vectorsPath(spark, indexDir))
 
-  /** Atomically point the MANIFEST at `name`: write a temp file, then
-    * rename-with-OVERWRITE (FileContext — atomic on local FS and HDFS). */
-  private def writeManifest(spark: SparkSession, indexDir: String, name: String): Unit = {
+  /** Atomically commit a full layout to the MANIFEST: write a temp file,
+    * then rename-with-OVERWRITE (FileContext — atomic on local FS and
+    * HDFS). This single rename is THE commit point for every
+    * generation-naming verb — vectors compaction, artifact swaps, and
+    * the whole retrain cutover (VERDICT r15 #2): a reader resolving the
+    * manifest at any instant sees all-old or all-new names, never a
+    * half-written mix. Artifact lines are sorted for a deterministic
+    * byte layout. */
+  private def writeManifestLayout(
+      spark: SparkSession, indexDir: String, layout: IndexLayout): Unit = {
     val fs = idxFs(spark, indexDir)
     val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/MANIFEST.tmp")
+    val content = (layout.vectors +: layout.artifacts.toSeq.sorted
+      .map { case (n, d) => s"$n=$d" }).mkString("", "\n", "\n")
     val out = fs.create(tmp, true)
-    try out.write((name + "\n").getBytes("UTF-8")) finally out.close()
+    try out.write(content.getBytes("UTF-8")) finally out.close()
     org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri,
       spark.sparkContext.hadoopConfiguration)
       .rename(tmp, new org.apache.hadoop.fs.Path(s"$indexDir/MANIFEST"),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Point the manifest's vectors line at `name`, preserving the model
+    * artifact lines. */
+  private def writeManifest(spark: SparkSession, indexDir: String, name: String): Unit =
+    writeManifestLayout(spark, indexDir,
+      indexLayout(spark, indexDir).copy(vectors = name))
+
+  /** The next UNUSED generation name for `base` (`base_g<N>`), derived
+    * from the max generation PRESENT ON DISK — not the manifest's — so a
+    * staging directory left by a crashed earlier attempt can never
+    * collide with (or be nested under, per local-FS rename-into-dir
+    * semantics) the re-run's target (ADVICE r15 #1). */
+  private def nextGenName(spark: SparkSession, indexDir: String, base: String): String = {
+    val pat = (java.util.regex.Pattern.quote(base) + "_g(\\d+)").r
+    val maxGen = idxFs(spark, indexDir)
+      .listStatus(new org.apache.hadoop.fs.Path(indexDir)).iterator
+      .map(_.getPath.getName).map {
+        case `base` => 0
+        case pat(g) => g.toInt
+        case _ => -1
+      }.foldLeft(0)(math.max)
+    s"${base}_g${maxGen + 1}"
+  }
+
+  /** Delete every generation directory of `base` except `keep` — the
+    * just-committed name plus the just-retired one (grace period:
+    * in-flight readers that resolved the old manifest keep working
+    * through one full verb cycle). Unreferenced strays from crashed
+    * stagings are collected here too, which is what makes a killed
+    * cutover self-healing: manifest unchanged → the stray is garbage by
+    * definition and the next successful verb removes it. */
+  private def gcGenerations(
+      spark: SparkSession, indexDir: String, base: String,
+      keep: Set[String]): Unit = {
+    val fs = idxFs(spark, indexDir)
+    val pat = (java.util.regex.Pattern.quote(base) + "_g(\\d+)").r
+    fs.listStatus(new org.apache.hadoop.fs.Path(indexDir)).iterator
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        (n == base || pat.pattern.matcher(n).matches()) && !keep(n)
+      }
+      .foreach(p => fs.delete(p, true))
   }
 
   /** Per-cluster parquet-file counts of a vectors directory — a
@@ -2391,10 +2568,7 @@ object SimilarityOps {
     val activeName = activeVectorsName(spark, indexDir)
     val before = spark.read.parquet(s"$indexDir/$activeName")
     val filesBefore = before.inputFiles.length
-    val gen =
-      if (activeName == "vectors") 0
-      else activeName.stripPrefix("vectors_g").toInt
-    val nextName = s"vectors_g${gen + 1}"
+    val nextName = nextGenName(spark, indexDir, "vectors")
     // Compaction also folds the ingest history into the base: appended
     // batches' ingest_batch=<id> partitions collapse to −1, so the
     // per-batch directory fan-out from streaming ingest is paid down too.
@@ -2405,15 +2579,7 @@ object SimilarityOps {
     writeManifest(spark, indexDir, nextName)
     // Grace-period GC: keep activeName (just retired — in-flight readers
     // may still hold it); delete every OLDER generation.
-    val fs = idxFs(spark, indexDir)
-    fs.listStatus(new org.apache.hadoop.fs.Path(indexDir)).iterator
-      .map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        (n == "vectors" || n.startsWith("vectors_g")) &&
-          n != activeName && n != nextName
-      }
-      .foreach(p => fs.delete(p, true))
+    gcGenerations(spark, indexDir, "vectors", Set(activeName, nextName))
     // Full-table compaction folds every batch into the base — refresh the
     // cluster_sizes artifact from the new generation (also the heal point
     // for pre-artifact indexes and for any crashed earlier bump).
@@ -2584,7 +2750,7 @@ object SimilarityOps {
         // Centroid swap: every row EXCEPT the split cell's, plus the two
         // sub-centroids. Checkpointed BEFORE the swap (Spark refuses to
         // overwrite a path it is reading).
-        val updated = spark.read.parquet(s"$indexDir/centroids")
+        val updated = artifactDf(spark, indexDir, "centroids")
           .filter(col("cluster") =!= c)
           .unionByName(newCent)
           .localCheckpoint(true)
@@ -2611,28 +2777,33 @@ object SimilarityOps {
     } finally rows.unpersist(true)
   }
 
-  /** Replace a small index artifact DIRECTORY (centroids) with staged
-    * content: write to `.<name>.staged`, then rename into place. The
-    * destination-missing window is two metadata ops; a crash inside it
-    * leaves `.<name>.staged` complete, and [[healOrphanClusters]] (or
-    * the next split) finishes the rename. In-flight sessions are
-    * unaffected (indexMeta memoizes an eager checkpoint). */
+  /** Replace a small index artifact DIRECTORY (centroids) with new
+    * content — SINGLE-COMMIT since r16 (VERDICT r15 #2): the content is
+    * written to a fresh generation directory (unreferenced until
+    * commit), then the MANIFEST line flips in one atomic rename. The
+    * pre-r16 staged-dir recipe had a destination-missing window between
+    * two metadata ops; now a reader at any instant resolves the old or
+    * the new generation, and a crash leaves either nothing (manifest
+    * unchanged, stray dir GC'd by the next verb) or a complete commit.
+    * The retired generation is kept one verb cycle for in-flight
+    * readers, like the vectors table's. */
   private[graft] def swapIndexArtifactDir(
       spark: SparkSession, indexDir: String, name: String,
       content: DataFrame): Unit = {
-    val fs = idxFs(spark, indexDir)
-    val staged = new org.apache.hadoop.fs.Path(s"$indexDir/.$name.staged")
-    fs.delete(staged, true)
-    content.write.mode("overwrite").parquet(staged.toString)
-    val dst = new org.apache.hadoop.fs.Path(s"$indexDir/$name")
-    fs.delete(dst, true)
-    if (!fs.rename(staged, dst))
-      throw new IllegalStateException(s"artifact swap rename failed: $staged -> $dst")
+    val layout = indexLayout(spark, indexDir)
+    val prev = layout.artifacts.getOrElse(name, name)
+    val next = nextGenName(spark, indexDir, name)
+    content.write.mode("overwrite").parquet(s"$indexDir/$next")
+    writeManifestLayout(spark, indexDir,
+      layout.copy(artifacts = layout.artifacts + (name -> next)))
+    gcGenerations(spark, indexDir, name, Set(prev, next))
   }
 
-  /** Crash heal for the split's two-commit window: (a) a complete
-    * `.centroids.staged` with no `centroids` (crash mid-swap) is renamed
-    * into place; (b) any cluster partition present in the vectors table
+  /** Crash heal for the split's data-vs-centroid window: (a) MIGRATION —
+    * a complete `.centroids.staged` left by a pre-r16 crash mid-swap
+    * (when the swap was two metadata ops instead of today's one manifest
+    * commit) is renamed into the missing legacy path, else deleted as
+    * garbage; (b) any cluster partition present in the vectors table
     * but absent from the centroids artifact (data committed, centroid
     * swap never ran) gets its centroid RECONSTRUCTED as the per-pos
     * DECIMAL mean of its rows — bit-identical to the sub-centroid the
@@ -2642,15 +2813,16 @@ object SimilarityOps {
   private[graft] def healOrphanClusters(spark: SparkSession, indexDir: String): Unit = {
     val fs = idxFs(spark, indexDir)
     val staged = new org.apache.hadoop.fs.Path(s"$indexDir/.centroids.staged")
-    val centPath = new org.apache.hadoop.fs.Path(s"$indexDir/centroids")
     if (fs.exists(staged)) {
-      if (!fs.exists(centPath) &&
+      val resolved = new org.apache.hadoop.fs.Path(
+        s"$indexDir/${artifactName(spark, indexDir, "centroids")}")
+      if (!fs.exists(resolved) &&
         fs.exists(new org.apache.hadoop.fs.Path(s"$staged/_SUCCESS"))) {
-        fs.rename(staged, centPath)
+        fs.rename(staged, resolved)
         Memos.release(indexDir)
       } else fs.delete(staged, true)
     }
-    val have = spark.read.parquet(centPath.toString)
+    val have = artifactDf(spark, indexDir, "centroids")
       .select("cluster").distinct()
       .collect().map(_.getAs[Number]("cluster").longValue()).toSet
     val present = clusterFileCounts(spark, indexDir).keySet
@@ -2664,7 +2836,7 @@ object SimilarityOps {
       .groupBy("cluster", "pos")
       .agg((sum(col("v").cast("decimal(38,18)")).cast("double") / count(lit(1)))
         .as("c"))
-    val updated = spark.read.parquet(centPath.toString)
+    val updated = artifactDf(spark, indexDir, "centroids")
       .unionByName(means).localCheckpoint(true)
     swapIndexArtifactDir(spark, indexDir, "centroids", updated)
     updated.unpersist(true)
@@ -2696,32 +2868,44 @@ object SimilarityOps {
     *      training spec and oracle already covers it;
     *   3. full artifact build into `.retrain_idx` (rows re-encoded
     *      against the new geometry);
-    *   4. cutover: swap the three model artifacts (each staged+rename
-    *      atomic), rename the staged vectors in as the next MANIFEST
-    *      generation (the compactVectors swap), GC generations older
-    *      than the one just retired, refresh cluster_sizes, release the
-    *      memos LAST (in-process readers keep a consistent old view
-    *      until then).
+    *   4. cutover — SINGLE-COMMIT since r16 (VERDICT r15 #2): the three
+    *      model artifacts and the vectors table are first RENAMED from
+    *      the staging build into fresh generation directories (disk-max
+    *      derived, ADVICE r15 #1 — a crashed prior attempt's strays can
+    *      never collide), all UNREFERENCED until one atomic MANIFEST
+    *      write names all four together. A reader resolving the
+    *      manifest at any instant gets the complete old geometry or the
+    *      complete new one — never new codebooks over old vectors.
+    *      Then: GC every generation but (retired, new), refresh
+    *      cluster_sizes, release the memos.
     * K resets to [[KmeansK]] — splits are geometry patches; retrain
     * replaces the geometry. Returns (kBefore, kAfter).
     *
     * CRASH/CONCURRENCY (single maintenance writer, like every verb
-    * here): each swap is individually atomic so readers never see a
-    * missing artifact, but the cutover is several commits — a
-    * cross-process reader racing it can briefly mix new model artifacts
-    * with old vectors (bounded misranking for the metadata-ops window),
-    * and a crash mid-cutover leaves that mix standing. The heal IS the
-    * verb: retrain is idempotent from live rows (step 1 reads whatever
-    * generation the manifest names, and the deterministic trainer
-    * produces the identical model), so re-running completes any
-    * interrupted cutover.
+    * here): a crash ANYWHERE before the manifest write leaves the index
+    * byte-identically serving the old geometry (the staged/renamed dirs
+    * are unreferenced garbage, self-describing — staging present,
+    * manifest unchanged — and the next verb's GC removes them); a crash
+    * after it leaves the new geometry fully committed. Re-running the
+    * verb from either state completes the work (the deterministic
+    * trainer reproduces the identical model from the live rows). There
+    * is no mixed-geometry crash state left to detect.
     *
     * At 100 TB: two corpus passes (train + encode) and one rewrite —
     * the price of a rebuild anywhere; the staged source copy carries
-    * (vec_id, embedding) only, and the standard refinement of training
-    * the quantizer on a hash-sample before the full encode pass (the
-    * kmeansModel scaladoc's note) applies unchanged. */
-  def retrainIndex(spark: SparkSession, indexDir: String): (Int, Int) = {
+    * (vec_id, embedding) only. `trainFraction < 1` trains the quantizer
+    * on a deterministic md5(vec_id) hash-sample and pays the FULL
+    * corpus only in the encode pass — the standard large-corpus
+    * refinement (sampling is the trainer's own convention; the encode
+    * is exact regardless).
+    *
+    * `crashAfter` is a TEST-ONLY kill switch: abort after N cutover
+    * steps (0 = before any staging rename, 4 = after all four, 5 =
+    * after the manifest commit) so the spec can pin every crash
+    * window's reader view. */
+  def retrainIndex(spark: SparkSession, indexDir: String,
+      trainFraction: Double = 1.0,
+      crashAfter: Int = Int.MaxValue): (Int, Int) = {
     recoverRetiredBatches(spark, indexDir)
     healOrphanClusters(spark, indexDir)
     val kBefore = indexMeta(spark, indexDir, "centroids")
@@ -2737,32 +2921,42 @@ object SimilarityOps {
     // staged path — evict before training on the new snapshot.
     Memos.release(src)
     val stagedIdx = s"$indexDir/.retrain_idx"
-    writeIndex(spark, src, stagedIdx)
-    // Cutover: model artifacts first, vectors generation next, memo
-    // release at the very end.
-    Seq("centroids", "pq_centroids", "bq_mu").foreach { name =>
-      swapIndexArtifactDir(spark, indexDir, name,
-        spark.read.parquet(s"$stagedIdx/$name"))
-    }
-    val activeName = activeVectorsName(spark, indexDir)
-    val gen =
-      if (activeName == "vectors") 0
-      else activeName.stripPrefix("vectors_g").toInt
-    val nextName = s"vectors_g${gen + 1}"
+    writeIndex(spark, src, stagedIdx, trainFraction = trainFraction)
+    // Cutover: rename everything into unreferenced generation dirs,
+    // then ONE manifest commit.
+    val layout = indexLayout(spark, indexDir)
     val fs = idxFs(spark, indexDir)
+    var step = 0
+    def kill(): Unit = {
+      step += 1
+      if (step > crashAfter) throw new IllegalStateException(
+        s"retrainIndex: injected crash after cutover step $crashAfter")
+    }
+    kill()
+    val newArts = Seq("centroids", "pq_centroids", "bq_mu").map { name =>
+      val next = nextGenName(spark, indexDir, name)
+      if (!fs.rename(new org.apache.hadoop.fs.Path(s"$stagedIdx/$name"),
+          new org.apache.hadoop.fs.Path(s"$indexDir/$next")))
+        throw new IllegalStateException(
+          s"retrain staging rename failed: $stagedIdx/$name -> $next")
+      kill()
+      name -> next
+    }
+    val nextName = nextGenName(spark, indexDir, "vectors")
     if (!fs.rename(new org.apache.hadoop.fs.Path(s"$stagedIdx/vectors"),
         new org.apache.hadoop.fs.Path(s"$indexDir/$nextName")))
       throw new IllegalStateException(
-        s"retrain cutover rename failed: $stagedIdx/vectors -> $nextName")
-    writeManifest(spark, indexDir, nextName)
-    fs.listStatus(new org.apache.hadoop.fs.Path(indexDir)).iterator
-      .map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        (n == "vectors" || n.startsWith("vectors_g")) &&
-          n != activeName && n != nextName
-      }
-      .foreach(p => fs.delete(p, true))
+        s"retrain staging rename failed: $stagedIdx/vectors -> $nextName")
+    kill()
+    // THE commit: every reader from here resolves the new geometry whole.
+    writeManifestLayout(spark, indexDir,
+      IndexLayout(nextName, layout.artifacts ++ newArts))
+    kill()
+    gcGenerations(spark, indexDir, "vectors", Set(layout.vectors, nextName))
+    newArts.foreach { case (name, next) =>
+      gcGenerations(spark, indexDir, name,
+        Set(layout.artifacts.getOrElse(name, name), next))
+    }
     refreshClusterSizes(spark, indexDir)
     fs.delete(new org.apache.hadoop.fs.Path(src), true)
     fs.delete(new org.apache.hadoop.fs.Path(stagedIdx), true)
@@ -2789,11 +2983,21 @@ object SimilarityOps {
     * centroids; append/compact never rewrite these artifacts. */
   private val indexMetaCache = Memo.frame()
 
+  /** The memo key carries the manifest-RESOLVED generation name (r16):
+    * a maintenance verb that swaps an artifact flips the manifest, so
+    * the very next read re-derives from the new generation without
+    * waiting for the verb's trailing Memos.release — and, because the
+    * vectors read resolves the SAME manifest, an in-process reader
+    * observes retrain's all-or-nothing cutover too, never a mixed
+    * geometry. The resolution is one manifest read per call — the
+    * metadata price vectorsDf already pays on the same request. */
   private def indexMeta(
-      spark: SparkSession, indexDir: String, name: String): DataFrame =
+      spark: SparkSession, indexDir: String, name: String): DataFrame = {
+    val resolved = artifactName(spark, indexDir, name)
     indexMetaCache.getOrElseUpdateSync(
-      s"$name:${spark.sparkContext.applicationId}:$indexDir",
-      spark.read.parquet(s"$indexDir/$name").localCheckpoint(true))
+      s"$name:$resolved:${spark.sparkContext.applicationId}:$indexDir",
+      spark.read.parquet(s"$indexDir/$resolved").localCheckpoint(true))
+  }
 
   private[graft] def servedProbe(
       spark: SparkSession, indexDir: String, queryVec: Array[Float],
@@ -5068,6 +5272,49 @@ object SimilarityOps {
   private[graft] def invalidateClusterSizes(indexDir: String): Unit =
     clusterSizeCache.evictDir(indexDir)
 
+  /** Live-index occupancy-drift TVD (r16 — VERDICT r15 #3): how far the
+    * INGESTED rows' cell distribution departs from the base rows' — the
+    * q142 retrain signal computed from the index the stream actually
+    * grows, at METADATA price: both halves come straight from the
+    * cluster_sizes artifact's (cluster, ingest_batch) rows (base =
+    * ingest_batch −1, ingested = everything since), so the per-batch
+    * trigger check reads K·|batches| artifact rows, never the corpus.
+    * 0.0 when either half is empty (no drift measurable). Self-arming
+    * semantics: retrain folds everything to base, so the signal resets
+    * to 0 after the verb it calls for — and compaction's history folds
+    * move the measurement horizon forward with them (drift that
+    * persists past a fold re-accumulates; the analytic q142/q205
+    * censuses remain the horizon-free audit). */
+  private[graft] def indexOccupancyTvd(spark: SparkSession, indexDir: String): Double =
+    readClusterSizesRows(spark, indexDir) match {
+      case None => 0.0
+      case Some(rows) =>
+        val base = rows.filter(_._2 == -1L)
+          .groupBy(_._1).map { case (c, rs) => c -> rs.map(_._3).sum }
+        val fresh = rows.filter(_._2 >= 0L)
+          .groupBy(_._1).map { case (c, rs) => c -> rs.map(_._3).sum }
+        val tb = base.values.sum.toDouble
+        val tf = fresh.values.sum.toDouble
+        if (tb == 0 || tf == 0) 0.0
+        else (base.keySet ++ fresh.keySet).iterator.map { c =>
+          math.abs(base.getOrElse(c, 0L) / tb - fresh.getOrElse(c, 0L) / tf)
+        }.sum / 2.0
+    }
+
+  /** Dead-codeword fraction of the LIVE index's pq_codes — the q173
+    * retrain signal over the rows being served rather than the analytic
+    * corpus. One scan of the 8-byte pq_codes column (map-side-partial
+    * distinct over ≤ PqM·PqK (sub, code) keys — the result is
+    * model-bounded; the scan is a single narrow column pass, which is
+    * why the streaming trigger treats this as the OPTIONAL second
+    * signal, separately armed). */
+  private[graft] def indexDeadCodeFrac(spark: SparkSession, indexDir: String): Double = {
+    val liveCodes = vectorsDf(spark, indexDir)
+      .select(posexplode(col("pq_codes")).as(Seq("sub", "code")))
+      .distinct().count()
+    (PqM.toLong * PqK - liveCodes).toDouble / (PqM.toLong * PqK)
+  }
+
   /** q202's imbalance (max cell size / mean cell size) read from the
     * index's size artifact — THE shared definition for every consumer
     * of the trigger signal (streaming maybeSplit, the SplitVectorIndex
@@ -5607,11 +5854,45 @@ object SimilarityOps {
   /** The slice-collapsed panel choices under arbitrary e4 weights —
     * EXACTLY what streaming annServe(tier=auto, stateDir) routes by
     * (batch prices + slice collapse); Round14Spec ties the streamed
-    * per-query tiers to this frame (zero weights ≡ q203's tier_final). */
+    * per-query tiers to this frame (zero weights ≡ q203's tier_final,
+    * learned weights ≡ q206's — Round16Spec pins the latter, closing
+    * the oracle chain on the production auto path). */
   private[graft] def tierSliceChoices(
       spark: SparkSession, dir: String, wE4: Map[String, Long]): DataFrame = {
     val w = Tiers.map(t => t -> lit(wE4.getOrElse(t, 0L).toDouble / 10000.0)).toMap
     sliceCollapse(tierUtilitiesBatch(tierFeatures(spark, dir), w), "qid")
+  }
+
+  /** q206 (r16 — VERDICT r15 #1): the learned-state slice collapse —
+    * the LAST un-oracled square of the routing census lattice. The
+    * production streaming dispatch (`annServe(tier=auto, stateDir)` →
+    * [[tierSliceChoices]]) composes three things: learned weights (the
+    * q185/q186 fold through the persisted state store), batch prices
+    * ([[tierUtilitiesBatch]]), and the slice collapse
+    * ([[sliceCollapseDetail]]). q201 oracle-gates the first two without
+    * the collapse; q203 the collapse at ZERO state; the COMPOSITION was
+    * only spec-pinned. This census runs it end-to-end: fold → SAVE →
+    * RELOAD (persistence inside the hash gate, the q187/q201 contract) →
+    * batch utilities under the loaded weights → the full collapse
+    * economics per query. Round16Spec pins `tier_final` here ≡
+    * tierSliceChoices(fold) — the exact frame Round14Spec ties the
+    * streamed auto tiers to — so the shipped dispatch is now
+    * oracle-gated through this row set, with nothing in between but a
+    * projection. Scale shape: q203's (census arithmetic over a |Q|·5
+    * frame); the fold adds the q185 recall panel every TierPass already
+    * pays. */
+  def tierRouteSlicePass2(spark: SparkSession, dir: String): DataFrame = {
+    val fold = tierFoldE4(spark, dir)
+    val stateDir = tierStateDir(spark, dir) + "_slice"
+    saveTierState(spark, stateDir, fold)
+    val loaded = loadTierState(spark, stateDir)
+    sliceCollapseDetail(tierUtilitiesBatch(tierFeatures(spark, dir),
+        loaded.map { case (t, v) => t -> lit(v.toDouble / 10000.0) }), "qid")
+      .select(col("qid"), col("tier_batch"), col("slice_n"),
+        r6(col("gain")).as("gain"), r6(col("open_u")).as("open_u"),
+        col("kept"), col("tier_final"),
+        (col("tier_batch") =!= col("tier_final")).cast("long").as("collapsed"))
+      .orderBy("qid")
   }
 
   /** Shared oracle CTE block: r6-rounded routing features per panel query
@@ -5990,6 +6271,79 @@ object SimilarityOps {
        |ORDER BY s12.qid""".stripMargin
   }
 
+  /** q206's twin — [[tierRouteSliceSql]]'s unpivot/rank/collapse stack,
+    * but under the LEARNED weights computed INLINE (the q187/q201
+    * convention: DuckDB cannot see the parquet state store, so the
+    * Spark side's save→load round trip sits inside the hash gate), via
+    * the same tdl/twv fold CTEs the pass-2 twins share. */
+  lazy val tierRouteSlicePass2Sql: String = {
+    val ub = tierUtilBatchSql(Map(
+      "binary" -> "(CAST(dwb AS DOUBLE) / 10000.0)",
+      "float" -> "(CAST(dwf AS DOUBLE) / 10000.0)",
+      "int8" -> "(CAST(dwi AS DOUBLE) / 10000.0)",
+      "pq" -> "(CAST(dwp AS DOUBLE) / 10000.0)",
+      "pq_rerank" -> "(CAST(dwr AS DOUBLE) / 10000.0)"))
+    s"""WITH $kmeansCtes,
+       |$pqCtes,
+       |$tierFeatureCtes,
+       |$tierRecallCtes,
+       |tdl AS MATERIALIZED (SELECT tier,
+       |          CAST(sum(CASE WHEN rn = 1 THEN $TierLrWinE4 ELSE $TierLrLoseE4 END) AS BIGINT)
+       |            AS delta_e4
+       |        FROM twn GROUP BY 1),
+       |twv AS MATERIALIZED (SELECT
+       |          sum(CASE WHEN tier = 'binary' THEN delta_e4 ELSE 0 END) AS dwb,
+       |          sum(CASE WHEN tier = 'float' THEN delta_e4 ELSE 0 END) AS dwf,
+       |          sum(CASE WHEN tier = 'int8' THEN delta_e4 ELSE 0 END) AS dwi,
+       |          sum(CASE WHEN tier = 'pq' THEN delta_e4 ELSE 0 END) AS dwp,
+       |          sum(CASE WHEN tier = 'pq_rerank' THEN delta_e4 ELSE 0 END) AS dwr
+       |        FROM tdl),
+       |sbu AS MATERIALIZED (SELECT qid, ${ub("binary")} AS ub_binary,
+       |          ${ub("float")} AS ub_float, ${ub("int8")} AS ub_int8,
+       |          ${ub("pq")} AS ub_pq, ${ub("pq_rerank")} AS ub_pq_rerank
+       |        FROM tft, twv),
+       |slu AS (SELECT qid, 'binary' AS tier, ub_binary AS ub FROM sbu
+       |        UNION ALL SELECT qid, 'float', ub_float FROM sbu
+       |        UNION ALL SELECT qid, 'int8', ub_int8 FROM sbu
+       |        UNION ALL SELECT qid, 'pq', ub_pq FROM sbu
+       |        UNION ALL SELECT qid, 'pq_rerank', ub_pq_rerank FROM sbu),
+       |srk AS MATERIALIZED (SELECT qid, tier, ub, row_number() OVER (PARTITION BY qid
+       |          ORDER BY ub DESC, tier ASC) AS rn FROM slu),
+       |s12 AS MATERIALIZED (SELECT qid,
+       |          max(CASE WHEN rn = 1 THEN tier END) AS tier_batch,
+       |          max(CASE WHEN rn = 1 THEN ub END) AS u1,
+       |          max(CASE WHEN rn = 2 THEN ub END) AS u2
+       |        FROM srk WHERE rn <= 2 GROUP BY 1),
+       |ssl AS MATERIALIZED (SELECT tier_batch AS tier, CAST(count(*) AS BIGINT) AS slice_n,
+       |          CAST(sum(CAST(u1 - u2 AS DECIMAL(30,8))) AS DOUBLE) AS gain
+       |        FROM s12 GROUP BY 1),
+       |sop AS (SELECT * FROM (VALUES
+       |          ('binary', CAST(${TierOpenE4("binary")} AS BIGINT)),
+       |          ('float', ${TierOpenE4("float")}),
+       |          ('int8', ${TierOpenE4("int8")}), ('pq', ${TierOpenE4("pq")}),
+       |          ('pq_rerank', ${TierOpenE4("pq_rerank")})) AS t(tier, open_e4)),
+       |smj AS (SELECT tier, row_number() OVER (ORDER BY slice_n DESC, tier ASC)
+       |          AS mrn FROM ssl),
+       |skp AS MATERIALIZED (SELECT ssl.tier, slice_n, gain,
+       |          CAST(open_e4 AS DOUBLE) / 10000.0 AS open_u,
+       |          CAST((gain >= CAST(open_e4 AS DOUBLE) / 10000.0 OR mrn = 1)
+       |            AS BIGINT) AS kept
+       |        FROM ssl JOIN sop USING (tier) JOIN smj USING (tier)),
+       |sfn AS MATERIALIZED (SELECT qid, tier AS tier_final FROM (
+       |          SELECT srk.qid, srk.tier, row_number() OVER (PARTITION BY srk.qid
+       |            ORDER BY ub DESC, srk.tier ASC) AS krn
+       |          FROM srk JOIN skp ON srk.tier = skp.tier AND kept = 1)
+       |        WHERE krn = 1)
+       |SELECT s12.qid, s12.tier_batch, slice_n,
+       |  floor(gain * 1000000 + 0.5) / 1000000 AS gain,
+       |  floor(open_u * 1000000 + 0.5) / 1000000 AS open_u,
+       |  kept, tier_final,
+       |  CAST(s12.tier_batch <> tier_final AS BIGINT) AS collapsed
+       |FROM s12 JOIN skp ON s12.tier_batch = skp.tier
+       |JOIN sfn ON s12.qid = sfn.qid
+       |ORDER BY s12.qid""".stripMargin
+  }
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -6028,6 +6382,7 @@ object SimilarityOps {
     "q201_tier_route_pass2_batch" -> (tierRoutePass2Batch _),
     "q202_cluster_size_skew" -> (clusterSizeSkew _),
     "q203_tier_route_slice" -> (tierRouteSlice _),
+    "q206_tier_route_slice_pass2" -> (tierRouteSlicePass2 _),
     "q204_split_plan" -> ((s: SparkSession, d: String) => splitPlan(s, d)),
     "q205_maintenance_plan" -> (maintenancePlan _),
     "q191_embedding_spectrum" -> (embeddingSpectrum _),
@@ -6074,6 +6429,7 @@ object SimilarityOps {
     "q201_tier_route_pass2_batch" -> tierRoutePass2BatchSql,
     "q202_cluster_size_skew" -> clusterSizeSkewSql,
     "q203_tier_route_slice" -> tierRouteSliceSql,
+    "q206_tier_route_slice_pass2" -> tierRouteSlicePass2Sql,
     "q204_split_plan" -> splitPlanSql,
     "q205_maintenance_plan" -> maintenancePlanSql,
     "q191_embedding_spectrum" -> embeddingSpectrumSql,

@@ -349,7 +349,9 @@ object StreamingOps {
       vecs: DataFrame, tsCol: String, delay: String,
       anchors: Seq[(Int, Array[Float])], indexDir: String,
       autoCompactAt: Int = CompactFilesPerCluster,
-      autoSplitImbalance: Double = 0.0)
+      autoSplitImbalance: Double = 0.0,
+      autoRetrainTvd: Double = 0.0,
+      autoRetrainDeadFrac: Double = 0.0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs
       .withColumn("bucket", lshBucket(col("embedding"), anchors))
@@ -359,19 +361,36 @@ object StreamingOps {
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        // Split BEFORE this batch's data commit, and never on a replay
-        // (see maybeSplitForBatch): a split folds cell rows to the base
-        // with CROSS-CLUSTER re-assignment, so interleaving it between a
-        // batch's data commit and its offset commit could leave a
-        // replayed row and its folded copy in two different cluster
-        // partitions — a duplicate partition-level maintenance can never
-        // fold away. Ordered first (acting on the PREVIOUS batches'
-        // skew), the replay guard makes every crash interleaving land in
-        // an already-analyzed window: either the split is a no-op on
-        // retry, or ingestBatch's dynamic overwrite is idempotent.
-        maybeSplitForBatch(batch.sparkSession, indexDir,
-          autoSplitImbalance, batchId)
+        // Geometry maintenance BEFORE this batch's data commit, and
+        // never on a replay (see maybeSplitForBatch): both verbs fold
+        // cell rows to the base with CROSS-CLUSTER re-assignment, so
+        // interleaving one between a batch's data commit and its offset
+        // commit could leave a replayed row and its folded copy in two
+        // different cluster partitions — a duplicate partition-level
+        // maintenance can never fold away. Ordered first (acting on the
+        // PREVIOUS batches' drift/skew), the replay guards make every
+        // crash interleaving land in an already-analyzed window: either
+        // the verb is a no-op on retry, or ingestBatch's dynamic
+        // overwrite is idempotent. Escalation order mirrors q205:
+        // retrain replaces the geometry wholesale, so a batch that
+        // retrains skips the split (the fresh quantizer starts
+        // balanced; residual skew re-arms the trigger next batch).
+        val retrained = maybeRetrainForBatch(batch.sparkSession, indexDir,
+          autoRetrainTvd, autoRetrainDeadFrac, batchId)
+        if (!retrained)
+          maybeSplitForBatch(batch.sparkSession, indexDir,
+            autoSplitImbalance, batchId)
         ingestBatch(batch, batchId, indexDir)
+        // Ack marker BEFORE compaction (ADVICE r15 #2): compaction can
+        // fold this very batch's ingest_batch partitions into the base,
+        // erasing the partition signature the replay guard keys on — so
+        // the fold must never run before the marker that records the
+        // batch as committed. With this ordering every crash
+        // interleaving is covered: crash before/inside ingestBatch →
+        // partitions (partially) exist, signature guard skips the
+        // split; crash after the marker (inside/after compaction) →
+        // marker guard skips it; no window erases both.
+        writeIngestMarker(batch.sparkSession, indexDir, batchId)
         maybeCompact(batch.sparkSession, indexDir, autoCompactAt)
         ()
       }
@@ -446,13 +465,104 @@ object StreamingOps {
     * partition-level prefer-base fold can never see in one read. Skipped
     * on replay, the split simply runs at the next clean batch; the
     * detection is one K-directory metadata walk, only paid when the
-    * trigger is armed. */
+    * trigger is armed.
+    *
+    * SECOND GUARD (ADVICE r15 #2): the partition signature alone can be
+    * ERASED by the sink's own compaction — maybeCompact runs after
+    * ingestBatch in the same foreachBatch and may fold the just-written
+    * ingest_batch=<id> partitions into the base before the offset
+    * commit, so a crash there replays a batch whose signature is gone.
+    * The sink therefore writes an ACK MARKER (last fully-ingested
+    * batchId) between ingestBatch and maybeCompact; a batchId at or
+    * below the marker is a replay of committed work regardless of what
+    * compaction folded. The marker is OVERWRITTEN, not maxed, so a
+    * fresh checkpoint reusing an index (batch ids restarting at 0)
+    * re-arms the trigger from its second batch. */
   private[graft] def maybeSplitForBatch(
       spark: SparkSession, indexDir: String, imbalance: Double,
       batchId: Long): Boolean = {
     if (imbalance <= 0) return false
+    if (readIngestMarker(spark, indexDir).exists(batchId <= _)) return false
     if (batchPartitionsExist(spark, indexDir, batchId)) return false
     maybeSplit(spark, indexDir, imbalance)
+  }
+
+  /** Post-batch RETRAIN check (r16 — VERDICT r15 #3): the split trigger
+    * pays down CELL-SIZE debt; this pays down GEOMETRY debt — the point
+    * where incremental repair stops working because the quantizer itself
+    * no longer fits the data the stream delivered. Signals are computed
+    * from the LIVE index, not the analytic corpus: occupancy-drift TVD
+    * from the cluster_sizes artifact (metadata-scale, checked every
+    * armed batch) and, separately armed, the dead-codeword fraction
+    * over the index's own pq_codes (one narrow column scan — arm it
+    * where that per-batch price is acceptable, or rely on the offline
+    * q205 advisor). When either crosses its threshold the batch runs
+    * ONE [[graft.operators.SimilarityOps.retrainIndex]] — the
+    * single-manifest-commit cutover, so a crash mid-verb leaves the old
+    * geometry serving — and the TVD signal resets to zero by
+    * construction (everything folds to base). `<= 0` DISABLES each
+    * signal (the default): retraining mid-stream replaces the whole
+    * geometry, so a deployment arms it per stream, typically at the
+    * q205 thresholds (RetrainTvd / RetrainDeadFrac). Returns whether a
+    * retrain ran. */
+  def maybeRetrain(spark: SparkSession, indexDir: String,
+      tvdAt: Double, deadAt: Double): Boolean = {
+    import graft.operators.SimilarityOps
+    if (tvdAt <= 0 && deadAt <= 0) return false
+    val fire =
+      (tvdAt > 0 && SimilarityOps.indexOccupancyTvd(spark, indexDir) >= tvdAt) ||
+        (deadAt > 0 && SimilarityOps.indexDeadCodeFrac(spark, indexDir) >= deadAt)
+    if (!fire) return false
+    SimilarityOps.retrainIndex(spark, indexDir)
+    true
+  }
+
+  /** [[maybeRetrain]] under the ingest sink's replay guards — the exact
+    * pair [[maybeSplitForBatch]] uses (partition signature + ack
+    * marker), because a retrain interleaved into a replayed batch has
+    * the same cross-cluster duplicate hazard as a split, only
+    * index-wide. */
+  private[graft] def maybeRetrainForBatch(
+      spark: SparkSession, indexDir: String, tvdAt: Double, deadAt: Double,
+      batchId: Long): Boolean = {
+    if (tvdAt <= 0 && deadAt <= 0) return false
+    if (readIngestMarker(spark, indexDir).exists(batchId <= _)) return false
+    if (batchPartitionsExist(spark, indexDir, batchId)) return false
+    maybeRetrain(spark, indexDir, tvdAt, deadAt)
+  }
+
+  /** The ingest sink's ack-marker file: one line, the last batchId whose
+    * ingestBatch (data + artifact twin) completed. Atomic tmp + rename
+    * overwrite (the MANIFEST recipe); a metadata-scale write per
+    * micro-batch. */
+  private def ingestMarkerPath(indexDir: String) =
+    new org.apache.hadoop.fs.Path(s"$indexDir/.ingest_acked")
+
+  private[graft] def writeIngestMarker(
+      spark: SparkSession, indexDir: String, batchId: Long): Unit = {
+    val fs = ingestMarkerPath(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.ingest_acked.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$batchId\n".getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri,
+      spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, ingestMarkerPath(indexDir),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private[graft] def readIngestMarker(
+      spark: SparkSession, indexDir: String): Option[Long] = {
+    val p = ingestMarkerPath(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      content.linesIterator.map(_.trim).find(_.nonEmpty).map(_.toLong)
+    }
   }
 
   /** Whether any cluster partition already holds `ingest_batch=batchId`

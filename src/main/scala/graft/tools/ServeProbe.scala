@@ -22,10 +22,18 @@ import graft.operators.SimilarityOps
 object ServeProbe {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    // `--pins` (r16 — VERDICT r15 #5): measure ONLY the serve-economics
+    // ratio inputs (per-tier batch20 + 1-row rows), print the within-run
+    // ratio table as ONE JSON line, and exit — the machine-checkable
+    // half of the q200/q201/TierOpenE4 re-pin discipline
+    // (tools/check_pins.py compares run medians against the recorded
+    // ranges in tools/pins.json and exits nonzero when one leaves).
+    val pinsMode = args.contains("--pins")
     // Optional second arg: comma-separated tag substrings — run only the
     // matching rows (fast iteration on one lever without the full sweep).
     val only: Seq[String] =
-      if (args.length > 1) args(1).split(",").toSeq.filter(_.nonEmpty) else Nil
+      if (args.length > 1 && !pinsMode) args(1).split(",").toSeq.filter(_.nonEmpty)
+      else Nil
     val spark = graft.Cli.session()
     graft.Cli.quietBoundedWindowWarnings()
     import spark.implicits._
@@ -41,13 +49,47 @@ object ServeProbe {
     val qdf = panel.toSeq.toDF("query_id", "embedding")
     val one = Seq(panel.head).toDF("query_id", "embedding")
 
-    def time(tag: String)(run: => Unit): Unit = {
-      if (only.nonEmpty && !only.exists(tag.contains)) return
+    def timed(run: => Unit): Double = {
       run // warmup
-      val ms = (1 to 5).map { _ =>
+      (1 to 5).map { _ =>
         val t0 = System.nanoTime(); run; (System.nanoTime() - t0) / 1e6
       }.min
-      println(f"""[serveprobe] "$tag": $ms%.1f""")
+    }
+
+    def time(tag: String)(run: => Unit): Unit = {
+      if (only.nonEmpty && !only.exists(tag.contains)) return
+      println(f"""[serveprobe] "$tag": ${timed(run)}%.1f""")
+    }
+
+    if (pinsMode) {
+      val batch20: Map[String, Double] = Map(
+        "float" -> timed(SimilarityOps.annIvfServeMany(spark, idx, qdf).collect()),
+        "binary" -> timed(SimilarityOps.annBinaryServeMany(spark, idx, qdf).collect()),
+        "int8" -> timed(SimilarityOps.annInt8ServeMany(spark, idx, qdf).collect()),
+        "pq" -> timed(SimilarityOps.annPqServeMany(spark, idx, qdf).collect()),
+        "pq_rerank" -> timed(
+          SimilarityOps.annPqRerankServeMany(spark, idx, qdf, fused = false).collect()))
+      val oneRow: Map[String, Double] = Map(
+        "float" -> timed(SimilarityOps.annIvfServeMany(spark, idx, one).collect()),
+        "binary" -> timed(SimilarityOps.annBinaryServeMany(spark, idx, one).collect()),
+        "int8" -> timed(SimilarityOps.annInt8ServeMany(spark, idx, one).collect()),
+        "pq" -> timed(SimilarityOps.annPqServeMany(spark, idx, one).collect()),
+        "pq_rerank" -> timed(
+          SimilarityOps.annPqRerankServeMany(spark, idx, one, fused = false).collect()))
+      val f20 = batch20("float")
+      def entries(m: Map[String, Double], prefix: String) =
+        m.toSeq.sortBy(_._1).map { case (t, v) =>
+          f""""$prefix$t": ${v / f20}%.4f""" }
+      val ratios = (entries(batch20 - "float", "penalty_") ++
+        entries(oneRow, "floor_")).mkString(", ")
+      val raw = (batch20.toSeq.sortBy(_._1).map { case (t, v) =>
+          f""""${t}_batch20_ms": $v%.1f""" } ++
+        oneRow.toSeq.sortBy(_._1).map { case (t, v) =>
+          f""""${t}_1row_batch_ms": $v%.1f""" }).mkString(", ")
+      println(s"""{"kind": "serve_pins", "sf": "$dir", """ +
+        s""""ratios": {$ratios}, "raw_ms": {$raw}}""")
+      spark.stop()
+      return
     }
 
     time("census_batch20_ms") {
@@ -108,6 +150,7 @@ object ServeProbe {
     def shuffleBytes(tag: String)(run: => Unit): Unit = {
       if (only.nonEmpty && !only.exists(tag.contains)) return
       val bytes = new java.util.concurrent.atomic.AtomicLong(0L)
+      val stages = new java.util.concurrent.atomic.AtomicLong(0L)
       val l = new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
             s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -116,17 +159,22 @@ object ServeProbe {
           // listener bus and silently drop the event.
           val m = s.stageInfo.taskMetrics
           if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          stages.incrementAndGet()
         }
       }
       spark.sparkContext.addSparkListener(l)
       try {
         run
         // The listener bus is asynchronous: poll until the counter is
-        // stable across two consecutive reads (a fixed sleep races a
-        // loaded bus and undercounts), capped at 15 s.
+        // stable across two consecutive reads. The stability check only
+        // STARTS once at least one stage event has been delivered — on a
+        // loaded host two early polls can both read 0 before the bus
+        // delivers anything, and a bare match-based exit would print an
+        // undercount (ADVICE r15; every `run` here ends in a collect, so
+        // ≥ 1 completed stage is guaranteed). Capped at 15 s.
         var prev = -1L
         var waited = 0
-        while (bytes.get() != prev && waited < 30) {
+        while ((stages.get() == 0L || bytes.get() != prev) && waited < 30) {
           prev = bytes.get(); Thread.sleep(500); waited += 1
         }
       } finally spark.sparkContext.removeSparkListener(l)

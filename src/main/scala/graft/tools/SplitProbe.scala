@@ -65,7 +65,7 @@ object SplitProbe {
     // Materialized as a LITERAL once: the query vector must stay
     // constant across the split (fair before/after), and a frame built
     // over the centroids dir would pin the pre-swap file listing.
-    val hotVec: Array[Float] = spark.read.parquet(s"$idx/centroids")
+    val hotVec: Array[Float] = SimilarityOps.artifactDf(spark, idx, "centroids")
       .filter(col("cluster") === hotCluster)
       .orderBy("pos").select("c").collect().map(_.getDouble(0).toFloat)
     val hotQ = Seq((0L, hotVec)).toDF("query_id", "embedding")

@@ -406,7 +406,7 @@ class Round15Spec extends SparkSpec {
 
     // (b) every split row sits on its NEARER sub-centroid (decimal
     // squared-L2, ties to the lower cluster id) …
-    val cent2 = spark.read.parquet(s"$out/centroids")
+    val cent2 = SimilarityOps.artifactDf(spark, out, "centroids")
       .filter(col("cluster").isin(c, nid))
     val ex = SimilarityOps.vectorsDf(spark, out)
       .filter(col("cluster").isin(c, nid))
@@ -440,7 +440,7 @@ class Round15Spec extends SparkSpec {
       .select(col("vec_id"), col("pos"), (col("v") - col("c")).as("v"))
     val freshPq = SimilarityOps.pqCodeColumn(SimilarityOps.pqAssign(
       SimilarityOps.withSub(rex),
-      spark.read.parquet(s"$out/pq_centroids")))
+      SimilarityOps.artifactDf(spark, out, "pq_centroids")))
     val pqMismatch = SimilarityOps.vectorsDf(spark, out)
       .filter(col("cluster").isin(c, nid))
       .select(col("vec_id"), col("pq_codes"))
@@ -472,7 +472,7 @@ class Round15Spec extends SparkSpec {
     // Heal: drop nid's centroid rows (the crash window between the data
     // commit and the centroid swap) — healOrphanClusters must
     // reconstruct them BIT-IDENTICALLY and refresh the size artifact.
-    val full = spark.read.parquet(s"$out/centroids").localCheckpoint(true)
+    val full = SimilarityOps.artifactDf(spark, out, "centroids").localCheckpoint(true)
     val lost = full.filter(col("cluster") === nid)
       .collect().map(r => (r.getAs[Number]("pos").longValue(),
         r.getAs[Double]("c"))).toMap
@@ -480,7 +480,7 @@ class Round15Spec extends SparkSpec {
       full.filter(col("cluster") =!= nid))
     graft.operators.Memos.release(out)
     SimilarityOps.healOrphanClusters(spark, out)
-    val healed = spark.read.parquet(s"$out/centroids")
+    val healed = SimilarityOps.artifactDf(spark, out, "centroids")
       .filter(col("cluster") === nid)
       .collect().map(r => (r.getAs[Number]("pos").longValue(),
         r.getAs[Double]("c"))).toMap
@@ -547,7 +547,7 @@ class Round15Spec extends SparkSpec {
     val (kb, ka) = SimilarityOps.retrainIndex(spark, out)
     assert(kb == SimilarityOps.KmeansK + 1, s"pre-retrain K: $kb")
     assert(ka == SimilarityOps.KmeansK)
-    assert(spark.read.parquet(s"$out/centroids")
+    assert(SimilarityOps.artifactDf(spark, out, "centroids")
       .select("cluster").distinct().count() == SimilarityOps.KmeansK)
 
     // Rows conserved across the generation flip.
