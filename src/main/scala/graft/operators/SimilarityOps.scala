@@ -6271,6 +6271,101 @@ object SimilarityOps {
        |ORDER BY s12.qid""".stripMargin
   }
 
+  // ---- q207: dispatch-aware probe depth (r16 — VERDICT r15 stretch #7) ----
+
+  /** Probe-depth policy constants. A query with a HIGH coarse margin
+    * (1 − d1/d2: its nearest cell is clearly nearest) concentrates its
+    * true neighbors in the first cells, so shallow probing loses little
+    * recall; a LOW margin says the cell boundary cut through the
+    * query's neighborhood — probe deeper. Thresholds from the
+    * NprobeProbe sf0.1 table (margin vs per-query recall@50 at depths
+    * 4/8/16 — SCALE.md "Dispatch-aware probe depth"), read HONESTLY:
+    * at this corpus's K = 10, TopK = 50 spans ~5 cells' worth of
+    * neighbors, so depth 4 loses recall for EVERY query — the shallow
+    * threshold 0.15 is deliberately above the largest margin the panel
+    * exhibits (0.118), arming that arm only for the
+    * far-clearer-than-anything-observed-at-small-K queries the rule
+    * exists for at K ≫ nprobe. The deep arm at margin ≤ 0.01 caught 3
+    * panel queries and lifted them to recall 1.0 (+1.2 points routed
+    * vs fixed overall, +3.7% scanned rows). Compared on the r6-ROUNDED
+    * margin in BOTH engines (the boundary discipline). */
+  final val DepthLo = 4
+  final val DepthHi = 16
+  final val DepthMarginHi = 0.15
+  final val DepthMarginLo = 0.01
+
+  /** The depth rule — one CASE over the r6'd margin, shared verbatim by
+    * the q207 census, its SQL twin, and the serving dispatch
+    * ([[probeDepthOf]]), so the census IS the dispatcher's behavior. */
+  private def depthOfMargin(margin: Column): Column =
+    when(margin >= DepthMarginHi, lit(DepthLo.toLong))
+      .when(margin <= DepthMarginLo, lit(DepthHi.toLong))
+      .otherwise(lit(NProbeServe.toLong))
+
+  /** q207: the probe-depth PLAN — per panel query, its coarse margin
+    * and coverage and the probe depth the dispatch-aware serve will use
+    * ([[DepthLo]]/NProbeServe/[[DepthHi]] by the declared margin
+    * thresholds). The routing lattice picked WHICH tier serves a query
+    * (q184–q206); this picks HOW HARD the chosen IVF scan probes — the
+    * other per-query knob a 100 TB serving system routes on, because at
+    * K ≫ nprobe the probed-cell row count IS the scan bound and a
+    * clear-margin query pays half the rows for the same recall
+    * (measured scanned-row fractions in SCALE.md; at sf0.1's K = 10 the
+    * wall delta is plan-floor-dominated, which is why the depth-routed
+    * serve ships as a non-default option — the fused-re-rank
+    * adjudication pattern). Census work: margins ride the one
+    * coarse-scoring pass every routed batch already pays. */
+  def probeDepthPlan(spark: SparkSession, dir: String): DataFrame =
+    tierFeatures(spark, dir)
+      .select(col("qid"), col("margin"), col("coverage"),
+        depthOfMargin(col("margin")).as("np_depth"))
+      .orderBy("qid")
+
+  lazy val probeDepthPlanSql: String =
+    s"""WITH $kmeansCtes,
+       |$tierFeatureCtes
+       |SELECT qid, margin, coverage,
+       |  CAST(CASE WHEN margin >= $DepthMarginHi THEN $DepthLo
+       |       WHEN margin <= $DepthMarginLo THEN $DepthHi
+       |       ELSE $NProbeServe END AS BIGINT) AS np_depth
+       |FROM tft ORDER BY qid""".stripMargin
+
+  /** The serving-side coarse rank frame for a request batch — exposed
+    * for probes/specs that audit scanned-row coverage. */
+  private[graft] def crankFrameFor(
+      spark: SparkSession, indexDir: String, queries: DataFrame): DataFrame =
+    crankOf(indexMeta(spark, indexDir, "centroids"), qxOf(queries))
+
+  /** Per-request probe depths — the q207 rule over the SERVED features
+    * (identical r6 arithmetic to the panel census, so a query that IS a
+    * panel vector gets its q207 depth bit-for-bit; Round16Spec pins
+    * it). */
+  def probeDepthOf(
+      spark: SparkSession, indexDir: String, queries: DataFrame): DataFrame =
+    servedTierFeatures(spark, indexDir, queries)
+      .select(col("query_id"), depthOfMargin(col("margin")).as("np_depth"))
+
+  /** Float IVF batch serving with PER-QUERY probe depth (the q207
+    * dispatch): one coarse-scoring pass feeds both the margin features
+    * and the probe sets (the routeAndServe single-pass discipline), the
+    * per-query crank filter replaces the fixed `crank <= nprobe`, and
+    * the scan/rank plan is [[annIvfServeMany]]'s own via sharedProbes —
+    * so answers at a given depth are bit-identical to the fixed-depth
+    * tier at that depth. Non-default: at small K the fixed plan's floor
+    * dominates and this adds a census join; it pays where K ≫ nprobe
+    * (see q207's scaladoc). */
+  def annIvfServeManyDepth(
+      spark: SparkSession, indexDir: String, queries: DataFrame): DataFrame = {
+    val crankF = crankFrameFor(spark, indexDir, queries).localCheckpoint(true)
+    val feats = servedTierFeaturesFrom(spark, indexDir, queries, crankF)
+    val probes = crankF
+      .join(broadcast(feats.select(col("query_id"),
+        depthOfMargin(col("margin")).as("np_depth"))), "query_id")
+      .filter(col("crank") <= col("np_depth"))
+      .select("query_id", "cluster")
+    annIvfServeMany(spark, indexDir, queries, sharedProbes = Some(probes))
+  }
+
   /** q206's twin — [[tierRouteSliceSql]]'s unpivot/rank/collapse stack,
     * but under the LEARNED weights computed INLINE (the q187/q201
     * convention: DuckDB cannot see the parquet state store, so the
@@ -6383,6 +6478,7 @@ object SimilarityOps {
     "q202_cluster_size_skew" -> (clusterSizeSkew _),
     "q203_tier_route_slice" -> (tierRouteSlice _),
     "q206_tier_route_slice_pass2" -> (tierRouteSlicePass2 _),
+    "q207_probe_depth_plan" -> (probeDepthPlan _),
     "q204_split_plan" -> ((s: SparkSession, d: String) => splitPlan(s, d)),
     "q205_maintenance_plan" -> (maintenancePlan _),
     "q191_embedding_spectrum" -> (embeddingSpectrum _),
@@ -6430,6 +6526,7 @@ object SimilarityOps {
     "q202_cluster_size_skew" -> clusterSizeSkewSql,
     "q203_tier_route_slice" -> tierRouteSliceSql,
     "q206_tier_route_slice_pass2" -> tierRouteSlicePass2Sql,
+    "q207_probe_depth_plan" -> probeDepthPlanSql,
     "q204_split_plan" -> splitPlanSql,
     "q205_maintenance_plan" -> maintenancePlanSql,
     "q191_embedding_spectrum" -> embeddingSpectrumSql,

@@ -331,4 +331,40 @@ class Round16Spec extends SparkSpec {
     assert(!StreamingOps.maybeRetrainForBatch(spark, idx, 0.0,
       math.min(1.0, dead + 0.5), 3L))
   }
+
+  // ---- q207: dispatch-aware probe depth (VERDICT r15 stretch #7) -----------
+
+  test("q207 probe-depth dispatch ≡ the census: served depths equal the " +
+    "plan's np_depth for panel queries, and the depth-routed answers are " +
+    "bit-identical to the fixed tier at each query's own depth") {
+    val idx = java.nio.file.Files.createTempDirectory("graft_r16_np").toString
+    SimilarityOps.writeIndex(spark, sf, idx)
+    import spark.implicits._
+    val qdf = embOf.toSeq.sortBy(_._1).toDF("query_id", "embedding")
+    val plan = SimilarityOps.queries("q207_probe_depth_plan")(spark, sf)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("np_depth")).toMap
+    assert(plan.values.toSet.subsetOf(Set(SimilarityOps.DepthLo.toLong,
+      SimilarityOps.NProbeServe.toLong, SimilarityOps.DepthHi.toLong)))
+    val served = SimilarityOps.probeDepthOf(spark, idx, qdf)
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        r.getAs[Long]("np_depth")).toMap
+    assert(served == plan,
+      s"served depths diverge from the q207 census: $served vs $plan")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rank"), r.getAs[Double]("cos"))).toSeq
+      .groupBy(_._1)
+    val routed = rowsOf(SimilarityOps.annIvfServeManyDepth(spark, idx, qdf))
+    plan.values.toSet.foreach { (d: Long) =>
+      val qs = plan.collect { case (q, `d`) => q }.toSet
+      if (qs.nonEmpty) {
+        val fixed = rowsOf(SimilarityOps.annIvfServeMany(spark, idx, qdf,
+          nprobe = d.toInt)).filter { case (q, _) => qs(q) }
+        qs.foreach { q =>
+          assert(routed(q) == fixed(q),
+            s"query $q at depth $d: routed answers != fixed-depth answers")
+        }
+      }
+    }
+  }
 }
