@@ -1985,6 +1985,10 @@ object SimilarityOps {
       outFs.delete(mf, false)
       Seq("vectors", "centroids", "pq_centroids", "bq_mu")
         .foreach(b => gcGenerations(spark, out, b, Set(b)))
+      // A rebuilt index is a new stream target: drop the previous
+      // sink's ack marker so the geometry triggers' replay guard keys
+      // only on this build's own ingest history.
+      outFs.delete(new org.apache.hadoop.fs.Path(s"$out/.ingest_acked"), false)
     }
     if (trainFraction >= 1.0) {
       indexArtifacts(spark, dir).write.mode("overwrite")
@@ -6296,8 +6300,11 @@ object SimilarityOps {
 
   /** The depth rule — one CASE over the r6'd margin, shared verbatim by
     * the q207 census, its SQL twin, and the serving dispatch
-    * ([[probeDepthOf]]), so the census IS the dispatcher's behavior. */
-  private def depthOfMargin(margin: Column): Column =
+    * ([[probeDepthOf]]), so the census IS the dispatcher's behavior.
+    * private[graft] so Round16Spec can pin all three arms — the shallow
+    * arm fires on no sf-corpus query by design (see the threshold
+    * scaladoc) and must not rot untested. */
+  private[graft] def depthOfMargin(margin: Column): Column =
     when(margin >= DepthMarginHi, lit(DepthLo.toLong))
       .when(margin <= DepthMarginLo, lit(DepthHi.toLong))
       .otherwise(lit(NProbeServe.toLong))

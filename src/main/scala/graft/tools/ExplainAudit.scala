@@ -54,7 +54,8 @@ object ExplainAudit {
       // r14/r15 serve-economics censuses + the split plan.
       "q200_tier_route_batch", "q201_tier_route_pass2_batch",
       "q202_cluster_size_skew", "q203_tier_route_slice", "q204_split_plan",
-      "q205_maintenance_plan")
+      "q205_maintenance_plan", "q206_tier_route_slice_pass2",
+      "q207_probe_depth_plan")
 
     targets.foreach { name =>
       val df = graft.SparkEntry.queries(name)(spark, dir)

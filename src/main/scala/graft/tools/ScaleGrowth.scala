@@ -42,7 +42,12 @@ object ScaleGrowth {
     // collapse is census work) — and the split plan is one K-key count
     // over the memoized assignment.
     "q200_tier_route_batch", "q201_tier_route_pass2_batch",
-    "q202_cluster_size_skew", "q203_tier_route_slice", "q204_split_plan")
+    "q202_cluster_size_skew", "q203_tier_route_slice", "q204_split_plan",
+    // round-16 additions: the learned-state slice collapse (q201's fold
+    // stack + q203's census — α should track q201's, the fold's recall
+    // panel being the corpus-bound part) and the probe-depth plan
+    // (pure census arithmetic over tierFeatures — α ≈ 0 is the claim).
+    "q206_tier_route_slice_pass2", "q207_probe_depth_plan")
   val Dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
   def main(args: Array[String]): Unit = {

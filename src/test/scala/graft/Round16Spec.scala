@@ -334,6 +334,19 @@ class Round16Spec extends SparkSpec {
 
   // ---- q207: dispatch-aware probe depth (VERDICT r15 stretch #7) -----------
 
+  test("q207 depth rule: all three arms fire at their declared margin " +
+    "thresholds, boundary-inclusive — the shallow arm fires on no " +
+    "sf-corpus query by design, so it is pinned here") {
+    import spark.implicits._
+    val got = Seq(0.16, 0.15, 0.149999, 0.05, 0.01, 0.010001, 0.005)
+      .toDF("margin")
+      .select(col("margin"), SimilarityOps.depthOfMargin(col("margin")).as("d"))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(got(0.16) == 4L && got(0.15) == 4L, "shallow arm (margin >= 0.15)")
+    assert(got(0.149999) == 8L && got(0.05) == 8L && got(0.010001) == 8L)
+    assert(got(0.01) == 16L && got(0.005) == 16L, "deep arm (margin <= 0.01)")
+  }
+
   test("q207 probe-depth dispatch ≡ the census: served depths equal the " +
     "plan's np_depth for panel queries, and the depth-routed answers are " +
     "bit-identical to the fixed tier at each query's own depth") {
