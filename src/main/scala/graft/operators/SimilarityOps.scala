@@ -661,7 +661,11 @@ object SimilarityOps {
     * (map-side partial), then pure arithmetic on K rows. The moments are
     * exact BIGINT sums (csz ≤ corpus, csz² fits comfortably); the three
     * derived doubles share one pinned expression tree with the SQL twin. */
-  def clusterSizeSkew(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared UNROUNDED cell-size moments over the memoized assignment —
+    * the one frame both q202 (adds min/ss/cv, rounds for display) and
+    * q205 (adds the unrounded advise_split compare) derive from, so
+    * their imbalance arithmetic cannot drift apart. */
+  private def cellSizeMoments(spark: SparkSession, dir: String): DataFrame = {
     val (_, asg) = kmeansModel(spark, dir)
     asg.groupBy("cluster").agg(count(lit(1)).as("csz"))
       .agg(count(lit(1)).cast("long").as("n_clusters"),
@@ -671,12 +675,15 @@ object SimilarityOps {
         sum(col("csz") * col("csz")).cast("long").as("ss"))
       .withColumn("mean_csz",
         col("n_vectors").cast("double") / col("n_clusters").cast("double"))
+  }
+
+  def clusterSizeSkew(spark: SparkSession, dir: String): DataFrame =
+    cellSizeMoments(spark, dir)
       .select(col("n_clusters"), col("n_vectors"), col("min_csz"), col("max_csz"),
         r6(col("mean_csz")).as("mean_csz"),
         r6(col("max_csz").cast("double") / col("mean_csz")).as("imbalance"),
         r6(sqrt(col("ss").cast("double") / col("n_clusters").cast("double") -
           col("mean_csz") * col("mean_csz")) / col("mean_csz")).as("cv"))
-  }
 
   val clusterSizeSkewSql: String =
     s"""WITH $kmeansCtes,
@@ -806,14 +813,8 @@ object SimilarityOps {
     // advise_split compares UNROUNDED, with q204's exact expression shape
     // (max_csz > ratio · mean — not the division max/mean > ratio, which
     // can disagree at a ULP): the reported imbalance column is the only
-    // rounded value.
-    val (_, asg) = kmeansModel(spark, dir)
-    val imb = asg.groupBy("cluster").agg(count(lit(1)).as("csz"))
-      .agg(count(lit(1)).cast("long").as("n_clusters"),
-        sum(col("csz")).cast("long").as("n_vectors"),
-        max(col("csz")).cast("long").as("max_csz"))
-      .withColumn("mean_csz",
-        col("n_vectors").cast("double") / col("n_clusters").cast("double"))
+    // rounded value. Derived from the same moments frame q202 reads.
+    val imb = cellSizeMoments(spark, dir)
       .select(
         r6(col("max_csz").cast("double") / col("mean_csz")).as("imbalance"),
         (col("max_csz").cast("double") > lit(SplitRatio) * col("mean_csz"))
@@ -1986,9 +1987,10 @@ object SimilarityOps {
       Seq("vectors", "centroids", "pq_centroids", "bq_mu")
         .foreach(b => gcGenerations(spark, out, b, Set(b)))
       // A rebuilt index is a new stream target: drop the previous
-      // sink's ack marker so the geometry triggers' replay guard keys
-      // only on this build's own ingest history.
+      // sink's ack marker and dead-codeword anchor so the geometry
+      // triggers key only on this build's own history.
       outFs.delete(new org.apache.hadoop.fs.Path(s"$out/.ingest_acked"), false)
+      outFs.delete(new org.apache.hadoop.fs.Path(s"$out/.dead_frac_baseline"), false)
     }
     if (trainFraction >= 1.0) {
       indexArtifacts(spark, dir).write.mode("overwrite")

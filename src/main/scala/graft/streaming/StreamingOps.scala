@@ -509,12 +509,63 @@ object StreamingOps {
       tvdAt: Double, deadAt: Double): Boolean = {
     import graft.operators.SimilarityOps
     if (tvdAt <= 0 && deadAt <= 0) return false
-    val fire =
-      (tvdAt > 0 && SimilarityOps.indexOccupancyTvd(spark, indexDir) >= tvdAt) ||
-        (deadAt > 0 && SimilarityOps.indexDeadCodeFrac(spark, indexDir) >= deadAt)
-    if (!fire) return false
+    val tvdFire =
+      tvdAt > 0 && SimilarityOps.indexOccupancyTvd(spark, indexDir) >= tvdAt
+    // The dead-codeword signal does NOT self-disarm the way TVD does —
+    // a corpus whose residuals structurally use < (1 − deadAt) of the
+    // codewords reads over-threshold even right after a retrain, and an
+    // unanchored compare would fire a full rebuild on EVERY armed batch.
+    // Anchor it to the fraction measured right after the last TRIGGERED
+    // retrain (`.dead_frac_baseline`): fire only when the live fraction
+    // exceeds both the threshold and that anchor — i.e. the codebook
+    // got WORSE than its own fresh state, which a retrain can fix. At
+    // most one anchoring retrain per lifecycle on a structurally-dead
+    // corpus; manual retrains/rebuilds drop the anchor (writeIndex
+    // clears it with the ack marker), so the next armed batch re-derives
+    // it from one fresh measurement.
+    val deadFire = !tvdFire && deadAt > 0 && {
+      val frac = SimilarityOps.indexDeadCodeFrac(spark, indexDir)
+      frac >= deadAt && readDeadBaseline(spark, indexDir).forall(frac > _)
+    }
+    if (!tvdFire && !deadFire) return false
     SimilarityOps.retrainIndex(spark, indexDir)
+    if (deadAt > 0)
+      writeDeadBaseline(spark, indexDir,
+        SimilarityOps.indexDeadCodeFrac(spark, indexDir))
     true
+  }
+
+  /** Post-retrain dead-codeword anchor (one line, atomic rename — the
+    * marker recipe). Absent = never trigger-retrained: the threshold
+    * alone decides. */
+  private def deadBaselinePath(indexDir: String) =
+    new org.apache.hadoop.fs.Path(s"$indexDir/.dead_frac_baseline")
+
+  private[graft] def writeDeadBaseline(
+      spark: SparkSession, indexDir: String, frac: Double): Unit = {
+    val fs = deadBaselinePath(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.dead_frac_baseline.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"$frac\n".getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri,
+      spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, deadBaselinePath(indexDir),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private[graft] def readDeadBaseline(
+      spark: SparkSession, indexDir: String): Option[Double] = {
+    val p = deadBaselinePath(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      content.linesIterator.map(_.trim).find(_.nonEmpty).map(_.toDouble)
+    }
   }
 
   /** [[maybeRetrain]] under the ingest sink's replay guards — the exact

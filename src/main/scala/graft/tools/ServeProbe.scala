@@ -21,18 +21,21 @@ import graft.operators.SimilarityOps
   */
 object ServeProbe {
   def main(args: Array[String]): Unit = {
-    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
     // `--pins` (r16 — VERDICT r15 #5): measure ONLY the serve-economics
     // ratio inputs (per-tier batch20 + 1-row rows), print the within-run
     // ratio table as ONE JSON line, and exit — the machine-checkable
     // half of the q200/q201/TierOpenE4 re-pin discipline
     // (tools/check_pins.py compares run medians against the recorded
     // ranges in tools/pins.json and exits nonzero when one leaves).
+    // Flags parse position-free so `ServeProbe --pins` works too.
     val pinsMode = args.contains("--pins")
-    // Optional second arg: comma-separated tag substrings — run only the
-    // matching rows (fast iteration on one lever without the full sweep).
+    val pos = args.filterNot(_.startsWith("--"))
+    val dir = if (pos.nonEmpty) pos(0) else "/root/testdata/sf0.1"
+    // Optional second positional: comma-separated tag substrings — run
+    // only the matching rows (fast iteration on one lever without the
+    // full sweep).
     val only: Seq[String] =
-      if (args.length > 1 && !pinsMode) args(1).split(",").toSeq.filter(_.nonEmpty)
+      if (pos.length > 1 && !pinsMode) pos(1).split(",").toSeq.filter(_.nonEmpty)
       else Nil
     val spark = graft.Cli.session()
     graft.Cli.quietBoundedWindowWarnings()

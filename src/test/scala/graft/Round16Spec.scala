@@ -330,6 +330,26 @@ class Round16Spec extends SparkSpec {
     assert(dead >= 0.0 && dead < 1.0)
     assert(!StreamingOps.maybeRetrainForBatch(spark, idx, 0.0,
       math.min(1.0, dead + 0.5), 3L))
+    // The anchor closes the retrain-per-batch storm. This corpus uses
+    // every codeword (frac 0), so build the structurally-dead fixture
+    // by pigeonhole: 12 vectors emit at most 12·PqM of the PqM·PqK
+    // (sub, code) pairs — dead_frac ≥ 1 − 12/PqK no matter what the
+    // trainer does. The armed signal fires ONCE (writing the
+    // post-retrain baseline) and must NOT fire again at the unchanged
+    // fraction — the per-batch full-rebuild storm the anchor prevents.
+    val tinySrc = java.nio.file.Files.createTempDirectory("graft_r16_tiny").toString
+    spark.read.parquet(s"$sf/embeddings.parquet").filter(col("vec_id") < 12)
+      .write.mode("overwrite").parquet(s"$tinySrc/embeddings.parquet")
+    val tinyIdx = java.nio.file.Files.createTempDirectory("graft_r16_tinyidx").toString
+    SimilarityOps.writeIndex(spark, tinySrc, tinyIdx)
+    val dead0 = SimilarityOps.indexDeadCodeFrac(spark, tinyIdx)
+    assert(dead0 >= 1.0 - 12.0 / SimilarityOps.PqK,
+      s"pigeonhole fixture broke: $dead0")
+    assert(StreamingOps.maybeRetrainForBatch(spark, tinyIdx, 0.0, 0.01, 0L),
+      "anchoring retrain did not fire")
+    assert(StreamingOps.readDeadBaseline(spark, tinyIdx).isDefined)
+    assert(!StreamingOps.maybeRetrainForBatch(spark, tinyIdx, 0.0, 0.01, 1L),
+      "dead-codeword trigger re-fired at an unchanged fraction — storm")
   }
 
   // ---- q207: dispatch-aware probe depth (VERDICT r15 stretch #7) -----------
