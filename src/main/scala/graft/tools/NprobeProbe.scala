@@ -1,9 +1,7 @@
 package graft.tools
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.CosineSimilarity.cosineSim
 import graft.operators.SimilarityOps
 
 /** `runMain graft.tools.NprobeProbe [sfDir]` — calibration + verdict
@@ -33,17 +31,7 @@ object NprobeProbe {
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
     val qdf = panel.toSeq.toDF("query_id", "embedding").localCheckpoint(true)
 
-    val truth: Map[Long, Set[Long]] = SimilarityOps.vectorsDf(spark, idx)
-      .select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(qdf.select(col("query_id"),
-        col("embedding").as("q_embedding"))))
-      .select(col("query_id"), col("vec_id"),
-        cosineSim(col("embedding"), col("q_embedding")).as("cos"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)))
-      .filter(col("rank") <= SimilarityOps.TopK)
-      .collect().groupBy(_.getAs[Long]("query_id"))
-      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val truth: Map[Long, Set[Long]] = ProbeUtil.exactTruth(spark, idx, qdf)
 
     val margins: Map[Long, Double] = SimilarityOps
       .servedTierFeatures(spark, idx, qdf)
@@ -63,14 +51,9 @@ object NprobeProbe {
         f"r4=${r4(q)}%.3f r8=${r8(q)}%.3f r16=${r16(q)}%.3f")
     }
 
-    def timed(run: => Unit): Double = {
-      run
-      (1 to 5).map { _ =>
-        val t0 = System.nanoTime(); run; (System.nanoTime() - t0) / 1e6
-      }.min
-    }
-    val fixedMs = timed(SimilarityOps.annIvfServeMany(spark, idx, qdf).collect())
-    val routedMs = timed(
+    val fixedMs = ProbeUtil.timedMinMs(
+      SimilarityOps.annIvfServeMany(spark, idx, qdf).collect())
+    val routedMs = ProbeUtil.timedMinMs(
       SimilarityOps.annIvfServeManyDepth(spark, idx, qdf).collect())
     println(f"""[nprobe] "float_batch20_fixed_ms": $fixedMs%.1f""")
     println(f"""[nprobe] "float_batch20_depth_ms": $routedMs%.1f""")

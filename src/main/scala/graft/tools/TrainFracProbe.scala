@@ -1,9 +1,7 @@
 package graft.tools
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.CosineSimilarity.cosineSim
 import graft.operators.SimilarityOps
 
 /** `runMain graft.tools.TrainFracProbe [sfDir]` — the sampled-train
@@ -38,34 +36,12 @@ object TrainFracProbe {
 
     // Exact truth over the live rows (base + drift) — computed once; the
     // retrain never changes the row set, only the geometry.
-    val truth: Map[Long, Set[Long]] = SimilarityOps.vectorsDf(spark, base)
-      .select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(qdf.select(col("query_id"),
-        col("embedding").as("q_embedding"))))
-      .select(col("query_id"), col("vec_id"),
-        cosineSim(col("embedding"), col("q_embedding")).as("cos"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc)))
-      .filter(col("rank") <= SimilarityOps.TopK)
-      .collect().groupBy(_.getAs[Long]("query_id"))
-      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
-
-    def copyDir(src: String, dst: String): Unit = {
-      val s = java.nio.file.Paths.get(src)
-      val d = java.nio.file.Paths.get(dst)
-      java.nio.file.Files.walk(s).forEach { p =>
-        val t = d.resolve(s.relativize(p))
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.createDirectories(t)
-        else java.nio.file.Files.copy(p, t,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      }
-    }
+    val truth: Map[Long, Set[Long]] = ProbeUtil.exactTruth(spark, base, qdf)
 
     Seq(1.0, 0.5, 0.25, 0.1).foreach { frac =>
       val d = java.nio.file.Files.createTempDirectory(
         s"graft_tfp_$frac").toString
-      copyDir(base, d)
+      ProbeUtil.copyDir(base, d)
       val t0 = System.nanoTime()
       SimilarityOps.retrainIndex(spark, d, trainFraction = frac)
       val verbSec = (System.nanoTime() - t0) / 1e9

@@ -89,17 +89,8 @@ class Round16Spec extends SparkSpec {
       .map(r => r.getAs[Long]("vec_id") ->
         r.getAs[scala.collection.Seq[Float]]("embedding").toArray).toMap
 
-  private def copyDir(src: String, dst: String): Unit = {
-    val s = java.nio.file.Paths.get(src)
-    val d = java.nio.file.Paths.get(dst)
-    java.nio.file.Files.walk(s).forEach { p =>
-      val t = d.resolve(s.relativize(p))
-      if (java.nio.file.Files.isDirectory(p))
-        java.nio.file.Files.createDirectories(t)
-      else java.nio.file.Files.copy(p, t,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
-  }
+  private def copyDir(src: String, dst: String): Unit =
+    graft.tools.ProbeUtil.copyDir(src, dst)
 
   private def geometry(idx: String): (Set[Long], Set[Long], Map[Long, Long]) = {
     val vClusters = SimilarityOps.vectorsDf(spark, idx)
