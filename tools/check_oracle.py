@@ -14,6 +14,7 @@ import json
 import math
 import os
 import sys
+import threading
 
 import duckdb
 
@@ -69,13 +70,28 @@ def main(sf_dir, out_dir):
         dump_q = f"SELECT * FROM read_parquet('{pq_dir}/*.parquet')"
         got = con.execute(dump_q).fetchall()
         got_cols = [d[0] for d in con.description]
+        # Watchdog (r16): a new oracle whose fan-out CTEs lack
+        # MATERIALIZED can run for HOURS (the q206 first cut was >25 min
+        # at sf0.001 before the fix). Interrupt any single oracle after
+        # CHECK_ORACLE_TIMEOUT seconds (default 600) and fail the query
+        # loudly instead of hanging the gate.
+        budget = float(os.environ.get("CHECK_ORACLE_TIMEOUT", "600"))
+        timer = threading.Timer(budget, con.interrupt)
+        timer.start()
         try:
             want = con.execute(sql).fetchall()
             want_cols = [d[0] for d in con.description]
         except Exception as e:
-            print(f"[ERR ] {name}: oracle SQL failed: {e}")
+            msg = str(e)
+            if "INTERRUPT" in msg.upper():
+                msg = (f"exceeded {budget:.0f} s (CHECK_ORACLE_TIMEOUT) — "
+                       "likely un-MATERIALIZED fan-out CTEs; see SCALE.md "
+                       "'Cross-engine numeric determinism'")
+            print(f"[ERR ] {name}: oracle SQL failed: {msg}")
             failed.append(name)
             continue
+        finally:
+            timer.cancel()
         if sorted(got_cols) != sorted(want_cols):
             print(f"[COLS] {name}: spark={sorted(got_cols)} duck={sorted(want_cols)}")
             failed.append(name)
