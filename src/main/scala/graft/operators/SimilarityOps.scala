@@ -1974,34 +1974,20 @@ object SimilarityOps {
     * the sampled build a pure function of (corpus, fraction). */
   def writeIndex(spark: SparkSession, dir: String, out: String,
       trainFraction: Double = 1.0): Unit = {
-    // An in-place REBUILD of a generation-bearing index (one that has
-    // seen compaction/split/retrain) must not leave a manifest naming
-    // soon-stale generation dirs while the build writes the legacy
-    // paths: drop the manifest and every generation first — writeIndex
-    // is the OFFLINE build (no concurrent readers by contract);
-    // retrainIndex is the reader-safe live verb.
+    // Validation FIRST (ADVICE r16 #1): every argument/sample check must
+    // pass before anything of the old index is destroyed — pre-r17 a bad
+    // trainFraction (or an undersized sample) aborted with the manifest
+    // and generations already deleted.
+    require(trainFraction > 0.0 && trainFraction <= 1.0,
+      s"trainFraction must be in (0, 1]: $trainFraction")
     val outFs = idxFs(spark, out)
-    val mf = new org.apache.hadoop.fs.Path(s"$out/MANIFEST")
-    if (outFs.exists(mf)) {
-      outFs.delete(mf, false)
-      Seq("vectors", "centroids", "pq_centroids", "bq_mu")
-        .foreach(b => gcGenerations(spark, out, b, Set(b)))
-      // A rebuilt index is a new stream target: drop the previous
-      // sink's ack marker and dead-codeword anchor so the geometry
-      // triggers key only on this build's own history.
-      outFs.delete(new org.apache.hadoop.fs.Path(s"$out/.ingest_acked"), false)
-      outFs.delete(new org.apache.hadoop.fs.Path(s"$out/.dead_frac_baseline"), false)
-    }
-    if (trainFraction >= 1.0) {
-      indexArtifacts(spark, dir).write.mode("overwrite")
-        .partitionBy("cluster", "ingest_batch").parquet(s"$out/vectors")
-      kmeansModel(spark, dir)._1.write.mode("overwrite").parquet(s"$out/centroids")
-      pqModel(spark, dir)._1.write.mode("overwrite").parquet(s"$out/pq_centroids")
-      covMu(spark, dir).write.mode("overwrite").parquet(s"$out/bq_mu")
-    } else {
-      require(trainFraction > 0.0, s"trainFraction must be in (0, 1]: $trainFraction")
+    val sampleDir = s"$out/.train_sample"
+    if (trainFraction < 1.0) {
+      // Stage + size-check the training sample BEFORE the destructive
+      // cleanup: the sample dir is a dot-path outside every generation,
+      // so writing it never touches the serving artifacts, and an
+      // undersized sample aborts with the old index fully intact.
       val fracE4 = math.round(trainFraction * 10000).toInt
-      val sampleDir = s"$out/.train_sample"
       emb(spark, dir).filter(hashSampleE4(col("vec_id"), fracE4))
         .write.mode("overwrite").parquet(s"$sampleDir/embeddings.parquet")
       // The staged sample reuses the path a prior sampled build used —
@@ -2011,6 +1997,36 @@ object SimilarityOps {
       require(nSample >= KmeansK,
         s"trainFraction=$trainFraction sampled $nSample vectors — fewer than " +
           s"K=$KmeansK; raise the fraction (tiny corpora should train full)")
+    }
+    // An in-place REBUILD of a generation-bearing index (one that has
+    // seen compaction/split/retrain) must not leave a manifest naming
+    // soon-stale generation dirs while the build writes the legacy
+    // paths: drop the manifest and every generation first — writeIndex
+    // is the OFFLINE build (no concurrent readers by contract);
+    // retrainIndex is the reader-safe live verb.
+    val mf = new org.apache.hadoop.fs.Path(s"$out/MANIFEST")
+    if (outFs.exists(mf)) {
+      outFs.delete(mf, false)
+      Seq("vectors", "centroids", "pq_centroids", "bq_mu")
+        .foreach(b => gcGenerations(spark, out, b, Set(b)))
+    }
+    // A rebuilt index is a new stream target: drop the previous sink's
+    // ack marker and dead-codeword anchor so the geometry triggers key
+    // only on this build's own history. UNCONDITIONAL (ADVICE r16 #3):
+    // a streamed-but-never-compacted index has the markers but no
+    // manifest, and a stale ack marker would veto the fresh checkpoint's
+    // first batch's split/retrain check.
+    outFs.delete(new org.apache.hadoop.fs.Path(s"$out/.ingest_acked"), false)
+    outFs.delete(new org.apache.hadoop.fs.Path(s"$out/.dead_frac_baseline"), false)
+    if (trainFraction >= 1.0) {
+      indexArtifacts(spark, dir).write.mode("overwrite")
+        .partitionBy("cluster", "ingest_batch").parquet(s"$out/vectors")
+      kmeansModel(spark, dir)._1.write.mode("overwrite").parquet(s"$out/centroids")
+      pqModel(spark, dir)._1.write.mode("overwrite").parquet(s"$out/pq_centroids")
+      covMu(spark, dir).write.mode("overwrite").parquet(s"$out/bq_mu")
+    } else {
+      // Sample already staged and size-checked above (before the
+      // destructive cleanup).
       kmeansModel(spark, sampleDir)._1.write.mode("overwrite").parquet(s"$out/centroids")
       pqModel(spark, sampleDir)._1.write.mode("overwrite").parquet(s"$out/pq_centroids")
       covMu(spark, sampleDir).write.mode("overwrite").parquet(s"$out/bq_mu")

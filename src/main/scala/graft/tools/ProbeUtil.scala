@@ -12,17 +12,21 @@ import graft.operators.SimilarityOps
   * timing protocol, or directory cloning cannot silently miss a copy. */
 object ProbeUtil {
 
-  /** Recursive directory copy (files replaced, directories created). */
+  /** Recursive directory copy (files replaced, directories created).
+    * The walk stream is closed explicitly (ADVICE r16): probes and specs
+    * call this in loops, and each unclosed stream leaks a directory
+    * handle. */
   def copyDir(src: String, dst: String): Unit = {
     val s = java.nio.file.Paths.get(src)
     val d = java.nio.file.Paths.get(dst)
-    java.nio.file.Files.walk(s).forEach { p =>
+    val walk = java.nio.file.Files.walk(s)
+    try walk.forEach { p =>
       val t = d.resolve(s.relativize(p))
       if (java.nio.file.Files.isDirectory(p))
         java.nio.file.Files.createDirectories(t)
       else java.nio.file.Files.copy(p, t,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    } finally walk.close()
   }
 
   /** Exact cosine top-[[SimilarityOps.TopK]] truth per query over the

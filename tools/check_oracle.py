@@ -76,7 +76,16 @@ def main(sf_dir, out_dir):
         # CHECK_ORACLE_TIMEOUT seconds (default 600) and fail the query
         # loudly instead of hanging the gate.
         budget = float(os.environ.get("CHECK_ORACLE_TIMEOUT", "600"))
-        timer = threading.Timer(budget, con.interrupt)
+        # Guarded callback (ADVICE r16): if the timer fires in the window
+        # between the query completing and timer.cancel(), a bare
+        # con.interrupt() would poison the shared connection and fail the
+        # NEXT query spuriously. The done-flag check under a lock makes
+        # the late firing a no-op.
+        done = threading.Event()
+        def _interrupt():
+            if not done.is_set():
+                con.interrupt()
+        timer = threading.Timer(budget, _interrupt)
         timer.start()
         try:
             want = con.execute(sql).fetchall()
@@ -91,6 +100,7 @@ def main(sf_dir, out_dir):
             failed.append(name)
             continue
         finally:
+            done.set()
             timer.cancel()
         if sorted(got_cols) != sorted(want_cols):
             print(f"[COLS] {name}: spark={sorted(got_cols)} duck={sorted(want_cols)}")
