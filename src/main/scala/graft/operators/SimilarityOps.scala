@@ -1873,7 +1873,8 @@ object SimilarityOps {
     * fine here: this is the offline build job, not a query path. */
   def indexArtifacts(spark: SparkSession, dir: String): DataFrame = {
     val (_, asg) = kmeansModel(spark, dir)
-    emb(spark, dir).select("vec_id", "embedding")
+    withLabelPayload(emb(spark, dir))
+      .select("vec_id", "embedding", "label")
       .join(int8Codes(embLong(spark, dir)), "vec_id")
       .join(pqCodeColumn(pqModel(spark, dir)._2), "vec_id")
       // Binary tier (r12 — the q192/q193 codes, persisted): 16 bytes of
@@ -1891,6 +1892,14 @@ object SimilarityOps {
       // probe-time partition pruning is unchanged.
       .withColumn("ingest_batch", lit(-1L))
   }
+
+  /** Normalize the filter-payload column: pass `label` through as INT
+    * when the source frame carries it, else NULL INT — so every index
+    * writer emits the one pinned [[VectorsSchema]] regardless of whether
+    * the corpus (or a streaming delta) is labeled. */
+  private def withLabelPayload(df: DataFrame): DataFrame =
+    if (df.columns.contains("label")) df.withColumn("label", col("label").cast("int"))
+    else df.withColumn("label", lit(null).cast("int"))
 
   /** Collapse a long-form PQ assignment (vec_id, sub, code) to the
     * per-vector `pq_codes` index column (codes ordered by subspace). */
@@ -1934,7 +1943,11 @@ object SimilarityOps {
     val rex = ex.join(asg, "vec_id")
       .join(broadcast(cent), Seq("cluster", "pos"))
       .select(col("vec_id"), col("pos"), (col("v") - col("c")).as("v"))
-    delta.select("vec_id", "embedding")
+    // The filter payload rides along when the delta carries it (offline
+    // append, retrain re-encode); a payload-less delta (streaming
+    // ingest's (vec_id, embedding) frames) lands NULL — predicates never
+    // match it, and the label_sizes estimator never counts it.
+    withLabelPayload(delta).select("vec_id", "embedding", "label")
       .join(int8Codes(ex), "vec_id")
       .join(pqCodeColumn(pqAssign(withSub(rex), pqCent)), "vec_id")
       // Binary codes centered against the PERSISTED mean — like every
@@ -2034,7 +2047,8 @@ object SimilarityOps {
       // incremental append derivation, reading the artifacts just
       // written (evict first so indexMeta can't serve a prior build's).
       Memos.release(out)
-      appendArtifacts(spark, out, emb(spark, dir).select("vec_id", "embedding"))
+      appendArtifacts(spark, out, withLabelPayload(emb(spark, dir))
+          .select("vec_id", "embedding", "label"))
         .withColumn("ingest_batch", lit(-1L))
         .write.mode("overwrite")
         .partitionBy("cluster", "ingest_batch").parquet(s"$out/vectors")
@@ -2046,6 +2060,10 @@ object SimilarityOps {
     // corpus-scale count at session start. Recounted from the
     // just-written table so the artifact is exact by construction.
     writeClusterSizesRows(spark, out, recountClusterSizes(spark, out))
+    // Same for the filtered serve's selectivity estimator (r17): the
+    // build knows the label histogram — one narrow column pass here so
+    // no filtered request ever recounts it.
+    writeLabelSizesRows(spark, out, recountLabelSizes(spark, out))
     // An in-place rebuild must not leave this session serving the OLD
     // artifacts through the indexMeta memo (or stale routing cluster
     // sizes) — evict everything keyed to this index dir.
@@ -2244,6 +2262,91 @@ object SimilarityOps {
       writeClusterSizesRows(spark, indexDir, recountClusterSizes(spark, indexDir))
     }
 
+  // ---- label_sizes index artifact (r17 — VERDICT r16 #1) -------------------
+  //
+  // Per-label vector counts over the index's filter payload — the
+  // SELECTIVITY ESTIMATOR the filtered serve's pre-vs-post dispatch
+  // reads ([[annIvfServeManyFiltered]]): a |labels|-row broadcast
+  // frame, the cluster_sizes recipe applied to the label column, so no
+  // filtered request ever pays a corpus pass to learn how selective its
+  // predicate is. Written at build, refreshed where cluster_sizes is
+  // (full compaction / retrain — the verbs whose dedup can change row
+  // counts); streaming ingest deltas are payload-less (NULL label) and
+  // never move these counts. A stale estimator can only mis-route a
+  // query between two CORRECT strategies — answers come from the chosen
+  // arm's own exact plan either way.
+
+  private[graft] def labelSizesPath(indexDir: String): String =
+    s"$indexDir/label_sizes"
+
+  private val LabelSizesSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL("label BIGINT, ln BIGINT")
+
+  private def readLabelSizesRows(
+      spark: SparkSession, indexDir: String): Option[Seq[(Long, Long)]] = {
+    val fs = idxFs(spark, indexDir)
+    val p = new org.apache.hadoop.fs.Path(labelSizesPath(indexDir))
+    if (!fs.exists(p)) None
+    else Some(spark.read.schema(LabelSizesSchema).parquet(p.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
+  /** Full label recount from the vectors table — one narrow column scan
+    * (the label column only), NULL payload rows excluded. */
+  private def recountLabelSizes(
+      spark: SparkSession, indexDir: String): Seq[(Long, Long)] =
+    vectorsDf(spark, indexDir)
+      .filter(col("label").isNotNull)
+      .groupBy("label").agg(count(lit(1)).as("ln"))
+      .collect().map(r =>
+        (r.getAs[Number]("label").longValue(), r.getAs[Long]("ln"))).toSeq
+
+  /** Atomic single-file replace — the cluster_sizes recipe verbatim
+    * (tmp parquet stage, FileContext rename over the FILE target). */
+  private[graft] def writeLabelSizesRows(
+      spark: SparkSession, indexDir: String, rows: Seq[(Long, Long)]): Unit = {
+    import spark.implicits._
+    val fs = idxFs(spark, indexDir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.label_sizes.tmp")
+    fs.delete(tmp, true)
+    rows.toDF("label", "ln").coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).iterator
+      .map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"label_sizes stage at $tmp produced no parquet part file"))
+    val dst = new org.apache.hadoop.fs.Path(labelSizesPath(indexDir))
+    org.apache.hadoop.fs.FileContext.getFileContext(part.toUri,
+      spark.sparkContext.hadoopConfiguration)
+      .rename(part, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    fs.delete(tmp, true)
+    labelSizeCache.evictDir(indexDir)
+  }
+
+  /** Refresh under the index's one maintenance lock (the single-writer
+    * contract is per index, not per artifact). */
+  private[graft] def refreshLabelSizes(spark: SparkSession, indexDir: String): Unit =
+    withClusterSizesLock(spark, indexDir) {
+      writeLabelSizesRows(spark, indexDir, recountLabelSizes(spark, indexDir))
+    }
+
+  private val labelSizeCache = Memo.plain[Map[Long, Long]]()
+
+  /** Memoized label → count snapshot (artifact read, recount heal for
+    * pre-artifact indexes — keyed on the active generation like
+    * cluster_sizes, so a retrain/compaction swap refreshes it). */
+  private[graft] def indexLabelSizes(
+      spark: SparkSession, indexDir: String): Map[Long, Long] =
+    labelSizeCache.getOrElseUpdateSync(
+      s"lsz:${activeVectorsName(spark, indexDir)}:" +
+        s"${spark.sparkContext.applicationId}:$indexDir", {
+        readLabelSizesRows(spark, indexDir) match {
+          case Some(rows) => rows.toMap
+          case None => recountLabelSizes(spark, indexDir).toMap
+        }
+      })
+
   // ---- Index layout resolution: 1-line MANIFEST + generations (r11) -------
 
   private def idxFs(spark: SparkSession, indexDir: String): org.apache.hadoop.fs.FileSystem =
@@ -2329,6 +2432,15 @@ object SimilarityOps {
     org.apache.spark.sql.types.StructType.fromDDL(
       "vec_id BIGINT, embedding ARRAY<FLOAT>, codes ARRAY<TINYINT>, " +
         "scale DOUBLE, pq_codes ARRAY<BIGINT>, bq_lo BIGINT, bq_hi BIGINT, " +
+        // Filter payload (r17 — VERDICT r16 #1): the corpus's metadata
+        // column rides ON the vector rows, the production vector-store
+        // layout — a filtered serve's pre-filter arm pushes the
+        // predicate into THIS scan (parquet row-group stats pruning),
+        // which no (vec_id → attrs) side-table join can do at 100 TB.
+        // Parquet files written before r17 simply read NULL here (the
+        // explicit schema fills missing columns), so every pre-r17
+        // index keeps serving unfiltered requests unchanged.
+        "label INT, " +
         "cluster INT, ingest_batch INT")
 
   /** Every SERVE/read of the vectors table goes through here: manifest
@@ -2606,6 +2718,7 @@ object SimilarityOps {
     // cluster_sizes artifact from the new generation (also the heal point
     // for pre-artifact indexes and for any crashed earlier bump).
     refreshClusterSizes(spark, indexDir)
+    refreshLabelSizes(spark, indexDir)
     (filesBefore, spark.read.parquet(s"$indexDir/$nextName").inputFiles.length)
   }
 
@@ -2936,7 +3049,9 @@ object SimilarityOps {
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("ingest_batch").asc)))
       .filter(col("rn") === 1)
-      .select("vec_id", "embedding")
+      // label rides the staged corpus so the rebuilt index keeps its
+      // filter payload (NULL for payload-less rows — unchanged).
+      .select("vec_id", "embedding", "label")
     val src = s"$indexDir/.retrain_src"
     live.write.mode("overwrite").parquet(s"$src/embeddings.parquet")
     // A prior retrain of this index memoized models under the SAME
@@ -2980,6 +3095,7 @@ object SimilarityOps {
         Set(layout.artifacts.getOrElse(name, name), next))
     }
     refreshClusterSizes(spark, indexDir)
+    refreshLabelSizes(spark, indexDir)
     fs.delete(new org.apache.hadoop.fs.Path(src), true)
     fs.delete(new org.apache.hadoop.fs.Path(stagedIdx), true)
     Memos.release(indexDir)
@@ -6391,6 +6507,274 @@ object SimilarityOps {
     annIvfServeMany(spark, indexDir, queries, sharedProbes = Some(probes))
   }
 
+  // ---- q208: filtered ANN serving (r17 — VERDICT r16 #1) -------------------
+
+  /** Post-filter overfetch factor and the dispatch threshold derived
+    * from it. Post-filter answers a filtered request from the UNFILTERED
+    * ANN shortlist taken [[FilterOverfetch]]× deeper than TopK, then
+    * applies the predicate — its expected matching candidates are
+    * sel · overfetch · TopK, which covers TopK exactly when
+    * sel ≥ 1 / overfetch. Below that the shortlist cannot fill the
+    * answer in expectation (the recall cliff every post-filtering vector
+    * store documents), and the pre-filter arm — the predicate pushed
+    * into the partition/row-group-pruned scan, EXACT by construction —
+    * is also the cheaper scan there (it reads sel · N rows; at
+    * production K/nprobe the post arm reads the probe fraction, which
+    * only wins once sel is large). So the dispatch rule is one
+    * measurable boundary: pre iff r6(sel) ≤ 1/overfetch, compared on
+    * the r6-ROUNDED selectivity in both engines (the q207 boundary
+    * discipline). */
+  final val FilterOverfetch = 4
+  final val FilterSelPre = 0.25 // = 1.0 / FilterOverfetch
+
+  /** The dispatch rule — shared verbatim by the q208 census, its SQL
+    * twin, and [[annIvfServeManyFiltered]], so the census IS the
+    * dispatcher's behavior. */
+  private[graft] def filterStrategyOf(sel: Column): Column =
+    when(sel <= FilterSelPre, lit("pre")).otherwise(lit("post"))
+
+  /** q208: the filtered-serve PLAN AND ANSWERS — per panel query, a
+    * label predicate (`label <= flabel`, the query's own label: panel
+    * selectivities span ~0.1 → 1.0, so BOTH arms are genuinely
+    * exercised at every shipped SF), its r6'd selectivity, the
+    * pre-vs-post strategy, and the filtered top-k the chosen arm
+    * answers. "top-k among vectors WHERE <predicate>" is the most
+    * common production vector-store request; this census oracle-gates
+    * both the decision rule and each arm's exact answer semantics:
+    * pre = exact cosine over the predicate's rows; post = the
+    * [[NProbeServe]]-probed IVF shortlist at [[FilterOverfetch]]× TopK
+    * depth, THEN the predicate, re-ranked (a post answer may hold fewer
+    * than TopK rows — the recall loss, shown honestly). Census work:
+    * selectivities are a |labels|-row broadcast; the arms run only over
+    * their routed slice. */
+  def filteredServePlan(spark: SparkSession, dir: String): DataFrame = {
+    val (kcent, kasg) = kmeansModel(spark, dir)
+    val e = emb(spark, dir)
+    val panel = e.filter(col("vec_id") < NPanel)
+      .select(col("vec_id").as("qid"), col("label").cast("long").as("flabel"),
+        col("embedding").as("qe"))
+    val lsz = e.groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("ln"))
+    val ntot = e.agg(count(lit(1)).as("ntot"))
+    val sel = panel.select("qid", "flabel")
+      .join(broadcast(lsz), col("label") <= col("flabel"))
+      .groupBy("qid", "flabel").agg(sum("ln").as("nmatch"))
+      .crossJoin(broadcast(ntot))
+      .select(col("qid"), col("flabel"),
+        r6(col("nmatch").cast("double") / col("ntot")).as("sel"))
+      .withColumn("strategy", filterStrategyOf(col("sel")))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    // PRE arm: exact cosine among the predicate's rows (per-query theta
+    // join against the broadcast pre slice).
+    val preQ = panel
+      .join(sel.filter(col("strategy") === "pre").select("qid"), "qid")
+    val pre = e
+      .select(col("vec_id"), col("label").cast("long").as("vl"), col("embedding"))
+      .join(broadcast(preQ), col("vl") <= col("flabel"))
+      .select(col("qid"), col("vec_id"),
+        cosineSim(col("embedding"), col("qe")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+    // POST arm: unfiltered probed shortlist at overfetch depth, then
+    // the predicate, then the re-rank.
+    val postQ = panel
+      .join(sel.filter(col("strategy") === "post").select("qid"), "qid")
+    val qdist = embLong(spark, dir).filter(col("vec_id") < NPanel)
+      .select(col("vec_id").as("qid"), col("pos"), col("v").as("qv"))
+      .join(broadcast(kcent), "pos")
+      .groupBy("qid", "cluster")
+      .agg(sum(((col("qv") - col("c")) * (col("qv") - col("c")))
+        .cast("decimal(38,18)")).as("dist"))
+    val probes = qdist
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist").asc, col("cluster").asc)))
+      .filter(col("crank") <= NProbeServe)
+      .select("qid", "cluster")
+      .join(postQ.select("qid"), "qid")
+    val post = e.join(kasg, "vec_id")
+      .join(broadcast(probes), "cluster")
+      .join(broadcast(postQ), "qid")
+      .select(col("qid"), col("vec_id"), col("label").cast("long").as("vl"),
+        col("flabel"), cosineSim(col("embedding"), col("qe")).as("cos"))
+      .withColumn("srank", row_number().over(w))
+      .filter(col("srank") <= TopK * FilterOverfetch)
+      .filter(col("vl") <= col("flabel"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+    pre.select("qid", "vec_id", "cos", "rank")
+      .unionByName(post.select("qid", "vec_id", "cos", "rank"))
+      .join(broadcast(sel), "qid")
+      .select(col("qid"), col("flabel"), col("sel"), col("strategy"),
+        col("rank").cast("long").as("rank"), col("vec_id"),
+        r6(col("cos")).as("cos"))
+      .orderBy("qid", "rank")
+  }
+
+  lazy val filteredServePlanSql: String =
+    s"""WITH $kmeansCtes,
+       |fpq AS MATERIALIZED (SELECT vec_id AS qid, CAST(label AS BIGINT) AS flabel,
+       |          embedding AS qe FROM embeddings WHERE vec_id < $NPanel),
+       |fls AS (SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS ln
+       |        FROM embeddings GROUP BY 1),
+       |fnt AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM embeddings),
+       |fst AS MATERIALIZED (SELECT qid, flabel, sel,
+       |          CASE WHEN sel <= $FilterSelPre THEN 'pre' ELSE 'post' END AS strategy
+       |        FROM (SELECT qid, flabel,
+       |                floor((CAST(sum(ln) AS DOUBLE) / ntot) * 1000000 + 0.5) / 1000000 AS sel
+       |              FROM fpq JOIN fls ON fls.label <= fpq.flabel, fnt
+       |              GROUP BY qid, flabel, ntot)),
+       |fprc AS MATERIALIZED (SELECT q.qid, e.vec_id,
+       |          ${sqlCos("e.embedding", "q.qe")} AS cos
+       |        FROM embeddings e
+       |        JOIN fpq q ON CAST(e.label AS BIGINT) <= q.flabel
+       |        JOIN fst ON fst.qid = q.qid AND fst.strategy = 'pre'),
+       |fprr AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid
+       |          ORDER BY cos DESC, vec_id ASC) AS rank FROM fprc),
+       |fqd AS MATERIALIZED (SELECT x.qid, kcent.cluster,
+       |          sum(CAST((qv - c) * (qv - c) AS DECIMAL(38,18))) AS dist
+       |        FROM (SELECT vec_id AS qid, pos, v AS qv FROM kex
+       |              WHERE vec_id < $NPanel) x
+       |        JOIN kcent USING (pos) GROUP BY 1, 2),
+       |fpb AS (SELECT qid, cluster FROM (
+       |          SELECT qid, cluster, row_number() OVER (PARTITION BY qid
+       |            ORDER BY dist ASC, cluster ASC) AS crank FROM fqd)
+       |        WHERE crank <= $NProbeServe),
+       |fpoc AS MATERIALIZED (SELECT p.qid, e.vec_id, CAST(e.label AS BIGINT) AS vl,
+       |          q.flabel, ${sqlCos("e.embedding", "q.qe")} AS cos
+       |        FROM fpb p
+       |        JOIN fst ON fst.qid = p.qid AND fst.strategy = 'post'
+       |        JOIN kasg a ON a.cluster = p.cluster
+       |        JOIN embeddings e ON e.vec_id = a.vec_id
+       |        JOIN fpq q ON q.qid = p.qid),
+       |fpo1 AS MATERIALIZED (SELECT qid, vec_id, vl, flabel, cos,
+       |          row_number() OVER (PARTITION BY qid
+       |            ORDER BY cos DESC, vec_id ASC) AS srank FROM fpoc),
+       |fpo2 AS (SELECT qid, vec_id, cos,
+       |          row_number() OVER (PARTITION BY qid
+       |            ORDER BY cos DESC, vec_id ASC) AS rank
+       |        FROM fpo1 WHERE srank <= ${TopK * FilterOverfetch} AND vl <= flabel),
+       |fans AS (SELECT qid, vec_id, cos, rank FROM fprr WHERE rank <= $TopK
+       |         UNION ALL
+       |         SELECT qid, vec_id, cos, rank FROM fpo2 WHERE rank <= $TopK)
+       |SELECT f.qid, flabel, sel, strategy, CAST(rank AS BIGINT) AS rank, vec_id,
+       |  floor(cos * 1000000 + 0.5) / 1000000 AS cos
+       |FROM fans f JOIN fst ON fst.qid = f.qid
+       |ORDER BY f.qid, rank""".stripMargin
+
+  /** Filtered batch serving from the persisted index — the q208 census
+    * as a dispatcher (VERDICT r16 #1, "the most common real query shape
+    * against a vector store"). Each request carries its own predicate
+    * value: (query_id, embedding, flabel), answered as "top-k among
+    * vectors WHERE label `op` flabel" (`op` ∈ "le"/"eq" — the census
+    * gates "le"; "eq" is the common tenant/partition-key case, whose
+    * equi-join pre arm is a broadcast hash join).
+    *
+    * Strategies (per query, by the [[filterStrategyOf]] rule over the
+    * [[indexLabelSizes]] artifact — a |labels|-row broadcast, never a
+    * corpus pass):
+    *  - "pre": the predicate is pushed into the vectors scan itself
+    *    (PushedFilters on the label payload column — row-group stats
+    *    pruning; at 100 TB the deployment additionally partitions or
+    *    sorts hot filter columns), then EXACT cosine top-k over the
+    *    matching rows. Exact at any selectivity; scan cost sel · N.
+    *  - "post": the tier's own unfiltered probed shortlist at
+    *    [[FilterOverfetch]]× TopK depth, then the predicate, re-ranked.
+    *    Scan cost = the probe fraction regardless of selectivity;
+    *    recall-safe only when sel ≥ 1/overfetch (the dispatch
+    *    boundary).
+    * `strategy` forces one arm for probes/specs; "auto" is the shipped
+    * dispatch. Returns (query_id, vec_id, rank, cos, strategy);
+    * Round17Spec pins auto ≡ the q208 census per panel query and each
+    * forced arm ≡ its analytic derivation. */
+  def annIvfServeManyFiltered(
+      spark: SparkSession, indexDir: String, queries: DataFrame,
+      op: String = "le", strategy: String = "auto",
+      nprobe: Int = NProbeServe, overfetch: Int = FilterOverfetch): DataFrame = {
+    import spark.implicits._
+    require(Set("le", "eq")(op), s"unknown filter op: $op (one of le, eq)")
+    require(Set("auto", "pre", "post")(strategy),
+      s"unknown filter strategy: $strategy (one of auto, pre, post)")
+    val lsz = indexLabelSizes(spark, indexDir)
+    require(lsz.nonEmpty,
+      s"filtered serve needs a labeled index: $indexDir carries no label payload")
+    val (_, ntot) = indexClusterSizes(spark, indexDir)
+    val q2 = queries.select(col("query_id"), col("embedding"),
+      col("flabel").cast("long").as("flabel"))
+    val lszDf = lsz.toSeq.toDF("label", "ln")
+    def pred(l: Column, fl: Column): Column =
+      if (op == "le") l <= fl else l === fl
+    // Per-query selectivity + strategy — the |Q|-row census frame
+    // (checkpointed once, read by both slice filters), the exact
+    // arithmetic of the q208 census's sel column.
+    val census = q2.select("query_id", "flabel")
+      .join(broadcast(lszDf), pred(col("label"), col("flabel")), "left")
+      .groupBy("query_id", "flabel")
+      .agg(coalesce(sum("ln"), lit(0L)).as("nmatch"))
+      .withColumn("sel", r6(col("nmatch").cast("double") / lit(ntot.toDouble)))
+      .withColumn("strategy",
+        if (strategy == "auto") filterStrategyOf(col("sel")) else lit(strategy))
+      .localCheckpoint(true)
+    // Driver-side slice bounds (|Q| rows — the routeAndServe census
+    // price): the pre arm's COARSE literal filter, the part of the
+    // per-query predicate that pushes into the parquet scan.
+    val bounds = census.select("flabel", "strategy").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val preLb = bounds.collect { case (l, "pre") => l }
+    val postOn = bounds.exists(_._2 == "post")
+    def slice(s: String): DataFrame = q2.join(
+      broadcast(census.filter(col("strategy") === s).select("query_id")),
+      "query_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val pre: Option[DataFrame] = if (preLb.isEmpty) None else {
+      val coarse =
+        if (op == "le") col("label") <= lit(preLb.max)
+        else col("label").isin(preLb.distinct.toSeq: _*)
+      Some(vectorsDf(spark, indexDir)
+        .filter(col("label").isNotNull && coarse)
+        .select(col("vec_id"), col("label").cast("long").as("vl"), col("embedding"))
+        .join(broadcast(slice("pre").select(col("query_id"),
+          col("embedding").as("q_embedding"), col("flabel"))),
+          pred(col("vl"), col("flabel")))
+        .select(col("query_id"), col("vec_id"),
+          cosineSim(col("embedding"), col("q_embedding")).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .withColumn("strategy", lit("pre")))
+    }
+    val post: Option[DataFrame] = if (!postOn) None else {
+      val postQ = slice("post")
+      val cent = indexMeta(spark, indexDir, "centroids")
+      val probes = probesMany(cent, qxOf(postQ), nprobe)
+      Some(vectorsDf(spark, indexDir)
+        .select(col("vec_id"), col("cluster"),
+          col("label").cast("long").as("vl"), col("embedding"))
+        .join(broadcast(probes), "cluster")
+        .join(broadcast(postQ.select(col("query_id"),
+          col("embedding").as("q_embedding"), col("flabel"))), "query_id")
+        .select(col("query_id"), col("vec_id"), col("vl"), col("flabel"),
+          cosineSim(col("embedding"), col("q_embedding")).as("cos"))
+        .withColumn("srank", row_number().over(w))
+        .filter(col("srank") <= TopK * overfetch)
+        .filter(pred(col("vl"), col("flabel")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= TopK)
+        .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
+        .withColumn("strategy", lit("post")))
+    }
+    val parts = (pre.toSeq ++ post.toSeq).map(_.select(
+      col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"),
+      r6(col("cos")).as("cos"), col("strategy")))
+    if (parts.isEmpty) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          queries.schema("query_id").copy(name = "query_id"),
+          StructField("vec_id", LongType), StructField("rank", LongType),
+          StructField("cos", DoubleType), StructField("strategy", StringType))))
+    } else parts.reduce(_.unionByName(_)).orderBy("query_id", "rank")
+  }
+
   /** q206's twin — [[tierRouteSliceSql]]'s unpivot/rank/collapse stack,
     * but under the LEARNED weights computed INLINE (the q187/q201
     * convention: DuckDB cannot see the parquet state store, so the
@@ -6504,6 +6888,7 @@ object SimilarityOps {
     "q203_tier_route_slice" -> (tierRouteSlice _),
     "q206_tier_route_slice_pass2" -> (tierRouteSlicePass2 _),
     "q207_probe_depth_plan" -> (probeDepthPlan _),
+    "q208_filtered_serve_plan" -> (filteredServePlan _),
     "q204_split_plan" -> ((s: SparkSession, d: String) => splitPlan(s, d)),
     "q205_maintenance_plan" -> (maintenancePlan _),
     "q191_embedding_spectrum" -> (embeddingSpectrum _),
@@ -6552,6 +6937,7 @@ object SimilarityOps {
     "q203_tier_route_slice" -> tierRouteSliceSql,
     "q206_tier_route_slice_pass2" -> tierRouteSlicePass2Sql,
     "q207_probe_depth_plan" -> probeDepthPlanSql,
+    "q208_filtered_serve_plan" -> filteredServePlanSql,
     "q204_split_plan" -> splitPlanSql,
     "q205_maintenance_plan" -> maintenancePlanSql,
     "q191_embedding_spectrum" -> embeddingSpectrumSql,
