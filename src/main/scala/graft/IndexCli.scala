@@ -320,6 +320,26 @@ object RetrainVectorIndex {
   }
 }
 
+/** `sbt "runMain graft.DeleteVectors <indexDir> <id[,id...]>"` — the
+  * bounded removal verb (takedown / right-to-be-forgotten): physically
+  * rewrite ONLY the owning (cluster, ingest_batch) partitions minus the
+  * ids, artifact twins decremented under the writer lock. Idempotent —
+  * re-running with the same ids removes 0 rows.
+  */
+object DeleteVectors {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: DeleteVectors <indexDir> <id[,id...]>")
+    val idx = args(0)
+    val ids = args(1).split(",").map(_.trim.toLong).toSeq
+    val spark = Cli.session()
+    val removed = graft.operators.SimilarityOps.deleteVectors(spark, idx, ids)
+    println(s"[vdelete] idx=$idx ids=${ids.size} rows_removed=$removed " +
+      s"rows_after=${spark.read
+        .parquet(graft.operators.SimilarityOps.vectorsPath(spark, idx)).count()}")
+    spark.stop()
+  }
+}
+
 /** `sbt "runMain graft.ServeVectorIndex <indexDir> [sfDir]"` — the ANN
   * serving entry point: answer a query from the PERSISTED index alone
   * (BuildVectorIndex output) — float tier and int8 tier — with the probe

@@ -857,6 +857,108 @@ object RetrievalOps {
        |SELECT doc_id, rank, floor((rrf) * 1000000 + 0.5) / 1000000 AS rrf
        |FROM rk WHERE rank <= $TopK ORDER BY rank""".stripMargin
 
+  // ---- q210: persisted-index hybrid serving (r17 — VERDICT r16 #5) --------
+
+  /** The RRF fusion as a BATCH function of two retrieval indexes —
+    * shared verbatim by the q210 census (in-session indexes) and the
+    * persisted-index serve entry ([[hybridServeMany]]), so the served
+    * fusion can never drift from the oracle-gated arithmetic. Both arms
+    * rank DENSELY (every doc present, q29's contract), fuse
+    * 1/(k+rank) + 1/(k+rank), and keep TopK per query. */
+  private def hybridRrf(
+      queries: DataFrame, tok: graft.stats.TokenIndex,
+      gram: graft.stats.GramIndex): DataFrame = {
+    val kw = Retrievers.topK(Retrievers.keywordScores(queries, tok), Int.MaxValue)
+      .select(col("query_id"), col("doc_id"), col("rank").as("krank"))
+    val vec = Retrievers.topK(Retrievers.vectorScores(queries, gram), Int.MaxValue)
+      .select(col("query_id"), col("doc_id"), col("rank").as("vrank"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("rrf").desc, col("doc_id").asc)
+    kw.join(vec, Seq("query_id", "doc_id"))
+      .select(col("query_id").as("qid"), col("doc_id"),
+        (lit(1.0) / (lit(RrfK) + col("krank")) +
+          lit(1.0) / (lit(RrfK) + col("vrank"))).as("rrf"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("doc_id"), col("rank"), r6(col("rrf")).as("rrf"))
+      .orderBy("qid", "rank")
+  }
+
+  /** q210: the hybrid-serve census — q29's reciprocal-rank fusion for
+    * the whole FixedQueries panel (ID-heavy, empty, mixed — the q26
+    * feature panel), as one batched plan: the reference's hybrid arm
+    * finally gets the multi-query decision table the vector tiers have
+    * had since q160. Every (qid, doc_id, rank, rrf) row is the exact
+    * arithmetic [[hybridServeMany]] serves from the PERSISTED bucketed
+    * indexes (Round17Spec pins equality), closing the one arm that had
+    * no persisted serving twin. */
+  def hybridServePlan(spark: SparkSession, dir: String): DataFrame =
+    hybridRrf(queriesDf(spark), tokenIndex(spark, dir), gramIndex(spark, dir))
+
+  /** Serve a batch of TEXT queries from the PERSISTED token + gram
+    * indexes ([[graft.stats.IndexStore]]'s bucketed catalog tables —
+    * `graft.BuildIndex` output): BM25 and char-gram cosine rank densely
+    * shuffle-free off the bucketed layout, RRF fuses by rank (no
+    * min-max pass over the dense score set at serve time — why RRF is
+    * the serving-side fusion; q170 audits its agreement with the q25
+    * blend), one rank window per query. The reference's hybrid
+    * `search()` as a persisted-index serving tier. */
+  def hybridServeMany(
+      spark: SparkSession, tokPrefix: String, gramPrefix: String,
+      queries: DataFrame): DataFrame =
+    hybridRrf(queries,
+      graft.stats.IndexStore.load(spark, tokPrefix),
+      graft.stats.IndexStore.loadGram(spark, gramPrefix))
+
+  lazy val hybridServePlanSql: String = {
+    val shared =
+      s"""$tokCte,
+         |tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |tidf AS MATERIALIZED (SELECT term, ln(1 + (n - count(DISTINCT doc_id) + 0.5) / (count(DISTINCT doc_id) + 0.5)) AS idf
+         |         FROM tok, nn GROUP BY term, n),
+         |dl AS MATERIALIZED (SELECT doc_id, len(regexp_extract_all(lower(text), '$TokRe')) AS dl FROM documents),
+         |ad AS (SELECT avg(dl) AS avgdl FROM dl),
+         |$gramCte,
+         |gtf AS MATERIALIZED (SELECT doc_id, gram, count(*) AS tf FROM gr GROUP BY 1, 2),
+         |gidf AS MATERIALIZED (SELECT gram, ln(1 + (n - count(DISTINCT doc_id) + 0.5) / (count(DISTINCT doc_id) + 0.5)) AS idf
+         |         FROM gr, nn GROUP BY gram, n),
+         |dvec AS MATERIALIZED (SELECT doc_id, gram, (1 + ln(tf)) * idf AS w FROM gtf JOIN gidf USING (gram)),
+         |dnorm AS MATERIALIZED (SELECT d.doc_id, coalesce(nullif(sqrt(sum(w * w)), 0.0), 1.0) AS nrm
+         |          FROM documents d LEFT JOIN dvec ON d.doc_id = dvec.doc_id GROUP BY d.doc_id)""".stripMargin
+    val perQuery = FixedQueries.zipWithIndex.map { case ((_, q), i) =>
+      s"""qt_$i AS (SELECT DISTINCT unnest(regexp_extract_all(lower('$q'), '$TokRe')) AS term),
+         |ksc_$i AS (SELECT tf.doc_id,
+         |          sum(tidf.idf * (tf.tf * 2.5) / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / ad.avgdl))) AS s
+         |        FROM qt_$i JOIN tidf USING (term) JOIN tf USING (term)
+         |        JOIN dl ON tf.doc_id = dl.doc_id, ad GROUP BY tf.doc_id),
+         |kr_$i AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS krank
+         |        FROM (SELECT d.doc_id, coalesce(ksc_$i.s, 0.0) AS score
+         |              FROM documents d LEFT JOIN ksc_$i ON d.doc_id = ksc_$i.doc_id)),
+         |qg_$i AS (SELECT unnest(gl) AS gram FROM ${qGramList(q)}),
+         |qtf_$i AS (SELECT gram, count(*) AS tf FROM qg_$i GROUP BY 1),
+         |qvec_$i AS (SELECT gram, (1 + ln(tf)) * idf AS qw FROM qtf_$i JOIN gidf USING (gram)),
+         |qn_$i AS (SELECT coalesce(nullif(sqrt(sum(qw * qw)), 0.0), 1.0) AS qnorm FROM qvec_$i),
+         |vdot_$i AS (SELECT doc_id, sum(qw * w) AS dt FROM qvec_$i JOIN dvec USING (gram) GROUP BY doc_id),
+         |vr_$i AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS vrank
+         |        FROM (SELECT d.doc_id, coalesce(vdot_$i.dt / (qn_$i.qnorm * dnorm.nrm), 0.0) AS score
+         |              FROM documents d LEFT JOIN vdot_$i ON d.doc_id = vdot_$i.doc_id
+         |              JOIN dnorm ON d.doc_id = dnorm.doc_id, qn_$i)),
+         |rk_$i AS (SELECT doc_id, rrf, row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS rank
+         |        FROM (SELECT kr_$i.doc_id, 1.0 / ($RrfK + krank) + 1.0 / ($RrfK + vrank) AS rrf
+         |              FROM kr_$i JOIN vr_$i ON kr_$i.doc_id = vr_$i.doc_id))""".stripMargin
+    }
+    val branches = FixedQueries.zipWithIndex.map { case ((id, _), i) =>
+      s"""SELECT '$id' AS qid, doc_id, CAST(rank AS BIGINT) AS rank,
+         |  floor(rrf * 1000000 + 0.5) / 1000000 AS rrf
+         |FROM rk_$i WHERE rank <= $TopK""".stripMargin
+    }
+    s"""WITH $shared,
+       |${perQuery.mkString(",\n")}
+       |${branches.mkString("\nUNION ALL\n")}
+       |ORDER BY qid, rank""".stripMargin
+  }
+
   // ---- q170: fusion agreement audit (hybrid vs RRF) -----------------------
 
   /** Agreement depths swept. final literal array elements interpolate
@@ -1090,6 +1192,7 @@ object RetrievalOps {
     "q54_prf_expansion" -> (prfExpansion _),
     "q28_hashed_embeddings" -> (hashedEmbeddings _),
     "q29_rrf_fusion" -> (rrfFusion _),
+    "q210_hybrid_serve_plan" -> (hybridServePlan _),
     "q170_fusion_agreement" -> (fusionAgreement _),
     "q171_gram_coverage_curve" -> (gramCoverageCurve _),
     "q20_doc_term_stats" -> (docTermStats _),
@@ -1112,6 +1215,7 @@ object RetrievalOps {
     "q54_prf_expansion" -> prfSql(Bm25Query),
     "q28_hashed_embeddings" -> hashedEmbeddingsSql,
     "q29_rrf_fusion" -> rrfSql(Bm25Query),
+    "q210_hybrid_serve_plan" -> hybridServePlanSql,
     "q170_fusion_agreement" -> fusionAgreementSql(Bm25Query),
     "q171_gram_coverage_curve" -> gramCoverageCurveSql,
     "q20_doc_term_stats" -> docTermStatsSql,

@@ -1343,7 +1343,7 @@ object SimilarityOps {
         .filter(col("cluster").isin(probed: _*)),
       indexMeta(spark, indexDir, "pq_centroids"),
       qx.select(col("pos"), col("v").as("qv")))
-    val shortlist = vectorsDf(spark, indexDir)
+    val shortlist = servedVectorsDf(spark, indexDir)
       .filter(col("cluster").isin(probed: _*))
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
         col("pq_codes"))
@@ -1352,7 +1352,7 @@ object SimilarityOps {
       .orderBy(col("adist").asc, col("vec_id").asc)
       .limit(RerankK)
       .select("vec_id")
-    vectorsDf(spark, indexDir)
+    servedVectorsDf(spark, indexDir)
       .filter(col("cluster").isin(probed: _*))
       .join(broadcast(shortlist), "vec_id")
       .select(col("vec_id"),
@@ -1397,7 +1397,7 @@ object SimilarityOps {
         if (p < 32) qlo |= 1L << p else qhi |= 1L << (p % 32)
       }
     }
-    val shortlist = vectorsDf(spark, indexDir)
+    val shortlist = servedVectorsDf(spark, indexDir)
       .filter(col("cluster").isin(probed: _*))
       .select(col("vec_id"),
         when(col("bq_lo").isNull.or(col("bq_hi").isNull),
@@ -1409,7 +1409,7 @@ object SimilarityOps {
       .orderBy(col("ham").asc, col("vec_id").asc)
       .limit(RerankK)
       .select("vec_id")
-    vectorsDf(spark, indexDir)
+    servedVectorsDf(spark, indexDir)
       .filter(col("cluster").isin(probed: _*))
       .join(broadcast(shortlist), "vec_id")
       .select(col("vec_id"),
@@ -1449,7 +1449,7 @@ object SimilarityOps {
       .agg(sum(when(col("pos") < 32, col("contrib")).otherwise(0L)).as("qlo"),
         sum(when(col("pos") >= 32, col("contrib")).otherwise(0L)).as("qhi"))
     val probes = sharedProbes.getOrElse(probesMany(cent, qx, nprobe))
-    val shortlist = vectorsDf(spark, indexDir)
+    val shortlist = servedVectorsDf(spark, indexDir)
       .select(col("vec_id"), col("cluster"), col("bq_lo"), col("bq_hi"))
       .join(broadcast(probes), "cluster")
       .join(broadcast(qcodes), "query_id")
@@ -1465,7 +1465,7 @@ object SimilarityOps {
         Window.partitionBy("query_id").orderBy(col("ham").asc, col("vec_id").asc)))
       .filter(col("brank") <= RerankK)
       .select("query_id", "vec_id")
-    vectorsDf(spark, indexDir)
+    servedVectorsDf(spark, indexDir)
       .select(col("vec_id"), col("cluster"), col("embedding"))
       .join(broadcast(probes), "cluster")
       .join(broadcast(shortlist), Seq("query_id", "vec_id"))
@@ -1568,7 +1568,7 @@ object SimilarityOps {
       .withColumn("qcodes", transform(col("qe"), v => floor(v / col("qsc") + 0.5)))
       .withColumn("sqq", aggregate(col("qcodes"), lit(0L), (a, c) => a + c * c))
       .select("query_id", "qsc", "qcodes", "sqq")
-    vectorsDf(spark, indexDir)
+    servedVectorsDf(spark, indexDir)
       .select(col("vec_id"), col("cluster"), col("scale"), col("codes"))
       .join(broadcast(probes), "cluster")
       .join(broadcast(qmeta), "query_id")
@@ -1634,7 +1634,7 @@ object SimilarityOps {
   private def adcRankMany(
       spark: SparkSession, indexDir: String, probes: DataFrame,
       dtab: DataFrame, depth: Int): DataFrame =
-    vectorsDf(spark, indexDir)
+    servedVectorsDf(spark, indexDir)
       .select(col("vec_id"), col("cluster"), col("pq_codes"))
       .join(broadcast(probes), "cluster")
       .select(col("query_id"), col("vec_id"),
@@ -1698,7 +1698,7 @@ object SimilarityOps {
     val dtab = adcTablesMany(cent, pcent, qx, probes)
     val reranked =
       if (fused)
-        vectorsDf(spark, indexDir)
+        servedVectorsDf(spark, indexDir)
           .select(col("vec_id"), col("cluster"), col("pq_codes"), col("embedding"))
           .join(broadcast(probes), "cluster")
           .select(col("query_id"), col("vec_id"),
@@ -1718,7 +1718,7 @@ object SimilarityOps {
       else {
         val shortlist = adcRankMany(spark, indexDir, probes, dtab, RerankK)
           .select("query_id", "vec_id")
-        vectorsDf(spark, indexDir)
+        servedVectorsDf(spark, indexDir)
           .select(col("vec_id"), col("cluster"), col("embedding"))
           .join(broadcast(probes), "cluster")
           .join(broadcast(shortlist), Seq("query_id", "vec_id"))
@@ -1883,6 +1883,7 @@ object SimilarityOps {
         .select(col("vec_id"), col("lo").as("bq_lo"), col("hi").as("bq_hi")),
         "vec_id")
       .join(asg, "vec_id")
+      .transform(vectorColsOrdered)
       // Second-level partition key: −1 marks the offline base build;
       // streaming ingest writes each micro-batch under its own
       // ingest_batch=<batchId> so a RETRIED batch overwrites its own
@@ -1900,6 +1901,13 @@ object SimilarityOps {
   private def withLabelPayload(df: DataFrame): DataFrame =
     if (df.columns.contains("label")) df.withColumn("label", col("label").cast("int"))
     else df.withColumn("label", lit(null).cast("int"))
+
+  /** Project to [[VectorsSchema]]'s column order (of the columns
+    * present): every writer — build, append, fold, split — emits the
+    * same physical column order, so a reader inferring schema from any
+    * one footer sees the one layout. */
+  private def vectorColsOrdered(df: DataFrame): DataFrame =
+    df.select(VectorsSchema.fieldNames.filter(df.columns.contains).map(col): _*)
 
   /** Collapse a long-form PQ assignment (vec_id, sub, code) to the
     * per-vector `pq_codes` index column (codes ordered by subspace). */
@@ -1956,6 +1964,7 @@ object SimilarityOps {
         .select(col("vec_id"), col("lo").as("bq_lo"), col("hi").as("bq_hi")),
         "vec_id")
       .join(asg, "vec_id")
+      .transform(vectorColsOrdered)
   }
 
   /** Deterministic md5 hash-sample predicate: keep a row iff the first
@@ -2031,6 +2040,9 @@ object SimilarityOps {
     // first batch's split/retrain check.
     outFs.delete(new org.apache.hadoop.fs.Path(s"$out/.ingest_acked"), false)
     outFs.delete(new org.apache.hadoop.fs.Path(s"$out/.dead_frac_baseline"), false)
+    // The rebuilt table contains exactly the source corpus — a previous
+    // stream's upsert ledger must not exclude any of it.
+    outFs.delete(new org.apache.hadoop.fs.Path(upsertsPath(out)), false)
     if (trainFraction >= 1.0) {
       indexArtifacts(spark, dir).write.mode("overwrite")
         .partitionBy("cluster", "ingest_batch").parquet(s"$out/vectors")
@@ -2064,6 +2076,8 @@ object SimilarityOps {
     // build knows the label histogram — one narrow column pass here so
     // no filtered request ever recounts it.
     writeLabelSizesRows(spark, out, recountLabelSizes(spark, out))
+    // Geometry established — snapshot the drift anchor (r17).
+    writeOccupancyBaseline(spark, out)
     // An in-place rebuild must not leave this session serving the OLD
     // artifacts through the indexMeta memo (or stale routing cluster
     // sizes) — evict everything keyed to this index dir.
@@ -2347,6 +2361,266 @@ object SimilarityOps {
         }
       })
 
+  // ---- upsert ledger + deleteVectors (r17 — VERDICT r16 #2) ----------------
+  //
+  // Re-ingesting an existing vec_id is REPLACE, not duplicate: the new
+  // copy lands under its own ingest_batch (possibly a different
+  // cluster), and the `upserts` ledger — (vec_id, upto) rows meaning
+  // "copies with ingest_batch < upto are superseded" — excludes the old
+  // copy from every serving scan until a fold applies the replacement
+  // PHYSICALLY: every maintenance fold's first step
+  // ([[applyUpsertsPhysically]]) locates the superseded copies with one
+  // id-pruned narrow scan, removes them with partition-local rewrites
+  // wherever they live, and clears the ledger. So the ledger is bounded
+  // by rows ingested since the last fold — the same bound compaction
+  // already enforces on the ingest_batch directory fan-out — and a
+  // serve pays for it only when it is nonempty (one broadcast
+  // anti-join; empty ledger = the unmodified plan). Removal
+  // (takedown/right-to-be-forgotten) is the synchronous
+  // [[deleteVectors]] verb: the same partition-local rewrite on ALL of
+  // an id's copies, artifact twins decremented under the writer lock —
+  // no corpus pass, no tombstone residue.
+
+  private[graft] def upsertsPath(indexDir: String): String =
+    s"$indexDir/upserts"
+
+  private val UpsertsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "vec_id BIGINT, upto BIGINT, gen STRING")
+
+  /** Ledger rows are STAMPED with the vectors generation they were
+    * written under, and a read under any OTHER generation treats the
+    * ledger as absent: the whole-table folds (full compaction, retrain)
+    * apply the ledger physically and commit a NEW generation in their
+    * one atomic manifest write — which voids the ledger at the same
+    * instant, with no second commit to crash between. (The partial
+    * verbs — hot compaction, split — apply it physically via
+    * [[applyUpsertsPhysically]] before folding, then clear it under the
+    * same generation.) The stale file is deleted as cleanup by the
+    * fold, or lazily by the next write. */
+  private def readUpsertRows(
+      spark: SparkSession, indexDir: String): Option[Seq[(Long, Long)]] = {
+    val fs = idxFs(spark, indexDir)
+    val p = new org.apache.hadoop.fs.Path(upsertsPath(indexDir))
+    if (!fs.exists(p)) None
+    else {
+      val gen = activeVectorsName(spark, indexDir)
+      val rows = spark.read.schema(UpsertsSchema).parquet(p.toString)
+        .collect()
+      if (rows.exists(r => r.isNullAt(2) || r.getString(2) != gen)) None
+      else Some(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    }
+  }
+
+  /** Atomic single-file replace (the cluster_sizes recipe). An empty
+    * row set DELETES the artifact — an absent ledger is the fast path
+    * every serve plan checks first. */
+  private[graft] def writeUpsertRows(
+      spark: SparkSession, indexDir: String, rows: Seq[(Long, Long)]): Unit = {
+    import spark.implicits._
+    val fs = idxFs(spark, indexDir)
+    val dst = new org.apache.hadoop.fs.Path(upsertsPath(indexDir))
+    if (rows.isEmpty) {
+      fs.delete(dst, false)
+      upsertCache.evictDir(indexDir)
+      return
+    }
+    val gen = activeVectorsName(spark, indexDir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.upserts.tmp")
+    fs.delete(tmp, true)
+    rows.map { case (v, u) => (v, u, gen) }.toDF("vec_id", "upto", "gen")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).iterator
+      .map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"upserts stage at $tmp produced no parquet part file"))
+    org.apache.hadoop.fs.FileContext.getFileContext(part.toUri,
+      spark.sparkContext.hadoopConfiguration)
+      .rename(part, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    fs.delete(tmp, true)
+    upsertCache.evictDir(indexDir)
+  }
+
+  private val upsertCache = Memo.plain[Seq[(Long, Long)]]()
+
+  /** Memoized ledger snapshot — evicted by every write, keyed on the
+    * active generation so fold swaps refresh it. */
+  private[graft] def indexUpserts(
+      spark: SparkSession, indexDir: String): Seq[(Long, Long)] =
+    upsertCache.getOrElseUpdateSync(
+      s"ups:${activeVectorsName(spark, indexDir)}:" +
+        s"${spark.sparkContext.applicationId}:$indexDir",
+      readUpsertRows(spark, indexDir).getOrElse(Nil))
+
+  /** Drop rows superseded by the ledger: copies whose ingest_batch is
+    * below their vec_id's recorded horizon. Identity when the ledger is
+    * empty — the common case costs nothing. */
+  private[graft] def notSuperseded(
+      spark: SparkSession, indexDir: String, rows: DataFrame): DataFrame = {
+    import spark.implicits._
+    val led = indexUpserts(spark, indexDir)
+    if (led.isEmpty) rows
+    else rows.join(broadcast(led.toDF("uvec_id", "upto")),
+      col("vec_id") === col("uvec_id") && col("ingest_batch") < col("upto"),
+      "left_anti")
+  }
+
+  /** Every SERVING read of the vectors table (all five tiers, batched
+    * and single, plus the filtered serve): the raw table minus
+    * ledger-superseded copies — so an upserted vector serves its NEW
+    * content from the very batch that replaced it, with the physical
+    * dedup deferred to the next fold. Maintenance verbs read
+    * [[vectorsDf]] raw (they OWN the dedup). */
+  private[graft] def servedVectorsDf(
+      spark: SparkSession, indexDir: String): DataFrame =
+    notSuperseded(spark, indexDir, vectorsDf(spark, indexDir))
+
+  /** Record a just-committed ingest batch's vec_ids into the ledger
+    * (REPLACE per vec_id keeping the max horizon — a replayed batch
+    * re-records idempotently, exactly like its data commit). Called by
+    * the streaming sink after the data + size twins; one micro-batch-
+    * sized pruned read. */
+  private[graft] def recordIngestUpserts(
+      spark: SparkSession, indexDir: String, batchId: Long): Unit =
+    withClusterSizesLock(spark, indexDir) {
+      val ids = vectorsDf(spark, indexDir)
+        .filter(col("ingest_batch") === batchId)
+        .select("vec_id").collect().map(_.getLong(0))
+      if (ids.nonEmpty) {
+        val old = readUpsertRows(spark, indexDir).getOrElse(Nil).toMap
+        val merged = (old ++ ids.map(id =>
+          id -> math.max(batchId, old.getOrElse(id, Long.MinValue)))).toSeq
+        writeUpsertRows(spark, indexDir, merged)
+      }
+    }
+
+  /** Physically remove exactly `doomed` (vec_id, ingest_batch) copies —
+    * the shared core of [[deleteVectors]] and [[applyUpsertsPhysically]]:
+    * rewrite ONLY the owning (cluster, ingest_batch) partitions via
+    * dynamic overwrite (a partition whose rows all die is removed
+    * explicitly), then decrement cluster_sizes / label_sizes under the
+    * writer lock. `doomed` rows carry (vec_id, label-or-null, cluster,
+    * ingest_batch) from the caller's locate scan. */
+  private def removeRowsPhysically(
+      spark: SparkSession, indexDir: String,
+      doomed: Array[(Long, Option[Long], Long, Long)]): Unit = {
+    import spark.implicits._
+    if (doomed.isEmpty) return
+    val vdir = vectorsPath(spark, indexDir)
+    val parts = doomed.map(d => (d._3, d._4)).distinct
+    val clusters = parts.map(_._1).distinct.toSeq
+    val batches = parts.map(_._2).distinct.toSeq
+    val doomedDf = broadcast(doomed.map(d => (d._1, d._4)).distinct.toSeq
+      .toDF("vec_id", "ingest_batch"))
+    val survivors = spark.read.schema(VectorsSchema)
+      .option("ignoreMissingFiles", "true").parquet(vdir)
+      .filter(col("cluster").isin(clusters: _*) &&
+        col("ingest_batch").isin(batches: _*))
+      .join(doomedDf, Seq("vec_id", "ingest_batch"), "left_anti")
+      .localCheckpoint(true)
+    try {
+      survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("cluster", "ingest_batch")
+        .parquet(vdir)
+      val keptParts = survivors
+        .select(col("cluster").cast("long"), col("ingest_batch").cast("long"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val fs = idxFs(spark, indexDir)
+      parts.filterNot(keptParts).foreach { case (c, b) =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$vdir/cluster=$c/ingest_batch=$b"), true)
+      }
+      val removedPerCB = doomed.groupBy(d => (d._3, d._4))
+        .map { case (k, rs) => k -> rs.length.toLong }
+      val removedPerLabel = doomed.flatMap(d => d._2.map(_ -> 1L))
+        .groupBy(_._1).map { case (l, rs) => l -> rs.length.toLong }
+      withClusterSizesLock(spark, indexDir) {
+        readClusterSizesRows(spark, indexDir).foreach { rs =>
+          writeClusterSizesRows(spark, indexDir, rs
+            .map { case (c, b, n) => (c, b, n - removedPerCB.getOrElse((c, b), 0L)) }
+            .filter(_._3 > 0L))
+        }
+        if (removedPerLabel.nonEmpty)
+          readLabelSizesRows(spark, indexDir).foreach { ls =>
+            writeLabelSizesRows(spark, indexDir, ls
+              .map { case (l, n) => (l, n - removedPerLabel.getOrElse(l, 0L)) }
+              .filter(_._2 > 0L))
+          }
+      }
+    } finally survivors.unpersist(true)
+  }
+
+  /** Apply the upsert ledger PHYSICALLY and clear it — every fold's
+    * first step (hot compaction, split; the whole-table folds apply it
+    * inline): one id-pruned locate scan (vec_id/label/partition columns
+    * with the isin predicate pushed to row-group stats — output bounded
+    * by the ledger), then [[removeRowsPhysically]] on exactly the
+    * superseded copies, WHEREVER they live — so a fold never has to
+    * reason about stale twins outside its scope, and the ledger's
+    * lifetime is bounded by the fold cadence. Crash-safe: a crash
+    * mid-rewrite leaves the ledger armed (serving still excludes via
+    * the anti-join) and a re-run completes; a crash after the rewrites
+    * but before the clear leaves vacuous entries the next fold drops. */
+  private[graft] def applyUpsertsPhysically(
+      spark: SparkSession, indexDir: String): Unit = {
+    val led = indexUpserts(spark, indexDir)
+    if (led.isEmpty) return
+    val upto = led.groupBy(_._1).map { case (v, es) => v -> es.map(_._2).max }
+    val ids = upto.keys.toSeq
+    val doomed = vectorsDf(spark, indexDir)
+      .filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("label").cast("long").as("vl"),
+        col("cluster").cast("long").as("cluster"),
+        col("ingest_batch").cast("long").as("ingest_batch"))
+      .collect()
+      .filter(r => r.getLong(3) < upto(r.getLong(0)))
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(2), r.getLong(3)))
+    removeRowsPhysically(spark, indexDir, doomed)
+    writeUpsertRows(spark, indexDir, Nil)
+  }
+
+  /** Bounded removal verb (r17 — VERDICT r16 #2): physically delete the
+    * given vec_ids from the index — takedowns, curation reversals,
+    * right-to-be-forgotten. Mechanics: one narrow PRUNED locate scan
+    * (vec_id/label/partition columns only, the isin predicate pushed to
+    * row-group stats), then a partition-local rewrite of ONLY the
+    * owning (cluster, ingest_batch) directories via dynamic partition
+    * overwrite (a directory whose rows all die is removed explicitly —
+    * dynamic overwrite only replaces partitions present in the output),
+    * then the artifact twins — cluster_sizes and label_sizes
+    * decremented, ledger entries dropped — under the single writer
+    * lock. Serving excludes the ids the moment the rewrite commits
+    * (they are GONE, not tombstoned); re-running with the same ids is a
+    * no-op returning 0. At 100 TB the cost is O(matching partitions),
+    * never a corpus pass — the locate scan reads three metadata-narrow
+    * columns with the id predicate pushed down. Returns physical rows
+    * removed (an upserted id's stale copies count). */
+  def deleteVectors(spark: SparkSession, indexDir: String, ids: Seq[Long]): Long = {
+    if (ids.isEmpty) return 0L
+    recoverRetiredBatches(spark, indexDir)
+    val hits = vectorsDf(spark, indexDir)
+      .filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("label").cast("long").as("vl"),
+        col("cluster").cast("long").as("cluster"),
+        col("ingest_batch").cast("long").as("ingest_batch"))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        r.getLong(2), r.getLong(3)))
+    if (hits.isEmpty) return 0L
+    removeRowsPhysically(spark, indexDir, hits)
+    val idSet = ids.toSet
+    readUpsertRows(spark, indexDir).foreach { led =>
+      if (led.exists(e => idSet(e._1)))
+        writeUpsertRows(spark, indexDir, led.filterNot(e => idSet(e._1)))
+    }
+    hits.length.toLong
+  }
+
   // ---- Index layout resolution: 1-line MANIFEST + generations (r11) -------
 
   private def idxFs(spark: SparkSession, indexDir: String): org.apache.hadoop.fs.FileSystem =
@@ -2586,6 +2860,10 @@ object SimilarityOps {
   def compactHotClusters(
       spark: SparkSession, indexDir: String, threshold: Int): Seq[Long] = {
     recoverRetiredBatches(spark, indexDir)
+    // Every fold's first step (r17): finish pending upserts physically —
+    // superseded copies removed wherever they live — so the fold below
+    // never strands a stale twin outside its own scope.
+    applyUpsertsPhysically(spark, indexDir)
     val hot = clusterFileCounts(spark, indexDir)
       .collect { case (c, n) if n > threshold => c }.toSeq.sorted
     if (hot.isEmpty) return Nil
@@ -2601,14 +2879,18 @@ object SimilarityOps {
         .map(b => s"$activeName/cluster=$c/${b.getPath.getName}")
     }
     // Pinned schema (no footer-inference job over the table at plan
-    // time) + ignoreMissingFiles, exactly like every serve read; the
-    // vec_id window keeps the base copy when a crashed prior fold left
-    // a row in both tiers (guard (a) above).
+    // time) + ignoreMissingFiles, exactly like every serve read. The
+    // upsert ledger was applied PHYSICALLY above (r17: superseded
+    // copies removed wherever they lived, ledger cleared), so this fold
+    // sees at most crashed-fold duplicates — and keeps the NEWEST copy,
+    // which is byte-identical to the base copy a crashed fold left
+    // (either preference serves the same content; newest-wins is the
+    // direction upsert semantics fix index-wide).
     val consolidated = spark.read.schema(VectorsSchema)
       .option("ignoreMissingFiles", "true").parquet(vdir)
       .filter(col("cluster").isin(hot: _*))
       .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("ingest_batch").asc)))
+        Window.partitionBy("vec_id").orderBy(col("ingest_batch").desc)))
       .filter(col("rn") === 1).drop("rn")
       .withColumn("ingest_batch", lit(-1L))
       .repartition(col("cluster"))
@@ -2705,12 +2987,20 @@ object SimilarityOps {
     val nextName = nextGenName(spark, indexDir, "vectors")
     // Compaction also folds the ingest history into the base: appended
     // batches' ingest_batch=<id> partitions collapse to −1, so the
-    // per-batch directory fan-out from streaming ingest is paid down too.
-    before.withColumn("ingest_batch", lit(-1L))
+    // per-batch directory fan-out from streaming ingest is paid down
+    // too. WHOLE-TABLE scope means the upsert ledger is applied
+    // physically here (r17): superseded copies drop, duplicates dedup
+    // newest-wins, and the ledger clears — the fold that bounds it.
+    notSuperseded(spark, indexDir, before)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("ingest_batch").desc)))
+      .filter(col("rn") === 1).drop("rn")
+      .withColumn("ingest_batch", lit(-1L))
       .repartition(col("cluster"))
       .write.mode("overwrite").partitionBy("cluster", "ingest_batch")
       .parquet(s"$indexDir/$nextName")
     writeManifest(spark, indexDir, nextName)
+    writeUpsertRows(spark, indexDir, Nil)
     // Grace-period GC: keep activeName (just retired — in-flight readers
     // may still hold it); delete every OLDER generation.
     gcGenerations(spark, indexDir, "vectors", Set(activeName, nextName))
@@ -2783,6 +3073,9 @@ object SimilarityOps {
       iters: Int = 2): Seq[(Long, Long)] = {
     recoverRetiredBatches(spark, indexDir)
     healOrphanClusters(spark, indexDir)
+    // Finish pending upserts before any cell fold (the
+    // compactHotClusters discipline).
+    applyUpsertsPhysically(spark, indexDir)
     val (sizes, ntot) = indexClusterSizes(spark, indexDir)
     if (sizes.isEmpty) return Nil
     val mean = ntot.toDouble / sizes.size
@@ -2800,7 +3093,14 @@ object SimilarityOps {
     }
     // One release at the end: serving re-reads centroids, sizes, and the
     // other index metadata against the post-split geometry.
-    if (done.nonEmpty) Memos.release(indexDir)
+    if (done.nonEmpty) {
+      Memos.release(indexDir)
+      // The split changed the geometry (K grew, one cell's mass moved)
+      // — re-anchor the drift signal so the split itself never reads
+      // as data drift (r17: the TVD measures shift SINCE the current
+      // geometry was established).
+      writeOccupancyBaseline(spark, indexDir)
+    }
     done.toSeq
   }
 
@@ -2818,11 +3118,14 @@ object SimilarityOps {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("ingest_batch=")
         && s.getPath.getName != "ingest_batch=-1")
       .map(b => s"$activeName/cluster=$c/${b.getPath.getName}").toSeq
+    // Newest-wins dedup (r17 — the compactHotClusters direction; the
+    // ledger was applied physically at splitHotCells entry, so only
+    // crashed-fold duplicates — identical content — can remain).
     val rows = spark.read.schema(VectorsSchema)
       .option("ignoreMissingFiles", "true").parquet(vdir)
       .filter(col("cluster") === c)
       .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("ingest_batch").asc)))
+        Window.partitionBy("vec_id").orderBy(col("ingest_batch").desc)))
       .filter(col("rn") === 1).drop("rn")
       .localCheckpoint(true)
     try {
@@ -2875,6 +3178,7 @@ object SimilarityOps {
         .join(pqCodeColumn(pqAssign(withSub(rex), pqCent)), "vec_id")
         .join(newAsg, "vec_id")
         .withColumn("ingest_batch", lit(-1L))
+        .transform(vectorColsOrdered)
         .repartition(col("cluster"))
         .localCheckpoint(true)
       try {
@@ -3045,9 +3349,13 @@ object SimilarityOps {
     healOrphanClusters(spark, indexDir)
     val kBefore = indexMeta(spark, indexDir, "centroids")
       .select("cluster").distinct().count().toInt
-    val live = vectorsDf(spark, indexDir)
+    // Whole-table scope: the upsert ledger is applied physically (the
+    // compactVectors discipline) — superseded copies drop, duplicates
+    // dedup newest-wins — and the cutover's one manifest commit names a
+    // new vectors generation, voiding the ledger atomically.
+    val live = notSuperseded(spark, indexDir, vectorsDf(spark, indexDir))
       .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id").orderBy(col("ingest_batch").asc)))
+        Window.partitionBy("vec_id").orderBy(col("ingest_batch").desc)))
       .filter(col("rn") === 1)
       // label rides the staged corpus so the rebuilt index keeps its
       // filter payload (NULL for payload-less rows — unchanged).
@@ -3096,6 +3404,11 @@ object SimilarityOps {
     }
     refreshClusterSizes(spark, indexDir)
     refreshLabelSizes(spark, indexDir)
+    // Geometry re-established — re-anchor the drift signal (its
+    // self-disarm: current ≡ snapshot → TVD 0).
+    writeOccupancyBaseline(spark, indexDir)
+    // The generation flip already voided the ledger; drop the file.
+    writeUpsertRows(spark, indexDir, Nil)
     fs.delete(new org.apache.hadoop.fs.Path(src), true)
     fs.delete(new org.apache.hadoop.fs.Path(stagedIdx), true)
     Memos.release(indexDir)
@@ -3164,7 +3477,7 @@ object SimilarityOps {
       spark: SparkSession, indexDir: String, queryVec: Array[Float],
       nprobe: Int = NProbeServe): DataFrame = {
     val probed = servedProbe(spark, indexDir, queryVec, nprobe)
-    vectorsDf(spark, indexDir)
+    servedVectorsDf(spark, indexDir)
       .filter(col("cluster").isin(probed: _*))
       .select(col("vec_id"),
         cosineSim(col("embedding"), typedlit(queryVec)).as("cos"))
@@ -3202,7 +3515,7 @@ object SimilarityOps {
       sharedProbes: Option[DataFrame] = None): DataFrame = {
     val cent = indexMeta(spark, indexDir, "centroids")
     val probes = sharedProbes.getOrElse(probesMany(cent, qxOf(queries), nprobe))
-    vectorsDf(spark, indexDir)
+    servedVectorsDf(spark, indexDir)
       .select(col("vec_id"), col("cluster"), col("embedding"))
       .join(broadcast(probes), "cluster")
       .join(broadcast(queries.select(col("query_id"),
@@ -3247,7 +3560,7 @@ object SimilarityOps {
     val qcodes: Array[Long] = qd.map(v => math.floor(v / qsc + 0.5).toLong)
     val sqq: Long = qcodes.map(c => c * c).sum
 
-    vectorsDf(spark, indexDir)
+    servedVectorsDf(spark, indexDir)
       .filter(col("cluster").isin(probed: _*))
       .select(col("vec_id"), col("scale"),
         graft.functions.Int8Codes.int8Dot(col("codes"), typedlit(qcodes)).as("sdot"),
@@ -3286,7 +3599,7 @@ object SimilarityOps {
         .filter(col("cluster").isin(probed: _*)),
       indexMeta(spark, indexDir, "pq_centroids"),
       qx.select(col("pos"), col("v").as("qv")))
-    vectorsDf(spark, indexDir)
+    servedVectorsDf(spark, indexDir)
       .filter(col("cluster").isin(probed: _*))
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"),
         col("pq_codes"))
@@ -5410,33 +5723,94 @@ object SimilarityOps {
   private[graft] def invalidateClusterSizes(indexDir: String): Unit =
     clusterSizeCache.evictDir(indexDir)
 
-  /** Live-index occupancy-drift TVD (r16 — VERDICT r15 #3): how far the
-    * INGESTED rows' cell distribution departs from the base rows' — the
-    * q142 retrain signal computed from the index the stream actually
-    * grows, at METADATA price: both halves come straight from the
-    * cluster_sizes artifact's (cluster, ingest_batch) rows (base =
-    * ingest_batch −1, ingested = everything since), so the per-batch
-    * trigger check reads K·|batches| artifact rows, never the corpus.
-    * 0.0 when either half is empty (no drift measurable). Self-arming
-    * semantics: retrain folds everything to base, so the signal resets
-    * to 0 after the verb it calls for — and compaction's history folds
-    * move the measurement horizon forward with them (drift that
-    * persists past a fold re-accumulates; the analytic q142/q205
-    * censuses remain the horizon-free audit). */
+  // ---- occupancy baseline: the horizon-free TVD anchor (r17 — VERDICT
+  // r16 #4). The r16 signal compared base rows (ingest_batch −1) vs
+  // ingested rows — which a compaction fold ERASES (everything becomes
+  // base, TVD reads 0, and drift that completed before the fold hides
+  // from the live signal; SCALE.md documented the caveat). The fix: the
+  // geometry-establishing verbs (build, retrain, split) SNAPSHOT the
+  // per-cluster occupancy (K rows, the marker recipe), and the live TVD
+  // measures the CURRENT total distribution against that snapshot —
+  // "how far has data shifted since the current geometry was
+  // established", which no layout-only fold can move. Compaction
+  // deliberately does NOT refresh it.
+
+  private def occupancyBaselinePath(indexDir: String) =
+    new org.apache.hadoop.fs.Path(s"$indexDir/.occupancy_baseline")
+
+  /** Snapshot the current per-cluster occupancy as the drift anchor —
+    * one "cluster count" line per cluster, atomic tmp + rename (the
+    * marker recipe). Called by writeIndex / retrainIndex / splitHotCells
+    * right after their cluster_sizes refresh. */
+  private[graft] def writeOccupancyBaseline(
+      spark: SparkSession, indexDir: String): Unit = {
+    val (sizes, _) = indexClusterSizes(spark, indexDir)
+    val fs = occupancyBaselinePath(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.occupancy_baseline.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(sizes.toSeq.sorted.map { case (c, n) => s"$c $n" }
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(tmp.toUri,
+      spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, occupancyBaselinePath(indexDir),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  private[graft] def readOccupancyBaseline(
+      spark: SparkSession, indexDir: String): Option[Map[Long, Long]] = {
+    val p = occupancyBaselinePath(indexDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      Some(content.linesIterator.map(_.trim).filter(_.nonEmpty).map { l =>
+        val Array(c, n) = l.split("\\s+"); c.toLong -> n.toLong
+      }.toMap)
+    }
+  }
+
+  /** Live-index occupancy-drift TVD (r16 — VERDICT r15 #3; horizon-free
+    * since r17 — VERDICT r16 #4): how far the index's CURRENT cell
+    * distribution departs from the snapshot taken when its geometry was
+    * last established (build / retrain / split) — the q142 retrain
+    * signal at METADATA price: current occupancy comes from the
+    * cluster_sizes artifact, the anchor from the K-line baseline file,
+    * so the per-batch trigger check never reads the corpus. Compaction
+    * folds move neither side — drift that completed before a fold stays
+    * visible (the r16 caveat, closed). Self-disarm: the verbs that
+    * re-establish geometry re-snapshot, so the signal reads 0 right
+    * after the retrain it called for. A pre-r17 index (no baseline
+    * file) falls back to the r16 base-vs-ingested split, horizon
+    * caveats and all, until its next geometry verb writes the anchor. */
   private[graft] def indexOccupancyTvd(spark: SparkSession, indexDir: String): Double =
-    readClusterSizesRows(spark, indexDir) match {
-      case None => 0.0
-      case Some(rows) =>
-        val base = rows.filter(_._2 == -1L)
-          .groupBy(_._1).map { case (c, rs) => c -> rs.map(_._3).sum }
-        val fresh = rows.filter(_._2 >= 0L)
-          .groupBy(_._1).map { case (c, rs) => c -> rs.map(_._3).sum }
+    readOccupancyBaseline(spark, indexDir) match {
+      case Some(base) =>
+        val (sizes, ntot) = indexClusterSizes(spark, indexDir)
         val tb = base.values.sum.toDouble
-        val tf = fresh.values.sum.toDouble
-        if (tb == 0 || tf == 0) 0.0
-        else (base.keySet ++ fresh.keySet).iterator.map { c =>
-          math.abs(base.getOrElse(c, 0L) / tb - fresh.getOrElse(c, 0L) / tf)
+        if (tb == 0 || ntot == 0) 0.0
+        else (base.keySet ++ sizes.keySet).iterator.map { c =>
+          math.abs(base.getOrElse(c, 0L) / tb -
+            sizes.getOrElse(c, 0L) / ntot.toDouble)
         }.sum / 2.0
+      case None => readClusterSizesRows(spark, indexDir) match {
+        case None => 0.0
+        case Some(rows) =>
+          val base = rows.filter(_._2 == -1L)
+            .groupBy(_._1).map { case (c, rs) => c -> rs.map(_._3).sum }
+          val fresh = rows.filter(_._2 >= 0L)
+            .groupBy(_._1).map { case (c, rs) => c -> rs.map(_._3).sum }
+          val tb = base.values.sum.toDouble
+          val tf = fresh.values.sum.toDouble
+          if (tb == 0 || tf == 0) 0.0
+          else (base.keySet ++ fresh.keySet).iterator.map { c =>
+            math.abs(base.getOrElse(c, 0L) / tb - fresh.getOrElse(c, 0L) / tf)
+          }.sum / 2.0
+      }
     }
 
   /** Dead-codeword fraction of the LIVE index's pq_codes — the q173
@@ -5579,7 +5953,8 @@ object SimilarityOps {
       nprobe: Int = NProbeServe,
       batchCost: Boolean = false,
       lazyUnion: Boolean = false,
-      sliceAware: Boolean = false): DataFrame = {
+      sliceAware: Boolean = false,
+      depthAware: Boolean = false): DataFrame = {
     require(!sliceAware || batchCost,
       "sliceAware routing prices arm-opening floors against the BATCH " +
         "penalties — it requires batchCost = true")
@@ -5590,12 +5965,25 @@ object SimilarityOps {
     // each of the five dispatched plans re-scored queries × centroids
     // independently — six broadcasts and six aggregates per batch.
     val cent = indexMeta(spark, indexDir, "centroids")
+    val crankDepth = math.max(
+      if (depthAware) math.max(DepthHi, nprobe) else nprobe,
+      math.max(NProbe, 2))
     val crank = crankOf(cent, qxOf(queries))
-      .filter(col("crank") <= math.max(nprobe, math.max(NProbe, 2)))
+      .filter(col("crank") <= crankDepth)
       .localCheckpoint(true)
-    val allProbes = crank.filter(col("crank") <= nprobe)
-      .select("query_id", "cluster")
     val feats = servedTierFeaturesFrom(spark, indexDir, queries, crank)
+    // depthAware (r17 — VERDICT r16 #3): the census margin this batch
+    // already computed prices the OTHER knob too — each query's probe
+    // set is carved at its own q207 depth instead of the fixed nprobe,
+    // for EVERY routed arm (all five tiers share the coarse probe), so
+    // the q209 composed table is exactly what dispatches. One broadcast
+    // join of two panel-sized frames; no new jobs.
+    val allProbes = (if (depthAware)
+        crank.join(broadcast(feats.select(col("query_id"),
+          depthOfMargin(col("margin")).as("np_depth"))), "query_id")
+          .filter(col("crank") <= col("np_depth"))
+      else crank.filter(col("crank") <= nprobe))
+      .select("query_id", "cluster")
     // batchCost routes with the amortized batch-of-20 penalties
     // ([[tierUtilitiesBatch]] / q200) — the correct cost model when the
     // dispatch target IS the batched plan; default stays the q184
@@ -6359,11 +6747,12 @@ object SimilarityOps {
     * same keep rule (gain ≥ floor OR majority), so every double compare
     * that decides an arm's fate is computed identically in both
     * engines. */
-  lazy val tierRouteSliceSql: String = {
+  /** The zero-state slice-collapse CTE stack (sbu → sfn) — shared by
+    * the q203 twin and the q209 composed-census twin so the two can
+    * never disagree on the collapse. */
+  private lazy val sliceCtesSql: String = {
     val ub = tierUtilBatchSql(zeroWSql)
-    s"""WITH $kmeansCtes,
-       |$tierFeatureCtes,
-       |sbu AS (SELECT qid, ${ub("binary")} AS ub_binary,
+    s"""sbu AS (SELECT qid, ${ub("binary")} AS ub_binary,
        |          ${ub("float")} AS ub_float, ${ub("int8")} AS ub_int8,
        |          ${ub("pq")} AS ub_pq, ${ub("pq_rerank")} AS ub_pq_rerank
        |        FROM tft),
@@ -6398,7 +6787,13 @@ object SimilarityOps {
        |          SELECT srk.qid, srk.tier, row_number() OVER (PARTITION BY srk.qid
        |            ORDER BY ub DESC, srk.tier ASC) AS krn
        |          FROM srk JOIN skp ON srk.tier = skp.tier AND kept = 1)
-       |        WHERE krn = 1)
+       |        WHERE krn = 1)""".stripMargin
+  }
+
+  lazy val tierRouteSliceSql: String =
+    s"""WITH $kmeansCtes,
+       |$tierFeatureCtes,
+       |$sliceCtesSql
        |SELECT s12.qid, s12.tier_batch, slice_n,
        |  floor(gain * 1000000 + 0.5) / 1000000 AS gain,
        |  floor(open_u * 1000000 + 0.5) / 1000000 AS open_u,
@@ -6407,7 +6802,6 @@ object SimilarityOps {
        |FROM s12 JOIN skp ON s12.tier_batch = skp.tier
        |JOIN sfn ON s12.qid = sfn.qid
        |ORDER BY s12.qid""".stripMargin
-  }
 
   // ---- q207: dispatch-aware probe depth (r16 — VERDICT r15 stretch #7) ----
 
@@ -6506,6 +6900,35 @@ object SimilarityOps {
       .select("query_id", "cluster")
     annIvfServeMany(spark, indexDir, queries, sharedProbes = Some(probes))
   }
+
+  // ---- q209: composed tier × depth dispatch (r17 — VERDICT r16 #3) ---------
+
+  /** q209: the COMPOSED dispatch table — per panel query, WHICH tier
+    * serves it (q203's zero-state slice collapse, the batched dispatch's
+    * own economics) AND how deep that tier probes (q207's margin rule).
+    * The routed batch computes one census pass; pre-r17 it priced the
+    * tier knob and threw the margin away for the probe knob on every
+    * arm except the non-default float option — this census gates the
+    * two knobs multiplied, which is what `routeAndServe(depthAware =
+    * true)` dispatches (Round17Spec pins routed answers ≡ the fixed
+    * tier served at each query's own composed depth). Census work: one
+    * projection over frames q203/q207 already compute. */
+  def tierDepthPlan(spark: SparkSession, dir: String): DataFrame =
+    tierRouteSlice(spark, dir).select(col("qid"), col("tier_final"))
+      .join(tierFeatures(spark, dir).select(col("qid"), col("margin")), "qid")
+      .select(col("qid"), col("tier_final"),
+        depthOfMargin(col("margin")).as("np_depth"), col("margin"))
+      .orderBy("qid")
+
+  lazy val tierDepthPlanSql: String =
+    s"""WITH $kmeansCtes,
+       |$tierFeatureCtes,
+       |$sliceCtesSql
+       |SELECT qid, tier_final,
+       |  CAST(CASE WHEN margin >= $DepthMarginHi THEN $DepthLo
+       |       WHEN margin <= $DepthMarginLo THEN $DepthHi
+       |       ELSE $NProbeServe END AS BIGINT) AS np_depth, margin
+       |FROM sfn JOIN tft USING (qid) ORDER BY qid""".stripMargin
 
   // ---- q208: filtered ANN serving (r17 — VERDICT r16 #1) -------------------
 
@@ -6730,7 +7153,7 @@ object SimilarityOps {
       val coarse =
         if (op == "le") col("label") <= lit(preLb.max)
         else col("label").isin(preLb.distinct.toSeq: _*)
-      Some(vectorsDf(spark, indexDir)
+      Some(servedVectorsDf(spark, indexDir)
         .filter(col("label").isNotNull && coarse)
         .select(col("vec_id"), col("label").cast("long").as("vl"), col("embedding"))
         .join(broadcast(slice("pre").select(col("query_id"),
@@ -6746,7 +7169,7 @@ object SimilarityOps {
       val postQ = slice("post")
       val cent = indexMeta(spark, indexDir, "centroids")
       val probes = probesMany(cent, qxOf(postQ), nprobe)
-      Some(vectorsDf(spark, indexDir)
+      Some(servedVectorsDf(spark, indexDir)
         .select(col("vec_id"), col("cluster"),
           col("label").cast("long").as("vl"), col("embedding"))
         .join(broadcast(probes), "cluster")
@@ -6889,6 +7312,7 @@ object SimilarityOps {
     "q206_tier_route_slice_pass2" -> (tierRouteSlicePass2 _),
     "q207_probe_depth_plan" -> (probeDepthPlan _),
     "q208_filtered_serve_plan" -> (filteredServePlan _),
+    "q209_tier_depth_plan" -> (tierDepthPlan _),
     "q204_split_plan" -> ((s: SparkSession, d: String) => splitPlan(s, d)),
     "q205_maintenance_plan" -> (maintenancePlan _),
     "q191_embedding_spectrum" -> (embeddingSpectrum _),
@@ -6938,6 +7362,7 @@ object SimilarityOps {
     "q206_tier_route_slice_pass2" -> tierRouteSlicePass2Sql,
     "q207_probe_depth_plan" -> probeDepthPlanSql,
     "q208_filtered_serve_plan" -> filteredServePlanSql,
+    "q209_tier_depth_plan" -> tierDepthPlanSql,
     "q204_split_plan" -> splitPlanSql,
     "q205_maintenance_plan" -> maintenancePlanSql,
     "q191_embedding_spectrum" -> embeddingSpectrumSql,

@@ -1050,6 +1050,14 @@ object StreamingOps {
       // routes against the grown corpus without ever recounting it.
       graft.operators.SimilarityOps
         .recordIngestClusterSizes(batch.sparkSession, indexDir, batchId)
+      // Upsert semantics (r17 — VERDICT r16 #2): record this batch's
+      // vec_ids in the ledger so any OLDER copy of a re-ingested id is
+      // excluded from serving the moment this batch commits —
+      // replace-not-duplicate, with the physical dedup deferred to the
+      // next whole-table fold. Idempotent on replay like the data
+      // commit and the size twin above.
+      graft.operators.SimilarityOps
+        .recordIngestUpserts(batch.sparkSession, indexDir, batchId)
     }
 
   /** Streaming ANN serving: answer a stream of (query_id, embedding)
@@ -1085,7 +1093,7 @@ object StreamingOps {
       queries: DataFrame, indexDir: String, outDir: String,
       nprobe: Int = graft.operators.SimilarityOps.NProbeServe,
       tier: String = "float", stateDir: Option[String] = None,
-      batchCost: Boolean = true)
+      batchCost: Boolean = true, depthAware: Boolean = false)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.operators.SimilarityOps
     val known = SimilarityOps.Tiers.toSet + "auto"
@@ -1130,8 +1138,13 @@ object StreamingOps {
               // prices, slices too small to repay an arm's plan floor
               // fold into the surviving arms (the q203 census — fewer,
               // fuller plans per micro-batch).
+              // depthAware (r17, NON-DEFAULT like the q207 float option):
+              // compose the q209 probe-depth rule into the routed
+              // dispatch — each query's arm probes at its own margin
+              // depth.
               SimilarityOps.routeAndServe(s, indexDir, reqs, w, nprobe,
-                batchCost = batchCost, sliceAware = batchCost)
+                batchCost = batchCost, sliceAware = batchCost,
+                depthAware = depthAware)
             case "binary" =>
               SimilarityOps.annBinaryServeMany(s, indexDir, reqs, nprobe)
                 .withColumnRenamed("cos", "score").withColumn("tier", lit(tier))

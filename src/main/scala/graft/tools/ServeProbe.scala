@@ -65,6 +65,18 @@ object ServeProbe {
     }
 
     if (pinsMode) {
+      // Hybrid-serve pin input (r17 — VERDICT r16 #5): the persisted
+      // token+gram indexes' batched RRF fusion over the FixedQueries
+      // panel, ratioed against float batch20 like every other arm.
+      import graft.operators.RetrievalOps
+      graft.stats.IndexStore.save(spark,
+        RetrievalOps.tokenIndex(spark, dir), "probe_hyb_tok")
+      graft.stats.IndexStore.saveGram(spark,
+        RetrievalOps.gramIndex(spark, dir), "probe_hyb_gram")
+      val hybQ = RetrievalOps.FixedQueries.toDF("query_id", "query")
+        .localCheckpoint(true)
+      val hybridMs = timed(RetrievalOps.hybridServeMany(spark,
+        "probe_hyb_tok", "probe_hyb_gram", hybQ).collect())
       val batch20: Map[String, Double] = Map(
         "float" -> timed(SimilarityOps.annIvfServeMany(spark, idx, qdf).collect()),
         "binary" -> timed(SimilarityOps.annBinaryServeMany(spark, idx, qdf).collect()),
@@ -84,11 +96,13 @@ object ServeProbe {
         m.toSeq.sortBy(_._1).map { case (t, v) =>
           f""""$prefix$t": ${v / f20}%.4f""" }
       val ratios = (entries(batch20 - "float", "penalty_") ++
-        entries(oneRow, "floor_")).mkString(", ")
+        entries(oneRow, "floor_") ++
+        Seq(f""""penalty_hybrid": ${hybridMs / f20}%.4f""")).mkString(", ")
       val raw = (batch20.toSeq.sortBy(_._1).map { case (t, v) =>
           f""""${t}_batch20_ms": $v%.1f""" } ++
         oneRow.toSeq.sortBy(_._1).map { case (t, v) =>
-          f""""${t}_1row_batch_ms": $v%.1f""" }).mkString(", ")
+          f""""${t}_1row_batch_ms": $v%.1f""" } ++
+        Seq(f""""hybrid_batch5_ms": $hybridMs%.1f""")).mkString(", ")
       println(s"""{"kind": "serve_pins", "sf": "$dir", """ +
         s""""ratios": {$ratios}, "raw_ms": {$raw}}""")
       spark.stop()
@@ -109,6 +123,13 @@ object ServeProbe {
     time("routed_slice_batch20_ms") {
       SimilarityOps.routeAndServe(spark, idx, qdf, batchCost = true,
         sliceAware = true).collect()
+    }
+    // r17: the composed tier × depth dispatch (q209) vs the plain
+    // sliced route — the marginal cost of pricing the probe knob from
+    // the census the batch already pays for.
+    time("routed_slice_depth_batch20_ms") {
+      SimilarityOps.routeAndServe(spark, idx, qdf, batchCost = true,
+        sliceAware = true, depthAware = true).collect()
     }
     // r14 stretch: the lazy union (one action materializes every tier
     // subtree in one job) vs the eager per-tier checkpoint dispatch.

@@ -256,18 +256,24 @@ class Round16Spec extends SparkSpec {
     assert(SimilarityOps.indexOccupancyTvd(spark, idx) == 0.0,
       "fresh index must read zero drift")
 
-    // Drift batch: offset-id copies of ONE cell's rows — the ingested
-    // occupancy concentrates where the base's does not, so TVD ≈ 1 −
-    // base_share(cell) >> RetrainTvd.
+    // Drift batch: offset-id copies of ONE cell's rows, TWICE over — the
+    // r17 horizon-free signal measures the TOTAL distribution's shift
+    // against the geometry-time baseline (not the ingested half against
+    // the base half), so the same threshold needs proportionally more
+    // drift mass: ~80 rows into one cell of a ~500-row index moves the
+    // total by ≈ (80/580)·(1 − base_share) ≈ 0.12 > RetrainTvd.
     val hot = SimilarityOps.vectorsDf(spark, idx)
       .groupBy("cluster").count().orderBy(col("count").desc)
       .collect()(0).getAs[Number]("cluster").longValue()
     val hotIds = SimilarityOps.vectorsDf(spark, idx)
       .filter(col("cluster") === hot).select("vec_id")
       .collect().map(_.getLong(0)).toSet
-    val drift = spark.read.parquet(s"$sf/embeddings.parquet")
+    val driftSrc = spark.read.parquet(s"$sf/embeddings.parquet")
       .filter(col("vec_id").isin(hotIds.take(40).toSeq: _*))
+    val drift = driftSrc
       .select((col("vec_id") + 5000000L).as("vec_id"), col("embedding"))
+      .unionByName(driftSrc
+        .select((col("vec_id") + 5500000L).as("vec_id"), col("embedding")))
 
     // Batch 0 ingests the drift (trigger checks BEFORE the commit, so
     // the signal is still zero — no retrain), then reads TVD over it.
@@ -291,7 +297,8 @@ class Round16Spec extends SparkSpec {
     // Rows conserved: base + drift, each exactly once.
     val after = SimilarityOps.vectorsDf(spark, idx).localCheckpoint(true)
     val ids = after.select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
-    assert(ids == ids.distinct && ids.count(_ >= 5000000L) == hotIds.take(40).size)
+    assert(ids == ids.distinct &&
+      ids.count(_ >= 5000000L) == 2 * hotIds.take(40).size)
     // The fresh-build identity (the Round15Spec pin, reached by the
     // TRIGGER): every committed artifact equals the append path's
     // derivation of the same rows against the new persisted model.
