@@ -144,6 +144,49 @@ object Bench {
     * latency on local[32] stands in for a dedicated serving runtime's
     * floor: it measures plan/probe/scan overhead per request, which is
     * the quantity SCALE.md's serving section reasons about. */
+  /** Parse tools/pins.json's envelope registry — (calibration SF
+    * substring, (lo, hi) per ratio). None when the file is absent (a
+    * checkout without the registry publishes no verdict rather than a
+    * false one). */
+  def loadPinsEnvelope(
+      path: String): Option[(String, Map[String, (Double, Double)])] = {
+    val f = new java.io.File(path)
+    if (!f.exists()) return None
+    import org.json4s._
+    def num(v: JValue): Double = v match {
+      case JDouble(d) => d
+      case JInt(i) => i.toDouble
+      case JDecimal(d) => d.toDouble
+      case JLong(l) => l.toDouble
+      case other => throw new IllegalArgumentException(
+        s"non-numeric pin bound in $path: $other")
+    }
+    val root = org.json4s.jackson.JsonMethods.parse(f)
+    val calSf = root \ "calibrated_sf" match {
+      case JString(s) => s
+      case _ => "sf0.1"
+    }
+    root \ "ratios" match {
+      case JObject(fields) => Some((calSf, fields.map { case (k, v) =>
+        k -> (num(v \ "lo"), num(v \ "hi"))
+      }.toMap))
+      case _ => None
+    }
+  }
+
+  /** The in-artifact pin verdict (r17 — VERDICT r16 #6): true iff EVERY
+    * registered envelope has a measured ratio inside it. A registered
+    * pin the run failed to measure is a FAIL (a silently-unmeasured pin
+    * must not read as healthy), and a measured ratio with no envelope
+    * is ignored (new measurements can land before their pin is
+    * registered). Round17Spec flips it with a doctored envelope. */
+  def pinsVerdict(
+      ratios: Map[String, Double],
+      envelope: Map[String, (Double, Double)]): Boolean =
+    envelope.forall { case (name, (lo, hi)) =>
+      ratios.get(name).exists(v => v >= lo && v <= hi)
+    }
+
   def serveBench(spark: SparkSession, sfDir: String): Map[String, String] = {
     import graft.operators.SimilarityOps
     val out = scala.collection.mutable.LinkedHashMap[String, String]()
@@ -208,13 +251,74 @@ object Bench {
       // batchCost + sliceAware; lazyUnion was measured and rejected).
       "routed_batchcost_" -> (() => SimilarityOps.routeAndServe(
         spark, idx, qdf, batchCost = true, sliceAware = true).collect()))
+    val batchMs = scala.collection.mutable.LinkedHashMap[String, Double]()
     batched.foreach { case (prefix, run) =>
       run() // per-plan codegen warmup
-      out(s"${prefix}batch20_ms") = f3(Vector.fill(ServePasses) {
+      val ms = Vector.fill(ServePasses) {
         val tb = System.nanoTime()
         run()
         (System.nanoTime() - tb) / 1e6
-      }.min)
+      }.min
+      batchMs(prefix) = ms
+      out(s"${prefix}batch20_ms") = f3(ms)
+    }
+
+    // ---- serve-economics pins, in-artifact (r17 — VERDICT r16 #6) ---------
+    // The bench measures the same ratio inputs ServeProbe --pins does
+    // (per-tier batch20 above, 1-row floors + the hybrid arm here),
+    // ratioes them against float batch20, and carries a machine verdict:
+    // `pins_ok` is true iff EVERY registered envelope in tools/pins.json
+    // has a measured ratio inside it — so a pin escape shows up in the
+    // round artifact without anyone running the probe.
+    val oneDf = Seq(panel.head).toDF("query_id", "embedding")
+    val oneRowMs = Seq(
+      "float" -> (() => SimilarityOps.annIvfServeMany(spark, idx, oneDf).collect()),
+      "binary" -> (() => SimilarityOps.annBinaryServeMany(spark, idx, oneDf).collect()),
+      "int8" -> (() => SimilarityOps.annInt8ServeMany(spark, idx, oneDf).collect()),
+      "pq" -> (() => SimilarityOps.annPqServeMany(spark, idx, oneDf).collect()),
+      "pq_rerank" -> (() => SimilarityOps
+        .annPqRerankServeMany(spark, idx, oneDf, fused = false).collect())
+    ).map { case (t, run) =>
+      run()
+      t -> Vector.fill(ServePasses) {
+        val tb = System.nanoTime(); run(); (System.nanoTime() - tb) / 1e6
+      }.min
+    }.toMap
+    oneRowMs.toSeq.sortBy(_._1).foreach { case (t, ms) =>
+      out(s"${t}_1row_batch_ms") = f3(ms)
+    }
+    val hybridMs = {
+      import graft.operators.RetrievalOps
+      graft.stats.IndexStore.save(spark,
+        RetrievalOps.tokenIndex(spark, sfDir), "bench_hyb_tok")
+      graft.stats.IndexStore.saveGram(spark,
+        RetrievalOps.gramIndex(spark, sfDir), "bench_hyb_gram")
+      val hq = RetrievalOps.FixedQueries.toDF("query_id", "query")
+        .localCheckpoint(true)
+      def run(): Unit = RetrievalOps.hybridServeMany(spark,
+        "bench_hyb_tok", "bench_hyb_gram", hq).collect()
+      run()
+      Vector.fill(ServePasses) {
+        val tb = System.nanoTime(); run(); (System.nanoTime() - tb) / 1e6
+      }.min
+    }
+    out("hybrid_batch5_ms") = f3(hybridMs)
+    val f20 = batchMs("")
+    val pinRatios: Map[String, Double] =
+      Seq("binary_", "int8_", "pq_", "pq_rerank_").map(p =>
+        s"penalty_${p.stripSuffix("_")}" -> batchMs(p) / f20).toMap ++
+        oneRowMs.map { case (t, ms) => s"floor_$t" -> ms / f20 } +
+        ("penalty_hybrid" -> hybridMs / f20)
+    out("serve_pins") = pinRatios.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    // The verdict publishes only at the registry's calibration SF
+    // (ratios are plan-floor-compressed at smaller SFs — an sf0.01
+    // smoke run escaping the sf0.1 envelopes is noise, not a pin
+    // break); the raw ratio table above is emitted at every SF.
+    loadPinsEnvelope("tools/pins.json").foreach { case (calSf, env) =>
+      if (sfDir.contains(calSf))
+        out("pins_ok") = pinsVerdict(pinRatios, env).toString
     }
     // Concurrency inflation (VERDICT r9 #8, widened r12 per VERDICT r11
     // #8): the float tier AND the compressed re-rank tier — the one a
@@ -457,8 +561,13 @@ object Bench {
       if (v < 0) "-1" else math.round(v * 1000).toString
     }.mkString("[", ",", "]")
     val canarySeriesJson = canarySeries.map(f3).mkString("[", ",", "]")
+    // Top-level pins verdict (r17 — VERDICT r16 #6): a pin escape must
+    // be visible in the driver's 2 KB tail capture without parsing the
+    // serve map.
+    val pinsOkField = serve.get("pins_ok")
+      .map(v => s""""pins_ok":$v,""").getOrElse("")
     val summary =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","total_raw_sec":${f3(total)},"total_canary_norm":${f3(totalNorm)},"total_segnorm_sec":${f3(totalSegNorm)},"canary_start_sec":${f3(canaryStart)},"canary_end_sec":${f3(canaryEnd)},"canary_series":$canarySeriesJson,"canary_loaded_segments":$loadedSegments,"warmup_sec":${f3(warmup)},"n_queries":${results.size},"suspect":$suspectJson,"serve":$serveJson,"queries_ms_sorted_by_name":$qmsJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec",$pinsOkField"total_raw_sec":${f3(total)},"total_canary_norm":${f3(totalNorm)},"total_segnorm_sec":${f3(totalSegNorm)},"canary_start_sec":${f3(canaryStart)},"canary_end_sec":${f3(canaryEnd)},"canary_series":$canarySeriesJson,"canary_loaded_segments":$loadedSegments,"warmup_sec":${f3(warmup)},"n_queries":${results.size},"suspect":$suspectJson,"serve":$serveJson,"queries_ms_sorted_by_name":$qmsJson,"sf":"$sfDir"}"""
     // Bulkiest first; summary LAST so the driver's tail capture keeps it.
     println(s"""{"detail":"passes","passes":$passesJson}""")
     println(s"""{"detail":"queries","queries":$qsJson}""")

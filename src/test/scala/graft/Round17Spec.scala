@@ -383,6 +383,28 @@ class Round17Spec extends SparkSpec {
     assert(servedOne == q29, "served fusion diverged from the analytic q29")
   }
 
+  // ---- in-artifact pin verdict (VERDICT r16 #6) -----------------------------
+
+  test("Bench's pins_ok verdict reads the real registry, passes " +
+    "mid-envelope ratios, and FLIPS on a doctored envelope or an " +
+    "unmeasured registered pin") {
+    val (calSf, env) = Bench.loadPinsEnvelope("tools/pins.json")
+      .getOrElse(fail("tools/pins.json must parse"))
+    assert(calSf == "sf0.1", s"calibration SF drifted: $calSf")
+    assert(env.contains("penalty_hybrid") && env.size == 10,
+      s"registry drifted: ${env.keys.toSeq.sorted}")
+    val mid = env.map { case (k, (lo, hi)) => k -> (lo + hi) / 2 }
+    assert(Bench.pinsVerdict(mid, env), "mid-envelope ratios must pass")
+    val doctored = env.updated("penalty_pq", (0.0001, 0.0002))
+    assert(!Bench.pinsVerdict(mid, doctored),
+      "a doctored envelope must flip the verdict")
+    assert(!Bench.pinsVerdict(mid - "penalty_pq", env),
+      "an unmeasured registered pin must read as a FAIL, not healthy")
+    assert(Bench.pinsVerdict(mid + ("brand_new_ratio" -> 99.0), env),
+      "a measurement without a registered pin is ignored")
+    assert(Bench.loadPinsEnvelope("tools/definitely_missing.json").isEmpty)
+  }
+
   test("label payload survives the maintenance lifecycle: ingest " +
     "(null-label delta), hot compaction, split, and retrain all keep " +
     "labeled rows labeled — and label_sizes tracks the live table") {
