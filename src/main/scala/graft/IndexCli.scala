@@ -306,11 +306,16 @@ object RetrainVectorIndex {
   def main(args: Array[String]): Unit = {
     val idx = if (args.nonEmpty) args(0) else "target/graft_ivf_index"
     val frac = if (args.length > 1) args(1).toDouble else 1.0
+    // Optional graduated K (r17 stretch): retrain at the given cluster
+    // count instead of resetting to KmeansK — e.g. the K splits had
+    // grown, so post-retrain cells start at the observed density.
+    val k = if (args.length > 2) args(2).toInt
+      else graft.operators.SimilarityOps.KmeansK
     val spark = Cli.session()
     val rowsBefore = spark.read
       .parquet(graft.operators.SimilarityOps.vectorsPath(spark, idx)).count()
     val (kb, ka) = graft.operators.SimilarityOps.retrainIndex(
-      spark, idx, trainFraction = frac)
+      spark, idx, trainFraction = frac, k = k)
     val after = spark.read
       .parquet(graft.operators.SimilarityOps.vectorsPath(spark, idx))
     println(f"[vretrain] idx=$idx K=$kb->$ka rows_before=$rowsBefore " +

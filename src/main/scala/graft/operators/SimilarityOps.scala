@@ -158,8 +158,18 @@ object SimilarityOps {
     * (pmod(hash(vec_id), R) = 0) before the full-corpus quantization pass —
     * the fixed-iteration structure is unchanged. */
   def kmeansModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    kmeansCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
-      val (cent, asg) = trainKmeans(spark, dir, KmeansIters)
+    kmeansModelAt(spark, dir, KmeansK)
+
+  /** [[kmeansModel]] at an explicit cluster count (r17 stretch —
+    * graduated-K retrain): every oracle-gated census trains at the
+    * pinned [[KmeansK]]; a `k ≠ KmeansK` model is reachable only
+    * through writeIndex/retrainIndex's `k` parameter — same
+    * deterministic trainer (md5 seed order, fixed iterations, DECIMAL
+    * argmins), spec-pinned rather than oracle-unrolled. */
+  private[graft] def kmeansModelAt(
+      spark: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) =
+    kmeansCache.getOrElseUpdate(s"k$k:${spark.sparkContext.applicationId}:$dir", {
+      val (cent, asg) = trainKmeans(spark, dir, KmeansIters, k)
       (cent.cache(), asg.cache())
     })
 
@@ -168,11 +178,12 @@ object SimilarityOps {
     * picked KmeansIters. Not memoized — production callers go through
     * kmeansModel. */
   private[graft] def trainKmeans(
-      spark: SparkSession, dir: String, iters: Int): (DataFrame, DataFrame) = {
+      spark: SparkSession, dir: String, iters: Int,
+      k: Int = KmeansK): (DataFrame, DataFrame) = {
     val ex = embLong(spark, dir)
     val seeds = emb(spark, dir)
       .select(col("vec_id"), md5(col("vec_id").cast("string")).as("mk"))
-      .orderBy(col("mk"), col("vec_id")).limit(KmeansK)
+      .orderBy(col("mk"), col("vec_id")).limit(k)
       .select(col("vec_id"),
         (row_number().over(Window.orderBy(col("mk"), col("vec_id"))) - 1)
           .cast("long").as("cluster"))
@@ -1871,12 +1882,13 @@ object SimilarityOps {
     *
     * The array reassembly (collect_list + sort) runs interpreted, which is
     * fine here: this is the offline build job, not a query path. */
-  def indexArtifacts(spark: SparkSession, dir: String): DataFrame = {
-    val (_, asg) = kmeansModel(spark, dir)
+  def indexArtifacts(spark: SparkSession, dir: String,
+      k: Int = KmeansK): DataFrame = {
+    val (_, asg) = kmeansModelAt(spark, dir, k)
     withLabelPayload(emb(spark, dir))
       .select("vec_id", "embedding", "label")
       .join(int8Codes(embLong(spark, dir)), "vec_id")
-      .join(pqCodeColumn(pqModel(spark, dir)._2), "vec_id")
+      .join(pqCodeColumn(pqModelAt(spark, dir, k)._2), "vec_id")
       // Binary tier (r12 — the q192/q193 codes, persisted): 16 bytes of
       // centered sign bits per vector, the 1-bit/dim first-stage filter.
       .join(bqCodes(spark, dir)
@@ -1995,7 +2007,7 @@ object SimilarityOps {
     * byte-identically — same seeds rule, same DECIMAL argmins — making
     * the sampled build a pure function of (corpus, fraction). */
   def writeIndex(spark: SparkSession, dir: String, out: String,
-      trainFraction: Double = 1.0): Unit = {
+      trainFraction: Double = 1.0, k: Int = KmeansK): Unit = {
     // Validation FIRST (ADVICE r16 #1): every argument/sample check must
     // pass before anything of the old index is destroyed — pre-r17 a bad
     // trainFraction (or an undersized sample) aborted with the manifest
@@ -2016,9 +2028,9 @@ object SimilarityOps {
       // evict any model memoized under it before training.
       Memos.release(sampleDir)
       val nSample = spark.read.parquet(s"$sampleDir/embeddings.parquet").count()
-      require(nSample >= KmeansK,
+      require(nSample >= k,
         s"trainFraction=$trainFraction sampled $nSample vectors — fewer than " +
-          s"K=$KmeansK; raise the fraction (tiny corpora should train full)")
+          s"K=$k; raise the fraction (tiny corpora should train full)")
     }
     // An in-place REBUILD of a generation-bearing index (one that has
     // seen compaction/split/retrain) must not leave a manifest naming
@@ -2044,16 +2056,16 @@ object SimilarityOps {
     // stream's upsert ledger must not exclude any of it.
     outFs.delete(new org.apache.hadoop.fs.Path(upsertsPath(out)), false)
     if (trainFraction >= 1.0) {
-      indexArtifacts(spark, dir).write.mode("overwrite")
+      indexArtifacts(spark, dir, k).write.mode("overwrite")
         .partitionBy("cluster", "ingest_batch").parquet(s"$out/vectors")
-      kmeansModel(spark, dir)._1.write.mode("overwrite").parquet(s"$out/centroids")
-      pqModel(spark, dir)._1.write.mode("overwrite").parquet(s"$out/pq_centroids")
+      kmeansModelAt(spark, dir, k)._1.write.mode("overwrite").parquet(s"$out/centroids")
+      pqModelAt(spark, dir, k)._1.write.mode("overwrite").parquet(s"$out/pq_centroids")
       covMu(spark, dir).write.mode("overwrite").parquet(s"$out/bq_mu")
     } else {
       // Sample already staged and size-checked above (before the
       // destructive cleanup).
-      kmeansModel(spark, sampleDir)._1.write.mode("overwrite").parquet(s"$out/centroids")
-      pqModel(spark, sampleDir)._1.write.mode("overwrite").parquet(s"$out/pq_centroids")
+      kmeansModelAt(spark, sampleDir, k)._1.write.mode("overwrite").parquet(s"$out/centroids")
+      pqModelAt(spark, sampleDir, k)._1.write.mode("overwrite").parquet(s"$out/pq_centroids")
       covMu(spark, sampleDir).write.mode("overwrite").parquet(s"$out/bq_mu")
       // Full-corpus encode against the sample-trained model: the
       // incremental append derivation, reading the artifacts just
@@ -3344,7 +3356,8 @@ object SimilarityOps {
     * window's reader view. */
   def retrainIndex(spark: SparkSession, indexDir: String,
       trainFraction: Double = 1.0,
-      crashAfter: Int = Int.MaxValue): (Int, Int) = {
+      crashAfter: Int = Int.MaxValue,
+      k: Int = KmeansK): (Int, Int) = {
     recoverRetiredBatches(spark, indexDir)
     healOrphanClusters(spark, indexDir)
     val kBefore = indexMeta(spark, indexDir, "centroids")
@@ -3366,7 +3379,7 @@ object SimilarityOps {
     // staged path — evict before training on the new snapshot.
     Memos.release(src)
     val stagedIdx = s"$indexDir/.retrain_idx"
-    writeIndex(spark, src, stagedIdx, trainFraction = trainFraction)
+    writeIndex(spark, src, stagedIdx, trainFraction = trainFraction, k = k)
     // Cutover: rename everything into unreferenced generation dirs,
     // then ONE manifest commit.
     val layout = indexLayout(spark, indexDir)
@@ -3412,7 +3425,7 @@ object SimilarityOps {
     fs.delete(new org.apache.hadoop.fs.Path(src), true)
     fs.delete(new org.apache.hadoop.fs.Path(stagedIdx), true)
     Memos.release(indexDir)
-    (kBefore, KmeansK)
+    (kBefore, k)
   }
 
   /** Probe-cluster selection against the PERSISTED centroids: the same
@@ -4665,8 +4678,15 @@ object SimilarityOps {
   /** The PQ model q98/q100/q104/q105 and the index build share: codebooks
     * trained on RESIDUALS v − centroid(v) (IVFADC proper). */
   private[graft] def pqModel(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    pqCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
-      val (cent, asg) = trainPqOn(spark, dir, withSub(residLong(spark, dir)))
+    pqModelAt(spark, dir, KmeansK)
+
+  /** [[pqModel]] against a `k`-cell coarse model (the graduated-K
+    * retrain path): residuals subtract the k-variant centroids, so the
+    * codebooks train on the geometry that will serve them. */
+  private[graft] def pqModelAt(
+      spark: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) =
+    pqCache.getOrElseUpdate(s"k$k:${spark.sparkContext.applicationId}:$dir", {
+      val (cent, asg) = trainPqOn(spark, dir, withSub(residLongAt(spark, dir, k)))
       (cent.cache(), asg.cache())
     })
 
@@ -4694,8 +4714,11 @@ object SimilarityOps {
     * instead of re-encoding the cell means the coarse index has already
     * paid for. One broadcast join against the K×dims centroid table;
     * row-local subtraction. */
-  private def residLong(spark: SparkSession, dir: String): DataFrame = {
-    val (cent, asg) = kmeansModel(spark, dir)
+  private def residLong(spark: SparkSession, dir: String): DataFrame =
+    residLongAt(spark, dir, KmeansK)
+
+  private def residLongAt(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val (cent, asg) = kmeansModelAt(spark, dir, k)
     embLong(spark, dir)
       .join(asg, "vec_id")
       .join(broadcast(cent), Seq("cluster", "pos"))

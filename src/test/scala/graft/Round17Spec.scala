@@ -405,6 +405,37 @@ class Round17Spec extends SparkSpec {
     assert(Bench.loadPinsEnvelope("tools/definitely_missing.json").isEmpty)
   }
 
+  // ---- graduated-K retrain (VERDICT r16 stretch #7) -------------------------
+
+  test("retrainIndex(k) trains the full artifact chain at the given K: " +
+    "centroids/sizes carry K cells, rows conserve, and every committed " +
+    "artifact equals the append path's derivation against the K-variant " +
+    "persisted model (the fresh-build identity at any K)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_r17_gradk").toString
+    SimilarityOps.writeIndex(spark, sf, dir)
+    val (kb, ka) = SimilarityOps.retrainIndex(spark, dir, k = 12)
+    assert((kb, ka) == (10, 12), s"($kb, $ka)")
+    assert(SimilarityOps.artifactDf(spark, dir, "centroids")
+      .select("cluster").distinct().count() == 12L)
+    val (sizes, ntot) = SimilarityOps.indexClusterSizes(spark, dir)
+    assert(sizes.size == 12 && ntot == 500L, s"${sizes.size} cells / $ntot rows")
+    val after = SimilarityOps.vectorsDf(spark, dir).localCheckpoint(true)
+    val derived = SimilarityOps.appendArtifacts(spark, dir,
+      after.select("vec_id", "embedding"))
+    val mismatch = after
+      .select(col("vec_id"), col("cluster").cast("long").as("have"),
+        col("pq_codes").as("have_pq"))
+      .join(derived.select(col("vec_id"), col("cluster").cast("long").as("want"),
+        col("pq_codes").as("want_pq")), "vec_id")
+      .filter(col("have") =!= col("want") || col("have_pq") =!= col("want_pq"))
+      .count()
+    assert(mismatch == 0, "K-variant retrain != its own fresh derivation")
+    after.unpersist(true)
+    // Serving runs unmodified on the K-variant geometry.
+    assert(SimilarityOps.annIvfServeMany(spark, dir,
+      panelQueries.select("query_id", "embedding")).count() > 0)
+  }
+
   test("label payload survives the maintenance lifecycle: ingest " +
     "(null-label delta), hot compaction, split, and retrain all keep " +
     "labeled rows labeled — and label_sizes tracks the live table") {
