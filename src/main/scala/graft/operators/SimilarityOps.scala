@@ -7163,8 +7163,15 @@ object SimilarityOps {
     // Driver-side slice bounds (|Q| rows — the routeAndServe census
     // price): the pre arm's COARSE literal filter, the part of the
     // per-query predicate that pushes into the parquet scan.
-    val bounds = census.select("flabel", "strategy").collect()
-      .map(r => (r.getLong(0), r.getString(1)))
+    val bounds = census.select("flabel", "strategy").collect().map { r =>
+      // Fail LOUD on a null predicate value: it can never match any
+      // payload row, so letting it through would answer the query with
+      // silence instead of naming the bad request.
+      require(!r.isNullAt(0),
+        "filtered serve: NULL flabel in the request frame — every " +
+          "filtered query must carry its predicate value")
+      (r.getLong(0), r.getString(1))
+    }
     val preLb = bounds.collect { case (l, "pre") => l }
     val postOn = bounds.exists(_._2 == "post")
     def slice(s: String): DataFrame = q2.join(

@@ -47,7 +47,15 @@ object ScaleGrowth {
     // stack + q203's census — α should track q201's, the fold's recall
     // panel being the corpus-bound part) and the probe-depth plan
     // (pure census arithmetic over tierFeatures — α ≈ 0 is the claim).
-    "q206_tier_route_slice_pass2", "q207_probe_depth_plan")
+    "q206_tier_route_slice_pass2", "q207_probe_depth_plan",
+    // round-17 additions: the filtered-serve census (arms run over
+    // their routed slices — pre is sel·N exact cosine, post the probed
+    // shortlist, so α should track the q160 panel-scan shape), the
+    // composed tier×depth table (a projection over q203/q207 frames —
+    // α ≈ 0 is the claim), and the hybrid-serve panel (two dense
+    // ranking passes + RRF — the q29 shape batched over 5 queries).
+    "q208_filtered_serve_plan", "q209_tier_depth_plan",
+    "q210_hybrid_serve_plan")
   val Dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
   def main(args: Array[String]): Unit = {
