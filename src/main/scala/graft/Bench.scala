@@ -166,7 +166,17 @@ object Bench {
       case JString(s) => s
       case _ => "sf0.1"
     }
-    root \ "ratios" match {
+    // The bench verdict checks against the BENCH-context envelopes
+    // (`bench_ratios` — min-of-ServePasses inside the warm full-suite
+    // session) when the registry records them; `ratios` stays the
+    // ServeProbe-context registry check_pins.py consumes. The two
+    // contexts measure the same economics through different noise
+    // floors, so each verdict needs its own recorded distribution.
+    val section = root \ "bench_ratios" match {
+      case o: JObject => o
+      case _ => root \ "ratios"
+    }
+    section match {
       case JObject(fields) => Some((calSf, fields.map { case (k, v) =>
         k -> (num(v \ "lo"), num(v \ "hi"))
       }.toMap))
