@@ -326,8 +326,11 @@ object Bench {
     // (ratios are plan-floor-compressed at smaller SFs — an sf0.01
     // smoke run escaping the sf0.1 envelopes is noise, not a pin
     // break); the raw ratio table above is emitted at every SF.
+    // ADVICE r17: compare the directory BASENAME exactly — a substring
+    // match would also publish against e.g. a future sf0.15 dir, judging
+    // it by the wrong SF's envelopes.
     loadPinsEnvelope("tools/pins.json").foreach { case (calSf, env) =>
-      if (sfDir.contains(calSf))
+      if (new java.io.File(sfDir).getName == calSf)
         out("pins_ok") = pinsVerdict(pinRatios, env).toString
     }
     // Concurrency inflation (VERDICT r9 #8, widened r12 per VERDICT r11

@@ -1447,7 +1447,8 @@ object SimilarityOps {
   def annBinaryServeMany(
       spark: SparkSession, indexDir: String, queries: DataFrame,
       nprobe: Int = NProbeServe,
-      sharedProbes: Option[DataFrame] = None): DataFrame = {
+      sharedProbes: Option[DataFrame] = None,
+      depth: Int = TopK): DataFrame = {
     val cent = indexMeta(spark, indexDir, "centroids")
     val mu = indexMeta(spark, indexDir, "bq_mu")
     val qx = qxOf(queries)
@@ -1487,7 +1488,7 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc))
         .cast("long"))
-      .filter(col("rank") <= TopK)
+      .filter(col("rank") <= depth)
       .select(col("query_id"), col("vec_id"), col("rank"), r6(col("cos")).as("cos"))
       .orderBy("query_id", "rank")
   }
@@ -1566,7 +1567,8 @@ object SimilarityOps {
   def annInt8ServeMany(
       spark: SparkSession, indexDir: String, queries: DataFrame,
       nprobe: Int = NProbeServe,
-      sharedProbes: Option[DataFrame] = None): DataFrame = {
+      sharedProbes: Option[DataFrame] = None,
+      depth: Int = TopK): DataFrame = {
     val cent = indexMeta(spark, indexDir, "centroids")
     val probes = sharedProbes.getOrElse(probesMany(cent, qxOf(queries), nprobe))
     val qmeta = queries
@@ -1590,7 +1592,7 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("qcos").desc, col("vec_id").asc))
         .cast("long"))
-      .filter(col("rank") <= TopK)
+      .filter(col("rank") <= depth)
       .select(col("query_id"), col("vec_id"), col("rank"), r6(col("qcos")).as("qcos"))
       .orderBy("query_id", "rank")
   }
@@ -1665,13 +1667,14 @@ object SimilarityOps {
   def annPqServeMany(
       spark: SparkSession, indexDir: String, queries: DataFrame,
       nprobe: Int = NProbeServe,
-      sharedProbes: Option[DataFrame] = None): DataFrame = {
+      sharedProbes: Option[DataFrame] = None,
+      depth: Int = TopK): DataFrame = {
     val cent = indexMeta(spark, indexDir, "centroids")
     val pcent = indexMeta(spark, indexDir, "pq_centroids")
     val qx = qxOf(queries)
     val probes = sharedProbes.getOrElse(probesMany(cent, qx, nprobe))
     val dtab = adcTablesMany(cent, pcent, qx, probes)
-    adcRankMany(spark, indexDir, probes, dtab, TopK)
+    adcRankMany(spark, indexDir, probes, dtab, depth)
       .select(col("query_id"), col("vec_id"), col("arank").cast("long").as("rank"),
         r6(col("adist").cast("double")).as("adist"))
       .orderBy("query_id", "rank")
@@ -1701,7 +1704,8 @@ object SimilarityOps {
       spark: SparkSession, indexDir: String, queries: DataFrame,
       nprobe: Int = NProbeServe,
       sharedProbes: Option[DataFrame] = None,
-      fused: Boolean = FusedRerank): DataFrame = {
+      fused: Boolean = FusedRerank,
+      depth: Int = TopK): DataFrame = {
     val cent = indexMeta(spark, indexDir, "centroids")
     val pcent = indexMeta(spark, indexDir, "pq_centroids")
     val qx = qxOf(queries)
@@ -1742,7 +1746,7 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc))
         .cast("long"))
-      .filter(col("rank") <= TopK)
+      .filter(col("rank") <= depth)
       .select(col("query_id"), col("vec_id"), col("rank"), r6(col("cos")).as("cos"))
       .orderBy("query_id", "rank")
   }
@@ -2488,11 +2492,20 @@ object SimilarityOps {
       spark: SparkSession, indexDir: String): DataFrame =
     notSuperseded(spark, indexDir, vectorsDf(spark, indexDir))
 
-  /** Record a just-committed ingest batch's vec_ids into the ledger
-    * (REPLACE per vec_id keeping the max horizon — a replayed batch
-    * re-records idempotently, exactly like its data commit). Called by
-    * the streaming sink after the data + size twins; one micro-batch-
-    * sized pruned read. */
+  /** Record a just-committed ingest batch's TRUE upserts into the
+    * ledger — only vec_ids that supersede a copy already in the table
+    * BEFORE this batch (one id-pruned existence probe: the batch's ids
+    * against `ingest_batch < batchId`, the isin predicate pushed to
+    * row-group stats). ADVICE r17: recording EVERY ingested id made the
+    * ledger grow linearly with a pure-append stream — each batch
+    * re-reading and rewriting the whole ledger (O(n²) across batches)
+    * and every serve broadcasting it — for exclusions that could never
+    * fire. A pure-append batch now records nothing; ledger size stays
+    * proportional to actual re-ingests between folds. REPLACE per
+    * vec_id keeping the max horizon — a replayed batch re-records
+    * idempotently, exactly like its data commit. Called by the
+    * streaming sink after the data + size twins; two micro-batch-sized
+    * pruned reads. */
   private[graft] def recordIngestUpserts(
       spark: SparkSession, indexDir: String, batchId: Long): Unit =
     withClusterSizesLock(spark, indexDir) {
@@ -2500,10 +2513,17 @@ object SimilarityOps {
         .filter(col("ingest_batch") === batchId)
         .select("vec_id").collect().map(_.getLong(0))
       if (ids.nonEmpty) {
-        val old = readUpsertRows(spark, indexDir).getOrElse(Nil).toMap
-        val merged = (old ++ ids.map(id =>
-          id -> math.max(batchId, old.getOrElse(id, Long.MinValue)))).toSeq
-        writeUpsertRows(spark, indexDir, merged)
+        val superseding = vectorsDf(spark, indexDir)
+          .filter(col("vec_id").isin(ids.toSeq: _*) &&
+            col("ingest_batch") < batchId)
+          .select("vec_id").distinct()
+          .collect().map(_.getLong(0))
+        if (superseding.nonEmpty) {
+          val old = readUpsertRows(spark, indexDir).getOrElse(Nil).toMap
+          val merged = (old ++ superseding.map(id =>
+            id -> math.max(batchId, old.getOrElse(id, Long.MinValue)))).toSeq
+          writeUpsertRows(spark, indexDir, merged)
+        }
       }
     }
 
@@ -2521,14 +2541,21 @@ object SimilarityOps {
     if (doomed.isEmpty) return
     val vdir = vectorsPath(spark, indexDir)
     val parts = doomed.map(d => (d._3, d._4)).distinct
-    val clusters = parts.map(_._1).distinct.toSeq
-    val batches = parts.map(_._2).distinct.toSeq
+    // ADVICE r17: scan and rewrite EXACTLY the owning (cluster,
+    // ingest_batch) partitions — the cross product of doomed clusters ×
+    // doomed batches read and byte-identically rewrote partitions with
+    // no doomed rows (e.g. (c1,b2) when doomed are (c1,b1) and
+    // (c2,b2)). An OR of per-pair conjunctions over the two partition
+    // columns prunes statically; `parts` is bounded by the caller's
+    // locate output (≤ |doomed|).
+    val pairPred = parts.map { case (c, b) =>
+      col("cluster") === lit(c) && col("ingest_batch") === lit(b)
+    }.reduce(_ || _)
     val doomedDf = broadcast(doomed.map(d => (d._1, d._4)).distinct.toSeq
       .toDF("vec_id", "ingest_batch"))
     val survivors = spark.read.schema(VectorsSchema)
       .option("ignoreMissingFiles", "true").parquet(vdir)
-      .filter(col("cluster").isin(clusters: _*) &&
-        col("ingest_batch").isin(batches: _*))
+      .filter(pairPred)
       .join(doomedDf, Seq("vec_id", "ingest_batch"), "left_anti")
       .localCheckpoint(true)
     try {
@@ -3525,7 +3552,8 @@ object SimilarityOps {
   def annIvfServeMany(
       spark: SparkSession, indexDir: String, queries: DataFrame,
       nprobe: Int = NProbeServe,
-      sharedProbes: Option[DataFrame] = None): DataFrame = {
+      sharedProbes: Option[DataFrame] = None,
+      depth: Int = TopK): DataFrame = {
     val cent = indexMeta(spark, indexDir, "centroids")
     val probes = sharedProbes.getOrElse(probesMany(cent, qxOf(queries), nprobe))
     servedVectorsDf(spark, indexDir)
@@ -3538,7 +3566,7 @@ object SimilarityOps {
       .withColumn("rank", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos").desc, col("vec_id").asc))
         .cast("long"))
-      .filter(col("rank") <= TopK)
+      .filter(col("rank") <= depth)
       .select(col("query_id"), col("vec_id"), col("rank"), r6(col("cos")).as("cos"))
       .orderBy("query_id", "rank")
   }
@@ -5977,10 +6005,42 @@ object SimilarityOps {
       batchCost: Boolean = false,
       lazyUnion: Boolean = false,
       sliceAware: Boolean = false,
-      depthAware: Boolean = false): DataFrame = {
+      depthAware: Boolean = false,
+      filterOp: Option[String] = None,
+      overfetch: Int = FilterOverfetch): DataFrame = {
     require(!sliceAware || batchCost,
       "sliceAware routing prices arm-opening floors against the BATCH " +
         "penalties — it requires batchCost = true")
+    filterOp.foreach(op => require(Set("le", "eq")(op),
+      s"unknown filter op: $op (one of le, eq)"))
+    // filterOp (r18 — VERDICT r17 #1): the request frame additionally
+    // carries `flabel`, and ONE batch pass prices BOTH marquee knobs —
+    // the tier census (which arm) and the filter census (pre vs post).
+    // Per query: strategy "pre" answers tier-independently from
+    // [[filterPreArm]] (exact — no coded tier undercuts an exact
+    // answer), labeled with the query's routed tier for the record;
+    // strategy "post" dispatches to the ROUTED tier's [[filterPostArm]]
+    // (the tier's own overfetched shortlist + predicate), carving its
+    // probe rows from the same shared crank as the unfiltered dispatch.
+    // The filter census is computed ONCE for the batch (a |labels|-row
+    // broadcast + |Q|-row checkpoint), never per tier. Round18Spec pins
+    // routed filtered answers ≡ [[tierServeManyFiltered]] of the routed
+    // tier per query.
+    val filterCensus = filterOp.map { op =>
+      val q2 = queries.select(col("query_id"),
+        col("flabel").cast("long").as("flabel"))
+      filterCensusOf(spark, indexDir, q2, op, "auto")
+    }
+    val filterBounds = filterCensus.map(filterBoundsOf).getOrElse(Array.empty)
+    val filterPreOn = filterBounds.exists(_._2 == "pre")
+    // The dispatch loop below serves only the POST slice when filtering;
+    // the pre slice unions in after it (its answers need no tier plan).
+    val dispatchQueries = filterCensus match {
+      case Some(census) => queries.join(
+        broadcast(census.filter(col("strategy") === "post").select("query_id")),
+        "query_id")
+      case None => queries
+    }
     val w = Tiers.map(t => t -> lit(wE4.getOrElse(t, 0L).toDouble / 10000.0)).toMap
     // ONE coarse-scoring job for the whole batch (r14 — VERDICT r13 #2):
     // the census's margin/coverage AND every tier's probe set read this
@@ -6059,7 +6119,16 @@ object SimilarityOps {
               org.apache.spark.sql.types.StringType, nullable = false))))
       } else scored.select(col("query_id"), choice.as("tier")))
       .localCheckpoint(true)
-    val present = choices.select("tier").distinct()
+    // Only the DISPATCHED slice's tiers plan: with a filter predicate,
+    // pre-strategy queries never open a tier plan (their exact answer is
+    // tier-independent), so `present` counts post-strategy choices only.
+    val dispatchChoices = filterCensus match {
+      case Some(census) => choices.join(
+        broadcast(census.filter(col("strategy") === "post").select("query_id")),
+        "query_id")
+      case None => choices
+    }
+    val present = dispatchChoices.select("tier").distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     // Thunks: only PRESENT tiers plan (each plan reads index metadata).
     // Every tier gets its slice's probe rows CARVED from the shared
@@ -6067,17 +6136,23 @@ object SimilarityOps {
     // frames) instead of re-scoring the centroids itself.
     def probesFor(slice: DataFrame): Option[DataFrame] =
       Some(allProbes.join(broadcast(slice.select("query_id")), "query_id"))
-    val serveManyOf: Map[String, (DataFrame => DataFrame, String)] = Map(
-      "binary" -> ((q: DataFrame) =>
-        annBinaryServeMany(spark, indexDir, q, nprobe, probesFor(q)), "cos"),
-      "float" -> ((q: DataFrame) =>
-        annIvfServeMany(spark, indexDir, q, nprobe, probesFor(q)), "cos"),
-      "int8" -> ((q: DataFrame) =>
-        annInt8ServeMany(spark, indexDir, q, nprobe, probesFor(q)), "qcos"),
-      "pq" -> ((q: DataFrame) =>
-        annPqServeMany(spark, indexDir, q, nprobe, probesFor(q)), "adist"),
-      "pq_rerank" -> ((q: DataFrame) =>
-        annPqRerankServeMany(spark, indexDir, q, nprobe, probesFor(q)), "cos"))
+    val serveManyOf: Map[String, (DataFrame => DataFrame, String)] =
+      filterOp match {
+        case Some(op) => Tiers.map(t => t -> ((q: DataFrame) =>
+          filterPostArm(spark, indexDir, t, q, filterCensus.get, op, nprobe,
+            overfetch, probesFor(q)), "score")).toMap
+        case None => Map(
+          "binary" -> ((q: DataFrame) =>
+            annBinaryServeMany(spark, indexDir, q, nprobe, probesFor(q)), "cos"),
+          "float" -> ((q: DataFrame) =>
+            annIvfServeMany(spark, indexDir, q, nprobe, probesFor(q)), "cos"),
+          "int8" -> ((q: DataFrame) =>
+            annInt8ServeMany(spark, indexDir, q, nprobe, probesFor(q)), "qcos"),
+          "pq" -> ((q: DataFrame) =>
+            annPqServeMany(spark, indexDir, q, nprobe, probesFor(q)), "adist"),
+          "pq_rerank" -> ((q: DataFrame) =>
+            annPqRerankServeMany(spark, indexDir, q, nprobe, probesFor(q)), "cos"))
+      }
     // Dispatch the present tiers CONCURRENTLY: each routed group's plan
     // is materialized by its own action (eager localCheckpoint of a
     // ≤ |Q|·TopK frame) on a separate thread, so the batch's wall time
@@ -6107,7 +6182,7 @@ object SimilarityOps {
     val parts =
       if (lazyUnion) present.map { t =>
         val (serve, scoreCol) = serveManyOf(t)
-        serve(routedSlice(queries, choices, t))
+        serve(routedSlice(dispatchQueries, choices, t))
           .withColumnRenamed(scoreCol, "score").withColumn("tier", lit(t))
       }
       else present.map { t =>
@@ -6124,7 +6199,7 @@ object SimilarityOps {
             s"routeAndServe dispatch: $t", interruptOnCancel = true)
           try {
             val (serve, scoreCol) = serveManyOf(t)
-            serve(routedSlice(queries, choices, t))
+            serve(routedSlice(dispatchQueries, choices, t))
               .withColumnRenamed(scoreCol, "score").withColumn("tier", lit(t))
               .localCheckpoint(true)
           } finally spark.sparkContext.clearJobGroup()
@@ -6140,19 +6215,41 @@ object SimilarityOps {
                 "serve request aborted")
         }
       }
+    // The filtered pre slice unions in after the tier dispatch: one
+    // shared exact arm for the whole batch (tier-independent answers,
+    // labeled with each query's routed tier for the record).
+    val preParts = if (!filterPreOn) Nil else {
+      val preLb = filterBounds.collect { case (l, "pre") => l }
+      val preSlice = queries.join(
+        broadcast(filterCensus.get.filter(col("strategy") === "pre")
+          .select("query_id")), "query_id")
+        .select(col("query_id"), col("embedding"),
+          col("flabel").cast("long").as("flabel"))
+      val preDf = filterPreArm(spark, indexDir, preSlice, filterOp.get, preLb)
+        .select(col("query_id"), col("vec_id"),
+          col("rank").cast("long").as("rank"),
+          r6(col("cos")).as("score"), col("strategy"))
+        .join(broadcast(choices), "query_id")
+      Seq(if (lazyUnion) preDf else preDf.localCheckpoint(true))
+    }
+    val allParts = parts ++ preParts
     // An empty request frame routes nowhere — answer with an empty frame
     // of the output schema instead of crashing reduce. query_id keeps
     // the CALLER's type (the tier plans propagate it on non-empty
     // input; a hardcoded type here would make alternating empty and
     // non-empty batches schema-conflict in an appending sink).
-    if (parts.isEmpty) {
-      import org.apache.spark.sql.types._
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          queries.schema("query_id").copy(name = "query_id"),
-          StructField("vec_id", LongType), StructField("rank", LongType),
-          StructField("score", DoubleType), StructField("tier", StringType))))
-    } else parts.reduce(_.unionByName(_)).orderBy("query_id", "rank")
+    if (allParts.isEmpty) {
+      if (filterOp.isDefined) emptyFilteredFrame(spark, queries, "score",
+        withTier = true)
+      else {
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            queries.schema("query_id").copy(name = "query_id"),
+            StructField("vec_id", LongType), StructField("rank", LongType),
+            StructField("score", DoubleType), StructField("tier", StringType))))
+      }
+    } else allParts.reduce(_.unionByName(_)).orderBy("query_id", "rank")
   }
 
   /** Dedicated bounded pool for the routed per-tier dispatch: at most
@@ -7136,42 +7233,13 @@ object SimilarityOps {
       spark: SparkSession, indexDir: String, queries: DataFrame,
       op: String = "le", strategy: String = "auto",
       nprobe: Int = NProbeServe, overfetch: Int = FilterOverfetch): DataFrame = {
-    import spark.implicits._
     require(Set("le", "eq")(op), s"unknown filter op: $op (one of le, eq)")
     require(Set("auto", "pre", "post")(strategy),
       s"unknown filter strategy: $strategy (one of auto, pre, post)")
-    val lsz = indexLabelSizes(spark, indexDir)
-    require(lsz.nonEmpty,
-      s"filtered serve needs a labeled index: $indexDir carries no label payload")
-    val (_, ntot) = indexClusterSizes(spark, indexDir)
     val q2 = queries.select(col("query_id"), col("embedding"),
       col("flabel").cast("long").as("flabel"))
-    val lszDf = lsz.toSeq.toDF("label", "ln")
-    def pred(l: Column, fl: Column): Column =
-      if (op == "le") l <= fl else l === fl
-    // Per-query selectivity + strategy — the |Q|-row census frame
-    // (checkpointed once, read by both slice filters), the exact
-    // arithmetic of the q208 census's sel column.
-    val census = q2.select("query_id", "flabel")
-      .join(broadcast(lszDf), pred(col("label"), col("flabel")), "left")
-      .groupBy("query_id", "flabel")
-      .agg(coalesce(sum("ln"), lit(0L)).as("nmatch"))
-      .withColumn("sel", r6(col("nmatch").cast("double") / lit(ntot.toDouble)))
-      .withColumn("strategy",
-        if (strategy == "auto") filterStrategyOf(col("sel")) else lit(strategy))
-      .localCheckpoint(true)
-    // Driver-side slice bounds (|Q| rows — the routeAndServe census
-    // price): the pre arm's COARSE literal filter, the part of the
-    // per-query predicate that pushes into the parquet scan.
-    val bounds = census.select("flabel", "strategy").collect().map { r =>
-      // Fail LOUD on a null predicate value: it can never match any
-      // payload row, so letting it through would answer the query with
-      // silence instead of naming the bad request.
-      require(!r.isNullAt(0),
-        "filtered serve: NULL flabel in the request frame — every " +
-          "filtered query must carry its predicate value")
-      (r.getLong(0), r.getString(1))
-    }
+    val census = filterCensusOf(spark, indexDir, q2, op, strategy)
+    val bounds = filterBoundsOf(census)
     val preLb = bounds.collect { case (l, "pre") => l }
     val postOn = bounds.exists(_._2 == "post")
     def slice(s: String): DataFrame = q2.join(
@@ -7179,22 +7247,8 @@ object SimilarityOps {
       "query_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
-    val pre: Option[DataFrame] = if (preLb.isEmpty) None else {
-      val coarse =
-        if (op == "le") col("label") <= lit(preLb.max)
-        else col("label").isin(preLb.distinct.toSeq: _*)
-      Some(servedVectorsDf(spark, indexDir)
-        .filter(col("label").isNotNull && coarse)
-        .select(col("vec_id"), col("label").cast("long").as("vl"), col("embedding"))
-        .join(broadcast(slice("pre").select(col("query_id"),
-          col("embedding").as("q_embedding"), col("flabel"))),
-          pred(col("vl"), col("flabel")))
-        .select(col("query_id"), col("vec_id"),
-          cosineSim(col("embedding"), col("q_embedding")).as("cos"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= TopK)
-        .withColumn("strategy", lit("pre")))
-    }
+    val pre: Option[DataFrame] = if (preLb.isEmpty) None
+      else Some(filterPreArm(spark, indexDir, slice("pre"), op, preLb))
     val post: Option[DataFrame] = if (!postOn) None else {
       val postQ = slice("post")
       val cent = indexMeta(spark, indexDir, "centroids")
@@ -7209,7 +7263,7 @@ object SimilarityOps {
           cosineSim(col("embedding"), col("q_embedding")).as("cos"))
         .withColumn("srank", row_number().over(w))
         .filter(col("srank") <= TopK * overfetch)
-        .filter(pred(col("vl"), col("flabel")))
+        .filter(filterPredOf(op)(col("vl"), col("flabel")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= TopK)
         .select(col("query_id"), col("vec_id"), col("cos"), col("rank"))
@@ -7218,15 +7272,522 @@ object SimilarityOps {
     val parts = (pre.toSeq ++ post.toSeq).map(_.select(
       col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"),
       r6(col("cos")).as("cos"), col("strategy")))
-    if (parts.isEmpty) {
-      import org.apache.spark.sql.types._
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          queries.schema("query_id").copy(name = "query_id"),
-          StructField("vec_id", LongType), StructField("rank", LongType),
-          StructField("cos", DoubleType), StructField("strategy", StringType))))
-    } else parts.reduce(_.unionByName(_)).orderBy("query_id", "rank")
+    if (parts.isEmpty) emptyFilteredFrame(spark, queries, "cos")
+    else parts.reduce(_.unionByName(_)).orderBy("query_id", "rank")
   }
+
+  /** Per-query predicate column for the ops the filtered serving twins
+    * support: "le" (range) and "eq" (the tenant/partition-key case). */
+  private def filterPredOf(op: String)(l: Column, fl: Column): Column =
+    if (op == "le") l <= fl else l === fl
+
+  /** The |Q|-row filtered-serve census frame — per query its predicate
+    * value, match count from the [[indexLabelSizes]] artifact (a
+    * |labels|-row broadcast, never a corpus pass), r6'd selectivity,
+    * and the [[filterStrategyOf]] strategy (or the caller's forced
+    * arm). Eager-checkpointed: both slice filters and the driver-side
+    * bounds read it, and the q208 census's exact sel arithmetic is
+    * shared by every filtered consumer. */
+  private def filterCensusOf(
+      spark: SparkSession, indexDir: String, q2: DataFrame,
+      op: String, strategy: String): DataFrame = {
+    import spark.implicits._
+    val lsz = indexLabelSizes(spark, indexDir)
+    require(lsz.nonEmpty,
+      s"filtered serve needs a labeled index: $indexDir carries no label payload")
+    val (_, ntot) = indexClusterSizes(spark, indexDir)
+    val lszDf = lsz.toSeq.toDF("label", "ln")
+    q2.select("query_id", "flabel")
+      .join(broadcast(lszDf), filterPredOf(op)(col("label"), col("flabel")), "left")
+      .groupBy("query_id", "flabel")
+      .agg(coalesce(sum("ln"), lit(0L)).as("nmatch"))
+      .withColumn("sel", r6(col("nmatch").cast("double") / lit(ntot.toDouble)))
+      .withColumn("strategy",
+        if (strategy == "auto") filterStrategyOf(col("sel")) else lit(strategy))
+      .localCheckpoint(true)
+  }
+
+  /** Driver-side slice bounds (|Q| rows — the routeAndServe census
+    * price): the pre arm's COARSE literal filter, the part of the
+    * per-query predicate that pushes into the parquet scan. Fails LOUD
+    * on a NULL predicate value: it can never match any payload row, so
+    * letting it through would answer the query with silence instead of
+    * naming the bad request. */
+  private def filterBoundsOf(census: DataFrame): Array[(Long, String)] =
+    census.select("flabel", "strategy").collect().map { r =>
+      require(!r.isNullAt(0),
+        "filtered serve: NULL flabel in the request frame — every " +
+          "filtered query must carry its predicate value")
+      (r.getLong(0), r.getString(1))
+    }
+
+  /** The PRE arm, shared by every filtered twin (an exact answer has no
+    * cheaper tier — pre-filtered requests are tier-independent): the
+    * predicate pushed into the pruned vectors scan (the coarse literal
+    * filter reaches row-group stats; the per-query theta join broadcasts
+    * the |Q|-row slice), then EXACT cosine top-k over the matching
+    * rows. Returns (query_id, vec_id, cos, rank, strategy='pre'). */
+  private def filterPreArm(
+      spark: SparkSession, indexDir: String, preSlice: DataFrame,
+      op: String, preLb: Array[Long]): DataFrame = {
+    val coarse =
+      if (op == "le") col("label") <= lit(preLb.max)
+      else col("label").isin(preLb.distinct.toSeq: _*)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    servedVectorsDf(spark, indexDir)
+      .filter(col("label").isNotNull && coarse)
+      .select(col("vec_id"), col("label").cast("long").as("vl"), col("embedding"))
+      .join(broadcast(preSlice.select(col("query_id"),
+        col("embedding").as("q_embedding"), col("flabel"))),
+        filterPredOf(op)(col("vl"), col("flabel")))
+      .select(col("query_id"), col("vec_id"),
+        cosineSim(col("embedding"), col("q_embedding")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .withColumn("strategy", lit("pre"))
+  }
+
+  /** Empty filtered-answer frame in the output schema — an empty
+    * request frame routes nowhere; query_id keeps the CALLER's type so
+    * alternating empty/non-empty batches never schema-conflict in an
+    * appending sink. */
+  private def emptyFilteredFrame(
+      spark: SparkSession, queries: DataFrame, scoreName: String,
+      withTier: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        queries.schema("query_id").copy(name = "query_id"),
+        StructField("vec_id", LongType), StructField("rank", LongType),
+        StructField(scoreName, DoubleType), StructField("strategy", StringType)) ++
+        (if (withTier) Seq(StructField("tier", StringType)) else Nil)))
+  }
+
+  /** The tier's batched shortlist plan + its native score column +
+    * whether that score ranks ASCENDING (pq's adist) — the one table
+    * the filtered twins, the routed filtered dispatch, and FilterProbe
+    * share so they can never disagree on a tier's overfetch shape.
+    * `depth` caps: the binary and pq_rerank shortlists pass through a
+    * [[RerankK]]-deep first stage, so their effective overfetch is
+    * min(depth, RerankK). */
+  private def tierShortlistOf(
+      spark: SparkSession, indexDir: String, tier: String, slice: DataFrame,
+      nprobe: Int, depth: Int,
+      sharedProbes: Option[DataFrame]): (DataFrame, String, Boolean) =
+    tier match {
+      case "float" =>
+        (annIvfServeMany(spark, indexDir, slice, nprobe, sharedProbes, depth),
+          "cos", false)
+      case "binary" =>
+        (annBinaryServeMany(spark, indexDir, slice, nprobe, sharedProbes, depth),
+          "cos", false)
+      case "int8" =>
+        (annInt8ServeMany(spark, indexDir, slice, nprobe, sharedProbes, depth),
+          "qcos", false)
+      case "pq" =>
+        (annPqServeMany(spark, indexDir, slice, nprobe, sharedProbes, depth),
+          "adist", true)
+      case "pq_rerank" =>
+        (annPqRerankServeMany(spark, indexDir, slice, nprobe, sharedProbes,
+          FusedRerank, depth), "cos", false)
+      case other => throw new IllegalArgumentException(
+        s"unknown tier: $other (one of ${Tiers.mkString(", ")})")
+    }
+
+  /** The POST arm for any tier: the tier's own overfetched shortlist
+    * (depth = overfetch × TopK), the predicate applied on a label
+    * read-back pruned to the SAME probed clusters, then the surviving
+    * rows re-ranked IN THE SHORTLIST'S OWN ORDER (row_number over the
+    * shortlist rank — exactly the tier's (score, vec_id) order, so no
+    * rounded-score tie can diverge between engines). Scan cost: the
+    * probe fraction (the tier's own plan) + one pruned (vec_id, label)
+    * column read; recall-safe iff sel ≥ 1/overfetch — the
+    * [[filterStrategyOf]] boundary. */
+  private def filterPostArm(
+      spark: SparkSession, indexDir: String, tier: String, postSlice: DataFrame,
+      census: DataFrame, op: String, nprobe: Int, overfetch: Int,
+      sharedProbes: Option[DataFrame] = None): DataFrame = {
+    val cent = indexMeta(spark, indexDir, "centroids")
+    val probes = sharedProbes.getOrElse(probesMany(cent, qxOf(postSlice), nprobe))
+    val (shortlist, scoreCol, _) = tierShortlistOf(
+      spark, indexDir, tier, postSlice, nprobe, TopK * overfetch, Some(probes))
+    servedVectorsDf(spark, indexDir)
+      .select(col("vec_id"), col("cluster"), col("label").cast("long").as("vl"))
+      .join(broadcast(probes.select("cluster").distinct()), "cluster")
+      .join(broadcast(shortlist
+        .withColumnRenamed(scoreCol, "score")
+        .withColumnRenamed("rank", "srank")), "vec_id")
+      .join(broadcast(census.select("query_id", "flabel")), "query_id")
+      .filter(filterPredOf(op)(col("vl"), col("flabel")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("srank").asc)))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"),
+        col("score"), lit("post").as("strategy"))
+  }
+
+  /** Filtered serving for ANY of the five tiers (r18 — VERDICT r17 #1:
+    * "the engine's two marquee dispatches are mutually exclusive on the
+    * same request"). Each request carries its own predicate value
+    * (query_id, embedding, flabel); per query the [[filterStrategyOf]]
+    * rule over the [[indexLabelSizes]] artifact picks:
+    *  - "pre": [[filterPreArm]] — exact at any selectivity,
+    *    tier-independent (the predicate's sel · N rows are scanned
+    *    exactly; no coded tier can undercut an exact answer there);
+    *  - "post": [[filterPostArm]] — the TIER's own overfetched
+    *    shortlist, then the predicate, re-ranked in shortlist order.
+    *    This is where the tier knob pays: the candidate scan runs at
+    *    the tier's own bytes/vector (16-byte binary codes, 64-bit pq,
+    *    int8) instead of the float tier's full embeddings.
+    * `strategy` forces one arm for probes/specs; "auto" is the shipped
+    * dispatch. Returns (query_id, vec_id, rank, score, strategy) where
+    * score is the tier's own r6'd ranking value (cos / qcos / adist —
+    * adist ranks ascending; compare ranks, not scores, across tiers).
+    * Round18Spec pins tier="float" ≡ [[annIvfServeManyFiltered]] per
+    * query, each forced post arm ≡ its analytic derivation, and the
+    * routed filtered dispatch ≡ this twin per routed query. */
+  def tierServeManyFiltered(
+      spark: SparkSession, indexDir: String, queries: DataFrame,
+      tier: String = "float", op: String = "le", strategy: String = "auto",
+      nprobe: Int = NProbeServe, overfetch: Int = FilterOverfetch): DataFrame = {
+    require(Tiers.contains(tier),
+      s"unknown tier: $tier (one of ${Tiers.mkString(", ")})")
+    require(Set("le", "eq")(op), s"unknown filter op: $op (one of le, eq)")
+    require(Set("auto", "pre", "post")(strategy),
+      s"unknown filter strategy: $strategy (one of auto, pre, post)")
+    val q2 = queries.select(col("query_id"), col("embedding"),
+      col("flabel").cast("long").as("flabel"))
+    val census = filterCensusOf(spark, indexDir, q2, op, strategy)
+    val bounds = filterBoundsOf(census)
+    val preLb = bounds.collect { case (l, "pre") => l }
+    val postOn = bounds.exists(_._2 == "post")
+    def slice(s: String): DataFrame = q2.join(
+      broadcast(census.filter(col("strategy") === s).select("query_id")),
+      "query_id")
+    val pre: Option[DataFrame] = if (preLb.isEmpty) None
+      else Some(filterPreArm(spark, indexDir, slice("pre"), op, preLb)
+        .select(col("query_id"), col("vec_id"),
+          col("rank").cast("long").as("rank"),
+          r6(col("cos")).as("score"), col("strategy")))
+    val post: Option[DataFrame] = if (!postOn) None
+      else Some(filterPostArm(
+        spark, indexDir, tier, slice("post"), census, op, nprobe, overfetch))
+    val parts = (pre.toSeq ++ post.toSeq)
+    if (parts.isEmpty) emptyFilteredFrame(spark, queries, "score")
+    else parts.reduce(_.unionByName(_)).orderBy("query_id", "rank")
+  }
+
+  // ---- q211: composed filter × tier dispatch (r18 — VERDICT r17 #1) --------
+
+  /** q211: the COMPOSED dispatch table — per panel query its label
+    * predicate (`label <= flabel`, the query's own label — the q208
+    * fixture, selectivities ~0.1 → 1.0 so both arms fire at every SF),
+    * its r6'd selectivity and pre/post strategy (the q208 rule), the
+    * ROUTED tier (q203's zero-state slice collapse — the batched
+    * dispatch's own economics), and the answers the composed dispatch
+    * serves: pre queries from the exact arm (tier-independent), post
+    * queries from THEIR ROUTED TIER's overfetched shortlist + predicate
+    * + shortlist-order re-rank. Pre-r18 the engine's two marquee
+    * censuses — which tier (q203/q209) and which filter arm (q208) —
+    * were mutually exclusive on a request; this census oracle-gates
+    * their product, which is exactly what `routeAndServe(filterOp =
+    * Some("le"))` dispatches (Round18Spec pins routed filtered answers
+    * ≡ each routed tier's [[tierServeManyFiltered]] per query, and this
+    * census ≡ the twins on an index built from the same corpus).
+    * `score` is the serving tier's own ranking value (cos / qcos /
+    * adist — adist ranks ASCENDING; compare ranks across tiers, not
+    * scores). Census work: selectivities from a |labels|-row broadcast;
+    * tier_final from the memoized q203 frames; each tier's candidate
+    * stack runs only over its routed post slice at [[NProbeServe]]
+    * probes. */
+  def filterTierPlan(spark: SparkSession, dir: String): DataFrame = {
+    val (kcent, kasg) = kmeansModel(spark, dir)
+    val (pcent, pasg) = pqModel(spark, dir)
+    val e = emb(spark, dir)
+    val panel = e.filter(col("vec_id") < NPanel)
+      .select(col("vec_id").as("qid"), col("label").cast("long").as("flabel"),
+        col("embedding").as("qe"))
+    val lsz = e.groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("ln"))
+    val ntot = e.agg(count(lit(1)).as("ntot"))
+    val plan = panel.select("qid", "flabel")
+      .join(broadcast(lsz), col("label") <= col("flabel"))
+      .groupBy("qid", "flabel").agg(sum("ln").as("nmatch"))
+      .crossJoin(broadcast(ntot))
+      .select(col("qid"), col("flabel"),
+        r6(col("nmatch").cast("double") / col("ntot")).as("sel"))
+      .withColumn("strategy", filterStrategyOf(col("sel")))
+      .join(tierRouteSlice(spark, dir).select(col("qid").as("rqid"),
+        col("tier_final")), col("qid") === col("rqid"))
+      .select("qid", "flabel", "sel", "strategy", "tier_final")
+      .localCheckpoint(true)
+    val wCos = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    // PRE answers: exact cosine among the predicate's rows (q208's arm).
+    val preQ = panel.join(
+      broadcast(plan.filter(col("strategy") === "pre").select("qid")), "qid")
+    val pre = e
+      .select(col("vec_id"), col("label").cast("long").as("vl"), col("embedding"))
+      .join(broadcast(preQ), col("vl") <= col("flabel"))
+      .select(col("qid"), col("vec_id"),
+        cosineSim(col("embedding"), col("qe")).as("cos"))
+      .withColumn("rank", row_number().over(wCos))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id"), col("rank"), r6(col("cos")).as("score"))
+    // POST candidate machinery at NProbeServe, post-strategy queries only.
+    val postPlan = plan.filter(col("strategy") === "post")
+      .select("qid", "flabel", "tier_final")
+    val qx = embLong(spark, dir).filter(col("vec_id") < NPanel)
+      .select(col("vec_id").as("qid"), col("pos"), col("v").as("qv"))
+      .join(broadcast(postPlan.select("qid")), "qid")
+    val probes = qx.join(broadcast(kcent), "pos")
+      .groupBy("qid", "cluster")
+      .agg(sum(((col("qv") - col("c")) * (col("qv") - col("c")))
+        .cast("decimal(38,18)")).as("dist"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist").asc, col("cluster").asc)))
+      .filter(col("crank") <= NProbeServe)
+      .select("qid", "cluster")
+    val cand = kasg.join(broadcast(probes), "cluster").select("qid", "vec_id")
+    // Exact cosine over candidates — read by the float, pq_rerank, and
+    // binary stacks (each joins its own slice).
+    val pcs = cand.join(e.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(panel.select("qid", "qe")), "qid")
+      .select(col("qid"), col("vec_id"),
+        cosineSim(col("embedding"), col("qe")).as("cos"))
+      .localCheckpoint(true)
+    def tierSlice(df: DataFrame, t: String): DataFrame = df.join(
+      broadcast(postPlan.filter(col("tier_final") === t).select("qid")), "qid")
+    // int8: reconstructed-cosine candidates (the q77/q185 arithmetic).
+    val ex = embLong(spark, dir)
+    val amax = ex.groupBy("vec_id").agg(max(abs(col("v"))).as("amax"))
+    val rec = ex.join(amax, "vec_id")
+      .withColumn("scale",
+        when(col("amax") === 0.0, 1.0).otherwise(col("amax") / 127.0))
+      .select(col("vec_id"), col("pos"),
+        (floor(col("v") / col("scale") + 0.5) * col("scale")).as("r"))
+    val qrec = rec.filter(col("vec_id") < NPanel)
+      .select(col("vec_id").as("qid"), col("pos"), col("r").as("qr"))
+    val qq = qrec.groupBy("qid")
+      .agg(sum((col("qr") * col("qr")).cast("decimal(38,18)")).as("qq"))
+    val i8 = tierSlice(cand, "int8").join(rec, "vec_id")
+      .join(broadcast(qrec), Seq("qid", "pos"))
+      .groupBy("qid", "vec_id")
+      .agg(sum((col("r") * col("qr")).cast("decimal(38,18)")).as("dot"),
+        sum((col("r") * col("r")).cast("decimal(38,18)")).as("nn"))
+      .join(broadcast(qq), "qid")
+      .select(col("qid"), col("vec_id"),
+        when(col("nn") === 0 || col("qq") === 0, 0.0)
+          .otherwise(col("dot").cast("double") /
+            (sqrt(col("nn").cast("double")) * sqrt(col("qq").cast("double"))))
+          .as("qcos"))
+    // pq: residual ADC over probed candidates (the q110 machinery at
+    // the serving depth) — shared by the pq and pq_rerank stacks.
+    val dtab = kcent.join(broadcast(probes), "cluster")
+      .join(broadcast(qx.select(col("qid"), col("pos"), col("qv"))),
+        Seq("qid", "pos"))
+      .select(col("qid"), col("cluster"), col("pos"),
+        (col("qv") - col("c")).as("qr"))
+      .join(pcent.select(col("sub"), col("code"), col("pos"), col("c").as("pc")),
+        "pos")
+      .groupBy("qid", "cluster", "sub", "code")
+      .agg(sum(((col("qr") - col("pc")) * (col("qr") - col("pc")))
+        .cast("decimal(38,18)")).as("d"))
+    val adc = cand.join(kasg.withColumnRenamed("cluster", "acl"), "vec_id")
+      .join(pasg.select("vec_id", "sub", "code"), "vec_id")
+      .join(broadcast(dtab.withColumnRenamed("cluster", "acl")),
+        Seq("qid", "acl", "sub", "code"))
+      .groupBy("qid", "vec_id")
+      .agg(sum(col("d")).as("adist"))
+      .localCheckpoint(true)
+    // pq_rerank: ADC RerankK shortlist re-ranked by exact cosine.
+    val rr = tierSlice(adc, "pq_rerank")
+      .withColumn("prank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adist").asc, col("vec_id").asc)))
+      .filter(col("prank") <= RerankK)
+      .select("qid", "vec_id")
+      .join(pcs, Seq("qid", "vec_id"))
+    // binary: Hamming RerankK shortlist re-ranked by exact cosine.
+    val bq = bqCodes(spark, dir)
+    val qbq = bq.filter(col("vec_id") < NPanel)
+      .select(col("vec_id").as("qid"), col("lo").as("qlo"), col("hi").as("qhi"))
+    val bs = tierSlice(cand, "binary").join(bq, "vec_id")
+      .join(broadcast(qbq), "qid")
+      .select(col("qid"), col("vec_id"),
+        (expr("bit_count(lo ^ qlo)") + expr("bit_count(hi ^ qhi)"))
+          .cast("long").as("ham"))
+      .withColumn("brank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("ham").asc, col("vec_id").asc)))
+      .filter(col("brank") <= RerankK)
+      .select("qid", "vec_id")
+      .join(pcs, Seq("qid", "vec_id"))
+    // Per-tier scored candidates → overfetched srank → predicate →
+    // re-rank IN SHORTLIST ORDER (the filterPostArm contract).
+    def scoredOf(df: DataFrame, scoreCol: String, asc: Boolean): DataFrame = {
+      val ord = if (asc) col(scoreCol).asc else col(scoreCol).desc
+      df.withColumn("srank", row_number().over(
+          Window.partitionBy("qid").orderBy(ord, col("vec_id").asc)))
+        .select(col("qid"), col("vec_id"),
+          col(scoreCol).cast("double").as("score"), col("srank"))
+    }
+    val scored = scoredOf(tierSlice(pcs, "float"), "cos", asc = false)
+      .unionByName(scoredOf(i8, "qcos", asc = false))
+      .unionByName(scoredOf(tierSlice(adc, "pq"), "adist", asc = true))
+      .unionByName(scoredOf(rr, "cos", asc = false))
+      .unionByName(scoredOf(bs, "cos", asc = false))
+    val post = scored
+      .filter(col("srank") <= TopK * FilterOverfetch)
+      .join(e.select(col("vec_id"), col("label").cast("long").as("vl")), "vec_id")
+      .join(broadcast(postPlan.select("qid", "flabel")), "qid")
+      .filter(col("vl") <= col("flabel"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("srank").asc)))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("vec_id"), col("rank"), r6(col("score")).as("score"))
+    pre.unionByName(post)
+      .join(broadcast(plan), "qid")
+      .select(col("qid"), col("flabel"), col("sel"), col("strategy"),
+        col("tier_final"), col("rank").cast("long").as("rank"), col("vec_id"),
+        col("score"))
+      .orderBy("qid", "rank")
+  }
+
+  lazy val filterTierPlanSql: String =
+    s"""WITH $kmeansCtes,
+       |$pqCtes,
+       |$tierFeatureCtes,
+       |$sliceCtesSql,
+       |$bqPackCtes,
+       |gfq AS MATERIALIZED (SELECT vec_id AS qid, CAST(label AS BIGINT) AS flabel,
+       |          embedding AS qe FROM embeddings WHERE vec_id < $NPanel),
+       |gls AS (SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS ln
+       |        FROM embeddings GROUP BY 1),
+       |gnt AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM embeddings),
+       |gpl AS MATERIALIZED (SELECT s.qid, s.flabel, s.sel,
+       |          CASE WHEN s.sel <= $FilterSelPre THEN 'pre' ELSE 'post' END AS strategy,
+       |          sfn.tier_final
+       |        FROM (SELECT qid, flabel,
+       |                floor((CAST(sum(ln) AS DOUBLE) / ntot) * 1000000 + 0.5) / 1000000 AS sel
+       |              FROM gfq JOIN gls ON gls.label <= gfq.flabel, gnt
+       |              GROUP BY qid, flabel, ntot) s
+       |        JOIN sfn ON sfn.qid = s.qid),
+       |gprc AS MATERIALIZED (SELECT q.qid, e.vec_id,
+       |          ${sqlCos("e.embedding", "q.qe")} AS cos
+       |        FROM embeddings e
+       |        JOIN gfq q ON CAST(e.label AS BIGINT) <= q.flabel
+       |        JOIN gpl ON gpl.qid = q.qid AND gpl.strategy = 'pre'),
+       |gpre AS (SELECT qid, vec_id, rank, floor(cos * 1000000 + 0.5) / 1000000 AS score
+       |        FROM (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid
+       |          ORDER BY cos DESC, vec_id ASC) AS rank FROM gprc)
+       |        WHERE rank <= $TopK),
+       |gqx AS MATERIALIZED (SELECT kex.vec_id AS qid, pos, v AS qv FROM kex
+       |        JOIN gpl ON gpl.qid = kex.vec_id AND gpl.strategy = 'post'
+       |        WHERE kex.vec_id < $NPanel),
+       |gqd AS MATERIALIZED (SELECT x.qid, kcent.cluster,
+       |          sum(CAST((qv - c) * (qv - c) AS DECIMAL(38,18))) AS dist
+       |        FROM gqx x JOIN kcent USING (pos) GROUP BY 1, 2),
+       |gpb AS MATERIALIZED (SELECT qid, cluster FROM (
+       |          SELECT qid, cluster, row_number() OVER (PARTITION BY qid
+       |            ORDER BY dist ASC, cluster ASC) AS crank FROM gqd)
+       |        WHERE crank <= $NProbeServe),
+       |gcd AS MATERIALIZED (SELECT qid, vec_id FROM kasg JOIN gpb USING (cluster)),
+       |gcs AS MATERIALIZED (SELECT gcd.qid, gcd.vec_id,
+       |          ${sqlCos("e.embedding", "q.qe")} AS cos
+       |        FROM gcd JOIN embeddings e ON e.vec_id = gcd.vec_id
+       |        JOIN gfq q ON q.qid = gcd.qid),
+       |gmx AS (SELECT vec_id, max(abs(v)) AS amax FROM kex GROUP BY 1),
+       |gre AS MATERIALIZED (SELECT kex.vec_id, pos,
+       |          floor(v / (CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END) + 0.5)
+       |            * (CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END) AS r
+       |        FROM kex JOIN gmx ON kex.vec_id = gmx.vec_id),
+       |gqr AS (SELECT vec_id AS qid, pos, r AS qr FROM gre WHERE vec_id < $NPanel),
+       |gqq AS (SELECT qid, sum(CAST(qr * qr AS DECIMAL(38,18))) AS qq
+       |        FROM gqr GROUP BY 1),
+       |gi8 AS MATERIALIZED (SELECT gcd.qid, gcd.vec_id,
+       |          sum(CAST(r * qr AS DECIMAL(38,18))) AS dot,
+       |          sum(CAST(r * r AS DECIMAL(38,18))) AS nn
+       |        FROM gcd
+       |        JOIN gpl ON gpl.qid = gcd.qid AND gpl.tier_final = 'int8'
+       |        JOIN gre ON gcd.vec_id = gre.vec_id
+       |        JOIN gqr ON gqr.qid = gcd.qid AND gqr.pos = gre.pos
+       |        GROUP BY 1, 2),
+       |gi8s AS (SELECT gi8.qid, vec_id,
+       |          CASE WHEN nn = 0 OR qq = 0 THEN 0.0
+       |               ELSE CAST(dot AS DOUBLE) /
+       |                 (sqrt(CAST(nn AS DOUBLE)) * sqrt(CAST(qq AS DOUBLE))) END AS qcos
+       |        FROM gi8 JOIN gqq ON gi8.qid = gqq.qid),
+       |gdt AS MATERIALIZED (SELECT x.qid, kcent.cluster, qc.sub, qc.code,
+       |          sum(CAST((qv - kcent.c - qc.c) * (qv - kcent.c - qc.c)
+       |            AS DECIMAL(38,18))) AS d
+       |        FROM kcent
+       |        JOIN gpb ON kcent.cluster = gpb.cluster
+       |        JOIN gqx x ON x.qid = gpb.qid AND x.pos = kcent.pos
+       |        JOIN qc$PqIters qc ON qc.pos = kcent.pos
+       |        GROUP BY 1, 2, 3, 4),
+       |gpc AS MATERIALIZED (SELECT gcd.qid, gcd.vec_id, sum(d) AS adist
+       |        FROM gcd JOIN kasg ON gcd.vec_id = kasg.vec_id
+       |        JOIN qaf ON qaf.vec_id = gcd.vec_id
+       |        JOIN gdt ON gdt.qid = gcd.qid AND gdt.cluster = kasg.cluster
+       |          AND gdt.sub = qaf.sub AND gdt.code = qaf.code
+       |        GROUP BY 1, 2),
+       |grr AS MATERIALIZED (SELECT p.qid, p.vec_id, gcs.cos FROM (
+       |          SELECT gpc.qid, gpc.vec_id, row_number() OVER (PARTITION BY gpc.qid
+       |            ORDER BY adist ASC, gpc.vec_id ASC) AS prank
+       |          FROM gpc JOIN gpl ON gpl.qid = gpc.qid
+       |            AND gpl.tier_final = 'pq_rerank') p
+       |        JOIN gcs ON gcs.qid = p.qid AND gcs.vec_id = p.vec_id
+       |        WHERE p.prank <= $RerankK),
+       |gbq AS (SELECT vec_id AS qid, lo AS qlo, hi AS qhi FROM bqc
+       |        WHERE vec_id < $NPanel),
+       |gbs AS MATERIALIZED (SELECT b.qid, b.vec_id, gcs.cos FROM (
+       |          SELECT h.qid, h.vec_id, row_number() OVER (PARTITION BY h.qid
+       |            ORDER BY ham ASC, h.vec_id ASC) AS brank FROM (
+       |            SELECT gcd.qid, gcd.vec_id,
+       |              bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)) AS ham
+       |            FROM gcd
+       |            JOIN gpl ON gpl.qid = gcd.qid AND gpl.tier_final = 'binary'
+       |            JOIN bqc ON gcd.vec_id = bqc.vec_id
+       |            JOIN gbq ON gbq.qid = gcd.qid) h) b
+       |        JOIN gcs ON gcs.qid = b.qid AND gcs.vec_id = b.vec_id
+       |        WHERE b.brank <= $RerankK),
+       |gts AS MATERIALIZED (
+       |        SELECT gcs.qid, gcs.vec_id, cos AS score,
+       |          row_number() OVER (PARTITION BY gcs.qid
+       |            ORDER BY cos DESC, gcs.vec_id ASC) AS srank
+       |        FROM gcs JOIN gpl ON gpl.qid = gcs.qid AND gpl.tier_final = 'float'
+       |        UNION ALL
+       |        SELECT qid, vec_id, qcos,
+       |          row_number() OVER (PARTITION BY qid
+       |            ORDER BY qcos DESC, vec_id ASC) FROM gi8s
+       |        UNION ALL
+       |        SELECT gpc.qid, gpc.vec_id, CAST(adist AS DOUBLE),
+       |          row_number() OVER (PARTITION BY gpc.qid
+       |            ORDER BY adist ASC, gpc.vec_id ASC)
+       |        FROM gpc JOIN gpl ON gpl.qid = gpc.qid AND gpl.tier_final = 'pq'
+       |        UNION ALL
+       |        SELECT qid, vec_id, cos,
+       |          row_number() OVER (PARTITION BY qid
+       |            ORDER BY cos DESC, vec_id ASC) FROM grr
+       |        UNION ALL
+       |        SELECT qid, vec_id, cos,
+       |          row_number() OVER (PARTITION BY qid
+       |            ORDER BY cos DESC, vec_id ASC) FROM gbs),
+       |gpo AS (SELECT g.qid, g.vec_id, g.score,
+       |          row_number() OVER (PARTITION BY g.qid ORDER BY g.srank ASC) AS rank
+       |        FROM gts g
+       |        JOIN embeddings e ON e.vec_id = g.vec_id
+       |        JOIN gpl ON gpl.qid = g.qid
+       |        WHERE g.srank <= ${TopK * FilterOverfetch}
+       |          AND CAST(e.label AS BIGINT) <= gpl.flabel),
+       |gans AS (SELECT qid, vec_id, rank,
+       |          floor(score * 1000000 + 0.5) / 1000000 AS score
+       |        FROM gpo WHERE rank <= $TopK
+       |        UNION ALL
+       |        SELECT qid, vec_id, rank, score FROM gpre)
+       |SELECT gpl.qid, gpl.flabel, gpl.sel, gpl.strategy, gpl.tier_final,
+       |  CAST(rank AS BIGINT) AS rank, vec_id, score
+       |FROM gans JOIN gpl ON gpl.qid = gans.qid
+       |ORDER BY gpl.qid, rank""".stripMargin
 
   /** q206's twin — [[tierRouteSliceSql]]'s unpivot/rank/collapse stack,
     * but under the LEARNED weights computed INLINE (the q187/q201
@@ -7343,6 +7904,7 @@ object SimilarityOps {
     "q207_probe_depth_plan" -> (probeDepthPlan _),
     "q208_filtered_serve_plan" -> (filteredServePlan _),
     "q209_tier_depth_plan" -> (tierDepthPlan _),
+    "q211_filter_tier_plan" -> (filterTierPlan _),
     "q204_split_plan" -> ((s: SparkSession, d: String) => splitPlan(s, d)),
     "q205_maintenance_plan" -> (maintenancePlan _),
     "q191_embedding_spectrum" -> (embeddingSpectrum _),
@@ -7393,6 +7955,7 @@ object SimilarityOps {
     "q207_probe_depth_plan" -> probeDepthPlanSql,
     "q208_filtered_serve_plan" -> filteredServePlanSql,
     "q209_tier_depth_plan" -> tierDepthPlanSql,
+    "q211_filter_tier_plan" -> filterTierPlanSql,
     "q204_split_plan" -> splitPlanSql,
     "q205_maintenance_plan" -> maintenancePlanSql,
     "q191_embedding_spectrum" -> embeddingSpectrumSql,

@@ -76,20 +76,22 @@ def main(sf_dir, out_dir):
         # CHECK_ORACLE_TIMEOUT seconds (default 600) and fail the query
         # loudly instead of hanging the gate.
         budget = float(os.environ.get("CHECK_ORACLE_TIMEOUT", "600"))
-        # Guarded callback (ADVICE r16): if the timer fires in the window
-        # between the query completing and timer.cancel(), a bare
-        # con.interrupt() would poison the shared connection and fail the
-        # NEXT query spuriously. The done-flag check under a lock makes
-        # the late firing a no-op.
+        # ADVICE r17: the oracle runs on a FRESH cursor so a late-firing
+        # timer can never poison the shared connection — the done-flag
+        # narrows the window but cannot close it (interrupt() may land
+        # between fetchall() returning and done.set()); a dedicated
+        # cursor makes the worst case "interrupt a cursor we are about
+        # to discard", which is harmless to every later query.
+        cur = con.cursor()
         done = threading.Event()
         def _interrupt():
             if not done.is_set():
-                con.interrupt()
+                cur.interrupt()
         timer = threading.Timer(budget, _interrupt)
         timer.start()
         try:
-            want = con.execute(sql).fetchall()
-            want_cols = [d[0] for d in con.description]
+            want = cur.execute(sql).fetchall()
+            want_cols = [d[0] for d in cur.description]
         except Exception as e:
             msg = str(e)
             if "INTERRUPT" in msg.upper():
@@ -102,6 +104,7 @@ def main(sf_dir, out_dir):
         finally:
             done.set()
             timer.cancel()
+            cur.close()
         if sorted(got_cols) != sorted(want_cols):
             print(f"[COLS] {name}: spark={sorted(got_cols)} duck={sorted(want_cols)}")
             failed.append(name)
