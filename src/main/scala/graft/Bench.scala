@@ -149,7 +149,16 @@ object Bench {
     * checkout without the registry publishes no verdict rather than a
     * false one). */
   def loadPinsEnvelope(
-      path: String): Option[(String, Map[String, (Double, Double)])] = {
+      path: String): Option[(String, Map[String, (Double, Double)])] =
+    loadPinsEnvelopes(path).map { case (sf, ratios, _) => (sf, ratios) }
+
+  /** Both bench-context envelope sections: the ratio envelopes and the
+    * ABSOLUTE serve-wall envelopes (`bench_walls`, r18 — VERDICT r17
+    * #2: ratios are blind to a proportional rise, so the r15→r17
+    * pq_batch20 ratchet passed every ratio check; the walls rows trip
+    * on the level itself). */
+  def loadPinsEnvelopes(path: String): Option[
+      (String, Map[String, (Double, Double)], Map[String, (Double, Double)])] = {
     val f = new java.io.File(path)
     if (!f.exists()) return None
     import org.json4s._
@@ -166,22 +175,24 @@ object Bench {
       case JString(s) => s
       case _ => "sf0.1"
     }
+    def env(section: JValue): Map[String, (Double, Double)] = section match {
+      case JObject(fields) => fields.map { case (k, v) =>
+        k -> (num(v \ "lo"), num(v \ "hi"))
+      }.toMap
+      case _ => Map.empty
+    }
     // The bench verdict checks against the BENCH-context envelopes
     // (`bench_ratios` — min-of-ServePasses inside the warm full-suite
     // session) when the registry records them; `ratios` stays the
     // ServeProbe-context registry check_pins.py consumes. The two
     // contexts measure the same economics through different noise
     // floors, so each verdict needs its own recorded distribution.
-    val section = root \ "bench_ratios" match {
-      case o: JObject => o
-      case _ => root \ "ratios"
+    val ratios = root \ "bench_ratios" match {
+      case o: JObject => env(o)
+      case _ => env(root \ "ratios")
     }
-    section match {
-      case JObject(fields) => Some((calSf, fields.map { case (k, v) =>
-        k -> (num(v \ "lo"), num(v \ "hi"))
-      }.toMap))
-      case _ => None
-    }
+    if (ratios.isEmpty) None
+    else Some((calSf, ratios, env(root \ "bench_walls")))
   }
 
   /** The in-artifact pin verdict (r17 — VERDICT r16 #6): true iff EVERY
@@ -329,9 +340,18 @@ object Bench {
     // ADVICE r17: compare the directory BASENAME exactly — a substring
     // match would also publish against e.g. a future sf0.15 dir, judging
     // it by the wrong SF's envelopes.
-    loadPinsEnvelope("tools/pins.json").foreach { case (calSf, env) =>
-      if (new java.io.File(sfDir).getName == calSf)
-        out("pins_ok") = pinsVerdict(pinRatios, env).toString
+    loadPinsEnvelopes("tools/pins.json").foreach { case (calSf, env, walls) =>
+      if (new java.io.File(sfDir).getName == calSf) {
+        // Absolute serve walls (r18): the measured ms for every
+        // registered bench_walls key, read back from this run's own
+        // serve table — a registered-but-unmeasured wall reads FAIL
+        // exactly like an unmeasured ratio pin.
+        val wallsMeasured: Map[String, Double] = walls.keys.flatMap(k =>
+          out.get(k).flatMap(v => scala.util.Try(v.toDouble).toOption)
+            .map(k -> _)).toMap
+        out("pins_ok") = (pinsVerdict(pinRatios, env) &&
+          pinsVerdict(wallsMeasured, walls)).toString
+      }
     }
     // Concurrency inflation (VERDICT r9 #8, widened r12 per VERDICT r11
     // #8): the float tier AND the compressed re-rank tier — the one a

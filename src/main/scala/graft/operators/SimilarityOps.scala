@@ -6354,10 +6354,20 @@ object SimilarityOps {
     * within per-run spread of the r14 pins, so q200/q201's penalties
     * stand unchanged and the verdict's one-run int8 1.41× reading is
     * adjudicated pass noise (its three within-run values here: 1.28 /
-    * 0.82 / 1.06). */
+    * 0.82 / 1.06).
+    *
+    * r18 RE-PIN (the 1eb353a rule's fourth application — SCALE.md
+    * "Serve-wall adjudication, round 18"): five fresh idle ServeProbe
+    * runs put the floor_float / floor_binary / floor_pq_rerank medians
+    * (0.767 / 1.333 / 2.428) OUTSIDE their recorded envelopes — the
+    * single-request plan floor rose across tiers while float batch20
+    * held — so those three floors are re-derived from the new medians
+    * (× 0.15 in e-4); int8 (0.864) and pq (1.920) medians stayed inside
+    * their envelopes, so their pins stand. All five penalty medians
+    * stayed in-envelope — q200/q201's penalties stand unchanged. */
   val TierOpenE4: Map[String, Long] = Map(
-    "binary" -> 1854L, "float" -> 1119L, "int8" -> 1175L,
-    "pq" -> 3248L, "pq_rerank" -> 3596L)
+    "binary" -> 2000L, "float" -> 1151L, "int8" -> 1175L,
+    "pq" -> 3248L, "pq_rerank" -> 3642L)
 
   /** The slice-collapse rule (r15 — VERDICT r14 #1): given per-query
     * BATCH-cost utilities (ub_* columns keyed by `key`), decide per

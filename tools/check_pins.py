@@ -27,7 +27,8 @@ def load_run(path):
         for line in f:
             line = line.strip()
             if line.startswith("{") and '"serve_pins"' in line:
-                return json.loads(line)["ratios"]
+                d = json.loads(line)
+                return d["ratios"], d.get("raw_ms", {})
     raise SystemExit(f"no serve_pins JSON line in {path}")
 
 
@@ -35,22 +36,32 @@ def main(paths):
     pins_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "pins.json")
     with open(pins_path) as f:
-        pins = json.load(f)["ratios"]
+        reg = json.load(f)
+    pins = reg["ratios"]
+    # walls (r18 - VERDICT r17 #2): absolute ServeProbe milliseconds.
+    # Ratios are blind to a proportional rise across tiers (the
+    # r15->r17 pq_batch20 ratchet passed every ratio envelope); the
+    # walls section trips on the absolute level itself.
+    walls = reg.get("walls", {})
     runs = [load_run(p) for p in paths]
     failed = []
-    for name, pin in sorted(pins.items()):
-        vals = [r[name] for r in runs if name in r]
-        if not vals:
-            failed.append(f"{name}: missing from every run file")
-            continue
-        med = statistics.median(vals)
-        ok = pin["lo"] <= med <= pin["hi"]
-        mark = "OK  " if ok else "FAIL"
-        print(f"[{mark}] {name}: median {med:.4f} over {len(vals)} run(s) "
-              f"(pinned {pin['pinned']}, envelope [{pin['lo']}, {pin['hi']}])")
-        if not ok:
-            failed.append(f"{name}: median {med:.4f} outside "
-                          f"[{pin['lo']}, {pin['hi']}]")
+    checks = [(pins, [r for r, _ in runs], "pinned"), \
+              (walls, [w for _, w in runs], None)]
+    for table, series, pin_key in checks:
+        for name, pin in sorted(table.items()):
+            vals = [r[name] for r in series if name in r]
+            if not vals:
+                failed.append(f"{name}: missing from every run file")
+                continue
+            med = statistics.median(vals)
+            ok = pin["lo"] <= med <= pin["hi"]
+            mark = "OK  " if ok else "FAIL"
+            pinned = f"pinned {pin['pinned']}, " if pin_key else ""
+            print(f"[{mark}] {name}: median {med:.4f} over {len(vals)} run(s) "
+                  f"({pinned}envelope [{pin['lo']}, {pin['hi']}])")
+            if not ok:
+                failed.append(f"{name}: median {med:.4f} outside "
+                              f"[{pin['lo']}, {pin['hi']}]")
     if failed:
         print(f"\n{len(failed)} pin(s) escaped the recorded envelope - "
               "re-run ServeProbe --pins (fresh JVM) and, if the new median "
@@ -58,7 +69,7 @@ def main(paths):
         for f_ in failed:
             print(f"  - {f_}")
         return 1
-    print(f"\nAll {len(pins)} pins inside the recorded envelope "
+    print(f"\nAll {len(pins) + len(walls)} pins inside the recorded envelope "
           f"({len(runs)} run(s)).")
     return 0
 
