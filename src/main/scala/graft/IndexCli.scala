@@ -345,6 +345,31 @@ object DeleteVectors {
   }
 }
 
+/** `sbt "runMain graft.AnchorIndex <indexDir>"` — one-shot occupancy
+  * anchor for PRE-r17 indexes (r18 — VERDICT r17 #6): the horizon-free
+  * drift TVD compares current occupancy against the `.occupancy_baseline`
+  * snapshot that build/retrain/split write — an index built before that
+  * verb landed has no snapshot until its NEXT geometry verb, which is
+  * precisely the window a drifting index needs the trigger in. This verb
+  * closes the migration window: snapshot the CURRENT occupancy (K rows,
+  * no retrain, no data pass — the cluster_sizes artifact read) as the
+  * anchor. Idempotent; a no-op difference from a fresh build's own
+  * anchor (Round18Spec pins fold-surviving TVD parity).
+  */
+object AnchorIndex {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: AnchorIndex <indexDir>")
+    val idx = args(0)
+    val spark = Cli.session()
+    import graft.operators.SimilarityOps
+    SimilarityOps.writeOccupancyBaseline(spark, idx)
+    val k = SimilarityOps.readOccupancyBaseline(spark, idx).map(_.size).getOrElse(0)
+    val tvd = SimilarityOps.indexOccupancyTvd(spark, idx)
+    println(s"[anchor] idx=$idx clusters=$k tvd_after_anchor=$tvd")
+    spark.stop()
+  }
+}
+
 /** `sbt "runMain graft.ServeVectorIndex <indexDir> [sfDir]"` — the ANN
   * serving entry point: answer a query from the PERSISTED index alone
   * (BuildVectorIndex output) — float tier and int8 tier — with the probe

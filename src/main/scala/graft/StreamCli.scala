@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.streaming.StreamingOps
 
-/** `sbt "runMain graft.StreamEvents <sfDir> [hourly|sessions|running|dedup|quality|interval|ingest]"`
+/** `sbt "runMain graft.StreamEvents <sfDir> [hourly|sessions|running|dedup|quality|interval|ingest|forget]"`
   * — run the Structured Streaming operators over the events table as a
   * bounded file stream (micro-batch to completion), print the resulting
   * table. `running` exercises the custom flatMapGroupsWithState state;
@@ -111,6 +111,29 @@ object StreamEvents {
         .map(r => s"${r.get(0)}:${r.getLong(1)}").mkString(",")
       println(s"[stream] ingest before=$before after=${after.count()} " +
         s"gate_passed=${appended.count()} sizes=$sizes")
+      spark.stop(); return
+    }
+
+    if (mode == "forget") {
+      // Streaming takedown twin (r18): the first 8 corpus vec_ids arrive
+      // as a bounded stream of delete requests; each micro-batch runs the
+      // deleteVectors mechanics and commits the forget ack marker.
+      val idx = if (args.length > 2) args(2) else "target/graft_ivf_index"
+      import graft.operators.SimilarityOps
+      val vdir = SimilarityOps.vectorsPath(spark, idx)
+      val before = spark.read.parquet(vdir).count()
+      val reqDir = java.nio.file.Files.createTempDirectory("graft_forget_req").toString
+      spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < 8).select("vec_id")
+        .write.mode("overwrite").parquet(reqDir)
+      val reqs = spark.readStream.schema("vec_id BIGINT").parquet(reqDir)
+      val q = StreamingOps.indexForget(reqs, idx).start()
+      q.processAllAvailable(); q.stop()
+      val after = spark.read.parquet(vdir)
+      val gone = after.filter(col("vec_id") < 8).count()
+      println(s"[stream] forget before=$before after=${after.count()} " +
+        s"remaining_of_deleted=$gone " +
+        s"acked_batch=${StreamingOps.readForgetMarker(spark, idx).getOrElse(-1L)}")
       spark.stop(); return
     }
 

@@ -1889,8 +1889,8 @@ object SimilarityOps {
   def indexArtifacts(spark: SparkSession, dir: String,
       k: Int = KmeansK): DataFrame = {
     val (_, asg) = kmeansModelAt(spark, dir, k)
-    withLabelPayload(emb(spark, dir))
-      .select("vec_id", "embedding", "label")
+    withLabelPayload(corpusWithPayload(spark, dir))
+      .select(("vec_id" +: "embedding" +: PayloadCols).map(col): _*)
       .join(int8Codes(embLong(spark, dir)), "vec_id")
       .join(pqCodeColumn(pqModelAt(spark, dir, k)._2), "vec_id")
       // Binary tier (r12 — the q192/q193 codes, persisted): 16 bytes of
@@ -1910,13 +1910,41 @@ object SimilarityOps {
       .withColumn("ingest_batch", lit(-1L))
   }
 
-  /** Normalize the filter-payload column: pass `label` through as INT
-    * when the source frame carries it, else NULL INT — so every index
-    * writer emits the one pinned [[VectorsSchema]] regardless of whether
-    * the corpus (or a streaming delta) is labeled. */
-  private def withLabelPayload(df: DataFrame): DataFrame =
-    if (df.columns.contains("label")) df.withColumn("label", col("label").cast("int"))
-    else df.withColumn("label", lit(null).cast("int"))
+  /** Normalize the filter-payload columns: pass each through with its
+    * pinned type when the source frame carries it, else NULL — so every
+    * index writer emits the one pinned [[VectorsSchema]] regardless of
+    * whether the corpus (or a streaming delta) carries payload. r18
+    * adds `lang` (string) and `n_chars` (long) to the r17 `label`. */
+  private def withLabelPayload(df: DataFrame): DataFrame = {
+    def norm(d: DataFrame, name: String, typ: String): DataFrame =
+      if (d.columns.contains(name)) d.withColumn(name, col(name).cast(typ))
+      else d.withColumn(name, lit(null).cast(typ))
+    norm(norm(norm(df, "label", "int"), "lang", "string"), "n_chars", "bigint")
+  }
+
+  /** The payload column list every vectors writer carries alongside
+    * (vec_id, embedding) — one place so a new payload column cannot be
+    * dropped by one writer's select and kept by another's. */
+  private val PayloadCols = Seq("label", "lang", "n_chars")
+
+  /** The corpus frame WITH its filter payload: embeddings plus, when
+    * the corpus directory carries a documents table, the document
+    * metadata columns real filters target (lang, n_chars) joined
+    * 1:1 on vec_id = doc_id (the generator's alignment; extra or
+    * missing doc rows degrade to NULL payload, never to dropped
+    * vectors). One broadcast-sized narrow projection of documents —
+    * the build-time price of never joining at serve time. */
+  private def corpusWithPayload(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val docsPath = s"$dir/documents.parquet"
+    val fs = idxFs(spark, dir)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(docsPath))) e
+    else e.join(
+      spark.read.parquet(docsPath)
+        .select(col("doc_id").as("vec_id"), col("lang"),
+          col("n_chars").cast("bigint").as("n_chars")),
+      Seq("vec_id"), "left")
+  }
 
   /** Project to [[VectorsSchema]]'s column order (of the columns
     * present): every writer — build, append, fold, split — emits the
@@ -1970,8 +1998,8 @@ object SimilarityOps {
     // The filter payload rides along when the delta carries it (offline
     // append, retrain re-encode); a payload-less delta (streaming
     // ingest's (vec_id, embedding) frames) lands NULL — predicates never
-    // match it, and the label_sizes estimator never counts it.
-    withLabelPayload(delta).select("vec_id", "embedding", "label")
+    // match it, and the selectivity estimators never count it.
+    withLabelPayload(delta).select(("vec_id" +: "embedding" +: PayloadCols).map(col): _*)
       .join(int8Codes(ex), "vec_id")
       .join(pqCodeColumn(pqAssign(withSub(rex), pqCent)), "vec_id")
       // Binary codes centered against the PERSISTED mean — like every
@@ -2075,8 +2103,8 @@ object SimilarityOps {
       // incremental append derivation, reading the artifacts just
       // written (evict first so indexMeta can't serve a prior build's).
       Memos.release(out)
-      appendArtifacts(spark, out, withLabelPayload(emb(spark, dir))
-          .select("vec_id", "embedding", "label"))
+      appendArtifacts(spark, out, withLabelPayload(corpusWithPayload(spark, dir))
+          .select(("vec_id" +: "embedding" +: PayloadCols).map(col): _*))
         .withColumn("ingest_batch", lit(-1L))
         .write.mode("overwrite")
         .partitionBy("cluster", "ingest_batch").parquet(s"$out/vectors")
@@ -2088,10 +2116,11 @@ object SimilarityOps {
     // corpus-scale count at session start. Recounted from the
     // just-written table so the artifact is exact by construction.
     writeClusterSizesRows(spark, out, recountClusterSizes(spark, out))
-    // Same for the filtered serve's selectivity estimator (r17): the
-    // build knows the label histogram — one narrow column pass here so
-    // no filtered request ever recounts it.
+    // Same for the filtered serve's selectivity estimators (r17, r18):
+    // the build knows the payload histograms — narrow column passes here
+    // so no filtered request ever recounts them.
     writeLabelSizesRows(spark, out, recountLabelSizes(spark, out))
+    writePayloadSizesRows(spark, out, recountPayloadSizes(spark, out))
     // Geometry established — snapshot the drift anchor (r17).
     writeOccupancyBaseline(spark, out)
     // An in-place rebuild must not leave this session serving the OLD
@@ -2377,6 +2406,135 @@ object SimilarityOps {
         }
       })
 
+  // ---- payload_sizes index artifact (r18 — VERDICT r17 #2) -----------------
+  //
+  // The label_sizes recipe generalized to the N-typed-column payload:
+  // per-VALUE counts for the string column (`lang` — exact eq
+  // selectivity) and a [[PayloadBins]]-bin equi-width histogram for the
+  // range column (`n_chars` — a 100 TB column's distinct values don't
+  // fit a |values|-row artifact, a fixed-bin CDF does). One bounded
+  // broadcast frame, so no filtered request pays a corpus pass for its
+  // dispatch decision. Written at build, refreshed where label_sizes is
+  // (full compaction / retrain / split), decremented by deletes. The
+  // histogram BOUNDS (min, width) are model state like the centroids:
+  // fixed at build/refresh, NOT recomputed by decrements — rows outside
+  // the bounds clamp to the edge bins. The range estimate is the bin
+  // CDF STRICTLY BELOW the predicate value's bin — it UNDER-estimates
+  // (drops the partial bin), which errs toward the pre arm, the exact
+  // one: an estimator may cost scan, never recall.
+
+  /** Equi-width bin count for range-payload histograms. */
+  final val PayloadBins = 16
+
+  /** One payload_sizes artifact row. For a string column: pkey = the
+    * value, bin = −1, lo/hi unused (0). For a range column: bin = the
+    * histogram bin, pkey = "", and lo/hi carry the histogram's (min,
+    * width) — REPEATED on every row so the exact training-time doubles
+    * round-trip (deriving width from per-bin bounds would reintroduce
+    * float error at the bin boundaries both engines must agree on). */
+  private[graft] case class PayloadSizeRow(
+      pcol: String, pkey: String, bin: Long, cnt: Long, lo: Double, hi: Double)
+
+  private[graft] def payloadSizesPath(indexDir: String): String =
+    s"$indexDir/payload_sizes"
+
+  private val PayloadSizesSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "pcol STRING, pkey STRING, bin BIGINT, cnt BIGINT, lo DOUBLE, hi DOUBLE")
+
+  private def readPayloadSizesRows(
+      spark: SparkSession, indexDir: String): Option[Seq[PayloadSizeRow]] = {
+    val fs = idxFs(spark, indexDir)
+    val p = new org.apache.hadoop.fs.Path(payloadSizesPath(indexDir))
+    if (!fs.exists(p)) None
+    else Some(spark.read.schema(PayloadSizesSchema).parquet(p.toString)
+      .collect().map(r => PayloadSizeRow(r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toSeq)
+  }
+
+  /** The shared binning rule — build recount, census estimate, census
+    * SQL twin, and delete decrements all run floor((v − min) / width)
+    * on the same doubles; the build recount additionally clamps into
+    * [0, PayloadBins). */
+  private[graft] def payloadBinOf(v: Column, minv: Double, width: Double): Column =
+    floor((v.cast("double") - lit(minv)) / lit(width))
+
+  /** Full payload recount from the vectors table — one narrow
+    * payload-columns scan, NULL rows excluded per column. `bounds`
+    * (min, width): None recomputes them from the current table (build /
+    * compact / retrain — the geometry-refresh verbs); Some keeps the
+    * recorded model bounds (decrement-side recounts). */
+  private[graft] def recountPayloadSizes(
+      spark: SparkSession, indexDir: String,
+      bounds: Option[(Double, Double)] = None): Seq[PayloadSizeRow] = {
+    val v = vectorsDf(spark, indexDir)
+    val langRows = v.filter(col("lang").isNotNull)
+      .groupBy("lang").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => PayloadSizeRow(
+        "lang", r.getString(0), -1L, r.getAs[Long]("cnt"), 0.0, 0.0)).toSeq
+    val nc = v.filter(col("n_chars").isNotNull)
+    val bnds = bounds.orElse {
+      val mm = nc.agg(min(col("n_chars")).cast("double"),
+        max(col("n_chars")).cast("double")).collect()(0)
+      if (mm.isNullAt(0)) None
+      else {
+        val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+        Some((mn, if (mx > mn) (mx - mn) / PayloadBins else 1.0))
+      }
+    }
+    val charRows = bnds.toSeq.flatMap { case (minv, width) =>
+      nc.groupBy(least(greatest(payloadBinOf(col("n_chars"), minv, width),
+          lit(0.0)), lit((PayloadBins - 1).toDouble)).cast("long").as("bin"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect().map(r => PayloadSizeRow(
+          "n_chars", "", r.getLong(0), r.getAs[Long]("cnt"), minv, width)).toSeq
+    }
+    langRows ++ charRows
+  }
+
+  /** Atomic single-file replace — the label_sizes recipe verbatim. */
+  private[graft] def writePayloadSizesRows(
+      spark: SparkSession, indexDir: String, rows: Seq[PayloadSizeRow]): Unit = {
+    import spark.implicits._
+    val fs = idxFs(spark, indexDir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir/.payload_sizes.tmp")
+    fs.delete(tmp, true)
+    rows.map(r => (r.pcol, r.pkey, r.bin, r.cnt, r.lo, r.hi))
+      .toDF("pcol", "pkey", "bin", "cnt", "lo", "hi").coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val part = fs.listStatus(tmp).iterator
+      .map(_.getPath)
+      .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(
+        s"payload_sizes stage at $tmp produced no parquet part file"))
+    val dst = new org.apache.hadoop.fs.Path(payloadSizesPath(indexDir))
+    org.apache.hadoop.fs.FileContext.getFileContext(part.toUri,
+      spark.sparkContext.hadoopConfiguration)
+      .rename(part, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    fs.delete(tmp, true)
+    payloadSizeCache.evictDir(indexDir)
+  }
+
+  /** Refresh under the index's one maintenance lock, fresh bounds. */
+  private[graft] def refreshPayloadSizes(spark: SparkSession, indexDir: String): Unit =
+    withClusterSizesLock(spark, indexDir) {
+      writePayloadSizesRows(spark, indexDir, recountPayloadSizes(spark, indexDir))
+    }
+
+  private val payloadSizeCache = Memo.plain[Seq[PayloadSizeRow]]()
+
+  /** Memoized payload-sizes snapshot (artifact read, recount heal for
+    * pre-artifact indexes — keyed on the active generation like
+    * label_sizes). */
+  private[graft] def indexPayloadSizes(
+      spark: SparkSession, indexDir: String): Seq[PayloadSizeRow] =
+    payloadSizeCache.getOrElseUpdateSync(
+      s"psz:${activeVectorsName(spark, indexDir)}:" +
+        s"${spark.sparkContext.applicationId}:$indexDir", {
+        readPayloadSizesRows(spark, indexDir)
+          .getOrElse(recountPayloadSizes(spark, indexDir))
+      })
+
   // ---- upsert ledger + deleteVectors (r17 — VERDICT r16 #2) ----------------
   //
   // Re-ingesting an existing vec_id is REPLACE, not duplicate: the new
@@ -2558,6 +2716,15 @@ object SimilarityOps {
       .filter(pairPred)
       .join(doomedDf, Seq("vec_id", "ingest_batch"), "left_anti")
       .localCheckpoint(true)
+    // The doomed rows' generalized payload (r18), read from the SAME
+    // pair-pruned scan BEFORE the overwrite — |doomed|-bounded, so the
+    // payload_sizes decrement below needs no extra corpus pass.
+    val doomedPayload = spark.read.schema(VectorsSchema)
+      .option("ignoreMissingFiles", "true").parquet(vdir)
+      .filter(pairPred)
+      .join(doomedDf, Seq("vec_id", "ingest_batch"), "left_semi")
+      .select(col("lang"), col("n_chars"))
+      .collect()
     try {
       survivors.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -2587,6 +2754,31 @@ object SimilarityOps {
               .map { case (l, n) => (l, n - removedPerLabel.getOrElse(l, 0L)) }
               .filter(_._2 > 0L))
           }
+        // Generalized-payload decrement (r18): per-value for lang; per
+        // HISTOGRAM BIN for n_chars, binned with the ARTIFACT's recorded
+        // (min, width) — the bounds are model state, deletes move counts
+        // only.
+        readPayloadSizesRows(spark, indexDir).foreach { ps =>
+          val remLang = doomedPayload.filter(!_.isNullAt(0))
+            .groupBy(_.getString(0)).map { case (k, rs) => k -> rs.length.toLong }
+          val charBounds = ps.find(_.pcol == "n_chars").map(r => (r.lo, r.hi))
+          val remBin = charBounds.map { case (minv, width) =>
+            doomedPayload.filter(!_.isNullAt(1)).groupBy { r =>
+              math.min(math.max(
+                math.floor((r.getLong(1).toDouble - minv) / width), 0.0),
+                (PayloadBins - 1).toDouble).toLong
+            }.map { case (b, rs) => b -> rs.length.toLong }
+          }.getOrElse(Map.empty[Long, Long])
+          if (remLang.nonEmpty || remBin.nonEmpty)
+            writePayloadSizesRows(spark, indexDir, ps.map { r =>
+              val dec = r.pcol match {
+                case "lang" => remLang.getOrElse(r.pkey, 0L)
+                case "n_chars" => remBin.getOrElse(r.bin, 0L)
+                case _ => 0L
+              }
+              r.copy(cnt = r.cnt - dec)
+            }.filter(_.cnt > 0L))
+        }
       }
     } finally survivors.unpersist(true)
   }
@@ -2754,6 +2946,13 @@ object SimilarityOps {
         // explicit schema fills missing columns), so every pre-r17
         // index keeps serving unfiltered requests unchanged.
         "label INT, " +
+        // Generalized payload (r18 — VERDICT r17 #2): real deployments
+        // filter on string and range columns, not one INT — `lang`
+        // (string eq) and `n_chars` (long range) ride along from the
+        // corpus's documents table when it exists. Same contract as
+        // label: NULL payload never matches a predicate, older files
+        // read NULL, every writer projects through vectorColsOrdered.
+        "lang STRING, n_chars BIGINT, " +
         "cluster INT, ingest_batch INT")
 
   /** Every SERVE/read of the vectors table goes through here: manifest
@@ -3048,6 +3247,7 @@ object SimilarityOps {
     // for pre-artifact indexes and for any crashed earlier bump).
     refreshClusterSizes(spark, indexDir)
     refreshLabelSizes(spark, indexDir)
+    refreshPayloadSizes(spark, indexDir)
     (filesBefore, spark.read.parquet(s"$indexDir/$nextName").inputFiles.length)
   }
 
@@ -3397,9 +3597,9 @@ object SimilarityOps {
       .withColumn("rn", row_number().over(
         Window.partitionBy("vec_id").orderBy(col("ingest_batch").desc)))
       .filter(col("rn") === 1)
-      // label rides the staged corpus so the rebuilt index keeps its
-      // filter payload (NULL for payload-less rows — unchanged).
-      .select("vec_id", "embedding", "label")
+      // The payload columns ride the staged corpus so the rebuilt index
+      // keeps its filter payload (NULL for payload-less rows — unchanged).
+      .select(("vec_id" +: "embedding" +: PayloadCols).map(col): _*)
     val src = s"$indexDir/.retrain_src"
     live.write.mode("overwrite").parquet(s"$src/embeddings.parquet")
     // A prior retrain of this index memoized models under the SAME
@@ -3444,6 +3644,7 @@ object SimilarityOps {
     }
     refreshClusterSizes(spark, indexDir)
     refreshLabelSizes(spark, indexDir)
+    refreshPayloadSizes(spark, indexDir)
     // Geometry re-established — re-anchor the drift signal (its
     // self-disarm: current ≡ snapshot → TVD 0).
     writeOccupancyBaseline(spark, indexDir)
@@ -7300,22 +7501,12 @@ object SimilarityOps {
     * shared by every filtered consumer. */
   private def filterCensusOf(
       spark: SparkSession, indexDir: String, q2: DataFrame,
-      op: String, strategy: String): DataFrame = {
-    import spark.implicits._
-    val lsz = indexLabelSizes(spark, indexDir)
-    require(lsz.nonEmpty,
-      s"filtered serve needs a labeled index: $indexDir carries no label payload")
-    val (_, ntot) = indexClusterSizes(spark, indexDir)
-    val lszDf = lsz.toSeq.toDF("label", "ln")
-    q2.select("query_id", "flabel")
-      .join(broadcast(lszDf), filterPredOf(op)(col("label"), col("flabel")), "left")
-      .groupBy("query_id", "flabel")
-      .agg(coalesce(sum("ln"), lit(0L)).as("nmatch"))
-      .withColumn("sel", r6(col("nmatch").cast("double") / lit(ntot.toDouble)))
-      .withColumn("strategy",
-        if (strategy == "auto") filterStrategyOf(col("sel")) else lit(strategy))
-      .localCheckpoint(true)
-  }
+      op: String, strategy: String): DataFrame =
+    // The r17 single-label census IS the generalized census with the
+    // degenerate conjunct list (r18) — one marginal, so sel is exactly
+    // the pinned r6(nmatch/ntot) arithmetic.
+    payloadCensusOf(spark, indexDir, q2.select("query_id", "flabel"),
+      Seq(PayloadFilter("label", op, "flabel")), strategy)
 
   /** Driver-side slice bounds (|Q| rows — the routeAndServe census
     * price): the pre arm's COARSE literal filter, the part of the
@@ -7339,24 +7530,10 @@ object SimilarityOps {
     * rows. Returns (query_id, vec_id, cos, rank, strategy='pre'). */
   private def filterPreArm(
       spark: SparkSession, indexDir: String, preSlice: DataFrame,
-      op: String, preLb: Array[Long]): DataFrame = {
-    val coarse =
-      if (op == "le") col("label") <= lit(preLb.max)
-      else col("label").isin(preLb.distinct.toSeq: _*)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("vec_id").asc)
-    servedVectorsDf(spark, indexDir)
-      .filter(col("label").isNotNull && coarse)
-      .select(col("vec_id"), col("label").cast("long").as("vl"), col("embedding"))
-      .join(broadcast(preSlice.select(col("query_id"),
-        col("embedding").as("q_embedding"), col("flabel"))),
-        filterPredOf(op)(col("vl"), col("flabel")))
-      .select(col("query_id"), col("vec_id"),
-        cosineSim(col("embedding"), col("q_embedding")).as("cos"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= TopK)
-      .withColumn("strategy", lit("pre"))
-  }
+      op: String, preLb: Array[Long]): DataFrame =
+    payloadPreArm(spark, indexDir, preSlice,
+      Seq(PayloadFilter("label", op, "flabel")),
+      Map("label" -> preLb.map(l => l: Any)))
 
   /** Empty filtered-answer frame in the output schema — an empty
     * request frame routes nowhere; query_id keeps the CALLER's type so
@@ -7417,25 +7594,9 @@ object SimilarityOps {
   private def filterPostArm(
       spark: SparkSession, indexDir: String, tier: String, postSlice: DataFrame,
       census: DataFrame, op: String, nprobe: Int, overfetch: Int,
-      sharedProbes: Option[DataFrame] = None): DataFrame = {
-    val cent = indexMeta(spark, indexDir, "centroids")
-    val probes = sharedProbes.getOrElse(probesMany(cent, qxOf(postSlice), nprobe))
-    val (shortlist, scoreCol, _) = tierShortlistOf(
-      spark, indexDir, tier, postSlice, nprobe, TopK * overfetch, Some(probes))
-    servedVectorsDf(spark, indexDir)
-      .select(col("vec_id"), col("cluster"), col("label").cast("long").as("vl"))
-      .join(broadcast(probes.select("cluster").distinct()), "cluster")
-      .join(broadcast(shortlist
-        .withColumnRenamed(scoreCol, "score")
-        .withColumnRenamed("rank", "srank")), "vec_id")
-      .join(broadcast(census.select("query_id", "flabel")), "query_id")
-      .filter(filterPredOf(op)(col("vl"), col("flabel")))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("srank").asc)))
-      .filter(col("rank") <= TopK)
-      .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"),
-        col("score"), lit("post").as("strategy"))
-  }
+      sharedProbes: Option[DataFrame] = None): DataFrame =
+    payloadPostArm(spark, indexDir, tier, postSlice, census,
+      Seq(PayloadFilter("label", op, "flabel")), nprobe, overfetch, sharedProbes)
 
   /** Filtered serving for ANY of the five tiers (r18 — VERDICT r17 #1:
     * "the engine's two marquee dispatches are mutually exclusive on the
@@ -7872,6 +8033,449 @@ object SimilarityOps {
        |ORDER BY s12.qid""".stripMargin
   }
 
+  // ---- q212: generalized payload filters (r18 — VERDICT r17 #2) ------------
+
+  /** One conjunct of a filtered request's predicate: the index payload
+    * `column` it tests, the operator, and the REQUEST-frame column
+    * carrying the per-query value. Supported (column, op) pairs —
+    * ("label", "le"/"eq") the r17 degenerate case, ("lang", "eq") the
+    * string tenant/source case, ("n_chars", "le") the numeric range
+    * case; a request's predicate is the AND of its conjuncts.
+    * Selectivity: exact per-value counts for label/lang, the
+    * [[PayloadBins]]-bin histogram CDF for ranges, conjunctions by
+    * marginal product (independence — an ESTIMATE feeding a dispatch
+    * between two arms that are each correct for their slice; the only
+    * cost of a bad estimate is scan (pre) or bounded recall at the
+    * measured q208 boundary (post), never a wrong-answer class). */
+  final case class PayloadFilter(column: String, op: String, valueCol: String)
+
+  private def validatePayloadFilters(filters: Seq[PayloadFilter]): Unit = {
+    require(filters.nonEmpty, "filtered serve needs at least one predicate")
+    require(filters.map(_.column).distinct.size == filters.size,
+      s"one conjunct per payload column: ${filters.map(_.column)}")
+    filters.foreach { f =>
+      val ok = f.column match {
+        case "label" => Set("le", "eq")(f.op)
+        case "lang" => f.op == "eq"
+        case "n_chars" => f.op == "le"
+        case _ => false
+      }
+      require(ok, s"unsupported payload predicate: ${f.column} ${f.op} " +
+        "(label le/eq, lang eq, n_chars le)")
+    }
+  }
+
+  /** Canonical type of a payload column's values (both the index side
+    * and the request side cast through here, so a predicate never
+    * compares across mismatched types). */
+  private def payloadValCast(f: PayloadFilter, c: Column): Column =
+    f.column match {
+      case "lang" => c.cast("string")
+      case _ => c.cast("long")
+    }
+
+  /** The per-query AND-of-conjuncts predicate between index payload
+    * columns and the request's `q_<valueCol>` columns. */
+  private def payloadPredsOf(filters: Seq[PayloadFilter]): Column =
+    filters.map { f =>
+      val v = payloadValCast(f, col(f.column))
+      if (f.op == "le") v <= col(s"q_${f.valueCol}")
+      else v === col(s"q_${f.valueCol}")
+    }.reduce(_ && _)
+
+  /** The generalized |Q|-row filtered-serve census: per query each
+    * conjunct's match count from its bounded artifact (label_sizes /
+    * payload_sizes — broadcast frames, never a corpus pass), the r6'd
+    * selectivity (single conjunct: exactly the q208 arithmetic;
+    * conjunction: r6(Π r6(marginal))), and the [[filterStrategyOf]]
+    * strategy (or the caller's forced arm). The range estimate sums the
+    * histogram bins STRICTLY BELOW the value's bin — an underestimate,
+    * erring toward the exact pre arm. */
+  private[graft] def payloadCensusOf(
+      spark: SparkSession, indexDir: String, q2: DataFrame,
+      filters: Seq[PayloadFilter], strategy: String): DataFrame = {
+    import spark.implicits._
+    val (_, ntot) = indexClusterSizes(spark, indexDir)
+    val marginals = filters.zipWithIndex.map { case (f, i) =>
+      val qv = q2.select(col("query_id"), payloadValCast(f, col(f.valueCol)).as("v"))
+      val joined = f.column match {
+        case "label" =>
+          val lsz = indexLabelSizes(spark, indexDir)
+          require(lsz.nonEmpty,
+            s"filtered serve needs a labeled index: $indexDir carries no label payload")
+          qv.join(broadcast(lsz.toSeq.toDF("k", "ln")),
+            if (f.op == "le") col("k") <= col("v") else col("k") === col("v"),
+            "left")
+        case "lang" =>
+          val rows = indexPayloadSizes(spark, indexDir).filter(_.pcol == "lang")
+          require(rows.nonEmpty,
+            s"filtered serve: $indexDir carries no lang payload")
+          qv.join(broadcast(rows.map(r => (r.pkey, r.cnt)).toDF("k", "ln")),
+            col("k") === col("v"), "left")
+        case "n_chars" =>
+          val rows = indexPayloadSizes(spark, indexDir).filter(_.pcol == "n_chars")
+          require(rows.nonEmpty,
+            s"filtered serve: $indexDir carries no n_chars payload")
+          val (minv, width) = (rows.head.lo, rows.head.hi)
+          qv.withColumn("bx", payloadBinOf(col("v"), minv, width))
+            .join(broadcast(rows.map(r => (r.bin, r.cnt)).toDF("k", "ln")),
+              col("k") < col("bx"), "left")
+      }
+      joined.groupBy("query_id").agg(coalesce(sum("ln"), lit(0L)).as(s"nmatch_$i"))
+    }
+    val counts = marginals.reduce((a, b) => a.join(b, "query_id"))
+    val selCol =
+      if (filters.size == 1)
+        r6(col("nmatch_0").cast("double") / lit(ntot.toDouble))
+      else r6(filters.indices
+        .map(i => r6(col(s"nmatch_$i").cast("double") / lit(ntot.toDouble)))
+        .reduce(_ * _))
+    q2.join(counts, "query_id")
+      .withColumn("sel", selCol)
+      .withColumn("strategy",
+        if (strategy == "auto") filterStrategyOf(col("sel")) else lit(strategy))
+      .drop(filters.indices.map(i => s"nmatch_$i"): _*)
+      .localCheckpoint(true)
+  }
+
+  /** Driver-side slice bounds, generalized: per-conjunct value arrays
+    * of the PRE slice (the coarse literal filters pushed into the
+    * scan), plus which arms fire. Fails LOUD on any NULL predicate
+    * value (the q208 contract). |Q|-row work. */
+  private def payloadSlicesOf(census: DataFrame, filters: Seq[PayloadFilter])
+      : (Map[String, Array[Any]], Boolean, Boolean) = {
+    val rows = census.select(
+      filters.map(f => payloadValCast(f, col(f.valueCol)).as(f.valueCol)) :+
+        col("strategy"): _*).collect()
+    rows.foreach { r =>
+      filters.zipWithIndex.foreach { case (f, i) =>
+        require(!r.isNullAt(i),
+          s"filtered serve: NULL ${f.valueCol} in the request frame — every " +
+            "filtered query must carry its predicate value")
+      }
+    }
+    val pre = rows.filter(_.getString(filters.size) == "pre")
+    val preVals = filters.zipWithIndex.map { case (f, i) =>
+      f.column -> pre.map(_.get(i))
+    }.toMap
+    (preVals, pre.nonEmpty, rows.exists(_.getString(filters.size) == "post"))
+  }
+
+  /** The generalized PRE arm: each conjunct contributes a coarse
+    * LITERAL filter (le → column ≤ max over the pre slice; eq →
+    * isin(distinct values)) that pushes into the pruned vectors scan
+    * alongside the isNotNull guards, then the per-query AND-predicate
+    * theta join against the broadcast |Q|-row slice, then EXACT cosine
+    * top-k. Returns (query_id, vec_id, cos, rank, strategy='pre'). */
+  private def payloadPreArm(
+      spark: SparkSession, indexDir: String, preSlice: DataFrame,
+      filters: Seq[PayloadFilter], preVals: Map[String, Array[Any]]): DataFrame = {
+    val coarse = filters.map { f =>
+      val vals = preVals(f.column)
+      val cf = f.op match {
+        case "le" => col(f.column) <= lit(vals.map(_.asInstanceOf[Long]).max)
+        case "eq" => col(f.column).isin(vals.distinct.toSeq: _*)
+      }
+      col(f.column).isNotNull && cf
+    }.reduce(_ && _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val qcols = preSlice.select(
+      col("query_id") +: col("embedding").as("q_embedding") +:
+        filters.map(f => payloadValCast(f, col(f.valueCol)).as(s"q_${f.valueCol}")): _*)
+    servedVectorsDf(spark, indexDir)
+      .filter(coarse)
+      .select(col("vec_id") +: col("embedding") +:
+        filters.map(f => col(f.column)): _*)
+      .join(broadcast(qcols), payloadPredsOf(filters))
+      .select(col("query_id"), col("vec_id"),
+        cosineSim(col("embedding"), col("q_embedding")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= TopK)
+      .withColumn("strategy", lit("pre"))
+  }
+
+  /** The generalized POST arm for any tier: the tier's own overfetched
+    * shortlist, the AND-predicate applied on a payload read-back pruned
+    * to the SAME probed clusters, surviving rows re-ranked in shortlist
+    * order (the [[filterPostArm]] contract, N conjuncts). */
+  private def payloadPostArm(
+      spark: SparkSession, indexDir: String, tier: String, postSlice: DataFrame,
+      census: DataFrame, filters: Seq[PayloadFilter], nprobe: Int, overfetch: Int,
+      sharedProbes: Option[DataFrame] = None): DataFrame = {
+    val cent = indexMeta(spark, indexDir, "centroids")
+    val probes = sharedProbes.getOrElse(probesMany(cent, qxOf(postSlice), nprobe))
+    val (shortlist, scoreCol, _) = tierShortlistOf(
+      spark, indexDir, tier, postSlice, nprobe, TopK * overfetch, Some(probes))
+    val qvals = census.select(
+      col("query_id") +:
+        filters.map(f => payloadValCast(f, col(f.valueCol)).as(s"q_${f.valueCol}")): _*)
+    servedVectorsDf(spark, indexDir)
+      .select(col("vec_id") +: col("cluster") +:
+        filters.map(f => col(f.column)): _*)
+      .join(broadcast(probes.select("cluster").distinct()), "cluster")
+      .join(broadcast(shortlist
+        .withColumnRenamed(scoreCol, "score")
+        .withColumnRenamed("rank", "srank")), "vec_id")
+      .join(broadcast(qvals), "query_id")
+      .filter(payloadPredsOf(filters))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("srank").asc)))
+      .filter(col("rank") <= TopK)
+      .select(col("query_id"), col("vec_id"), col("rank").cast("long").as("rank"),
+        col("score"), lit("post").as("strategy"))
+  }
+
+  /** Filtered serving with a GENERALIZED predicate — N typed conjuncts
+    * over the index's payload columns (r18 — VERDICT r17 #2: "real
+    * deployments filter on source/lang strings, timestamp ranges, and
+    * conjunctions"). The request frame carries (query_id, embedding,
+    * <one value column per conjunct>); per query the q208 rule over the
+    * conjunction's estimated selectivity picks the exact pre arm or the
+    * tier's own post arm. `label` remains the oracle-gated degenerate
+    * case ([[tierServeManyFiltered]] ≡ this with the single label
+    * conjunct); q212 oracle-gates the (lang eq), (n_chars le), and
+    * 2-conjunction shapes. Returns (query_id, vec_id, rank, score,
+    * strategy). */
+  def tierServeManyFilteredBy(
+      spark: SparkSession, indexDir: String, queries: DataFrame,
+      filters: Seq[PayloadFilter], tier: String = "float",
+      strategy: String = "auto",
+      nprobe: Int = NProbeServe, overfetch: Int = FilterOverfetch): DataFrame = {
+    require(Tiers.contains(tier),
+      s"unknown tier: $tier (one of ${Tiers.mkString(", ")})")
+    require(Set("auto", "pre", "post")(strategy),
+      s"unknown filter strategy: $strategy (one of auto, pre, post)")
+    validatePayloadFilters(filters)
+    val q2 = queries.select(
+      col("query_id") +: col("embedding") +:
+        filters.map(f => payloadValCast(f, col(f.valueCol)).as(f.valueCol)): _*)
+    val census = payloadCensusOf(spark, indexDir, q2, filters, strategy)
+    val (preVals, preOn, postOn) = payloadSlicesOf(census, filters)
+    def slice(s: String): DataFrame = q2.join(
+      broadcast(census.filter(col("strategy") === s).select("query_id")),
+      "query_id")
+    val pre: Option[DataFrame] = if (!preOn) None
+      else Some(payloadPreArm(spark, indexDir, slice("pre"), filters, preVals)
+        .select(col("query_id"), col("vec_id"),
+          col("rank").cast("long").as("rank"),
+          r6(col("cos")).as("score"), col("strategy")))
+    val post: Option[DataFrame] = if (!postOn) None
+      else Some(payloadPostArm(
+        spark, indexDir, tier, slice("post"), census, filters, nprobe, overfetch))
+    val parts = pre.toSeq ++ post.toSeq
+    if (parts.isEmpty) emptyFilteredFrame(spark, queries, "score")
+    else parts.reduce(_.unionByName(_)).orderBy("query_id", "rank")
+  }
+
+  /** q212: the GENERALIZED-payload filtered-serve census — the q208
+    * derivation over three predicate shapes per panel query, each taken
+    * from the query's OWN document row (documents ⋈ embeddings on
+    * doc_id = vec_id, the corpus alignment the index build persists):
+    *  - `lang_eq`   — lang = flang (string eq; exact per-value counts);
+    *  - `chars_le`  — n_chars ≤ fchars (long range; [[PayloadBins]]-bin
+    *    equi-width histogram CDF, bins strictly below the value's bin —
+    *    the underestimate errs toward the exact pre arm);
+    *  - `conj`      — both (selectivity = r6(Π r6(marginal))).
+    * Per (query, shape): the r6'd selectivity, the q208 pre/post
+    * strategy, and the answers the dispatched arm serves — pre = exact
+    * cosine over the predicate's rows; post = the shared unfiltered
+    * [[NProbeServe]]-probed shortlist at [[FilterOverfetch]]× TopK,
+    * then the predicate, re-ranked. Round18Spec pins
+    * [[tierServeManyFilteredBy]] ≡ this census per shape on an index
+    * built from the same corpus (artifact estimates ≡ these analytic
+    * ones by construction). Census work: marginals are broadcast joins
+    * against a |langs|-row frame and a [[PayloadBins]]-row histogram;
+    * the shared shortlist is ONE probed pass reused by all shapes. */
+  def payloadFilterPlan(spark: SparkSession, dir: String): DataFrame = {
+    val (kcent, kasg) = kmeansModel(spark, dir)
+    val e = emb(spark, dir)
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+    val corpus = e.join(d, col("vec_id") === col("doc_id")).drop("doc_id")
+    val panel = corpus.filter(col("vec_id") < NPanel)
+      .select(col("vec_id").as("qid"), col("lang").as("flang"),
+        col("n_chars").as("fchars"), col("embedding").as("qe"))
+    val ntotRow = e.agg(count(lit(1)).as("ntot"))
+    val plc = corpus.groupBy(col("lang").as("k")).agg(count(lit(1)).as("ln"))
+    val bounds = corpus.agg(
+      min(col("n_chars")).cast("double").as("minv"),
+      max(col("n_chars")).cast("double").as("maxv"))
+      .select(col("minv"),
+        when(col("maxv") > col("minv"),
+          (col("maxv") - col("minv")) / lit(PayloadBins.toDouble))
+          .otherwise(lit(1.0)).as("width"))
+    val pbh = corpus.crossJoin(broadcast(bounds))
+      .groupBy(least(greatest(
+        floor((col("n_chars").cast("double") - col("minv")) / col("width")),
+        lit(0.0)), lit((PayloadBins - 1).toDouble)).cast("long").as("b"))
+      .agg(count(lit(1)).as("ln"))
+    val pml = panel.select("qid", "flang")
+      .join(broadcast(plc), col("k") === col("flang"), "left")
+      .groupBy("qid").agg(coalesce(sum("ln"), lit(0L)).as("nml"))
+    val pmc = panel.select("qid", "fchars").crossJoin(broadcast(bounds))
+      .withColumn("bx",
+        floor((col("fchars").cast("double") - col("minv")) / col("width")))
+      .join(broadcast(pbh), col("b") < col("bx"), "left")
+      .groupBy("qid").agg(coalesce(sum("ln"), lit(0L)).as("nmc"))
+    val pse = pml.join(pmc, "qid").crossJoin(broadcast(ntotRow))
+      .select(col("qid"),
+        r6(col("nml").cast("double") / col("ntot")).as("sl"),
+        r6(col("nmc").cast("double") / col("ntot")).as("sc"))
+    val pst = pse.select(col("qid"), lit("lang_eq").as("shape"), col("sl").as("sel"))
+      .unionByName(pse.select(col("qid"), lit("chars_le").as("shape"),
+        col("sc").as("sel")))
+      .unionByName(pse.select(col("qid"), lit("conj").as("shape"),
+        r6(col("sl") * col("sc")).as("sel")))
+      .withColumn("strategy", filterStrategyOf(col("sel")))
+      .localCheckpoint(true)
+    def predOf(shape: Column, vlang: Column, vchars: Column,
+        flang: Column, fchars: Column): Column =
+      (shape === "lang_eq" && vlang === flang) ||
+        (shape === "chars_le" && vchars <= fchars) ||
+        (shape === "conj" && vlang === flang && vchars <= fchars)
+    val wq = Window.partitionBy("qid", "shape")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val preQ = panel.join(
+      pst.filter(col("strategy") === "pre").select("qid", "shape"), "qid")
+    val pre = corpus.select(col("vec_id"), col("lang").as("vlang"),
+        col("n_chars").as("vchars"), col("embedding"))
+      .join(broadcast(preQ), predOf(col("shape"), col("vlang"), col("vchars"),
+        col("flang"), col("fchars")))
+      .select(col("qid"), col("shape"), col("vec_id"),
+        cosineSim(col("embedding"), col("qe")).as("cos"))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= TopK)
+    val qdist = embLong(spark, dir).filter(col("vec_id") < NPanel)
+      .select(col("vec_id").as("qid"), col("pos"), col("v").as("qv"))
+      .join(broadcast(kcent), "pos")
+      .groupBy("qid", "cluster")
+      .agg(sum(((col("qv") - col("c")) * (col("qv") - col("c")))
+        .cast("decimal(38,18)")).as("dist"))
+    val probes = qdist.withColumn("crank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("dist").asc, col("cluster").asc)))
+      .filter(col("crank") <= NProbeServe).select("qid", "cluster")
+    val shortlist = e.join(kasg, "vec_id")
+      .join(broadcast(probes), "cluster")
+      .join(broadcast(panel.select("qid", "qe")), "qid")
+      .select(col("qid"), col("vec_id"),
+        cosineSim(col("embedding"), col("qe")).as("cos"))
+      .withColumn("srank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)))
+      .filter(col("srank") <= TopK * FilterOverfetch)
+      .localCheckpoint(true)
+    val postQ = pst.filter(col("strategy") === "post").select("qid", "shape")
+      .join(panel.select("qid", "flang", "fchars"), "qid")
+    val post = shortlist
+      .join(d.select(col("doc_id").as("vec_id"), col("lang").as("vlang"),
+        col("n_chars").as("vchars")), "vec_id")
+      .join(broadcast(postQ), "qid")
+      .filter(predOf(col("shape"), col("vlang"), col("vchars"),
+        col("flang"), col("fchars")))
+      .withColumn("rank", row_number().over(wq))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("shape"), col("vec_id"), col("rank"), col("cos"))
+    pre.select(col("qid"), col("shape"), col("vec_id"), col("rank"), col("cos"))
+      .unionByName(post)
+      .join(broadcast(pst), Seq("qid", "shape"))
+      .join(broadcast(panel.select("qid", "flang", "fchars")), "qid")
+      .select(col("qid"), col("shape"), col("flang"), col("fchars"), col("sel"),
+        col("strategy"), col("rank").cast("long").as("rank"), col("vec_id"),
+        r6(col("cos")).as("score"))
+      .orderBy("qid", "shape", "rank")
+  }
+
+  lazy val payloadFilterPlanSql: String =
+    s"""WITH $kmeansCtes,
+       |pdq AS MATERIALIZED (SELECT e.vec_id AS qid, d.lang AS flang,
+       |          CAST(d.n_chars AS BIGINT) AS fchars, e.embedding AS qe
+       |        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+       |        WHERE e.vec_id < $NPanel),
+       |pnt AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM embeddings),
+       |plc AS (SELECT d.lang AS k, CAST(count(*) AS BIGINT) AS ln
+       |        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+       |        GROUP BY 1),
+       |pbb AS (SELECT CAST(min(d.n_chars) AS DOUBLE) AS minv,
+       |          CASE WHEN max(d.n_chars) > min(d.n_chars)
+       |            THEN (CAST(max(d.n_chars) AS DOUBLE)
+       |                  - CAST(min(d.n_chars) AS DOUBLE)) / $PayloadBins.0
+       |            ELSE 1.0 END AS width
+       |        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+       |pbh AS (SELECT CAST(LEAST(GREATEST(floor(
+       |            (CAST(d.n_chars AS DOUBLE) - minv) / width), 0.0),
+       |            ${PayloadBins - 1}.0) AS BIGINT) AS b,
+       |          CAST(count(*) AS BIGINT) AS ln
+       |        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id, pbb
+       |        GROUP BY 1),
+       |pml AS (SELECT qid, CAST(COALESCE(sum(ln), 0) AS BIGINT) AS nml
+       |        FROM pdq LEFT JOIN plc ON plc.k = pdq.flang GROUP BY qid),
+       |pmc AS (SELECT qid, CAST(COALESCE(sum(ln), 0) AS BIGINT) AS nmc
+       |        FROM pdq CROSS JOIN pbb LEFT JOIN pbh
+       |          ON pbh.b < floor((CAST(pdq.fchars AS DOUBLE) - pbb.minv)
+       |                           / pbb.width)
+       |        GROUP BY qid),
+       |pse AS MATERIALIZED (SELECT qid,
+       |          floor((CAST(nml AS DOUBLE) / ntot) * 1000000 + 0.5) / 1000000 AS sl,
+       |          floor((CAST(nmc AS DOUBLE) / ntot) * 1000000 + 0.5) / 1000000 AS sc
+       |        FROM pml JOIN pmc USING (qid), pnt),
+       |pst AS MATERIALIZED (SELECT qid, shape, sel,
+       |          CASE WHEN sel <= $FilterSelPre THEN 'pre' ELSE 'post' END AS strategy
+       |        FROM (SELECT qid, 'lang_eq' AS shape, sl AS sel FROM pse
+       |              UNION ALL SELECT qid, 'chars_le', sc FROM pse
+       |              UNION ALL SELECT qid, 'conj',
+       |                floor(sl * sc * 1000000 + 0.5) / 1000000 FROM pse)),
+       |pprc AS MATERIALIZED (SELECT s.qid, s.shape, e.vec_id,
+       |          ${sqlCos("e.embedding", "q.qe")} AS cos
+       |        FROM pst s
+       |        JOIN pdq q ON q.qid = s.qid AND s.strategy = 'pre'
+       |        JOIN documents d ON
+       |          (s.shape = 'lang_eq' AND d.lang = q.flang) OR
+       |          (s.shape = 'chars_le' AND d.n_chars <= q.fchars) OR
+       |          (s.shape = 'conj' AND d.lang = q.flang AND d.n_chars <= q.fchars)
+       |        JOIN embeddings e ON e.vec_id = d.doc_id),
+       |pprr AS (SELECT qid, shape, vec_id, cos, row_number() OVER (
+       |          PARTITION BY qid, shape ORDER BY cos DESC, vec_id ASC) AS rank
+       |        FROM pprc),
+       |pqd AS MATERIALIZED (SELECT x.qid, kcent.cluster,
+       |          sum(CAST((qv - c) * (qv - c) AS DECIMAL(38,18))) AS dist
+       |        FROM (SELECT vec_id AS qid, pos, v AS qv FROM kex
+       |              WHERE vec_id < $NPanel) x
+       |        JOIN kcent USING (pos) GROUP BY 1, 2),
+       |ppb AS (SELECT qid, cluster FROM (
+       |          SELECT qid, cluster, row_number() OVER (PARTITION BY qid
+       |            ORDER BY dist ASC, cluster ASC) AS crank FROM pqd)
+       |        WHERE crank <= $NProbeServe),
+       |psc AS MATERIALIZED (SELECT p.qid, e.vec_id,
+       |          ${sqlCos("e.embedding", "q.qe")} AS cos
+       |        FROM ppb p
+       |        JOIN kasg a ON a.cluster = p.cluster
+       |        JOIN embeddings e ON e.vec_id = a.vec_id
+       |        JOIN pdq q ON q.qid = p.qid),
+       |psr AS MATERIALIZED (SELECT qid, vec_id, cos, row_number() OVER (
+       |          PARTITION BY qid ORDER BY cos DESC, vec_id ASC) AS srank
+       |        FROM psc),
+       |ppo AS (SELECT s.qid, s.shape, r.vec_id, r.cos, row_number() OVER (
+       |          PARTITION BY s.qid, s.shape
+       |          ORDER BY r.cos DESC, r.vec_id ASC) AS rank
+       |        FROM pst s
+       |        JOIN psr r ON r.qid = s.qid AND s.strategy = 'post'
+       |          AND r.srank <= ${TopK * FilterOverfetch}
+       |        JOIN documents d ON d.doc_id = r.vec_id
+       |        JOIN pdq q ON q.qid = s.qid
+       |        WHERE (s.shape = 'lang_eq' AND d.lang = q.flang) OR
+       |          (s.shape = 'chars_le' AND d.n_chars <= q.fchars) OR
+       |          (s.shape = 'conj' AND d.lang = q.flang AND d.n_chars <= q.fchars)),
+       |pans AS (SELECT qid, shape, vec_id, cos, rank FROM pprr WHERE rank <= $TopK
+       |         UNION ALL
+       |         SELECT qid, shape, vec_id, cos, rank FROM ppo WHERE rank <= $TopK)
+       |SELECT f.qid, f.shape, q.flang, q.fchars, sel, strategy,
+       |  CAST(rank AS BIGINT) AS rank, vec_id,
+       |  floor(cos * 1000000 + 0.5) / 1000000 AS score
+       |FROM pans f
+       |JOIN pst ON pst.qid = f.qid AND pst.shape = f.shape
+       |JOIN pdq q ON q.qid = f.qid
+       |ORDER BY f.qid, f.shape, rank""".stripMargin
+
   // -------------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -7915,6 +8519,7 @@ object SimilarityOps {
     "q208_filtered_serve_plan" -> (filteredServePlan _),
     "q209_tier_depth_plan" -> (tierDepthPlan _),
     "q211_filter_tier_plan" -> (filterTierPlan _),
+    "q212_payload_filter_plan" -> (payloadFilterPlan _),
     "q204_split_plan" -> ((s: SparkSession, d: String) => splitPlan(s, d)),
     "q205_maintenance_plan" -> (maintenancePlan _),
     "q191_embedding_spectrum" -> (embeddingSpectrum _),
@@ -7966,6 +8571,7 @@ object SimilarityOps {
     "q208_filtered_serve_plan" -> filteredServePlanSql,
     "q209_tier_depth_plan" -> tierDepthPlanSql,
     "q211_filter_tier_plan" -> filterTierPlanSql,
+    "q212_payload_filter_plan" -> payloadFilterPlanSql,
     "q204_split_plan" -> splitPlanSql,
     "q205_maintenance_plan" -> maintenancePlanSql,
     "q191_embedding_spectrum" -> embeddingSpectrumSql,
