@@ -73,6 +73,29 @@ object FilterProbe {
 
     // Scanned-row fractions (per query, relative to the corpus): the
     // pre arm reads sel·N rows; the post arm reads the probe fraction.
+    // Per-tier post-arm recall AT THE DISPATCH BOUNDARY (r18 — VERDICT
+    // r17 #1's done criterion): a predicate just ABOVE sel = 1/overfetch
+    // (label <= 2, sel ≈ 0.3 on the 10-label corpus) is the lowest
+    // selectivity the auto dispatch still answers post — the worst case
+    // the rule admits per tier. Recall compounds the tier's own
+    // shortlist fidelity with the overfetch coverage; the float row is
+    // the pure coverage term the q208 cliff table already measured.
+    val boundaryQ = queriesOf(lit(2))
+    val truthB = truthOf(boundaryQ, "le")
+    SimilarityOps.Tiers.foreach { t =>
+      def serveB() = SimilarityOps.tierServeManyFiltered(
+        spark, idx, boundaryQ, tier = t, op = "le", strategy = "post")
+      val ms = ProbeUtil.timedMinMs(serveB().collect())
+      val rows = serveB().collect()
+      val recall = truthB.keys.toSeq.map { q =>
+        val got = rows.filter(_.getAs[Long]("query_id") == q)
+          .map(_.getAs[Long]("vec_id")).toSet
+        (got & truthB(q)).size.toDouble / truthB(q).size
+      }
+      println(f"[filter] tier=$t%-9s post@boundary sel~0.3 batch_ms=$ms%.1f " +
+        f"recall=${recall.sum / recall.size}%.4f")
+    }
+
     val (sizes, ntot) = SimilarityOps.indexClusterSizes(spark, idx)
     val lsz = SimilarityOps.indexLabelSizes(spark, idx)
     val selLow = lsz.values.map(_.toDouble / ntot).sum / lsz.size
