@@ -6597,8 +6597,10 @@ object SimilarityOps {
     * a |Q|·5-row frame — census work, no corpus contact.
     * Returns (key, tier_batch, slice_n, gain, open_u, kept,
     * tier_final). */
-  private[graft] def sliceCollapseDetail(scored: DataFrame, key: String): DataFrame = {
-    val long = Tiers.map(t =>
+  private[graft] def sliceCollapseDetail(scored: DataFrame, key: String,
+      arms: Seq[String] = Tiers,
+      openE4: Map[String, Long] = TierOpenE4): DataFrame = {
+    val long = arms.map(t =>
         scored.select(col(key), lit(t).as("tier"), col(s"ub_$t").as("ub")))
       .reduce(_.unionByName(_))
     val w = Window.partitionBy(key).orderBy(col("ub").desc, col("tier").asc)
@@ -6619,7 +6621,7 @@ object SimilarityOps {
         dsum(col("u1") - col("u2")).as("gain"))
     val spark = scored.sparkSession
     val openDf = spark.createDataFrame(spark.sparkContext.parallelize(
-        TierOpenE4.toSeq.sortBy(_._1)
+        openE4.toSeq.sortBy(_._1)
           .map { case (t, e4) => org.apache.spark.sql.Row(t, e4) }, 1),
         org.apache.spark.sql.types.StructType.fromDDL(
           "tier STRING, open_e4 BIGINT"))
@@ -6667,12 +6669,14 @@ object SimilarityOps {
     * is read back as a double (dsum's trailing cast), and every
     * tie-break is (value, tier-name ASC). */
   private[graft] def sliceCollapseLocal(
-      ub: Seq[(Any, Seq[Double])]): Map[Any, String] = {
+      ub: Seq[(Any, Seq[Double])],
+      arms: Seq[String] = Tiers,
+      openE4: Map[String, Long] = TierOpenE4): Map[Any, String] = {
     if (ub.isEmpty) return Map.empty // empty batch routes nowhere
     val ord: Ordering[(Double, String)] = Ordering.Tuple2(
       Ordering.Double.TotalOrdering.reverse, Ordering.String)
     val rankedPer: Seq[(Any, Seq[(String, Double)])] = ub.map { case (q, us) =>
-      q -> Tiers.zip(us).sortBy { case (t, u) => (u, t) }(ord)
+      q -> arms.zip(us).sortBy { case (t, u) => (u, t) }(ord)
     }
     def dec8(d: Double): java.math.BigDecimal =
       java.math.BigDecimal.valueOf(d).setScale(8, java.math.RoundingMode.HALF_UP)
@@ -6685,7 +6689,7 @@ object SimilarityOps {
     val majority = slices.toSeq
       .sortBy { case (t, (n, _)) => (-n, t) }.head._1
     val kept = slices.collect { case (t, (_, gain))
-      if gain >= TierOpenE4(t).toDouble / 10000.0 || t == majority => t }.toSet
+      if gain >= openE4(t).toDouble / 10000.0 || t == majority => t }.toSet
     rankedPer.map { case (q, s) =>
       q -> s.collectFirst { case (t, _) if kept(t) => t }.get
     }.toMap
@@ -7133,6 +7137,240 @@ object SimilarityOps {
        |FROM s12 JOIN skp ON s12.tier_batch = skp.tier
        |JOIN sfn ON s12.qid = sfn.qid
        |ORDER BY s12.qid""".stripMargin
+
+  // ---- q213: six-arm census — the hybrid arm joins the lattice (r18) ------
+
+  /** The text arm's name in the six-arm census. Sorts between "float"
+    * and "int8" — tie-breaks are by arm NAME ascending everywhere, so
+    * the argmax stays deterministic cross-engine with the sixth arm. */
+  final val HybridArm = "hybrid"
+  final val SixArms: Seq[String] = Tiers :+ HybridArm
+
+  /** Hybrid pricing in the census's currency (VERDICT r17 stretch #7 —
+    * "the cost row exists, the arm serves, only the dispatch is
+    * missing"): penalty = TierLambda 0.15 × the PINNED penalty_hybrid
+    * ratio 2.781 (tools/pins.json — ServeProbe median, r17) → 4172 e-4;
+    * floor = 0.15 × the floor_hybrid two-idle-run median (hybrid 1-row
+    * / float batch20 — measured for this round, table in SCALE.md
+    * "Six-arm census") → see [[HybridOpenE4]]. */
+  final val HybridPenE4 = 4172L
+  final val HybridOpenE4 = 4303L
+  private[graft] def sixArmOpenE4: Map[String, Long] =
+    TierOpenE4 + (HybridArm -> HybridOpenE4)
+
+  /** A term is RARE when its document frequency is at most this
+    * fraction of the corpus — RELATIVE, not absolute, so the same rule
+    * reads the same signal at every SF (and at 100 TB). The synthetic
+    * corpus is bimodal (one ~5%-df term, the rest ~77%), so 0.5 cleanly
+    * separates; on a natural corpus this is the knob a deployment
+    * calibrates against its df spectrum. */
+  final val RareRelDf = 0.5
+
+  /** The text-side routing feature the vector census cannot compute:
+    * the fraction of the query's DISTINCT tokens that are rare
+    * ([[RareRelDf]]) or out-of-vocabulary — the reference's router
+    * routes keyword exactly on this membership signal (rare/OOV terms
+    * are where lexical exact-match beats dense retrieval, which can
+    * only smear them into embedding space). r6'd like every census
+    * feature. */
+  private def rareMassAgg(df: Column, n: Column): Column =
+    r6(sum(when(df.isNull || df <= lit(RareRelDf) * n, 1.0).otherwise(0.0)) /
+      count(lit(1)))
+
+  /** The hybrid arm's batch utility — the [[tierUtilitiesBatch]] shape:
+    * heuristic gain + learned weight − measured batch penalty. The
+    * rare-mass coefficient (60) is MEMBERSHIP-scaled: one rare token in
+    * a ~30-token query (mass ≈ 0.033) contributes ≈ 2.0, clearing the
+    * hybrid premium with margin — the reference's has-rare → keyword
+    * rule expressed as census arithmetic — while a query with no rare
+    * mass pays the full penalty and never wins the argmax. Same
+    * parenthesization in the SQL twin. */
+  private def ubHybridOf(rareMass: Column, w: Column): Column =
+    ((lit(-0.05) + lit(60.0) * rareMass) + w) -
+      lit(HybridPenE4.toDouble / 10000.0)
+
+  /** q213: the SIX-ARM routing census (r18 — VERDICT r17 stretch #7):
+    * requests carrying (text, embedding) — the panel query's own
+    * document text next to its embedding — routed across the five
+    * vector tiers AND the persisted hybrid text arm, with the q203
+    * slice-collapse economics unchanged (the hybrid arm's opening floor
+    * measured like every tier's). Census columns: the rare-term mass,
+    * the hybrid utility next to the five batch utilities, pass-1 arm,
+    * slice economics, and the final collapsed dispatch.
+    * [[routeAndServeText]] is spec-pinned to `tier_final`. Census work:
+    * the text feature is one |vocab|-row broadcast join over the
+    * panel's distinct tokens — the vector features' shape exactly. */
+  def textRoutePlan(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val nDocs = docs.count()
+    val xtk = docs.select(col("doc_id"),
+      explode(array_distinct(graft.textops.TextOps.tokenize(col("text"))))
+        .as("term"))
+    val xdf = xtk.groupBy("term").agg(count(lit(1)).as("df"))
+    val rm = xtk.filter(col("doc_id") < NPanel)
+      .join(broadcast(xdf), Seq("term"), "left")
+      .groupBy(col("doc_id").as("qid"))
+      .agg(rareMassAgg(col("df"), lit(nDocs.toDouble)).as("rare_mass"))
+    val scored = tierUtilitiesBatch(tierFeatures(spark, dir), zeroW)
+      .join(rm, Seq("qid"), "left")
+      .withColumn("rare_mass", coalesce(col("rare_mass"), lit(0.0)))
+      .withColumn("ub_hybrid", ubHybridOf(col("rare_mass"), lit(0.0)))
+      .localCheckpoint(true)
+    sliceCollapseDetail(scored, "qid", SixArms, sixArmOpenE4)
+      .join(scored.select(col("qid").as("sqid"), col("rare_mass"),
+        col("ub_hybrid")), col("qid") === col("sqid"))
+      .select(col("qid"), r6(col("rare_mass")).as("rare_mass"),
+        r6(col("ub_hybrid")).as("ub_hybrid"),
+        col("tier_batch"), col("slice_n"),
+        r6(col("gain")).as("gain"), r6(col("open_u")).as("open_u"),
+        col("kept"), col("tier_final"),
+        (col("tier_batch") =!= col("tier_final")).cast("long").as("collapsed"))
+      .orderBy("qid")
+  }
+
+  lazy val textRoutePlanSql: String = {
+    val ub = tierUtilBatchSql(zeroWSql)
+    s"""WITH $kmeansCtes,
+       |$tierFeatureCtes,
+       |xtk AS (SELECT DISTINCT doc_id,
+       |          unnest(regexp_extract_all(lower(text),
+       |            '[a-z0-9]+(?:[-_][a-z0-9]+)*')) AS term
+       |        FROM documents),
+       |xdf AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM xtk GROUP BY 1),
+       |xnn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+       |xrm AS (SELECT doc_id AS qid,
+       |          floor((sum(CASE WHEN df IS NULL OR df <= $RareRelDf * n
+       |                          THEN 1.0 ELSE 0.0 END) / count(*))
+       |                * 1000000 + 0.5) / 1000000 AS rare_mass
+       |        FROM xtk LEFT JOIN xdf USING (term), xnn
+       |        WHERE doc_id < $NPanel GROUP BY doc_id),
+       |xfm AS (SELECT qid, COALESCE(rare_mass, 0.0) AS rare_mass, peak,
+       |          margin, coverage
+       |        FROM tft LEFT JOIN xrm USING (qid)),
+       |sbu AS (SELECT qid, rare_mass, ${ub("binary")} AS ub_binary,
+       |          ${ub("float")} AS ub_float, ${ub("int8")} AS ub_int8,
+       |          ${ub("pq")} AS ub_pq, ${ub("pq_rerank")} AS ub_pq_rerank,
+       |          ((-0.05 + 60.0 * rare_mass) + 0.0)
+       |            - ${HybridPenE4.toDouble / 10000.0} AS ub_hybrid
+       |        FROM xfm),
+       |slu AS (SELECT qid, 'binary' AS tier, ub_binary AS ub FROM sbu
+       |        UNION ALL SELECT qid, 'float', ub_float FROM sbu
+       |        UNION ALL SELECT qid, 'hybrid', ub_hybrid FROM sbu
+       |        UNION ALL SELECT qid, 'int8', ub_int8 FROM sbu
+       |        UNION ALL SELECT qid, 'pq', ub_pq FROM sbu
+       |        UNION ALL SELECT qid, 'pq_rerank', ub_pq_rerank FROM sbu),
+       |srk AS (SELECT qid, tier, ub, row_number() OVER (PARTITION BY qid
+       |          ORDER BY ub DESC, tier ASC) AS rn FROM slu),
+       |s12 AS (SELECT qid,
+       |          max(CASE WHEN rn = 1 THEN tier END) AS tier_batch,
+       |          max(CASE WHEN rn = 1 THEN ub END) AS u1,
+       |          max(CASE WHEN rn = 2 THEN ub END) AS u2
+       |        FROM srk WHERE rn <= 2 GROUP BY 1),
+       |ssl AS (SELECT tier_batch AS tier, CAST(count(*) AS BIGINT) AS slice_n,
+       |          CAST(sum(CAST(u1 - u2 AS DECIMAL(30,8))) AS DOUBLE) AS gain
+       |        FROM s12 GROUP BY 1),
+       |sop AS (SELECT * FROM (VALUES
+       |          ('binary', CAST(${TierOpenE4("binary")} AS BIGINT)),
+       |          ('float', ${TierOpenE4("float")}),
+       |          ('hybrid', $HybridOpenE4),
+       |          ('int8', ${TierOpenE4("int8")}), ('pq', ${TierOpenE4("pq")}),
+       |          ('pq_rerank', ${TierOpenE4("pq_rerank")})) AS t(tier, open_e4)),
+       |smj AS (SELECT tier, row_number() OVER (ORDER BY slice_n DESC, tier ASC)
+       |          AS mrn FROM ssl),
+       |skp AS (SELECT ssl.tier, slice_n, gain,
+       |          CAST(open_e4 AS DOUBLE) / 10000.0 AS open_u,
+       |          CAST((gain >= CAST(open_e4 AS DOUBLE) / 10000.0 OR mrn = 1)
+       |            AS BIGINT) AS kept
+       |        FROM ssl JOIN sop USING (tier) JOIN smj USING (tier)),
+       |sfn AS (SELECT qid, tier AS tier_final FROM (
+       |          SELECT srk.qid, srk.tier, row_number() OVER (PARTITION BY srk.qid
+       |            ORDER BY ub DESC, srk.tier ASC) AS krn
+       |          FROM srk JOIN skp ON srk.tier = skp.tier AND kept = 1)
+       |        WHERE krn = 1)
+       |SELECT s12.qid, floor(rare_mass * 1000000 + 0.5) / 1000000 AS rare_mass,
+       |  floor(ub_hybrid * 1000000 + 0.5) / 1000000 AS ub_hybrid,
+       |  s12.tier_batch, slice_n,
+       |  floor(gain * 1000000 + 0.5) / 1000000 AS gain,
+       |  floor(open_u * 1000000 + 0.5) / 1000000 AS open_u,
+       |  kept, tier_final,
+       |  CAST(s12.tier_batch <> tier_final AS BIGINT) AS collapsed
+       |FROM s12 JOIN skp ON s12.tier_batch = skp.tier
+       |JOIN sfn ON s12.qid = sfn.qid
+       |JOIN sbu ON s12.qid = sbu.qid
+       |ORDER BY s12.qid""".stripMargin
+  }
+
+  /** Route-then-serve for requests carrying BOTH a text and an
+    * embedding (r18 — VERDICT r17 stretch #7): the six-arm census over
+    * the persisted indexes — vector features from the IVF index's own
+    * coarse scoring ([[servedTierFeatures]]), the rare-mass text
+    * feature from the persisted token catalog's term stats (a
+    * |vocab|-row broadcast — no corpus pass) — then the q203 collapse
+    * (driver-side [[sliceCollapseLocal]] over the |Q|·6 utilities) and
+    * each slice dispatched to ITS arm's own batched plan: the five
+    * vector tiers' ServeMany, or [[graft.operators.RetrievalOps
+    * .hybridServeMany]] off the bucketed token+gram tables. Answers
+    * normalize to (query_id, vec_id, rank, score, tier) — vec_id IS
+    * doc_id in the corpus's shared id space; `score` is the arm's own
+    * ranking value (cos/qcos/adist/rrf — compare ranks across arms).
+    * Round18Spec pins choices ≡ q213's `tier_final` and answers ≡ each
+    * arm's own plan over its slice. */
+  def routeAndServeText(
+      spark: SparkSession, indexDir: String,
+      tokPrefix: String, gramPrefix: String,
+      queries: DataFrame, wE4: Map[String, Long] = Map.empty,
+      nprobe: Int = NProbeServe): DataFrame = {
+    val tok = graft.stats.IndexStore.load(spark, tokPrefix)
+    val q2 = queries.select(col("query_id"), col("text"), col("embedding"))
+      .localCheckpoint(true)
+    val qtk = q2.select(col("query_id"),
+      explode(array_distinct(graft.textops.TextOps.tokenize(col("text"))))
+        .as("term"))
+    val rm = qtk
+      .join(broadcast(tok.termStats.select(col("term"), col("df"))),
+        Seq("term"), "left")
+      .groupBy("query_id")
+      .agg(rareMassAgg(col("df"), lit(tok.nDocs.toDouble)).as("rare_mass"))
+    val w = SixArms.map(t =>
+      t -> lit(wE4.getOrElse(t, 0L).toDouble / 10000.0)).toMap
+    val scored = tierUtilitiesBatch(
+        servedTierFeatures(spark, indexDir, q2), w)
+      .join(rm, Seq("query_id"), "left")
+      .withColumn("rare_mass", coalesce(col("rare_mass"), lit(0.0)))
+      .withColumn("ub_hybrid", ubHybridOf(col("rare_mass"), w(HybridArm)))
+    val ub = scored.select(
+      col("query_id") +: SixArms.map(t => col(s"ub_$t")): _*)
+      .collect().map(r => (r.get(0), (1 to SixArms.size).map(r.getDouble)))
+    val choice = sliceCollapseLocal(ub.toSeq, SixArms, sixArmOpenE4)
+    val present = choice.values.toSeq.distinct.sorted
+    def slice(arm: String): DataFrame = {
+      val ids = choice.collect { case (q, a) if a == arm => q }.toSeq
+      q2.filter(col("query_id").isin(ids: _*))
+    }
+    val parts = present.map {
+      case HybridArm =>
+        graft.operators.RetrievalOps.hybridServeMany(spark, tokPrefix,
+            gramPrefix, slice(HybridArm)
+              .select(col("query_id"), col("text").as("query")))
+          .select(col("qid").as("query_id"), col("doc_id").as("vec_id"),
+            col("rank"), col("rrf").as("score"),
+            lit(HybridArm).as("tier"))
+      case t =>
+        val s = slice(t).select("query_id", "embedding")
+        val (df, scoreCol) = t match {
+          case "float" => (annIvfServeMany(spark, indexDir, s, nprobe), "cos")
+          case "binary" => (annBinaryServeMany(spark, indexDir, s, nprobe), "cos")
+          case "int8" => (annInt8ServeMany(spark, indexDir, s, nprobe), "qcos")
+          case "pq" => (annPqServeMany(spark, indexDir, s, nprobe), "adist")
+          case "pq_rerank" =>
+            (annPqRerankServeMany(spark, indexDir, s, nprobe), "cos")
+        }
+        df.withColumnRenamed(scoreCol, "score").withColumn("tier", lit(t))
+    }
+    if (parts.isEmpty) emptyFilteredFrame(spark, queries, "score",
+      withTier = true).drop("strategy")
+    else parts.reduce(_.unionByName(_)).orderBy("query_id", "rank")
+  }
 
   // ---- q207: dispatch-aware probe depth (r16 — VERDICT r15 stretch #7) ----
 
@@ -8520,6 +8758,7 @@ object SimilarityOps {
     "q209_tier_depth_plan" -> (tierDepthPlan _),
     "q211_filter_tier_plan" -> (filterTierPlan _),
     "q212_payload_filter_plan" -> (payloadFilterPlan _),
+    "q213_text_route_plan" -> (textRoutePlan _),
     "q204_split_plan" -> ((s: SparkSession, d: String) => splitPlan(s, d)),
     "q205_maintenance_plan" -> (maintenancePlan _),
     "q191_embedding_spectrum" -> (embeddingSpectrum _),
@@ -8572,6 +8811,7 @@ object SimilarityOps {
     "q209_tier_depth_plan" -> tierDepthPlanSql,
     "q211_filter_tier_plan" -> filterTierPlanSql,
     "q212_payload_filter_plan" -> payloadFilterPlanSql,
+    "q213_text_route_plan" -> textRoutePlanSql,
     "q204_split_plan" -> splitPlanSql,
     "q205_maintenance_plan" -> maintenancePlanSql,
     "q191_embedding_spectrum" -> embeddingSpectrumSql,

@@ -77,6 +77,14 @@ object ServeProbe {
         .localCheckpoint(true)
       val hybridMs = timed(RetrievalOps.hybridServeMany(spark,
         "probe_hyb_tok", "probe_hyb_gram", hybQ).collect())
+      // Hybrid arm-opening floor (r18 — the six-arm census's collapse
+      // economics need the text arm's 1-row plan price like every
+      // vector tier's): one FixedQueries row through the same batched
+      // RRF plan.
+      val hybOne = Seq(RetrievalOps.FixedQueries.head)
+        .toDF("query_id", "query").localCheckpoint(true)
+      val hybrid1Ms = timed(RetrievalOps.hybridServeMany(spark,
+        "probe_hyb_tok", "probe_hyb_gram", hybOne).collect())
       val batch20: Map[String, Double] = Map(
         "float" -> timed(SimilarityOps.annIvfServeMany(spark, idx, qdf).collect()),
         "binary" -> timed(SimilarityOps.annBinaryServeMany(spark, idx, qdf).collect()),
@@ -97,12 +105,14 @@ object ServeProbe {
           f""""$prefix$t": ${v / f20}%.4f""" }
       val ratios = (entries(batch20 - "float", "penalty_") ++
         entries(oneRow, "floor_") ++
-        Seq(f""""penalty_hybrid": ${hybridMs / f20}%.4f""")).mkString(", ")
+        Seq(f""""penalty_hybrid": ${hybridMs / f20}%.4f""",
+          f""""floor_hybrid": ${hybrid1Ms / f20}%.4f""")).mkString(", ")
       val raw = (batch20.toSeq.sortBy(_._1).map { case (t, v) =>
           f""""${t}_batch20_ms": $v%.1f""" } ++
         oneRow.toSeq.sortBy(_._1).map { case (t, v) =>
           f""""${t}_1row_batch_ms": $v%.1f""" } ++
-        Seq(f""""hybrid_batch5_ms": $hybridMs%.1f""")).mkString(", ")
+        Seq(f""""hybrid_batch5_ms": $hybridMs%.1f""",
+          f""""hybrid_1row_batch_ms": $hybrid1Ms%.1f""")).mkString(", ")
       println(s"""{"kind": "serve_pins", "sf": "$dir", """ +
         s""""ratios": {$ratios}, "raw_ms": {$raw}}""")
       spark.stop()
@@ -130,6 +140,29 @@ object ServeProbe {
     time("routed_slice_depth_batch20_ms") {
       SimilarityOps.routeAndServe(spark, idx, qdf, batchCost = true,
         sliceAware = true, depthAware = true).collect()
+    }
+    // r18 stretch (VERDICT r17 #7): the SIX-ARM routed wall — requests
+    // carrying (text, embedding) through routeAndServeText: the five
+    // vector tiers plus the persisted hybrid text arm, slice-collapse
+    // economics included. Compare against routed_slice_batch20_ms (the
+    // five-arm shipped shape): the delta is the price of the text
+    // feature + the hybrid slice's own plan when it stays open.
+    if (only.isEmpty || only.exists("sixarm_routed_batch20_ms".contains)) {
+      import graft.operators.RetrievalOps
+      graft.stats.IndexStore.save(spark,
+        RetrievalOps.tokenIndex(spark, dir), "probe_six_tok")
+      graft.stats.IndexStore.saveGram(spark,
+        RetrievalOps.gramIndex(spark, dir), "probe_six_gram")
+      val textPanel = spark.read.parquet(s"$dir/embeddings.parquet")
+        .filter(col("vec_id") < SimilarityOps.NPanel)
+        .join(spark.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id").as("vec_id"), col("text")), "vec_id")
+        .select(col("vec_id").as("query_id"), col("text"), col("embedding"))
+        .localCheckpoint(true)
+      time("sixarm_routed_batch20_ms") {
+        SimilarityOps.routeAndServeText(spark, idx,
+          "probe_six_tok", "probe_six_gram", textPanel).collect()
+      }
     }
     // r14 stretch: the lazy union (one action materializes every tier
     // subtree in one job) vs the eager per-tier checkpoint dispatch.

@@ -219,6 +219,65 @@ class Round18Spec extends SparkSpec {
       panelQueries, Seq(PayloadFilter("lang", "eq", "flang"))).count() > 0)
   }
 
+  // ---- q213: six-arm census — hybrid joins the lattice (VERDICT r17 #7) -----
+
+  test("six-arm routed dispatch ≡ the q213 census: rare-term queries " +
+    "ride the hybrid arm (answers ≡ hybridServeMany), the rest their " +
+    "routed vector tier (answers ≡ the tier's own plan)") {
+    import graft.operators.RetrievalOps
+    graft.stats.IndexStore.save(spark,
+      RetrievalOps.tokenIndex(spark, sf), "r18_six_tok")
+    graft.stats.IndexStore.saveGram(spark,
+      RetrievalOps.gramIndex(spark, sf), "r18_six_gram")
+    val census = SimilarityOps.textRoutePlan(spark, sf).collect()
+      .map(r => r.getAs[Long]("qid") ->
+        (r.getAs[String]("tier_final"), r.getAs[Double]("rare_mass"))).toMap
+    // The fixture genuinely exercises the sixth arm: rare-mass queries
+    // exist and route hybrid; zero-mass queries never do.
+    val hybridQs = census.collect { case (q, ("hybrid", _)) => q }.toSet
+    assert(hybridQs.nonEmpty, "no query routed hybrid — fixture degenerate")
+    census.foreach { case (q, (t, rm)) =>
+      assert((t == "hybrid") == (rm > 0.0),
+        s"q$q: rare_mass=$rm routed $t — membership rule broken")
+    }
+    val queries = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") < SimilarityOps.NPanel)
+      .join(spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id").as("vec_id"), col("text")), "vec_id")
+      .select(col("vec_id").as("query_id"), col("text"), col("embedding"))
+      .localCheckpoint(true)
+    val routed = SimilarityOps.routeAndServeText(
+      spark, idx, "r18_six_tok", "r18_six_gram", queries).collect()
+    val routedTier = routed.map(r =>
+      r.getAs[Long]("query_id") -> r.getAs[String]("tier")).distinct.toMap
+    assert(routedTier == census.map { case (q, (t, _)) => q -> t },
+      "routed arm choices diverged from the q213 census")
+    // Answers ≡ each arm's own plan over its slice.
+    val routedAns = routed.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        r.getAs[Long]("vec_id")).toMap
+    val hybridSlice = queries
+      .filter(col("query_id").isin(hybridQs.toSeq: _*))
+      .select(col("query_id"), col("text").as("query"))
+    val hybridOwn = RetrievalOps.hybridServeMany(spark,
+      "r18_six_tok", "r18_six_gram", hybridSlice).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank")) ->
+        r.getAs[Long]("doc_id")).toMap
+    assert(hybridOwn.nonEmpty && hybridOwn.forall { case (k, v) =>
+      routedAns.get(k).contains(v) },
+      "hybrid slice answers diverged from hybridServeMany")
+    val floatQs = census.collect { case (q, ("float", _)) => q }.toSeq
+    if (floatQs.nonEmpty) {
+      val own = SimilarityOps.annIvfServeMany(spark, idx,
+        queries.filter(col("query_id").isin(floatQs: _*))
+          .select("query_id", "embedding")).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+          r.getAs[Long]("vec_id")).toMap
+      assert(own.forall { case (k, v) => routedAns.get(k).contains(v) },
+        "float slice answers diverged from the tier's own plan")
+    }
+  }
+
   // ---- ledger-debt trigger (VERDICT r17 #4) ---------------------------------
 
   test("upsert-ledger debt trigger: churn past the bound fires the " +
@@ -371,7 +430,7 @@ class Round18Spec extends SparkSpec {
     val (calSf, ratios, benchWalls) = Bench.loadPinsEnvelopes("tools/pins.json")
       .getOrElse(fail("tools/pins.json must parse"))
     assert(calSf == "sf0.1", s"calibration SF drifted: $calSf")
-    assert(ratios.size == 10, s"ratio registry drifted: ${ratios.keys.toSeq.sorted}")
+    assert(ratios.size == 11, s"ratio registry drifted: ${ratios.keys.toSeq.sorted}")
     // The bench-context wall names MUST be keys Bench.main writes into its
     // serve table before the pins_ok verdict is computed — a typo here
     // would read as permanent FAIL (good) but a renamed Bench key would
@@ -402,7 +461,8 @@ class Round18Spec extends SparkSpec {
     }
     val tiers = Seq("float", "int8", "binary", "pq", "pq_rerank")
     val expected = tiers.map(t => s"${t}_batch20_ms").toSet ++
-      tiers.map(t => s"${t}_1row_batch_ms").toSet + "hybrid_batch5_ms"
+      tiers.map(t => s"${t}_1row_batch_ms").toSet +
+      "hybrid_batch5_ms" + "hybrid_1row_batch_ms"
     assert(wallNames == expected, s"walls names drifted: ${wallNames.toSeq.sorted}")
   }
 }
