@@ -55,7 +55,15 @@ object ScaleGrowth {
     // α ≈ 0 is the claim), and the hybrid-serve panel (two dense
     // ranking passes + RRF — the q29 shape batched over 5 queries).
     "q208_filtered_serve_plan", "q209_tier_depth_plan",
-    "q210_hybrid_serve_plan")
+    "q210_hybrid_serve_plan",
+    // round-18 additions: the composed filter×tier census (q208's arms
+    // + the q203 route — slice-bound like both parents), the
+    // generalized-payload census (marginals are |vocab|- and 16-row
+    // broadcasts; the three shape stacks run over routed slices), and
+    // the six-arm census (q203's arithmetic + one |vocab|-row text
+    // feature join — α ≈ 0 is the claim).
+    "q211_filter_tier_plan", "q212_payload_filter_plan",
+    "q213_text_route_plan")
   val Dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
   def main(args: Array[String]): Unit = {

@@ -430,7 +430,10 @@ class Round18Spec extends SparkSpec {
     val (calSf, ratios, benchWalls) = Bench.loadPinsEnvelopes("tools/pins.json")
       .getOrElse(fail("tools/pins.json must parse"))
     assert(calSf == "sf0.1", s"calibration SF drifted: $calSf")
-    assert(ratios.size == 11, s"ratio registry drifted: ${ratios.keys.toSeq.sorted}")
+    // loadPinsEnvelopes returns the BENCH-context ratio envelopes
+    // (bench_ratios — 10 names; floor_hybrid is ServeProbe-context only,
+    // checked below against the `ratios` section).
+    assert(ratios.size == 10, s"ratio registry drifted: ${ratios.keys.toSeq.sorted}")
     // The bench-context wall names MUST be keys Bench.main writes into its
     // serve table before the pins_ok verdict is computed — a typo here
     // would read as permanent FAIL (good) but a renamed Bench key would
@@ -459,6 +462,14 @@ class Round18Spec extends SparkSpec {
       case JObject(fields) => fields.map(_._1).toSet
       case _ => fail("pins.json lost its walls section")
     }
+    // The ServeProbe-context ratio registry carries the six-arm census's
+    // floor_hybrid pin (r18) next to the ten r17 names.
+    val probeRatioNames = root \ "ratios" match {
+      case JObject(fields) => fields.map(_._1).toSet
+      case _ => fail("pins.json lost its ratios section")
+    }
+    assert(probeRatioNames.size == 11 && probeRatioNames("floor_hybrid"),
+      s"ServeProbe ratio registry drifted: ${probeRatioNames.toSeq.sorted}")
     val tiers = Seq("float", "int8", "binary", "pq", "pq_rerank")
     val expected = tiers.map(t => s"${t}_batch20_ms").toSet ++
       tiers.map(t => s"${t}_1row_batch_ms").toSet +
