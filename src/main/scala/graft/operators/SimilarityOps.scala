@@ -6208,32 +6208,46 @@ object SimilarityOps {
       sliceAware: Boolean = false,
       depthAware: Boolean = false,
       filterOp: Option[String] = None,
+      payloadFilters: Seq[PayloadFilter] = Nil,
       overfetch: Int = FilterOverfetch): DataFrame = {
     require(!sliceAware || batchCost,
       "sliceAware routing prices arm-opening floors against the BATCH " +
         "penalties — it requires batchCost = true")
     filterOp.foreach(op => require(Set("le", "eq")(op),
       s"unknown filter op: $op (one of le, eq)"))
-    // filterOp (r18 — VERDICT r17 #1): the request frame additionally
-    // carries `flabel`, and ONE batch pass prices BOTH marquee knobs —
-    // the tier census (which arm) and the filter census (pre vs post).
-    // Per query: strategy "pre" answers tier-independently from
-    // [[filterPreArm]] (exact — no coded tier undercuts an exact
-    // answer), labeled with the query's routed tier for the record;
-    // strategy "post" dispatches to the ROUTED tier's [[filterPostArm]]
-    // (the tier's own overfetched shortlist + predicate), carving its
-    // probe rows from the same shared crank as the unfiltered dispatch.
-    // The filter census is computed ONCE for the batch (a |labels|-row
-    // broadcast + |Q|-row checkpoint), never per tier. Round18Spec pins
-    // routed filtered answers ≡ [[tierServeManyFiltered]] of the routed
-    // tier per query.
-    val filterCensus = filterOp.map { op =>
-      val q2 = queries.select(col("query_id"),
-        col("flabel").cast("long").as("flabel"))
-      filterCensusOf(spark, indexDir, q2, op, "auto")
+    require(filterOp.isEmpty || payloadFilters.isEmpty,
+      "pass filterOp (the label shorthand) OR payloadFilters, not both")
+    // filterOp / payloadFilters (r18 — VERDICT r17 #1/#2): the request
+    // frame additionally carries its predicate value columns, and ONE
+    // batch pass prices BOTH marquee knobs — the tier census (which
+    // arm) and the filter census (pre vs post). `filterOp` is the label
+    // shorthand (≡ payloadFilters = Seq(PayloadFilter("label", op,
+    // "flabel"))); `payloadFilters` is the generalized conjunctive
+    // form over the typed payload columns. Per query: strategy "pre"
+    // answers tier-independently from [[payloadPreArm]] (exact — no
+    // coded tier undercuts an exact answer), labeled with the query's
+    // routed tier for the record; strategy "post" dispatches to the
+    // ROUTED tier's [[payloadPostArm]] (the tier's own overfetched
+    // shortlist + predicate), carving its probe rows from the same
+    // shared crank as the unfiltered dispatch. The filter census is
+    // computed ONCE for the batch (bounded broadcast artifacts + a
+    // |Q|-row checkpoint), never per tier. Round18Spec pins routed
+    // filtered answers ≡ [[tierServeManyFiltered]] /
+    // [[tierServeManyFilteredBy]] of the routed tier per query; q211 /
+    // q214 are the hash gates.
+    val effFilters: Seq[PayloadFilter] =
+      if (payloadFilters.nonEmpty) { validatePayloadFilters(payloadFilters); payloadFilters }
+      else filterOp.map(op => Seq(PayloadFilter("label", op, "flabel")))
+        .getOrElse(Nil)
+    val filterCensus = if (effFilters.isEmpty) None else Some {
+      val q2 = queries.select(
+        col("query_id") +: effFilters.map(f =>
+          payloadValCast(f, col(f.valueCol)).as(f.valueCol)): _*)
+      payloadCensusOf(spark, indexDir, q2, effFilters, "auto")
     }
-    val filterBounds = filterCensus.map(filterBoundsOf).getOrElse(Array.empty)
-    val filterPreOn = filterBounds.exists(_._2 == "pre")
+    val (filterPreVals, filterPreOn, _) = filterCensus
+      .map(c => payloadSlicesOf(c, effFilters))
+      .getOrElse((Map.empty[String, Array[Any]], false, false))
     // The dispatch loop below serves only the POST slice when filtering;
     // the pre slice unions in after it (its answers need no tier plan).
     val dispatchQueries = filterCensus match {
@@ -6338,11 +6352,11 @@ object SimilarityOps {
     def probesFor(slice: DataFrame): Option[DataFrame] =
       Some(allProbes.join(broadcast(slice.select("query_id")), "query_id"))
     val serveManyOf: Map[String, (DataFrame => DataFrame, String)] =
-      filterOp match {
-        case Some(op) => Tiers.map(t => t -> ((q: DataFrame) =>
-          filterPostArm(spark, indexDir, t, q, filterCensus.get, op, nprobe,
-            overfetch, probesFor(q)), "score")).toMap
-        case None => Map(
+      if (effFilters.nonEmpty)
+        Tiers.map(t => t -> ((q: DataFrame) =>
+          payloadPostArm(spark, indexDir, t, q, filterCensus.get, effFilters,
+            nprobe, overfetch, probesFor(q)), "score")).toMap
+      else Map(
           "binary" -> ((q: DataFrame) =>
             annBinaryServeMany(spark, indexDir, q, nprobe, probesFor(q)), "cos"),
           "float" -> ((q: DataFrame) =>
@@ -6353,7 +6367,6 @@ object SimilarityOps {
             annPqServeMany(spark, indexDir, q, nprobe, probesFor(q)), "adist"),
           "pq_rerank" -> ((q: DataFrame) =>
             annPqRerankServeMany(spark, indexDir, q, nprobe, probesFor(q)), "cos"))
-      }
     // Dispatch the present tiers CONCURRENTLY: each routed group's plan
     // is materialized by its own action (eager localCheckpoint of a
     // ≤ |Q|·TopK frame) on a separate thread, so the batch's wall time
@@ -6420,13 +6433,13 @@ object SimilarityOps {
     // shared exact arm for the whole batch (tier-independent answers,
     // labeled with each query's routed tier for the record).
     val preParts = if (!filterPreOn) Nil else {
-      val preLb = filterBounds.collect { case (l, "pre") => l }
       val preSlice = queries.join(
         broadcast(filterCensus.get.filter(col("strategy") === "pre")
           .select("query_id")), "query_id")
-        .select(col("query_id"), col("embedding"),
-          col("flabel").cast("long").as("flabel"))
-      val preDf = filterPreArm(spark, indexDir, preSlice, filterOp.get, preLb)
+        .select(col("query_id") +: col("embedding") +:
+          effFilters.map(f => payloadValCast(f, col(f.valueCol)).as(f.valueCol)): _*)
+      val preDf = payloadPreArm(spark, indexDir, preSlice, effFilters,
+          filterPreVals)
         .select(col("query_id"), col("vec_id"),
           col("rank").cast("long").as("rank"),
           r6(col("cos")).as("score"), col("strategy"))
@@ -6440,7 +6453,7 @@ object SimilarityOps {
     // input; a hardcoded type here would make alternating empty and
     // non-empty batches schema-conflict in an appending sink).
     if (allParts.isEmpty) {
-      if (filterOp.isDefined) emptyFilteredFrame(spark, queries, "score",
+      if (effFilters.nonEmpty) emptyFilteredFrame(spark, queries, "score",
         withTier = true)
       else {
         import org.apache.spark.sql.types._
@@ -7910,34 +7923,32 @@ object SimilarityOps {
     * tier_final from the memoized q203 frames; each tier's candidate
     * stack runs only over its routed post slice at [[NProbeServe]]
     * probes. */
-  def filterTierPlan(spark: SparkSession, dir: String): DataFrame = {
+  /** The composed filter × tier ANSWER machinery shared by q211 and
+    * q214 (r18): given a checkpointed dispatch plan — (qid, strategy,
+    * tier_final) plus the predicate's value columns `fcols` — the
+    * corpus frame with the payload the predicate reads, and the
+    * predicate itself, produce every query's answers: pre = exact
+    * cosine among the predicate's rows (tier-independent); post = the
+    * ROUTED tier's own overfetched shortlist, the predicate on a
+    * payload read-back, surviving rows re-ranked IN SHORTLIST ORDER —
+    * each tier's candidate stack running only over its routed post
+    * slice at [[NProbeServe]] probes. Returns (qid, vec_id, rank,
+    * score) with the tier's own r6'd ranking value. */
+  private def composedFilterAnswers(
+      spark: SparkSession, dir: String, plan: DataFrame, fcols: Seq[String],
+      corpus: DataFrame, vpayload: DataFrame, pred: Column): DataFrame = {
     val (kcent, kasg) = kmeansModel(spark, dir)
     val (pcent, pasg) = pqModel(spark, dir)
     val e = emb(spark, dir)
     val panel = e.filter(col("vec_id") < NPanel)
-      .select(col("vec_id").as("qid"), col("label").cast("long").as("flabel"),
-        col("embedding").as("qe"))
-    val lsz = e.groupBy(col("label").cast("long").as("label"))
-      .agg(count(lit(1)).as("ln"))
-    val ntot = e.agg(count(lit(1)).as("ntot"))
-    val plan = panel.select("qid", "flabel")
-      .join(broadcast(lsz), col("label") <= col("flabel"))
-      .groupBy("qid", "flabel").agg(sum("ln").as("nmatch"))
-      .crossJoin(broadcast(ntot))
-      .select(col("qid"), col("flabel"),
-        r6(col("nmatch").cast("double") / col("ntot")).as("sel"))
-      .withColumn("strategy", filterStrategyOf(col("sel")))
-      .join(tierRouteSlice(spark, dir).select(col("qid").as("rqid"),
-        col("tier_final")), col("qid") === col("rqid"))
-      .select("qid", "flabel", "sel", "strategy", "tier_final")
-      .localCheckpoint(true)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val wCos = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
     // PRE answers: exact cosine among the predicate's rows (q208's arm).
     val preQ = panel.join(
-      broadcast(plan.filter(col("strategy") === "pre").select("qid")), "qid")
-    val pre = e
-      .select(col("vec_id"), col("label").cast("long").as("vl"), col("embedding"))
-      .join(broadcast(preQ), col("vl") <= col("flabel"))
+      broadcast(plan.filter(col("strategy") === "pre")
+        .select("qid" +: fcols map col: _*)), "qid")
+    val pre = corpus
+      .join(broadcast(preQ), pred)
       .select(col("qid"), col("vec_id"),
         cosineSim(col("embedding"), col("qe")).as("cos"))
       .withColumn("rank", row_number().over(wCos))
@@ -7945,7 +7956,7 @@ object SimilarityOps {
       .select(col("qid"), col("vec_id"), col("rank"), r6(col("cos")).as("score"))
     // POST candidate machinery at NProbeServe, post-strategy queries only.
     val postPlan = plan.filter(col("strategy") === "post")
-      .select("qid", "flabel", "tier_final")
+      .select("qid" +: "tier_final" +: fcols map col: _*)
     val qx = embLong(spark, dir).filter(col("vec_id") < NPanel)
       .select(col("vec_id").as("qid"), col("pos"), col("v").as("qv"))
       .join(broadcast(postPlan.select("qid")), "qid")
@@ -8046,14 +8057,38 @@ object SimilarityOps {
       .unionByName(scoredOf(bs, "cos", asc = false))
     val post = scored
       .filter(col("srank") <= TopK * FilterOverfetch)
-      .join(e.select(col("vec_id"), col("label").cast("long").as("vl")), "vec_id")
-      .join(broadcast(postPlan.select("qid", "flabel")), "qid")
-      .filter(col("vl") <= col("flabel"))
+      .join(vpayload, "vec_id")
+      .join(broadcast(postPlan.select("qid" +: fcols map col: _*)), "qid")
+      .filter(pred)
       .withColumn("rank", row_number().over(
         Window.partitionBy("qid").orderBy(col("srank").asc)))
       .filter(col("rank") <= TopK)
       .select(col("qid"), col("vec_id"), col("rank"), r6(col("score")).as("score"))
     pre.unionByName(post)
+  }
+
+  def filterTierPlan(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val lsz = e.groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).as("ln"))
+    val ntot = e.agg(count(lit(1)).as("ntot"))
+    val plan = e.filter(col("vec_id") < NPanel)
+      .select(col("vec_id").as("qid"), col("label").cast("long").as("flabel"))
+      .join(broadcast(lsz), col("label") <= col("flabel"))
+      .groupBy("qid", "flabel").agg(sum("ln").as("nmatch"))
+      .crossJoin(broadcast(ntot))
+      .select(col("qid"), col("flabel"),
+        r6(col("nmatch").cast("double") / col("ntot")).as("sel"))
+      .withColumn("strategy", filterStrategyOf(col("sel")))
+      .join(tierRouteSlice(spark, dir).select(col("qid").as("rqid"),
+        col("tier_final")), col("qid") === col("rqid"))
+      .select("qid", "flabel", "sel", "strategy", "tier_final")
+      .localCheckpoint(true)
+    composedFilterAnswers(spark, dir, plan, Seq("flabel"),
+      corpus = e.select(col("vec_id"), col("label").cast("long").as("vl"),
+        col("embedding")),
+      vpayload = e.select(col("vec_id"), col("label").cast("long").as("vl")),
+      pred = col("vl") <= col("flabel"))
       .join(broadcast(plan), "qid")
       .select(col("qid"), col("flabel"), col("sel"), col("strategy"),
         col("tier_final"), col("rank").cast("long").as("rank"), col("vec_id"),
@@ -8061,35 +8096,80 @@ object SimilarityOps {
       .orderBy("qid", "rank")
   }
 
-  lazy val filterTierPlanSql: String =
-    s"""WITH $kmeansCtes,
-       |$pqCtes,
-       |$tierFeatureCtes,
-       |$sliceCtesSql,
-       |$bqPackCtes,
-       |gfq AS MATERIALIZED (SELECT vec_id AS qid, CAST(label AS BIGINT) AS flabel,
-       |          embedding AS qe FROM embeddings WHERE vec_id < $NPanel),
-       |gls AS (SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS ln
-       |        FROM embeddings GROUP BY 1),
-       |gnt AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM embeddings),
-       |gpl AS MATERIALIZED (SELECT s.qid, s.flabel, s.sel,
-       |          CASE WHEN s.sel <= $FilterSelPre THEN 'pre' ELSE 'post' END AS strategy,
-       |          sfn.tier_final
-       |        FROM (SELECT qid, flabel,
-       |                floor((CAST(sum(ln) AS DOUBLE) / ntot) * 1000000 + 0.5) / 1000000 AS sel
-       |              FROM gfq JOIN gls ON gls.label <= gfq.flabel, gnt
-       |              GROUP BY qid, flabel, ntot) s
-       |        JOIN sfn ON sfn.qid = s.qid),
-       |gprc AS MATERIALIZED (SELECT q.qid, e.vec_id,
-       |          ${sqlCos("e.embedding", "q.qe")} AS cos
-       |        FROM embeddings e
-       |        JOIN gfq q ON CAST(e.label AS BIGINT) <= q.flabel
-       |        JOIN gpl ON gpl.qid = q.qid AND gpl.strategy = 'pre'),
-       |gpre AS (SELECT qid, vec_id, rank, floor(cos * 1000000 + 0.5) / 1000000 AS score
-       |        FROM (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid
-       |          ORDER BY cos DESC, vec_id ASC) AS rank FROM gprc)
-       |        WHERE rank <= $TopK),
-       |gqx AS MATERIALIZED (SELECT kex.vec_id AS qid, pos, v AS qv FROM kex
+  // ---- q214: generalized payload × routed tier (r18) -----------------------
+
+  /** q214: the LAST lattice square — the generalized CONJUNCTIVE
+    * payload predicate (q212's `conj` shape: lang = flang AND
+    * n_chars ≤ fchars, selectivity = r6(Π r6(marginal)) from the
+    * per-value counts and the [[PayloadBins]] histogram) composed with
+    * the ROUTED tier (q203's slice collapse): per panel query the
+    * predicate values, the product estimate, the q208 pre/post
+    * strategy, the routed tier, and the answers the composed dispatch
+    * serves — pre exact, post the routed tier's own overfetched
+    * shortlist + predicate + shortlist-order re-rank. Exactly what
+    * `routeAndServe(payloadFilters = conj)` dispatches (Round18Spec
+    * pins it); the answer machinery is [[composedFilterAnswers]], the
+    * q211 core with the predicate generalized. */
+  def payloadTierPlan(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+    val d = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+    val corpus = e.join(d, col("vec_id") === col("doc_id")).drop("doc_id")
+    val ntotRow = e.agg(count(lit(1)).as("ntot"))
+    val plc = corpus.groupBy(col("lang").as("k")).agg(count(lit(1)).as("ln"))
+    val bounds = corpus.agg(
+      min(col("n_chars")).cast("double").as("minv"),
+      max(col("n_chars")).cast("double").as("maxv"))
+      .select(col("minv"),
+        when(col("maxv") > col("minv"),
+          (col("maxv") - col("minv")) / lit(PayloadBins.toDouble))
+          .otherwise(lit(1.0)).as("width"))
+    val pbh = corpus.crossJoin(broadcast(bounds))
+      .groupBy(least(greatest(
+        floor((col("n_chars").cast("double") - col("minv")) / col("width")),
+        lit(0.0)), lit((PayloadBins - 1).toDouble)).cast("long").as("b"))
+      .agg(count(lit(1)).as("ln"))
+    val panelF = corpus.filter(col("vec_id") < NPanel)
+      .select(col("vec_id").as("qid"), col("lang").as("flang"),
+        col("n_chars").as("fchars"))
+    val pml = panelF.select("qid", "flang")
+      .join(broadcast(plc), col("k") === col("flang"), "left")
+      .groupBy("qid").agg(coalesce(sum("ln"), lit(0L)).as("nml"))
+    val pmc = panelF.select("qid", "fchars").crossJoin(broadcast(bounds))
+      .withColumn("bx",
+        floor((col("fchars").cast("double") - col("minv")) / col("width")))
+      .join(broadcast(pbh), col("b") < col("bx"), "left")
+      .groupBy("qid").agg(coalesce(sum("ln"), lit(0L)).as("nmc"))
+    val plan = pml.join(pmc, "qid").crossJoin(broadcast(ntotRow))
+      .select(col("qid"),
+        r6(r6(col("nml").cast("double") / col("ntot")) *
+          r6(col("nmc").cast("double") / col("ntot"))).as("sel"))
+      .withColumn("strategy", filterStrategyOf(col("sel")))
+      .join(panelF, "qid")
+      .join(tierRouteSlice(spark, dir).select(col("qid").as("rqid"),
+        col("tier_final")), col("qid") === col("rqid"))
+      .select("qid", "flang", "fchars", "sel", "strategy", "tier_final")
+      .localCheckpoint(true)
+    composedFilterAnswers(spark, dir, plan, Seq("flang", "fchars"),
+      corpus = corpus.select(col("vec_id"), col("lang").as("vlang"),
+        col("n_chars").as("vchars"), col("embedding")),
+      vpayload = d.select(col("doc_id").as("vec_id"), col("lang").as("vlang"),
+        col("n_chars").as("vchars")),
+      pred = col("vlang") === col("flang") && col("vchars") <= col("fchars"))
+      .join(broadcast(plan), "qid")
+      .select(col("qid"), col("flang"), col("fchars"), col("sel"),
+        col("strategy"), col("tier_final"),
+        col("rank").cast("long").as("rank"), col("vec_id"), col("score"))
+      .orderBy("qid", "rank")
+  }
+
+    /** The five per-tier post-arm candidate stacks shared by the q211
+    * and q214 twins: consume gpl (qid, strategy, tier_final) and gfq
+    * (qid, qe) — predicate-independent, so both composed censuses
+    * rank candidates through the ONE text. Ends at gts (scored
+    * shortlists with srank). */
+  private lazy val composedTierStackCtes: String =
+    s"""gqx AS MATERIALIZED (SELECT kex.vec_id AS qid, pos, v AS qv FROM kex
        |        JOIN gpl ON gpl.qid = kex.vec_id AND gpl.strategy = 'post'
        |        WHERE kex.vec_id < $NPanel),
        |gqd AS MATERIALIZED (SELECT x.qid, kcent.cluster,
@@ -8180,7 +8260,37 @@ object SimilarityOps {
        |        UNION ALL
        |        SELECT qid, vec_id, cos,
        |          row_number() OVER (PARTITION BY qid
-       |            ORDER BY cos DESC, vec_id ASC) FROM gbs),
+       |            ORDER BY cos DESC, vec_id ASC) FROM gbs),""".stripMargin
+
+  lazy val filterTierPlanSql: String =
+    s"""WITH $kmeansCtes,
+       |$pqCtes,
+       |$tierFeatureCtes,
+       |$sliceCtesSql,
+       |$bqPackCtes,
+       |gfq AS MATERIALIZED (SELECT vec_id AS qid, CAST(label AS BIGINT) AS flabel,
+       |          embedding AS qe FROM embeddings WHERE vec_id < $NPanel),
+       |gls AS (SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS ln
+       |        FROM embeddings GROUP BY 1),
+       |gnt AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM embeddings),
+       |gpl AS MATERIALIZED (SELECT s.qid, s.flabel, s.sel,
+       |          CASE WHEN s.sel <= $FilterSelPre THEN 'pre' ELSE 'post' END AS strategy,
+       |          sfn.tier_final
+       |        FROM (SELECT qid, flabel,
+       |                floor((CAST(sum(ln) AS DOUBLE) / ntot) * 1000000 + 0.5) / 1000000 AS sel
+       |              FROM gfq JOIN gls ON gls.label <= gfq.flabel, gnt
+       |              GROUP BY qid, flabel, ntot) s
+       |        JOIN sfn ON sfn.qid = s.qid),
+       |gprc AS MATERIALIZED (SELECT q.qid, e.vec_id,
+       |          ${sqlCos("e.embedding", "q.qe")} AS cos
+       |        FROM embeddings e
+       |        JOIN gfq q ON CAST(e.label AS BIGINT) <= q.flabel
+       |        JOIN gpl ON gpl.qid = q.qid AND gpl.strategy = 'pre'),
+       |gpre AS (SELECT qid, vec_id, rank, floor(cos * 1000000 + 0.5) / 1000000 AS score
+       |        FROM (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid
+       |          ORDER BY cos DESC, vec_id ASC) AS rank FROM gprc)
+       |        WHERE rank <= $TopK),
+       |$composedTierStackCtes
        |gpo AS (SELECT g.qid, g.vec_id, g.score,
        |          row_number() OVER (PARTITION BY g.qid ORDER BY g.srank ASC) AS rank
        |        FROM gts g
@@ -8195,6 +8305,77 @@ object SimilarityOps {
        |        SELECT qid, vec_id, rank, score FROM gpre)
        |SELECT gpl.qid, gpl.flabel, gpl.sel, gpl.strategy, gpl.tier_final,
        |  CAST(rank AS BIGINT) AS rank, vec_id, score
+       |FROM gans JOIN gpl ON gpl.qid = gans.qid
+       |ORDER BY gpl.qid, rank""".stripMargin
+
+  lazy val payloadTierPlanSql: String =
+    s"""WITH $kmeansCtes,
+       |$pqCtes,
+       |$tierFeatureCtes,
+       |$sliceCtesSql,
+       |$bqPackCtes,
+       |gfq AS MATERIALIZED (SELECT e.vec_id AS qid, d.lang AS flang,
+       |          CAST(d.n_chars AS BIGINT) AS fchars, e.embedding AS qe
+       |        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+       |        WHERE e.vec_id < $NPanel),
+       |gnt AS (SELECT CAST(count(*) AS BIGINT) AS ntot FROM embeddings),
+       |hlc AS (SELECT d.lang AS k, CAST(count(*) AS BIGINT) AS ln
+       |        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+       |        GROUP BY 1),
+       |hbb AS (SELECT CAST(min(d.n_chars) AS DOUBLE) AS minv,
+       |          CASE WHEN max(d.n_chars) > min(d.n_chars)
+       |            THEN (CAST(max(d.n_chars) AS DOUBLE)
+       |                  - CAST(min(d.n_chars) AS DOUBLE)) / $PayloadBins.0
+       |            ELSE 1.0 END AS width
+       |        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+       |hbh AS (SELECT CAST(LEAST(GREATEST(floor(
+       |            (CAST(d.n_chars AS DOUBLE) - minv) / width), 0.0),
+       |            ${PayloadBins - 1}.0) AS BIGINT) AS b,
+       |          CAST(count(*) AS BIGINT) AS ln
+       |        FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id, hbb
+       |        GROUP BY 1),
+       |hml AS (SELECT qid, CAST(COALESCE(sum(ln), 0) AS BIGINT) AS nml
+       |        FROM gfq LEFT JOIN hlc ON hlc.k = gfq.flang GROUP BY qid),
+       |hmc AS (SELECT qid, CAST(COALESCE(sum(ln), 0) AS BIGINT) AS nmc
+       |        FROM gfq CROSS JOIN hbb LEFT JOIN hbh
+       |          ON hbh.b < floor((CAST(gfq.fchars AS DOUBLE) - hbb.minv)
+       |                           / hbb.width)
+       |        GROUP BY qid),
+       |gpl AS MATERIALIZED (SELECT s.qid, gfq.flang, gfq.fchars, s.sel,
+       |          CASE WHEN s.sel <= $FilterSelPre THEN 'pre' ELSE 'post' END AS strategy,
+       |          sfn.tier_final
+       |        FROM (SELECT qid,
+       |                floor((floor((CAST(nml AS DOUBLE) / ntot) * 1000000 + 0.5) / 1000000
+       |                       * (floor((CAST(nmc AS DOUBLE) / ntot) * 1000000 + 0.5) / 1000000))
+       |                      * 1000000 + 0.5) / 1000000 AS sel
+       |              FROM hml JOIN hmc USING (qid), gnt) s
+       |        JOIN gfq ON gfq.qid = s.qid
+       |        JOIN sfn ON sfn.qid = s.qid),
+       |gprc AS MATERIALIZED (SELECT q.qid, e.vec_id,
+       |          ${sqlCos("e.embedding", "q.qe")} AS cos
+       |        FROM embeddings e
+       |        JOIN documents d ON d.doc_id = e.vec_id
+       |        JOIN gfq q ON d.lang = q.flang AND d.n_chars <= q.fchars
+       |        JOIN gpl ON gpl.qid = q.qid AND gpl.strategy = 'pre'),
+       |gpre AS (SELECT qid, vec_id, rank, floor(cos * 1000000 + 0.5) / 1000000 AS score
+       |        FROM (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid
+       |          ORDER BY cos DESC, vec_id ASC) AS rank FROM gprc)
+       |        WHERE rank <= $TopK),
+       |$composedTierStackCtes
+       |gpo AS (SELECT g.qid, g.vec_id, g.score,
+       |          row_number() OVER (PARTITION BY g.qid ORDER BY g.srank ASC) AS rank
+       |        FROM gts g
+       |        JOIN documents dd ON dd.doc_id = g.vec_id
+       |        JOIN gpl ON gpl.qid = g.qid
+       |        WHERE g.srank <= ${TopK * FilterOverfetch}
+       |          AND dd.lang = gpl.flang AND dd.n_chars <= gpl.fchars),
+       |gans AS (SELECT qid, vec_id, rank,
+       |          floor(score * 1000000 + 0.5) / 1000000 AS score
+       |        FROM gpo WHERE rank <= $TopK
+       |        UNION ALL
+       |        SELECT qid, vec_id, rank, score FROM gpre)
+       |SELECT gpl.qid, gpl.flang, gpl.fchars, gpl.sel, gpl.strategy,
+       |  gpl.tier_final, CAST(rank AS BIGINT) AS rank, vec_id, score
        |FROM gans JOIN gpl ON gpl.qid = gans.qid
        |ORDER BY gpl.qid, rank""".stripMargin
 
@@ -8759,6 +8940,7 @@ object SimilarityOps {
     "q211_filter_tier_plan" -> (filterTierPlan _),
     "q212_payload_filter_plan" -> (payloadFilterPlan _),
     "q213_text_route_plan" -> (textRoutePlan _),
+    "q214_payload_tier_plan" -> (payloadTierPlan _),
     "q204_split_plan" -> ((s: SparkSession, d: String) => splitPlan(s, d)),
     "q205_maintenance_plan" -> (maintenancePlan _),
     "q191_embedding_spectrum" -> (embeddingSpectrum _),
@@ -8812,6 +8994,7 @@ object SimilarityOps {
     "q211_filter_tier_plan" -> filterTierPlanSql,
     "q212_payload_filter_plan" -> payloadFilterPlanSql,
     "q213_text_route_plan" -> textRoutePlanSql,
+    "q214_payload_tier_plan" -> payloadTierPlanSql,
     "q204_split_plan" -> splitPlanSql,
     "q205_maintenance_plan" -> maintenancePlanSql,
     "q191_embedding_spectrum" -> embeddingSpectrumSql,

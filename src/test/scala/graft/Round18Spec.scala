@@ -219,6 +219,66 @@ class Round18Spec extends SparkSpec {
       panelQueries, Seq(PayloadFilter("lang", "eq", "flang"))).count() > 0)
   }
 
+  // ---- q214: generalized payload × routed tier ------------------------------
+
+  test("routed dispatch with GENERALIZED payload filters ≡ the q214 " +
+    "census AND ≡ the routed tier's generalized filtered twin — the " +
+    "conjunctive predicate rides the tier lattice end to end") {
+    val conj = Seq(PayloadFilter("lang", "eq", "flang"),
+      PayloadFilter("n_chars", "le", "fchars"))
+    val census = SimilarityOps.payloadTierPlan(spark, sf).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("vec_id"), r.getAs[String]("strategy"),
+          r.getAs[String]("tier_final"))).toMap
+    assert(census.nonEmpty)
+    val routed = SimilarityOps.routeAndServe(spark, idx,
+      panelQueries.select("query_id", "embedding", "flang", "fchars"),
+      batchCost = true, sliceAware = true, payloadFilters = conj).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        (r.getAs[Long]("vec_id"), r.getAs[String]("strategy"),
+          r.getAs[String]("tier")))
+    val routedMap = routed.toMap
+    assert(routedMap.size == routed.length, "duplicate (query, rank) rows")
+    assert(routedMap.map { case (k, (v, s, _)) => k -> (v, s) } ==
+      census.map { case (k, (v, s, _)) => k -> (v, s) },
+      s"routed generalized answers diverged from q214: " +
+        s"${routedMap.size} vs ${census.size}")
+    // Both arms fire, and post queries match their routed tier's own
+    // generalized twin.
+    assert(routedMap.values.map(_._2).toSet == Set("pre", "post"))
+    val postTiers = routedMap.collect {
+      case ((qid, _), (_, "post", tier)) => qid -> tier
+    }.toSeq.distinct.groupBy(_._2)
+    postTiers.foreach { case (tier, qids) =>
+      val ids = qids.map(_._1).toSet
+      val twin = SimilarityOps.tierServeManyFilteredBy(spark, idx,
+        panelQueries.filter(col("query_id").isin(ids.toSeq: _*)),
+        conj, tier = tier).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+          r.getAs[Long]("vec_id")).toMap
+      val mine = routedMap.collect {
+        case ((qid, rank), (vid, _, _)) if ids(qid) => (qid, rank) -> vid
+      }
+      assert(mine == twin,
+        s"routed tier $tier ≠ its generalized filtered twin")
+    }
+    // The label shorthand and the explicit conjunct list are the same
+    // dispatch (filterOp ≡ payloadFilters degenerate case).
+    val viaOp = SimilarityOps.routeAndServe(spark, idx,
+      panelQueries.select("query_id", "embedding", "flabel"),
+      batchCost = true, sliceAware = true, filterOp = Some("le")).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        r.getAs[Long]("vec_id")).toMap
+    val viaFilters = SimilarityOps.routeAndServe(spark, idx,
+      panelQueries.select("query_id", "embedding", "flabel"),
+      batchCost = true, sliceAware = true,
+      payloadFilters = Seq(PayloadFilter("label", "le", "flabel"))).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank")) ->
+        r.getAs[Long]("vec_id")).toMap
+    assert(viaOp.nonEmpty && viaOp == viaFilters,
+      "filterOp shorthand diverged from the explicit label conjunct")
+  }
+
   // ---- q213: six-arm census — hybrid joins the lattice (VERDICT r17 #7) -----
 
   test("six-arm routed dispatch ≡ the q213 census: rare-term queries " +
