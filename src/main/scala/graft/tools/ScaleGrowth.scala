@@ -63,7 +63,7 @@ object ScaleGrowth {
     // the six-arm census (q203's arithmetic + one |vocab|-row text
     // feature join — α ≈ 0 is the claim).
     "q211_filter_tier_plan", "q212_payload_filter_plan",
-    "q213_text_route_plan")
+    "q213_text_route_plan", "q214_payload_tier_plan")
   val Dirs = Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
 
   def main(args: Array[String]): Unit = {
