@@ -219,6 +219,21 @@ class Round18Spec extends SparkSpec {
       panelQueries, Seq(PayloadFilter("lang", "eq", "flang"))).count() > 0)
   }
 
+  test("generalized pre arm pushes BOTH conjuncts into the parquet " +
+    "scan (PushedFilters on lang AND n_chars) — the 100 TB reason the " +
+    "typed payload lives ON the vector rows") {
+    val filters = Seq(PayloadFilter("lang", "eq", "flang"),
+      PayloadFilter("n_chars", "le", "fchars"))
+    val plan = SimilarityOps
+      .tierServeManyFilteredBy(spark, idx, panelQueries, filters,
+        strategy = "pre")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("IsNotNull(lang)") && plan.contains("In(lang") &&
+      plan.contains("IsNotNull(n_chars)") &&
+      plan.contains("LessThanOrEqual(n_chars"),
+      s"conjunctive payload predicate not pushed to the scan:\n$plan")
+  }
+
   // ---- q214: generalized payload × routed tier ------------------------------
 
   test("routed dispatch with GENERALIZED payload filters ≡ the q214 " +
