@@ -7214,14 +7214,20 @@ object SimilarityOps {
     * the text feature is one |vocab|-row broadcast join over the
     * panel's distinct tokens — the vector features' shape exactly. */
   def textRoutePlan(spark: SparkSession, dir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$dir/documents.parquet")
-    val nDocs = docs.count()
-    val xtk = docs.select(col("doc_id"),
-      explode(array_distinct(graft.textops.TextOps.tokenize(col("text"))))
-        .as("term"))
-    val xdf = xtk.groupBy("term").agg(count(lit(1)).as("df"))
-    val rm = xtk.filter(col("doc_id") < NPanel)
-      .join(broadcast(xdf), Seq("term"), "left")
+    // The text feature reads the MEMOIZED token index (the q20-q29
+    // retrieval infrastructure): docTermFreq is already one row per
+    // (doc_id, term) — exactly explode(array_distinct(tokenize)) — and
+    // termStats.df the distinct-doc count per term, so recomputing both
+    // from documents.parquet per invocation (a full corpus tokenize +
+    // two aggregations) bought nothing (guide §1.2: don't compute what
+    // an existing cached index already holds). Values are bit-identical:
+    // same tokenizer, same distinct-per-doc df, same nDocs.
+    val tok = RetrievalOps.tokenIndex(spark, dir)
+    val nDocs = tok.nDocs
+    val rm = tok.docTermFreq.filter(col("doc_id") < NPanel)
+      .select(col("doc_id"), col("term"))
+      .join(broadcast(tok.termStats.select(col("term"), col("df"))),
+        Seq("term"), "left")
       .groupBy(col("doc_id").as("qid"))
       .agg(rareMassAgg(col("df"), lit(nDocs.toDouble)).as("rare_mass"))
     val scored = tierUtilitiesBatch(tierFeatures(spark, dir), zeroW)
@@ -7938,133 +7944,172 @@ object SimilarityOps {
       spark: SparkSession, dir: String, plan: DataFrame, fcols: Seq[String],
       corpus: DataFrame, vpayload: DataFrame, pred: Column): DataFrame = {
     val (kcent, kasg) = kmeansModel(spark, dir)
-    val (pcent, pasg) = pqModel(spark, dir)
     val e = emb(spark, dir)
     val panel = e.filter(col("vec_id") < NPanel)
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
     val wCos = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id").asc)
+    // Dispatch read-back off the CHECKPOINTED plan (bounded: ≤ 2·|Tiers|
+    // rows, the filterBoundsOf discipline): which arms this batch
+    // actually opens. The distributed plan below is built ONLY for open
+    // arms — the slice-collapse rule (routeAndServe refuses to open
+    // sub-economic plans) applied to the census's own answer machinery.
+    // Result-identical by construction: an un-routed tier's stack joins
+    // an empty broadcast slice and contributes zero rows — but Catalyst
+    // still plans it, its checkpoints still run jobs, and its full-corpus
+    // reconstruction scans (int8 rec, ADC tables) still execute
+    // (measured: the five-stack plan spent ~2/3 of the q211 wall on
+    // stacks whose routed slice was empty — plans/r18/*_before.txt).
+    val dispatch = plan.select(col("strategy"), col("tier_final")).distinct()
+      .collect()
+    val hasPre = dispatch.exists(_.getString(0) == "pre")
+    val postTiers: Set[String] = dispatch
+      .collect { case r if r.getString(0) == "post" => r.getString(1) }.toSet
     // PRE answers: exact cosine among the predicate's rows (q208's arm).
-    val preQ = panel.join(
-      broadcast(plan.filter(col("strategy") === "pre")
-        .select("qid" +: fcols map col: _*)), "qid")
-    val pre = corpus
-      .join(broadcast(preQ), pred)
-      .select(col("qid"), col("vec_id"),
-        cosineSim(col("embedding"), col("qe")).as("cos"))
-      .withColumn("rank", row_number().over(wCos))
-      .filter(col("rank") <= TopK)
-      .select(col("qid"), col("vec_id"), col("rank"), r6(col("cos")).as("score"))
-    // POST candidate machinery at NProbeServe, post-strategy queries only.
-    val postPlan = plan.filter(col("strategy") === "post")
-      .select("qid" +: "tier_final" +: fcols map col: _*)
-    val qx = embLong(spark, dir).filter(col("vec_id") < NPanel)
-      .select(col("vec_id").as("qid"), col("pos"), col("v").as("qv"))
-      .join(broadcast(postPlan.select("qid")), "qid")
-    val probes = qx.join(broadcast(kcent), "pos")
-      .groupBy("qid", "cluster")
-      .agg(sum(((col("qv") - col("c")) * (col("qv") - col("c")))
-        .cast("decimal(38,18)")).as("dist"))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("qid").orderBy(col("dist").asc, col("cluster").asc)))
-      .filter(col("crank") <= NProbeServe)
-      .select("qid", "cluster")
-    val cand = kasg.join(broadcast(probes), "cluster").select("qid", "vec_id")
-    // Exact cosine over candidates — read by the float, pq_rerank, and
-    // binary stacks (each joins its own slice).
-    val pcs = cand.join(e.select(col("vec_id"), col("embedding")), "vec_id")
-      .join(broadcast(panel.select("qid", "qe")), "qid")
-      .select(col("qid"), col("vec_id"),
-        cosineSim(col("embedding"), col("qe")).as("cos"))
-      .localCheckpoint(true)
-    def tierSlice(df: DataFrame, t: String): DataFrame = df.join(
-      broadcast(postPlan.filter(col("tier_final") === t).select("qid")), "qid")
-    // int8: reconstructed-cosine candidates (the q77/q185 arithmetic).
-    val ex = embLong(spark, dir)
-    val amax = ex.groupBy("vec_id").agg(max(abs(col("v"))).as("amax"))
-    val rec = ex.join(amax, "vec_id")
-      .withColumn("scale",
-        when(col("amax") === 0.0, 1.0).otherwise(col("amax") / 127.0))
-      .select(col("vec_id"), col("pos"),
-        (floor(col("v") / col("scale") + 0.5) * col("scale")).as("r"))
-    val qrec = rec.filter(col("vec_id") < NPanel)
-      .select(col("vec_id").as("qid"), col("pos"), col("r").as("qr"))
-    val qq = qrec.groupBy("qid")
-      .agg(sum((col("qr") * col("qr")).cast("decimal(38,18)")).as("qq"))
-    val i8 = tierSlice(cand, "int8").join(rec, "vec_id")
-      .join(broadcast(qrec), Seq("qid", "pos"))
-      .groupBy("qid", "vec_id")
-      .agg(sum((col("r") * col("qr")).cast("decimal(38,18)")).as("dot"),
-        sum((col("r") * col("r")).cast("decimal(38,18)")).as("nn"))
-      .join(broadcast(qq), "qid")
-      .select(col("qid"), col("vec_id"),
-        when(col("nn") === 0 || col("qq") === 0, 0.0)
-          .otherwise(col("dot").cast("double") /
-            (sqrt(col("nn").cast("double")) * sqrt(col("qq").cast("double"))))
-          .as("qcos"))
-    // pq: residual ADC over probed candidates (the q110 machinery at
-    // the serving depth) — shared by the pq and pq_rerank stacks.
-    val dtab = kcent.join(broadcast(probes), "cluster")
-      .join(broadcast(qx.select(col("qid"), col("pos"), col("qv"))),
-        Seq("qid", "pos"))
-      .select(col("qid"), col("cluster"), col("pos"),
-        (col("qv") - col("c")).as("qr"))
-      .join(pcent.select(col("sub"), col("code"), col("pos"), col("c").as("pc")),
-        "pos")
-      .groupBy("qid", "cluster", "sub", "code")
-      .agg(sum(((col("qr") - col("pc")) * (col("qr") - col("pc")))
-        .cast("decimal(38,18)")).as("d"))
-    val adc = cand.join(kasg.withColumnRenamed("cluster", "acl"), "vec_id")
-      .join(pasg.select("vec_id", "sub", "code"), "vec_id")
-      .join(broadcast(dtab.withColumnRenamed("cluster", "acl")),
-        Seq("qid", "acl", "sub", "code"))
-      .groupBy("qid", "vec_id")
-      .agg(sum(col("d")).as("adist"))
-      .localCheckpoint(true)
-    // pq_rerank: ADC RerankK shortlist re-ranked by exact cosine.
-    val rr = tierSlice(adc, "pq_rerank")
-      .withColumn("prank", row_number().over(
-        Window.partitionBy("qid").orderBy(col("adist").asc, col("vec_id").asc)))
-      .filter(col("prank") <= RerankK)
-      .select("qid", "vec_id")
-      .join(pcs, Seq("qid", "vec_id"))
-    // binary: Hamming RerankK shortlist re-ranked by exact cosine.
-    val bq = bqCodes(spark, dir)
-    val qbq = bq.filter(col("vec_id") < NPanel)
-      .select(col("vec_id").as("qid"), col("lo").as("qlo"), col("hi").as("qhi"))
-    val bs = tierSlice(cand, "binary").join(bq, "vec_id")
-      .join(broadcast(qbq), "qid")
-      .select(col("qid"), col("vec_id"),
-        (expr("bit_count(lo ^ qlo)") + expr("bit_count(hi ^ qhi)"))
-          .cast("long").as("ham"))
-      .withColumn("brank", row_number().over(
-        Window.partitionBy("qid").orderBy(col("ham").asc, col("vec_id").asc)))
-      .filter(col("brank") <= RerankK)
-      .select("qid", "vec_id")
-      .join(pcs, Seq("qid", "vec_id"))
-    // Per-tier scored candidates → overfetched srank → predicate →
-    // re-rank IN SHORTLIST ORDER (the filterPostArm contract).
-    def scoredOf(df: DataFrame, scoreCol: String, asc: Boolean): DataFrame = {
-      val ord = if (asc) col(scoreCol).asc else col(scoreCol).desc
-      df.withColumn("srank", row_number().over(
-          Window.partitionBy("qid").orderBy(ord, col("vec_id").asc)))
+    val pre: Option[DataFrame] = if (!hasPre) None else {
+      val preQ = panel.join(
+        broadcast(plan.filter(col("strategy") === "pre")
+          .select("qid" +: fcols map col: _*)), "qid")
+      Some(corpus
+        .join(broadcast(preQ), pred)
         .select(col("qid"), col("vec_id"),
-          col(scoreCol).cast("double").as("score"), col("srank"))
+          cosineSim(col("embedding"), col("qe")).as("cos"))
+        .withColumn("rank", row_number().over(wCos))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("vec_id"), col("rank"),
+          r6(col("cos")).as("score")))
     }
-    val scored = scoredOf(tierSlice(pcs, "float"), "cos", asc = false)
-      .unionByName(scoredOf(i8, "qcos", asc = false))
-      .unionByName(scoredOf(tierSlice(adc, "pq"), "adist", asc = true))
-      .unionByName(scoredOf(rr, "cos", asc = false))
-      .unionByName(scoredOf(bs, "cos", asc = false))
-    val post = scored
-      .filter(col("srank") <= TopK * FilterOverfetch)
-      .join(vpayload, "vec_id")
-      .join(broadcast(postPlan.select("qid" +: fcols map col: _*)), "qid")
-      .filter(pred)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("qid").orderBy(col("srank").asc)))
-      .filter(col("rank") <= TopK)
-      .select(col("qid"), col("vec_id"), col("rank"), r6(col("score")).as("score"))
-    pre.unionByName(post)
+    val post: Option[DataFrame] = if (postTiers.isEmpty) None else Some {
+      // POST candidate machinery at NProbeServe, post-strategy queries only.
+      val postPlan = plan.filter(col("strategy") === "post")
+        .select("qid" +: "tier_final" +: fcols map col: _*)
+      val qx = embLong(spark, dir).filter(col("vec_id") < NPanel)
+        .select(col("vec_id").as("qid"), col("pos"), col("v").as("qv"))
+        .join(broadcast(postPlan.select("qid")), "qid")
+      val probes = qx.join(broadcast(kcent), "pos")
+        .groupBy("qid", "cluster")
+        .agg(sum(((col("qv") - col("c")) * (col("qv") - col("c")))
+          .cast("decimal(38,18)")).as("dist"))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("dist").asc, col("cluster").asc)))
+        .filter(col("crank") <= NProbeServe)
+        .select("qid", "cluster")
+      val cand = kasg.join(broadcast(probes), "cluster").select("qid", "vec_id")
+      def tierSlice(df: DataFrame, t: String): DataFrame = df.join(
+        broadcast(postPlan.filter(col("tier_final") === t).select("qid")), "qid")
+      // Exact cosine over candidates — read by the float, pq_rerank, and
+      // binary stacks (each joins its own slice); checkpointed only when
+      // more than one of them is open (a single consumer reads it inline).
+      val pcsConsumers = (postTiers & Set("float", "pq_rerank", "binary")).size
+      lazy val pcs = {
+        val base = cand.join(e.select(col("vec_id"), col("embedding")), "vec_id")
+          .join(broadcast(panel.select("qid", "qe")), "qid")
+          .select(col("qid"), col("vec_id"),
+            cosineSim(col("embedding"), col("qe")).as("cos"))
+        if (pcsConsumers > 1) base.localCheckpoint(true) else base
+      }
+      // int8: reconstructed-cosine candidates (the q77/q185 arithmetic).
+      lazy val i8 = {
+        val ex = embLong(spark, dir)
+        val amax = ex.groupBy("vec_id").agg(max(abs(col("v"))).as("amax"))
+        val rec = ex.join(amax, "vec_id")
+          .withColumn("scale",
+            when(col("amax") === 0.0, 1.0).otherwise(col("amax") / 127.0))
+          .select(col("vec_id"), col("pos"),
+            (floor(col("v") / col("scale") + 0.5) * col("scale")).as("r"))
+        val qrec = rec.filter(col("vec_id") < NPanel)
+          .select(col("vec_id").as("qid"), col("pos"), col("r").as("qr"))
+        val qq = qrec.groupBy("qid")
+          .agg(sum((col("qr") * col("qr")).cast("decimal(38,18)")).as("qq"))
+        tierSlice(cand, "int8").join(rec, "vec_id")
+          .join(broadcast(qrec), Seq("qid", "pos"))
+          .groupBy("qid", "vec_id")
+          .agg(sum((col("r") * col("qr")).cast("decimal(38,18)")).as("dot"),
+            sum((col("r") * col("r")).cast("decimal(38,18)")).as("nn"))
+          .join(broadcast(qq), "qid")
+          .select(col("qid"), col("vec_id"),
+            when(col("nn") === 0 || col("qq") === 0, 0.0)
+              .otherwise(col("dot").cast("double") /
+                (sqrt(col("nn").cast("double")) * sqrt(col("qq").cast("double"))))
+              .as("qcos"))
+      }
+      // pq: residual ADC over probed candidates (the q110 machinery at
+      // the serving depth) — shared by the pq and pq_rerank stacks, so
+      // checkpointed only when BOTH are open.
+      val adcConsumers = (postTiers & Set("pq", "pq_rerank")).size
+      lazy val adc = {
+        val (pcent, pasg) = pqModel(spark, dir)
+        val dtab = kcent.join(broadcast(probes), "cluster")
+          .join(broadcast(qx.select(col("qid"), col("pos"), col("qv"))),
+            Seq("qid", "pos"))
+          .select(col("qid"), col("cluster"), col("pos"),
+            (col("qv") - col("c")).as("qr"))
+          .join(pcent.select(col("sub"), col("code"), col("pos"), col("c").as("pc")),
+            "pos")
+          .groupBy("qid", "cluster", "sub", "code")
+          .agg(sum(((col("qr") - col("pc")) * (col("qr") - col("pc")))
+            .cast("decimal(38,18)")).as("d"))
+        val base = cand.join(kasg.withColumnRenamed("cluster", "acl"), "vec_id")
+          .join(pasg.select("vec_id", "sub", "code"), "vec_id")
+          .join(broadcast(dtab.withColumnRenamed("cluster", "acl")),
+            Seq("qid", "acl", "sub", "code"))
+          .groupBy("qid", "vec_id")
+          .agg(sum(col("d")).as("adist"))
+        if (adcConsumers > 1) base.localCheckpoint(true) else base
+      }
+      // pq_rerank: ADC RerankK shortlist re-ranked by exact cosine.
+      lazy val rr = tierSlice(adc, "pq_rerank")
+        .withColumn("prank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("adist").asc, col("vec_id").asc)))
+        .filter(col("prank") <= RerankK)
+        .select("qid", "vec_id")
+        .join(pcs, Seq("qid", "vec_id"))
+      // binary: Hamming RerankK shortlist re-ranked by exact cosine.
+      lazy val bs = {
+        val bq = bqCodes(spark, dir)
+        val qbq = bq.filter(col("vec_id") < NPanel)
+          .select(col("vec_id").as("qid"), col("lo").as("qlo"), col("hi").as("qhi"))
+        tierSlice(cand, "binary").join(bq, "vec_id")
+          .join(broadcast(qbq), "qid")
+          .select(col("qid"), col("vec_id"),
+            (expr("bit_count(lo ^ qlo)") + expr("bit_count(hi ^ qhi)"))
+              .cast("long").as("ham"))
+          .withColumn("brank", row_number().over(
+            Window.partitionBy("qid").orderBy(col("ham").asc, col("vec_id").asc)))
+          .filter(col("brank") <= RerankK)
+          .select("qid", "vec_id")
+          .join(pcs, Seq("qid", "vec_id"))
+      }
+      // Per-tier scored candidates → overfetched srank → predicate →
+      // re-rank IN SHORTLIST ORDER (the filterPostArm contract).
+      def scoredOf(df: DataFrame, scoreCol: String, asc: Boolean): DataFrame = {
+        val ord = if (asc) col(scoreCol).asc else col(scoreCol).desc
+        df.withColumn("srank", row_number().over(
+            Window.partitionBy("qid").orderBy(ord, col("vec_id").asc)))
+          .select(col("qid"), col("vec_id"),
+            col(scoreCol).cast("double").as("score"), col("srank"))
+      }
+      val stacks: Seq[DataFrame] = Seq(
+        "float" -> (() => scoredOf(tierSlice(pcs, "float"), "cos", asc = false)),
+        "int8" -> (() => scoredOf(i8, "qcos", asc = false)),
+        "pq" -> (() => scoredOf(tierSlice(adc, "pq"), "adist", asc = true)),
+        "pq_rerank" -> (() => scoredOf(rr, "cos", asc = false)),
+        "binary" -> (() => scoredOf(bs, "cos", asc = false))
+      ).collect { case (t, mk) if postTiers(t) => mk() }
+      stacks.reduce(_.unionByName(_))
+        .filter(col("srank") <= TopK * FilterOverfetch)
+        .join(vpayload, "vec_id")
+        .join(broadcast(postPlan.select("qid" +: fcols map col: _*)), "qid")
+        .filter(pred)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("qid").orderBy(col("srank").asc)))
+        .filter(col("rank") <= TopK)
+        .select(col("qid"), col("vec_id"), col("rank"), r6(col("score")).as("score"))
+    }
+    (pre.toSeq ++ post.toSeq) match {
+      case Seq() => plan.select(col("qid"), col("qid").as("vec_id"),
+        lit(1).as("rank"), lit(0.0).as("score")).limit(0)
+      case parts => parts.reduce(_.unionByName(_))
+    }
   }
 
   def filterTierPlan(spark: SparkSession, dir: String): DataFrame = {
