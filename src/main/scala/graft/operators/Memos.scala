@@ -140,18 +140,41 @@ object Ckpt {
 }
 
 object Memo {
+  /** Blocking release of a memoized frame, whether it was `.cache()`d or
+    * eagerly `.localCheckpoint(true)`d (r18): Dataset.unpersist only
+    * drops CacheManager entries, so a checkpoint-backed value — whose
+    * blocks live on the underlying RDD of its LogicalRDD leaf — leaked
+    * until the ContextCleaner happened to sweep it (the Round8OpsSpec
+    * baseline-set workaround). Walking the analyzed plan's LogicalRDD
+    * leaves unpersists those blocks deterministically, so release
+    * returns storage to baseline for BOTH memo shapes. Note the
+    * checkpoint case sharpens the release contract: a truncated plan
+    * cannot recompute its blocks, so checkpoint-backed memo values must
+    * not be read concurrently with the release of their dir (release is
+    * the explicit end-of-corpus verb; Bench and ScaleGrowth call it
+    * between corpora, never mid-query).
+    */
+  private def unpersistFrame(df: DataFrame): Unit = {
+    df.unpersist(true)
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(true); ()
+      case _ => ()
+    }
+  }
+
   /** Memo of one cached DataFrame. */
-  def frame(): Memo[DataFrame] = new Memo[DataFrame](_.unpersist(true))
+  def frame(): Memo[DataFrame] = new Memo[DataFrame](unpersistFrame)
 
   /** Memo of a pair of cached DataFrames (model caches: centroids +
     * assignment). */
   def frames2(): Memo[(DataFrame, DataFrame)] =
-    new Memo[(DataFrame, DataFrame)](t => { t._1.unpersist(true); t._2.unpersist(true) })
+    new Memo[(DataFrame, DataFrame)](t => { unpersistFrame(t._1); unpersistFrame(t._2) })
 
   /** Memo of a triple of cached DataFrames. */
   def frames3(): Memo[(DataFrame, DataFrame, DataFrame)] =
     new Memo[(DataFrame, DataFrame, DataFrame)](t => {
-      t._1.unpersist(true); t._2.unpersist(true); t._3.unpersist(true)
+      unpersistFrame(t._1); unpersistFrame(t._2); unpersistFrame(t._3)
     })
 
   /** Memo of a driver-side value with no cached frames. */

@@ -170,7 +170,7 @@ object SimilarityOps {
       spark: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) =
     kmeansCache.getOrElseUpdate(s"k$k:${spark.sparkContext.applicationId}:$dir", {
       val (cent, asg) = trainKmeans(spark, dir, KmeansIters, k)
-      (cent.cache(), asg.cache())
+      (cent.localCheckpoint(true), asg.localCheckpoint(true))
     })
 
   /** The training loop behind [[kmeansModel]], iteration count
@@ -4916,7 +4916,7 @@ object SimilarityOps {
       spark: SparkSession, dir: String, k: Int): (DataFrame, DataFrame) =
     pqCache.getOrElseUpdate(s"k$k:${spark.sparkContext.applicationId}:$dir", {
       val (cent, asg) = trainPqOn(spark, dir, withSub(residLongAt(spark, dir, k)))
-      (cent.cache(), asg.cache())
+      (cent.localCheckpoint(true), asg.localCheckpoint(true))
     })
 
   /** Pre-round-8 geometry — codebooks on RAW vectors — kept ONLY as the

@@ -168,6 +168,25 @@ object TextAnalysisOps {
         .cache()
     })
 
+  /** The per-language top-[[ProfileSize]] trigram profiles — the TRAINED
+    * MODEL of the q33 classifier (|langs|·ProfileSize rows), memoized per
+    * (appId, dir) like kmeansModel / qualityLrModel (r18: q33 and q122
+    * each re-learned the profiles from the full trigram frame per
+    * invocation; training once and applying many is the model
+    * discipline every other learned operator already follows). Eager
+    * localCheckpoint so no consumer drags the training lineage. */
+  private val langProfileCache = Memo.frame()
+
+  private def langProfiles(spark: SparkSession, dir: String): DataFrame =
+    langProfileCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
+      langTrigrams(spark, dir).groupBy("lang", "g").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy(col("c").desc, col("g").asc)))
+        .filter(col("rn") <= ProfileSize)
+        .select(col("lang").as("p_lang"), col("g"))
+        .localCheckpoint(true)
+    })
+
   /** Classify each document against per-language top-k character-trigram
     * profiles learned from the corpus itself: score = |doc ∩ profile|,
     * argmax with (score DESC, lang ASC) tie-break. */
@@ -175,11 +194,7 @@ object TextAnalysisOps {
     val d = docs(spark, dir)
     val tri = langTrigrams(spark, dir)
 
-    val profiles = tri.groupBy("lang", "g").agg(count(lit(1)).as("c"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("lang").orderBy(col("c").desc, col("g").asc)))
-      .filter(col("rn") <= ProfileSize)
-      .select(col("lang").as("p_lang"), col("g"))
+    val profiles = langProfiles(spark, dir)
 
     val docTri = tri.select("doc_id", "g").distinct()
     val scores = docTri.join(broadcast(profiles), "g")
