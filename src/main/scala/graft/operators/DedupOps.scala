@@ -145,16 +145,27 @@ object DedupOps {
       explodedShingles(docs(spark, dir)).distinct().cache())
 
   /** (doc_id, j, m) minhash signature components — the one derivation
-    * behind the band build AND q138's estimation audit. */
-  private[graft] def minhashComponents(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = shingleSets(spark, dir).select(col("doc_id"),
-      shingleHash(col("s")).as("h"))
-    hashed
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0L), lit(NumHashes - 1L))).as("j"))
-      .groupBy("doc_id", "j")
-      .agg(min(pmod(permA(col("j")) + permB(col("j")) * col("h"), lit(MinHashP))).as("m"))
-  }
+    * behind the band build AND q138's estimation audit. Memoized per
+    * (appId, dir) since r18: the comment above promised "signature
+    * tables are memoized" but only shingles and BANDS were — q138 and
+    * q141 each re-ran the 16-way permutation aggregate
+    * (|distinct shingles| × NumHashes rows) per invocation to rebuild a
+    * NumHashes-rows-per-doc table the band build had already derived.
+    * Eager localCheckpoint so consumers see a leaf, not the permutation
+    * lineage. */
+  private val componentCache = Memo.frame()
+
+  private[graft] def minhashComponents(spark: SparkSession, dir: String): DataFrame =
+    componentCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {
+      val hashed = shingleSets(spark, dir).select(col("doc_id"),
+        shingleHash(col("s")).as("h"))
+      hashed
+        .select(col("doc_id"), col("h"),
+          explode(sequence(lit(0L), lit(NumHashes - 1L))).as("j"))
+        .groupBy("doc_id", "j")
+        .agg(min(pmod(permA(col("j")) + permB(col("j")) * col("h"), lit(MinHashP))).as("m"))
+        .localCheckpoint(true)
+    })
 
   def minhashBands(spark: SparkSession, dir: String): DataFrame = {
     val bands = bandCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir", {

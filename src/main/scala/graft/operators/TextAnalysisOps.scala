@@ -2137,9 +2137,17 @@ object TextAnalysisOps {
   /** One-row standardization-stat frame (m1..m4, s1..s4) — population
     * mean/std of the raw features. Part of the persisted model artifact:
     * a frozen model must standardize NEW corpora with TRAINING statistics,
-    * not re-derive them from the data being scored. */
+    * not re-derive them from the data being scored. Memoized per
+    * (appId, dir) since r18 — these ARE training statistics (the
+    * docstring's own argument), yet every scoring consumer (q94/q95/q96/
+    * q108/q132's train side) re-aggregated the corpus twice per
+    * invocation to rebuild the same 8 numbers the trained model ships
+    * with. */
+  private val lrStatsCache = Memo.frame()
+
   private def lrStats(spark: SparkSession, dir: String): DataFrame =
-    lrStatsOf(lrRaw(spark, dir))
+    lrStatsCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir",
+      lrStatsOf(lrRaw(spark, dir)).localCheckpoint(true))
 
   /** [[lrStats]] over ANY raw-feature population — the q132 holdout
     * evaluation trains on the train split only, so its standardization
