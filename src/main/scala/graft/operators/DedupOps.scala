@@ -1439,11 +1439,26 @@ object DedupOps {
     * (corpus doc, n-token window, benchmark doc) verbatim coincidence.
     * Grouping by doc_id gives the training-side verdict (q83/q107);
     * grouping by bench_id gives the benchmark-side report (q143). */
+  /** Distinct (doc_id, window-md5) membership rows at window length n —
+    * the verbatim tier's shingleSets twin, memoized per (appId, dir, n)
+    * since r18: q83, q107, q113, q119, q143 and q157 each re-tokenized
+    * the corpus and re-hashed every n-window per invocation (q107/q143
+    * three times each, once per swept n) to rebuild the same index-like
+    * membership table. */
+  private val windowCache = Memo.frame()
+
+  private def windowSets(spark: SparkSession, dir: String, n: Int): DataFrame =
+    windowCache.getOrElseUpdate(
+      s"w$n:${spark.sparkContext.applicationId}:$dir", {
+        val eligible = docs(spark, dir)
+          .filter(size(TextOps.tokenize(col("text"))) >= n)
+        explodedShingles(eligible, n)
+          .select(col("doc_id"), md5(col("s")).as("w")).distinct()
+          .cache()
+      })
+
   private def verbatimHitsAt(spark: SparkSession, dir: String, n: Int): DataFrame = {
-    val eligible = docs(spark, dir)
-      .filter(size(TextOps.tokenize(col("text"))) >= n)
-    val ws = explodedShingles(eligible, n)
-      .select(col("doc_id"), md5(col("s")).as("w")).distinct()
+    val ws = windowSets(spark, dir, n)
     val bench = ws.filter(pmod(col("doc_id"), lit(DecontamMod)) === 0)
       .select(col("w"), col("doc_id").as("bench_id"))
     ws.filter(pmod(col("doc_id"), lit(DecontamMod)) =!= 0)

@@ -168,6 +168,17 @@ object TextAnalysisOps {
         .cache()
     })
 
+  /** Distinct (doc_id, g) membership rows — the apply-side index of the
+    * q33 classifier (the shingleSets discipline: dedup's distinct
+    * shingle sets are memoized for exactly this reason). q33 and q122
+    * each re-ran the DISTINCT over the full occurrence frame per
+    * invocation. */
+  private val docTriCache = Memo.frame()
+
+  private def langDocTrigrams(spark: SparkSession, dir: String): DataFrame =
+    docTriCache.getOrElseUpdate(s"${spark.sparkContext.applicationId}:$dir",
+      langTrigrams(spark, dir).select("doc_id", "g").distinct().cache())
+
   /** The per-language top-[[ProfileSize]] trigram profiles — the TRAINED
     * MODEL of the q33 classifier (|langs|·ProfileSize rows), memoized per
     * (appId, dir) like kmeansModel / qualityLrModel (r18: q33 and q122
@@ -196,7 +207,7 @@ object TextAnalysisOps {
 
     val profiles = langProfiles(spark, dir)
 
-    val docTri = tri.select("doc_id", "g").distinct()
+    val docTri = langDocTrigrams(spark, dir)
     val scores = docTri.join(broadcast(profiles), "g")
       .groupBy("doc_id", "p_lang").agg(count(lit(1)).as("score"))
 

@@ -30,10 +30,17 @@ import org.apache.spark.sql.SparkSession
   * line. */
 object MemoPressure {
   /** Memo-heavy declared queries: shingles/bands/pairs/labels (dedup
-    * family) and the k-means + PQ model caches (similarity family). */
+    * family), the k-means + PQ model caches (similarity family), and the
+    * r18 shared-intermediate memos (minhash signature components,
+    * verbatim window sets, language-ID trigram frames) — added when the
+    * r18 lineage truncation shrank the original five queries' resident
+    * set below the budget (the vacuous-run guard fired; the new memos
+    * restore a binding working set AND put their own release hooks under
+    * the churn proof). */
   val TouchQueries = Seq(
     "q42_minhash_dup_pairs", "q159_dup_clusters_fixpoint",
-    "q75_dedup_keep_best", "q51_ann_ivf", "q98_pq_codes")
+    "q75_dedup_keep_best", "q51_ann_ivf", "q98_pq_codes",
+    "q138_minhash_calibration", "q83_verbatim_decontam", "q33_langid")
 
   def main(args: Array[String]): Unit = {
     val dirA = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
